@@ -1,0 +1,125 @@
+"""Entity catalog: named entities backed by DataFrames + declared FK edges.
+
+This is the Spark translation of the reference's spec-tree of typed entities
+(SURVEY.md §1.2): each naqed custom type becomes a named entity with a fixed
+StructType (parquet-inferred, validated), and each relationship resolver
+becomes a declared FK edge compiled to a join.
+
+Scale posture: entities are plain ``spark.read.parquet`` scans so Catalyst
+owns predicate pushdown / column pruning / partition pruning. Dimension
+entities (region, nation, supplier, part, customer) are flagged small so the
+compiler can emit ``broadcast()`` hints on their join side.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Dimension tables: bounded size at any scale factor → always broadcastable.
+# (region/nation are fixed-size; supplier/part/customer grow slowly vs fact
+# tables. At true 100 TB, customer may exceed broadcast threshold — the
+# compiler only force-broadcasts the fixed-size dims and lets AQE decide the
+# rest.)
+SMALL_DIMS = {"region", "nation", "supplier"}
+BROADCAST_CANDIDATES = SMALL_DIMS | {"part", "customer"}
+
+
+@dataclass(frozen=True)
+class Relationship:
+    """A declared FK edge: ``src`` entity joins ``dst`` on src_key = dst_key.
+
+    naqed equivalent: a resolver on a custom type returning another custom
+    type (relationship traversal, SURVEY.md §1.1).
+    """
+
+    name: str  # how the query spec refers to the hop
+    src: str
+    dst: str
+    src_key: str
+    dst_key: str
+    many: bool  # True → one src row fans out to many dst rows
+
+
+RELATIONSHIPS: list[Relationship] = [
+    Relationship("region", "nation", "region", "n_regionkey", "r_regionkey", False),
+    Relationship("nations", "region", "nation", "r_regionkey", "n_regionkey", True),
+    Relationship("nation", "customer", "nation", "c_nationkey", "n_nationkey", False),
+    Relationship("customers", "nation", "customer", "n_nationkey", "c_nationkey", True),
+    Relationship("nation", "supplier", "nation", "s_nationkey", "n_nationkey", False),
+    Relationship("suppliers", "nation", "supplier", "n_nationkey", "s_nationkey", True),
+    Relationship("customer", "orders", "customer", "o_custkey", "c_custkey", False),
+    Relationship("orders", "customer", "orders", "c_custkey", "o_custkey", True),
+    Relationship("order", "lineitem", "orders", "l_orderkey", "o_orderkey", False),
+    Relationship("lineitems", "orders", "lineitem", "o_orderkey", "l_orderkey", True),
+    Relationship("part", "lineitem", "part", "l_partkey", "p_partkey", False),
+    Relationship("supplier", "lineitem", "supplier", "l_suppkey", "s_suppkey", False),
+    Relationship("customer", "events", "customer", "user_id", "c_custkey", False),
+    Relationship("events", "customer", "events", "c_custkey", "user_id", True),
+    Relationship("embedding", "documents", "embeddings", "doc_id", "vec_id", False),
+    Relationship("document", "embeddings", "documents", "vec_id", "doc_id", False),
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one entity. Plain parquet scan — pushdown/pruning stay enabled.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
+    as a timestamp (PARQUET_TYPE_ILLEGAL). We read it as a raw ns-long via
+    the legacy conf and convert with exact integer division to a µs
+    timestamp — byte-identical to DuckDB, which also truncates ns → µs.
+    Session TZ is pinned to UTC so date/epoch projections are deterministic.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown entity {name!r}; known: {TABLES}")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        from pyspark.sql import functions as F
+
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(path)
+
+
+@dataclass
+class Catalog:
+    """Entity registry bound to one scale-factor directory."""
+
+    spark: SparkSession
+    sf_dir: str
+    _cache: dict[str, DataFrame] = field(default_factory=dict)
+
+    def entity(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            self._cache[name] = load(self.spark, self.sf_dir, name)
+        return self._cache[name]
+
+    def relationship(self, src_entity: str, name: str) -> Relationship:
+        for rel in RELATIONSHIPS:
+            if rel.src == src_entity and rel.name == name:
+                return rel
+        raise KeyError(f"entity {src_entity!r} has no relationship {name!r}")
+
+    def register_views(self, suffix: str = "") -> None:
+        """Register every entity as a temp view for the SQL entry point."""
+        for t in TABLES:
+            self.entity(t).createOrReplaceTempView(t + suffix)

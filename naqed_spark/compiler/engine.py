@@ -1,0 +1,189 @@
+"""Engine: binds QuerySpec IR against the Catalog and compiles to DataFrame.
+
+Three entry points (SURVEY.md §3.2):
+  E1 ``engine.query(spec_dict)``  — naqed-style query object
+  E2 ``engine.entity(name)``      — direct DataFrame API
+  E3 ``engine.sql(text)``         — Spark SQL over registered views
+
+The compiler emits only declarative DataFrame ops (filter → join → select →
+groupBy/agg → orderBy/limit) so Catalyst performs pushdown, pruning, join
+reordering, and AQE picks physical strategies. Fixed-size dimension entities
+are joined with an explicit ``broadcast()`` hint (catalog.SMALL_DIMS);
+everything else is left to AQE so the plan still holds at 100 TB where e.g.
+``customer`` stops being broadcastable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from naqed_spark.catalog import BROADCAST_CANDIDATES, Catalog, SMALL_DIMS
+from naqed_spark.compiler.spec import (
+    AggSpec,
+    Node,
+    Predicate,
+    QuerySpec,
+    SpecError,
+    parse_spec,
+)
+
+_PY_TYPES = {
+    "string": (str,),
+    "boolean": (bool,),
+    "int": (int,),
+    "bigint": (int,),
+    "smallint": (int,),
+    "double": (int, float),
+    "float": (int, float),
+    "date": (str,),
+    "timestamp": (str,),
+    "timestamp_ntz": (str,),
+}
+
+
+def _typecheck(df: DataFrame, pred: Predicate, entity: str) -> None:
+    """Analysis-time arg typecheck — the Spark translation of naqed's
+    result/argument type checking (SURVEY.md §1.2: $error → fail fast)."""
+    schema = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
+    if pred.column not in schema:
+        raise SpecError(f"{entity}.{pred.column}: no such field")
+    if pred.op in ("$isnull", "$notnull"):
+        return
+    expected = _PY_TYPES.get(schema[pred.column])
+    if expected is None:
+        return  # complex type — let Spark's analyzer rule on it
+    vals = pred.value if isinstance(pred.value, (list, tuple)) else [pred.value]
+    for v in vals:
+        if isinstance(v, bool) and bool not in expected:
+            raise SpecError(
+                f"{entity}.{pred.column}: bool arg for {schema[pred.column]} column"
+            )
+        if not isinstance(v, expected):
+            raise SpecError(
+                f"{entity}.{pred.column}: arg {v!r} ({type(v).__name__}) does not"
+                f" match column type {schema[pred.column]}"
+            )
+
+
+def _apply_predicate(df: DataFrame, pred: Predicate) -> DataFrame:
+    c = F.col(pred.column)
+    op = pred.op
+    if op == "$eq":
+        cond = c == F.lit(pred.value)
+    elif op == "$ne":
+        cond = c != F.lit(pred.value)
+    elif op == "$gt":
+        cond = c > F.lit(pred.value)
+    elif op == "$gte":
+        cond = c >= F.lit(pred.value)
+    elif op == "$lt":
+        cond = c < F.lit(pred.value)
+    elif op == "$lte":
+        cond = c <= F.lit(pred.value)
+    elif op == "$in":
+        cond = c.isin(list(pred.value))
+    elif op == "$between":
+        lo, hi = pred.value
+        cond = c.between(F.lit(lo), F.lit(hi))
+    elif op == "$like":
+        cond = c.like(pred.value)
+    elif op == "$isnull":
+        cond = c.isNull()
+    elif op == "$notnull":
+        cond = c.isNotNull()
+    else:  # pragma: no cover — parser already validated
+        raise SpecError(f"unknown op {op!r}")
+    return df.filter(cond)
+
+
+class Engine:
+    """The user-facing engine bound to one scale-factor directory."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str):
+        self.spark = spark
+        self.catalog = Catalog(spark, sf_dir)
+
+    # -- E2: direct DataFrame access ------------------------------------
+    def entity(self, name: str) -> DataFrame:
+        return self.catalog.entity(name)
+
+    # -- E3: SQL ----------------------------------------------------------
+    def sql(self, text: str) -> DataFrame:
+        self.catalog.register_views()
+        return self.spark.sql(text)
+
+    # -- E1: naqed-style query object -------------------------------------
+    def query(self, spec: dict) -> DataFrame:
+        qs = parse_spec(spec)
+        return self._compile(qs)
+
+    # -- compilation -------------------------------------------------------
+    def _load_filtered(self, node: Node) -> DataFrame:
+        df = self.catalog.entity(node.entity)
+        for pred in node.filters:
+            _typecheck(df, pred, node.entity)
+            df = _apply_predicate(df, pred)
+        return df
+
+    def _compile_node(self, node: Node) -> tuple[DataFrame, list[str]]:
+        """Compile a traversal subtree to (DataFrame, requested columns)."""
+        df = self._load_filtered(node)
+        cols = list(node.fields)
+        for rel_name, child in node.children:
+            rel = self.catalog.relationship(node.entity, rel_name)
+            child.entity = rel.dst
+            child_df, child_cols = self._compile_node(child)
+            # broadcast fixed-size dims; let AQE decide the rest (100 TB safe)
+            if rel.dst in SMALL_DIMS or (
+                rel.dst in BROADCAST_CANDIDATES and not rel.many
+            ):
+                child_df = F.broadcast(child_df)
+            cond = df[rel.src_key] == child_df[rel.dst_key]
+            joined = df.join(child_df, cond, child.how)
+            if child.how in ("left_semi", "left_anti"):
+                df = joined  # child columns are not visible after semi/anti
+            else:
+                df = joined
+                cols.extend(child_cols)
+        return df, cols
+
+    def _compile(self, qs: QuerySpec) -> DataFrame:
+        df, cols = self._compile_node(qs.root)
+        if qs.aggs:
+            exprs = [self._agg_expr(a) for a in qs.aggs]
+            if qs.groupby:
+                df = df.groupBy(*[F.col(c) for c in qs.groupby]).agg(*exprs)
+            else:
+                df = df.agg(*exprs)
+        elif cols:
+            df = df.select(*[F.col(c) for c in dict.fromkeys(cols)])
+        if qs.distinct:
+            df = df.distinct()
+        if qs.orderby:
+            df = df.orderBy(
+                *[
+                    F.col(c).desc() if d == "desc" else F.col(c).asc()
+                    for c, d in qs.orderby
+                ]
+            )
+        if qs.limit is not None:
+            df = df.limit(qs.limit)
+        return df
+
+    @staticmethod
+    def _agg_expr(a: AggSpec):
+        if a.op == "$count":
+            e = F.count(F.lit(1)) if a.column is None else F.count(a.column)
+        elif a.op == "$count_distinct":
+            e = F.countDistinct(a.column)
+        elif a.op == "$sum":
+            e = F.sum(a.column)
+        elif a.op == "$avg":
+            e = F.avg(a.column)
+        elif a.op == "$min":
+            e = F.min(a.column)
+        elif a.op == "$max":
+            e = F.max(a.column)
+        else:  # pragma: no cover
+            raise SpecError(f"unknown agg {a.op!r}")
+        return e.alias(a.alias)

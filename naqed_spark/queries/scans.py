@@ -1,0 +1,78 @@
+"""§2-A: scans / sources / sinks.
+
+Scale notes: every query here is a bare parquet scan + narrow projection, so
+Catalyst pushes filters into the scan and prunes columns (verify with
+``.explain`` → PushedFilters / ReadSchema). At 100 TB these stay
+embarrassingly parallel — no shuffle except the final tiny aggregation.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from functools import reduce
+
+from pyspark.sql import functions as F
+
+from naqed_spark.catalog import TABLES
+from naqed_spark.queries._util import load
+from naqed_spark.registry import query
+
+
+@query(
+    "scan_parquet",
+    oracle="""
+    SELECT count(*) AS n_rows, count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    """,
+)
+def scan_parquet(spark, sf_dir):
+    return load(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@query(
+    "scan_all_entities",
+    oracle=" UNION ALL ".join(
+        f"SELECT '{t}' AS entity, count(*) AS n FROM {t}" for t in TABLES
+    ),
+)
+def scan_all_entities(spark, sf_dir):
+    parts = [
+        load(spark, sf_dir, t).agg(
+            F.lit(t).alias("entity"), F.count(F.lit(1)).alias("n")
+        )
+        for t in TABLES
+    ]
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+@query("sink_parquet_roundtrip", rows_only=True)
+def sink_parquet_roundtrip(spark, sf_dir):
+    """Write a projection out as parquet, re-read it — sink correctness.
+
+    rows-only by design (SURVEY.md §2-A): the check is row identity with the
+    source, asserted in tests/test_oracle.py; the driver sees count+schema.
+    """
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    out = tempfile.mkdtemp(prefix="naqed_sink_") + "/orders_rt"
+    src.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+@query(
+    "scan_json_props",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+)
+def scan_json_props(spark, sf_dir):
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )

@@ -1,0 +1,50 @@
+"""Tuned SparkSession factory.
+
+Scale posture (SURVEY.md §4.2/§4.3): AQE on (runtime coalescing, skew-join
+splitting), shuffle partitions sized to the local core count rather than the
+200 default (at cluster scale this is set to ~2-3x total cores), Arrow on for
+any pandas exchange, ANSI off so cast/overflow semantics match the DuckDB
+oracle, and session timezone pinned to UTC so epoch/date projections are
+deterministic across engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "naqed-spark") -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("NAQED_DRIVER_MEM", "16g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def tune_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable determinism/perf confs to an externally
+    provided session (the driver hands us its own session — we must not
+    assume it was built by ``get_spark``)."""
+    for k, v in [
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.ansi.enabled", "false"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+    ]:
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # non-runtime-settable in some deployments; defaults are close
+    return spark
