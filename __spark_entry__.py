@@ -3,8 +3,10 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Everything here reads from ``naqed_spark.registry`` — the single source
+of truth wiring SURVEY.md §2 keys to (implementation, oracle) pairs.
 """
 
 from __future__ import annotations
@@ -13,26 +15,47 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (SURVEY.md §7.1 M0): Q5-style 6-way star join —
+    revenue per nation for one region and order-date band, at sf0.001."""
+    from naqed_spark.queries.joins import join_multiway_star
+    from naqed_spark.registry import load_all
+    from naqed_spark.session import tune_session
+
+    load_all()
+    tune_session(spark)
+    return join_multiway_star(spark, SMOKE_SF_DIR)
+
+
+def _wrap(fn) -> Callable[[SparkSession, str], DataFrame]:
+    """Apply session tuning (UTC tz, ANSI off, AQE) before each query —
+    the driver hands us its own session, not one built by get_spark()."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from naqed_spark.session import tune_session
+
+        tune_session(spark)
+        return fn(spark, sf_dir)
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2."""
+    from naqed_spark.registry import QUERIES, load_all
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    load_all()
+    return {k: _wrap(fn) for k, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB ANSI-SQL twin for each sql-checkable key in ``queries()``.
+    Keys absent here (registry.ROWS_ONLY) get the driver's weaker
+    rows-only check — pre-declared by design in SURVEY.md §2."""
+    from naqed_spark.registry import ORACLES, load_all
+
+    load_all()
+    return dict(ORACLES)

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from naqed_spark.catalog import BROADCAST_CANDIDATES, Catalog, SMALL_DIMS
+from naqed_spark.catalog import Catalog, SMALL_DIMS
 from naqed_spark.compiler.spec import (
     AggSpec,
     Node,
@@ -133,10 +133,11 @@ class Engine:
             rel = self.catalog.relationship(node.entity, rel_name)
             child.entity = rel.dst
             child_df, child_cols = self._compile_node(child)
-            # broadcast fixed-size dims; let AQE decide the rest (100 TB safe)
-            if rel.dst in SMALL_DIMS or (
-                rel.dst in BROADCAST_CANDIDATES and not rel.many
-            ):
+            # broadcast ONLY fixed-size dims (region/nation/supplier); at
+            # 100 TB customer/part are not broadcastable — a forced hint
+            # there is an executor OOM. AQE demotes sort-merge → broadcast
+            # at runtime for them when they turn out small.
+            if rel.dst in SMALL_DIMS:
                 child_df = F.broadcast(child_df)
             cond = df[rel.src_key] == child_df[rel.dst_key]
             joined = df.join(child_df, cond, child.how)

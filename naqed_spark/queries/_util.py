@@ -3,10 +3,16 @@
 Cross-engine hash-match conventions used by every checked query:
   - dates      → ISO 'yyyy-MM-dd' strings   (pandas date/datetime ambiguity)
   - timestamps → epoch microseconds bigint  (both engines truncate ns → µs)
-  - money sums → round(x, 2)   (1e9-magnitude double sums; reorder error ≪ 5e-3)
-  - small sums / avgs → round(x, 4)
-  - ratios / correlations → round(x, 6)
-  - arrays → sorted + joined to a single string
+  - money/measure SUMS → exact DECIMAL arithmetic, cast to double at the end
+    (order-independent: both engines compute the identical exact decimal, so
+    the final doubles are bit-identical — no rounding needed). Mirror in SQL
+    with CAST(x AS DECIMAL(p,s)) on the same ingredients.
+  - per-row money products (2-dec × 2-dec) → round(x, 4): the true value has
+    ≤4 decimals, and the double product is within 1 ulp of it, so both
+    engines agree. round(x, 2) here is a determinism bug (half-cent values
+    like 38228.5*0.97 = 37081.645 round differently per engine).
+  - inherently-float results (stddev/corr/ln/cosine) → round(x, 6) hedge
+  - arrays → flatten to (id, pos, value) scalar rows, or sort + join
 """
 
 from __future__ import annotations
@@ -15,7 +21,16 @@ from pyspark.sql import Column, functions as F
 
 from naqed_spark.catalog import load  # re-export for query modules
 
-__all__ = ["load", "date_str", "epoch_us", "money", "r4", "r6"]
+__all__ = [
+    "load",
+    "date_str",
+    "epoch_us",
+    "money_row",
+    "dec",
+    "dsum",
+    "r4",
+    "r6",
+]
 
 
 def date_str(c: str | Column) -> Column:
@@ -25,11 +40,26 @@ def date_str(c: str | Column) -> Column:
 
 def epoch_us(c: str | Column) -> Column:
     c = F.col(c) if isinstance(c, str) else c
-    return F.unix_micros(c)
+    return F.unix_micros(c.cast("timestamp"))
 
 
-def money(c: Column) -> Column:
-    return F.round(c, 2)
+def money_row(c: Column) -> Column:
+    """Per-row product of two 2-decimal money doubles → exact at 4 decimals."""
+    return F.round(c, 4)
+
+
+def dec(c: str | Column, prec: str = "decimal(12,2)") -> Column:
+    """Cast a stored 2-decimal double to exact decimal for order-independent
+    arithmetic. Both engines round the same double to the same decimal
+    (the stored value is within 1 ulp of its decimal form, never at a
+    rounding boundary). SQL twin: CAST(x AS DECIMAL(12,2))."""
+    c = F.col(c) if isinstance(c, str) else c
+    return c.cast(prec)
+
+
+def dsum(e: Column) -> Column:
+    """Exact decimal sum emitted as a double: identical on both engines."""
+    return F.sum(e).cast("double")
 
 
 def r4(c: Column) -> Column:

@@ -9,16 +9,19 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from naqed_spark.queries._util import date_str, load, money
+from naqed_spark.queries._util import date_str, load, money_row
 from naqed_spark.registry import query
 
 
 @query(
     "project_select_alias",
+    # round to 4, not 2: the product of two 2-decimal doubles has an exact
+    # ≤4-decimal value, so both engines agree at 4 digits; at 2 digits exact
+    # half-cents (38228.5*0.97=37081.645) round differently per engine.
     oracle="""
     SELECT l_orderkey, l_linenumber,
            l_quantity AS qty,
-           round(l_extendedprice * (1 - l_discount), 2) AS net_price
+           round(l_extendedprice * (1 - l_discount), 4) AS net_price
     FROM lineitem
     """,
 )
@@ -28,7 +31,7 @@ def project_select_alias(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
         F.col("l_quantity").alias("qty"),
-        money(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+        money_row(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "net_price"
         ),
     )

@@ -1,0 +1,321 @@
+"""§2-C: joins — all 12 contract keys (SURVEY.md:189-202).
+
+Scale notes (100 TB posture):
+  - Equi-joins are expressed declaratively so Catalyst/AQE pick the physical
+    strategy (sort-merge with shuffle on keys; AQE demotes to broadcast when
+    a side turns out small, and splits skewed partitions).
+  - Only fixed-size dimensions (region/nation/supplier — catalog.SMALL_DIMS)
+    get an explicit broadcast() hint. customer/part are NOT force-broadcast:
+    at 100 TB they exceed any broadcast threshold, and a forced hint there
+    is an executor OOM, not an optimization. AQE decides for them.
+  - Theta/interval joins put the tiny derived side (5 bands) on the
+    broadcast side of a nested-loop join; the as-of join uses the
+    equi-key + window-rank pattern so the heavy lifting stays a hash join
+    partitioned by user, not a cross product.
+  - Timestamp comparisons use epoch-microsecond bigints on BOTH engines
+    (parquet ns/ms precisions truncate identically — SURVEY.md §7.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from naqed_spark.queries._util import dec, dsum, epoch_us, load
+from naqed_spark.registry import query
+
+
+@query(
+    "join_inner_equi",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_custkey, c_name, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def join_inner_equi(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@query(
+    "join_broadcast",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, p_partkey, p_brand
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_type = 'PROMO'
+    """,
+)
+def join_broadcast(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    # explicit broadcast: the filtered part side is dimension-sized; at
+    # 100 TB this hint is still valid because the filter is selective and
+    # pushed to the scan (check .explain → PushedFilters)
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_orderkey", "l_linenumber", "p_partkey", "p_brand"
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice
+    FROM customer LEFT JOIN
+         (SELECT * FROM orders WHERE o_totalprice > 400000) o
+         ON c_custkey = o_custkey
+    """,
+)
+def join_left_outer(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT c_custkey, c_acctbal, o_orderkey, o_custkey, o_totalprice
+    FROM (SELECT * FROM customer WHERE c_acctbal > 9000) c
+    FULL OUTER JOIN (SELECT * FROM orders WHERE o_totalprice > 350000) o
+         ON c_custkey = o_custkey
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 350000)
+    return c.join(o, c.c_custkey == o.o_custkey, "full").select(
+        "c_custkey", "c_acctbal", "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@query(
+    "join_left_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+    """,
+)
+def join_left_semi(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "join_left_anti",
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_totalprice > 200000)
+    """,
+)
+def join_left_anti(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@query(
+    "join_cross",
+    oracle="SELECT r_name, n_name FROM region CROSS JOIN nation",
+)
+def join_cross(spark, sf_dir):
+    r = load(spark, sf_dir, "region").select("r_name")
+    n = load(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n)
+
+
+@query(
+    "join_theta_range",
+    # non-equi band join: 5 derived price bands × orders. The tiny band side
+    # broadcasts into a nested-loop join — the only sane physical plan for a
+    # pure theta join; the fact side streams through untouched.
+    oracle="""
+    SELECT r_regionkey AS band,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS band_total
+    FROM region JOIN orders
+      ON o_totalprice >= r_regionkey * 100000.0
+     AND o_totalprice <  r_regionkey * 100000.0 + 50000.0
+    GROUP BY r_regionkey
+    """,
+)
+def join_theta_range(spark, sf_dir):
+    bands = (
+        load(spark, sf_dir, "region")
+        .select(
+            F.col("r_regionkey").alias("band"),
+            (F.col("r_regionkey") * 100000.0).alias("lo"),
+            (F.col("r_regionkey") * 100000.0 + 50000.0).alias("hi"),
+        )
+    )
+    o = load(spark, sf_dir, "orders")
+    joined = o.join(
+        F.broadcast(bands),
+        (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(dec("o_totalprice")).alias("band_total"),
+    )
+
+
+@query(
+    "join_interval_overlap",
+    # [ts, ts+1h) click intervals × purchase intervals of the same user;
+    # overlap iff a.start < b.end AND b.start < a.end. All time math is
+    # epoch-µs bigint on both engines. Equi on user_id keeps it a hash
+    # join partitioned by user — the inequality pair is a post-filter.
+    oracle="""
+    WITH a AS (SELECT user_id, event_id AS a_id,
+                      epoch_us(ts) AS a_start, epoch_us(ts) + 3600000000 AS a_end
+               FROM events WHERE event_type = 'click'),
+         b AS (SELECT user_id, event_id AS b_id,
+                      epoch_us(ts) AS b_start, epoch_us(ts) + 3600000000 AS b_end
+               FROM events WHERE event_type = 'purchase')
+    SELECT a.user_id AS user_id, a_id, b_id
+    FROM a JOIN b ON a.user_id = b.user_id
+                 AND a_start < b_end AND b_start < a_end
+    """,
+)
+def join_interval_overlap(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    hour_us = 3600 * 1000 * 1000
+    a = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("a_id"),
+        epoch_us("ts").alias("a_start"),
+        (epoch_us("ts") + hour_us).alias("a_end"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        F.col("event_id").alias("b_id"),
+        epoch_us("ts").alias("b_start"),
+        (epoch_us("ts") + hour_us).alias("b_end"),
+    )
+    return a.join(
+        b,
+        (a.user_id == b.b_user) & (a.a_start < b.b_end) & (b.b_start < a.a_end),
+    ).select("user_id", "a_id", "b_id")
+
+
+@query(
+    "join_asof",
+    # as-of: each event → the latest order at-or-before the event per user.
+    # Pattern: equi-join on the key + window rank, so the physical plan is a
+    # user-partitioned hash join + per-event top-1 — no cross product. Ties
+    # broken by o_orderkey (unique), per SURVEY §7.3.
+    oracle="""
+    SELECT event_id, user_id, o_orderkey, order_us FROM (
+      SELECT e.event_id, e.user_id, o.o_orderkey,
+             epoch_us(o.o_orderdate) AS order_us,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e JOIN orders o
+        ON o.o_custkey = e.user_id
+       AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)
+    ) WHERE rn = 1
+    """,
+)
+def join_asof(spark, sf_dir):
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", epoch_us("ts").alias("ev_us")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", epoch_us("o_orderdate").alias("order_us")
+    )
+    j = e.join(o, (o.o_custkey == e.user_id) & (o.order_us <= e.ev_us))
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("order_us").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "o_orderkey", "order_us")
+    )
+
+
+@query(
+    "join_multiway_star",
+    # TPC-H Q5-style 6-way star join; revenue in exact decimal → double.
+    oracle="""
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def join_multiway_star(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = dec("l_extendedprice") * (1 - dec("l_discount", "decimal(4,2)"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(revenue).alias("revenue"))
+    )
+
+
+@query(
+    "join_self",
+    oracle="""
+    SELECT a.l_orderkey AS l_orderkey,
+           a.l_linenumber AS ln_a, b.l_linenumber AS ln_b,
+           a.l_partkey AS pk_a, b.l_partkey AS pk_b
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+    WHERE a.l_quantity > 40 AND b.l_quantity > 40
+    """,
+)
+def join_self(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 40)
+    a, b = li.alias("a"), li.alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
+    ).select(
+        F.col("a.l_orderkey").alias("l_orderkey"),
+        F.col("a.l_linenumber").alias("ln_a"),
+        F.col("b.l_linenumber").alias("ln_b"),
+        F.col("a.l_partkey").alias("pk_a"),
+        F.col("b.l_partkey").alias("pk_b"),
+    )

@@ -8,6 +8,7 @@ embarrassingly parallel — no shuffle except the final tiny aggregation.
 
 from __future__ import annotations
 
+import os
 import tempfile
 from functools import reduce
 
@@ -58,7 +59,11 @@ def sink_parquet_roundtrip(spark, sf_dir):
     src = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )
-    out = tempfile.mkdtemp(prefix="naqed_sink_") + "/orders_rt"
+    # fixed scratch path (overwritten each run, no per-run leak). On a real
+    # cluster this must be a shared filesystem (HDFS/S3) path — executors
+    # write it, the driver re-reads it; configurable via NAQED_SCRATCH_DIR.
+    out = os.environ.get("NAQED_SCRATCH_DIR", tempfile.gettempdir())
+    out = f"{out}/naqed_scratch/orders_rt"
     src.write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
 
