@@ -5,7 +5,10 @@ below in sync as modules land.
 """
 
 from naqed_spark.queries import (  # noqa: F401
+    aggs,
     filters,
     joins,
     scans,
+    sets,
+    sorts,
 )

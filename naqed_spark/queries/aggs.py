@@ -1,0 +1,343 @@
+"""§2-D: aggregations — all 13 contract keys (SURVEY.md:204-220).
+
+Scale notes (100 TB posture):
+  - Every groupBy here is a hash aggregate with map-side partial
+    aggregation (Spark plans partial_ + final HashAggregate automatically);
+    the shuffle carries only the partial states, never raw rows.
+  - countDistinct expands to a two-phase exact distinct; at very high
+    cardinality prefer agg_approx_count_distinct (HLL, constant state).
+  - rollup/cube expand the input once per grouping set before the hash agg
+    (Expand node) — cost is |sets| × input, which is why grouping-set lists
+    stay small.
+
+Determinism (SURVEY.md §7.3 + _util docstring):
+  - money sums → exact DECIMAL, cast double at the end (bit-identical).
+  - l_quantity is 0.25-step → binary-exact doubles; sums/avgs are exact
+    regardless of order, no rounding needed.
+  - averages → exact-decimal sum cast to double, divided by count (one
+    identical double division on both engines).
+  - stats run on small-magnitude columns (quantity/discount/tax) where both
+    engines' accumulation error (~1e-10) is far below the round(4/6) grain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from naqed_spark.queries._util import dec, dsum, load, r4, r6
+from naqed_spark.registry import query
+
+
+@query(
+    "agg_global",
+    oracle="""
+    SELECT count(*) AS n,
+           sum(l_quantity) AS sum_qty,
+           avg(l_quantity) AS avg_qty,
+           min(l_extendedprice) AS min_price,
+           max(l_extendedprice) AS max_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / count(*) AS avg_price
+    FROM lineitem
+    """,
+)
+def agg_global(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    sum_price = dsum(dec("l_extendedprice"))
+    return li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.avg("l_quantity").alias("avg_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        sum_price.alias("sum_price"),
+        (sum_price / F.count(F.lit(1))).alias("avg_price"),
+    )
+
+
+@query(
+    "agg_groupby_hash",
+    # TPC-H Q1: the BASELINE.md headline aggregation.
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+             AS sum_charge,
+           avg(l_quantity) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / count(*) AS avg_price,
+           CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             / count(*) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_groupby_hash(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp_ntz")
+    )
+    price = dec("l_extendedprice")
+    disc = dec("l_discount", "decimal(4,2)")
+    tax = dec("l_tax", "decimal(4,2)")
+    n = F.count(F.lit(1))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        dsum(price).alias("sum_base_price"),
+        dsum(price * (1 - disc)).alias("sum_disc_price"),
+        dsum(price * (1 - disc) * (1 + tax)).alias("sum_charge"),
+        F.avg("l_quantity").alias("avg_qty"),
+        (dsum(price) / n).alias("avg_price"),
+        (dsum(disc) / n).alias("avg_disc"),
+        n.alias("count_order"),
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_count_distinct(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query("agg_approx_count_distinct", rows_only=True)
+def agg_approx_count_distinct(spark, sf_dir):
+    """HLL distinct users per event_type. rows-only by design (SURVEY §2-D):
+    Spark's HLL++ and DuckDB's approx sketch differ; tests assert the
+    estimate is within 5% of exact. At 100 TB this is THE distinct-count
+    path — constant memory per group vs countDistinct's expand-shuffle."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT c_nationkey, count(*) AS n_cust,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING count(*) > 50
+    """,
+)
+def agg_having(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dsum(dec("c_acctbal")).alias("total_bal"),
+        )
+        .filter(F.col("n_cust") > 50)
+    )
+
+
+@query(
+    "agg_filtered",
+    # FILTER-clause aggregation: Spark's sum(when(cond, x)) ≡ ANSI FILTER.
+    oracle="""
+    SELECT l_returnflag,
+           sum(l_quantity) FILTER (WHERE l_linestatus = 'F') AS qty_f,
+           sum(l_quantity) FILTER (WHERE l_linestatus = 'O') AS qty_o,
+           count(*) FILTER (WHERE l_discount > 0.05) AS n_high_disc,
+           count(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_filtered(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity"))).alias(
+            "qty_f"
+        ),
+        F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity"))).alias(
+            "qty_o"
+        ),
+        F.count(F.when(F.col("l_discount") > 0.05, F.lit(1))).alias(
+            "n_high_disc"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty, count(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(dec("o_totalprice")).alias("total"),
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) AS g_flag,
+           grouping(l_linestatus) AS g_status,
+           sum(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("naqed_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               sum(l_quantity) AS sum_qty
+        FROM naqed_gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "agg_stats",
+    # stats on small-magnitude columns only: accumulation error ~1e-10 is
+    # far below the rounding grain, so round(4/6) is deterministic. Running
+    # these on 1e5-magnitude money columns would NOT survive the hash.
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(corr(l_discount, l_tax), 6) AS corr_disc_tax,
+           round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r4(F.stddev_samp("l_quantity")).alias("sd_qty"),
+        r4(F.var_samp("l_quantity")).alias("var_qty"),
+        r6(F.corr("l_discount", "l_tax")).alias("corr_disc_tax"),
+        r6(F.covar_samp("l_quantity", "l_discount")).alias("cov_qty_disc"),
+    )
+
+
+@query(
+    "agg_percentile_exact",
+    # l_quantity is 0.25-step → interpolated quantiles land on 0.125 steps,
+    # binary-exact, so round(4) is boundary-free on both engines.
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+           round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_exact(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r4(F.percentile("l_quantity", F.lit(0.5))).alias("median_qty"),
+        r4(F.percentile("l_quantity", F.lit(0.9))).alias("p90_qty"),
+    )
+
+
+@query(
+    "agg_collect_set",
+    # collections are order-nondeterministic after shuffles → always sorted
+    # before emission (§7.3), and emitted as a joined string for hashing.
+    oracle="""
+    SELECT c_nationkey,
+           array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',')
+             AS segments
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def agg_collect_set(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("c_mktsegment")), ","
+            ).alias("segments")
+        )
+    )
+
+
+@query(
+    "agg_min_max_by",
+    # arg-min/arg-max with mandatory unique tiebreak (§7.3): the order value
+    # price*1e5 + key is computed identically on both engines (determinism
+    # needs identical doubles, not exact ones) and unique by construction
+    # (keys differ by ≥1 ≫ the ~1e-6 multiply error).
+    oracle="""
+    SELECT o_orderpriority,
+           max_by(o_orderkey, o_totalprice * 100000 + o_orderkey)
+             AS biggest_order,
+           min_by(o_orderkey, o_totalprice * 100000 + o_orderkey)
+             AS smallest_order,
+           max(o_totalprice) AS max_price,
+           min(o_totalprice) AS min_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_min_max_by(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    by = F.col("o_totalprice") * 100000 + F.col("o_orderkey")
+    return o.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", by).alias("biggest_order"),
+        F.min_by("o_orderkey", by).alias("smallest_order"),
+        F.max("o_totalprice").alias("max_price"),
+        F.min("o_totalprice").alias("min_price"),
+    )

@@ -1,0 +1,59 @@
+"""§2-G: set operations (SURVEY.md:245-250).
+
+Two bag projections with guaranteed overlap: all (custkey, status) pairs
+from orders vs the pairs from high-value orders. ANSI semantics: UNION ALL
+keeps duplicates; UNION / INTERSECT / EXCEPT are distinct (Spark: unionAll,
+union().distinct(), intersect, subtract).
+
+Scale notes: distinct set ops are hash aggregations / left-semi or
+left-anti hash joins under Catalyst — they shuffle on the full row as key.
+UNION ALL is a no-shuffle concatenation of partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from naqed_spark.queries._util import load
+from naqed_spark.registry import query
+
+_A_SQL = "SELECT o_custkey AS k, o_orderstatus AS s FROM orders"
+_B_SQL = (
+    "SELECT o_custkey AS k, o_orderstatus AS s FROM orders "
+    "WHERE o_totalprice > 250000"
+)
+
+
+def _a(spark, sf_dir) -> DataFrame:
+    return load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"), F.col("o_orderstatus").alias("s")
+    )
+
+
+def _b(spark, sf_dir) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 250000)
+        .select(F.col("o_custkey").alias("k"), F.col("o_orderstatus").alias("s"))
+    )
+
+
+@query("set_union_all", oracle=f"{_A_SQL} UNION ALL {_B_SQL}")
+def set_union_all(spark, sf_dir):
+    return _a(spark, sf_dir).unionAll(_b(spark, sf_dir))
+
+
+@query("set_union_distinct", oracle=f"{_A_SQL} UNION {_B_SQL}")
+def set_union_distinct(spark, sf_dir):
+    return _a(spark, sf_dir).union(_b(spark, sf_dir)).distinct()
+
+
+@query("set_intersect", oracle=f"{_A_SQL} INTERSECT {_B_SQL}")
+def set_intersect(spark, sf_dir):
+    return _a(spark, sf_dir).intersect(_b(spark, sf_dir))
+
+
+@query("set_except", oracle=f"{_A_SQL} EXCEPT {_B_SQL}")
+def set_except(spark, sf_dir):
+    # ANSI EXCEPT is distinct → Spark's subtract() (exceptAll would be bag)
+    return _a(spark, sf_dir).subtract(_b(spark, sf_dir))
