@@ -11,4 +11,5 @@ from naqed_spark.queries import (  # noqa: F401
     scans,
     sets,
     sorts,
+    windows,
 )

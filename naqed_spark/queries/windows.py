@@ -1,0 +1,305 @@
+"""§2-E: window functions — all 9 contract keys (SURVEY.md:222-234).
+
+Determinism (§7.3): every window order is total over the emitted columns
+(unique keys as tiebreaks; remaining ties only between fully-identical
+rows, where assignment is interchangeable). Running/moving sums stay in
+exact DECIMAL through the frame and cast to double at the end — windowed
+double summation is NOT order-stable across engines (DuckDB uses a segment
+tree, Spark accumulates sequentially).
+
+Scale notes:
+  - Partitioned windows (per-customer, per-user) shuffle once on the
+    partition key and sort within partitions — the canonical Spark window
+    plan; skewed partition keys are the thing to watch at 100 TB.
+  - The unpartitioned windows here run over an already-aggregated daily
+    table (~thousands of rows at any SF) — the single-partition WindowExec
+    warning is expected and harmless at that cardinality. Never put an
+    unpartitioned window over a fact table; aggregate first.
+  - Sessionization is lag → flag → running count within (user) partitions:
+    one shuffle on user_id, linear within partition. This is the batch twin
+    of stream_session_window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from naqed_spark.queries._util import date_str, dec, epoch_us, load
+from naqed_spark.registry import query
+
+
+@query(
+    "win_row_number_topk",
+    # BASELINE.md headline: top-3 orders per customer (249 ms @ sf0.1 DuckDB)
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC)
+               AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def win_row_number_topk(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@query(
+    "win_rank_dense",
+    # rank/dense_rank are tie-stable: tied rows get the same rank no matter
+    # the physical order, so no tiebreak is needed on the rank itself.
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+           rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity DESC)
+             AS rnk,
+           dense_rank() OVER (PARTITION BY l_returnflag
+                              ORDER BY l_quantity DESC) AS drnk
+    FROM lineitem WHERE l_quantity >= 48
+    """,
+)
+def win_rank_dense(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    w = Window.partitionBy("l_returnflag").orderBy(F.col("l_quantity").desc())
+    return li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "win_ntile",
+    # ntile depends on the full order → order covers every emitted column.
+    oracle="""
+    SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+           ntile(4) OVER (PARTITION BY l_returnflag
+                          ORDER BY l_quantity ASC, l_orderkey ASC,
+                                   l_linenumber ASC) AS quartile
+    FROM lineitem WHERE l_quantity >= 48
+    """,
+)
+def win_ntile(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("l_quantity").asc(),
+        F.col("l_orderkey").asc(),
+        F.col("l_linenumber").asc(),
+    )
+    return li.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@query(
+    "win_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, value,
+           lag(value)  OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id) AS prev_value,
+           lead(value) OVER (PARTITION BY user_id
+                             ORDER BY epoch_us(ts), event_id) AS next_value
+    FROM events
+    """,
+)
+def win_lag_lead(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").withColumn("ts_us", epoch_us("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+
+
+def _daily_revenue(spark, sf_dir) -> DataFrame:
+    """Per-day order revenue in exact decimal (shared by three windows)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(date_str("o_orderdate").alias("order_date"))
+        .agg(F.sum(dec("o_totalprice")).alias("daily_dec"))
+    )
+
+
+_DAILY_SQL = """
+    SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS order_date,
+           sum(CAST(o_totalprice AS DECIMAL(12,2))) AS daily_dec
+    FROM orders GROUP BY 1
+"""
+
+
+@query(
+    "win_running_sum",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT order_date,
+           CAST(daily_dec AS DOUBLE) AS daily_revenue,
+           CAST(sum(daily_dec) OVER (ORDER BY order_date
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS cum_revenue
+    FROM daily
+    """,
+)
+def win_running_sum(spark, sf_dir):
+    daily = _daily_revenue(spark, sf_dir)
+    w = (
+        Window.orderBy("order_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "order_date",
+        F.col("daily_dec").cast("double").alias("daily_revenue"),
+        F.sum("daily_dec").over(w).cast("double").alias("cum_revenue"),
+    )
+
+
+@query(
+    "win_moving_avg",
+    oracle=f"""
+    WITH daily AS ({_DAILY_SQL})
+    SELECT order_date,
+           CAST(sum(daily_dec) OVER w AS DOUBLE)
+             / count(*) OVER w AS ma7_revenue
+    FROM daily
+    WINDOW w AS (ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def win_moving_avg(spark, sf_dir):
+    daily = _daily_revenue(spark, sf_dir)
+    w = Window.orderBy("order_date").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "order_date",
+        (
+            F.sum("daily_dec").over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("ma7_revenue"),
+    )
+
+
+@query(
+    "win_range_frame",
+    # value-based RANGE frame over epoch-seconds: trailing-7-day revenue.
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(epoch(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS day_s,
+             sum(CAST(o_totalprice AS DECIMAL(12,2))) AS daily_dec
+      FROM orders GROUP BY 1
+    )
+    SELECT day_s,
+           CAST(sum(daily_dec) OVER (ORDER BY day_s
+                RANGE BETWEEN 518400 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS trailing_7d
+    FROM daily
+    """,
+)
+def win_range_frame(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        (epoch_us("o_orderdate") / 1000000).cast("bigint").alias("day_s")
+    ).agg(F.sum(dec("o_totalprice")).alias("daily_dec"))
+    w = Window.orderBy("day_s").rangeBetween(-6 * 86400, Window.currentRow)
+    return daily.select(
+        "day_s",
+        F.sum("daily_dec").over(w).cast("double").alias("trailing_7d"),
+    )
+
+
+@query(
+    "win_percent_cume",
+    # percent_rank/cume_dist are rank-derived → tie-stable; the division
+    # (rank-1)/(n-1) is one identical double op on both engines.
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal,
+           percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal)
+             AS pr,
+           cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal)
+             AS cd
+    FROM customer
+    """,
+)
+def win_percent_cume(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
+    return c.select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@query(
+    "win_sessionize",
+    # BASELINE.md headline (2,074 ms @ sf0.1 DuckDB): 30-min-gap sessions.
+    # lag → break flag → running sum, all within user partitions; gap rule
+    # "new session when gap > 30 min" (the native session_window twin uses
+    # >= — both documented, each consistent with its own oracle).
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS prev_us
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL
+                       OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END
+                  AS is_new
+      FROM seq
+    ), sess AS (
+      SELECT user_id, event_id, ts_us,
+             sum(is_new) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(ts_us) AS session_start_us,
+           max(ts_us) AS session_end_us
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def win_sessionize(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", epoch_us("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap_us = 30 * 60 * 1000 * 1000
+    flagged = ev.withColumn(
+        "is_new",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts_us").alias("session_start_us"),
+        F.max("ts_us").alias("session_end_us"),
+    )
