@@ -7,6 +7,7 @@ below in sync as modules land.
 from naqed_spark.queries import (  # noqa: F401
     aggs,
     filters,
+    fns,
     joins,
     scans,
     sets,

@@ -1,0 +1,340 @@
+"""§2-H: scalar function families — 9 composite keys (SURVEY.md:252-264).
+
+One query per family, touching every function the contract lists. All
+expressions are Catalyst built-ins (JVM-side, whole-stage codegen — no
+Python in any hot path).
+
+Cross-dialect traps handled here (each noted inline):
+  - DuckDB regexp_replace needs the 'g' flag to match Spark's replace-all
+  - DuckDB ceil/floor return DOUBLE (Spark: BIGINT) → cast in SQL
+  - DuckDB datediff is ('day', start, end); Spark datediff(end, start)
+  - DuckDB CAST(double AS INT) rounds; Spark truncates → floor() first
+  - libm-backed fns (ln/exp/power) differ in the last ulp → round(6)
+  - posexplode is 0-based; generate_subscripts is 1-based → +1
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from naqed_spark.queries._util import date_str, epoch_us, load, r6
+from naqed_spark.registry import query
+
+
+@query(
+    "fn_string",
+    oracle="""
+    SELECT c_custkey,
+           lower(c_name) AS lname,
+           upper(c_mktsegment) AS useg,
+           substr(c_name, 1, 8) AS prefix,
+           trim(concat(' ', c_name, ' ')) AS trimmed,
+           concat(c_name, '/', c_mktsegment) AS joined,
+           length(c_name) AS name_len,
+           string_split(c_name, '#')[1] AS first_part,
+           regexp_extract(c_name, '([0-9]+)', 1) AS digits,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS masked
+    FROM customer
+    """,
+)
+def fn_string(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lower("c_name").alias("lname"),
+        F.upper("c_mktsegment").alias("useg"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.trim(F.concat(F.lit(" "), F.col("c_name"), F.lit(" "))).alias(
+            "trimmed"
+        ),
+        F.concat(F.col("c_name"), F.lit("/"), F.col("c_mktsegment")).alias(
+            "joined"
+        ),
+        F.length("c_name").alias("name_len"),
+        F.split("c_name", "#").getItem(0).alias("first_part"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("digits"),
+        # DuckDB regexp_replace is first-match-only without the 'g' flag
+        F.regexp_replace("c_name", "[0-9]", "#").alias("masked"),
+    )
+
+
+@query(
+    "fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(day(o_orderdate) AS INT) AS dy,
+           CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS VARCHAR)
+             AS month_start,
+           CAST(datediff('day', CAST(o_orderdate AS DATE),
+                         DATE '2000-01-01') AS INT) AS days_to_y2k,
+           CAST(CAST(o_orderdate AS DATE) + 30 AS VARCHAR) AS plus_30d,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+           epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS order_us
+    FROM orders
+    """,
+)
+def fn_date(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dy"),
+        F.date_format(F.date_trunc("month", d).cast("date"), "yyyy-MM-dd").alias(
+            "month_start"
+        ),
+        # Spark datediff(end, start); DuckDB datediff('day', start, end)
+        F.datediff(F.lit("2000-01-01").cast("date"), d.cast("date")).alias(
+            "days_to_y2k"
+        ),
+        F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd").alias(
+            "plus_30d"
+        ),
+        F.date_format(F.last_day(d.cast("date")), "yyyy-MM-dd").alias(
+            "month_end"
+        ),
+        epoch_us(d).alias("order_us"),
+    )
+
+
+@query(
+    "fn_math",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           round(l_quantity, 1) AS qty_r1,
+           abs(l_quantity - 25) AS qty_dev,
+           CAST(ceil(l_quantity / 7) AS BIGINT) AS qty_ceil7,
+           CAST(floor(l_quantity / 7) AS BIGINT) AS qty_floor7,
+           sqrt(l_quantity) AS qty_sqrt,
+           round(ln(l_extendedprice), 6) AS price_ln,
+           round(exp(l_discount), 6) AS disc_exp,
+           round(power(1 + l_discount, 2), 6) AS disc_pow2,
+           l_orderkey % 7 AS key_mod7,
+           CAST(sign(l_quantity - 25) AS INT) AS qty_sign
+    FROM lineitem
+    """,
+)
+def fn_math(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round(q, 1).alias("qty_r1"),
+        F.abs(q - 25).alias("qty_dev"),
+        # DuckDB ceil/floor return DOUBLE; Spark returns BIGINT → cast SQL
+        F.ceil(q / 7).alias("qty_ceil7"),
+        F.floor(q / 7).alias("qty_floor7"),
+        F.sqrt(q).alias("qty_sqrt"),  # IEEE correctly-rounded: exact match
+        r6(F.log(F.col("l_extendedprice"))).alias("price_ln"),
+        r6(F.exp(F.col("l_discount"))).alias("disc_exp"),
+        r6(F.pow(F.lit(1) + F.col("l_discount"), 2)).alias("disc_pow2"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.signum(q - 25).cast("int").alias("qty_sign"),
+    )
+
+
+@query(
+    "fn_conditional",
+    oracle="""
+    SELECT o_orderkey,
+           CASE o_orderstatus WHEN 'F' THEN 'finished'
+                              WHEN 'O' THEN 'open'
+                              ELSE 'other' END AS status_word,
+           CASE WHEN o_totalprice > 300000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS size_band,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_or_pending,
+           greatest(o_totalprice, 200000.0) AS at_least_200k,
+           least(o_totalprice, 200000.0) AS at_most_200k
+    FROM orders
+    """,
+)
+def fn_conditional(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    st, tp = F.col("o_orderstatus"), F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.when(st == "F", "finished")
+        .when(st == "O", "open")
+        .otherwise("other")
+        .alias("status_word"),
+        F.when(tp > 300000, "big")
+        .when(tp > 100000, "mid")
+        .otherwise("small")
+        .alias("size_band"),
+        F.coalesce(F.nullif(st, F.lit("P")), F.lit("PENDING")).alias(
+            "status_or_pending"
+        ),
+        F.greatest(tp, F.lit(200000.0)).alias("at_least_200k"),
+        F.least(tp, F.lit(200000.0)).alias("at_most_200k"),
+    )
+
+
+@query(
+    "fn_array",
+    # documents ⋈ embeddings (1:1) — plain arrays from split(text) plus
+    # higher-order transform/filter/aggregate over the float vector.
+    # Float elements are widened to double BEFORE arithmetic (exact), and
+    # the fold result gets the round(6) libm hedge.
+    oracle="""
+    SELECT d.doc_id,
+           len(string_split(d.text, ' ')) AS n_words,
+           len(list_distinct(string_split(d.text, ' '))) AS n_distinct_words,
+           array_to_string(list_sort(string_split(d.text, ' '))[1:3], ' ')
+             AS first3_sorted,
+           list_contains(string_split(d.text, ' '), 'scan') AS has_scan,
+           len(flatten([string_split(d.text, ' '),
+                        string_split(d.text, ' ')])) AS n_words_x2,
+           len(e.embedding) AS dim,
+           round(list_sum(list_transform(e.embedding,
+                 x -> CAST(x AS DOUBLE) * 2)), 6) AS sum2,
+           len(list_filter(e.embedding, x -> x > 0)) AS n_pos
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+)
+def fn_array(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    words = F.split(F.col("text"), " ")
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .select(
+            "doc_id",
+            F.size(words).alias("n_words"),
+            F.size(F.array_distinct(words)).alias("n_distinct_words"),
+            F.array_join(F.slice(F.sort_array(words), 1, 3), " ").alias(
+                "first3_sorted"
+            ),
+            F.array_contains(words, "scan").alias("has_scan"),
+            F.size(F.flatten(F.array(words, words))).alias("n_words_x2"),
+            F.size("embedding").alias("dim"),
+            r6(
+                F.expr(
+                    "aggregate(transform(embedding,"
+                    " x -> cast(x as double) * 2),"
+                    " cast(0 as double), (a, x) -> a + x)"
+                )
+            ).alias("sum2"),
+            F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        )
+    )
+
+
+@query(
+    "fn_explode",
+    # posexplode is 0-based, generate_subscripts 1-based → +1 on Spark side
+    oracle="""
+    SELECT doc_id,
+           generate_subscripts(string_split(text, ' '), 1) AS pos,
+           unnest(string_split(text, ' ')) AS word
+    FROM documents
+    """,
+)
+def fn_explode(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+
+
+@query(
+    "fn_map",
+    oracle="""
+    SELECT event_id,
+           array_to_string(json_keys(props), ',') AS prop_keys,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+           (json_extract_string(props, '$.k') IS NOT NULL) AS has_k,
+           (json_extract_string(props, '$.missing') IS NOT NULL) AS has_missing
+    FROM events
+    """,
+)
+def fn_map(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.array_join(F.map_keys(m), ",").alias("prop_keys"),
+        F.element_at(m, "k").alias("k_val"),
+        F.element_at(m, "k").isNotNull().alias("has_k"),
+        F.element_at(m, "missing").isNotNull().alias("has_missing"),
+    )
+
+
+@query(
+    "fn_json",
+    # nested JSON built per-row from the flat props payload, then extracted
+    # back out with path expressions + cast.
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           json_extract_string(
+             concat('{"outer":{"inner":', json_extract_string(props, '$.k'),
+                    ',"tag":"', event_type, '"}}'),
+             '$.outer.inner') AS nested_k,
+           json_extract_string(
+             concat('{"outer":{"inner":', json_extract_string(props, '$.k'),
+                    ',"tag":"', event_type, '"}}'),
+             '$.outer.tag') AS nested_tag
+    FROM events
+    """,
+)
+def fn_json(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    k_str = F.get_json_object("props", "$.k")
+    nested = F.concat(
+        F.lit('{"outer":{"inner":'),
+        k_str,
+        F.lit(',"tag":"'),
+        F.col("event_type"),
+        F.lit('"}}'),
+    )
+    return ev.select(
+        "event_id",
+        k_str.cast("int").alias("k"),
+        F.get_json_object(nested, "$.outer.inner").alias("nested_k"),
+        F.get_json_object(nested, "$.outer.tag").alias("nested_tag"),
+    )
+
+
+@query(
+    "fn_cast",
+    # try_cast on BOTH engines for the failure paths (Spark non-ANSI CAST
+    # wraps int overflow instead of nulling — try_cast nulls, matching
+    # DuckDB TRY_CAST). Double→int goes through floor(): Spark CAST
+    # truncates, DuckDB CAST rounds.
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderkey AS VARCHAR) AS key_str,
+           TRY_CAST(regexp_extract(o_orderpriority, '([0-9]+)', 1) AS INTEGER)
+             AS prio_num,
+           TRY_CAST(o_orderpriority AS INTEGER) AS bad_int,
+           TRY_CAST('99999999999999999999' AS INTEGER) AS overflow_int,
+           CAST(floor(o_totalprice) AS BIGINT) AS price_trunc,
+           CAST(o_totalprice AS VARCHAR) = '' AS never_true,
+           CAST(CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS DATE)
+             = CAST(o_orderdate AS DATE) AS date_roundtrip
+    FROM orders
+    """,
+)
+def fn_cast(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.regexp_extract("o_orderpriority", "([0-9]+)", 1)
+        .try_cast("int")
+        .alias("prio_num"),
+        F.col("o_orderpriority").try_cast("int").alias("bad_int"),
+        F.lit("99999999999999999999").try_cast("int").alias("overflow_int"),
+        F.floor("o_totalprice").cast("bigint").alias("price_trunc"),
+        (F.col("o_totalprice").cast("string") == "").alias("never_true"),
+        (
+            F.col("o_orderdate").cast("date").cast("string").cast("date")
+            == F.col("o_orderdate").cast("date")
+        ).alias("date_roundtrip"),
+    )
