@@ -9,6 +9,7 @@ from naqed_spark.queries import (  # noqa: F401
     filters,
     fns,
     joins,
+    llm,
     scans,
     sets,
     sorts,
