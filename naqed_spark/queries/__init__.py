@@ -8,6 +8,7 @@ from naqed_spark.queries import (  # noqa: F401
     aggs,
     filters,
     fns,
+    graph,
     joins,
     llm,
     scans,

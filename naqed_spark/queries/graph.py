@@ -1,0 +1,461 @@
+"""§2-I: graph operators — 10 contract keys (SURVEY.md:266-282).
+
+The reference's identity is typed-entity traversal (resolver edges ≈ FK
+edges); the north star adds "GraphX/Pregel for analytics". GraphX has no
+Python API, so iterative algorithms are DataFrame-Pregel: a driver-side
+loop over declarative joins/aggregations with localCheckpoint() per
+iteration to cut lineage (SURVEY §4.3 — without it the plan doubles every
+superstep and the optimizer dies long before the data does).
+
+Graphs used:
+  - user-interaction graph: directed edge u→v when v emitted an event with
+    the same props.k within (0, 1h] after u's event (derived from `events`,
+    deterministic, 150 vertices / ~1.3k edges at sf0.01).
+  - nation graph: undirected same-region cliques, weight |n1-n2| (small,
+    exercises weighted shortest paths with an exactly-mirrorable oracle).
+  - FK graph: customer→orders (1-hop), region→nation→customer (2-hop).
+
+Scale notes: every superstep is one equi-join (frontier ⋈ edges, shuffled
+on vertex id) + one hash agg — the aggregateMessages shape. State per
+vertex is O(1). At 100 TB you partition edges by src and persist the
+frontier; both noted inline. Iteration caps are explicit and mirrored in
+the recursive-CTE oracles so both engines bound the same search space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from naqed_spark.queries._util import dec, dsum, epoch_us, load
+from naqed_spark.registry import query
+
+HOUR_US = 3600 * 1000 * 1000
+
+# DuckDB twin of the derived user-interaction edge set
+_UE_SQL = """
+  SELECT DISTINCT a.user_id AS src, b.user_id AS dst
+  FROM events a JOIN events b
+    ON json_extract_string(a.props, '$.k') = json_extract_string(b.props, '$.k')
+   AND epoch_us(b.ts) > epoch_us(a.ts)
+   AND epoch_us(b.ts) <= epoch_us(a.ts) + 3600000000
+   AND a.user_id <> b.user_id
+"""
+
+
+def user_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed user→user edges: same props.k, within (0, 1h]. The join is
+    equi on k (hash-partitionable); the time band is a post-condition —
+    at 100 TB you'd additionally bucket by coarse time to bound the k-hot
+    groups."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.get_json_object("props", "$.k").alias("k"),
+        epoch_us("ts").alias("ts_us"),
+    )
+    a = ev.select(
+        F.col("user_id").alias("src"),
+        F.col("k").alias("ka"),
+        F.col("ts_us").alias("ta"),
+    )
+    b = ev.select(
+        F.col("user_id").alias("dst"),
+        F.col("k").alias("kb"),
+        F.col("ts_us").alias("tb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("ka") == F.col("kb"))
+            & (F.col("tb") > F.col("ta"))
+            & (F.col("tb") <= F.col("ta") + HOUR_US)
+            & (F.col("src") != F.col("dst")),
+        )
+        .select("src", "dst")
+        .distinct()
+    )
+
+
+@query(
+    "graph_degree",
+    oracle=f"""
+    WITH ue AS ({_UE_SQL}),
+    verts AS (SELECT src AS v FROM ue UNION SELECT dst FROM ue),
+    outd AS (SELECT src AS v, count(*) AS c FROM ue GROUP BY src),
+    ind AS (SELECT dst AS v, count(*) AS c FROM ue GROUP BY dst)
+    SELECT verts.v AS user_id,
+           coalesce(outd.c, 0) AS out_degree,
+           coalesce(ind.c, 0) AS in_degree
+    FROM verts LEFT JOIN outd ON verts.v = outd.v
+               LEFT JOIN ind ON verts.v = ind.v
+    """,
+)
+def graph_degree(spark, sf_dir):
+    ue = user_edges(spark, sf_dir)
+    verts = ue.select(F.col("src").alias("v")).union(
+        ue.select(F.col("dst").alias("v"))
+    ).distinct()
+    outd = ue.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("oc"))
+    ind = ue.groupBy(F.col("dst").alias("v")).agg(F.count(F.lit(1)).alias("ic"))
+    return (
+        verts.join(outd, "v", "left")
+        .join(ind, "v", "left")
+        .select(
+            F.col("v").alias("user_id"),
+            F.coalesce("oc", F.lit(0)).alias("out_degree"),
+            F.coalesce("ic", F.lit(0)).alias("in_degree"),
+        )
+    )
+
+
+@query(
+    "graph_1hop",
+    # naqed-style relationship resolution, run through the E1 QuerySpec
+    # engine: customer --orders--> order fields (compiled to a join).
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice
+    FROM customer JOIN orders ON o_custkey = c_custkey
+    WHERE c_nationkey = 1
+    """,
+)
+def graph_1hop(spark, sf_dir):
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "customer": {
+                "$filter": {"c_nationkey": 1},
+                "c_custkey": True,
+                "c_name": True,
+                "orders": {"o_orderkey": True, "o_totalprice": True},
+            }
+        }
+    )
+
+
+@query(
+    "graph_2hop",
+    oracle="""
+    SELECT r_name,
+           count(*) AS n_customers,
+           CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+    FROM region
+    JOIN nation ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY r_name
+    """,
+)
+def graph_2hop(spark, sf_dir):
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    return (
+        r.join(F.broadcast(n), n.n_regionkey == r.r_regionkey)
+        .join(c, c.c_nationkey == n.n_nationkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(dec("c_acctbal")).alias("total_bal"),
+        )
+    )
+
+
+@query(
+    "graph_khop_fixed",
+    # exactly-3-hop reachable set from vertex 0 (any path of length 3),
+    # k unrolled as 3 chained equi-joins on both engines.
+    oracle=f"""
+    WITH ue AS ({_UE_SQL})
+    SELECT DISTINCT e3.dst AS user_id
+    FROM ue e1 JOIN ue e2 ON e2.src = e1.dst
+               JOIN ue e3 ON e3.src = e2.dst
+    WHERE e1.src = 0
+    """,
+)
+def graph_khop_fixed(spark, sf_dir):
+    ue = user_edges(spark, sf_dir)
+    e1 = ue.filter(F.col("src") == 0).select(F.col("dst").alias("h1"))
+    e2 = ue.select(F.col("src").alias("h1"), F.col("dst").alias("h2"))
+    e3 = ue.select(F.col("src").alias("h2"), F.col("dst").alias("h3"))
+    return (
+        e1.join(e2, "h1")
+        .join(e3, "h2")
+        .select(F.col("h3").alias("user_id"))
+        .distinct()
+    )
+
+
+@query(
+    "graph_reachability_bfs",
+    # BFS levels from vertex 0 to fixpoint (cap 10, mirrored in the CTE).
+    # DataFrame-Pregel: frontier ⋈ edges → subtract visited, localCheckpoint
+    # each superstep to cut lineage. Min-distance is unique → deterministic.
+    oracle=f"""
+    WITH RECURSIVE ue AS ({_UE_SQL}),
+    r(v, d) AS (
+      SELECT CAST(0 AS BIGINT) AS v, 0 AS d
+      UNION
+      SELECT e.dst, r.d + 1 FROM r JOIN ue e ON e.src = r.v WHERE r.d < 10
+    )
+    SELECT v AS user_id, min(d) AS dist FROM r GROUP BY v
+    """,
+)
+def graph_reachability_bfs(spark, sf_dir):
+    ue = user_edges(spark, sf_dir).persist()
+    visited = (
+        ue.sparkSession.range(1)
+        .select(F.lit(0).cast("bigint").alias("v"), F.lit(0).alias("d"))
+    )
+    frontier = visited
+    for depth in range(1, 11):
+        nxt = (
+            frontier.join(ue, frontier.v == ue.src)
+            .select(F.col("dst").alias("v"))
+            .distinct()
+            .join(visited.select("v"), "v", "left_anti")
+            .select("v", F.lit(depth).alias("d"))
+            .localCheckpoint()  # cut lineage: plan would double per superstep
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    ue.unpersist()
+    return visited.select(F.col("v").alias("user_id"), F.col("d").alias("dist"))
+
+
+# nation graph: undirected same-region cliques, integer weight |n1 - n2|
+_NE_SQL = """
+  SELECT a.n_nationkey AS src, b.n_nationkey AS dst,
+         abs(a.n_nationkey - b.n_nationkey) AS w
+  FROM nation a JOIN nation b
+    ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+"""
+
+
+def _nation_edges(spark, sf_dir):
+    n = load(spark, sf_dir, "nation")
+    a = n.select(
+        F.col("n_nationkey").alias("src"), F.col("n_regionkey").alias("rga")
+    )
+    b = n.select(
+        F.col("n_nationkey").alias("dst"), F.col("n_regionkey").alias("rgb")
+    )
+    return (
+        a.join(b, (F.col("rga") == F.col("rgb")) & (F.col("src") != F.col("dst")))
+        .select("src", "dst", F.abs(F.col("src") - F.col("dst")).alias("w"))
+    )
+
+
+@query(
+    "graph_shortest_path_weighted",
+    # single-source weighted shortest paths from nation 0 (integer weights
+    # → exact min, no float hazard). Bellman-Ford to fixpoint on Spark;
+    # bounded-depth recursive CTE + min() in DuckDB (cap 6 ≥ diameter).
+    oracle=f"""
+    WITH RECURSIVE ne AS ({_NE_SQL}),
+    p(v, cost, hops) AS (
+      SELECT CAST(0 AS INT) AS v, CAST(0 AS BIGINT) AS cost, 0 AS hops
+      UNION
+      SELECT e.dst, p.cost + e.w, p.hops + 1
+      FROM p JOIN ne e ON e.src = p.v
+      WHERE p.hops < 6
+    )
+    SELECT v AS nationkey, min(cost) AS dist FROM p GROUP BY v
+    """,
+)
+def graph_shortest_path_weighted(spark, sf_dir):
+    ne = _nation_edges(spark, sf_dir).persist()
+    # Bellman-Ford: relax all edges each round; ≤6 rounds mirrors the CTE cap
+    dist = (
+        ne.sparkSession.range(1)
+        .select(F.lit(0).cast("int").alias("v"), F.lit(0).cast("bigint").alias("cost"))
+    )
+    for _ in range(6):
+        relaxed = (
+            dist.join(ne, dist.v == ne.src)
+            .select(F.col("dst").alias("v"), (F.col("cost") + F.col("w")).alias("cost"))
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("v")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint()
+        )
+    return dist.select(F.col("v").alias("nationkey"), F.col("cost").alias("dist"))
+
+
+@query(
+    "graph_connected_components",
+    # undirected CC via min-label propagation to fixpoint (Spark) ≡ min
+    # reachable vertex id over the symmetric closure (DuckDB CTE).
+    oracle=f"""
+    WITH RECURSIVE ue AS ({_UE_SQL}),
+    sym AS (SELECT src, dst FROM ue UNION SELECT dst, src FROM ue),
+    verts AS (SELECT DISTINCT src AS v FROM sym),
+    reach(v, u) AS (
+      SELECT v, v FROM verts
+      UNION
+      SELECT reach.v, sym.dst FROM reach JOIN sym ON sym.src = reach.u
+    )
+    SELECT v AS user_id, min(u) AS component FROM reach GROUP BY v
+    """,
+)
+def graph_connected_components(spark, sf_dir):
+    ue = user_edges(spark, sf_dir)
+    sym = (
+        ue.select("src", "dst")
+        .union(ue.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("label"))
+    )
+    for _ in range(20):
+        # candidate label per vertex: min(own, min over in-neighbors)
+        msgs = (
+            labels.join(sym, labels.v == sym.src)
+            .select(F.col("dst").alias("v"), F.col("label"))
+        )
+        new_labels = (
+            labels.unionAll(msgs)
+            .groupBy("v")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        if new_labels.join(
+            labels, (new_labels.v == labels.v) & (new_labels.label != labels.label)
+        ).isEmpty():
+            labels = new_labels
+            break
+        labels = new_labels
+    sym.unpersist()
+    return labels.select(
+        F.col("v").alias("user_id"), F.col("label").alias("component")
+    )
+
+
+@query("graph_pagerank_fixed", rows_only=True)
+def graph_pagerank_fixed(spark, sf_dir):
+    """PageRank, exactly 10 iterations, d=0.85, dangling mass redistributed
+    uniformly. rows-only by design (SURVEY §2-I): 10-iteration float
+    accumulation is order-sensitive across engines; tests assert sum(pr)≈1
+    and convergence against a NumPy reference on the same edges."""
+    ue = user_edges(spark, sf_dir).persist()
+    verts = (
+        ue.select(F.col("src").alias("v"))
+        .union(ue.select(F.col("dst").alias("v")))
+        .distinct()
+        .persist()
+    )
+    n = verts.count()
+    outdeg = ue.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("odeg")
+    )
+    ranks = verts.select("v", F.lit(1.0 / n).alias("pr"))
+    for _ in range(10):
+        contrib_df = (
+            ranks.join(outdeg, "v")
+            .join(ue, ranks.v == ue.src)
+            .select(F.col("dst").alias("v"), (F.col("pr") / F.col("odeg")).alias("c"))
+            .groupBy("v")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        dangling = (
+            ranks.join(outdeg, "v", "left_anti").agg(
+                F.coalesce(F.sum("pr"), F.lit(0.0)).alias("mass")
+            )
+        )
+        ranks = (
+            verts.join(contrib_df, "v", "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "v",
+                (
+                    F.lit(0.15 / n)
+                    + F.lit(0.85)
+                    * (F.coalesce("inflow", F.lit(0.0)) + F.col("mass") / n)
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    ue.unpersist()
+    return ranks.select("v", F.round("pr", 6).alias("pagerank"))
+
+
+@query(
+    "graph_triangle_count",
+    # triangles per vertex on the undirected user graph: canonical a<b<c
+    # 3-way self-join counts each triangle once, then credit all 3 corners.
+    oracle=f"""
+    WITH ue AS ({_UE_SQL}),
+    sym AS (SELECT src, dst FROM ue UNION SELECT dst, src FROM ue),
+    e AS (SELECT src, dst FROM sym WHERE src < dst),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM e e1 JOIN e e2 ON e2.src = e1.dst
+                JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    corners AS (
+      SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT v AS user_id, count(*) AS n_triangles FROM corners GROUP BY v
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    ue = user_edges(spark, sf_dir)
+    sym = (
+        ue.select("src", "dst")
+        .union(ue.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    e = sym.filter(F.col("src") < F.col("dst")).persist()
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    corners = (
+        tri.select(F.col("a").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("v")))
+        .unionAll(tri.select(F.col("c").alias("v")))
+    )
+    return corners.groupBy(F.col("v").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+@query(
+    "graph_aggregate_messages",
+    # one Pregel superstep (GraphFrames aggregateMessages shape): every
+    # vertex sends its total event value to its out-neighbors; receivers
+    # sum incoming messages. Vertex values stay in exact DECIMAL.
+    oracle=f"""
+    WITH ue AS ({_UE_SQL}),
+    vmap AS (SELECT user_id, sum(CAST(value AS DECIMAL(12,2))) AS val
+             FROM events GROUP BY user_id)
+    SELECT ue.dst AS user_id,
+           count(*) AS n_msgs,
+           CAST(sum(vmap.val) AS DOUBLE) AS neighbor_value_sum
+    FROM ue JOIN vmap ON vmap.user_id = ue.src
+    GROUP BY ue.dst
+    """,
+)
+def graph_aggregate_messages(spark, sf_dir):
+    ue = user_edges(spark, sf_dir)
+    ev = load(spark, sf_dir, "events")
+    vmap = ev.groupBy("user_id").agg(F.sum(dec("value")).alias("val"))
+    return (
+        ue.join(vmap, vmap.user_id == ue.src)
+        .groupBy(F.col("dst"))
+        .agg(
+            F.count(F.lit(1)).alias("n_msgs"),
+            dsum(F.col("val")).alias("neighbor_value_sum"),
+        )
+        .select(
+            F.col("dst").alias("user_id"), "n_msgs", "neighbor_value_sum"
+        )
+    )
