@@ -14,5 +14,6 @@ from naqed_spark.queries import (  # noqa: F401
     scans,
     sets,
     sorts,
+    udfs,
     windows,
 )

@@ -1,0 +1,151 @@
+"""§2-L: UDF / UDAF / UDTF surface — 4 contract keys (SURVEY.md:313-320).
+
+UDFs are the deliberate slow path (SURVEY §4.3 / pyspark guide): every key
+here exists to prove the boundary works, with the logic mirrored in SQL so
+the oracle still hash-checks it. Cost ordering, worst to best:
+row-at-a-time @udf (pickle per row) ≪ @pandas_udf (Arrow batches) ≪
+built-in functions (JVM codegen). Real operators in this repo use
+built-ins; reach for pandas_udf only when semantics genuinely need Python
+(see functions/multimodal.py).
+
+Determinism: Python logic is written to be bit-identical to the SQL twin
+(integer-cents accumulation, guarded divisions, closed-form slope matched
+to regr_slope + round hedge).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+from pyspark.sql import Window, functions as F
+from pyspark.sql.functions import pandas_udf, udf
+
+from naqed_spark.queries._util import epoch_us, load
+from naqed_spark.registry import query
+
+
+@query(
+    "udf_python_scalar",
+    # slug(c_name): row-at-a-time Python UDF; logic mirrored exactly by
+    # lower + regexp_replace + trim in the oracle.
+    oracle="""
+    SELECT c_custkey,
+           trim(regexp_replace(lower(c_name), '[^a-z0-9]+', '-', 'g'), '-')
+             AS slug
+    FROM customer
+    """,
+)
+def udf_python_scalar(spark, sf_dir):
+    @udf("string")
+    def slug(name: str) -> str:
+        return re.sub(r"[^a-z0-9]+", "-", name.lower()).strip("-")
+
+    c = load(spark, sf_dir, "customer")
+    return c.select("c_custkey", slug("c_name").alias("slug"))
+
+
+@query(
+    "udf_pandas_vectorized",
+    # Arrow-vectorized scalar pandas UDF (one numpy expression per batch);
+    # ln is libm-backed → round(6) hedge on both sides.
+    oracle="""
+    SELECT doc_id,
+           round(ln(1 + n_chars) * 0.5
+                 + len(string_split(text, ' ')) * 0.01, 6) AS quality
+    FROM documents
+    """,
+)
+def udf_pandas_vectorized(spark, sf_dir):
+    import numpy as np
+
+    @pandas_udf("double")
+    def quality(n_chars: pd.Series, n_words: pd.Series) -> pd.Series:
+        return np.log1p(n_chars) * 0.5 + n_words * 0.01
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(
+            quality(F.col("n_chars"), F.size(F.split("text", " "))), 6
+        ).alias("quality"),
+    )
+
+
+@query(
+    "udaf_applyinpandas",
+    # per-user linear trend of event value over its time-ordered sequence
+    # index — grouped pandas (the UDAF surface). Closed-form slope matches
+    # regr_slope; both sides round(4) (float paths differ at ~1e-12).
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) - 1 AS x
+      FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           round(regr_slope(value, x), 4) AS trend
+    FROM seq GROUP BY user_id
+    """,
+)
+def udaf_applyinpandas(spark, sf_dir):
+    def trend(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+        n = len(pdf)
+        x = pd.Series(range(n), dtype="float64")
+        y = pdf["value"].astype("float64")
+        denom = (x * x).sum() - x.sum() ** 2 / n
+        slope = (
+            round(((x * y).sum() - x.sum() * y.sum() / n) / denom, 4)
+            if denom > 0
+            else None
+        )
+        return pd.DataFrame(
+            {"user_id": [pdf["user_id"].iloc[0]], "n_events": [n], "trend": [slope]}
+        )
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "value", epoch_us("ts").alias("ts_us")
+    )
+    return ev.groupBy("user_id").applyInPandas(
+        trend, "user_id bigint, n_events bigint, trend double"
+    )
+
+
+@query(
+    "udtf_python",
+    # Python UDTF (Spark ≥3.5): explode each document into 5-word chunks —
+    # one input row, many output rows. SQL twin: per-chunk list slicing.
+    oracle="""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    SELECT doc_id, chunk_idx,
+           array_to_string(ws[(chunk_idx * 5 + 1):(chunk_idx * 5 + 5)], ' ')
+             AS chunk
+    FROM (SELECT doc_id, ws,
+                 unnest(range(0, CAST(ceil(len(ws) / 5.0) AS BIGINT)))
+                   AS chunk_idx
+          FROM w)
+    """,
+)
+def udtf_python(spark, sf_dir):
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx bigint, chunk string")
+    class Chunker:
+        def eval(self, text: str):
+            words = text.split(" ")
+            for i in range(0, (len(words) + 4) // 5):
+                yield i, " ".join(words[i * 5 : i * 5 + 5])
+
+    spark.udtf.register("naqed_chunker", Chunker)
+    d = load(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("naqed_udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk
+        FROM naqed_udtf_docs d, LATERAL naqed_chunker(d.text) c
+        """
+    )
