@@ -14,6 +14,7 @@ from naqed_spark.queries import (  # noqa: F401
     scans,
     sets,
     sorts,
+    streaming,
     udfs,
     windows,
 )

@@ -1,0 +1,454 @@
+"""§2-A `source_stream_events` + §2-J streaming operators (SURVEY.md:286-295).
+
+Every key here runs a REAL Structured Streaming query — file source →
+transformations → memory / foreachBatch sink, `Trigger.AvailableNow` — and
+returns the sink contents as a batch DataFrame so the driver can collect and
+oracle-check it. The oracle for each key is the batch twin (SURVEY §2-J): the
+streaming result of a bounded replay must equal the batch computation over the
+same rows, which is exactly Structured Streaming's correctness contract.
+
+Replay staging: `events.parquet` is re-written once per scale factor into a
+scratch directory as deterministic chunk files (ts converted ns→µs, see
+catalog.load). This is TEST-REPLAY PLUMBING ONLY — in production the source is
+Kafka / cloud-storage file drops and no staging exists; the streaming plans
+themselves are what scale:
+
+  - windowed aggregations keep state per (window, key) in the state store —
+    bounded by watermarks (demonstrated in `stream_watermark_late_drop`);
+  - `stream_static_join` broadcasts the dim side per micro-batch (stream-side
+    stays partitioned, no stream shuffle for the join);
+  - dedup state is evicted by watermark when the event-time column is part of
+    the dedup key (demonstrated in `stream_dedup`);
+  - `applyInPandasWithState` state is per-group, shuffled once on the group
+    key — the same hash partitioning a batch groupBy would use.
+
+Chunk ordering is pinned with explicit mtimes (`os.utime`) because the file
+source orders files by modification time; `maxFilesPerTrigger=1` turns chunks
+into micro-batches where multi-batch semantics (watermark advance, late-drop)
+are the thing under test.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from naqed_spark.queries._util import dec, dsum, epoch_us, load
+from naqed_spark.registry import query
+
+_COUNTER = itertools.count()
+_GAP_US = 30 * 60 * 1_000_000  # 30-min session gap
+_STAGE_MARKER = "_STAGED_v2"
+
+
+def _scratch_base() -> str:
+    return os.path.join(
+        os.environ.get("NAQED_SCRATCH_DIR", tempfile.gettempdir()),
+        "naqed_scratch",
+        "stream_stage",
+    )
+
+
+def _write_chunk(df: DataFrame, stage_dir: str, seq: int) -> None:
+    """Write one deterministic single-file parquet chunk as {seq:03d}.parquet
+    with a pinned, strictly-increasing mtime (file-source processing order)."""
+    tmp = os.path.join(stage_dir, f"_tmp_{seq}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+    dst = os.path.join(stage_dir, f"{seq:03d}.parquet")
+    os.replace(os.path.join(tmp, part), dst)
+    shutil.rmtree(tmp)
+    t = 1_700_000_000 + seq  # pinned epoch seconds, strictly increasing
+    os.utime(dst, (t, t))
+
+
+def _stage(spark: SparkSession, sf_dir: str) -> str:
+    """Stage events once per scale factor; returns the staging root holding
+    `all/` (1 chunk), `dup/` (same chunk twice) and `late/` (on-time chunk,
+    late first-hour chunk, far-future flush chunk)."""
+    tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    base = os.path.join(_scratch_base(), tag)
+    marker = os.path.join(base, _STAGE_MARKER)
+    if os.path.exists(marker):
+        return base
+    shutil.rmtree(base, ignore_errors=True)
+    for sub in ("all", "dup", "late"):
+        os.makedirs(os.path.join(base, sub), exist_ok=True)
+
+    ev = load(spark, sf_dir, "events").orderBy("ts", "event_id")
+    _write_chunk(ev, os.path.join(base, "all"), 0)
+    shutil.copy(
+        os.path.join(base, "all", "000.parquet"),
+        os.path.join(base, "dup", "000.parquet"),
+    )
+    _write_chunk(ev, os.path.join(base, "dup"), 1)
+
+    # late-replay layout: everything after the first hour arrives first (so
+    # the watermark advances past the first hour), then an EMPTY chunk —
+    # Spark 3.4+ dual watermarks filter late events with the watermark from
+    # one batch earlier (eviction uses the current one; see the two values on
+    # StateStoreSave in the plan), so the empty micro-batch lets the
+    # late-event watermark catch up — then the first-hour rows arrive late,
+    # then a flush row advances the watermark far enough that every
+    # surviving window is emitted by the trailing no-data batch.
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cut = pd.Timestamp(lo).floor("h") + pd.Timedelta(hours=1)
+    flush_ts = pd.Timestamp(hi) + pd.Timedelta(hours=2)
+    late_dir = os.path.join(base, "late")
+    _write_chunk(ev.filter(F.col("ts") >= F.lit(cut)), late_dir, 0)
+    _write_chunk(ev.filter(F.lit(False)), late_dir, 1)
+    _write_chunk(ev.filter(F.col("ts") < F.lit(cut)), late_dir, 2)
+    flush = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "event_id": [-1],
+                "ts": [flush_ts],
+                "user_id": [-1],
+                "event_type": ["flush"],
+                "value": [0.0],
+                "props": ["{}"],
+            }
+        ),
+        schema=ev.schema,
+    )
+    _write_chunk(flush, late_dir, 3)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return base
+
+
+def _read_stream(
+    spark: SparkSession, path: str, one_file_per_batch: bool = False
+) -> DataFrame:
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if one_file_per_batch:
+        reader = reader.option("maxFilesPerTrigger", 1)
+    return reader.parquet(path)
+
+
+def _run_to_memory(sdf: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
+    """Execute the streaming query to completion into a memory sink and
+    return the sink contents as a batch DataFrame."""
+    name = f"naqed_sink_{next(_COUNTER)}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+_EVENTS_COLS_SQL = """
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value, props
+    FROM events
+"""
+
+
+@query("source_stream_events", oracle=_EVENTS_COLS_SQL)
+def source_stream_events(spark, sf_dir):
+    """§2-A: the events table replayed through a file stream, append mode —
+    the bounded replay must reproduce the batch scan exactly."""
+    base = _stage(spark, sf_dir)
+    s = _read_stream(spark, os.path.join(base, "all"))
+    out = s.select(
+        "event_id",
+        epoch_us("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+    return _run_to_memory(out, spark, "append")
+
+
+@query(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark, sf_dir):
+    """1-h tumbling count+sum per event_type. Complete mode: the final
+    output equals the batch date_trunc group-by (the oracle twin). At scale
+    the production form is watermark+append (see stream_watermark_late_drop);
+    state is per (window × event_type) — small and bounded."""
+    base = _stage(spark, sf_dir)
+    s = _read_stream(spark, os.path.join(base, "all"))
+    agg = s.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(dec("value")).alias("sum_value"),
+    )
+    out = agg.select(
+        F.unix_micros(F.col("window.start")).alias("win_start_us"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+    return _run_to_memory(out, spark, "complete")
+
+
+@query(
+    "stream_sliding_window",
+    # batch twin: each event belongs to exactly 4 sliding windows whose
+    # starts are its 15-min bucket minus k*15min, k ∈ 0..3.
+    oracle="""
+    WITH offs AS (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS k)
+    SELECT (epoch_us(ts) // 900000000) * 900000000 - k * 900000000
+             AS win_start_us,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events CROSS JOIN offs
+    GROUP BY 1
+    """,
+)
+def stream_sliding_window(spark, sf_dir):
+    """1-h window sliding every 15 min, complete mode. 4× row amplification
+    by construction — at scale the slide/length ratio bounds it."""
+    base = _stage(spark, sf_dir)
+    s = _read_stream(spark, os.path.join(base, "all"))
+    agg = s.groupBy(F.window("ts", "1 hour", "15 minutes")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(dec("value")).alias("sum_value"),
+    )
+    out = agg.select(
+        F.unix_micros(F.col("window.start")).alias("win_start_us"),
+        "n_events",
+        "sum_value",
+    )
+    return _run_to_memory(out, spark, "complete")
+
+
+@query(
+    "stream_session_window",
+    # batch twin of the native session_window: lag → break flag (gap >= 30
+    # min starts a new session: session range is [start, last+gap), so an
+    # event exactly at last+gap does not overlap) → running-sum session id.
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id) AS prev_us
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_us IS NULL
+                       OR ts_us - prev_us >= 1800000000 THEN 1 ELSE 0 END
+                  AS is_new
+      FROM seq
+    ), sess AS (
+      SELECT user_id, ts_us,
+             sum(is_new) OVER (PARTITION BY user_id
+                               ORDER BY ts_us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS sid
+      FROM flagged
+    )
+    SELECT user_id, min(ts_us) AS session_start_us, count(*) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark, sf_dir):
+    """Native gap-based session windows per user (30-min gap), complete
+    mode (update mode is unsupported for session windows). State is merged
+    session ranges per user — watermark-bounded in the append-mode
+    production form."""
+    base = _stage(spark, sf_dir)
+    s = _read_stream(spark, os.path.join(base, "all"))
+    agg = s.groupBy(
+        F.session_window("ts", "30 minutes"), "user_id"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    out = agg.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+        "n_events",
+    )
+    return _run_to_memory(out, spark, "complete")
+
+
+@query(
+    "stream_watermark_late_drop",
+    # Deterministic late-drop twin. Replay order (staged `late/` chunks, one
+    # micro-batch each): (1) every event from the second hour on → watermark
+    # advances to max(ts)-10min, far past the first hour; (2) empty chunk so
+    # the dual late-event watermark catches up; (3) the first-hour rows
+    # arrive late — their window end <= watermark, so ALL are dropped;
+    # (4) a flush row at max(ts)+2h advances the watermark so every
+    # surviving window is emitted (the flush's own window never closes and
+    # is never emitted). Batch twin: hourly aggregation excluding the first
+    # hour.
+    oracle="""
+    WITH cut AS (
+      SELECT date_trunc('hour', min(ts)) + INTERVAL 1 HOUR AS c FROM events
+    )
+    SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events, cut
+    WHERE ts >= cut.c
+    GROUP BY 1
+    """,
+)
+def stream_watermark_late_drop(spark, sf_dir):
+    """10-min watermark + append mode: rows older than the watermark are
+    dropped and their (already-evicted) windows never re-open — the watermark
+    is exactly what bounds state at 100 TB (without it, every window ever
+    seen stays in the state store forever)."""
+    base = _stage(spark, sf_dir)
+    s = _read_stream(
+        spark, os.path.join(base, "late"), one_file_per_batch=True
+    )
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(dec("value")).alias("sum_value"),
+        )
+    )
+    out = agg.select(
+        F.unix_micros(F.col("window.start")).alias("win_start_us"),
+        "n_events",
+        "sum_value",
+    )
+    return _run_to_memory(out, spark, "append")
+
+
+@query(
+    "stream_dedup",
+    oracle=_EVENTS_COLS_SQL,
+)
+def stream_dedup(spark, sf_dir):
+    """Streaming dedup over a replay that delivers every event TWICE
+    (staged `dup/`): dropDuplicates on (event_id, ts) with a 10-min
+    watermark — ts in the dedup key lets the watermark evict dedup state,
+    the thing that keeps this bounded on an infinite stream."""
+    base = _stage(spark, sf_dir)
+    s = _read_stream(spark, os.path.join(base, "dup"))
+    out = (
+        s.withWatermark("ts", "10 minutes")
+        .dropDuplicates(["event_id", "ts"])
+        .select(
+            "event_id",
+            epoch_us("ts").alias("ts_us"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+    )
+    return _run_to_memory(out, spark, "append")
+
+
+@query(
+    "stream_stateful_count",
+    # single replayed micro-batch → the emitted per-key state equals the
+    # batch group-by twin. Cents as BIGINT: exact integer arithmetic on both
+    # engines (value is a 2-decimal double).
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           SUM(CAST(round(value * 100, 0) AS BIGINT)) AS total_cents
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_stateful_count(spark, sf_dir):
+    """Custom stateful op via applyInPandasWithState: running per-user
+    (count, cents-sum) kept in GroupState. State is hash-partitioned by
+    user_id — the same single shuffle a batch groupBy needs; Arrow-batched
+    pandas on both sides of the boundary."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    base = _stage(spark, sf_dir)
+    s = _read_stream(spark, os.path.join(base, "all"))
+
+    def upd(key, pdfs, state):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    out = s.groupBy("user_id").applyInPandasWithState(
+        upd,
+        outputStructType="user_id long, n_events long, total_cents long",
+        stateStructType="n long, cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_memory(out, spark, "update")
+
+
+@query(
+    "stream_static_join",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment, e.value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def stream_static_join(spark, sf_dir):
+    """Stream ⋈ static dim. The static side is broadcast per micro-batch
+    (explicit hint — customer at replay scale is dim-sized; at 100 TB the
+    stream side NEVER shuffles for this join, which is the point)."""
+    base = _stage(spark, sf_dir)
+    s = _read_stream(spark, os.path.join(base, "all"))
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    out = s.join(
+        F.broadcast(cust), s["user_id"] == cust["c_custkey"], "inner"
+    ).select("event_id", "user_id", "c_mktsegment", "value")
+    return _run_to_memory(out, spark, "append")
+
+
+@query(
+    "stream_foreachbatch_sink",
+    oracle=_EVENTS_COLS_SQL,
+)
+def stream_foreachbatch_sink(spark, sf_dir):
+    """foreachBatch → parquet-append sink, then re-read: the arbitrary-sink
+    escape hatch (upserts, multi-sink fan-out). Exactly-once comes from the
+    (batch_id, partition) idempotence contract — here each batch appends its
+    rows once; the re-read must equal the source. On a cluster the sink path
+    must be a shared filesystem."""
+    base = _stage(spark, sf_dir)
+    out_dir = os.path.join(
+        _scratch_base(), f"febs_out_{os.path.basename(base)}"
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    s = _read_stream(spark, os.path.join(base, "all"))
+    proj = s.select(
+        "event_id",
+        epoch_us("ts").alias("ts_us"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf.write.mode("append").parquet(out_dir)
+
+    q = (
+        proj.writeStream.foreachBatch(write_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir)
