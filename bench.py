@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""Headline-query benchmark vs BASELINE.md.
+
+Runs the BASELINE-comparable headline queries at ``$SPARK_GRAFT_SF_DIR``
+(default ``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+ONE JSON line::
+
+    {"metric": "headline_total", "value": N, "unit": "sec",
+     "queries": {"agg_groupby_hash": sec, ...}, "sf": 0.1}
+
+Method mirrors BASELINE.md exactly: one warm SparkSession, each query is
+executed once untimed (warm-up: plans compiled, code-gen'd, files footer-read),
+then timed once, wall-clock, with a full result fetch (``collect()``).
+
+BASELINE rows covered (BASELINE.md "Measured baseline" table):
+  agg_groupby_hash     57 ms   (sf0.1)   TPC-H Q1-style pricing summary
+  join_multiway_star   76 ms   (sf0.1)   Q5-style 6-way star join
+  win_row_number_topk  249 ms  (sf0.1)   top-3 orders per customer
+  win_sessionize       2074 ms (sf0.1)   30-min-gap sessionization
+  llm_knn_bruteforce   273.7 s (sf0.1)   brute-force cosine top-5 k-NN
+plus two scale-path representatives with no baseline row:
+  llm_neardup_lsh      (MinHash banded near-dup — the 100 TB dedup path)
+  limit_topk_global    (Q3-ish global top-k via takeOrdered-style plan)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "agg_groupby_hash",
+    "join_multiway_star",
+    "win_row_number_topk",
+    "win_sessionize",
+    "limit_topk_global",
+    "llm_neardup_lsh",
+    "llm_knn_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    from pyspark.sql import SparkSession
+
+    from naqed_spark.registry import QUERIES, load_all
+    from naqed_spark.session import tune_session
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("naqed-bench")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    tune_session(spark)
+    load_all()
+
+    # JVM warm-up action before any timing.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    per_query: dict[str, float] = {}
+    for key in HEADLINE:
+        fn = QUERIES[key]
+        fn(spark, sf_dir).collect()  # warm: compile + codegen + footer reads
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()  # timed, full fetch
+        per_query[key] = round(time.perf_counter() - t0, 3)
+        print(f"# {key}: {per_query[key]:.3f}s", file=sys.stderr)
+
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
