@@ -11,6 +11,7 @@ from naqed_spark.queries import (  # noqa: F401
     graph,
     joins,
     llm,
+    llm_ext,
     scans,
     sets,
     sorts,

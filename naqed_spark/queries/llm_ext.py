@@ -1,0 +1,436 @@
+"""§2-K extensions: the rest of the large-scale training-data toolkit.
+
+Beyond the 11 contract keys in llm.py, these are the operators a 100 TB
+pretraining-data pipeline runs daily (SimHash dedup, trained language-ID,
+quality filtering, order-sensitive fingerprinting, IVF-style ANN, multimodal
+binary decode plumbing). Each is registered like any contract key — full
+DuckDB SQL twin unless noted.
+
+Cross-engine determinism for hash-derived values: both engines share
+lowercase-hex ``md5`` and 1-based ``instr``; a hex digit's value is
+``instr('0123456789abcdef', ch) - 1``, so any quantity derived from md5
+digits is bit-identical on both sides with pure integer arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from naqed_spark.queries._util import load, r6
+from naqed_spark.registry import query
+
+_HEX = "0123456789abcdef"
+
+# value of the p-th hex digit (1-based) of md5(col) — identical SQL on both
+# engines (instr + substr are 1-based in Spark SQL and DuckDB).
+_MD5_DIGIT = f"(instr('{_HEX}', substr(md5({{col}}), {{p}}, 1)) - 1)"
+
+
+@query(
+    "llm_simhash",
+    # 60-bit SimHash over distinct tokens: per bit i = (p-1)*4 + b of the
+    # first 15 md5 hex digits, sum +-1 across a doc's tokens; sign -> bit.
+    # Near-dup docs differ in few bits (banded match like llm_neardup_lsh).
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, tok, p.p, b.b,
+             ({_MD5_DIGIT.format(col="tok", p="p.p")} >> b.b) & 1 AS bit
+      FROM toks,
+           (SELECT unnest(range(1, 16)) AS p) p,
+           (SELECT unnest(range(0, 4)) AS b) b
+    ),
+    sums AS (
+      SELECT doc_id, (p - 1) * 4 + b AS i,
+             CASE WHEN sum(2 * bit - 1) >= 0 THEN '1' ELSE '0' END AS bit
+      FROM bits GROUP BY doc_id, (p - 1) * 4 + b
+    )
+    SELECT doc_id, string_agg(bit, '' ORDER BY i) AS simhash
+    FROM sums GROUP BY doc_id
+    """,
+)
+def llm_simhash(spark, sf_dir):
+    """Fully JVM-side (whole-stage codegen): the 60x bit expansion is
+    linear in tokens and partially aggregated map-side before the single
+    doc_id shuffle — at 100 TB this is a scan-shaped job, no skew."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+    )
+    bits = (
+        toks.withColumn("p", F.explode(F.sequence(F.lit(1), F.lit(15))))
+        .withColumn("b", F.explode(F.array(*[F.lit(i) for i in range(4)])))
+        .select(
+            "doc_id",
+            ((F.col("p") - 1) * 4 + F.col("b")).alias("i"),
+            F.expr(f"({_MD5_DIGIT.format(col='tok', p='p')} >> b) & 1").alias(
+                "bit"
+            ),
+        )
+    )
+    sums = bits.groupBy("doc_id", "i").agg(
+        F.when(F.sum(2 * F.col("bit") - 1) >= 0, "1").otherwise("0").alias("bit")
+    )
+    return sums.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "bit"))),
+                lambda x: x["bit"],
+            ),
+            "",
+        ).alias("simhash")
+    )
+
+
+@query(
+    "llm_langid_ngram",
+    # trained unigram-profile language ID: per-language token counts from
+    # the labeled corpus are the model; score(doc, lang) = sum over the
+    # doc's tokens of freq(tok) * profile_count(lang, tok); argmax wins
+    # (ties -> lang asc). Real systems use char 3-gram profiles — same
+    # plan: tiny profile broadcast against a scan-shaped token stream.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    doc_tok AS (
+      SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+    ),
+    profile AS (
+      SELECT d.lang AS plang, t.tok, count(*) AS n
+      FROM toks t JOIN documents d USING (doc_id)
+      GROUP BY d.lang, t.tok
+    ),
+    scores AS (
+      SELECT dt.doc_id, p.plang, sum(dt.c * p.n) AS score
+      FROM doc_tok dt JOIN profile p USING (tok)
+      GROUP BY dt.doc_id, p.plang
+    )
+    SELECT doc_id, plang AS pred_lang, score FROM (
+      SELECT doc_id, plang, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, plang ASC) AS rn
+      FROM scores
+    ) WHERE rn = 1
+    """,
+)
+def llm_langid_ngram(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    doc_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    profile = toks.groupBy(
+        F.col("lang").alias("plang"), "tok"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # the model is dictionary-sized at any corpus scale — broadcast it so
+    # scoring never shuffles the token stream on tok.
+    scores = doc_tok.join(F.broadcast(profile), "tok").groupBy(
+        "doc_id", "plang"
+    ).agg(F.sum(F.col("c") * F.col("n")).alias("score"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("plang").asc()
+    )
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("plang").alias("pred_lang"), "score")
+    )
+
+
+# composite score in exact integer micro-units (0..1e6): float weights on
+# rounded ratios land on exact half-1e-6 boundaries (e.g. 0.5186875), which
+# the two engines round in opposite directions — integer arithmetic is the
+# _util.py discipline applied to scores. Integer division is `div` in Spark
+# SQL and `//` in DuckDB; inputs are non-negative so both floor identically.
+_QUALITY_PPM_SPARK = """
+    CAST(4000 * least(n_words, 100)
+    + (300000 - (n_stop * 300000) div n_words)
+    + least(((n_chars_m - (n_words - 1)) * 300000) div (8 * n_words), 300000)
+    AS BIGINT)
+"""
+_QUALITY_PPM_DUCK = """
+    CAST(4000 * least(n_words, 100)
+    + (300000 - (n_stop * 300000) // n_words)
+    + least(((n_chars_m - (n_words - 1)) * 300000) // (8 * n_words), 300000)
+    AS BIGINT)
+"""
+
+
+@query(
+    "llm_quality_score",
+    # length / stopword / word-shape heuristics -> composite score in
+    # micro-units [0, 1e6] (see _QUALITY_PPM_* above); the float ratio
+    # columns are r6-hedged, the score itself is exact integer.
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id,
+             length(string_split(text, ' ')) AS n_words,
+             length(text) AS n_chars_m,
+             length(list_filter(string_split(text, ' '),
+                    t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, n_words,
+           round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stop_ratio,
+           round(CAST(n_chars_m - (n_words - 1) AS DOUBLE) / n_words, 6)
+             AS avg_word_len,
+           {_QUALITY_PPM_DUCK} AS quality_ppm
+    FROM base
+    """,
+)
+def llm_quality_score(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.length("text").alias("n_chars_m"),
+        F.size(
+            F.filter(
+                F.split("text", " "),
+                lambda t: t.isin("the", "a", "of", "and", "to"),
+            )
+        ).alias("n_stop"),
+    )
+    return base.select(
+        "doc_id",
+        "n_words",
+        r6(F.col("n_stop").cast("double") / F.col("n_words")).alias(
+            "stop_ratio"
+        ),
+        r6(
+            (F.col("n_chars_m") - (F.col("n_words") - 1)).cast("double")
+            / F.col("n_words")
+        ).alias("avg_word_len"),
+        F.expr(_QUALITY_PPM_SPARK).alias("quality_ppm"),
+    )
+
+
+@query(
+    "llm_doc_fingerprint",
+    # order-sensitive document fingerprint: token value = first 4 md5 hex
+    # digits (16-bit int), position weight = (pos * Knuth) % large prime —
+    # reordering words changes the fingerprint, pure-integer arithmetic so
+    # both engines agree exactly. (A classic Rabin rolling hash needs
+    # modpow, which has no portable SQL form — this keeps the oracle twin.)
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    vals AS (
+      SELECT doc_id, pos,
+             {_MD5_DIGIT.format(col="tok", p="1")} * 4096
+             + {_MD5_DIGIT.format(col="tok", p="2")} * 256
+             + {_MD5_DIGIT.format(col="tok", p="3")} * 16
+             + {_MD5_DIGIT.format(col="tok", p="4")} AS v
+      FROM toks
+    )
+    SELECT doc_id,
+           sum(CAST(v AS BIGINT) * ((pos * 2654435761) % 1000003))
+             AS fingerprint
+    FROM vals GROUP BY doc_id
+    """,
+)
+def llm_doc_fingerprint(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    v = (
+        F.expr(_MD5_DIGIT.format(col="tok", p="1")) * 4096
+        + F.expr(_MD5_DIGIT.format(col="tok", p="2")) * 256
+        + F.expr(_MD5_DIGIT.format(col="tok", p="3")) * 16
+        + F.expr(_MD5_DIGIT.format(col="tok", p="4"))
+    )
+    vals = toks.select("doc_id", "pos", v.alias("v"))
+    return vals.groupBy("doc_id").agg(
+        F.sum(
+            F.col("v").cast("bigint")
+            * ((F.col("pos") * F.lit(2654435761)) % 1000003)
+        ).alias("fingerprint")
+    )
+
+
+_CENT_SQL = """
+  x AS (
+    SELECT vec_id, label,
+           generate_subscripts(embedding, 1) AS pos,
+           CAST(unnest(embedding) AS DOUBLE) AS val
+    FROM embeddings
+  ),
+  cent AS (
+    SELECT label AS c_label, pos, round(avg(val), 6) AS c
+    FROM x GROUP BY label, pos
+  ),
+  dist AS (
+    SELECT x.vec_id, cent.c_label,
+           round(sum((x.val - cent.c) * (x.val - cent.c)), 6) AS d2
+    FROM x JOIN cent USING (pos)
+    GROUP BY x.vec_id, cent.c_label
+  ),
+  ranked AS (
+    SELECT vec_id, c_label, d2,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2 ASC, c_label ASC) AS rn
+    FROM dist
+  )
+"""
+
+
+@query(
+    "llm_knn_ivf",
+    # IVF-style ANN, the 100 TB similarity-search path: label centroids are
+    # the coarse quantizer; each vector is ASSIGNED to its nearest centroid
+    # (rn=1); a query PROBES its 2 nearest cells (nprobe=2) and computes
+    # exact cosine only against vectors assigned there — candidate count
+    # drops from n to n*(nprobe/cells) while the kernel stays identical to
+    # llm_knn_bruteforce. Top-3 per query by (rounded sim desc, id asc).
+    oracle=f"""
+    WITH {_CENT_SQL},
+    assigned AS (SELECT vec_id, c_label FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id, c_label FROM ranked WHERE rn <= 2),
+    v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             sqrt(list_dot_product(
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    cand AS (
+      SELECT p.vec_id AS src, a.vec_id AS nbr
+      FROM probes p JOIN assigned a ON p.c_label = a.c_label
+      WHERE p.vec_id <> a.vec_id
+    ),
+    sims AS (
+      SELECT c.src, c.nbr,
+             round(list_dot_product(va.e, vb.e) / (va.nrm * vb.nrm), 6) AS sim
+      FROM cand c
+      JOIN v va ON va.vec_id = c.src
+      JOIN v vb ON vb.vec_id = c.nbr
+    )
+    SELECT src, nbr, sim, rnk FROM (
+      SELECT src, nbr, sim,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY sim DESC, nbr ASC) AS rnk
+      FROM sims
+    ) WHERE rnk <= 3
+    """,
+)
+def llm_knn_ivf(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "valf")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    cent = x.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        r6(F.avg("val")).alias("c")
+    )
+    dist = (
+        x.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "c_label")
+        .agg(
+            r6(
+                F.sum(
+                    (F.col("val") - F.col("c")) * (F.col("val") - F.col("c"))
+                )
+            ).alias("d2")
+        )
+    )
+    wr = Window.partitionBy("vec_id").orderBy(
+        F.col("d2").asc(), F.col("c_label").asc()
+    )
+    ranked = dist.withColumn("rn", F.row_number().over(wr))
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("nbr"), "c_label"
+    )
+    probes = ranked.filter(F.col("rn") <= 2).select(
+        F.col("vec_id").alias("src"), "c_label"
+    )
+    cand = probes.join(assigned, "c_label").filter(
+        F.col("src") != F.col("nbr")
+    ).select("src", "nbr")
+
+    v = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.expr(
+                "aggregate(zip_with(e, e, (x, y) -> x * y),"
+                " cast(0 as double), (acc, v) -> acc + v)"
+            )
+        ),
+    )
+    va = v.select(
+        F.col("vec_id").alias("src"), F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    vb = v.select(
+        F.col("vec_id").alias("nbr"), F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    sims = (
+        cand.join(va, "src")
+        .join(vb, "nbr")
+        .select(
+            "src",
+            "nbr",
+            r6(
+                F.expr(
+                    "aggregate(zip_with(ea, eb, (x, y) -> x * y),"
+                    " cast(0 as double), (acc, v) -> acc + v)"
+                )
+                / (F.col("na") * F.col("nb"))
+            ).alias("sim"),
+        )
+    )
+    wk = Window.partitionBy("src").orderBy(
+        F.col("sim").desc(), F.col("nbr").asc()
+    )
+    return (
+        sims.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= 3)
+        .select("src", "nbr", "sim", "rnk")
+    )
+
+
+@query(
+    "llm_multimodal_binary",
+    # binary payload column + Arrow-batched feature extraction. The payload
+    # here is the utf-8 bytes of `text` (no media codecs in the container);
+    # the extractor (functions/multimodal.py) is the real mapInPandas
+    # plumbing a decoder plugs into. Oracle recomputes the deterministic
+    # features from the text the payload was derived from.
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           ascii(substr(text, 1, 1)) AS first_byte,
+           CAST(1 + octet_length(encode(text)) // 256 AS BIGINT) AS n_frames,
+           CAST((octet_length(encode(text)) * 2654435761) % 1000003 AS BIGINT)
+             AS feat_hash
+    FROM documents
+    """,
+)
+def llm_multimodal_binary(spark, sf_dir):
+    from naqed_spark.functions.multimodal import (
+        FEATURE_SCHEMA,
+        extract_features,
+    )
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    return d.mapInPandas(extract_features, schema=FEATURE_SCHEMA)
