@@ -1,0 +1,125 @@
+"""Physical-plan assertions: the scale properties the queries claim
+(pushdown, pruning, broadcast policy, partial top-k, no cartesian blowups)
+must be visible in `.explain`, not just in docstrings. These run on plans
+only — no jobs execute, so they're fast at any scale factor.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from naqed_spark.registry import QUERIES, load_all
+from naqed_spark.session import get_spark, tune_session
+
+SF_DIR = os.environ.get("NAQED_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+load_all()
+
+
+@pytest.fixture(scope="session")
+def spark():
+    yield tune_session(get_spark("naqed-plan-tests"))
+
+
+def plan_of(spark, key: str) -> str:
+    df = QUERIES[key](spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def tree_of(plan: str) -> str:
+    """The operator-tree section (formatted mode repeats every node again in
+    the details section — counts must only look at the tree)."""
+    return plan.split("\n\n")[0]
+
+
+def test_q1_pushdown_prune_partial_agg(spark):
+    plan = plan_of(spark, "agg_groupby_hash")
+    # date filter reaches the parquet scan...
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" in plan
+    # ...only needed columns are read (no l_comment etc.)
+    assert "l_comment" not in plan
+    # map-side partial aggregation before the single exchange
+    tree = tree_of(plan)
+    assert tree.count("HashAggregate") == 2
+    assert tree.count("Exchange") == 1
+
+
+def test_star_join_broadcasts_never_shuffles_fact(spark):
+    plan = plan_of(spark, "join_multiway_star")
+    # all 5 dimension joins broadcast; the lineitem fact side never shuffles
+    # (a SortMergeJoin here would shuffle the fact table five times)
+    tree = tree_of(plan)
+    assert tree.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in tree
+    # the only exchanges are broadcast sides + the final tiny aggregation
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
+
+
+def test_topk_uses_window_group_limit(spark):
+    # Spark 3.5+ WindowGroupLimit = per-partition partial top-k BEFORE the
+    # shuffle; without it the full orders table sorts through the exchange.
+    plan = plan_of(spark, "win_row_number_topk")
+    assert "WindowGroupLimit" in plan
+
+
+def test_knn_has_no_quadratic_join(spark):
+    # the brute-force k-NN must be the broadcast-matmul form — an O(n^2)
+    # pair join would show up as a nested-loop/cartesian operator.
+    plan = plan_of(spark, "llm_knn_bruteforce")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_compiler_broadcast_policy(spark):
+    # VERDICT r1 item: the compiler must force-broadcast ONLY fixed-size
+    # dims (region/nation/supplier). customer/part are AQE's call — a
+    # forced broadcast of customer is an executor OOM at 100 TB.
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, SF_DIR)
+    df = eng.query(
+        {
+            "orders": {
+                "$filter": {"o_orderkey": {"$lt": 100}},
+                "o_orderkey": True,
+                "customer": {  # to-one hop to a NON-small dim
+                    "c_name": True,
+                    "nation": {"n_name": True},  # to-one hop to a small dim
+                },
+            }
+        }
+    )
+    logical = df._jdf.queryExecution().analyzed().toString()
+    hinted = [
+        line for line in logical.splitlines() if "ResolvedHint" in line
+    ]
+    # exactly one forced broadcast (nation), none for customer
+    assert len(hinted) == 1, logical
+    customer_scan_after_hint = False
+    seen_hint = False
+    for line in logical.splitlines():
+        if "ResolvedHint" in line:
+            seen_hint = True
+            depth_hint = len(line) - len(line.lstrip())
+        elif seen_hint and "customer" in line:
+            if (len(line) - len(line.lstrip())) > depth_hint:
+                customer_scan_after_hint = True
+            seen_hint = False
+    assert not customer_scan_after_hint, logical
+
+
+def test_scans_prune_columns(spark):
+    plan = plan_of(spark, "project_select_alias")
+    assert "ReadSchema" in plan
+    # a 3-column projection must not read the full 16-column lineitem
+    read_schema = [
+        line for line in plan.splitlines() if "ReadSchema" in line
+    ][0]
+    assert "l_comment" not in read_schema and "l_shipmode" not in read_schema
