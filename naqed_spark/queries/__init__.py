@@ -15,6 +15,7 @@ from naqed_spark.queries import (  # noqa: F401
     scans,
     sets,
     sorts,
+    storage,
     streaming,
     udfs,
     windows,

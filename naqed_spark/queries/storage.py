@@ -1,0 +1,123 @@
+"""§2-A extensions: storage-layout operators — the physical-design levers
+that matter most at 100 TB (partition pruning, bucketed co-location,
+alternate wire formats). Each writes under NAQED_SCRATCH_DIR (must be a
+shared filesystem on a real cluster — same caveat as sink_parquet_roundtrip).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from naqed_spark.queries._util import dec, dsum, load
+from naqed_spark.registry import query
+
+
+def _scratch(sub: str) -> str:
+    base = os.environ.get("NAQED_SCRATCH_DIR", tempfile.gettempdir())
+    return f"{base}/naqed_scratch/{sub}"
+
+
+@query(
+    "sink_partitioned_parquet",
+    # hive-style partitioned layout: the event_type filter must prune
+    # directories at planning time (PartitionFilters in the scan, asserted
+    # in tests/test_plans.py) — at 100 TB this is the difference between
+    # reading one partition and reading everything.
+    oracle="""
+    SELECT event_id, user_id, value FROM events WHERE event_type = 'click'
+    """,
+)
+def sink_partitioned_parquet(spark, sf_dir):
+    out = _scratch("events_by_type")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "value")
+    )
+
+
+@query(
+    "join_bucketed_colocated",
+    # both sides pre-bucketed on the join key with the same bucket count →
+    # the join is co-located: NO shuffle exchange on either side (asserted
+    # in tests/test_plans.py). This is how a 100 TB fact⋈fact join avoids
+    # re-shuffling on every query: pay the layout once at ingest.
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o.o_orderkey, o.o_custkey
+    """,
+)
+def join_bucketed_colocated(spark, sf_dir):
+    n_buckets = 8
+    specs = {
+        "orders": ("o_orderkey", ["o_orderkey", "o_custkey", "o_orderstatus"]),
+        "lineitem": ("l_orderkey", ["l_orderkey", "l_quantity"]),
+    }
+    for name, (key, cols) in specs.items():
+        tbl = f"naqed_bkt_{name}"
+        (
+            load(spark, sf_dir, name)
+            .select(*cols)
+            .write.mode("overwrite")
+            .option("path", _scratch(f"bucketed/{name}"))
+            .bucketBy(n_buckets, key)
+            .sortBy(key)
+            .saveAsTable(tbl)
+        )
+    o = spark.table("naqed_bkt_orders").filter(F.col("o_orderstatus") == "F")
+    li = spark.table("naqed_bkt_lineitem")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(dsum(dec("l_quantity")).alias("qty"))
+    )
+
+
+@query(
+    "scan_csv_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+    """,
+)
+def scan_csv_roundtrip(spark, sf_dir):
+    """CSV sink + schema-ful source: the interchange format. Header off,
+    explicit schema on read (schema inference is a full extra pass at
+    100 TB — never rely on it)."""
+    out = _scratch("orders_csv")
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    src.write.mode("overwrite").csv(out)
+    return spark.read.schema(
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double"
+    ).csv(out)
+
+
+@query(
+    "scan_jsonl_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+)
+def scan_jsonl_roundtrip(spark, sf_dir):
+    """JSON-lines sink + source with explicit schema — the log-shaped
+    ingest format."""
+    out = _scratch("nation_jsonl")
+    src = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    src.write.mode("overwrite").json(out)
+    return spark.read.schema(
+        "n_nationkey int, n_name string, n_regionkey int"
+    ).json(out)

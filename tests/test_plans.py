@@ -115,6 +115,26 @@ def test_compiler_broadcast_policy(spark):
     assert not customer_scan_after_hint, logical
 
 
+def test_partitioned_sink_prunes_partitions(spark):
+    # the event_type='click' filter must prune hive partitions at planning
+    # time — reading one directory, not all of them.
+    plan = plan_of(spark, "sink_partitioned_parquet")
+    assert "PartitionFilters: [isnotnull(event_type" in plan
+    assert " = click)" in plan  # (event_type#N = click) inside PartitionFilters
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    # both sides bucketed on the join key -> co-located join: the ONLY
+    # exchange allowed is the final aggregation's (and AQE usually removes
+    # even that via bucket-aware agg; accept <=1), never a join shuffle.
+    plan = plan_of(spark, "join_bucketed_colocated")
+    tree = tree_of(plan)
+    assert "SortMergeJoin" in tree or "BroadcastHashJoin" in tree
+    # no hashpartitioning exchange may feed the join inputs
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+
+
 def test_scans_prune_columns(spark):
     plan = plan_of(spark, "project_select_alias")
     assert "ReadSchema" in plan
