@@ -13,8 +13,9 @@ executed once untimed (warm-up: plans compiled, code-gen'd, files footer-read),
 then timed once, wall-clock, with a full result fetch (``collect()``).
 
 BASELINE rows covered (BASELINE.md "Measured baseline" table):
-  agg_groupby_hash     57 ms   (sf0.1)   TPC-H Q1-style pricing summary
-  join_multiway_star   76 ms   (sf0.1)   Q5-style 6-way star join
+  agg_groupby_hash            57 ms  (sf0.1)  TPC-H Q1-style pricing summary
+  join_q3_shipping_priority   62 ms  (sf0.1)  Q3-style shipping priority
+  join_multiway_star          76 ms  (sf0.1)  Q5-style 6-way star join
   win_row_number_topk  249 ms  (sf0.1)   top-3 orders per customer
   win_sessionize       2074 ms (sf0.1)   30-min-gap sessionization
   llm_knn_bruteforce   273.7 s (sf0.1)   brute-force cosine top-5 k-NN
@@ -32,6 +33,7 @@ import time
 
 HEADLINE = [
     "agg_groupby_hash",
+    "join_q3_shipping_priority",
     "join_multiway_star",
     "win_row_number_topk",
     "win_sessionize",

@@ -319,3 +319,63 @@ def join_self(spark, sf_dir):
         F.col("a.l_partkey").alias("pk_a"),
         F.col("b.l_partkey").alias("pk_b"),
     )
+
+
+@query(
+    "join_q3_shipping_priority",
+    # BASELINE.md headline #2 (62 ms @ sf0.1 DuckDB): Q3-style shipping
+    # priority — segment-filtered customer ⋈ date-banded orders ⋈ lineitem,
+    # revenue per order, global top-10. Top-10 tie-break on o_orderkey so
+    # both engines pick identical rows (§7.3 unique-key rule).
+    oracle="""
+    SELECT o_orderkey, o_orderdate_s, o_orderpriority, revenue FROM (
+      SELECT o.o_orderkey,
+             strftime(CAST(o.o_orderdate AS DATE), '%Y-%m-%d')
+               AS o_orderdate_s,
+             o.o_orderpriority,
+             CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               AS revenue
+      FROM customer c
+      JOIN orders o   ON c.c_custkey = o.o_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+        AND l.l_shipdate  > TIMESTAMP '1996-07-01 00:00:00'
+      GROUP BY o.o_orderkey, o_orderdate_s, o.o_orderpriority
+    ) ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def join_q3_shipping_priority(spark, sf_dir):
+    """customer is filtered to one segment then joined to orders — at scale
+    AQE decides whether the filtered side broadcasts (policy: never forced,
+    see test_compiler_broadcast_policy); lineitem joins on its natural key
+    and aggregates partial before the single revenue shuffle; the global
+    top-10 is TakeOrderedAndProject (per-partition heaps), not a full sort."""
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-07-01").cast("timestamp_ntz")
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            "o_orderkey",
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd")
+            .alias("o_orderdate_s"),
+            "o_orderpriority",
+        )
+        .agg(
+            dsum(
+                dec("l_extendedprice")
+                * (1 - dec("l_discount", "decimal(4,2)"))
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
