@@ -49,13 +49,16 @@ def scan_all_entities(spark, sf_dir):
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
-@query("sink_parquet_roundtrip", rows_only=True)
+@query(
+    "sink_parquet_roundtrip",
+    # the re-read must equal the source projection exactly, which IS
+    # SQL-expressible — upgraded from rows-only in round 2.
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    """,
+)
 def sink_parquet_roundtrip(spark, sf_dir):
-    """Write a projection out as parquet, re-read it — sink correctness.
-
-    rows-only by design (SURVEY.md §2-A): the check is row identity with the
-    source, asserted in tests/test_oracle.py; the driver sees count+schema.
-    """
+    """Write a projection out as parquet, re-read it — sink correctness."""
     src = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_totalprice"
     )

@@ -70,12 +70,17 @@ def _write_chunk(df: DataFrame, stage_dir: str, seq: int) -> None:
 def _stage(spark: SparkSession, sf_dir: str) -> str:
     """Stage events once per scale factor; returns the staging root holding
     `all/` (1 chunk), `dup/` (same chunk twice) and `late/` (on-time chunk,
-    late first-hour chunk, far-future flush chunk)."""
+    empty chunk, late first-hour chunk, far-future flush chunk).
+
+    Built in a pid-suffixed temp root and published with an atomic rename so
+    concurrent callers (a harness running keys in parallel) either see the
+    complete staging or build their own and lose the rename race harmlessly.
+    """
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    base = os.path.join(_scratch_base(), tag)
-    marker = os.path.join(base, _STAGE_MARKER)
-    if os.path.exists(marker):
-        return base
+    final = os.path.join(_scratch_base(), tag)
+    if os.path.exists(os.path.join(final, _STAGE_MARKER)):
+        return final
+    base = f"{final}.build-{os.getpid()}"
     shutil.rmtree(base, ignore_errors=True)
     for sub in ("all", "dup", "late"):
         os.makedirs(os.path.join(base, sub), exist_ok=True)
@@ -117,9 +122,15 @@ def _stage(spark: SparkSession, sf_dir: str) -> str:
         schema=ev.schema,
     )
     _write_chunk(flush, late_dir, 3)
-    with open(marker, "w") as f:
+    with open(os.path.join(base, _STAGE_MARKER), "w") as f:
         f.write("ok")
-    return base
+    try:
+        os.rename(base, final)
+    except OSError:
+        # another process published first; its staging is complete (marker
+        # is written last) and byte-identical — use it.
+        shutil.rmtree(base, ignore_errors=True)
+    return final
 
 
 def _read_stream(
