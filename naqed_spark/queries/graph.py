@@ -338,12 +338,48 @@ def graph_connected_components(spark, sf_dir):
     )
 
 
-@query("graph_pagerank_fixed", rows_only=True)
+def _pagerank_oracle() -> str:
+    """10 unrolled iteration CTEs (recursive CTEs can't aggregate over the
+    recursive reference). Each iteration's ranks are rounded to 6 decimals
+    on BOTH engines, so order-sensitive float error cannot compound across
+    iterations — the upgrade that makes fixed-iteration PageRank
+    hash-matchable."""
+    steps = []
+    prev = "r0"
+    for i in range(1, 11):
+        steps.append(
+            f"""
+    c{i} AS MATERIALIZED (SELECT ue.dst AS v, sum({prev}.pr / outdeg.odeg) AS inflow
+             FROM {prev} JOIN outdeg USING (v) JOIN ue ON ue.src = {prev}.v
+             GROUP BY ue.dst),
+    d{i} AS MATERIALIZED (SELECT coalesce(sum(pr), 0.0) AS mass FROM {prev}
+             WHERE v NOT IN (SELECT v FROM outdeg)),
+    r{i} AS MATERIALIZED (SELECT verts.v,
+                    round(0.15 / nn.n + 0.85 * (coalesce(c{i}.inflow, 0.0)
+                          + d{i}.mass / nn.n), 6) AS pr
+             FROM verts LEFT JOIN c{i} ON c{i}.v = verts.v, d{i}, nn)"""
+        )
+        prev = f"r{i}"
+    return f"""
+    WITH ue AS MATERIALIZED ({_UE_SQL}),
+    verts AS MATERIALIZED (SELECT DISTINCT v FROM
+              (SELECT src AS v FROM ue UNION ALL SELECT dst AS v FROM ue)),
+    nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+    outdeg AS MATERIALIZED
+      (SELECT src AS v, count(*) AS odeg FROM ue GROUP BY src),
+    r0 AS MATERIALIZED (SELECT v, 1.0 / nn.n AS pr FROM verts, nn),
+    {",".join(steps)}
+    SELECT v, pr AS pagerank FROM r10
+    """
+
+
+@query("graph_pagerank_fixed", oracle=_pagerank_oracle())
 def graph_pagerank_fixed(spark, sf_dir):
     """PageRank, exactly 10 iterations, d=0.85, dangling mass redistributed
-    uniformly. rows-only by design (SURVEY §2-I): 10-iteration float
-    accumulation is order-sensitive across engines; tests assert sum(pr)≈1
-    and convergence against a NumPy reference on the same edges."""
+    uniformly. Ranks are rounded to 6 decimals after every iteration (both
+    engines) so cross-engine summation-order error cannot compound — this is
+    what lets a 10-deep iterative float computation hash-match its oracle.
+    Tests additionally assert sum(pr)≈1."""
     ue = user_edges(spark, sf_dir).persist()
     verts = (
         ue.select(F.col("src").alias("v"))
@@ -374,16 +410,17 @@ def graph_pagerank_fixed(spark, sf_dir):
             .crossJoin(F.broadcast(dangling))
             .select(
                 "v",
-                (
-                    F.lit(0.15 / n)
+                F.round(
+                    F.lit(0.15) / n
                     + F.lit(0.85)
-                    * (F.coalesce("inflow", F.lit(0.0)) + F.col("mass") / n)
+                    * (F.coalesce("inflow", F.lit(0.0)) + F.col("mass") / n),
+                    6,
                 ).alias("pr"),
             )
             .localCheckpoint()
         )
     ue.unpersist()
-    return ranks.select("v", F.round("pr", 6).alias("pagerank"))
+    return ranks.select("v", F.col("pr").alias("pagerank"))
 
 
 @query(
