@@ -145,16 +145,26 @@ def _read_stream(
 
 def _run_to_memory(sdf: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
     """Execute the streaming query to completion into a memory sink and
-    return the sink contents as a batch DataFrame."""
+    return the sink contents as a batch DataFrame.
+
+    Stateful operators create one state store per shuffle partition per
+    micro-batch; at replay scale that fixed cost dominates, so the shuffle
+    partition count is dropped for the run and restored after (on a real
+    cluster the state partition count is sized to state volume instead)."""
     name = f"naqed_sink_{next(_COUNTER)}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
