@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from naqed_spark.queries._util import dec, dsum, epoch_us, load
+from naqed_spark.queries._util import dec, dsum, epoch_us, load, low_shuffle
 from naqed_spark.registry import query
 
 HOUR_US = 3600 * 1000 * 1000
@@ -207,19 +207,23 @@ def graph_reachability_bfs(spark, sf_dir):
         .select(F.lit(0).cast("bigint").alias("v"), F.lit(0).alias("d"))
     )
     frontier = visited
-    for depth in range(1, 11):
-        nxt = (
-            frontier.join(ue, frontier.v == ue.src)
-            .select(F.col("dst").alias("v"))
-            .distinct()
-            .join(visited.select("v"), "v", "left_anti")
-            .select("v", F.lit(depth).alias("d"))
-            .localCheckpoint()  # cut lineage: plan would double per superstep
-        )
-        if nxt.isEmpty():
-            break
-        visited = visited.unionAll(nxt).localCheckpoint()
-        frontier = nxt
+    # per-superstep state is tiny; task-launch overhead dominates at full
+    # parallelism — supersteps execute inside the block, so low_shuffle
+    # applies to every localCheckpoint
+    with low_shuffle(spark):
+        for depth in range(1, 11):
+            nxt = (
+                frontier.join(ue, frontier.v == ue.src)
+                .select(F.col("dst").alias("v"))
+                .distinct()
+                .join(visited.select("v"), "v", "left_anti")
+                .select("v", F.lit(depth).alias("d"))
+                .localCheckpoint()  # cut lineage: doubles per superstep else
+            )
+            if nxt.isEmpty():
+                break
+            visited = visited.unionAll(nxt).localCheckpoint()
+            frontier = nxt
     ue.unpersist()
     return visited.select(F.col("v").alias("user_id"), F.col("d").alias("dist"))
 
@@ -271,17 +275,21 @@ def graph_shortest_path_weighted(spark, sf_dir):
         ne.sparkSession.range(1)
         .select(F.lit(0).cast("int").alias("v"), F.lit(0).cast("bigint").alias("cost"))
     )
-    for _ in range(6):
-        relaxed = (
-            dist.join(ne, dist.v == ne.src)
-            .select(F.col("dst").alias("v"), (F.col("cost") + F.col("w")).alias("cost"))
-        )
-        dist = (
-            dist.unionAll(relaxed)
-            .groupBy("v")
-            .agg(F.min("cost").alias("cost"))
-            .localCheckpoint()
-        )
+    with low_shuffle(spark):
+        for _ in range(6):
+            relaxed = (
+                dist.join(ne, dist.v == ne.src)
+                .select(
+                    F.col("dst").alias("v"),
+                    (F.col("cost") + F.col("w")).alias("cost"),
+                )
+            )
+            dist = (
+                dist.unionAll(relaxed)
+                .groupBy("v")
+                .agg(F.min("cost").alias("cost"))
+                .localCheckpoint()
+            )
     return dist.select(F.col("v").alias("nationkey"), F.col("cost").alias("dist"))
 
 
@@ -314,24 +322,26 @@ def graph_connected_components(spark, sf_dir):
         .distinct()
         .select("v", F.col("v").alias("label"))
     )
-    for _ in range(20):
-        # candidate label per vertex: min(own, min over in-neighbors)
-        msgs = (
-            labels.join(sym, labels.v == sym.src)
-            .select(F.col("dst").alias("v"), F.col("label"))
-        )
-        new_labels = (
-            labels.unionAll(msgs)
-            .groupBy("v")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint()
-        )
-        if new_labels.join(
-            labels, (new_labels.v == labels.v) & (new_labels.label != labels.label)
-        ).isEmpty():
+    with low_shuffle(spark):
+        for _ in range(20):
+            # candidate label per vertex: min(own, min over in-neighbors)
+            msgs = (
+                labels.join(sym, labels.v == sym.src)
+                .select(F.col("dst").alias("v"), F.col("label"))
+            )
+            new_labels = (
+                labels.unionAll(msgs)
+                .groupBy("v")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint()
+            )
+            if new_labels.join(
+                labels,
+                (new_labels.v == labels.v) & (new_labels.label != labels.label),
+            ).isEmpty():
+                labels = new_labels
+                break
             labels = new_labels
-            break
-        labels = new_labels
     sym.unpersist()
     return labels.select(
         F.col("v").alias("user_id"), F.col("label").alias("component")
@@ -392,33 +402,34 @@ def graph_pagerank_fixed(spark, sf_dir):
         F.count(F.lit(1)).alias("odeg")
     )
     ranks = verts.select("v", F.lit(1.0 / n).alias("pr"))
-    for _ in range(10):
-        contrib_df = (
-            ranks.join(outdeg, "v")
-            .join(ue, ranks.v == ue.src)
-            .select(F.col("dst").alias("v"), (F.col("pr") / F.col("odeg")).alias("c"))
-            .groupBy("v")
-            .agg(F.sum("c").alias("inflow"))
-        )
-        dangling = (
-            ranks.join(outdeg, "v", "left_anti").agg(
-                F.coalesce(F.sum("pr"), F.lit(0.0)).alias("mass")
+    with low_shuffle(spark):
+        for _ in range(10):
+            contrib_df = (
+                ranks.join(outdeg, "v")
+                .join(ue, ranks.v == ue.src)
+                .select(F.col("dst").alias("v"), (F.col("pr") / F.col("odeg")).alias("c"))
+                .groupBy("v")
+                .agg(F.sum("c").alias("inflow"))
             )
-        )
-        ranks = (
-            verts.join(contrib_df, "v", "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "v",
-                F.round(
-                    F.lit(0.15) / n
-                    + F.lit(0.85)
-                    * (F.coalesce("inflow", F.lit(0.0)) + F.col("mass") / n),
-                    6,
-                ).alias("pr"),
+            dangling = (
+                ranks.join(outdeg, "v", "left_anti").agg(
+                    F.coalesce(F.sum("pr"), F.lit(0.0)).alias("mass")
+                )
             )
-            .localCheckpoint()
-        )
+            ranks = (
+                verts.join(contrib_df, "v", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "v",
+                    F.round(
+                        F.lit(0.15) / n
+                        + F.lit(0.85)
+                        * (F.coalesce("inflow", F.lit(0.0)) + F.col("mass") / n),
+                        6,
+                    ).alias("pr"),
+                )
+                .localCheckpoint()
+            )
     ue.unpersist()
     return ranks.select("v", F.col("pr").alias("pagerank"))
 

@@ -42,6 +42,9 @@ def tune_session(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.enabled", "true"),
         ("spark.sql.ansi.enabled", "false"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        # runtime-settable: an externally built session carries the 200
+        # default, 6x the local core count — size to cores like get_spark
+        ("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")),
     ]:
         try:
             spark.conf.set(k, v)
