@@ -379,3 +379,34 @@ def join_q3_shipping_priority(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
         .limit(10)
     )
+
+
+@query(
+    "join_skew_salted",
+    # skew-mitigation technique demonstrated end-to-end: the build side is
+    # replicated SALT times with a salt column, the probe side gets a
+    # deterministic salt per row (user_id % SALT is NOT deterministic
+    # per-row-copy — we salt by a stable hash of the row key), and the join
+    # runs on (key, salt) so one hot key spreads over SALT reducers. The
+    # result is EXACTLY the plain join, which is the oracle. AQE's
+    # skewedJoin does this automatically at runtime; manual salting is the
+    # form you reach for when a single key exceeds what one task can hold.
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def join_skew_salted(spark, sf_dir):
+    SALT = 8
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", (F.pmod(F.col("event_id"), SALT)).alias("salt")
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    salted_cust = cust.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(SALT)]))
+    )
+    return ev.join(
+        salted_cust,
+        (ev["user_id"] == salted_cust["c_custkey"])
+        & (ev["salt"] == salted_cust["salt"]),
+    ).select("event_id", "user_id", "c_mktsegment")

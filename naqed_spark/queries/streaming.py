@@ -473,3 +473,4 @@ def stream_foreachbatch_sink(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.read.parquet(out_dir)
+
