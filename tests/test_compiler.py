@@ -1,0 +1,127 @@
+"""QuerySpec compiler tests: error paths (the reference surfaces $error
+entries; we fail fast with SpecError — SURVEY.md §1.2) and a property test
+that random filter specs compile to exactly the rows the equivalent direct
+DataFrame query returns."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from naqed_spark.compiler.engine import Engine
+from naqed_spark.compiler.spec import SpecError
+from naqed_spark.session import get_spark, tune_session
+
+SF_DIR = os.environ.get("NAQED_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def eng():
+    spark = tune_session(get_spark("naqed-compiler-tests"))
+    return Engine(spark, SF_DIR)
+
+
+def test_unknown_entity_fails_fast(eng):
+    with pytest.raises((SpecError, KeyError)):
+        eng.query({"nonsuch": {"x": True}})
+
+
+def test_unknown_field_fails_fast(eng):
+    with pytest.raises(SpecError):
+        eng.query({"customer": {"$filter": {"no_such_col": 1}, "c_name": True}})
+
+
+def test_unknown_operator_fails_fast(eng):
+    with pytest.raises(SpecError):
+        eng.query(
+            {"customer": {"$filter": {"c_acctbal": {"$regex": "x"}}, "c_name": True}}
+        )
+
+
+def test_type_mismatch_fails_fast(eng):
+    with pytest.raises(SpecError):
+        eng.query(
+            {"customer": {"$filter": {"c_acctbal": True}, "c_name": True}}
+        )
+
+
+def test_unknown_relationship_fails_fast(eng):
+    with pytest.raises((SpecError, KeyError)):
+        eng.query({"customer": {"c_name": True, "lineitems": {"l_quantity": True}}})
+
+
+def test_agg_orderby_limit(eng):
+    df = eng.query(
+        {
+            "customer": {
+                "$groupby": ["c_mktsegment"],
+                "$agg": {
+                    "n": {"$count": True},
+                    "total": {"$sum": "c_acctbal"},
+                },
+                "$orderby": [["n", "desc"], ["c_mktsegment", "asc"]],
+                "$limit": 3,
+            }
+        }
+    )
+    rows = df.collect()
+    assert len(rows) == 3
+    assert rows[0]["n"] >= rows[1]["n"] >= rows[2]["n"]
+
+
+_SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"]
+
+pred_strategy = st.fixed_dictionaries(
+    {},
+    optional={
+        "c_mktsegment": st.sampled_from(_SEGMENTS),
+        "c_acctbal": st.one_of(
+            st.builds(lambda v: {"$gt": v}, st.floats(-1000, 10000)),
+            st.builds(lambda v: {"$lte": v}, st.floats(-1000, 10000)),
+            st.builds(
+                lambda lo, hi: {"$between": [lo, hi]},
+                st.floats(-1000, 5000),
+                st.floats(5000, 10000),
+            ),
+        ),
+        "c_nationkey": st.builds(
+            lambda vs: {"$in": sorted(vs)},
+            st.lists(st.integers(0, 24), min_size=1, max_size=5, unique=True),
+        ),
+    },
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(filt=pred_strategy)
+def test_filter_spec_matches_direct_dataframe(eng, filt):
+    from pyspark.sql import functions as F
+
+    spec_df = eng.query(
+        {"customer": {"$filter": filt, "c_custkey": True}}
+        if filt
+        else {"customer": {"c_custkey": True}}
+    )
+    direct = eng.entity("customer")
+    for col, cond in filt.items():
+        c = F.col(col)
+        if not isinstance(cond, dict):
+            direct = direct.filter(c == cond)
+        elif "$gt" in cond:
+            direct = direct.filter(c > cond["$gt"])
+        elif "$lte" in cond:
+            direct = direct.filter(c <= cond["$lte"])
+        elif "$between" in cond:
+            lo, hi = cond["$between"]
+            direct = direct.filter(c.between(lo, hi))
+        elif "$in" in cond:
+            direct = direct.filter(c.isin(cond["$in"]))
+    expected = sorted(r["c_custkey"] for r in direct.select("c_custkey").collect())
+    actual = sorted(r["c_custkey"] for r in spec_df.collect())
+    assert actual == expected
