@@ -69,12 +69,15 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     for key in HEADLINE:
-        fn = QUERIES[key]
-        fn(spark, sf_dir).collect()  # warm: compile + codegen + footer reads
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).collect()  # timed, full fetch
-        per_query[key] = round(time.perf_counter() - t0, 3)
-        print(f"# {key}: {per_query[key]:.3f}s", file=sys.stderr)
+        try:
+            fn = QUERIES[key]
+            fn(spark, sf_dir).collect()  # warm: compile + codegen + footer reads
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()  # timed, full fetch
+            per_query[key] = round(time.perf_counter() - t0, 3)
+            print(f"# {key}: {per_query[key]:.3f}s", file=sys.stderr)
+        except Exception as ex:  # one broken query must not lose the run
+            print(f"# {key}: FAILED {ex}", file=sys.stderr)
 
     total = round(sum(per_query.values()), 3)
     print(
