@@ -341,3 +341,59 @@ def agg_min_max_by(spark, sf_dir):
         F.max("o_totalprice").alias("max_price"),
         F.min("o_totalprice").alias("min_price"),
     )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "agg_pivot",
+    # wide per-user event-type counts. Spark pivot() with an EXPLICIT value
+    # list — at 100 TB an implicit pivot runs an extra distinct pass over
+    # the data to discover columns; always enumerate. Oracle: conditional
+    # aggregation (the portable form of PIVOT).
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click') AS click,
+           count(*) FILTER (WHERE event_type = 'error') AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           count(*) FILTER (WHERE event_type = 'view') AS view
+    FROM events GROUP BY user_id
+    """,
+)
+def agg_pivot(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot yields NULL for absent combos; the conditional-agg twin yields 0
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t)
+          for t in _EVENT_TYPES],
+    )
+
+
+@query(
+    "agg_unpivot",
+    # long form back out of wide columns via stack() — the inverse surface.
+    oracle="""
+    SELECT o_orderkey, 'totalprice' AS measure, o_totalprice AS val
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey, 'custkey' AS measure, CAST(o_custkey AS DOUBLE) AS val
+    FROM orders
+    """,
+)
+def agg_unpivot(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "stack(2, 'totalprice', o_totalprice,"
+            " 'custkey', cast(o_custkey as double)) AS (measure, val)"
+        ),
+    )
