@@ -434,3 +434,30 @@ def llm_multimodal_binary(spark, sf_dir):
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
     return d.mapInPandas(extract_features, schema=FEATURE_SCHEMA)
+
+
+_BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@query(
+    "llm_tokenize_bpe_regex",
+    # BPE-style pre-tokenization (the regex-piece pass every BPE tokenizer
+    # runs before merges): letter runs, digit runs, single punctuation.
+    # The pattern uses only constructs with identical semantics in Java
+    # regex (Spark) and DuckDB's regex engine — verified cross-engine.
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_BPE_PAT}')) AS n_pieces,
+           length(text) AS n_chars_m
+    FROM documents
+    """,
+)
+def llm_tokenize_bpe_regex(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{_BPE_PAT}', 0)")).alias(
+            "n_pieces"
+        ),
+        F.length("text").alias("n_chars_m"),
+    )

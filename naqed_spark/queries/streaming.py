@@ -474,3 +474,63 @@ def stream_foreachbatch_sink(spark, sf_dir):
     q.awaitTermination()
     return spark.read.parquet(out_dir)
 
+
+
+@query(
+    "stream_stream_join",
+    # stream-stream inner join: each click joined to the same user's
+    # purchases within the following hour. Both sides carry watermarks and
+    # the join condition bounds event time on both sides — that pair is
+    # what lets Spark expire join state instead of buffering both streams
+    # forever (the 100 TB requirement for stream-stream joins). Batch twin:
+    # the identical self-join on the events table.
+    oracle="""
+    SELECT a.event_id AS click_id, b.event_id AS purchase_id,
+           a.user_id,
+           epoch_us(a.ts) AS click_us, epoch_us(b.ts) AS purchase_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join(spark, sf_dir):
+    base = _stage(spark, sf_dir)
+    path = os.path.join(base, "all")
+    clicks = (
+        _read_stream(spark, path)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        _read_stream(spark, path)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+        ),
+        "inner",
+    ).select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+    )
+    return _run_to_memory(joined, spark, "append")
