@@ -84,3 +84,23 @@ def scan_json_props(spark, sf_dir):
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k"),
     )
+
+
+@query(
+    "sample_hash_deterministic",
+    # reproducible ~25% sample by KEY: rows where the first md5 hex digit
+    # of the key is 0-3. Unlike rand()-based TABLESAMPLE this is stable
+    # across engines, runs, partitionings, and re-executions — the form you
+    # want at 100 TB so every pipeline stage sees the SAME sample, and the
+    # sample of a join is the join of the samples (key-consistent).
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE instr('0123', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) > 0
+    """,
+)
+def sample_hash_deterministic(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.filter(
+        F.expr("instr('0123', substr(md5(CAST(o_orderkey AS STRING)), 1, 1)) > 0")
+    ).select("o_orderkey", "o_custkey", "o_totalprice")

@@ -57,3 +57,23 @@ def set_intersect(spark, sf_dir):
 def set_except(spark, sf_dir):
     # ANSI EXCEPT is distinct → Spark's subtract() (exceptAll would be bag)
     return _a(spark, sf_dir).subtract(_b(spark, sf_dir))
+
+
+@query(
+    "set_intersect_all",
+    oracle=f"({_A_SQL}) INTERSECT ALL ({_B_SQL})",
+)
+def set_intersect_all(spark, sf_dir):
+    """Bag intersection (multiplicity = min of the two sides) — Spark
+    intersectAll compiles to a count-equalizing aggregation + generate,
+    one shuffle on the full row."""
+    return _a(spark, sf_dir).intersectAll(_b(spark, sf_dir))
+
+
+@query(
+    "set_except_all",
+    oracle=f"({_A_SQL}) EXCEPT ALL ({_B_SQL})",
+)
+def set_except_all(spark, sf_dir):
+    """Bag difference (multiplicities subtract)."""
+    return _a(spark, sf_dir).exceptAll(_b(spark, sf_dir))
