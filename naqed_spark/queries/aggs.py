@@ -397,3 +397,29 @@ def agg_unpivot(spark, sf_dir):
             " 'custkey', cast(o_custkey as double)) AS (measure, val)"
         ),
     )
+
+
+@query(
+    "agg_string_concat_ordered",
+    # listagg/string_agg: ordered string concatenation per group. Ordered
+    # deterministically by the unique key; Spark spells it
+    # array_join(array_sort(collect_list(...))) since collect_list order is
+    # partition-arbitrary — sorting AFTER collection is the deterministic
+    # (and shuffle-identical) form.
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_name, ',' ORDER BY c_custkey) AS names
+    FROM customer
+    WHERE c_custkey <= 200
+    GROUP BY c_nationkey
+    """,
+)
+def agg_string_concat_ordered(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct("c_custkey", "c_name"))),
+        lambda x: x["c_name"],
+    )
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(ordered, ",").alias("names")
+    )

@@ -303,3 +303,37 @@ def win_sessionize(spark, sf_dir):
         F.min("ts_us").alias("session_start_us"),
         F.max("ts_us").alias("session_end_us"),
     )
+
+
+@query(
+    "win_first_last_nth",
+    # navigation functions over an EXPLICIT full-partition frame: the
+    # default frame with ORDER BY stops at CURRENT ROW, which makes
+    # last_value a footgun — always pin ROWS BETWEEN UNBOUNDED PRECEDING
+    # AND UNBOUNDED FOLLOWING. Order includes the unique key (§7.3).
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           first_value(o_orderkey) OVER w AS first_ok,
+           last_value(o_orderkey) OVER w AS last_ok,
+           nth_value(o_orderkey, 2) OVER w AS second_ok
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def win_first_last_nth(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.first("o_orderkey").over(w).alias("first_ok"),
+        F.last("o_orderkey").over(w).alias("last_ok"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
+    )
