@@ -413,11 +413,23 @@ def llm_knn_ivf(spark, sf_dir):
     # here is the utf-8 bytes of `text` (no media codecs in the container);
     # the extractor (functions/multimodal.py) is the real mapInPandas
     # plumbing a decoder plugs into. Oracle recomputes the deterministic
-    # features from the text the payload was derived from.
+    # features from the text the payload was derived from. first_byte is the
+    # first UTF-8 OCTET (Spark side reads payload[0]), derived here from the
+    # leading code point via the UTF-8 leading-byte formula, with the empty
+    # string mapped to -1 exactly as fake_features does — equivalent for any
+    # corpus, not just ASCII (ADVICE r2).
     oracle="""
     SELECT doc_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           ascii(substr(text, 1, 1)) AS first_byte,
+           CAST(CASE WHEN length(text) = 0 THEN -1
+                     WHEN ascii(substr(text, 1, 1)) < 128
+                       THEN ascii(substr(text, 1, 1))
+                     WHEN ascii(substr(text, 1, 1)) < 2048
+                       THEN 192 + ascii(substr(text, 1, 1)) // 64
+                     WHEN ascii(substr(text, 1, 1)) < 65536
+                       THEN 224 + ascii(substr(text, 1, 1)) // 4096
+                     ELSE 240 + ascii(substr(text, 1, 1)) // 262144
+                END AS INTEGER) AS first_byte,
            CAST(1 + octet_length(encode(text)) // 256 AS BIGINT) AS n_frames,
            CAST((octet_length(encode(text)) * 2654435761) % 1000003 AS BIGINT)
              AS feat_hash

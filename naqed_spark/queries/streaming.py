@@ -30,6 +30,7 @@ are the thing under test.
 
 from __future__ import annotations
 
+import hashlib
 import itertools
 import os
 import shutil
@@ -52,6 +53,24 @@ def _scratch_base() -> str:
         "naqed_scratch",
         "stream_stage",
     )
+
+
+def _events_fingerprint(sf_dir: str) -> str:
+    """Content fingerprint (file names + sizes + mtimes) of events.parquet.
+
+    Folded into the staging directory name so that regenerating the testdata
+    in place invalidates stale staged chunks instead of silently replaying
+    old data against a fresh batch oracle."""
+    path = os.path.join(sf_dir, "events.parquet")
+    parts = []
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, name))
+            parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(path):
+        st = os.stat(path)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
 
 
 def _write_chunk(df: DataFrame, stage_dir: str, seq: int) -> None:
@@ -77,7 +96,7 @@ def _stage(spark: SparkSession, sf_dir: str) -> str:
     complete staging or build their own and lose the rename race harmlessly.
     """
     tag = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    final = os.path.join(_scratch_base(), tag)
+    final = os.path.join(_scratch_base(), f"{tag}-{_events_fingerprint(sf_dir)}")
     if os.path.exists(os.path.join(final, _STAGE_MARKER)):
         return final
     base = f"{final}.build-{os.getpid()}"
@@ -87,10 +106,9 @@ def _stage(spark: SparkSession, sf_dir: str) -> str:
 
     ev = load(spark, sf_dir, "events").orderBy("ts", "event_id")
     _write_chunk(ev, os.path.join(base, "all"), 0)
-    shutil.copy(
-        os.path.join(base, "all", "000.parquet"),
-        os.path.join(base, "dup", "000.parquet"),
-    )
+    dup0 = os.path.join(base, "dup", "000.parquet")
+    shutil.copy2(os.path.join(base, "all", "000.parquet"), dup0)
+    os.utime(dup0, (1_700_000_000, 1_700_000_000))  # same pinned scheme as _write_chunk seq=0
     _write_chunk(ev, os.path.join(base, "dup"), 1)
 
     # late-replay layout: everything after the first hour arrives first (so
@@ -150,7 +168,12 @@ def _run_to_memory(sdf: DataFrame, spark: SparkSession, mode: str) -> DataFrame:
     Stateful operators create one state store per shuffle partition per
     micro-batch; at replay scale that fixed cost dominates, so the shuffle
     partition count is dropped for the run and restored after (on a real
-    cluster the state partition count is sized to state volume instead)."""
+    cluster the state partition count is sized to state volume instead).
+
+    The conf mutation is session-global: this assumes keys run serially on
+    the session, which both the driver harness and oracle_check do. A
+    parallel harness must give each streaming key its own ``spark.newSession()``
+    (isolated conf, shared catalog) or serialize the streaming family."""
     name = f"naqed_sink_{next(_COUNTER)}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
