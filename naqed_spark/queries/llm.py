@@ -28,6 +28,9 @@ float folds get the round(6) hedge; argmin/top-k tie-break on ids.
 
 from __future__ import annotations
 
+import os
+from functools import reduce
+
 from pyspark.sql import Window, functions as F
 
 from naqed_spark.queries._util import load, r6
@@ -270,6 +273,58 @@ _VECS_SQL = """
 """
 
 
+def _query_mat(pdf):
+    """(ids, matrix, norms) for one Arrow batch of (vec_id, embedding)."""
+    import numpy as np
+
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    return ids, m, np.sqrt((m * m).sum(axis=1))
+
+
+def _embedding_blocks(spark, e, block_rows):
+    """Yield one broadcast ``(ids, matrix, norms)`` per candidate id-range
+    block of ``e`` (cols ``vec_id``, ``embedding``).
+
+    The blocked-broadcast form of brute-force vector kernels: the candidate
+    side is consumed in blocks of <= ~block_rows rows, so DRIVER memory is
+    bounded by one block (the same contract as the build side of Spark's own
+    broadcast hash join) no matter how large the table is — there is no
+    full-table collect anywhere. The query side never moves: each block pass
+    streams it straight from parquet, and per-block partial results are
+    merged relationally downstream. Blocks are disjoint id ranges sized from
+    the table's id span, so dense ids give even blocks; a skewed id space
+    would size blocks by ntile/bucketing instead.
+    """
+    import numpy as np
+
+    lo, hi, n = e.agg(
+        F.min("vec_id"), F.max("vec_id"), F.count(F.lit(1))
+    ).first()
+    if not n:
+        return
+    nblocks = max(1, -(-int(n) // block_rows))
+    width = -(-(int(hi) - int(lo) + 1) // nblocks)
+    for b in range(nblocks):
+        b_lo = int(lo) + b * width
+        blk = e.filter(
+            (F.col("vec_id") >= b_lo) & (F.col("vec_id") < b_lo + width)
+        ).toArrow()  # bounded: <= ~block_rows rows, Arrow transfer
+        if blk.num_rows == 0:
+            continue
+        ids = blk.column("vec_id").to_numpy()
+        m = np.asarray(blk.column("embedding").to_pylist(), dtype=np.float64)
+        yield spark.sparkContext.broadcast(
+            (ids.astype(np.int64), m, np.sqrt((m * m).sum(axis=1)))
+        )
+
+
+def _knn_block_rows() -> int:
+    """Candidate block size (rows). Default 1024 keeps the test scale factors
+    at 1-2 blocks; tests override via env to force the multi-block path."""
+    return int(os.environ.get("NAQED_KNN_BLOCK_ROWS", "1024"))
+
+
 @query(
     "llm_knn_bruteforce",
     # O(n²) exact top-5 cosine — the correctness baseline. Pair generation
@@ -292,65 +347,75 @@ _VECS_SQL = """
     """,
 )
 def llm_knn_bruteforce(spark, sf_dir):
-    """Blocked brute-force k-NN: the candidate matrix is broadcast once and
-    each partition of query vectors computes an Arrow-batched numpy matmul
-    against it — O(n²) FLOPs but vectorized, no O(n²) shuffle rows, no
-    per-pair higher-order-function evaluation (~40× faster at sf0.1 than
-    the expression-level cross-join it replaces).
-
-    At 100 TB the single broadcast becomes a loop over candidate BLOCKS
-    (broadcast each block, keep per-query running top-k, merge) — same
-    kernel, bounded executor memory; or cut the candidate set first with
-    the IVF route (llm_knn_centroid) / LSH route (llm_neardup_lsh).
+    """Blocked-broadcast brute-force k-NN. The candidate table is consumed
+    in bounded id-range blocks (`_embedding_blocks`): each block is broadcast
+    and every partition of query vectors computes an Arrow-batched numpy
+    matmul against it, keeping that block's per-query top-k; the per-block
+    partials are unioned and a per-src window takes the global top-k —
+    O(n²) FLOPs but vectorized, no O(n²) shuffle rows, and driver/executor
+    memory bounded by one block regardless of table size. To go sub-quadratic
+    use the IVF route (llm_knn_ivf) or LSH route (llm_neardup_lsh).
 
     Ranking matches the oracle exactly: by similarity ROUNDED to 6 decimals
-    (desc), then neighbor id (asc); the emitted value is rounded by Spark's
-    own round() so both engines hash identically.
+    (desc), then neighbor id (asc) — the per-block top-k and the merge window
+    both order on the rounded value, and the global top-k is exact because
+    every global winner is a winner within its own block. The emitted value
+    is rounded by Spark's own round() so both engines hash identically.
     """
     import numpy as np
     import pandas as pd
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-
-    def mat(pdf: pd.DataFrame) -> tuple:
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        m = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
-        )
-        return ids, m, np.sqrt((m * m).sum(axis=1))
-
-    cand_ids, cand_m, cand_nrm = mat(e.toPandas())
-    bc = spark.sparkContext.broadcast((cand_ids, cand_m, cand_nrm))
     k = 5
 
-    def topk(batches):
-        c_ids, c_m, c_nrm = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            q_ids, q_m, q_nrm = mat(pdf)
-            sims = (q_m @ c_m.T) / np.outer(q_nrm, c_nrm)
-            sims_rnd = np.round(sims, 6)
-            out_src, out_nbr, out_sim, out_rnk = [], [], [], []
-            for i in range(len(q_ids)):
-                mask = c_ids != q_ids[i]
-                nbrs, raw, rnd = c_ids[mask], sims[i][mask], sims_rnd[i][mask]
-                order = np.lexsort((nbrs, -rnd))[:k]
-                out_src.extend([q_ids[i]] * len(order))
-                out_nbr.extend(nbrs[order])
-                out_sim.extend(raw[order])
-                out_rnk.extend(range(1, len(order) + 1))
-            yield pd.DataFrame(
-                {
-                    "src": np.asarray(out_src, np.int64),
-                    "nbr": np.asarray(out_nbr, np.int64),
-                    "sim": np.asarray(out_sim, np.float64),
-                    "rnk": np.asarray(out_rnk, np.int32),
-                }
-            )
+    def block_topk(bc):
+        def gen(batches):
+            c_ids, c_m, c_nrm = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                q_ids, q_m, q_nrm = _query_mat(pdf)
+                sims = (q_m @ c_m.T) / np.outer(q_nrm, c_nrm)
+                sims_rnd = np.round(sims, 6)
+                out_src, out_nbr, out_sim, out_rnd = [], [], [], []
+                for i in range(len(q_ids)):
+                    mask = c_ids != q_ids[i]
+                    nbrs, raw, rnd = (
+                        c_ids[mask],
+                        sims[i][mask],
+                        sims_rnd[i][mask],
+                    )
+                    order = np.lexsort((nbrs, -rnd))[:k]
+                    out_src.extend([q_ids[i]] * len(order))
+                    out_nbr.extend(nbrs[order])
+                    out_sim.extend(raw[order])
+                    out_rnd.extend(rnd[order])
+                yield pd.DataFrame(
+                    {
+                        "src": np.asarray(out_src, np.int64),
+                        "nbr": np.asarray(out_nbr, np.int64),
+                        "sim": np.asarray(out_sim, np.float64),
+                        "rnd": np.asarray(out_rnd, np.float64),
+                    }
+                )
 
-    raw = e.mapInPandas(topk, schema="src long, nbr long, sim double, rnk int")
-    return raw.select("src", "nbr", r6(F.col("sim")).alias("sim"), "rnk")
+        return gen
+
+    partials = [
+        e.mapInPandas(
+            block_topk(bc), schema="src long, nbr long, sim double, rnd double"
+        )
+        for bc in _embedding_blocks(spark, e, _knn_block_rows())
+    ]
+    merged = reduce(lambda a, b: a.unionByName(b), partials)
+    w = Window.partitionBy("src").orderBy(
+        F.col("rnd").desc(), F.col("nbr").asc()
+    )
+    return (
+        merged.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("src", "nbr", r6(F.col("sim")).alias("sim"), "rnk")
+    )
 
 
 @query(
@@ -463,47 +528,50 @@ def llm_embed_normalize(spark, sf_dir):
     """,
 )
 def llm_similarity_threshold_join(spark, sf_dir):
-    """Pair generation uses the same broadcast-matmul kernel as
-    llm_knn_bruteforce: candidates broadcast once, each query partition does
-    one numpy matmul and emits only the above-threshold pairs — no O(n²)
-    pair rows ever cross a shuffle (30.8 s → ~1 s at sf0.1). Blocked
-    broadcast / LSH prefilter (llm_neardup_lsh) is the 100 TB form."""
+    """Pair generation uses the same blocked-broadcast matmul kernel as
+    llm_knn_bruteforce (`_embedding_blocks`): candidates consumed in bounded
+    blocks, each query partition does one numpy matmul per block and emits
+    only the above-threshold pairs — no O(n²) pair rows ever cross a
+    shuffle and no full-table collect anywhere. Blocks are disjoint, so the
+    per-block pair streams union without duplicates. The LSH prefilter
+    (llm_neardup_lsh) is the sub-quadratic 100 TB form."""
     import numpy as np
     import pandas as pd
 
     e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
-    def mat(pdf):
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        m = np.stack(
-            [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+    def block_pairs(bc):
+        def gen(batches):
+            c_ids, c_m, c_nrm = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                q_ids, q_m, q_nrm = _query_mat(pdf)
+                sims = (q_m @ c_m.T) / np.outer(q_nrm, c_nrm)
+                # id_a < id_b halves the pair space; raw-value threshold
+                # matches the oracle (rounding happens on emit, Spark-side)
+                qi, ci = np.nonzero(
+                    (sims > 0.3) & (q_ids[:, None] < c_ids[None, :])
+                )
+                yield pd.DataFrame(
+                    {
+                        "id_a": q_ids[qi],
+                        "id_b": c_ids[ci],
+                        "sim_raw": sims[qi, ci],
+                    }
+                )
+
+        return gen
+
+    partials = [
+        e.mapInPandas(
+            block_pairs(bc), schema="id_a long, id_b long, sim_raw double"
         )
-        return ids, m, np.sqrt((m * m).sum(axis=1))
-
-    cand_ids, cand_m, cand_nrm = mat(e.toPandas())
-    bc = spark.sparkContext.broadcast((cand_ids, cand_m, cand_nrm))
-
-    def pairs_above(batches):
-        c_ids, c_m, c_nrm = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            q_ids, q_m, q_nrm = mat(pdf)
-            sims = (q_m @ c_m.T) / np.outer(q_nrm, c_nrm)
-            # id_a < id_b halves the pair space; raw-value threshold matches
-            # the oracle (rounding happens on emit, Spark-side)
-            qi, ci = np.nonzero((sims > 0.3) & (q_ids[:, None] < c_ids[None, :]))
-            yield pd.DataFrame(
-                {
-                    "id_a": q_ids[qi],
-                    "id_b": c_ids[ci],
-                    "sim_raw": sims[qi, ci],
-                }
-            )
-
-    pairs = e.mapInPandas(
-        pairs_above, schema="id_a long, id_b long, sim_raw double"
-    ).select("id_a", "id_b", r6(F.col("sim_raw")).alias("sim"))
+        for bc in _embedding_blocks(spark, e, _knn_block_rows())
+    ]
+    pairs = reduce(lambda a, b: a.unionByName(b), partials).select(
+        "id_a", "id_b", r6(F.col("sim_raw")).alias("sim")
+    )
     d = load(spark, sf_dir, "documents")
     da = d.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("lang"))
     db = d.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"))

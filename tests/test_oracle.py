@@ -37,3 +37,15 @@ def duck():
 def test_oracle(spark, duck, key):
     problems = check_key(spark, duck, key, SF_DIR)
     assert not problems, "\n".join(problems)
+
+
+def test_knn_blocked_multiblock(spark, duck, monkeypatch):
+    """Force the blocked-broadcast kernel onto the multi-block path (500
+    fixture vectors / 150-row blocks = 4 blocks) and require the same
+    hash-exact oracle match as the default single-block run — proves the
+    per-block top-k + relational merge is exact, not just the degenerate
+    1-block case."""
+    monkeypatch.setenv("NAQED_KNN_BLOCK_ROWS", "150")
+    for key in ("llm_knn_bruteforce", "llm_similarity_threshold_join"):
+        problems = check_key(spark, duck, key, SF_DIR)
+        assert not problems, "\n".join(problems)
