@@ -143,3 +143,14 @@ def test_scans_prune_columns(spark):
         line for line in plan.splitlines() if "ReadSchema" in line
     ][0]
     assert "l_comment" not in read_schema and "l_shipmode" not in read_schema
+
+
+def test_sort_multikey_no_single_partition_window(spark):
+    # the two-phase global rank must not contain a Window at all (a
+    # partition-less Window moves every surviving row to ONE task — the
+    # "No Partition Defined for Window" warning path); the total order comes
+    # from a range-partitioned sort, ranks from per-partition offsets.
+    plan = plan_of(spark, "sort_multikey")
+    tree = tree_of(plan)
+    assert "Window" not in tree
+    assert "rangepartitioning" in plan.lower()
