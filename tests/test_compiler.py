@@ -125,3 +125,97 @@ def test_filter_spec_matches_direct_dataframe(eng, filt):
     expected = sorted(r["c_custkey"] for r in direct.select("c_custkey").collect())
     actual = sorted(r["c_custkey"] for r in spec_df.collect())
     assert actual == expected
+
+
+# -- property fuzz: join + agg specs vs hand-built E2 DataFrames ------------
+
+_STATUSES = ["O", "F", "P"]
+
+join_agg_strategy = st.fixed_dictionaries(
+    {
+        "group_on": st.sampled_from(["o_orderstatus", "c_mktsegment"]),
+        "how": st.sampled_from(["inner", "left"]),
+    },
+    optional={
+        "o_orderstatus": st.sampled_from(_STATUSES),
+        "o_totalprice": st.one_of(
+            st.builds(lambda v: {"$gt": v}, st.floats(1000, 400000)),
+            st.builds(lambda v: {"$lte": v}, st.floats(1000, 400000)),
+        ),
+        "c_mktsegment": st.sampled_from(_SEGMENTS),
+    },
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=join_agg_strategy)
+def test_join_agg_spec_matches_direct_dataframe(eng, case):
+    """E1-compiled orders⋈customer + groupBy/agg must return exactly what the
+    hand-built E2 DataFrame pipeline returns (count/min/max exact, sums to
+    float tolerance — the two plans may fold doubles in different orders)."""
+    from pyspark.sql import functions as F
+
+    child: dict = {"c_mktsegment": True}
+    if "c_mktsegment" in case:
+        child["$filter"] = {"c_mktsegment": case["c_mktsegment"]}
+    if case["how"] == "left":
+        child["$how"] = "left"
+    spec_filt = {
+        k: case[k] for k in ("o_orderstatus", "o_totalprice") if k in case
+    }
+    spec = {
+        "orders": {
+            **({"$filter": spec_filt} if spec_filt else {}),
+            "customer": child,
+            "$groupby": [case["group_on"]],
+            "$agg": {
+                "n": {"$count": True},
+                "total": {"$sum": "o_totalprice"},
+                "hi": {"$max": "o_totalprice"},
+            },
+        }
+    }
+    spec_rows = {
+        r[case["group_on"]]: r for r in eng.query(spec).collect()
+    }
+
+    direct = eng.entity("orders")
+    if "o_orderstatus" in case:
+        direct = direct.filter(F.col("o_orderstatus") == case["o_orderstatus"])
+    if "o_totalprice" in case:
+        cond = case["o_totalprice"]
+        direct = direct.filter(
+            F.col("o_totalprice") > cond["$gt"]
+            if "$gt" in cond
+            else F.col("o_totalprice") <= cond["$lte"]
+        )
+    cust = eng.entity("customer")
+    if "c_mktsegment" in case:
+        cust = cust.filter(F.col("c_mktsegment") == case["c_mktsegment"])
+    direct = direct.join(
+        cust, direct["o_custkey"] == cust["c_custkey"], case["how"]
+    )
+    direct_rows = {
+        r[case["group_on"]]: r
+        for r in direct.groupBy(case["group_on"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("total"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .collect()
+    }
+
+    assert set(spec_rows) == set(direct_rows)
+    for key, exp in direct_rows.items():
+        got = spec_rows[key]
+        assert got["n"] == exp["n"]
+        assert got["hi"] == exp["hi"]
+        if exp["total"] is None:
+            assert got["total"] is None
+        else:
+            assert got["total"] == pytest.approx(exp["total"], rel=1e-9)
