@@ -16,12 +16,14 @@ from naqed_spark.queries import (  # noqa: F401
     streaming,
     llm,
     llm_ext,
+    llm_dedup,
     udfs,
     windows,
     sets,
     sorts,
     storage,
     scans,
+    subqueries,
     joins,
     aggs,
     filters,

@@ -473,3 +473,91 @@ def llm_tokenize_bpe_regex(spark, sf_dir):
         ),
         F.length("text").alias("n_chars_m"),
     )
+
+
+@query(
+    "llm_ngram_jaccard",
+    # exact n-gram (5-word shingle) Jaccard near-dup over a corpus with
+    # constructed near-duplicates: every document is replayed with its last
+    # word dropped (doc_id + 1000000), so each original/truncation pair
+    # shares all but the trailing shingles. Candidates come from an
+    # EQUALITY join on the shingle itself (pairs sharing >= 1 shingle) —
+    # the n-gram sibling of the LSH band join, O(candidate pairs) not
+    # O(n^2). At 100 TB, cap shingle document-frequency first (drop
+    # shingles with df > ~1000): stopword-run shingles are the skew keys,
+    # and a df cap bounds the join fan-out without touching recall for
+    # near-dup thresholds.
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             array_to_string(string_split(text, ' ')[1:len(string_split(text, ' ')) - 1], ' ')
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 3),
+               i -> array_to_string(string_split(text, ' ')[i:i+4], ' '))) AS sset
+      FROM base WHERE len(string_split(text, ' ')) >= 5
+    ),
+    ex AS (SELECT doc_id, unnest(sset) AS s FROM sh),
+    sizes AS (SELECT doc_id, len(sset) AS sz FROM sh),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(CAST(common AS DOUBLE) / (sa.sz + sb.sz - common), 6) AS jac
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(common AS DOUBLE) / (sa.sz + sb.sz - common) >= 0.5
+    """,
+)
+def llm_ngram_jaccard(spark, sf_dir):
+    """|A∩B| via the shingle equi-join (no set objects cross the shuffle —
+    only (doc_id, shingle) rows), |A∪B| = |A| + |B| - |A∩B| from per-doc
+    set sizes; exact Jaccard >= 0.5 emitted. Integer counts make the
+    division bit-identical on both engines."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split("text", " ")
+    trunc = F.array_join(F.slice(w, F.lit(1), F.size(w) - 1), " ")
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), trunc.alias("text")
+        )
+    )
+    sh = corpus.filter(F.size(F.split("text", " ")) >= 5).select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 4),"
+                " i -> array_join(slice(split(text, ' '), i, 5), ' '))"
+            )
+        ).alias("sset"),
+    )
+    ex = sh.select("doc_id", F.explode("sset").alias("s"))
+    sizes = sh.select("doc_id", F.size("sset").alias("sz"))
+    pairs = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("sa_sz") + F.col("sb_sz") - F.col("common")
+    )
+    return (
+        pairs.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sa_sz")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sb_sz")), "id_b")
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b", r6(jac).alias("jac"))
+    )

@@ -1,0 +1,107 @@
+"""Subquery surface: scalar, IN / NOT IN, correlated EXISTS, correlated
+scalar (the TPC-H Q17 shape) — round-3 extensions beyond SURVEY.md §2.
+
+These run through the SQL entry point (E3): the interesting engine work is
+Catalyst's subquery DECORRELATION — a correlated scalar subquery rewrites to
+an aggregate + equi-join, EXISTS to a left-semi join, NOT IN to a
+null-aware anti join — so the physical plans are the same shuffled/broadcast
+joins the §2-C keys already assert, not per-row re-executions. The oracle
+twin is the IDENTICAL query text on DuckDB (every construct below is common
+ANSI SQL in both dialects).
+
+Determinism: averages are computed as exact DECIMAL sums divided by counts
+(the _util.py money discipline), so threshold comparisons against them are
+bit-identical across engines.
+
+At 100 TB: decorrelation is what makes these safe — the correlated scalar
+in sub_correlated_scalar becomes one partial-aggregated groupBy on
+l_partkey plus one join, both shuffling on the same key (co-partitioned);
+EXISTS/IN become semi/anti joins that AQE can broadcast when the subquery
+side is small.
+"""
+
+from __future__ import annotations
+
+from naqed_spark.catalog import Catalog
+from naqed_spark.registry import query
+
+
+def _sql(spark, sf_dir: str, text: str):
+    Catalog(spark, sf_dir).register_views()
+    return spark.sql(text)
+
+
+_SCALAR_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 2 * (
+  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+  FROM orders)
+"""
+
+
+@query("sub_scalar_uncorrelated", oracle=_SCALAR_SQL)
+def sub_scalar_uncorrelated(spark, sf_dir):
+    """Uncorrelated scalar subquery: orders above 2x the global exact-average
+    price. Plans as a 1-row broadcast into the scan filter."""
+    return _sql(spark, sf_dir, _SCALAR_SQL)
+
+
+_IN_SQL = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+"""
+
+
+@query("sub_in", oracle=_IN_SQL)
+def sub_in(spark, sf_dir):
+    """IN subquery -> left-semi join on the subquery output."""
+    return _sql(spark, sf_dir, _IN_SQL)
+
+
+_NOT_IN_SQL = """
+SELECT n_nationkey, n_name
+FROM nation
+WHERE n_nationkey NOT IN (SELECT s_nationkey FROM supplier)
+"""
+
+
+@query("sub_not_in", oracle=_NOT_IN_SQL)
+def sub_not_in(spark, sf_dir):
+    """NOT IN -> null-aware anti join (nations with no supplier). The
+    subquery column is non-null here; the null-aware plan shape is what's
+    exercised."""
+    return _sql(spark, sf_dir, _NOT_IN_SQL)
+
+
+_EXISTS_SQL = """
+SELECT s.s_suppkey, s.s_name
+FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 49)
+"""
+
+
+@query("sub_exists_correlated", oracle=_EXISTS_SQL)
+def sub_exists_correlated(spark, sf_dir):
+    """Correlated EXISTS -> decorrelated left-semi join on l_suppkey."""
+    return _sql(spark, sf_dir, _EXISTS_SQL)
+
+
+_Q17_SQL = """
+SELECT l.l_orderkey, l.l_partkey, l.l_quantity
+FROM lineitem l
+WHERE l.l_quantity < 0.4 * (
+  SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*)
+  FROM lineitem l2
+  WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@query("sub_correlated_scalar", oracle=_Q17_SQL)
+def sub_correlated_scalar(spark, sf_dir):
+    """Correlated scalar subquery (TPC-H Q17 shape): lineitems under 40% of
+    their part's average quantity. Decorrelates to groupBy(l_partkey) +
+    equi-join — both sides shuffle once on the same key."""
+    return _sql(spark, sf_dir, _Q17_SQL)
