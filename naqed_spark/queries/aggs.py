@@ -423,3 +423,39 @@ def agg_string_concat_ordered(spark, sf_dir):
     return c.groupBy("c_nationkey").agg(
         F.array_join(ordered, ",").alias("names")
     )
+
+
+@query(
+    "agg_mode",
+    # mode (most frequent value) per group with a deterministic smallest-
+    # value tiebreak — expressed as count + windowed argmax on both engines
+    # (DuckDB's native mode() leaves ties unspecified). Two shuffles: the
+    # (seg, nation) count is map-side combined; the per-seg argmax window
+    # rides WindowGroupLimit.
+    oracle="""
+    SELECT c_mktsegment, c_nationkey AS mode_nation, n FROM (
+      SELECT c_mktsegment, c_nationkey, n,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY n DESC, c_nationkey ASC) AS rn
+      FROM (SELECT c_mktsegment, c_nationkey, count(*) AS n
+            FROM customer GROUP BY c_mktsegment, c_nationkey))
+    WHERE rn = 1
+    """,
+)
+def agg_mode(spark, sf_dir):
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer")
+    counts = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("n").desc(), F.col("c_nationkey").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_mktsegment", F.col("c_nationkey").alias("mode_nation"), "n"
+        )
+    )

@@ -338,3 +338,34 @@ def fn_cast(spark, sf_dir):
             == F.col("o_orderdate").cast("date")
         ).alias("date_roundtrip"),
     )
+
+
+@query(
+    "fn_bitwise",
+    # bitwise family over order keys: and/or/xor, shifts, popcount —
+    # xor(a, b) spelled as a function in DuckDB, ^ in Spark; shifts are
+    # operators in DuckDB, named fns in Spark SQL; semantics identical on
+    # 64-bit integers in both.
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS k_and,
+           o_orderkey | 4096 AS k_or,
+           xor(o_orderkey, o_custkey) AS k_xor,
+           o_orderkey << 3 AS k_shl,
+           o_orderkey >> 2 AS k_shr,
+           bit_count(o_orderkey) AS k_pop
+    FROM orders WHERE o_orderkey <= 20000
+    """,
+)
+def fn_bitwise(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 20000)
+    k = F.col("o_orderkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("k_and"),
+        k.bitwiseOR(F.lit(4096)).alias("k_or"),
+        k.bitwiseXOR(F.col("o_custkey")).alias("k_xor"),
+        F.shiftleft(k, 3).alias("k_shl"),
+        F.shiftright(k, 2).alias("k_shr"),
+        F.bit_count(k).alias("k_pop"),
+    )

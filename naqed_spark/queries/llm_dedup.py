@@ -161,3 +161,171 @@ def llm_dedup_groups(spark, sf_dir):
     )
     sizes = comp.groupBy("keep_id").agg(F.count(F.lit(1)).alias("n_members"))
     return comp.join(sizes, "keep_id").select("doc_id", "keep_id", "n_members")
+
+
+@query(
+    "llm_simhash_neardup",
+    # SimHash near-dup pairing over the truncation-dup corpus (same corpus
+    # construction as llm_ngram_jaccard): signatures banded into 4 x 15-bit
+    # chunks, candidates = pairs agreeing on >= 1 chunk (a <= 3-bit
+    # difference ALWAYS leaves one chunk intact — the pigeonhole guarantee),
+    # then exact Hamming distance <= 3 verified on candidates only. The
+    # banding makes this an equality join, not an all-pairs compare.
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000,
+             array_to_string(string_split(text, ' ')[1:len(string_split(text, ' ')) - 1], ' ')
+      FROM documents
+    ),
+    {{simhash}},
+    bands AS (
+      SELECT doc_id, b.b AS band, substr(simhash, 1 + 15 * b.b, 15) AS chunk
+      FROM sigs, (SELECT unnest(range(0, 4)) AS b) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           len(list_filter(range(1, 61),
+               i -> substr(sa.simhash, i, 1) <> substr(sb.simhash, i, 1)))
+             AS hamming
+    FROM cand
+    JOIN sigs sa ON sa.doc_id = id_a
+    JOIN sigs sb ON sb.doc_id = id_b
+    WHERE len(list_filter(range(1, 61),
+              i -> substr(sa.simhash, i, 1) <> substr(sb.simhash, i, 1))) <= 3
+    """.format(simhash=__import__("naqed_spark.queries.llm_ext", fromlist=["simhash_ctes"]).simhash_ctes("corpus")),
+)
+def llm_simhash_neardup(spark, sf_dir):
+    from naqed_spark.queries.llm_ext import simhash_of
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    w = F.split("text", " ")
+    trunc = F.array_join(F.slice(w, F.lit(1), F.size(w) - 1), " ")
+    corpus = d.unionByName(
+        d.select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), trunc.alias("text")
+        )
+    )
+    sigs = simhash_of(corpus).persist()
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.array(*[F.lit(b) for b in range(4)])).alias("band"),
+    ).select(
+        "doc_id",
+        "band",
+        F.expr("substring(simhash, 1 + 15 * band, 15)").alias("chunk"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
+    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
+    ham = F.expr(
+        "size(filter(sequence(1, 60),"
+        " i -> substring(ha, i, 1) != substring(hb, i, 1)))"
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(ham <= 3)
+        .select("id_a", "id_b", ham.alias("hamming"))
+    )
+
+
+@query(
+    "llm_chunk_windows",
+    # fixed-size token chunking with overlap (64-token windows, stride 48)
+    # — the sequence-packing precursor every training pipeline runs. Pure
+    # relational: per-doc start positions are a strided sequence, the chunk
+    # is an array slice; chunks verified by md5 of the joined text.
+    oracle="""
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    SELECT doc_id,
+           (s - 1) // 48 AS chunk_idx,
+           len(w[s:s + 63]) AS n_toks,
+           md5(array_to_string(w[s:s + 63], ' ')) AS chunk_md5
+    FROM d, unnest(range(1, len(w) + 1, 48)) AS u(s)
+    """,
+)
+def llm_chunk_windows(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    return (
+        d.select(
+            "doc_id",
+            "w",
+            F.explode(
+                F.sequence(F.lit(1), F.size("w"), F.lit(48))
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / 48).cast("long").alias("chunk_idx"),
+            F.slice("w", F.col("s"), F.lit(64)).alias("chunk"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("chunk").alias("n_toks"),
+            F.md5(F.array_join("chunk", " ")).alias("chunk_md5"),
+        )
+    )
+
+
+@query(
+    "llm_train_split",
+    # deterministic hash split into train/val/test (80/10/10): the bucket is
+    # the first two md5 hex digits of the doc id modulo 100 — stable across
+    # engines, runs, and cluster sizes, and independent of row order (the
+    # property random() splits lack).
+    oracle="""
+    SELECT doc_id,
+           b AS bucket,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             ((instr('0123456789abcdef',
+                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+              + instr('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 100
+               AS b
+      FROM documents)
+    """,
+)
+def llm_train_split(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    b = (
+        F.expr(
+            "((instr('0123456789abcdef',"
+            " substring(md5(CAST(doc_id AS STRING)), 1, 1)) - 1) * 16"
+            " + instr('0123456789abcdef',"
+            " substring(md5(CAST(doc_id AS STRING)), 2, 1)) - 1) % 100"
+        )
+    ).alias("bucket")
+    return d.select("doc_id", b).select(
+        "doc_id",
+        "bucket",
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

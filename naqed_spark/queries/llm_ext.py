@@ -26,15 +26,14 @@ _HEX = "0123456789abcdef"
 _MD5_DIGIT = f"(instr('{_HEX}', substr(md5({{col}}), {{p}}, 1)) - 1)"
 
 
-@query(
-    "llm_simhash",
-    # 60-bit SimHash over distinct tokens: per bit i = (p-1)*4 + b of the
-    # first 15 md5 hex digits, sum +-1 across a doc's tokens; sign -> bit.
-    # Near-dup docs differ in few bits (banded match like llm_neardup_lsh).
-    oracle=f"""
-    WITH toks AS (
+def simhash_ctes(src: str) -> str:
+    """DuckDB CTE chain ending in ``sigs(doc_id, simhash)`` over any
+    (doc_id, text) relation ``src`` — shared with the simhash near-dup
+    pairing in llm_dedup.py."""
+    return f"""
+    toks AS (
       SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-      FROM documents
+      FROM {src}
     ),
     bits AS (
       SELECT doc_id, tok, p.p, b.b,
@@ -47,20 +46,19 @@ _MD5_DIGIT = f"(instr('{_HEX}', substr(md5({{col}}), {{p}}, 1)) - 1)"
       SELECT doc_id, (p - 1) * 4 + b AS i,
              CASE WHEN sum(2 * bit - 1) >= 0 THEN '1' ELSE '0' END AS bit
       FROM bits GROUP BY doc_id, (p - 1) * 4 + b
-    )
-    SELECT doc_id, string_agg(bit, '' ORDER BY i) AS simhash
-    FROM sums GROUP BY doc_id
-    """,
-)
-def llm_simhash(spark, sf_dir):
-    """Fully JVM-side (whole-stage codegen): the 60x bit expansion is
-    linear in tokens and partially aggregated map-side before the single
-    doc_id shuffle — at 100 TB this is a scan-shaped job, no skew."""
-    toks = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-        .distinct()
-    )
+    ),
+    sigs AS (
+      SELECT doc_id, string_agg(bit, '' ORDER BY i) AS simhash
+      FROM sums GROUP BY doc_id
+    )"""
+
+
+def simhash_of(corpus):
+    """(doc_id, simhash 60-bit string) for any (doc_id, text) DataFrame —
+    the Spark twin of ``simhash_ctes``."""
+    toks = corpus.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
     bits = (
         toks.withColumn("p", F.explode(F.sequence(F.lit(1), F.lit(15))))
         .withColumn("b", F.explode(F.array(*[F.lit(i) for i in range(4)])))
@@ -84,6 +82,23 @@ def llm_simhash(spark, sf_dir):
             "",
         ).alias("simhash")
     )
+
+
+@query(
+    "llm_simhash",
+    # 60-bit SimHash over distinct tokens: per bit i = (p-1)*4 + b of the
+    # first 15 md5 hex digits, sum +-1 across a doc's tokens; sign -> bit.
+    # Near-dup docs differ in few bits (paired in llm_simhash_neardup).
+    oracle=f"""
+    WITH {simhash_ctes("documents")}
+    SELECT doc_id, simhash FROM sigs
+    """,
+)
+def llm_simhash(spark, sf_dir):
+    """Fully JVM-side (whole-stage codegen): the 60x bit expansion is
+    linear in tokens and partially aggregated map-side before the single
+    doc_id shuffle — at 100 TB this is a scan-shaped job, no skew."""
+    return simhash_of(load(spark, sf_dir, "documents").select("doc_id", "text"))
 
 
 @query(

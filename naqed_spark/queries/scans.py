@@ -104,3 +104,36 @@ def sample_hash_deterministic(spark, sf_dir):
     return o.filter(
         F.expr("instr('0123', substr(md5(CAST(o_orderkey AS STRING)), 1, 1)) > 0")
     ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@query(
+    "sample_stratified_hash",
+    # stratified deterministic sample: top-20 customers PER market segment
+    # ranked by md5 of the key (+ key tiebreak) — every stratum contributes
+    # the same count regardless of stratum skew, and the ranking is stable
+    # across engines/runs/partitionings like sample_hash_deterministic.
+    # Plans with WindowGroupLimit: each partition keeps its local top-20
+    # per segment BEFORE the shuffle, so the exchange carries
+    # O(k x segments x partitions) rows, not the table.
+    oracle="""
+    SELECT c_custkey, c_mktsegment FROM (
+      SELECT c_custkey, c_mktsegment,
+             row_number() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rn
+      FROM customer)
+    WHERE rn <= 20
+    """,
+)
+def sample_stratified_hash(spark, sf_dir):
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), F.col("c_custkey")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("c_custkey", "c_mktsegment")
+    )
