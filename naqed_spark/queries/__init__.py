@@ -24,6 +24,7 @@ from naqed_spark.queries import (  # noqa: F401
     storage,
     scans,
     subqueries,
+    timeseries,
     joins,
     aggs,
     filters,

@@ -154,3 +154,29 @@ def test_sort_multikey_no_single_partition_window(spark):
     tree = tree_of(plan)
     assert "Window" not in tree
     assert "rangepartitioning" in plan.lower()
+
+
+def test_subqueries_decorrelate_to_joins(spark):
+    # Catalyst must rewrite the correlated forms to joins — a correlated
+    # scalar that survives to the physical plan re-executes per row.
+    plan = plan_of(spark, "sub_correlated_scalar")
+    tree = tree_of(plan)
+    assert "SortMergeJoin" in tree or "BroadcastHashJoin" in tree \
+        or "ShuffledHashJoin" in tree
+    plan = plan_of(spark, "sub_exists_correlated")
+    assert "LeftSemi" in plan
+    plan = plan_of(spark, "sub_not_in")
+    assert "LeftAnti" in plan
+
+
+def test_stratified_sample_prunes_pre_shuffle(spark):
+    plan = plan_of(spark, "sample_stratified_hash")
+    assert "WindowGroupLimit" in plan
+
+
+def test_pair_ops_have_no_cartesian(spark):
+    # candidate generation in every near-dup op must be an equality join
+    for key in ("llm_ngram_jaccard", "llm_simhash_neardup"):
+        plan = plan_of(spark, key)
+        assert "CartesianProduct" not in plan, key
+        assert "BroadcastNestedLoopJoin" not in plan, key
