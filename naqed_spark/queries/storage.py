@@ -121,3 +121,21 @@ def scan_jsonl_roundtrip(spark, sf_dir):
     return spark.read.schema(
         "n_nationkey int, n_name string, n_regionkey int"
     ).json(out)
+
+
+@query(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+    """,
+)
+def scan_orc_roundtrip(spark, sf_dir):
+    """ORC sink + source — the second columnar wire format Spark ships
+    natively (predicate pushdown + column pruning work the same as
+    parquet). Roundtrip identity against the source table is the check."""
+    out = _scratch("supplier_orc")
+    src = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    src.write.mode("overwrite").orc(out)
+    return spark.read.orc(out)

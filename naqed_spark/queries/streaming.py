@@ -557,3 +557,29 @@ def stream_stream_join(spark, sf_dir):
         F.unix_micros("purchase_ts").alias("purchase_us"),
     )
     return _run_to_memory(joined, spark, "append")
+
+
+@query(
+    "stream_complete_topk",
+    # complete-mode streaming leaderboard: top-5 users by event count,
+    # deterministic user_id tiebreak at the cut. Sorting + limit are legal
+    # in complete mode only — exactly this leaderboard shape; the batch
+    # twin ranks with the same total order.
+    oracle="""
+    SELECT user_id, n_events FROM (
+      SELECT user_id, count(*) AS n_events,
+             row_number() OVER (ORDER BY count(*) DESC, user_id ASC) AS rn
+      FROM events GROUP BY user_id)
+    WHERE rn <= 5
+    """,
+)
+def stream_complete_topk(spark, sf_dir):
+    base = _stage(spark, sf_dir)
+    s = _read_stream(spark, os.path.join(base, "all"))
+    out = (
+        s.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+        .limit(5)
+    )
+    return _run_to_memory(out, spark, "complete")
