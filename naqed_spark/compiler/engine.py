@@ -156,6 +156,15 @@ class Engine:
                 df = df.groupBy(*[F.col(c) for c in qs.groupby]).agg(*exprs)
             else:
                 df = df.agg(*exprs)
+            for pred in qs.having:
+                # $having predicates see the post-agg frame: agg aliases and
+                # group columns only (mirrors SQL HAVING scope)
+                if pred.column not in df.columns:
+                    raise SpecError(
+                        f"$having: {pred.column!r} is not an agg alias or"
+                        f" group column (have {df.columns})"
+                    )
+                df = _apply_predicate(df, pred)
         elif cols:
             df = df.select(*[F.col(c) for c in dict.fromkeys(cols)])
         if qs.distinct:

@@ -15,6 +15,7 @@ Query shape (naqed-style, SURVEY.md §1.1/§3.2):
         "$groupby": ["c_mktsegment"],
         "$agg": {"n_orders": {"$count": True},
                   "total": {"$sum": "o_totalprice"}},
+        "$having": {"total": {"$gt": 1000.0}},
         "$orderby": [["total", "desc"]],
         "$limit": 10,
       }
@@ -72,6 +73,7 @@ class QuerySpec:
     root: Node
     groupby: list[str] = field(default_factory=list)
     aggs: list[AggSpec] = field(default_factory=list)
+    having: list[Predicate] = field(default_factory=list)  # post-agg filter
     orderby: list[tuple[str, str]] = field(default_factory=list)
     limit: int | None = None
     distinct: bool = False
@@ -119,7 +121,7 @@ def _parse_node(entity: str, body: dict) -> tuple[Node, dict]:
             if val not in ("inner", "left", "right", "full", "left_semi", "left_anti"):
                 raise SpecError(f"bad $how {val!r}")
             node.how = val
-        elif key in ("$agg", "$groupby", "$orderby", "$limit", "$distinct"):
+        elif key in ("$agg", "$groupby", "$having", "$orderby", "$limit", "$distinct"):
             top[key] = val
         elif key.startswith("$"):
             raise SpecError(f"unknown argument {key!r} on entity {entity!r}")
@@ -150,6 +152,10 @@ def parse_spec(spec: dict) -> QuerySpec:
         qs.groupby = gb
     if "$agg" in top:
         qs.aggs = _parse_aggs(top["$agg"])
+    if "$having" in top:
+        if "$agg" not in top:
+            raise SpecError("$having requires $agg")
+        qs.having = _parse_filters(top["$having"])
     if "$orderby" in top:
         ob = top["$orderby"]
         if not isinstance(ob, list):

@@ -219,3 +219,45 @@ def test_join_agg_spec_matches_direct_dataframe(eng, case):
             assert got["total"] is None
         else:
             assert got["total"] == pytest.approx(exp["total"], rel=1e-9)
+
+
+def test_having_filters_post_agg(eng):
+    from pyspark.sql import functions as F
+
+    spec_rows = eng.query(
+        {
+            "customer": {
+                "$groupby": ["c_mktsegment"],
+                "$agg": {"n": {"$count": True}},
+                "$having": {"n": {"$gt": 50}},
+            }
+        }
+    ).collect()
+    direct = (
+        eng.entity("customer")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 50)
+        .collect()
+    )
+    assert sorted((r["c_mktsegment"], r["n"]) for r in spec_rows) == sorted(
+        (r["c_mktsegment"], r["n"]) for r in direct
+    )
+
+
+def test_having_requires_agg(eng):
+    with pytest.raises(SpecError):
+        eng.query({"customer": {"c_name": True, "$having": {"n": {"$gt": 1}}}})
+
+
+def test_having_unknown_alias_fails_fast(eng):
+    with pytest.raises(SpecError):
+        eng.query(
+            {
+                "customer": {
+                    "$groupby": ["c_mktsegment"],
+                    "$agg": {"n": {"$count": True}},
+                    "$having": {"nonsuch": {"$gt": 1}},
+                }
+            }
+        )
