@@ -459,3 +459,24 @@ def agg_mode(spark, sf_dir):
             "c_mktsegment", F.col("c_nationkey").alias("mode_nation"), "n"
         )
     )
+
+
+@query(
+    "agg_bool",
+    # boolean aggregate family — bool_and / bool_or / count_if share names
+    # and semantics across Spark 3.5+ and DuckDB.
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000)   AS all_over_1k,
+           bool_or(o_totalprice > 400000)  AS any_over_400k,
+           count_if(o_orderpriority = '1-URGENT') AS n_urgent
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_bool(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
+    )

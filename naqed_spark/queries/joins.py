@@ -410,3 +410,69 @@ def join_skew_salted(spark, sf_dir):
         (ev["user_id"] == salted_cust["c_custkey"])
         & (ev["salt"] == salted_cust["salt"]),
     ).select("event_id", "user_id", "c_mktsegment")
+
+
+@query(
+    "join_range_bucketed",
+    # point-in-interval join with NO shared key — the case where a naive
+    # plan is a broadcast nested loop over every (event, window) pair. The
+    # scalable form: expand each interval to the hour BUCKETS it covers
+    # (sequence explode), bucket the points by the same grain, equi-join on
+    # the bucket, exact range post-filter. Work is O(points + intervals x
+    # buckets-per-interval), the join is hash-partitioned, and the plan
+    # contains no nested-loop operator (asserted in test_plans.py).
+    # Windows here: minute 10-30 of every hour seen in events.
+    oracle="""
+    WITH wins AS (SELECT DISTINCT date_trunc('hour', ts) AS h FROM events),
+    w AS (SELECT epoch_us(h) AS w_id,
+                 epoch_us(h) + 600000000 AS lo,
+                 epoch_us(h) + 1800000000 AS hi
+          FROM wins),
+    wb AS (SELECT w_id, lo, hi,
+                  unnest(range(lo // 3600000000, (hi - 1) // 3600000000 + 1))
+                    AS bkt
+           FROM w),
+    eb AS (SELECT event_id, epoch_us(ts) AS ts_us,
+                  epoch_us(ts) // 3600000000 AS bkt
+           FROM events)
+    SELECT w_id, event_id
+    FROM eb JOIN wb ON eb.bkt = wb.bkt AND ts_us >= lo AND ts_us < hi
+    """,
+)
+def join_range_bucketed(spark, sf_dir):
+    bucket_us = 3600 * 1_000_000
+    ev = load(spark, sf_dir, "events")
+    w = (
+        ev.select(F.date_trunc("hour", "ts").alias("h"))
+        .distinct()
+        .select(
+            epoch_us("h").alias("w_id"),
+            (epoch_us("h") + 600_000_000).alias("lo"),
+            (epoch_us("h") + 1_800_000_000).alias("hi"),
+        )
+    )
+    wb = w.select(
+        "w_id",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / bucket_us),
+                F.floor((F.col("hi") - 1) / bucket_us),
+            )
+        ).alias("bkt"),
+    )
+    eb = ev.select(
+        "event_id",
+        epoch_us("ts").alias("ts_us"),
+        F.floor(epoch_us("ts") / bucket_us).alias("bkt"),
+    )
+    return (
+        eb.join(
+            wb,
+            (eb.bkt == wb.bkt)
+            & (eb.ts_us >= wb.lo)
+            & (eb.ts_us < wb.hi),
+        )
+        .select("w_id", "event_id")
+    )

@@ -139,3 +139,39 @@ def scan_orc_roundtrip(spark, sf_dir):
     )
     src.write.mode("overwrite").orc(out)
     return spark.read.orc(out)
+
+
+@query(
+    "scan_schema_evolution",
+    # schema evolution at the scan: a v1 slice written without n_chars, a v2
+    # slice with it, read together under mergeSchema — old rows surface the
+    # new column as NULL. At 100 TB this is how a year of daily drops with
+    # drifting schemas reads as ONE table (with the footer-merge cost paid
+    # at planning, which is why production pins the merged schema in a
+    # catalog instead of re-inferring per query).
+    oracle="""
+    SELECT doc_id, lang, NULL AS n_chars FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 1
+    """,
+)
+def scan_schema_evolution(spark, sf_dir):
+    out = _scratch("docs_evolving")
+    d = load(spark, sf_dir, "documents")
+    (
+        d.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "lang")
+        .write.mode("overwrite")
+        .parquet(f"{out}/v=1")
+    )
+    (
+        d.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite")
+        .parquet(f"{out}/v=2")
+    )
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{out}/v=1", f"{out}/v=2")
+        .select("doc_id", "lang", "n_chars")
+    )

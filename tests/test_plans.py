@@ -180,3 +180,18 @@ def test_pair_ops_have_no_cartesian(spark):
         plan = plan_of(spark, key)
         assert "CartesianProduct" not in plan, key
         assert "BroadcastNestedLoopJoin" not in plan, key
+
+
+def test_range_bucketed_join_is_equality(spark):
+    # the keyless point-in-interval join must plan as a hash equi-join on
+    # the bucket column, never a nested loop over all (point, interval)
+    # pairs.
+    plan = plan_of(spark, "join_range_bucketed")
+    tree = tree_of(plan)
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
+    assert (
+        "BroadcastHashJoin" in tree
+        or "SortMergeJoin" in tree
+        or "ShuffledHashJoin" in tree
+    )
