@@ -480,3 +480,30 @@ def agg_bool(spark, sf_dir):
         F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
         F.count_if(F.col("o_orderpriority") == "1-URGENT").alias("n_urgent"),
     )
+
+
+@query(
+    "agg_hist_orders_per_cust",
+    # TPC-H Q13 shape: two-level aggregation — orders per customer via a
+    # LEFT join (customers with none count 0), then the distribution
+    # (how many customers have k orders). Both aggs are map-side combined;
+    # the second runs over |customers| rows, the third over |distinct k|.
+    oracle="""
+    SELECT n_orders, count(*) AS n_customers FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey)
+    GROUP BY n_orders
+    """,
+)
+def agg_hist_orders_per_cust(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )

@@ -105,3 +105,25 @@ def sub_correlated_scalar(spark, sf_dir):
     their part's average quantity. Decorrelates to groupBy(l_partkey) +
     equi-join — both sides shuffle once on the same key."""
     return _sql(spark, sf_dir, _Q17_SQL)
+
+
+_Q18_SQL = """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+       CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 150)
+GROUP BY o.o_orderkey, o.o_custkey, o.o_totalprice
+"""
+
+
+@query("sub_in_grouped_having", oracle=_Q18_SQL)
+def sub_in_grouped_having(spark, sf_dir):
+    """TPC-H Q18 shape: IN over a grouped-HAVING subquery (large-volume
+    orders). The subquery is itself an aggregation over the probe-side
+    fact table; Catalyst plans it as an aggregate + left-semi join on
+    l_orderkey — the same co-partitioned shuffle key as the outer join, so
+    at scale the exchange is reused, not repeated."""
+    return _sql(spark, sf_dir, _Q18_SQL)

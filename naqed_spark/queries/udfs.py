@@ -149,3 +149,26 @@ def udtf_python(spark, sf_dir):
         FROM naqed_udtf_docs d, LATERAL naqed_chunker(d.text) c
         """
     )
+
+
+@query(
+    "udf_arrow_optimized",
+    # the Spark 3.5+/4 Arrow-optimized Python UDF (useArrow=True): same
+    # row-at-a-time author experience as udf_python_scalar, but the
+    # executor<->Python transfer is Arrow-batched instead of pickled rows —
+    # the migration path for legacy UDFs that can't be vectorized. Logic
+    # mirrored in SQL for the oracle.
+    oracle="""
+    SELECT s_suppkey,
+           trim(regexp_replace(lower(s_name), '[^a-z0-9]+', '-', 'g'), '-')
+             AS slug
+    FROM supplier
+    """,
+)
+def udf_arrow_optimized(spark, sf_dir):
+    @udf("string", useArrow=True)
+    def slug(name: str) -> str:
+        return re.sub(r"[^a-z0-9]+", "-", name.lower()).strip("-")
+
+    s = load(spark, sf_dir, "supplier")
+    return s.select("s_suppkey", slug("s_name").alias("slug"))
