@@ -507,3 +507,27 @@ def agg_hist_orders_per_cust(spark, sf_dir):
     return per_cust.groupBy("n_orders").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+
+@query(
+    "agg_corr_regr",
+    # bivariate statistics family: corr / covar_pop / regr_slope(y, x) per
+    # group — same names and (y, x) argument order on both engines; float
+    # folds get the round(6) hedge like agg_stats.
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6) AS qp_corr,
+           round(covar_pop(l_quantity, l_extendedprice), 6) AS qp_covar,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS price_per_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_corr_regr(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        r6(F.corr("l_quantity", "l_extendedprice")).alias("qp_corr"),
+        r6(F.covar_pop("l_quantity", "l_extendedprice")).alias("qp_covar"),
+        r6(F.regr_slope("l_extendedprice", "l_quantity")).alias(
+            "price_per_qty"
+        ),
+    )
