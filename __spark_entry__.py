@@ -45,17 +45,17 @@ def _wrap(fn) -> Callable[[SparkSession, str], DataFrame]:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    from naqed_spark.registry import QUERIES, load_all
+    from naqed_spark.registry import QUERIES, load_all, ordered_keys
 
     load_all()
-    return {k: _wrap(fn) for k, fn in QUERIES.items()}
+    return {k: _wrap(QUERIES[k]) for k in ordered_keys()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB ANSI-SQL twin for each sql-checkable key in ``queries()``.
     Keys absent here (registry.ROWS_ONLY) get the driver's weaker
     rows-only check — pre-declared by design in SURVEY.md §2."""
-    from naqed_spark.registry import ORACLES, load_all
+    from naqed_spark.registry import ORACLES, load_all, ordered_keys
 
     load_all()
-    return dict(ORACLES)
+    return {k: ORACLES[k] for k in ordered_keys() if k in ORACLES}

@@ -82,9 +82,21 @@ def check_key(spark, con, key: str, sf_dir: str) -> list[str]:
             problems.append(f"{key}: rows-only query returned 0 rows")
         return problems
 
-    res = con.execute(ORACLES[key])
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    # Fetch the DuckDB side via Arrow, exactly like the driver's hasher:
+    # fetchall() coerces HUGEINT→int and hides type-level divergence, while
+    # Arrow surfaces HUGEINT as decimal128 (VERDICT r3 — 5 hash-FAILs whose
+    # oracles emitted uncast integer SUMs passed the old fetchall gate).
+    tbl = con.execute(ORACLES[key]).arrow()
+    dcols = list(tbl.schema.names)
+    for name, typ in zip(dcols, tbl.schema.types):
+        s = str(typ)
+        if "decimal" in s or "128" in s:
+            problems.append(
+                f"{key}: oracle column {name!r} is {s} (HUGEINT?) — "
+                f"CAST the emitted aggregate to BIGINT/DOUBLE"
+            )
+    cols_data = [tbl.column(i).to_pylist() for i in range(tbl.num_columns)]
+    drows = list(zip(*cols_data)) if cols_data else []
 
     if sorted(scols) != sorted(dcols):
         problems.append(f"{key}: columns differ spark={sorted(scols)} duck={sorted(dcols)}")

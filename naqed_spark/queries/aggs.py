@@ -469,7 +469,7 @@ def agg_mode(spark, sf_dir):
     SELECT o_orderstatus,
            bool_and(o_totalprice > 1000)   AS all_over_1k,
            bool_or(o_totalprice > 400000)  AS any_over_400k,
-           count_if(o_orderpriority = '1-URGENT') AS n_urgent
+           CAST(count_if(o_orderpriority = '1-URGENT') AS BIGINT) AS n_urgent
     FROM orders GROUP BY o_orderstatus
     """,
 )

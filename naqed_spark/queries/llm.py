@@ -325,6 +325,29 @@ def _knn_block_rows() -> int:
     return int(os.environ.get("NAQED_KNN_BLOCK_ROWS", "1024"))
 
 
+def _blocked_union(spark, e, schema: str, gen_factory):
+    """Union of one materialized partial per candidate block.
+
+    Exactly ONE block is live at any moment: each partial is computed
+    eagerly (``localCheckpoint``) while its block's broadcast is current,
+    then the broadcast is destroyed before the next block is collected —
+    so driver AND executor broadcast memory is bounded by one block at any
+    table size. The checkpointed partials that accumulate are result-sized
+    (top-k rows / above-threshold pairs), not table-sized. An empty
+    candidate table yields an empty frame of ``schema`` rather than a
+    zero-arg reduce."""
+    parts = []
+    for bc in _embedding_blocks(spark, e, _knn_block_rows()):
+        part = e.mapInPandas(gen_factory(bc), schema=schema).localCheckpoint(
+            eager=True
+        )
+        bc.destroy()
+        parts.append(part)
+    if not parts:
+        return spark.createDataFrame([], schema)
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 @query(
     "llm_knn_bruteforce",
     # O(n²) exact top-5 cosine — the correctness baseline. Pair generation
@@ -401,13 +424,9 @@ def llm_knn_bruteforce(spark, sf_dir):
 
         return gen
 
-    partials = [
-        e.mapInPandas(
-            block_topk(bc), schema="src long, nbr long, sim double, rnd double"
-        )
-        for bc in _embedding_blocks(spark, e, _knn_block_rows())
-    ]
-    merged = reduce(lambda a, b: a.unionByName(b), partials)
+    merged = _blocked_union(
+        spark, e, "src long, nbr long, sim double, rnd double", block_topk
+    )
     w = Window.partitionBy("src").orderBy(
         F.col("rnd").desc(), F.col("nbr").asc()
     )
@@ -563,15 +582,9 @@ def llm_similarity_threshold_join(spark, sf_dir):
 
         return gen
 
-    partials = [
-        e.mapInPandas(
-            block_pairs(bc), schema="id_a long, id_b long, sim_raw double"
-        )
-        for bc in _embedding_blocks(spark, e, _knn_block_rows())
-    ]
-    pairs = reduce(lambda a, b: a.unionByName(b), partials).select(
-        "id_a", "id_b", r6(F.col("sim_raw")).alias("sim")
-    )
+    pairs = _blocked_union(
+        spark, e, "id_a long, id_b long, sim_raw double", block_pairs
+    ).select("id_a", "id_b", r6(F.col("sim_raw")).alias("sim"))
     d = load(spark, sf_dir, "documents")
     da = d.select(F.col("doc_id").alias("id_a"), F.col("lang").alias("lang"))
     db = d.select(F.col("doc_id").alias("id_b"), F.col("lang").alias("lang_b"))
@@ -588,7 +601,7 @@ def llm_similarity_threshold_join(spark, sf_dir):
     oracle="""
     SELECT lang, source,
            count(*) AS n_docs,
-           sum(n_chars) AS total_chars,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*)
              AS avg_words,
            count(*) FILTER (WHERE n_chars <> length(text)) AS n_bad_nchars

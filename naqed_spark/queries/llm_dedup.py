@@ -138,6 +138,7 @@ def llm_dedup_groups(spark, sf_dir):
         .select("v", F.col("v").alias("label"))
     )
     with low_shuffle(spark):
+        converged = False
         for _ in range(20):
             msgs = labels.join(sym, labels.v == sym.src).select(
                 F.col("dst").alias("v"), F.col("label")
@@ -153,8 +154,18 @@ def llm_dedup_groups(spark, sf_dir):
                 (new_labels.v == labels.v) & (new_labels.label != labels.label),
             ).isEmpty():
                 labels = new_labels
+                converged = True
                 break
             labels = new_labels
+        if not converged:
+            # a component with diameter > 20 would otherwise return silently
+            # wrong (non-minimal) labels while the oracle computes the true
+            # transitive closure — fail loudly instead.
+            raise RuntimeError(
+                "llm_dedup_groups: min-label propagation did not converge "
+                "in 20 rounds (near-dup component diameter > 20); raise the "
+                "round cap for this corpus"
+            )
     sym.unpersist()
     comp = labels.select(
         F.col("v").alias("doc_id"), F.col("label").alias("keep_id")

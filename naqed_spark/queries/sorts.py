@@ -14,6 +14,7 @@ so no shuffle-everything-to-one-task stage anywhere in the plan.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from naqed_spark.queries._util import load
@@ -39,18 +40,18 @@ def sort_multikey(spark, sf_dir):
     PARTITION BY — a partition-less Window would move every row to one
     task):
 
-      1. range-partition on the sort key and sort within partitions — the
-         concatenation of partitions 0..N-1 IS the total order;
-      2. per-partition row counts (one tiny row per partition) become rank
-         offsets on the driver;
-      3. rank = offset[pid] + position-within-partition + 1, where the
-         position comes from monotonically_increasing_id's low bits (a
-         per-partition row counter assigned in row order, JVM-side) — no
-         extra shuffle, no Python boundary.
-
-    The sorted frame is persisted so phases 2 and 3 read the SAME range
-    partitioning (boundary sampling must not re-run between the count job
-    and the final job)."""
+      1. range-partition on the sort key — partition pid holds a contiguous
+         slice of the total order, pinned by an eager localCheckpoint (a
+         lost block fails loudly; boundary sampling can never silently
+         re-run between the jobs below);
+      2. per-pid counts → rank offsets, fully relationally: a running sum
+         over the <= nparts count rows (tiny partition-less window), then a
+         broadcast join back — no driver collect;
+      3. rank = offset[pid] + row_number() within pid ordered by the sort
+         key (documented semantics only — no monotonically_increasing_id
+         bit layout). The pid window hash-shuffles the filtered rows once,
+         evenly (range partitions are balanced by construction).
+    """
     order = [
         F.col("l_returnflag").desc(),
         F.col("l_linestatus").asc(),
@@ -70,31 +71,26 @@ def sort_multikey(spark, sf_dir):
             "l_quantity",
         )
         .repartitionByRange(nparts, *order)
-        .sortWithinPartitions(*order)
-        .persist()
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
-    counts = sorted(
-        part.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+    counts = part.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
     )
-    offsets, acc = {}, 0
-    for pid, cnt in counts:
-        offsets[pid] = acc
-        acc += cnt
-    off_map = F.create_map(
-        *[F.lit(v) for kv in offsets.items() for v in kv]
-    )
-    # monotonically_increasing_id() = (pid << 33) + row-position-in-partition
-    pid = F.spark_partition_id().cast("long")
-    local = F.monotonically_increasing_id() - F.shiftleft(pid, 33)
-    return part.select(
-        "l_orderkey",
-        "l_linenumber",
-        "l_returnflag",
-        "l_linestatus",
-        "l_quantity",
-        (F.element_at(off_map, F.spark_partition_id()) + local + 1)
-        .cast("int")
-        .alias("rnk"),
+    w_loc = Window.partitionBy("pid").orderBy(*order)
+    return (
+        part.withColumn("local", F.row_number().over(w_loc))
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            (F.col("off") + F.col("local")).cast("int").alias("rnk"),
+        )
     )
 
 

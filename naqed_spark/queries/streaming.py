@@ -404,7 +404,8 @@ def stream_dedup(spark, sf_dir):
     oracle="""
     SELECT user_id,
            count(*) AS n_events,
-           SUM(CAST(round(value * 100, 0) AS BIGINT)) AS total_cents
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS total_cents
     FROM events
     GROUP BY user_id
     """,

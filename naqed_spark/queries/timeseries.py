@@ -29,7 +29,8 @@ from naqed_spark.registry import query
     WITH hourly AS (
       SELECT user_id, date_trunc('hour', ts) AS h,
              count(*) AS n_events,
-             SUM(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+             CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
       FROM events WHERE user_id <= 50
       GROUP BY 1, 2
     ),

@@ -265,10 +265,11 @@ def win_percent_cume(spark, sf_dir):
       FROM seq
     ), sess AS (
       SELECT user_id, event_id, ts_us,
-             sum(is_new) OVER (PARTITION BY user_id
-                               ORDER BY ts_us, event_id
-                               ROWS BETWEEN UNBOUNDED PRECEDING
-                                    AND CURRENT ROW) AS session_id
+             CAST(sum(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY ts_us, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS BIGINT)
+               AS session_id
       FROM flagged
     )
     SELECT user_id, session_id,

@@ -49,3 +49,52 @@ def test_knn_blocked_multiblock(spark, duck, monkeypatch):
     for key in ("llm_knn_bruteforce", "llm_similarity_threshold_join"):
         problems = check_key(spark, duck, key, SF_DIR)
         assert not problems, "\n".join(problems)
+
+
+def test_hugeint_guard_catches_uncast_sum(spark, duck, monkeypatch):
+    """The r3 driver hash-FAILs were oracles emitting uncast integer SUMs
+    (DuckDB HUGEINT → Arrow decimal128, serialized differently from
+    BIGINT by the driver's hasher) that the old fetchall()-based local
+    gate could not see. Prove the hardened Arrow-path gate sees them:
+    re-register win_sessionize's oracle WITHOUT the CAST and require a
+    HUGEINT complaint."""
+    from naqed_spark.registry import ORACLES
+
+    fixed = ORACLES["win_sessionize"]
+    assert "CAST(sum(is_new) OVER" in fixed
+    uncast = fixed.replace("CAST(sum(is_new) OVER", "(sum(is_new) OVER").replace(
+        "AND CURRENT ROW) AS BIGINT)", "AND CURRENT ROW))"
+    )
+    assert uncast != fixed
+    monkeypatch.setitem(ORACLES, "win_sessionize", uncast)
+    problems = check_key(spark, duck, "win_sessionize", SF_DIR)
+    assert any("HUGEINT" in p for p in problems), problems
+
+
+def test_no_oracle_emits_hugeint(duck):
+    """Every oracle's DuckDB result schema, fetched via Arrow like the
+    driver's hasher, must be free of decimal128/HUGEINT columns — the
+    type class behind all five r3 hash mismatches."""
+    from naqed_spark.registry import ORACLES
+
+    bad = []
+    for key, sql in ORACLES.items():
+        tbl = duck.execute(sql).arrow()
+        for name, typ in zip(tbl.schema.names, tbl.schema.types):
+            if "decimal" in str(typ) or "128" in str(typ):
+                bad.append((key, name, str(typ)))
+    assert not bad, bad
+
+
+def test_priority_rotation_covers_all_keys():
+    """ordered_keys(): every registered key exactly once, round-4 PRIORITY
+    (the 40 driver-unchecked keys + 5 r3 FAILs) strictly first, and the
+    driver-facing dicts in __spark_entry__ follow that order."""
+    import __spark_entry__ as entry
+    from naqed_spark.registry import PRIORITY, ordered_keys
+
+    keys = ordered_keys()
+    assert sorted(keys) == sorted(QUERIES)
+    assert len(keys) == len(set(keys))
+    assert keys[: len(PRIORITY)] == PRIORITY
+    assert list(entry.queries()) == keys

