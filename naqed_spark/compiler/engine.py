@@ -15,11 +15,15 @@ everything else is left to AQE so the plan still holds at 100 TB where e.g.
 
 from __future__ import annotations
 
+import operator
+from functools import reduce
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from naqed_spark.catalog import Catalog, SMALL_DIMS
 from naqed_spark.compiler.spec import (
     AggSpec,
+    Expr,
     Node,
     Predicate,
     QuerySpec,
@@ -133,6 +137,35 @@ class Engine:
             rel = self.catalog.relationship(node.entity, rel_name)
             child.entity = rel.dst
             child_df, child_cols = self._compile_node(child)
+            if child.collect:
+                # $collect re-nest (naqed's array-of-children shape): one
+                # parent row, children as a sorted array — a pre-join
+                # groupBy on the child's join key, so the shuffle moves
+                # one array row per parent key instead of the fan-out.
+                # Single requested field → array<field>; several → array
+                # of structs (field order = request order). sort_array
+                # makes the array order engine-independent.
+                payload = (
+                    F.col(child_cols[0])
+                    if len(child_cols) == 1
+                    else F.struct(*[F.col(c) for c in child_cols])
+                )
+                grouped = child_df.groupBy(
+                    F.col(rel.dst_key).alias("__collect_key")
+                ).agg(F.sort_array(F.collect_list(payload)).alias(rel_name))
+                df = df.join(
+                    grouped,
+                    df[rel.src_key] == grouped["__collect_key"],
+                    "left",
+                ).drop("__collect_key")
+                # childless parents get an empty array, not null
+                atype = df.schema[rel_name].dataType.simpleString()
+                df = df.withColumn(
+                    rel_name,
+                    F.coalesce(F.col(rel_name), F.array().cast(atype)),
+                )
+                cols.append(rel_name)
+                continue
             # broadcast ONLY fixed-size dims (region/nation/supplier); at
             # 100 TB customer/part are not broadcastable — a forced hint
             # there is an executor OOM. AQE demotes sort-merge → broadcast
@@ -148,8 +181,55 @@ class Engine:
                 cols.extend(child_cols)
         return df, cols
 
+    def _compile_expr(self, df: DataFrame, ex: Expr):
+        """$select expression tree → Column; unknown refs fail fast."""
+        op = ex.op
+        if op == "$col":
+            name = ex.args[0]
+            if name not in df.columns:
+                raise SpecError(
+                    f"$select: no such column {name!r} (have {sorted(df.columns)})"
+                )
+            return F.col(name)
+        if op == "$lit":
+            return F.lit(ex.args[0])
+        sub = [self._compile_expr(df, a) for a in ex.args]
+        if op == "$add":
+            return reduce(operator.add, sub)
+        if op == "$sub":
+            return sub[0] - sub[1]
+        if op == "$mul":
+            return reduce(operator.mul, sub)
+        if op == "$div":
+            return sub[0] / sub[1]
+        if op == "$abs":
+            return F.abs(sub[0])
+        if op == "$round":
+            return F.round(sub[0], ex.args[1].args[0])
+        if op == "$concat":
+            return F.concat(*sub)
+        if op == "$lower":
+            return F.lower(sub[0])
+        if op == "$upper":
+            return F.upper(sub[0])
+        if op == "$length":
+            return F.length(sub[0])
+        if op == "$size":
+            return F.size(sub[0])
+        if op == "$year":
+            return F.year(sub[0])
+        if op == "$month":
+            return F.month(sub[0])
+        raise SpecError(f"unknown $select op {op!r}")  # pragma: no cover
+
     def _compile(self, qs: QuerySpec) -> DataFrame:
         df, cols = self._compile_node(qs.root)
+        # $select computed columns land before aggregation, so $groupby/
+        # $agg/$orderby can reference them like any field; without an agg
+        # they join the projection after the requested fields.
+        for alias, ex in qs.select:
+            df = df.withColumn(alias, self._compile_expr(df, ex))
+            cols.append(alias)
         if qs.aggs:
             exprs = [self._agg_expr(a) for a in qs.aggs]
             if qs.groupby:

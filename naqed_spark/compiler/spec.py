@@ -21,6 +21,18 @@ Query shape (naqed-style, SURVEY.md §1.1/§3.2):
       }
     }
 
+Round-4 extensions (VERDICT r3 item 7):
+
+    "$select": {"alias": <expr>}      # computed columns; <expr> is a column
+                                      # name, a number, or {op: args} from
+                                      # SELECT_OPS ({"$lit": v} for string
+                                      # literals); computed before $agg so
+                                      # groupby/agg/orderby can use them
+    "orders": {"$collect": True, ...}  # re-nest: children become ONE sorted
+                                      # array column per parent row (naqed's
+                                      # array-of-children shape) instead of
+                                      # the default join fan-out
+
 ``$``-keys are arguments (the reference passes resolver args the same way);
 everything else is either a requested field (``True``) or a relationship
 traversal (nested dict). Relationship fan-out is relational: one output row
@@ -41,6 +53,25 @@ class SpecError(ValueError):
 FILTER_OPS = {"$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$in", "$between",
               "$like", "$isnull", "$notnull"}
 AGG_OPS = {"$count", "$sum", "$avg", "$min", "$max", "$count_distinct"}
+# $select expression DSL (round 4): arity-checked at parse time.
+# A bare string is a column reference; numbers are literals; string
+# literals must be spelled {"$lit": "..."} to stay unambiguous.
+SELECT_OPS = {
+    "$lit": None,      # literal value (any scalar)
+    "$add": -1,        # n-ary numeric
+    "$sub": 2,
+    "$mul": -1,
+    "$div": 2,
+    "$abs": 1,
+    "$round": 2,       # [expr, ndigits-literal]
+    "$concat": -1,     # n-ary string
+    "$lower": 1,
+    "$upper": 1,
+    "$length": 1,      # string length
+    "$size": 1,        # array length (a $collect-ed relationship)
+    "$year": 1,
+    "$month": 1,
+}
 
 
 @dataclass
@@ -58,6 +89,14 @@ class AggSpec:
 
 
 @dataclass
+class Expr:
+    """One node of a $select computed-column expression tree."""
+
+    op: str  # "$col", or one of SELECT_OPS
+    args: list  # children (Expr) for operators; [value] for $col/$lit
+
+
+@dataclass
 class Node:
     """One entity in the traversal tree."""
 
@@ -66,6 +105,7 @@ class Node:
     filters: list[Predicate] = field(default_factory=list)
     children: list[tuple[str, "Node"]] = field(default_factory=list)  # (rel name, node)
     how: str = "inner"  # join type for this hop
+    collect: bool = False  # $collect: re-nest as array-of-children, no fan-out
 
 
 @dataclass
@@ -77,6 +117,7 @@ class QuerySpec:
     orderby: list[tuple[str, str]] = field(default_factory=list)
     limit: int | None = None
     distinct: bool = False
+    select: list[tuple[str, Expr]] = field(default_factory=list)  # computed cols
 
 
 def _parse_filters(obj: object) -> list[Predicate]:
@@ -108,6 +149,42 @@ def _parse_aggs(obj: object) -> list[AggSpec]:
     return aggs
 
 
+def _parse_expr(obj: object) -> Expr:
+    """Parse one $select expression. Bare strings are column references,
+    bare numbers/bools literals; operator nodes are single-key dicts."""
+    if isinstance(obj, str):
+        return Expr("$col", [obj])
+    if isinstance(obj, bool) or isinstance(obj, (int, float)):
+        return Expr("$lit", [obj])
+    if not isinstance(obj, dict) or len(obj) != 1:
+        raise SpecError(f"$select expression must be a single {{op: args}} dict,"
+                        f" a column name, or a number — got {obj!r}")
+    ((op, raw),) = obj.items()
+    if op not in SELECT_OPS:
+        raise SpecError(f"unknown $select op {op!r}")
+    if op == "$lit":
+        return Expr("$lit", [raw])
+    args = raw if isinstance(raw, list) else [raw]
+    arity = SELECT_OPS[op]
+    if arity == -1:
+        if len(args) < 2:
+            raise SpecError(f"{op} needs at least 2 arguments, got {len(args)}")
+    elif len(args) != arity:
+        raise SpecError(f"{op} needs exactly {arity} argument(s), got {len(args)}")
+    if op == "$round":
+        nd = args[1]
+        if not isinstance(nd, int) or isinstance(nd, bool):
+            raise SpecError("$round second argument must be an int literal")
+        return Expr("$round", [_parse_expr(args[0]), Expr("$lit", [nd])])
+    return Expr(op, [_parse_expr(a) for a in args])
+
+
+def _parse_select(obj: object) -> list[tuple[str, Expr]]:
+    if not isinstance(obj, dict):
+        raise SpecError("$select must be a dict of alias -> expression")
+    return [(alias, _parse_expr(body)) for alias, body in obj.items()]
+
+
 def _parse_node(entity: str, body: dict) -> tuple[Node, dict]:
     """Returns (node, top-level-args) — top-level args only used at root."""
     if not isinstance(body, dict):
@@ -121,7 +198,10 @@ def _parse_node(entity: str, body: dict) -> tuple[Node, dict]:
             if val not in ("inner", "left", "right", "full", "left_semi", "left_anti"):
                 raise SpecError(f"bad $how {val!r}")
             node.how = val
-        elif key in ("$agg", "$groupby", "$having", "$orderby", "$limit", "$distinct"):
+        elif key == "$collect":
+            node.collect = bool(val)
+        elif key in ("$agg", "$groupby", "$having", "$orderby", "$limit",
+                     "$distinct", "$select"):
             top[key] = val
         elif key.startswith("$"):
             raise SpecError(f"unknown argument {key!r} on entity {entity!r}")
@@ -131,6 +211,13 @@ def _parse_node(entity: str, body: dict) -> tuple[Node, dict]:
             child, child_top = _parse_node(key, val)
             if child_top:
                 raise SpecError(f"aggregation args only allowed at root, found on {key!r}")
+            if child.collect:
+                if child.how in ("left_semi", "left_anti"):
+                    raise SpecError(
+                        f"$collect on {key!r} cannot combine with semi/anti $how"
+                    )
+                if not child.fields and not child.children:
+                    raise SpecError(f"$collect on {key!r} requests no fields")
             node.children.append((key, child))
         else:
             raise SpecError(
@@ -144,7 +231,11 @@ def parse_spec(spec: dict) -> QuerySpec:
         raise SpecError("query spec must be a dict with exactly one root entity")
     ((entity, body),) = spec.items()
     root, top = _parse_node(entity, body)
+    if root.collect:
+        raise SpecError("$collect is only meaningful on a relationship hop")
     qs = QuerySpec(root=root)
+    if "$select" in top:
+        qs.select = _parse_select(top["$select"])
     if "$groupby" in top:
         gb = top["$groupby"]
         if not isinstance(gb, list):

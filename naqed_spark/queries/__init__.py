@@ -3,16 +3,14 @@ into ``naqed_spark.registry`` (each module's ``@query`` decorators run at
 import time). ``registry.load_all()`` imports this package; keep the list
 below in sync as modules land.
 
-Import order is deliberate: it sets registration order, which is the order
-the driver's correctness harness walks keys in. Round 2's driver run was
-truncated after ~50 keys, so the families it never reached (streaming, llm,
-llm_ext, udfs, windows, sets, sorts, storage, scans, the non-equi half of
-joins) now register FIRST; the families with driver-green rows in
-CORRECTNESS_r02.json (aggs, filters, fns, graph, equi-joins) register last
-and rotate back in once the cap allows.
+Registration order used to drive the driver's key walk; since round 4 the
+authoritative driver-facing order is ``registry.PRIORITY`` +
+``registry.ordered_keys()`` (the 40 keys with no driver signal from r2/r3
+go first). Import order below only breaks ties behind PRIORITY.
 """
 
 from naqed_spark.queries import (  # noqa: F401
+    compiler_ops,
     streaming,
     llm,
     llm_ext,

@@ -1,0 +1,105 @@
+"""E1 QuerySpec compiler surface — driver-checked keys (SURVEY.md §3.2).
+
+Round 4 extends the naqed-style query object with the two spec features
+VERDICT r3 called out as missing vs the naqed model translation:
+
+- ``$select`` computed/derived columns — an arity-checked expression DSL
+  (arith/string/date ops over fields and literals) compiled to Catalyst
+  Column trees, available to $groupby/$agg/$orderby like any field;
+- ``$collect`` re-nest — naqed's array-of-children shape: instead of the
+  default relational fan-out (one row per related entity), the child rows
+  are re-nested into one sorted array per parent row.
+
+Scale notes: $select stays whole-stage-codegen (pure Column expressions,
+no Python); $collect aggregates the CHILD side on its join key BEFORE the
+join, so the shuffle carries one array row per parent key, and the join
+itself is a plain equi-join AQE can re-plan.
+"""
+
+from __future__ import annotations
+
+from naqed_spark.registry import query
+
+
+@query(
+    "compiler_select_computed",
+    # computed columns only touch codegen-safe expressions (string concat,
+    # length, year, double*2 — exact in IEEE754), so both engines emit
+    # bit-identical values with no float-rounding discipline needed.
+    oracle="""
+    SELECT o_orderkey,
+           lower(o_orderpriority) || '/' || o_orderstatus AS prio_tag,
+           CAST(length(o_orderpriority) AS INT) AS prio_len,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           o_totalprice * 2 AS double_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def compiler_select_computed(spark, sf_dir):
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "orders": {
+                "$filter": {"o_orderstatus": "F"},
+                "o_orderkey": True,
+                "$select": {
+                    "prio_tag": {
+                        "$concat": [
+                            {"$lower": "o_orderpriority"},
+                            {"$lit": "/"},
+                            "o_orderstatus",
+                        ]
+                    },
+                    "prio_len": {"$length": "o_orderpriority"},
+                    "order_year": {"$year": "o_orderdate"},
+                    "double_price": {"$mul": ["o_totalprice", 2]},
+                },
+            }
+        }
+    )
+
+
+@query(
+    "compiler_collect_nested",
+    # $collect re-nest: one row per BUILDING customer, non-'P' orders as a
+    # sorted array (childless customers get [], not NULL — naqed returns
+    # an empty child array), plus a $select over the collected array.
+    # Arrays of scalars hash identically on both engines (agg_collect_set
+    # established the precedent in r2).
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           COALESCE(
+             list_sort(list(o.o_orderkey)
+                       FILTER (WHERE o.o_orderkey IS NOT NULL)),
+             []
+           ) AS orders,
+           CAST(count(o.o_orderkey) AS INT) AS n_orders
+    FROM customer c
+    LEFT JOIN orders o
+      ON o.o_custkey = c.c_custkey AND o.o_orderstatus <> 'P'
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def compiler_collect_nested(spark, sf_dir):
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "customer": {
+                "$filter": {"c_mktsegment": "BUILDING"},
+                "c_custkey": True,
+                "c_name": True,
+                "orders": {
+                    "$collect": True,
+                    "$filter": {"o_orderstatus": {"$ne": "P"}},
+                    "o_orderkey": True,
+                },
+                "$select": {"n_orders": {"$size": "orders"}},
+            }
+        }
+    )

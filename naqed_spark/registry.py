@@ -50,6 +50,9 @@ def query(key: str, oracle: Optional[str] = None, rows_only: bool = False):
 # hash-FAILs whose oracle CASTs must be re-verified. Everything else keeps
 # registration order behind them.
 PRIORITY: list[str] = [
+    # round-4 E1 compiler extensions ($select computed columns, $collect
+    # re-nest) — brand new, need first driver contact
+    "compiler_select_computed", "compiler_collect_nested",
     # never driver-checked (r2+r3 gap) — sets/sorts/storage/scans/
     # subqueries/timeseries + join/agg/fn extensions
     "set_union_all", "set_union_distinct", "set_intersect", "set_except",

@@ -245,6 +245,187 @@ def test_having_filters_post_agg(eng):
     )
 
 
+# -- round-4 extensions: $select computed columns + $collect re-nest -------
+
+_EXPR_CASES = [
+    # (alias, spec expr, equivalent Column builder)
+    ("e_concat",
+     {"$concat": [{"$lower": "o_orderpriority"}, {"$lit": "#"}, "o_orderstatus"]},
+     lambda F: F.concat(F.lower("o_orderpriority"), F.lit("#"), F.col("o_orderstatus"))),
+    ("e_len", {"$length": "o_orderpriority"},
+     lambda F: F.length("o_orderpriority")),
+    ("e_year", {"$year": "o_orderdate"}, lambda F: F.year("o_orderdate")),
+    ("e_month", {"$month": "o_orderdate"}, lambda F: F.month("o_orderdate")),
+    ("e_mul", {"$mul": ["o_totalprice", 2]}, lambda F: F.col("o_totalprice") * 2),
+    ("e_addsub", {"$sub": [{"$add": ["o_totalprice", 1, 2]}, "o_totalprice"]},
+     lambda F: (F.col("o_totalprice") + 1 + 2) - F.col("o_totalprice")),
+    ("e_abs", {"$abs": {"$sub": [0, "o_custkey"]}},
+     lambda F: F.abs(F.lit(0) - F.col("o_custkey"))),
+    ("e_round_div", {"$round": [{"$div": ["o_totalprice", 4]}, 1]},
+     lambda F: F.round(F.col("o_totalprice") / 4, 1)),
+    ("e_upper", {"$upper": {"$concat": ["o_orderstatus", {"$lit": "x"}]}},
+     lambda F: F.upper(F.concat(F.col("o_orderstatus"), F.lit("x")))),
+]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    picks=st.lists(
+        st.sampled_from(_EXPR_CASES), min_size=1, max_size=4,
+        unique_by=lambda c: c[0],
+    ),
+    status=st.sampled_from(_STATUSES),
+)
+def test_select_spec_matches_direct_dataframe(eng, picks, status):
+    """Random $select expression bundles must compute exactly what the
+    hand-built withColumn pipeline computes, row for row."""
+    from pyspark.sql import functions as F
+
+    spec = {
+        "orders": {
+            "$filter": {"o_orderstatus": status},
+            "o_orderkey": True,
+            "$select": {alias: expr for alias, expr, _ in picks},
+        }
+    }
+    got = {r["o_orderkey"]: r for r in eng.query(spec).collect()}
+
+    direct = eng.entity("orders").filter(F.col("o_orderstatus") == status)
+    for alias, _, build in picks:
+        direct = direct.withColumn(alias, build(F))
+    exp = {
+        r["o_orderkey"]: r
+        for r in direct.select(
+            "o_orderkey", *[alias for alias, _, _ in picks]
+        ).collect()
+    }
+    assert set(got) == set(exp)
+    for key, erow in exp.items():
+        grow = got[key]
+        for alias, _, _ in picks:
+            assert grow[alias] == erow[alias], (key, alias)
+
+
+def test_select_feeds_groupby_and_agg(eng):
+    """$select computed columns are visible to $groupby/$agg/$orderby."""
+    from pyspark.sql import functions as F
+
+    spec_rows = eng.query(
+        {
+            "orders": {
+                "$select": {"order_year": {"$year": "o_orderdate"}},
+                "$groupby": ["order_year"],
+                "$agg": {"n": {"$count": True}},
+                "$orderby": [["order_year", "asc"]],
+            }
+        }
+    ).collect()
+    direct = (
+        eng.entity("orders")
+        .withColumn("order_year", F.year("o_orderdate"))
+        .groupBy("order_year")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("order_year")
+        .collect()
+    )
+    assert [(r["order_year"], r["n"]) for r in spec_rows] == [
+        (r["order_year"], r["n"]) for r in direct
+    ]
+
+
+collect_strategy = st.fixed_dictionaries(
+    {"seg": st.sampled_from(_SEGMENTS)},
+    optional={
+        "child_status": st.sampled_from(_STATUSES),
+        "two_fields": st.booleans(),
+    },
+)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=collect_strategy)
+def test_collect_spec_matches_direct_dataframe(eng, case):
+    """$collect re-nest vs hand-built groupBy/collect_list: same parents,
+    same sorted child arrays (single-field → array<scalar>, two requested
+    fields → array<struct> in request order), empty array for childless."""
+    from pyspark.sql import functions as F
+
+    child: dict = {"$collect": True, "o_orderkey": True}
+    if case.get("two_fields"):
+        child["o_orderstatus"] = True
+    if "child_status" in case:
+        child["$filter"] = {"o_orderstatus": case["child_status"]}
+    spec = {
+        "customer": {
+            "$filter": {"c_mktsegment": case["seg"]},
+            "c_custkey": True,
+            "orders": child,
+        }
+    }
+    got = {r["c_custkey"]: r["orders"] for r in eng.query(spec).collect()}
+
+    orders = eng.entity("orders")
+    if "child_status" in case:
+        orders = orders.filter(F.col("o_orderstatus") == case["child_status"])
+    payload = (
+        F.struct("o_orderkey", "o_orderstatus")
+        if case.get("two_fields")
+        else F.col("o_orderkey")
+    )
+    nested = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.sort_array(F.collect_list(payload)).alias("orders")
+    )
+    cust = (
+        eng.entity("customer")
+        .filter(F.col("c_mktsegment") == case["seg"])
+        .select("c_custkey")
+    )
+    exp_df = cust.join(nested, "c_custkey", "left")
+    exp = {}
+    for r in exp_df.collect():
+        exp[r["c_custkey"]] = [] if r["orders"] is None else r["orders"]
+    assert got == exp
+
+
+def test_collect_requires_fields(eng):
+    with pytest.raises(SpecError):
+        eng.query({"customer": {"c_custkey": True, "orders": {"$collect": True}}})
+
+
+def test_collect_rejected_at_root(eng):
+    with pytest.raises(SpecError):
+        eng.query({"customer": {"$collect": True, "c_custkey": True}})
+
+
+def test_select_unknown_column_fails_fast(eng):
+    with pytest.raises(SpecError):
+        eng.query(
+            {"customer": {"c_custkey": True, "$select": {"x": {"$length": "nope"}}}}
+        )
+
+
+def test_select_unknown_op_fails_fast(eng):
+    with pytest.raises(SpecError):
+        eng.query(
+            {"customer": {"c_custkey": True, "$select": {"x": {"$sqrt": "c_acctbal"}}}}
+        )
+
+
+def test_select_bad_arity_fails_fast(eng):
+    with pytest.raises(SpecError):
+        eng.query(
+            {"customer": {"c_custkey": True, "$select": {"x": {"$div": ["c_acctbal"]}}}}
+        )
+
+
 def test_having_requires_agg(eng):
     with pytest.raises(SpecError):
         eng.query({"customer": {"c_name": True, "$having": {"n": {"$gt": 1}}}})
