@@ -78,11 +78,14 @@ RELATIONSHIPS: list[Relationship] = [
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one entity. Plain parquet scan — pushdown/pruning stay enabled.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    as a timestamp (PARQUET_TYPE_ILLEGAL). We read it as a raw ns-long via
-    the legacy conf and convert with exact integer division to a µs
-    timestamp — byte-identical to DuckDB, which also truncates ns → µs.
-    Session TZ is pinned to UTC so date/epoch projections are deterministic.
+    ``events.ts`` has shipped in two parquet spellings across driver
+    testdata generations: TIMESTAMP(NANOS) (r1-r4), which Spark 4 refuses
+    to read as a timestamp (PARQUET_TYPE_ILLEGAL) so we read it as a raw
+    ns-long via the legacy conf and truncate to µs with exact integer
+    division, and plain µs TIMESTAMP (r5+), which both engines read
+    directly. Both paths normalize to TimestampType µs — byte-identical to
+    DuckDB, which also truncates ns → µs. Session TZ is pinned to UTC so
+    date/epoch projections are deterministic.
     """
     if name not in TABLES:
         raise KeyError(f"unknown entity {name!r}; known: {TABLES}")
@@ -95,8 +98,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):  # TIMESTAMP(NANOS) read as ns-long
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # µs file: NTZ under UTC session TZ → same instant as TimestampType
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
 
 

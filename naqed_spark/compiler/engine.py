@@ -216,6 +216,10 @@ class Engine:
             return F.length(sub[0])
         if op == "$size":
             return F.size(sub[0])
+        if op == "$array_join":
+            # separator is a parse-time-validated string literal (spec.py),
+            # passed to array_join as a plain str, not a Column
+            return F.array_join(sub[0], ex.args[1].args[0])
         if op == "$year":
             return F.year(sub[0])
         if op == "$month":

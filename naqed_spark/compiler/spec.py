@@ -69,6 +69,7 @@ SELECT_OPS = {
     "$upper": 1,
     "$length": 1,      # string length
     "$size": 1,        # array length (a $collect-ed relationship)
+    "$array_join": 2,  # [array-expr, {"$lit": sep}] → serialized string
     "$year": 1,
     "$month": 1,
 }
@@ -176,6 +177,14 @@ def _parse_expr(obj: object) -> Expr:
         if not isinstance(nd, int) or isinstance(nd, bool):
             raise SpecError("$round second argument must be an int literal")
         return Expr("$round", [_parse_expr(args[0]), Expr("$lit", [nd])])
+    if op == "$array_join":
+        sep = args[1]
+        if not (isinstance(sep, dict) and set(sep) == {"$lit"}
+                and isinstance(sep["$lit"], str)):
+            raise SpecError(
+                "$array_join second argument must be a {'$lit': str} separator"
+            )
+        return Expr("$array_join", [_parse_expr(args[0]), Expr("$lit", [sep["$lit"]])])
     return Expr(op, [_parse_expr(a) for a in args])
 
 

@@ -68,6 +68,26 @@ def _canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
     return sorted(tuple(_canon_value(r[i]) for i in order) for r in rows)
 
 
+# Column types the driver's canonicalizer cannot sort: its pandas
+# ``sort_values`` over all columns factorizes each column, which dies with
+# "unhashable type" on list/ndarray/dict cells (CORRECTNESS_r04's
+# compiler_collect_nested ERR). The fix discipline is the repo-wide §7.3
+# rule: serialize collections (array_join / to_json) before emitting.
+_UNSORTABLE_SPARK_TYPES = ("ArrayType", "MapType", "StructType")
+
+
+def _driver_canon_probe(cols: list[str], rows: list[tuple]) -> None:
+    """Replicate the driver's canonicalization exactly enough to crash where
+    it crashes: a pandas frame, columns sorted by name, ``sort_values`` over
+    ALL columns. Raises whatever pandas raises — run under the caller's
+    try so unsortable emissions fail the LOCAL gate first (VERDICT r4 §2)."""
+    import pandas as pd
+
+    frame = pd.DataFrame(rows, columns=cols)
+    frame = frame.reindex(sorted(cols), axis=1)
+    frame.sort_values(by=list(frame.columns), kind="mergesort")
+
+
 def check_key(spark, con, key: str, sf_dir: str) -> list[str]:
     """Run one key both ways; return a list of problems ([] = pass)."""
     from naqed_spark.registry import ORACLES, QUERIES, ROWS_ONLY
@@ -80,6 +100,25 @@ def check_key(spark, con, key: str, sf_dir: str) -> list[str]:
     if key in ROWS_ONLY:
         if len(srows) == 0 and key != "_allow_empty":
             problems.append(f"{key}: rows-only query returned 0 rows")
+        return problems
+
+    # Driver-canonicalizer parity (VERDICT r4 item 2): the driver sorts a
+    # pandas frame over every column, so complex-typed emissions crash it.
+    # Catch the class at the schema level AND probe the exact crash path.
+    for f in sdf.schema.fields:
+        tname = type(f.dataType).__name__
+        if tname in _UNSORTABLE_SPARK_TYPES:
+            problems.append(
+                f"{key}: column {f.name!r} is {f.dataType.simpleString()} — "
+                f"driver canonicalizer cannot sort collection columns; "
+                f"serialize (array_join/to_json) before emitting"
+            )
+    if problems:
+        return problems
+    try:
+        _driver_canon_probe(scols, srows)
+    except Exception as e:  # mirror the driver: any canon crash is an ERR
+        problems.append(f"{key}: driver-canonicalizer probe crashed: {e!r}")
         return problems
 
     # Fetch the DuckDB side via Arrow, exactly like the driver's hasher:

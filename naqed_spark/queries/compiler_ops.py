@@ -67,15 +67,20 @@ def compiler_select_computed(spark, sf_dir):
     # $collect re-nest: one row per BUILDING customer, non-'P' orders as a
     # sorted array (childless customers get [], not NULL — naqed returns
     # an empty child array), plus a $select over the collected array.
-    # Arrays of scalars hash identically on both engines (agg_collect_set
-    # established the precedent in r2).
+    # The E1 `$collect` API hands users a REAL array column; this
+    # driver-facing query serializes it with $array_join because the
+    # driver's canonicalizer (pandas sort over all columns) cannot sort
+    # collection cells — the repo-wide §7.3 discipline every other green
+    # collection key follows (agg_collect_set emits array_join, aggs.py).
+    # CORRECTNESS_r04 ERR + VERDICT r4 item 1.
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           COALESCE(
-             list_sort(list(o.o_orderkey)
-                       FILTER (WHERE o.o_orderkey IS NOT NULL)),
-             []
-           ) AS orders,
+           array_to_string(
+             COALESCE(
+               list_sort(list(o.o_orderkey)
+                         FILTER (WHERE o.o_orderkey IS NOT NULL)),
+               []
+             ), ',') AS orders,
            CAST(count(o.o_orderkey) AS INT) AS n_orders
     FROM customer c
     LEFT JOIN orders o
@@ -99,7 +104,12 @@ def compiler_collect_nested(spark, sf_dir):
                     "$filter": {"o_orderstatus": {"$ne": "P"}},
                     "o_orderkey": True,
                 },
-                "$select": {"n_orders": {"$size": "orders"}},
+                # n_orders first ($size needs the array), then the in-place
+                # serialization — $select entries apply in request order
+                "$select": {
+                    "n_orders": {"$size": "orders"},
+                    "orders": {"$array_join": ["orders", {"$lit": ","}]},
+                },
             }
         }
     )

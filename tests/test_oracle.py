@@ -71,6 +71,49 @@ def test_hugeint_guard_catches_uncast_sum(spark, duck, monkeypatch):
     assert any("HUGEINT" in p for p in problems), problems
 
 
+def test_unsortable_column_guard_catches_raw_array(spark, duck, monkeypatch):
+    """CORRECTNESS_r04's one ERR: a raw array<bigint> emission crashed the
+    driver's canonicalizer (pandas sort_values factorize → unhashable
+    ndarray) while the old Python-list local compare sailed through. Prove
+    the hardened gate fails any sql-oracle key emitting a collection
+    column — register a transient key that skips the $array_join
+    serialization and require the unsortable-column complaint."""
+    from pyspark.sql import functions as F
+
+    from naqed_spark.registry import ORACLES, QUERIES
+
+    def raw_array_query(spark_, sf_dir):
+        nation = spark_.read.parquet(f"{sf_dir}/nation.parquet")
+        return nation.groupBy("n_regionkey").agg(
+            F.sort_array(F.collect_list("n_name")).alias("names")
+        )
+
+    monkeypatch.setitem(QUERIES, "_raw_array_probe", raw_array_query)
+    monkeypatch.setitem(ORACLES, "_raw_array_probe", "SELECT 1 AS x")
+    problems = check_key(spark, duck, "_raw_array_probe", SF_DIR)
+    assert any("cannot sort collection columns" in p for p in problems), problems
+
+
+def test_no_sql_oracle_key_emits_collection_typed_column(spark):
+    """Registry-wide schema sweep (VERDICT r4 item 2b): no key with a SQL
+    oracle may emit an array/map/struct column — the driver's pandas
+    canonicalizer crashes on them. Schema-only (no job runs), so the whole
+    registry is cheap to sweep."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    from naqed_spark.registry import ROWS_ONLY
+
+    bad = []
+    for key in sorted(QUERIES):
+        if key in ROWS_ONLY:
+            continue
+        sdf = QUERIES[key](spark, SF_DIR)
+        for f in sdf.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append((key, f.name, f.dataType.simpleString()))
+    assert not bad, bad
+
+
 def test_no_oracle_emits_hugeint(duck):
     """Every oracle's DuckDB result schema, fetched via Arrow like the
     driver's hasher, must be free of decimal128/HUGEINT columns — the
