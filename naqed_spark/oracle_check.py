@@ -97,14 +97,14 @@ def check_key(spark, con, key: str, sf_dir: str) -> list[str]:
     srows = [tuple(r) for r in sdf.collect()]
     scols = list(sdf.columns)
 
-    if key in ROWS_ONLY:
-        if len(srows) == 0 and key != "_allow_empty":
-            problems.append(f"{key}: rows-only query returned 0 rows")
-        return problems
-
     # Driver-canonicalizer parity (VERDICT r4 item 2): the driver sorts a
     # pandas frame over every column, so complex-typed emissions crash it.
     # Catch the class at the schema level AND probe the exact crash path.
+    # This runs BEFORE the ROWS_ONLY early return (ADVICE r5): today's
+    # rows-only driver check only counts rows, but if it ever canonicalizes
+    # through the same pandas path, a collection-typed rows-only emission
+    # would crash remotely while the local gate stayed green — screen the
+    # whole registry, not just the sql-oracle subset.
     for f in sdf.schema.fields:
         tname = type(f.dataType).__name__
         if tname in _UNSORTABLE_SPARK_TYPES:
@@ -115,6 +115,12 @@ def check_key(spark, con, key: str, sf_dir: str) -> list[str]:
             )
     if problems:
         return problems
+
+    if key in ROWS_ONLY:
+        if len(srows) == 0 and key != "_allow_empty":
+            problems.append(f"{key}: rows-only query returned 0 rows")
+        return problems
+
     try:
         _driver_canon_probe(scols, srows)
     except Exception as e:  # mirror the driver: any canon crash is an ERR

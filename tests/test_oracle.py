@@ -94,19 +94,18 @@ def test_unsortable_column_guard_catches_raw_array(spark, duck, monkeypatch):
     assert any("cannot sort collection columns" in p for p in problems), problems
 
 
-def test_no_sql_oracle_key_emits_collection_typed_column(spark):
-    """Registry-wide schema sweep (VERDICT r4 item 2b): no key with a SQL
-    oracle may emit an array/map/struct column — the driver's pandas
-    canonicalizer crashes on them. Schema-only (no job runs), so the whole
-    registry is cheap to sweep."""
+def test_no_registered_key_emits_collection_typed_column(spark):
+    """Registry-wide schema sweep (VERDICT r4 item 2b + ADVICE r5): NO
+    registered key — sql-oracle or rows-only — may emit an array/map/struct
+    column; the driver's pandas canonicalizer crashes on them, and the
+    rows-only path must stay safe if the driver ever canonicalizes it too.
+    Only the DataFrame is built per key (no .collect()), though a few
+    builders (parquet sinks, eager-offset keys) do run real Spark jobs at
+    construction time, so the sweep is cheap-ish rather than free."""
     from pyspark.sql.types import ArrayType, MapType, StructType
-
-    from naqed_spark.registry import ROWS_ONLY
 
     bad = []
     for key in sorted(QUERIES):
-        if key in ROWS_ONLY:
-            continue
         sdf = QUERIES[key](spark, SF_DIR)
         for f in sdf.schema.fields:
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
