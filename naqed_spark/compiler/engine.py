@@ -28,6 +28,7 @@ from naqed_spark.compiler.spec import (
     Predicate,
     QuerySpec,
     SpecError,
+    WindowFn,
     parse_spec,
 )
 
@@ -224,7 +225,72 @@ class Engine:
             return F.year(sub[0])
         if op == "$month":
             return F.month(sub[0])
+        if op == "$cast":
+            return sub[0].cast(ex.args[1].args[0])
         raise SpecError(f"unknown $select op {op!r}")  # pragma: no cover
+
+    def _compile_window(self, df: DataFrame, w: WindowFn):
+        """One $window entry → Column. Scale notes: an empty $partition is a
+        single-partition window (legal, but the whole frame funnels through
+        one task — the docstring warns, the 100 TB user partitions);
+        ranking/offset windows with a partition shuffle once on the
+        partition keys and Spark's WindowGroupLimit kicks in when $qualify
+        bounds a rank (see tests/test_plans.py)."""
+        from pyspark.sql.window import Window
+
+        for c in w.partition + [c for c, _ in w.order]:
+            if c not in df.columns:
+                raise SpecError(
+                    f"$window {w.alias!r}: no such column {c!r}"
+                    f" (have {sorted(df.columns)})"
+                )
+        win = Window.partitionBy(*[F.col(c) for c in w.partition])
+        if w.order:
+            win = win.orderBy(
+                *[
+                    F.col(c).desc() if d == "desc" else F.col(c).asc()
+                    for c, d in w.order
+                ]
+            )
+        if w.frame is not None:
+            mode, lo, hi = w.frame
+            lo = Window.unboundedPreceding if lo == "unbounded" else (
+                Window.currentRow if lo == "current" else lo)
+            hi = Window.unboundedFollowing if hi == "unbounded" else (
+                Window.currentRow if hi == "current" else hi)
+            win = win.rowsBetween(lo, hi) if mode == "rows" else win.rangeBetween(lo, hi)
+        op = w.op
+        if op == "$row_number":
+            col = F.row_number().over(win)
+        elif op == "$rank":
+            col = F.rank().over(win)
+        elif op == "$dense_rank":
+            col = F.dense_rank().over(win)
+        elif op == "$percent_rank":
+            col = F.percent_rank().over(win)
+        elif op == "$cume_dist":
+            col = F.cume_dist().over(win)
+        elif op == "$ntile":
+            col = F.ntile(w.n).over(win)
+        elif op in ("$lag", "$lead"):
+            src = self._compile_expr(df, w.of)
+            fn = F.lag if op == "$lag" else F.lead
+            col = fn(src, w.offset, w.default).over(win)
+        elif op == "$count":
+            src = self._compile_expr(df, w.of) if w.of is not None else F.lit(1)
+            col = F.count(src).over(win)
+        else:  # $sum/$avg/$min/$max
+            src = self._compile_expr(df, w.of)
+            agg = {"$sum": F.sum, "$avg": F.avg, "$min": F.min, "$max": F.max}[op]
+            col = agg(src).over(win)
+            # decimal inputs follow the §7.3 discipline: exact decimal
+            # arithmetic inside the window, double at the boundary (a raw
+            # decimal emission would trip the driver's HUGEINT guard on
+            # the oracle side and surprise API users with Decimal cells)
+            dt = df.select(src.alias("_w")).schema[0].dataType.simpleString()
+            if dt.startswith("decimal"):
+                col = col.cast("double")
+        return col
 
     def _compile(self, qs: QuerySpec) -> DataFrame:
         df, cols = self._compile_node(qs.root)
@@ -249,7 +315,20 @@ class Engine:
                         f" group column (have {df.columns})"
                     )
                 df = _apply_predicate(df, pred)
-        elif cols:
+        # $window lands AFTER $agg (SQL ordering: windows see aggregated
+        # rows when both are present), so a window can rank agg results.
+        for w in qs.windows:
+            df = df.withColumn(w.alias, self._compile_window(df, w))
+            cols.append(w.alias)
+        for pred in qs.qualify:
+            # $qualify sees the post-window frame (SQL QUALIFY scope)
+            if pred.column not in df.columns:
+                raise SpecError(
+                    f"$qualify: {pred.column!r} is not a window alias or"
+                    f" column (have {df.columns})"
+                )
+            df = _apply_predicate(df, pred)
+        if not qs.aggs and cols:
             df = df.select(*[F.col(c) for c in dict.fromkeys(cols)])
         if qs.distinct:
             df = df.distinct()

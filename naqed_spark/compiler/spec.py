@@ -33,6 +33,28 @@ Round-4 extensions (VERDICT r3 item 7):
                                       # array-of-children shape) instead of
                                       # the default join fan-out
 
+Round-6 extensions (VERDICT r4 item 4 — the last naqed-translation
+capability without a QuerySpec spelling):
+
+    "$window": {"alias": {fn: params}}  # window functions; fn is one of
+                                      # WINDOW_FNS, params carry $partition
+                                      # (list, may be empty = global window),
+                                      # $order (required for ranking/offset
+                                      # fns), $of (input expression, for
+                                      # offset/aggregate fns), $n ($ntile),
+                                      # $offset/$default ($lag/$lead), and
+                                      # $frame (["rows"|"range", lo, hi]
+                                      # with "unbounded"/"current"/int
+                                      # bounds, aggregates only)
+    "$qualify": {pred...}             # post-window filter (SQL QUALIFY) —
+                                      # same predicate syntax as $filter,
+                                      # sees window aliases; the E1 spelling
+                                      # of top-k-per-group
+    "$cast" in $select                # [expr, {"$lit": "double|bigint|..."}]
+
+Windows are computed AFTER $agg when both are present (SQL ordering), so a
+window can rank aggregated rows; $qualify applies after windows.
+
 ``$``-keys are arguments (the reference passes resolver args the same way);
 everything else is either a requested field (``True``) or a relationship
 traversal (nested dict). Relationship fan-out is relational: one output row
@@ -72,7 +94,34 @@ SELECT_OPS = {
     "$array_join": 2,  # [array-expr, {"$lit": sep}] → serialized string
     "$year": 1,
     "$month": 1,
+    "$cast": 2,        # [expr, {"$lit": type-name}] — CAST_TYPES only
 }
+
+# $cast target types. decimal(p,s) is the determinism workhorse (§7.3:
+# money sums go through exact decimal, cast back to double at the end).
+CAST_TYPES = {"string", "int", "bigint", "double", "date", "timestamp"}
+_CAST_DECIMAL = ("decimal(",)
+
+# $window function table: fn -> kind. Ranking fns need $order and take no
+# input; offset fns need $of + $order; aggregate fns take $of (except
+# $count) and optionally a $frame.
+WINDOW_FNS = {
+    "$row_number": "rank",
+    "$rank": "rank",
+    "$dense_rank": "rank",
+    "$percent_rank": "rank",
+    "$cume_dist": "rank",
+    "$ntile": "rank",
+    "$lag": "offset",
+    "$lead": "offset",
+    "$sum": "agg",
+    "$avg": "agg",
+    "$min": "agg",
+    "$max": "agg",
+    "$count": "agg",
+}
+_WINDOW_PARAM_KEYS = {"$partition", "$order", "$of", "$n", "$offset",
+                      "$default", "$frame"}
 
 
 @dataclass
@@ -98,6 +147,21 @@ class Expr:
 
 
 @dataclass
+class WindowFn:
+    """One $window entry: alias := fn(...) OVER (partition/order/frame)."""
+
+    alias: str
+    op: str  # one of WINDOW_FNS
+    partition: list[str] = field(default_factory=list)
+    order: list[tuple[str, str]] = field(default_factory=list)
+    of: "Expr | None" = None  # input expression (offset/aggregate fns)
+    n: int | None = None  # $ntile bucket count
+    offset: int = 1  # $lag/$lead distance
+    default: object = None  # $lag/$lead fill value (scalar literal)
+    frame: tuple | None = None  # ("rows"|"range", lo, hi); agg fns only
+
+
+@dataclass
 class Node:
     """One entity in the traversal tree."""
 
@@ -119,6 +183,8 @@ class QuerySpec:
     limit: int | None = None
     distinct: bool = False
     select: list[tuple[str, Expr]] = field(default_factory=list)  # computed cols
+    windows: list[WindowFn] = field(default_factory=list)  # $window entries
+    qualify: list[Predicate] = field(default_factory=list)  # post-window filter
 
 
 def _parse_filters(obj: object) -> list[Predicate]:
@@ -185,7 +251,109 @@ def _parse_expr(obj: object) -> Expr:
                 "$array_join second argument must be a {'$lit': str} separator"
             )
         return Expr("$array_join", [_parse_expr(args[0]), Expr("$lit", [sep["$lit"]])])
+    if op == "$cast":
+        ty = args[1]
+        if not (isinstance(ty, dict) and set(ty) == {"$lit"}
+                and isinstance(ty["$lit"], str)):
+            raise SpecError("$cast second argument must be a {'$lit': type} name")
+        tname = ty["$lit"].lower()
+        if tname not in CAST_TYPES and not tname.startswith(_CAST_DECIMAL):
+            raise SpecError(
+                f"$cast target {tname!r} not in {sorted(CAST_TYPES)} or decimal(p,s)"
+            )
+        return Expr("$cast", [_parse_expr(args[0]), Expr("$lit", [tname])])
     return Expr(op, [_parse_expr(a) for a in args])
+
+
+def _parse_orderlist(obj: object, ctx: str) -> list[tuple[str, str]]:
+    """Shared [$order]/[$orderby] shape: list of col or [col, asc|desc]."""
+    if not isinstance(obj, list):
+        raise SpecError(f"{ctx} must be a list of column or [column, asc|desc]")
+    out: list[tuple[str, str]] = []
+    for item in obj:
+        if isinstance(item, str):
+            out.append((item, "asc"))
+        else:
+            col, direction = item
+            if direction not in ("asc", "desc"):
+                raise SpecError(f"{ctx}: bad sort direction {direction!r}")
+            out.append((col, direction))
+    return out
+
+
+def _parse_frame_bound(v: object, side: str):
+    if v == "unbounded" or v == "current":
+        return v
+    if isinstance(v, int) and not isinstance(v, bool):
+        return v
+    raise SpecError(
+        f"$frame {side} bound must be an int, 'unbounded', or 'current' — got {v!r}"
+    )
+
+
+def _parse_window(obj: object) -> list[WindowFn]:
+    if not isinstance(obj, dict):
+        raise SpecError("$window must be a dict of alias -> {fn: params}")
+    out: list[WindowFn] = []
+    for alias, body in obj.items():
+        if not isinstance(body, dict) or len(body) != 1:
+            raise SpecError(f"$window entry {alias!r} must be a single {{fn: params}}")
+        ((op, params),) = body.items()
+        if op not in WINDOW_FNS:
+            raise SpecError(f"unknown window fn {op!r} in {alias!r}")
+        if params is True:
+            params = {}
+        if not isinstance(params, dict):
+            raise SpecError(f"$window {alias!r}: params must be a dict")
+        extra = set(params) - _WINDOW_PARAM_KEYS
+        if extra:
+            raise SpecError(f"$window {alias!r}: unknown params {sorted(extra)}")
+        w = WindowFn(alias=alias, op=op)
+        part = params.get("$partition", [])
+        if not isinstance(part, list) or not all(isinstance(c, str) for c in part):
+            raise SpecError(f"$window {alias!r}: $partition must be a list of columns")
+        w.partition = part
+        if "$order" in params:
+            w.order = _parse_orderlist(params["$order"], f"$window {alias!r} $order")
+        kind = WINDOW_FNS[op]
+        if kind in ("rank", "offset") and not w.order:
+            raise SpecError(f"$window {alias!r}: {op} requires $order")
+        if op == "$ntile":
+            n = params.get("$n")
+            if not isinstance(n, int) or isinstance(n, bool) or n < 1:
+                raise SpecError(f"$window {alias!r}: $ntile needs a positive int $n")
+            w.n = n
+        if "$of" in params:
+            w.of = _parse_expr(params["$of"])
+        if kind == "offset" and w.of is None:
+            raise SpecError(f"$window {alias!r}: {op} requires $of")
+        if kind == "agg" and op != "$count" and w.of is None:
+            raise SpecError(f"$window {alias!r}: {op} requires $of")
+        if "$offset" in params:
+            off = params["$offset"]
+            if not isinstance(off, int) or isinstance(off, bool) or off < 0:
+                raise SpecError(f"$window {alias!r}: $offset must be an int >= 0")
+            if kind != "offset":
+                raise SpecError(f"$window {alias!r}: $offset only applies to $lag/$lead")
+            w.offset = off
+        if "$default" in params:
+            if kind != "offset":
+                raise SpecError(f"$window {alias!r}: $default only applies to $lag/$lead")
+            w.default = params["$default"]
+        if "$frame" in params:
+            if kind != "agg":
+                raise SpecError(f"$window {alias!r}: $frame only applies to aggregates")
+            fr = params["$frame"]
+            if not (isinstance(fr, list) and len(fr) == 3 and fr[0] in ("rows", "range")):
+                raise SpecError(
+                    f"$window {alias!r}: $frame must be ['rows'|'range', lo, hi]"
+                )
+            if not w.order:
+                raise SpecError(f"$window {alias!r}: $frame requires $order")
+            w.frame = (fr[0], _parse_frame_bound(fr[1], "low"),
+                       _parse_frame_bound(fr[2], "high"))
+        out.append(w)
+    return out
 
 
 def _parse_select(obj: object) -> list[tuple[str, Expr]]:
@@ -210,7 +378,7 @@ def _parse_node(entity: str, body: dict) -> tuple[Node, dict]:
         elif key == "$collect":
             node.collect = bool(val)
         elif key in ("$agg", "$groupby", "$having", "$orderby", "$limit",
-                     "$distinct", "$select"):
+                     "$distinct", "$select", "$window", "$qualify"):
             top[key] = val
         elif key.startswith("$"):
             raise SpecError(f"unknown argument {key!r} on entity {entity!r}")
@@ -256,18 +424,14 @@ def parse_spec(spec: dict) -> QuerySpec:
         if "$agg" not in top:
             raise SpecError("$having requires $agg")
         qs.having = _parse_filters(top["$having"])
+    if "$window" in top:
+        qs.windows = _parse_window(top["$window"])
+    if "$qualify" in top:
+        if "$window" not in top:
+            raise SpecError("$qualify requires $window")
+        qs.qualify = _parse_filters(top["$qualify"])
     if "$orderby" in top:
-        ob = top["$orderby"]
-        if not isinstance(ob, list):
-            raise SpecError("$orderby must be a list of [column, asc|desc]")
-        for item in ob:
-            if isinstance(item, str):
-                qs.orderby.append((item, "asc"))
-            else:
-                col, direction = item
-                if direction not in ("asc", "desc"):
-                    raise SpecError(f"bad sort direction {direction!r}")
-                qs.orderby.append((col, direction))
+        qs.orderby = _parse_orderlist(top["$orderby"], "$orderby")
     if "$limit" in top:
         if not isinstance(top["$limit"], int) or top["$limit"] < 0:
             raise SpecError("$limit must be a non-negative int")

@@ -63,10 +63,71 @@ def compiler_select_computed(spark, sf_dir):
 
 
 @query(
+    "compiler_window_rank",
+    # $window + $qualify (round 6, VERDICT r4 item 4 — the last
+    # naqed-translation capability without an E1 spelling): top-3 F-status
+    # orders per customer by price with the customer's total alongside.
+    # row_number is made deterministic by the (price DESC, orderkey ASC)
+    # tiebreak; the windowed money sum runs in exact DECIMAL inside the
+    # frame and is emitted as double (§7.3), so both engines agree
+    # bit-for-bit. DuckDB's QUALIFY is the oracle twin of $qualify.
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(row_number() OVER w AS INT) AS rk,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+                OVER (PARTITION BY o_custkey) AS DOUBLE) AS cust_total
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey)
+    QUALIFY rk <= 3
+    """,
+)
+def compiler_window_rank(spark, sf_dir):
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "orders": {
+                "$filter": {"o_orderstatus": "F"},
+                "o_custkey": True,
+                "o_orderkey": True,
+                "o_totalprice": True,
+                "$window": {
+                    "rk": {
+                        "$row_number": {
+                            "$partition": ["o_custkey"],
+                            "$order": [
+                                ["o_totalprice", "desc"],
+                                ["o_orderkey", "asc"],
+                            ],
+                        }
+                    },
+                    "cust_total": {
+                        "$sum": {
+                            "$of": {
+                                "$cast": ["o_totalprice", {"$lit": "decimal(12,2)"}]
+                            },
+                            "$partition": ["o_custkey"],
+                        }
+                    },
+                },
+                "$qualify": {"rk": {"$lte": 3}},
+            }
+        }
+    )
+
+
+@query(
     "compiler_collect_nested",
     # $collect re-nest: one row per BUILDING customer, non-'P' orders as a
     # sorted array (childless customers get [], not NULL — naqed returns
     # an empty child array), plus a $select over the collected array.
+    # The oracle COALESCEs the SERIALIZED string (not the list): DuckDB
+    # 1.0's array_to_string([]) returns NULL, so coalescing the list to []
+    # still emitted NULL where Spark emits '' — invisible at sf0.001
+    # (no childless BUILDING customer) but a value mismatch at sf0.01.
     # The E1 `$collect` API hands users a REAL array column; this
     # driver-facing query serializes it with $array_join because the
     # driver's canonicalizer (pandas sort over all columns) cannot sort
@@ -75,12 +136,12 @@ def compiler_select_computed(spark, sf_dir):
     # CORRECTNESS_r04 ERR + VERDICT r4 item 1.
     oracle="""
     SELECT c.c_custkey, c.c_name,
-           array_to_string(
-             COALESCE(
+           COALESCE(
+             array_to_string(
                list_sort(list(o.o_orderkey)
                          FILTER (WHERE o.o_orderkey IS NOT NULL)),
-               []
-             ), ',') AS orders,
+               ','),
+             '') AS orders,
            CAST(count(o.o_orderkey) AS INT) AS n_orders
     FROM customer c
     LEFT JOIN orders o

@@ -45,34 +45,56 @@ def query(key: str, oracle: Optional[str] = None, rows_only: bool = False):
 
 # Driver-facing key order. The driver's correctness harness walks keys in
 # the order ``queries()`` yields them and checks ~50 per round, so keys
-# with no hard driver signal yet go first. Round-4 rotation (VERDICT r3):
-# the 40 keys absent from both r2 and r3 driver runs, then the 5 r3
-# hash-FAILs whose oracle CASTs must be re-verified. Everything else keeps
-# registration order behind them.
+# with the OLDEST (or no) driver signal go first. Round-6 rotation
+# (VERDICT r4 item 3): the brand-new compiler key, then the 50 keys whose
+# last hard driver signal is round 2 (filters, core joins/aggs, scalar
+# fns, graph — their files changed in r3/r4 without a re-check), then the
+# r3-era keys (windows, streaming, llm, udfs) so round 7's window reaches
+# them next. Keys re-verified in r4/r5 trail in registration order.
 PRIORITY: list[str] = [
-    # round-4 E1 compiler extensions ($select computed columns, $collect
-    # re-nest) — brand new, need first driver contact
-    "compiler_select_computed", "compiler_collect_nested",
-    # never driver-checked (r2+r3 gap) — sets/sorts/storage/scans/
-    # subqueries/timeseries + join/agg/fn extensions
-    "set_union_all", "set_union_distinct", "set_intersect", "set_except",
-    "set_intersect_all", "set_except_all",
-    "sort_multikey", "limit_topk_global",
-    "sink_partitioned_parquet", "join_bucketed_colocated",
-    "scan_csv_roundtrip", "scan_jsonl_roundtrip", "scan_orc_roundtrip",
-    "scan_schema_evolution",
-    "scan_parquet", "scan_all_entities", "sink_parquet_roundtrip",
-    "scan_json_props", "sample_hash_deterministic", "sample_stratified_hash",
-    "sub_scalar_uncorrelated", "sub_in", "sub_not_in",
-    "sub_exists_correlated", "sub_correlated_scalar", "sub_in_grouped_having",
-    "ts_gap_fill_ffill", "ts_ohlc_hourly",
-    "join_q3_shipping_priority", "join_skew_salted", "join_interval_overlap",
-    "join_asof", "join_multiway_star", "join_self", "join_range_bucketed",
-    "agg_mode", "agg_bool", "agg_hist_orders_per_cust", "agg_corr_regr",
-    "fn_bitwise",
-    # r3 hash-FAILs — oracles now CAST their emitted integer sums to BIGINT
-    "win_sessionize", "stream_stateful_count", "llm_text_stats",
-    "llm_langid_ngram", "llm_doc_fingerprint",
+    # round-6 E1 compiler extension ($window/$qualify) — brand new
+    "compiler_window_rank",
+    # last driver signal r2: projection/filter
+    "project_select_alias", "filter_comparison", "filter_boolean_logic",
+    "filter_in_between_like", "filter_null_semantics", "project_distinct",
+    "filter_dynamic_args",
+    # last driver signal r2: core joins
+    "join_inner_equi", "join_broadcast", "join_left_outer", "join_full_outer",
+    "join_left_semi", "join_left_anti", "join_cross", "join_theta_range",
+    # last driver signal r2: core aggregations
+    "agg_global", "agg_groupby_hash", "agg_count_distinct",
+    "agg_approx_count_distinct", "agg_having", "agg_filtered", "agg_rollup",
+    "agg_cube", "agg_grouping_sets", "agg_stats", "agg_percentile_exact",
+    "agg_collect_set", "agg_min_max_by", "agg_pivot", "agg_unpivot",
+    "agg_string_concat_ordered",
+    # last driver signal r2: scalar functions
+    "fn_string", "fn_date", "fn_math", "fn_conditional", "fn_array",
+    "fn_explode", "fn_map", "fn_json", "fn_cast",
+    # last driver signal r2: graph
+    "graph_degree", "graph_1hop", "graph_2hop", "graph_khop_fixed",
+    "graph_reachability_bfs", "graph_shortest_path_weighted",
+    "graph_connected_components", "graph_pagerank_fixed",
+    "graph_triangle_count", "graph_aggregate_messages",
+    # last driver signal r3: windows
+    "win_row_number_topk", "win_rank_dense", "win_ntile", "win_lag_lead",
+    "win_running_sum", "win_moving_avg", "win_range_frame",
+    "win_percent_cume", "win_first_last_nth",
+    # last driver signal r3: streaming
+    "stream_session_window", "stream_watermark_late_drop", "stream_dedup",
+    "stream_static_join", "stream_foreachbatch_sink", "stream_complete_topk",
+    "stream_stream_join", "source_stream_events",
+    # last driver signal r3: llm pipeline
+    "llm_exact_dedup", "llm_tokenize_wordcount", "llm_tfidf",
+    "llm_shingle_minhash", "llm_neardup_lsh", "llm_knn_bruteforce",
+    "llm_knn_centroid", "llm_embed_normalize",
+    "llm_similarity_threshold_join", "llm_multimodal_struct", "llm_simhash",
+    "llm_quality_score", "llm_knn_ivf", "llm_multimodal_binary",
+    "llm_ngram_jaccard", "llm_pii_scrub", "llm_dedup_groups",
+    "llm_simhash_neardup", "llm_chunk_windows", "llm_train_split",
+    "llm_tokenize_bpe_regex",
+    # last driver signal r3: UDF surface
+    "udf_python_scalar", "udf_pandas_vectorized", "udaf_applyinpandas",
+    "udtf_python", "udf_arrow_optimized",
 ]
 
 

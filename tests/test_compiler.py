@@ -442,3 +442,165 @@ def test_having_unknown_alias_fails_fast(eng):
                 }
             }
         )
+
+
+window_strategy = st.fixed_dictionaries(
+    {
+        "fn": st.sampled_from(
+            ["$row_number", "$rank", "$dense_rank", "$ntile", "$lag",
+             "$sum", "$count", "$max"]
+        ),
+        "status": st.sampled_from(_STATUSES),
+        "desc": st.booleans(),
+        "qualify_k": st.one_of(st.none(), st.integers(min_value=1, max_value=4)),
+    }
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(case=window_strategy)
+def test_window_spec_matches_direct_dataframe(eng, case):
+    """Random $window specs vs the hand-built Window pipeline: identical
+    values per (custkey, orderkey), and $qualify keeps exactly the rows the
+    direct rank filter keeps. Ordering uses the deterministic
+    (totalprice, orderkey) tiebreak so both sides agree on ties."""
+    from pyspark.sql import Window, functions as F
+
+    direction = "desc" if case["desc"] else "asc"
+    order = [["o_totalprice", direction], ["o_orderkey", "asc"]]
+    fn = case["fn"]
+    params = {"$partition": ["o_custkey"], "$order": order}
+    if fn == "$ntile":
+        params["$n"] = 3
+    if fn == "$lag":
+        params["$of"] = "o_totalprice"
+        params["$default"] = -1.0
+    if fn in ("$sum", "$max"):
+        params["$of"] = "o_orderkey"
+    spec = {
+        "orders": {
+            "$filter": {"o_orderstatus": case["status"]},
+            "o_custkey": True,
+            "o_orderkey": True,
+            "o_totalprice": True,
+            "$window": {"wv": {fn: params}},
+        }
+    }
+    if case["qualify_k"] is not None and fn in ("$row_number", "$rank", "$dense_rank"):
+        spec["orders"]["$qualify"] = {"wv": {"$lte": case["qualify_k"]}}
+    got = {(r["o_custkey"], r["o_orderkey"]): r["wv"]
+           for r in eng.query(spec).collect()}
+
+    ocol = F.col("o_totalprice").desc() if case["desc"] else F.col("o_totalprice").asc()
+    w = Window.partitionBy("o_custkey").orderBy(ocol, F.col("o_orderkey").asc())
+    builders = {
+        "$row_number": lambda: F.row_number().over(w),
+        "$rank": lambda: F.rank().over(w),
+        "$dense_rank": lambda: F.dense_rank().over(w),
+        "$ntile": lambda: F.ntile(3).over(w),
+        "$lag": lambda: F.lag("o_totalprice", 1, -1.0).over(w),
+        "$sum": lambda: F.sum("o_orderkey").over(w),
+        "$count": lambda: F.count(F.lit(1)).over(w),
+        "$max": lambda: F.max("o_orderkey").over(w),
+    }
+    direct = (
+        eng.entity("orders")
+        .filter(F.col("o_orderstatus") == case["status"])
+        .withColumn("wv", builders[fn]())
+    )
+    if case["qualify_k"] is not None and fn in ("$row_number", "$rank", "$dense_rank"):
+        direct = direct.filter(F.col("wv") <= case["qualify_k"])
+    exp = {(r["o_custkey"], r["o_orderkey"]): r["wv"] for r in direct.collect()}
+    assert got == exp
+
+
+def test_window_over_agg_ranks_groups(eng):
+    """$window composes after $agg (SQL ordering): rank market segments by
+    aggregated customer count."""
+    rows = eng.query(
+        {
+            "customer": {
+                "$groupby": ["c_mktsegment"],
+                "$agg": {"n": {"$count": True}},
+                "$window": {
+                    "rk": {"$rank": {"$order": [["n", "desc"],
+                                                ["c_mktsegment", "asc"]]}}
+                },
+                "$orderby": [["rk", "asc"]],
+            }
+        }
+    ).collect()
+    assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+    assert all(rows[i]["n"] >= rows[i + 1]["n"] for i in range(len(rows) - 1))
+
+
+def test_window_frame_running_sum(eng):
+    """$frame rows-between: running count matches row_number."""
+    rows = eng.query(
+        {
+            "orders": {
+                "$filter": {"o_orderstatus": "P"},
+                "o_orderkey": True,
+                "$window": {
+                    "rn": {"$row_number": {"$partition": [],
+                                           "$order": [["o_orderkey", "asc"]]}},
+                    "run": {"$count": {"$partition": [],
+                                       "$order": [["o_orderkey", "asc"]],
+                                       "$frame": ["rows", "unbounded", "current"]}},
+                },
+            }
+        }
+    ).collect()
+    assert rows and all(r["rn"] == r["run"] for r in rows)
+
+
+def test_qualify_requires_window(eng):
+    with pytest.raises(SpecError):
+        eng.query({"orders": {"o_orderkey": True, "$qualify": {"x": 1}}})
+
+
+def test_window_rank_requires_order(eng):
+    with pytest.raises(SpecError):
+        eng.query(
+            {"orders": {"o_orderkey": True,
+                        "$window": {"rk": {"$row_number": {"$partition": ["o_custkey"]}}}}}
+        )
+
+
+def test_window_unknown_fn_fails_fast(eng):
+    with pytest.raises(SpecError):
+        eng.query(
+            {"orders": {"o_orderkey": True,
+                        "$window": {"x": {"$median": {"$order": ["o_orderkey"]}}}}}
+        )
+
+
+def test_window_unknown_column_fails_fast(eng):
+    with pytest.raises(SpecError):
+        eng.query(
+            {"orders": {"o_orderkey": True,
+                        "$window": {"rk": {"$row_number": {"$order": ["nope"]}}}}}
+        )
+
+
+def test_window_frame_on_rank_fails_fast(eng):
+    with pytest.raises(SpecError):
+        eng.query(
+            {"orders": {"o_orderkey": True,
+                        "$window": {"rk": {"$row_number": {
+                            "$order": ["o_orderkey"],
+                            "$frame": ["rows", "unbounded", "current"]}}}}}
+        )
+
+
+def test_cast_bad_type_fails_fast(eng):
+    with pytest.raises(SpecError):
+        eng.query(
+            {"orders": {"o_orderkey": True,
+                        "$select": {"x": {"$cast": ["o_totalprice",
+                                                    {"$lit": "blob"}]}}}}
+        )

@@ -129,9 +129,10 @@ def test_no_oracle_emits_hugeint(duck):
 
 
 def test_priority_rotation_covers_all_keys():
-    """ordered_keys(): every registered key exactly once, round-4 PRIORITY
-    (the 40 driver-unchecked keys + 5 r3 FAILs) strictly first, and the
-    driver-facing dicts in __spark_entry__ follow that order."""
+    """ordered_keys(): every registered key exactly once, round-6 PRIORITY
+    (new compiler key, then oldest-driver-signal-first: r2-era keys, then
+    r3-era) strictly first, and the driver-facing dicts in
+    __spark_entry__ follow that order."""
     import __spark_entry__ as entry
     from naqed_spark.registry import PRIORITY, ordered_keys
 

@@ -243,3 +243,50 @@ def test_ngram_df_cap_bounds_skewed_candidates(spark):
     capped = _ngram_candidates(sh, 64).count()
     assert uncapped >= 100 * 99 // 2
     assert capped == 0
+
+
+def test_compiler_window_shares_one_shuffle(spark):
+    """compiler_window_rank computes TWO windows (rank + partition sum)
+    over the same o_custkey partitioning: the plan must shuffle ONCE and
+    feed both Window nodes from it — a second exchange here would double
+    the shuffle volume of every E1 $window query at scale. The $qualify
+    rank filter must stay AFTER the sum window (QUALIFY semantics: the
+    partition total is over unfiltered rows), so no WindowGroupLimit."""
+    plan = plan_of(spark, "compiler_window_rank")
+    tree = tree_of(plan)
+    assert tree.count("Window") == 2
+    assert tree.count("Exchange") == 1
+
+
+def test_compiler_qualify_rank_only_gets_group_limit(spark):
+    """When $qualify bounds a lone ranking window, Spark's WindowGroupLimit
+    must kick in (per-partition partial top-k before the shuffle) — the E1
+    spelling of top-k-per-group compiles to the same plan the hand-built
+    win_row_number_topk gets."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, SF_DIR)
+    df = eng.query(
+        {
+            "orders": {
+                "o_custkey": True,
+                "o_orderkey": True,
+                "$window": {
+                    "rk": {
+                        "$row_number": {
+                            "$partition": ["o_custkey"],
+                            "$order": [["o_totalprice", "desc"],
+                                       ["o_orderkey", "asc"]],
+                        }
+                    }
+                },
+                "$qualify": {"rk": {"$lte": 3}},
+            }
+        }
+    )
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "WindowGroupLimit" in plan
