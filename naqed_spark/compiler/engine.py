@@ -146,6 +146,22 @@ class Engine:
                 # Single requested field → array<field>; several → array
                 # of structs (field order = request order). sort_array
                 # makes the array order engine-independent.
+                if node.filters:
+                    # child-side prune (VERDICT r4 item 7): when the parent
+                    # carries a $filter, semi-join the child on the
+                    # filtered parent keys BEFORE the collect_list groupBy
+                    # — at 100 TB a selective parent filter (e.g. one
+                    # mktsegment) must not pay a full-child aggregation.
+                    # Rows dropped here could never join anyway (left join
+                    # keeps parent rows only), so results are unchanged;
+                    # AQE turns the semi join into a broadcast when the
+                    # filtered parent key set is small.
+                    pk = df.select(F.col(rel.src_key).alias("__parent_key"))
+                    child_df = child_df.join(
+                        pk,
+                        child_df[rel.dst_key] == pk["__parent_key"],
+                        "left_semi",
+                    )
                 payload = (
                     F.col(child_cols[0])
                     if len(child_cols) == 1

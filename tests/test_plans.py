@@ -290,3 +290,28 @@ def test_compiler_qualify_rank_only_gets_group_limit(spark):
         )
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_collect_prunes_child_on_filtered_parent(spark):
+    """$collect child-side prune (VERDICT r4 item 7): with a parent
+    $filter, the child aggregation input must be semi-joined down to the
+    filtered parent's keys — visible as a LeftSemi join in the plan. An
+    unfiltered parent must NOT pay that extra join."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, SF_DIR)
+
+    def plan(spec):
+        df = eng.query(spec)
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    child = {"$collect": True, "o_orderkey": True}
+    filtered = plan({"customer": {"$filter": {"c_mktsegment": "BUILDING"},
+                                  "c_custkey": True, "orders": dict(child)}})
+    assert "LeftSemi" in filtered
+    unfiltered = plan({"customer": {"c_custkey": True, "orders": dict(child)}})
+    assert "LeftSemi" not in unfiltered
