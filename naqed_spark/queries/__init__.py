@@ -15,6 +15,7 @@ from naqed_spark.queries import (  # noqa: F401
     llm,
     llm_ext,
     llm_dedup,
+    llm_contam,
     udfs,
     windows,
     sets,

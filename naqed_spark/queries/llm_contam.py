@@ -1,0 +1,181 @@
+"""Training-corpus hygiene operators, round 6: benchmark-contamination
+detection and within-document repetition scoring (SURVEY.md §2-K).
+
+Both are everyday ops in a pretraining data pipeline:
+
+- ``llm_contamination_ngram`` — the decontamination join: which training
+  documents share word-3-grams with a held-out eval set? The eval set is
+  tiny by construction (benchmarks are), so the plan is explode →
+  broadcast semi-ish inner join → map-side-combined groupBy; the 100 TB
+  cost is one scan of the training corpus, no shuffle of it beyond the
+  per-doc aggregation.
+- ``llm_repetition_score`` — the classic "repetitious junk" quality
+  signal (max bigram frequency / total bigrams, distinct ratio): explode
+  → two-level groupBy, all codegen, scan-shaped at any scale.
+
+No reference file:line possible — ``/root/reference`` is empty (SURVEY.md
+§0); keys extend the §2-K training-data toolkit the same way rounds 2-3
+did.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from naqed_spark.queries._util import load
+from naqed_spark.registry import query
+
+# Deterministic held-out "benchmark" slice: ~1% of doc ids. A real
+# pipeline would read the eval corpus from its own table; the modulus
+# keeps the fixture self-contained and identical across engines.
+_EVAL_MOD = 97
+
+_TOKS_SQL = """
+    SELECT doc_id, string_split(text, ' ') AS w
+    FROM documents
+"""
+
+
+def _word_ngrams(col_words: str, n: int):
+    """Column expr: all overlapping word n-grams of ``col_words`` (an
+    array<string>), order-preserving, NOT distinct. Stays in codegen —
+    transform/slice/array_join are JVM higher-order functions."""
+    return F.expr(
+        f"transform(sequence(1, size({col_words}) - {n - 1}),"
+        f" i -> array_join(slice({col_words}, i, {n}), ' '))"
+    )
+
+
+@query(
+    "llm_contamination_ngram",
+    # Contaminated train docs: any distinct word-trigram also present in
+    # the eval slice (doc_id % 97 == 0). Emits only hit docs (the
+    # decontamination worklist): hit count, trigram count, contamination
+    # ratio. Counts are exact ints; the ratio divides the same two ints
+    # on both engines, rounded to 6.
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    tri AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(generate_series(1, len(w) - 2),
+                              i -> array_to_string(w[i:i+2], ' '))
+             ) AS tset
+      FROM toks WHERE len(w) >= 3
+    ),
+    ev AS (
+      SELECT DISTINCT unnest(tset) AS s FROM tri
+      WHERE doc_id % {_EVAL_MOD} = 0
+    ),
+    tr AS (
+      SELECT doc_id, CAST(len(tset) AS INT) AS n_tri, unnest(tset) AS s
+      FROM tri WHERE doc_id % {_EVAL_MOD} <> 0
+    )
+    SELECT tr.doc_id, n_tri,
+           CAST(count(*) AS INT) AS n_hit,
+           round(CAST(count(*) AS DOUBLE) / n_tri, 6) AS contamination
+    FROM tr JOIN ev ON tr.s = ev.s
+    GROUP BY tr.doc_id, n_tri
+    """,
+)
+def llm_contamination_ngram(spark, sf_dir):
+    """Benchmark-contamination check via distinct word-trigram overlap.
+
+    Scale shape: the eval trigram set is benchmark-sized → explicit
+    ``broadcast()`` (the training corpus NEVER shuffles for the match);
+    the only wide op is the per-doc groupBy, which map-side combines.
+    Distinctness per doc comes from ``array_distinct`` BEFORE the explode,
+    so the join fan-out is bounded by distinct trigrams per doc.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    tri = d.filter(F.size("w") >= 3).select(
+        "doc_id", F.array_distinct(_word_ngrams("w", 3)).alias("tset")
+    )
+    ev = (
+        tri.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select(F.explode("tset").alias("s"))
+        .distinct()
+    )
+    tr = tri.filter(F.col("doc_id") % _EVAL_MOD != 0).select(
+        "doc_id",
+        F.size("tset").alias("n_tri"),
+        F.explode("tset").alias("s"),
+    )
+    return (
+        tr.join(F.broadcast(ev), "s")
+        .groupBy("doc_id", "n_tri")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_hit"))
+        .select(
+            "doc_id",
+            "n_tri",
+            "n_hit",
+            F.round(F.col("n_hit").cast("double") / F.col("n_tri"), 6).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+@query(
+    "llm_repetition_score",
+    # Within-doc repetition: most-frequent bigram share + distinct-bigram
+    # ratio per document. All-integer counts; the two ratios divide the
+    # same ints on both engines, rounded to 6.
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    b AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(w) - 1),
+                                   i -> array_to_string(w[i:i+1], ' '))) AS bg
+      FROM toks WHERE len(w) >= 2
+    ),
+    c AS (SELECT doc_id, bg, count(*) AS cnt FROM b GROUP BY doc_id, bg)
+    SELECT doc_id,
+           CAST(max(cnt) AS INT) AS top_cnt,
+           CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+           CAST(count(*) AS INT) AS n_distinct,
+           round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS rep_ratio,
+           round(CAST(count(*) AS DOUBLE) / sum(cnt), 6) AS distinct_ratio
+    FROM c GROUP BY doc_id
+    """,
+)
+def llm_repetition_score(spark, sf_dir):
+    """Repetition quality signal: share of the most frequent bigram and
+    distinct-bigram ratio per doc.
+
+    Scale shape: explode → (doc, bigram) groupBy → (doc) groupBy. Two
+    exchanges, but BOTH carry partially-aggregated rows (map-side combine
+    collapses repeated bigrams before the first shuffle and per-doc
+    triples before the second) — cheaper at corpus scale than forcing a
+    single doc_id shuffle of the raw exploded bigrams. Nothing quadratic,
+    no Python.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    bg = d.filter(F.size("w") >= 2).select(
+        "doc_id", F.explode(_word_ngrams("w", 2)).alias("bg")
+    )
+    per_bg = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        per_bg.groupBy("doc_id")
+        .agg(
+            F.max("cnt").cast("int").alias("top_cnt"),
+            F.sum("cnt").alias("n_bigrams"),
+            F.count(F.lit(1)).cast("int").alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "top_cnt",
+            "n_bigrams",
+            "n_distinct",
+            F.round(
+                F.col("top_cnt").cast("double") / F.col("n_bigrams"), 6
+            ).alias("rep_ratio"),
+            F.round(
+                F.col("n_distinct").cast("double") / F.col("n_bigrams"), 6
+            ).alias("distinct_ratio"),
+        )
+    )

@@ -52,8 +52,8 @@ def query(key: str, oracle: Optional[str] = None, rows_only: bool = False):
 # r3-era keys (windows, streaming, llm, udfs) so round 7's window reaches
 # them next. Keys re-verified in r4/r5 trail in registration order.
 PRIORITY: list[str] = [
-    # round-6 E1 compiler extension ($window/$qualify) — brand new
-    "compiler_window_rank",
+    # round-6 additions — brand new, need first driver contact
+    "compiler_window_rank", "llm_contamination_ngram", "llm_repetition_score",
     # last driver signal r2: projection/filter
     "project_select_alias", "filter_comparison", "filter_boolean_logic",
     "filter_in_between_like", "filter_null_semantics", "project_distinct",

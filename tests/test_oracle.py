@@ -141,3 +141,27 @@ def test_priority_rotation_covers_all_keys():
     assert len(keys) == len(set(keys))
     assert keys[: len(PRIORITY)] == PRIORITY
     assert list(entry.queries()) == keys
+
+
+def test_kernel_checkpoint_hygiene(spark, monkeypatch):
+    """VERDICT r4 item 6: the blocked vector kernel must not accumulate
+    pinned RDDs. Multi-block (forced via env): exactly ONE result-sized
+    checkpoint survives the build (the merged frame; per-block partials
+    are unpersisted), the result is still correct after its partials were
+    freed, and release_checkpoints() empties block storage. Single-block:
+    the lazy path pins nothing at all."""
+    from naqed_spark.registry import QUERIES
+    from naqed_spark.session import persistent_rdd_ids, release_checkpoints
+
+    release_checkpoints(spark)
+    monkeypatch.setenv("NAQED_KNN_BLOCK_ROWS", "150")
+    df = QUERIES["llm_knn_bruteforce"](spark, SF_DIR)
+    assert len(persistent_rdd_ids(spark)) == 1
+    assert df.count() == 500 * 5
+    assert release_checkpoints(spark) == 1
+    assert persistent_rdd_ids(spark) == set()
+
+    monkeypatch.delenv("NAQED_KNN_BLOCK_ROWS")
+    df1 = QUERIES["llm_knn_bruteforce"](spark, SF_DIR)
+    assert persistent_rdd_ids(spark) == set()
+    assert df1.count() == 500 * 5

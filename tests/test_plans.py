@@ -74,11 +74,11 @@ def test_knn_has_no_quadratic_join(spark):
     plan = plan_of(spark, "llm_knn_bruteforce")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # round 4: the Arrow matmul kernel (MapInPandas) runs inside
-    # _blocked_union — each block's partial is materialized eagerly so its
-    # broadcast can be destroyed; the final plan merges the checkpointed
-    # partials (RDD scans), so it must carry no join at all.
-    assert "ExistingRDD" in plan or "LogicalRDD" in plan
+    # round 6: the Arrow matmul kernel runs inside _blocked_union — the
+    # single-block common case is LAZY (MapInPandas straight over the
+    # parquet scan, no checkpoint); the multi-block case merges
+    # checkpointed partials (RDD scans). Either way: no join operator.
+    assert "MapInPandas" in plan or "ExistingRDD" in plan or "LogicalRDD" in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
 
 
@@ -315,3 +315,26 @@ def test_collect_prunes_child_on_filtered_parent(spark):
     assert "LeftSemi" in filtered
     unfiltered = plan({"customer": {"c_custkey": True, "orders": dict(child)}})
     assert "LeftSemi" not in unfiltered
+
+
+def test_contamination_broadcasts_eval_set(spark):
+    """The decontamination join must broadcast the (benchmark-sized) eval
+    trigram set — the training corpus never shuffles for the match — and
+    contain no cartesian/nested-loop join."""
+    plan = plan_of(spark, "llm_contamination_ngram")
+    tree = tree_of(plan)
+    assert "BroadcastHashJoin" in tree
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_repetition_score_combines_map_side(spark):
+    """Two-level (doc,bigram)→(doc) aggregation: both shuffles must carry
+    partially-aggregated rows (partial_count before the first exchange,
+    partial max/sum/count before the second) — never the raw exploded
+    bigrams — and nothing beyond those two exchanges."""
+    plan = plan_of(spark, "llm_repetition_score")
+    tree = tree_of(plan)
+    assert tree.count("Exchange") == 2
+    assert plan.count("partial_count") >= 1
+    assert "partial_max" in plan and "partial_sum" in plan
