@@ -16,6 +16,7 @@ from naqed_spark.queries import (  # noqa: F401
     llm_ext,
     llm_dedup,
     llm_contam,
+    llm_ann,
     udfs,
     windows,
     sets,

@@ -338,3 +338,15 @@ def test_repetition_score_combines_map_side(spark):
     assert tree.count("Exchange") == 2
     assert plan.count("partial_count") >= 1
     assert "partial_max" in plan and "partial_sum" in plan
+
+
+def test_ann_lsh_is_equi_join_and_codegen(spark):
+    """The hyperplane-LSH candidate generator must be a hash equi-join on
+    (band_idx, band_value) — never a cartesian/nested-loop — and the
+    signature pass must stay JVM-side (no Python evals in the plan)."""
+    plan = plan_of(spark, "llm_ann_hyperplane_lsh")
+    tree = tree_of(plan)
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
