@@ -1,7 +1,8 @@
 """Training-corpus hygiene operators, round 6: benchmark-contamination
-detection and within-document repetition scoring (SURVEY.md §2-K).
+detection, within-document repetition scoring, and sequence packing
+(SURVEY.md §2-K).
 
-Both are everyday ops in a pretraining data pipeline:
+All are everyday ops in a pretraining data pipeline:
 
 - ``llm_contamination_ngram`` — the decontamination join: which training
   documents share word-3-grams with a held-out eval set? The eval set is
@@ -12,6 +13,8 @@ Both are everyday ops in a pretraining data pipeline:
 - ``llm_repetition_score`` — the classic "repetitious junk" quality
   signal (max bigram frequency / total bigrams, distinct ratio): explode
   → two-level groupBy, all codegen, scan-shaped at any scale.
+- ``llm_pack_sequences`` — contiguous fixed-budget sequence packing per
+  source shard: one running-sum window partitioned by the shard key.
 
 No reference file:line possible — ``/root/reference`` is empty (SURVEY.md
 §0); keys extend the §2-K training-data toolkit the same way rounds 2-3
@@ -178,4 +181,65 @@ def llm_repetition_score(spark, sf_dir):
                 F.col("n_distinct").cast("double") / F.col("n_bigrams"), 6
             ).alias("distinct_ratio"),
         )
+    )
+
+
+_PACK_BUDGET = 512  # tokens per packed sequence
+
+
+@query(
+    "llm_pack_sequences",
+    # Contiguous sequence packing: within each source shard, docs in
+    # doc_id order are laid end-to-end and cut into _PACK_BUDGET-token
+    # packs; each doc reports its pack and offset (a doc may span packs —
+    # real packers split the tail into the next sequence). All-integer
+    # window arithmetic — bit-identical across engines.
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tok,
+             CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) - n_tok AS start_tok
+      FROM t
+    )
+    SELECT doc_id, source, CAST(n_tok AS INT) AS n_tok,
+           CAST(start_tok // {_PACK_BUDGET} AS INT) AS pack_id,
+           CAST(start_tok % {_PACK_BUDGET} AS INT) AS pack_offset
+    FROM c
+    """,
+)
+def llm_pack_sequences(spark, sf_dir):
+    """Sequence packing (fixed token budget, contiguous fill) — the
+    precursor step to writing packed training examples.
+
+    Scale shape: ONE window partitioned by the shard key (``source``) —
+    each shard's running token count is independent, so the frame
+    shuffles once on source and packs in parallel across shards; there
+    is no global order and no single-partition window. Shard skew maps
+    to window-partition skew; a production packer shards by
+    (source, hash-bucket) to bound partition size — same plan.
+    """
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn(
+        "start_tok", F.sum("n_tok").over(w) - F.col("n_tok")
+    )
+    return c.select(
+        "doc_id",
+        "source",
+        F.col("n_tok").cast("int").alias("n_tok"),
+        F.floor(F.col("start_tok") / _PACK_BUDGET).cast("int").alias("pack_id"),
+        (F.col("start_tok") % _PACK_BUDGET).cast("int").alias("pack_offset"),
     )
