@@ -604,3 +604,29 @@ def test_cast_bad_type_fails_fast(eng):
                         "$select": {"x": {"$cast": ["o_totalprice",
                                                     {"$lit": "blob"}]}}}}
         )
+
+
+def test_window_over_select_alias(eng):
+    """$window may partition/order by $select computed columns ($select
+    lands before windows in the compile pipeline)."""
+    rows = eng.query(
+        {
+            "orders": {
+                "o_orderkey": True,
+                "$select": {"oy": {"$year": "o_orderdate"}},
+                "$window": {
+                    "rk": {
+                        "$row_number": {
+                            "$partition": ["oy"],
+                            "$order": [["o_totalprice", "desc"],
+                                       ["o_orderkey", "asc"]],
+                        }
+                    }
+                },
+                "$qualify": {"rk": {"$eq": 1}},
+            }
+        }
+    ).collect()
+    years = [r["oy"] for r in rows]
+    assert len(years) == len(set(years)) and len(years) > 1
+    assert all(r["rk"] == 1 for r in rows)
