@@ -243,3 +243,117 @@ def llm_pack_sequences(spark, sf_dir):
         F.floor(F.col("start_tok") / _PACK_BUDGET).cast("int").alias("pack_id"),
         (F.col("start_tok") % _PACK_BUDGET).cast("int").alias("pack_offset"),
     )
+
+
+_PIPE_MIN_PPM = 550000  # keeps ~85% of the fixture corpus (p10 is ~532k)
+
+
+@query(
+    "llm_corpus_prep_pipeline",
+    # The whole corpus-prep flow as ONE declarative query: quality filter
+    # (integer-ppm score >= threshold) -> exact dedup (keep min doc_id per
+    # text) -> deterministic md5 train/val/test split -> per-(split, lang)
+    # shard stats. Composes the exact formulas of llm_quality_score,
+    # llm_exact_dedup, and llm_train_split, so every stage is already
+    # individually driver-verified; this key verifies the composition.
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, lang, text,
+             length(string_split(text, ' ')) AS n_words,
+             length(text) AS n_chars_m,
+             length(list_filter(string_split(text, ' '),
+                    t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
+      FROM documents
+    ),
+    kept AS (
+      SELECT doc_id, lang, text, n_words FROM base
+      WHERE {{ppm}} >= {_PIPE_MIN_PPM}
+    ),
+    uniq AS (
+      SELECT doc_id, lang, n_words FROM (
+        SELECT doc_id, lang, n_words,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM kept
+      ) WHERE rn = 1
+    ),
+    tagged AS (
+      SELECT lang, n_words,
+             CASE WHEN b < 80 THEN 'train'
+                  WHEN b < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT lang, n_words,
+               ((instr('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                + instr('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) % 100
+                 AS b
+        FROM uniq)
+    )
+    SELECT split, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_tokens
+    FROM tagged GROUP BY split, lang
+    """.replace("{ppm}", """
+      CAST(4000 * least(n_words, 100)
+      + (300000 - (n_stop * 300000) // n_words)
+      + least(((n_chars_m - (n_words - 1)) * 300000) // (8 * n_words), 300000)
+      AS BIGINT)"""),
+)
+def llm_corpus_prep_pipeline(spark, sf_dir):
+    """Quality-filter -> exact-dedup -> split -> shard stats, end to end.
+
+    Scale shape: quality scoring is a codegen scan; dedup is one shuffle
+    partitioned by text with Spark's WindowGroupLimit cutting each group
+    to its min-id row before the exchange on the map side; the split tag
+    is a pure expression; the final rollup is a map-side-combined groupBy
+    on a 3x|langs| key space. No Python, no collect, nothing quadratic —
+    the whole pipeline is three shuffles at any corpus size.
+    """
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(F.split("text", " ")).alias("n_words"),
+        F.length("text").alias("n_chars_m"),
+        F.size(
+            F.filter(
+                F.split("text", " "),
+                lambda t: t.isin("the", "a", "of", "and", "to"),
+            )
+        ).alias("n_stop"),
+    )
+    ppm = F.expr(
+        "CAST(4000 * least(n_words, 100)"
+        " + (300000 - (n_stop * 300000) div n_words)"
+        " + least(((n_chars_m - (n_words - 1)) * 300000) div (8 * n_words),"
+        " 300000) AS BIGINT)"
+    )
+    kept = base.filter(ppm >= _PIPE_MIN_PPM)
+    w = Window.partitionBy("text").orderBy("doc_id")
+    uniq = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "n_words")
+    )
+    bucket = F.expr(
+        "((instr('0123456789abcdef',"
+        " substring(md5(CAST(doc_id AS STRING)), 1, 1)) - 1) * 16"
+        " + instr('0123456789abcdef',"
+        " substring(md5(CAST(doc_id AS STRING)), 2, 1)) - 1) % 100"
+    )
+    tagged = uniq.select(
+        "lang",
+        "n_words",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return tagged.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_tokens"),
+    )

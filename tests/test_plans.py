@@ -350,3 +350,13 @@ def test_ann_lsh_is_equi_join_and_codegen(spark):
     assert "BroadcastNestedLoopJoin" not in tree
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "MapInPandas" not in plan
+
+
+def test_corpus_pipeline_dedup_gets_group_limit(spark):
+    """The pipeline's exact-dedup stage (row_number over text, rn=1) must
+    get WindowGroupLimit (per-partition min-id before the text shuffle)
+    and the whole pipeline must stay join-free and Python-free."""
+    plan = plan_of(spark, "llm_corpus_prep_pipeline")
+    assert "WindowGroupLimit" in plan
+    assert "Join" not in tree_of(plan)
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
