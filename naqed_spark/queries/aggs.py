@@ -531,3 +531,52 @@ def agg_corr_regr(spark, sf_dir):
             "price_per_qty"
         ),
     )
+
+
+@query("agg_hll_partial_merge", rows_only=True)
+def agg_hll_partial_merge(spark, sf_dir):
+    """Mergeable-sketch distinct counting (Apache DataSketches HLL, built
+    into Spark 3.5+): per-nation customer sketches are built ONCE, then
+    re-aggregated to per-region estimates by merging the tiny binary
+    sketches — never re-touching the base table. This is THE 100 TB
+    pattern for distinct-count rollups across shards/time windows: the
+    expensive pass is linear and partial, every further rollup is
+    sketch-sized. Rows-only by design (SURVEY §2: approx family — DuckDB
+    has no DataSketches twin); the estimate itself is deterministic and
+    tolerance-tested against the exact count in tests/test_oracle.py."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.expr("hll_sketch_agg(c_custkey, 14)").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return (
+        per_nation.join(
+            F.broadcast(n), per_nation["c_nationkey"] == n["n_nationkey"]
+        )
+        .groupBy("n_regionkey")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias(
+                "est_customers"
+            ),
+            F.sum("n_rows").alias("n_customers"),
+        )
+        .select("n_regionkey", "est_customers", "n_customers")
+    )
+
+
+@query("agg_approx_percentile_sketch", rows_only=True)
+def agg_approx_percentile_sketch(spark, sf_dir):
+    """approx_percentile per group — the bounded-memory quantile sketch
+    (vs agg_percentile_exact's exact form, which must see every value).
+    Rows-only by design like the other approx ops; accuracy and error
+    bounds are tolerance-tested locally in tests/test_oracle.py."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)"
+        ).cast("string").alias("price_pcts"),
+        F.expr("approx_percentile(l_quantity, 0.5, 1000)").alias(
+            "median_qty"
+        ),
+    )

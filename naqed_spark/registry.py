@@ -55,6 +55,7 @@ PRIORITY: list[str] = [
     # round-6 additions — brand new, need first driver contact
     "compiler_window_rank", "llm_contamination_ngram", "llm_repetition_score",
     "llm_ann_hyperplane_lsh", "llm_pack_sequences", "llm_corpus_prep_pipeline",
+    "agg_hll_partial_merge", "agg_approx_percentile_sketch",
     # last driver signal r2: projection/filter
     "project_select_alias", "filter_comparison", "filter_boolean_logic",
     "filter_in_between_like", "filter_null_semantics", "project_distinct",

@@ -197,3 +197,43 @@ def test_ann_lsh_subset_of_bruteforce(spark, duck):
     assert len(lsh) / len(allpairs) > 0.2, (
         f"recall {len(lsh)}/{len(allpairs)} too low"
     )
+
+
+def test_sketch_ops_tolerance(spark, duck):
+    """The rows-only sketch keys get a real local check in place of the
+    SQL oracle: the HLL per-region estimate must be within 2% of the
+    exact distinct count (lgConfigK=14 keeps relative error ~0.8%), and
+    approx_percentile's median must land within the group's p40-p60
+    value band computed exactly by DuckDB."""
+    from naqed_spark.registry import QUERIES
+
+    hll = {
+        r["n_regionkey"]: (r["est_customers"], r["n_customers"])
+        for r in QUERIES["agg_hll_partial_merge"](spark, SF_DIR).collect()
+    }
+    exact = dict(
+        duck.execute(
+            "SELECT n_regionkey, count(DISTINCT c_custkey) FROM customer"
+            " JOIN nation ON c_nationkey = n_nationkey GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(hll) == set(exact)
+    for rk, (est, n_rows) in hll.items():
+        assert n_rows == exact[rk]  # the exact companion column is exact
+        assert abs(est - exact[rk]) / exact[rk] < 0.02, (rk, est, exact[rk])
+
+    med = {
+        r["l_returnflag"]: r["median_qty"]
+        for r in QUERIES["agg_approx_percentile_sketch"](spark, SF_DIR).collect()
+    }
+    bands = dict(
+        (f, (lo, hi))
+        for f, lo, hi in duck.execute(
+            "SELECT l_returnflag, quantile_cont(l_quantity, 0.4),"
+            " quantile_cont(l_quantity, 0.6) FROM lineitem GROUP BY 1"
+        ).fetchall()
+    )
+    assert set(med) == set(bands)
+    for f, m in med.items():
+        lo, hi = bands[f]
+        assert lo <= m <= hi, (f, m, lo, hi)
