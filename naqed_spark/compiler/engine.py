@@ -355,6 +355,10 @@ class Engine:
                     for c, d in qs.orderby
                 ]
             )
+        if qs.offset is not None:
+            # pagination: offset applies before limit (rows n..n+m of the
+            # $orderby order — the parser guarantees an order exists)
+            df = df.offset(qs.offset)
         if qs.limit is not None:
             df = df.limit(qs.limit)
         return df

@@ -51,6 +51,9 @@ capability without a QuerySpec spelling):
                                       # sees window aliases; the E1 spelling
                                       # of top-k-per-group
     "$cast" in $select                # [expr, {"$lit": "double|bigint|..."}]
+    "$offset": n                      # pagination: skip n rows before
+                                      # $limit; requires $orderby (an
+                                      # unordered offset is nondeterministic)
 
 Windows are computed AFTER $agg when both are present (SQL ordering), so a
 window can rank aggregated rows; $qualify applies after windows.
@@ -181,6 +184,7 @@ class QuerySpec:
     having: list[Predicate] = field(default_factory=list)  # post-agg filter
     orderby: list[tuple[str, str]] = field(default_factory=list)
     limit: int | None = None
+    offset: int | None = None
     distinct: bool = False
     select: list[tuple[str, Expr]] = field(default_factory=list)  # computed cols
     windows: list[WindowFn] = field(default_factory=list)  # $window entries
@@ -378,7 +382,7 @@ def _parse_node(entity: str, body: dict) -> tuple[Node, dict]:
         elif key == "$collect":
             node.collect = bool(val)
         elif key in ("$agg", "$groupby", "$having", "$orderby", "$limit",
-                     "$distinct", "$select", "$window", "$qualify"):
+                     "$offset", "$distinct", "$select", "$window", "$qualify"):
             top[key] = val
         elif key.startswith("$"):
             raise SpecError(f"unknown argument {key!r} on entity {entity!r}")
@@ -436,6 +440,13 @@ def parse_spec(spec: dict) -> QuerySpec:
         if not isinstance(top["$limit"], int) or top["$limit"] < 0:
             raise SpecError("$limit must be a non-negative int")
         qs.limit = top["$limit"]
+    if "$offset" in top:
+        if not isinstance(top["$offset"], int) or top["$offset"] < 0:
+            raise SpecError("$offset must be a non-negative int")
+        if "$orderby" not in top:
+            raise SpecError("$offset requires $orderby (unordered pagination"
+                            " is nondeterministic)")
+        qs.offset = top["$offset"]
     if "$distinct" in top:
         qs.distinct = bool(top["$distinct"])
     if qs.aggs and not qs.groupby:

@@ -174,3 +174,33 @@ def compiler_collect_nested(spark, sf_dir):
             }
         }
     )
+
+
+@query(
+    "compiler_pagination",
+    # $offset + $limit pagination (round 6): page 3 of orders by price.
+    # Deterministic because the parser REQUIRES $orderby with $offset and
+    # the order carries the unique-key tiebreak (§7.3).
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 20 OFFSET 40
+    """,
+)
+def compiler_pagination(spark, sf_dir):
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "orders": {
+                "o_orderkey": True,
+                "o_custkey": True,
+                "o_totalprice": True,
+                "$orderby": [["o_totalprice", "desc"], ["o_orderkey", "asc"]],
+                "$offset": 40,
+                "$limit": 20,
+            }
+        }
+    )

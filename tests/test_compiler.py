@@ -630,3 +630,42 @@ def test_window_over_select_alias(eng):
     years = [r["oy"] for r in rows]
     assert len(years) == len(set(years)) and len(years) > 1
     assert all(r["rk"] == 1 for r in rows)
+
+
+def test_offset_requires_orderby(eng):
+    with pytest.raises(SpecError):
+        eng.query({"orders": {"o_orderkey": True, "$offset": 10}})
+
+
+def test_offset_pagination_is_consistent(eng):
+    """Consecutive pages tile the ordered prefix with no gaps/overlap."""
+    def page(off):
+        return [
+            r["o_orderkey"]
+            for r in eng.query(
+                {
+                    "orders": {
+                        "o_orderkey": True,
+                        "$orderby": [["o_totalprice", "desc"],
+                                     ["o_orderkey", "asc"]],
+                        "$offset": off,
+                        "$limit": 15,
+                    }
+                }
+            ).collect()
+        ]
+
+    first45 = [
+        r["o_orderkey"]
+        for r in eng.query(
+            {
+                "orders": {
+                    "o_orderkey": True,
+                    "$orderby": [["o_totalprice", "desc"],
+                                 ["o_orderkey", "asc"]],
+                    "$limit": 45,
+                }
+            }
+        ).collect()
+    ]
+    assert page(0) + page(15) + page(30) == first45
