@@ -79,3 +79,44 @@ def extract_features(
             rows,
             columns=["doc_id", "n_bytes", "first_byte", "n_frames", "feat_hash"],
         )
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_off int, frame_md5 string"
+FRAME_LEN = 32  # bytes per sampled frame
+FRAME_STRIDE = 64  # byte stride between frame starts
+MAX_FRAMES = 4  # sample at most this many frames per payload
+
+
+def sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: (doc_id, payload binary) -> FRAME_SCHEMA rows.
+
+    The frame-sample plumbing of a video pipeline: strided fixed-length
+    byte windows of the payload, one row per sampled frame, fingerprinted
+    (a real sampler would decode the frame here instead of hashing it).
+    Payloads shorter than one frame emit no rows."""
+    import hashlib
+
+    import numpy as np
+
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        ids, idxs, offs, digs = [], [], [], []
+        for i, p in zip(pdf["doc_id"], pdf["payload"]):
+            p = bytes(p)
+            for k in range(MAX_FRAMES):
+                off = k * FRAME_STRIDE
+                if off + FRAME_LEN > len(p):
+                    break
+                ids.append(i)
+                idxs.append(k)
+                offs.append(off)
+                digs.append(hashlib.md5(p[off:off + FRAME_LEN]).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": np.asarray(ids, dtype=np.int64),
+                "frame_idx": np.asarray(idxs, dtype=np.int32),
+                "frame_off": np.asarray(offs, dtype=np.int32),
+                "frame_md5": digs,
+            }
+        )

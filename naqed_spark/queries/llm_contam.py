@@ -357,3 +357,40 @@ def llm_corpus_prep_pipeline(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_words").alias("n_tokens"),
     )
+
+
+@query(
+    "llm_multimodal_frame_sample",
+    # Frame sampling over the binary payload column: strided 32-byte
+    # windows (stride 64, max 4), one row per frame, md5-fingerprinted in
+    # Arrow-batched Python (functions/multimodal.py — where a real
+    # decoder would run). BOTH sides restrict to single-byte payloads
+    # (octet_length == char_length) so the oracle's char-slice md5 is
+    # byte-exact for ANY corpus, not just the ASCII fixture; real media
+    # corpora have no SQL twin and would register rows-only.
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, text FROM documents
+      WHERE octet_length(encode(text)) = length(text)
+    )
+    SELECT doc_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           CAST(frame_idx * 64 AS INT) AS frame_off,
+           md5(substr(text, frame_idx * 64 + 1, 32)) AS frame_md5
+    FROM f CROSS JOIN (SELECT unnest(range(0, 4)) AS frame_idx) k
+    WHERE frame_idx * 64 + 32 <= length(text)
+    """,
+)
+def llm_multimodal_frame_sample(spark, sf_dir):
+    """Scale shape: payload bytes cross into Python ONLY via Arrow
+    batches (`mapInPandas`), partition-local, nothing collects; output is
+    fingerprint rows, ~4 per doc. Real codecs slot into sample_frames
+    without touching the Spark plan."""
+    from naqed_spark.functions.multimodal import FRAME_SCHEMA, sample_frames
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.octet_length(F.encode("text", "utf-8")) == F.length("text"))
+        .select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    )
+    return d.mapInPandas(sample_frames, schema=FRAME_SCHEMA)

@@ -56,7 +56,7 @@ PRIORITY: list[str] = [
     "compiler_window_rank", "llm_contamination_ngram", "llm_repetition_score",
     "llm_ann_hyperplane_lsh", "llm_pack_sequences", "llm_corpus_prep_pipeline",
     "agg_hll_partial_merge", "agg_approx_percentile_sketch",
-    "compiler_pagination",
+    "compiler_pagination", "llm_multimodal_frame_sample",
     # last driver signal r2: projection/filter
     "project_select_alias", "filter_comparison", "filter_boolean_logic",
     "filter_in_between_like", "filter_null_semantics", "project_distinct",
