@@ -669,3 +669,36 @@ def test_offset_pagination_is_consistent(eng):
         ).collect()
     ]
     assert page(0) + page(15) + page(30) == first45
+
+
+def test_window_range_frame_matches_direct(eng):
+    """$frame ['range', lo, 'current'] compiles to rangeBetween — checked
+    against the hand-built value-based window (trailing 100-key sum)."""
+    from pyspark.sql import Window, functions as F
+
+    spec = eng.query(
+        {
+            "orders": {
+                "$filter": {"o_orderstatus": "P"},
+                "o_orderkey": True,
+                "$window": {
+                    "trail": {
+                        "$count": {
+                            "$order": [["o_orderkey", "asc"]],
+                            "$frame": ["range", -100, "current"],
+                        }
+                    }
+                },
+            }
+        }
+    ).collect()
+    w = Window.orderBy(F.col("o_orderkey").asc()).rangeBetween(-100, 0)
+    direct = (
+        eng.entity("orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .withColumn("trail", F.count(F.lit(1)).over(w))
+        .collect()
+    )
+    assert {(r["o_orderkey"], r["trail"]) for r in spec} == {
+        (r["o_orderkey"], r["trail"]) for r in direct
+    }
