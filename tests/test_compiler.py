@@ -447,8 +447,9 @@ def test_having_unknown_alias_fails_fast(eng):
 window_strategy = st.fixed_dictionaries(
     {
         "fn": st.sampled_from(
-            ["$row_number", "$rank", "$dense_rank", "$ntile", "$lag",
-             "$sum", "$count", "$max"]
+            ["$row_number", "$rank", "$dense_rank", "$percent_rank",
+             "$cume_dist", "$ntile", "$lag", "$lead",
+             "$sum", "$avg", "$count", "$max", "$min"]
         ),
         "status": st.sampled_from(_STATUSES),
         "desc": st.booleans(),
@@ -476,10 +477,10 @@ def test_window_spec_matches_direct_dataframe(eng, case):
     params = {"$partition": ["o_custkey"], "$order": order}
     if fn == "$ntile":
         params["$n"] = 3
-    if fn == "$lag":
+    if fn in ("$lag", "$lead"):
         params["$of"] = "o_totalprice"
         params["$default"] = -1.0
-    if fn in ("$sum", "$max"):
+    if fn in ("$sum", "$avg", "$max", "$min"):
         params["$of"] = "o_orderkey"
     spec = {
         "orders": {
@@ -502,10 +503,15 @@ def test_window_spec_matches_direct_dataframe(eng, case):
         "$rank": lambda: F.rank().over(w),
         "$dense_rank": lambda: F.dense_rank().over(w),
         "$ntile": lambda: F.ntile(3).over(w),
+        "$percent_rank": lambda: F.percent_rank().over(w),
+        "$cume_dist": lambda: F.cume_dist().over(w),
         "$lag": lambda: F.lag("o_totalprice", 1, -1.0).over(w),
+        "$lead": lambda: F.lead("o_totalprice", 1, -1.0).over(w),
         "$sum": lambda: F.sum("o_orderkey").over(w),
+        "$avg": lambda: F.avg("o_orderkey").over(w),
         "$count": lambda: F.count(F.lit(1)).over(w),
         "$max": lambda: F.max("o_orderkey").over(w),
+        "$min": lambda: F.min("o_orderkey").over(w),
     }
     direct = (
         eng.entity("orders")
