@@ -157,3 +157,126 @@ def ts_ohlc_hourly(spark, sf_dir):
         "close_cents",
         "n_trades",
     )
+
+
+@query(
+    "ts_funnel_stages",
+    # Ordered funnel view -> click -> purchase per user: each stage's
+    # timestamp is the user's FIRST qualifying event STRICTLY AFTER the
+    # previous stage (the product-analytics funnel, not a bag-of-events
+    # count). Emits one row per user who entered the funnel: the stage
+    # reached and the µs timestamps (NULL past the reached stage).
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.t1
+      GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.t2
+      GROUP BY e.user_id
+    )
+    SELECT t1.user_id,
+           CAST(1 + CAST(t2.user_id IS NOT NULL AS INT)
+                  + CAST(t3.user_id IS NOT NULL AS INT) AS INT) AS stage,
+           epoch_us(t1.t1) AS view_us,
+           epoch_us(t2.t2) AS click_us,
+           epoch_us(t3.t3) AS purchase_us
+    FROM t1
+    LEFT JOIN t2 ON t1.user_id = t2.user_id
+    LEFT JOIN t3 ON t1.user_id = t3.user_id
+    """,
+)
+def ts_funnel_stages(spark, sf_dir):
+    """Scale shape: three conditional min-aggregations and two left joins,
+    ALL keyed on user_id — one hash partitioning serves every stage (no
+    re-shuffle between stages), each stage's frame is one row per
+    surviving user. Stage windows never scan events more than once per
+    stage, and nothing is quadratic in events or users."""
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.col("t2").isNotNull().cast("int")
+                + F.col("t3").isNotNull().cast("int")
+            ).alias("stage"),
+            F.unix_micros("t1").alias("view_us"),
+            F.unix_micros("t2").alias("click_us"),
+            F.unix_micros("t3").alias("purchase_us"),
+        )
+    )
+
+
+@query(
+    "ts_cohort_retention",
+    # Cohort retention: users grouped by first-seen day; how many of each
+    # cohort were active again k days later (k = 0..7). Row counts are
+    # exact ints; (user, day) is deduped before counting so multiple
+    # same-day events count once.
+    oracle="""
+    WITH firstseen AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events
+      GROUP BY user_id
+    ),
+    active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_day,
+           CAST(date_diff('day', f.cohort, a.d) AS INT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM active a JOIN firstseen f ON a.user_id = f.user_id
+    WHERE date_diff('day', f.cohort, a.d) BETWEEN 0 AND 7
+    GROUP BY f.cohort, date_diff('day', f.cohort, a.d)
+    """,
+)
+def ts_cohort_retention(spark, sf_dir):
+    """Scale shape: first-seen and distinct-activity are both map-side-
+    combined aggregations on user_id; the join reuses the user_id
+    partitioning; the final rollup groups a (cohorts x 8) key space.
+    (user, day) dedup bounds the join fan-out to active-days, not raw
+    events."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    firstseen = ev.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    active = ev.distinct()
+    return (
+        active.join(firstseen, "user_id")
+        .withColumn("day_offset", F.datediff("d", "cohort"))
+        .filter(F.col("day_offset").between(0, 7))
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_day"),
+            F.col("day_offset").cast("int").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
