@@ -360,3 +360,15 @@ def test_corpus_pipeline_dedup_gets_group_limit(spark):
     assert "WindowGroupLimit" in plan
     assert "Join" not in tree_of(plan)
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_funnel_shuffles_only_on_user_id(spark):
+    """Every exchange in the funnel plan must hash-partition on user_id —
+    the stage joins and rollups reuse that one partitioning; any other
+    shuffle key would mean a stage re-shuffles event data."""
+    df = QUERIES["ts_funnel_stages"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\(([^,]+)", plan):
+        assert m.group(1).startswith("user_id"), m.group(0)
