@@ -507,3 +507,118 @@ def graph_aggregate_messages(spark, sf_dir):
             F.col("dst").alias("user_id"), "n_msgs", "neighbor_value_sum"
         )
     )
+
+
+def _min_reach_fixpoint(verts, edges, along, spark, cap=20):
+    """Min-label propagation to fixpoint: label(u) = min vertex id that can
+    reach u along ``along`` ('fwd': messages flow src→dst; 'bwd': dst→src),
+    restricted to the given vertex/edge subgraph. One equi-join + hash agg
+    per superstep (the aggregateMessages shape), localCheckpoint per step
+    to cut lineage; raises on non-convergence (llm_dedup_groups
+    precedent — silent wrong labels are worse than a loud stop)."""
+    src, dst = ("src", "dst") if along == "fwd" else ("dst", "src")
+    lab = verts.select("v", F.col("v").alias("lab")).localCheckpoint()
+    for _ in range(cap):
+        msgs = (
+            edges.join(lab, edges[src] == lab["v"])
+            .groupBy(F.col(dst).alias("mv"))
+            .agg(F.min("lab").alias("m"))
+        )
+        new = (
+            lab.join(msgs, lab["v"] == msgs["mv"], "left")
+            .select("v", F.least("lab", "m").alias("lab"))
+            .localCheckpoint()
+        )
+        changed = (
+            lab.select("v", F.col("lab").alias("old"))
+            .join(new, "v")
+            .filter(F.col("lab") < F.col("old"))
+        )
+        lab = new
+        if changed.isEmpty():
+            return lab
+    raise RuntimeError(f"min-reach({along}) did not converge in {cap} supersteps")
+
+
+@query(
+    "graph_scc",
+    # Strongly connected components of the directed user-interaction
+    # graph: scc(u) = min vertex mutually reachable with u (including u).
+    # Spark runs the scale-shaped coloring algorithm (forward/backward
+    # min-reach per round, resolve where they agree, trim, repeat — the
+    # active minimum's SCC provably resolves every round); the oracle is
+    # the exact closure definition over a recursive CTE.
+    oracle=f"""
+    WITH RECURSIVE ue AS ({_UE_SQL}),
+    verts AS (SELECT src AS v FROM ue UNION SELECT dst FROM ue),
+    r(a, b) AS (
+      SELECT src, dst FROM ue
+      UNION
+      SELECT r.a, e.dst FROM r JOIN ue e ON e.src = r.b
+    ),
+    mutual AS (
+      SELECT x.a AS u, x.b AS w FROM r x JOIN r y ON x.a = y.b AND x.b = y.a
+    )
+    SELECT v.v AS user_id,
+           least(v.v, COALESCE(min(m.w), v.v)) AS scc
+    FROM verts v LEFT JOIN mutual m ON m.u = v.v
+    GROUP BY v.v
+    """,
+)
+def graph_scc(spark, sf_dir):
+    """Distributed SCC without transitive closure: per outer round, two
+    min-reach fixpoints (forward along edges, backward against them) over
+    the ACTIVE subgraph; vertices where the two labels agree on value m
+    are exactly SCC(m) — emitted and trimmed, and the round repeats on
+    what remains. The active global minimum's SCC always satisfies the
+    agreement test, so every round makes progress (outer rounds ≤ #SCCs,
+    in practice a handful). Each superstep is one edge⋈label equi-join +
+    min-aggregation with O(1) state per vertex — at 100 TB edges are
+    hash-partitioned by the join side and supersteps reuse that
+    partitioning; no closure, nothing quadratic."""
+    ue = user_edges(spark, sf_dir).persist()
+    done = scc_labels(spark, ue)
+    ue.unpersist()
+    return done.select(F.col("v").alias("user_id"), "scc")
+
+
+def scc_labels(spark, ue):
+    """(v, scc) for every vertex of the directed edge set ``ue``
+    (cols src, dst) — the coloring loop behind graph_scc, factored so
+    adversarial graphs can drive it directly (tests/test_graph.py)."""
+    verts = (
+        ue.select(F.col("src").alias("v"))
+        .union(ue.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = ue
+    done = None
+    with low_shuffle(spark):
+        for _ in range(30):
+            if verts.isEmpty():
+                break
+            fwd = _min_reach_fixpoint(verts, edges, "fwd", spark)
+            bwd = _min_reach_fixpoint(verts, edges, "bwd", spark)
+            resolved = (
+                fwd.join(
+                    bwd.select("v", F.col("lab").alias("blab")), "v"
+                )
+                .filter(F.col("lab") == F.col("blab"))
+                .select("v", F.col("lab").alias("scc"))
+                .localCheckpoint()
+            )
+            done = resolved if done is None else done.unionAll(resolved).localCheckpoint()
+            verts = (
+                verts.join(resolved.select("v"), "v", "left_anti")
+                .localCheckpoint()
+            )
+            edges = (
+                edges.join(verts.select(F.col("v").alias("src")), "src")
+                .join(verts.select(F.col("v").alias("dst")), "dst")
+                .select("src", "dst")
+                .localCheckpoint()
+            )
+        else:
+            raise RuntimeError("graph_scc did not converge in 30 rounds")
+    return done

@@ -57,7 +57,7 @@ PRIORITY: list[str] = [
     "llm_ann_hyperplane_lsh", "llm_pack_sequences", "llm_corpus_prep_pipeline",
     "agg_hll_partial_merge", "agg_approx_percentile_sketch",
     "compiler_pagination", "llm_multimodal_frame_sample",
-    "ts_funnel_stages", "ts_cohort_retention",
+    "ts_funnel_stages", "ts_cohort_retention", "graph_scc",
     # last driver signal r2: projection/filter
     "project_select_alias", "filter_comparison", "filter_boolean_logic",
     "filter_in_between_like", "filter_null_semantics", "project_distinct",

@@ -61,3 +61,28 @@ def test_connected_components_labels_are_members(spark):
     # be a vertex carrying its own label
     for label in set(comp.values()):
         assert comp[label] == label
+
+
+def test_scc_adversarial_graphs(spark):
+    """The SCC coloring loop on hand-built graphs: a chain of two cycles
+    joined by a one-way bridge (two SCCs, forcing a second outer round),
+    a pure DAG (every vertex its own SCC), and a full cycle (one SCC)."""
+    from naqed_spark.queries.graph import scc_labels
+
+    def run(edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        return {
+            r["v"]: r["scc"] for r in scc_labels(spark, df).collect()
+        }
+
+    # cycle {0,1,2} -> bridge -> cycle {10,11}
+    two = run([(0, 1), (1, 2), (2, 0), (2, 10), (10, 11), (11, 10)])
+    assert two == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10}
+
+    # DAG: all singleton SCCs
+    dag = run([(1, 2), (2, 3), (1, 3), (3, 4)])
+    assert dag == {1: 1, 2: 2, 3: 3, 4: 4}
+
+    # one big cycle
+    cyc = run([(5, 6), (6, 7), (7, 8), (8, 5)])
+    assert cyc == {5: 5, 6: 5, 7: 5, 8: 5}
