@@ -15,6 +15,10 @@ All are everyday ops in a pretraining data pipeline:
   → two-level groupBy, all codegen, scan-shaped at any scale.
 - ``llm_pack_sequences`` — contiguous fixed-budget sequence packing per
   source shard: one running-sum window partitioned by the shard key.
+- ``llm_corpus_prep_pipeline`` — the whole prep flow (quality filter →
+  exact dedup → split → shard stats) as one declarative query.
+- ``llm_multimodal_frame_sample`` — strided byte-window frame sampling
+  over the binary payload column via Arrow-batched ``mapInPandas``.
 
 No reference file:line possible — ``/root/reference`` is empty (SURVEY.md
 §0); keys extend the §2-K training-data toolkit the same way rounds 2-3
