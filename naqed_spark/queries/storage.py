@@ -175,3 +175,36 @@ def scan_schema_evolution(spark, sf_dir):
         .parquet(f"{out}/v=1", f"{out}/v=2")
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@query(
+    "sink_compact_small_files",
+    # Small-file compaction — the datalake maintenance job every large
+    # table needs: a fragmented write (64 shuffle-partition files for a
+    # 15k-row table) is rewritten into a handful of right-sized files.
+    # The oracle is read-back identity: compaction must change LAYOUT,
+    # never content. File-count assertions live in tests/test_plans.py.
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    """,
+)
+def sink_compact_small_files(spark, sf_dir):
+    """Scale shape: the compactor is ``repartition(target)`` — a single
+    round-robin shuffle sized by total bytes / target file size (here a
+    fixed small target; a production compactor computes it from table
+    stats). AQE cannot fix file counts after the fact — fragmentation is
+    an on-disk property — so the rewrite IS the operator. Reading the
+    fragmented table costs one task per small file; the compacted table
+    reads in ``target`` tasks."""
+    frag = _scratch("orders_fragmented")
+    compact = _scratch("orders_compacted")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    # simulate the fragmented state: one file per shuffle partition
+    o.repartition(64).write.mode("overwrite").parquet(frag)
+    # the compaction job: rewrite at the target file count
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(
+        compact
+    )
+    return spark.read.parquet(compact)

@@ -372,3 +372,19 @@ def test_funnel_shuffles_only_on_user_id(spark):
 
     for m in re.finditer(r"Exchange hashpartitioning\(([^,]+)", plan):
         assert m.group(1).startswith("user_id"), m.group(0)
+
+
+def test_compaction_actually_compacts(spark):
+    """sink_compact_small_files must leave the fragmented layout behind:
+    the compacted directory holds <= 4 data files where the fragmented
+    one holds ~64, with identical row counts."""
+    import glob
+
+    from naqed_spark.queries.storage import _scratch
+
+    df = QUERIES["sink_compact_small_files"](spark, SF_DIR)
+    n_rows = df.count()
+    frag = glob.glob(_scratch("orders_fragmented") + "/part-*")
+    comp = glob.glob(_scratch("orders_compacted") + "/part-*")
+    assert len(comp) <= 4 < len(frag)
+    assert spark.read.parquet(_scratch("orders_fragmented")).count() == n_rows
