@@ -708,3 +708,40 @@ def test_window_range_frame_matches_direct(eng):
     assert {(r["o_orderkey"], r["trail"]) for r in spec} == {
         (r["o_orderkey"], r["trail"]) for r in direct
     }
+
+
+# Malformed-spec fuzz: arbitrary JSON-ish garbage must either compile or
+# raise the typed analysis error (SpecError / the catalog's KeyError for
+# unknown entities) — never an internal TypeError/AttributeError crash.
+# This is the user-facing API contract: naqed surfaces $error values, we
+# surface ONE typed exception class at analysis time (SURVEY §1.2).
+_g_scalar = st.one_of(
+    st.none(), st.booleans(), st.integers(-5, 5),
+    st.sampled_from(["c_name", "x", "$filter", "BUILDING", ""]))
+_garbage = st.recursive(
+    _g_scalar,
+    lambda child: st.one_of(
+        st.lists(child, max_size=3),
+        st.dictionaries(
+            st.sampled_from(
+                ["$filter", "$agg", "$groupby", "$orderby", "$limit",
+                 "$offset", "$select", "$window", "$qualify", "$collect",
+                 "$how", "$eq", "$gt", "$sum", "$row_number", "c_name",
+                 "c_acctbal", "orders", "nation", "bogus"]),
+            child, max_size=3)),
+    max_leaves=8)
+
+
+@settings(max_examples=120, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(body=_garbage)
+def test_malformed_specs_fail_typed(eng, body):
+    from pyspark.sql.utils import AnalysisException
+
+    try:
+        eng.query({"customer": body if isinstance(body, dict) else {"x": body}})
+    except (SpecError, KeyError):
+        pass  # the typed analysis-time contract
+    except AnalysisException:
+        pass  # Spark's own analyzer ruling on a legal-but-wrong plan
+    # compiling fine is also acceptable — garbage that happens to be valid
