@@ -242,6 +242,96 @@ def llm_neardup_lsh(spark, sf_dir):
     )
 
 
+@query(
+    "llm_minhash_jaccard_estimate",
+    # Sketch-accuracy op: for every LSH candidate pair, the MinHash
+    # ESTIMATE of Jaccard (fraction of the 8 signature positions that
+    # agree — the quantity LSH actually thresholds on) next to the exact
+    # shingle-set Jaccard and the absolute error. Fixed seeds make the
+    # estimate itself deterministic, so unlike most sketch ops this one
+    # is hash-exact against SQL — the accuracy audit a production dedup
+    # pipeline runs when tuning band/row counts.
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sigs AS (SELECT doc_id, sset, {_SIG_COLS_SQL} FROM sh),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(sig0 || sig1) AS bh FROM sigs
+      UNION ALL SELECT doc_id, 1, md5(sig2 || sig3) FROM sigs
+      UNION ALL SELECT doc_id, 2, md5(sig4 || sig5) FROM sigs
+      UNION ALL SELECT doc_id, 3, md5(sig6 || sig7) FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(CAST(sa.sig0 = sb.sig0 AS INT) + CAST(sa.sig1 = sb.sig1 AS INT) + CAST(sa.sig2 = sb.sig2 AS INT) + CAST(sa.sig3 = sb.sig3 AS INT) + CAST(sa.sig4 = sb.sig4 AS INT) + CAST(sa.sig5 = sb.sig5 AS INT) + CAST(sa.sig6 = sb.sig6 AS INT) + CAST(sa.sig7 = sb.sig7 AS INT) AS INT) AS n_sig_match,
+           round(CAST(CAST(sa.sig0 = sb.sig0 AS INT) + CAST(sa.sig1 = sb.sig1 AS INT) + CAST(sa.sig2 = sb.sig2 AS INT) + CAST(sa.sig3 = sb.sig3 AS INT) + CAST(sa.sig4 = sb.sig4 AS INT) + CAST(sa.sig5 = sb.sig5 AS INT) + CAST(sa.sig6 = sb.sig6 AS INT) + CAST(sa.sig7 = sb.sig7 AS INT) AS DOUBLE) / 8, 6) AS est_jaccard,
+           round(CAST(len(list_intersect(sa.sset, sb.sset)) AS DOUBLE)
+                 / len(list_distinct(sa.sset || sb.sset)), 6) AS exact_jaccard
+    FROM cand
+    JOIN sigs sa ON sa.doc_id = id_a
+    JOIN sigs sb ON sb.doc_id = id_b
+    """,
+)
+def llm_minhash_jaccard_estimate(spark, sf_dir):
+    """Same candidate generation as llm_neardup_lsh (band equi-join, no
+    all-pairs); the estimate adds only per-pair integer arithmetic over
+    the already-joined signature rows — scan-shaped at any corpus size."""
+    sigs = _minhash_sigs(spark, sf_dir).persist()
+    bands = None
+    for b in range(4):
+        part = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat(F.col(f"sig{2 * b}"), F.col(f"sig{2 * b + 1}"))).alias(
+                "bh"
+            ),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    a, b_ = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    keep = ["sset"] + [f"sig{k}" for k in range(8)]
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(c).alias(f"a_{c}") for c in keep],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(c).alias(f"b_{c}") for c in keep],
+    )
+    n_match = None
+    for k in range(8):
+        eq = (F.col(f"a_sig{k}") == F.col(f"b_sig{k}")).cast("int")
+        n_match = eq if n_match is None else n_match + eq
+    exact = F.size(F.array_intersect("a_sset", "b_sset")).cast(
+        "double"
+    ) / F.size(F.array_union("a_sset", "b_sset"))
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            n_match.cast("int").alias("n_sig_match"),
+            r6(n_match.cast("double") / 8).alias("est_jaccard"),
+            r6(exact).alias("exact_jaccard"),
+        )
+    )
+
+
 # -- vector helpers ---------------------------------------------------------
 
 _DOT = (
