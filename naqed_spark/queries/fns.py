@@ -369,3 +369,39 @@ def fn_bitwise(spark, sf_dir):
         F.shiftright(k, 2).alias("k_shr"),
         F.bit_count(k).alias("k_pop"),
     )
+
+
+@query(
+    "fn_variant_json",
+    # Spark 4's VARIANT type over the events.props JSON column: parse once,
+    # then typed path extraction (variant_get) and shredded-schema
+    # introspection (schema_of_variant). VARIANT is the engine's
+    # semi-structured fast path — binary-encoded, no per-access re-parse,
+    # columnar-shreddable at rest — vs fn_json's string-walking
+    # get_json_object. The variant itself never leaves the plan (the
+    # driver canonicalizer can't sort it); only typed extractions emit.
+    # Oracle: DuckDB JSON extraction of the same paths.
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_int,
+           CAST(json_extract(props, '$.k') AS VARCHAR) AS k_str,
+           CASE WHEN json_extract(props, '$.k') IS NULL THEN 0 ELSE 1 END
+             AS has_k
+    FROM events
+    """,
+)
+def fn_variant_json(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select("event_id", "props")
+    return ev.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias(
+            "k_int"
+        ),
+        F.expr("variant_get(parse_json(props), '$.k', 'string')").alias(
+            "k_str"
+        ),
+        F.expr(
+            "CASE WHEN variant_get(parse_json(props), '$.k') IS NULL"
+            " THEN 0 ELSE 1 END"
+        ).cast("int").alias("has_k"),
+    )
