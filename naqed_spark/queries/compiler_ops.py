@@ -204,3 +204,58 @@ def compiler_pagination(spark, sf_dir):
             }
         }
     )
+
+
+@query(
+    "compiler_composite_topk",
+    # The full E1 pipeline in one spec: relationship hop (customer →
+    # orders, child-filtered), $groupby + $agg over the fan-out, a
+    # $window RANKING THE AGGREGATED rows (windows compile after $agg —
+    # SQL ordering), $qualify top-2 per nation, deterministic $orderby.
+    # All-integer measures (counts/ranks) — no float discipline needed.
+    oracle="""
+    SELECT c_nationkey, c_custkey, n_orders, rk FROM (
+      SELECT c.c_nationkey, c.c_custkey,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(rank() OVER (PARTITION BY c.c_nationkey
+                               ORDER BY count(*) DESC, c.c_custkey)
+                  AS INT) AS rk
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      WHERE c.c_acctbal > 0 AND o.o_orderstatus = 'F'
+      GROUP BY c.c_nationkey, c.c_custkey
+    )
+    WHERE rk <= 2
+    ORDER BY c_nationkey, rk, c_custkey
+    """,
+)
+def compiler_composite_topk(spark, sf_dir):
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "customer": {
+                "$filter": {"c_acctbal": {"$gt": 0.0}},
+                "orders": {"$filter": {"o_orderstatus": "F"}},
+                "$groupby": ["c_nationkey", "c_custkey"],
+                "$agg": {"n_orders": {"$count": True}},
+                "$window": {
+                    "rk": {
+                        "$rank": {
+                            "$partition": ["c_nationkey"],
+                            "$order": [
+                                ["n_orders", "desc"],
+                                ["c_custkey", "asc"],
+                            ],
+                        }
+                    }
+                },
+                "$qualify": {"rk": {"$lte": 2}},
+                "$orderby": [
+                    ["c_nationkey", "asc"],
+                    ["rk", "asc"],
+                    ["c_custkey", "asc"],
+                ],
+            }
+        }
+    )
