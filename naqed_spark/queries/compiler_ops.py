@@ -1,6 +1,11 @@
 """E1 QuerySpec compiler surface — driver-checked keys (SURVEY.md §3.2).
 
-Round 4 extends the naqed-style query object with the two spec features
+Round 6 completes the naqed-translation table: ``$window``/``$qualify``
+(compiler_window_rank), ``$offset`` pagination (compiler_pagination),
+and the full-chain integration case (compiler_composite_topk) join the
+round-4 features below.
+
+Round 4 extended the naqed-style query object with the two spec features
 VERDICT r3 called out as missing vs the naqed model translation:
 
 - ``$select`` computed/derived columns — an arity-checked expression DSL
