@@ -250,6 +250,49 @@ def join_asof(spark, sf_dir):
 
 
 @query(
+    "join_asof_nearest",
+    # nearest-asof: each event → the order whose date is CLOSEST in time
+    # (either direction) per user — the sensor-alignment variant of
+    # join_asof (backward-only). Same scale shape: user-key equi-join +
+    # per-event top-1 window; ranking by |Δt| with (earlier order, lower
+    # key) tiebreaks so equidistant matches are deterministic.
+    oracle="""
+    SELECT event_id, user_id, o_orderkey, dt_us FROM (
+      SELECT e.event_id, e.user_id, o.o_orderkey,
+             abs(epoch_us(o.o_orderdate) - epoch_us(e.ts)) AS dt_us,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY abs(epoch_us(o.o_orderdate) - epoch_us(e.ts)) ASC,
+                        epoch_us(o.o_orderdate) ASC, o.o_orderkey ASC) AS rn
+      FROM events e JOIN orders o ON o.o_custkey = e.user_id
+    ) WHERE rn = 1
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """At 100 TB the unbounded per-user join is bounded in practice by a
+    coarse time-bucket pre-filter (join on (user, bucket±1)) — the
+    fixture's per-user order lists are small, so the plan here is the
+    plain user-partitioned hash join + WindowGroupLimit top-1."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", epoch_us("ts").alias("ev_us")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", epoch_us("o_orderdate").alias("order_us")
+    )
+    j = e.join(o, o.o_custkey == e.user_id).withColumn(
+        "dt_us", F.abs(F.col("order_us") - F.col("ev_us"))
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("dt_us").asc(), F.col("order_us").asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "o_orderkey", "dt_us")
+    )
+
+
+@query(
     "join_multiway_star",
     # TPC-H Q5-style 6-way star join; revenue in exact decimal → double.
     oracle="""
