@@ -622,3 +622,59 @@ def scc_labels(spark, ue):
         else:
             raise RuntimeError("graph_scc did not converge in 30 rounds")
     return done
+
+
+_BASKET_CAP = 15  # orders with more distinct parts than this are skew
+                  # outliers: pair fan-out is quadratic in basket size, so
+                  # the projection caps it (the _NGRAM_DF_CAP precedent —
+                  # at 100 TB the cap is what keeps the self-join linear-ish)
+
+
+@query(
+    "graph_copurchase",
+    # bipartite projection (market-basket): part—part edges weighted by
+    # the number of orders containing both, over baskets of <= cap
+    # distinct parts. The recommendation-candidate generator: a same-key
+    # self-join, never a cross product; all-integer weights.
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    ok AS (
+      SELECT l_orderkey FROM items GROUP BY l_orderkey
+      HAVING count(*) <= {_BASKET_CAP}
+    ),
+    kept AS (SELECT i.* FROM items i JOIN ok USING (l_orderkey))
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM kept a JOIN kept b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    """,
+)
+def graph_copurchase(spark, sf_dir):
+    """Scale shape: (order, part) dedup → basket-size cap (skew bound;
+    quadratic fan-out is in basket size, not corpus size) → self equi-join
+    on l_orderkey → map-side-combined pair counts. Everything shuffles on
+    narrow keys; the cap keeps the hottest order's pair list bounded."""
+    items = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    ok = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= _BASKET_CAP)
+        .select("l_orderkey")
+    )
+    kept = items.join(ok, "l_orderkey")
+    a = kept.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = kept.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(
+            b,
+            (a.l_orderkey == b.l_orderkey)
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
