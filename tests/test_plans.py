@@ -388,3 +388,14 @@ def test_compaction_actually_compacts(spark):
     comp = glob.glob(_scratch("orders_compacted") + "/part-*")
     assert len(comp) <= 4 < len(frag)
     assert spark.read.parquet(_scratch("orders_fragmented")).count() == n_rows
+
+
+def test_copurchase_and_nearest_asof_plans(spark):
+    """Co-purchase must be a same-key equi self-join (no cartesian), and
+    nearest-asof's per-event top-1 must get WindowGroupLimit."""
+    plan = plan_of(spark, "graph_copurchase")
+    tree = tree_of(plan)
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    plan = plan_of(spark, "join_asof_nearest")
+    assert "WindowGroupLimit" in plan
