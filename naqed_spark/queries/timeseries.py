@@ -280,3 +280,64 @@ def ts_cohort_retention(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@query(
+    "ts_anomaly_zscore",
+    # Trailing-window z-score anomaly flag per event_type: each event's
+    # value against the mean/std of the preceding 50 events of its type
+    # (ts, event_id order). Determinism discipline: the window sums run
+    # over EXACT decimals (value is 2-dec; value² rounded at 4 is exact
+    # per the money_row rule), so both engines hold identical sums and
+    # the identical float formula (var = (Σx² − (Σx)²/n)/(n−1)) computes
+    # bit-equal doubles; z is rounded 6 on emit.
+    oracle="""
+    WITH w AS (
+      SELECT event_id, event_type, value,
+             CAST(count(*) OVER tw AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(14,2))) OVER tw AS DOUBLE) AS sx,
+             CAST(sum(CAST(round(value * value, 4) AS DECIMAL(20,4))) OVER tw
+                  AS DOUBLE) AS sx2
+      FROM events
+      WINDOW tw AS (PARTITION BY event_type ORDER BY ts, event_id
+                    ROWS BETWEEN 50 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, event_type, value,
+           round((value - sx / n)
+                 / sqrt((sx2 - sx * sx / n) / (n - 1)), 6) AS z
+    FROM w WHERE n >= 10
+    """,
+)
+def ts_anomaly_zscore(spark, sf_dir):
+    """Scale shape: one window partitioned by event_type (the monitoring
+    key) — shuffles once, trailing frames are rows-bounded so state per
+    row is O(1); events with fewer than 10 predecessors are warm-up and
+    emit nothing. Skewed event_type volumes map to window-partition skew;
+    production adds a coarse time bucket to the partition key."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-50, -1)
+    )
+    w = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.count(F.lit(1)).over(tw).alias("n"),
+        F.sum(F.col("value").cast("decimal(14,2)")).over(tw)
+        .cast("double").alias("sx"),
+        F.sum(F.round(F.col("value") * F.col("value"), 4)
+              .cast("decimal(20,4)")).over(tw)
+        .cast("double").alias("sx2"),
+    )
+    z = (F.col("value") - F.col("sx") / F.col("n")) / F.sqrt(
+        (F.col("sx2") - F.col("sx") * F.col("sx") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return (
+        w.filter(F.col("n") >= 10)
+        .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
+    )

@@ -60,7 +60,7 @@ PRIORITY: list[str] = [
     "ts_funnel_stages", "ts_cohort_retention", "graph_scc",
     "sink_compact_small_files", "llm_minhash_jaccard_estimate",
     "fn_variant_json", "compiler_composite_topk", "join_asof_nearest",
-    "graph_copurchase",
+    "graph_copurchase", "ts_anomaly_zscore",
     # last driver signal r2: projection/filter
     "project_select_alias", "filter_comparison", "filter_boolean_logic",
     "filter_in_between_like", "filter_null_semantics", "project_distinct",
