@@ -216,6 +216,11 @@ def _parse_aggs(obj: object) -> list[AggSpec]:
         ((op, col),) = body.items()
         if op not in AGG_OPS:
             raise SpecError(f"unknown agg op {op!r} in {alias!r}")
+        if col is not True and not isinstance(col, str):
+            raise SpecError(
+                f"$agg entry {alias!r}: column must be a name or True (count-star)"
+                f" — got {col!r}"
+            )
         aggs.append(AggSpec(alias, op, None if col is True else col))
     return aggs
 
@@ -278,6 +283,15 @@ def _parse_orderlist(obj: object, ctx: str) -> list[tuple[str, str]]:
         if isinstance(item, str):
             out.append((item, "asc"))
         else:
+            # VERDICT r6 item 1 / hypothesis falsifying example {"$orderby":
+            # [None]}: guard the shape before unpacking so malformed items
+            # raise the typed SpecError, never a raw TypeError/ValueError.
+            if (not isinstance(item, (list, tuple)) or len(item) != 2
+                    or not isinstance(item[0], str)):
+                raise SpecError(
+                    f"{ctx}: each item must be a column name or a"
+                    f" [column, asc|desc] pair — got {item!r}"
+                )
             col, direction = item
             if direction not in ("asc", "desc"):
                 raise SpecError(f"{ctx}: bad sort direction {direction!r}")
@@ -419,8 +433,8 @@ def parse_spec(spec: dict) -> QuerySpec:
         qs.select = _parse_select(top["$select"])
     if "$groupby" in top:
         gb = top["$groupby"]
-        if not isinstance(gb, list):
-            raise SpecError("$groupby must be a list of columns")
+        if not isinstance(gb, list) or not all(isinstance(c, str) for c in gb):
+            raise SpecError("$groupby must be a list of column names")
         qs.groupby = gb
     if "$agg" in top:
         qs.aggs = _parse_aggs(top["$agg"])
@@ -437,11 +451,13 @@ def parse_spec(spec: dict) -> QuerySpec:
     if "$orderby" in top:
         qs.orderby = _parse_orderlist(top["$orderby"], "$orderby")
     if "$limit" in top:
-        if not isinstance(top["$limit"], int) or top["$limit"] < 0:
+        if (not isinstance(top["$limit"], int) or isinstance(top["$limit"], bool)
+                or top["$limit"] < 0):
             raise SpecError("$limit must be a non-negative int")
         qs.limit = top["$limit"]
     if "$offset" in top:
-        if not isinstance(top["$offset"], int) or top["$offset"] < 0:
+        if (not isinstance(top["$offset"], int)
+                or isinstance(top["$offset"], bool) or top["$offset"] < 0):
             raise SpecError("$offset must be a non-negative int")
         if "$orderby" not in top:
             raise SpecError("$offset requires $orderby (unordered pagination"

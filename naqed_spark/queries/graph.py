@@ -516,7 +516,10 @@ def _min_reach_fixpoint(verts, edges, along, spark, cap=20):
     per superstep (the aggregateMessages shape), localCheckpoint per step
     to cut lineage; raises on non-convergence (llm_dedup_groups
     precedent — silent wrong labels are worse than a loud stop)."""
+    from naqed_spark.session import persistent_rdd_ids, unpersist_rdds
+
     src, dst = ("src", "dst") if along == "fwd" else ("dst", "src")
+    before = persistent_rdd_ids(spark)
     lab = verts.select("v", F.col("v").alias("lab")).localCheckpoint()
     for _ in range(cap):
         msgs = (
@@ -529,13 +532,22 @@ def _min_reach_fixpoint(verts, edges, along, spark, cap=20):
             .select("v", F.least("lab", "m").alias("lab"))
             .localCheckpoint()
         )
-        changed = (
+        converged = (
             lab.select("v", F.col("lab").alias("old"))
             .join(new, "v")
             .filter(F.col("lab") < F.col("old"))
+            .isEmpty()
         )
+        # O(1) retained state per superstep (VERDICT r6 item 7, llm.py
+        # blocked-kernel precedent): `new` is an EAGER checkpoint and the
+        # changed-check above fully consumed the old `lab`, so free every
+        # id this fixpoint pinned except the newest (= new's checkpoint;
+        # RDD ids are monotonic). Ids pinned by the caller stay untouched.
+        mine = persistent_rdd_ids(spark) - before
+        if mine:
+            unpersist_rdds(spark, mine - {max(mine)})
         lab = new
-        if changed.isEmpty():
+        if converged:
             return lab
     raise RuntimeError(f"min-reach({along}) did not converge in {cap} supersteps")
 
@@ -586,6 +598,9 @@ def scc_labels(spark, ue):
     """(v, scc) for every vertex of the directed edge set ``ue``
     (cols src, dst) — the coloring loop behind graph_scc, factored so
     adversarial graphs can drive it directly (tests/test_graph.py)."""
+    from naqed_spark.session import persistent_rdd_ids, unpersist_rdds
+
+    base = persistent_rdd_ids(spark)
     verts = (
         ue.select(F.col("src").alias("v"))
         .union(ue.select(F.col("dst").alias("v")))
@@ -619,8 +634,22 @@ def scc_labels(spark, ue):
                 .select("src", "dst")
                 .localCheckpoint()
             )
-        else:
+            # O(1) retained state per outer round (VERDICT r6 item 7): all
+            # four frames above are eager checkpoints, so the prior round's
+            # done/verts/edges (and this round's fwd/bwd/resolved, already
+            # folded into them) are consumed. Ids are monotonic — the three
+            # newest pins are exactly {done, verts, edges} (round 1: done IS
+            # resolved, still among the top three); free the rest.
+            mine = persistent_rdd_ids(spark) - base
+            live = set(sorted(mine)[-3:])
+            unpersist_rdds(spark, mine - live)
+        # ADVICE r6: the old for/else raised even when round 30 resolved the
+        # last vertex (the empty-check only ran at the TOP of the next
+        # round), so re-check emptiness after the loop instead.
+        if not verts.isEmpty():
             raise RuntimeError("graph_scc did not converge in 30 rounds")
+    if done is None:  # no edges at all -> no vertices, empty (v, scc) frame
+        return verts.select("v", F.col("v").alias("scc"))
     return done
 
 

@@ -305,7 +305,7 @@ def ts_cohort_retention(spark, sf_dir):
     SELECT event_id, event_type, value,
            round((value - sx / n)
                  / sqrt((sx2 - sx * sx / n) / (n - 1)), 6) AS z
-    FROM w WHERE n >= 10
+    FROM w WHERE n >= 10 AND (sx2 - sx * sx / n) / (n - 1) > 0
     """,
 )
 def ts_anomaly_zscore(spark, sf_dir):
@@ -333,11 +333,15 @@ def ts_anomaly_zscore(spark, sf_dir):
               .cast("decimal(20,4)")).over(tw)
         .cast("double").alias("sx2"),
     )
-    z = (F.col("value") - F.col("sx") / F.col("n")) / F.sqrt(
-        (F.col("sx2") - F.col("sx") * F.col("sx") / F.col("n"))
-        / (F.col("n") - 1)
+    # Guard variance > 0 identically on both engines (ADVICE r6): a window
+    # of identical values gives var 0, where Spark's Divide yields NULL but
+    # DuckDB yields inf/NaN — filtering the degenerate rows out keeps the
+    # cross-engine hash stable and drops rows no monitor would flag anyway.
+    var = (F.col("sx2") - F.col("sx") * F.col("sx") / F.col("n")) / (
+        F.col("n") - 1
     )
+    z = (F.col("value") - F.col("sx") / F.col("n")) / F.sqrt(var)
     return (
-        w.filter(F.col("n") >= 10)
+        w.filter((F.col("n") >= 10) & (var > 0))
         .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
     )

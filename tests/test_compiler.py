@@ -745,3 +745,26 @@ def test_malformed_specs_fail_typed(eng, body):
     except AnalysisException:
         pass  # Spark's own analyzer ruling on a legal-but-wrong plan
     # compiling fine is also acceptable — garbage that happens to be valid
+
+
+# Pinned falsifying examples from the r6 fuzz run (VERDICT r6 item 1) plus
+# the sibling unguarded-unpack / bool-as-int shapes found in the same audit.
+# Explicit so the fix stays pinned independent of the local .hypothesis DB.
+@pytest.mark.parametrize(
+    "spec",
+    [
+        {"customer": {"c_name": True, "$orderby": [None]}},  # r6 shrink
+        {"customer": {"c_name": True, "$orderby": [["c_name", "asc", "x"]]}},
+        {"customer": {"c_name": True, "$orderby": [[None, "asc"]]}},
+        {"customer": {"c_name": True, "$orderby": [[]]}},
+        {"customer": {"c_name": True, "$orderby": [3]}},
+        {"customer": {"c_name": True, "$groupby": [None]}},
+        {"customer": {"c_name": True, "$agg": {"a": {"$sum": 3}}}},
+        {"customer": {"c_name": True, "$agg": {"a": {"$sum": None}}}},
+        {"customer": {"c_name": True, "$orderby": ["c_name"], "$limit": True}},
+        {"customer": {"c_name": True, "$orderby": ["c_name"], "$offset": True}},
+    ],
+)
+def test_malformed_spec_regressions_raise_spec_error(eng, spec):
+    with pytest.raises(SpecError):
+        eng.query(spec)

@@ -86,3 +86,36 @@ def test_scc_adversarial_graphs(spark):
     # one big cycle
     cyc = run([(5, 6), (6, 7), (7, 8), (8, 5)])
     assert cyc == {5: 5, 6: 5, 7: 5, 8: 5}
+
+
+def test_scc_empty_edges_returns_empty_frame(spark):
+    """ADVICE r6: an empty edge frame used to leave `done = None` and crash
+    graph_scc with AttributeError; now it yields an empty (v, scc) frame."""
+    from naqed_spark.queries.graph import scc_labels
+
+    df = spark.createDataFrame([], "src long, dst long")
+    out = scc_labels(spark, df)
+    assert [f.name for f in out.schema.fields] == ["v", "scc"]
+    assert out.count() == 0
+
+
+def test_scc_pinned_rdds_flat_across_supersteps(spark):
+    """VERDICT r6 item 7: the coloring loop retains O(1) checkpoint state —
+    after a multi-round SCC run the number of NEW pinned RDD ids is the
+    live frontier (done/verts/edges + fixpoint labels), not one per
+    superstep. A 2-SCC bridge graph forces >= 2 outer rounds and several
+    inner supersteps; without the per-step unpersist this pins ~15+ ids."""
+    from naqed_spark.queries.graph import scc_labels
+    from naqed_spark.session import persistent_rdd_ids, unpersist_rdds
+
+    before = persistent_rdd_ids(spark)
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 10), (10, 11), (11, 10)],
+        "src long, dst long",
+    )
+    done = scc_labels(spark, df)
+    got = {r["v"]: r["scc"] for r in done.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 10: 10, 11: 10}
+    mine = persistent_rdd_ids(spark) - before
+    assert len(mine) <= 5, f"checkpoint leak: {len(mine)} new pinned RDDs"
+    unpersist_rdds(spark, mine)
