@@ -94,6 +94,31 @@ def test_unsortable_column_guard_catches_raw_array(spark, duck, monkeypatch):
     assert any("cannot sort collection columns" in p for p in problems), problems
 
 
+def test_unsortable_guard_screens_rows_only_keys(spark, duck, monkeypatch):
+    """VERDICT r6 item 3: the collection-column guard must run BEFORE the
+    ROWS_ONLY early return — a rows-only key emitting array/map/struct
+    would crash the driver's pandas canonicalizer remotely while the local
+    rows-only gate (row count > 0) stayed green. Register a transient
+    ROWS_ONLY key emitting a raw array and require the complaint."""
+    from pyspark.sql import functions as F
+
+    from naqed_spark.registry import QUERIES, ROWS_ONLY
+
+    def rows_only_array(spark_, sf_dir):
+        nation = spark_.read.parquet(f"{sf_dir}/nation.parquet")
+        return nation.groupBy("n_regionkey").agg(
+            F.collect_list("n_name").alias("names")
+        )
+
+    monkeypatch.setitem(QUERIES, "_rows_only_array_probe", rows_only_array)
+    ROWS_ONLY.add("_rows_only_array_probe")
+    try:
+        problems = check_key(spark, duck, "_rows_only_array_probe", SF_DIR)
+    finally:
+        ROWS_ONLY.discard("_rows_only_array_probe")
+    assert any("cannot sort collection columns" in p for p in problems), problems
+
+
 def test_no_registered_key_emits_collection_typed_column(spark):
     """Registry-wide schema sweep (VERDICT r4 item 2b + ADVICE r5): NO
     registered key — sql-oracle or rows-only — may emit an array/map/struct
