@@ -9,7 +9,7 @@ The compiler parses the dict into a small IR, binds it against the Catalog
 Catalyst owns optimization (pushdown, pruning, join ordering, AQE).
 """
 
-from naqed_spark.compiler.spec import SpecError, parse_spec
+from naqed_spark.compiler.spec import SetSpec, SpecError, parse_query, parse_spec
 from naqed_spark.compiler.engine import Engine
 
-__all__ = ["Engine", "SpecError", "parse_spec"]
+__all__ = ["Engine", "SetSpec", "SpecError", "parse_query", "parse_spec"]

@@ -27,8 +27,10 @@ from naqed_spark.compiler.spec import (
     Node,
     Predicate,
     QuerySpec,
+    SetSpec,
     SpecError,
     WindowFn,
+    parse_query,
     parse_spec,
 )
 
@@ -119,8 +121,56 @@ class Engine:
 
     # -- E1: naqed-style query object -------------------------------------
     def query(self, spec: dict) -> DataFrame:
-        qs = parse_spec(spec)
+        qs = parse_query(spec)
+        if isinstance(qs, SetSpec):
+            return self._compile_set(qs)
         return self._compile(qs)
+
+    def _compile_set(self, ss: SetSpec) -> DataFrame:
+        """Set-operation combine (round 7). Scale shape: the union itself is
+        a zero-shuffle concat of the branch plans; the DISTINCT variants
+        ($union/$intersect/$except) shuffle once on the full row — Spark
+        plans intersect/except as partial-agg'd joins and AQE sizes the
+        exchange. Branches are aligned BY NAME before the positional
+        combine so field order in the spec never changes semantics."""
+        frames = [
+            self._compile_set(b) if isinstance(b, SetSpec) else self._compile(b)
+            for b in ss.branches
+        ]
+        first_cols = frames[0].columns
+        for i, f in enumerate(frames[1:], start=2):
+            if sorted(f.columns) != sorted(first_cols):
+                raise SpecError(
+                    f"{ss.op}: branch {i} columns {sorted(f.columns)} do not"
+                    f" match branch 1 columns {sorted(first_cols)}"
+                )
+        aligned = [f.select(*[F.col(c) for c in first_cols]) for f in frames]
+        if ss.op == "$union_all":
+            df = reduce(DataFrame.unionByName, aligned)
+        elif ss.op == "$union":
+            df = reduce(DataFrame.unionByName, aligned).distinct()
+        elif ss.op == "$intersect":
+            df = aligned[0].intersect(aligned[1])
+        else:  # $except — SQL EXCEPT (distinct); parser guarantees binary
+            df = aligned[0].subtract(aligned[1])
+        if ss.orderby:
+            for c, _ in ss.orderby:
+                if c not in first_cols:
+                    raise SpecError(
+                        f"{ss.op} $orderby: no such column {c!r}"
+                        f" (have {sorted(first_cols)})"
+                    )
+            df = df.orderBy(
+                *[
+                    F.col(c).desc() if d == "desc" else F.col(c).asc()
+                    for c, d in ss.orderby
+                ]
+            )
+        if ss.offset is not None:
+            df = df.offset(ss.offset)
+        if ss.limit is not None:
+            df = df.limit(ss.limit)
+        return df
 
     # -- compilation -------------------------------------------------------
     def _load_filtered(self, node: Node) -> DataFrame:

@@ -58,6 +58,26 @@ capability without a QuerySpec spelling):
 Windows are computed AFTER $agg when both are present (SQL ordering), so a
 window can rank aggregated rows; $qualify applies after windows.
 
+Round-7 extensions (VERDICT r6 item 6 — set/subquery families):
+
+    {"$union": [specA, specB, ...]}   # set ops at the TOP level: $union /
+                                      # $intersect / $except (SQL DISTINCT
+                                      # semantics; binary for intersect/
+                                      # except) and $union_all; branches
+                                      # are full query specs (nesting set
+                                      # ops is allowed) and must emit the
+                                      # same column names; sibling
+                                      # $orderby/$limit/$offset apply after
+                                      # the combine
+    "orders": {"$exists": true, ...}   # EXISTS child predicate — sugar for
+                                      # $how: left_semi (false → left_anti,
+                                      # NOT EXISTS); the hop may carry a
+                                      # $filter but cannot request fields.
+                                      # An IN-subquery predicate is the
+                                      # same spelling: $exists + child
+                                      # $filter compiles to one left-semi
+                                      # equi-join.
+
 ``$``-keys are arguments (the reference passes resolver args the same way);
 everything else is either a requested field (``True``) or a relationship
 traversal (nested dict). Relationship fan-out is relational: one output row
@@ -125,6 +145,11 @@ WINDOW_FNS = {
 }
 _WINDOW_PARAM_KEYS = {"$partition", "$order", "$of", "$n", "$offset",
                       "$default", "$frame"}
+
+# Round-7 set operators (VERDICT r6 item 6 — the last §2 family with no
+# QuerySpec spelling). SQL semantics: $union/$intersect/$except are
+# DISTINCT; $union_all keeps duplicates. $intersect/$except are binary.
+SET_OPS = {"$union", "$union_all", "$intersect", "$except"}
 
 
 @dataclass
@@ -386,6 +411,8 @@ def _parse_node(entity: str, body: dict) -> tuple[Node, dict]:
         raise SpecError(f"entity {entity!r} body must be a dict")
     node = Node(entity=entity)
     top: dict = {}
+    how_given = False
+    exists_val: bool | None = None
     for key, val in body.items():
         if key == "$filter":
             node.filters = _parse_filters(val)
@@ -393,6 +420,15 @@ def _parse_node(entity: str, body: dict) -> tuple[Node, dict]:
             if val not in ("inner", "left", "right", "full", "left_semi", "left_anti"):
                 raise SpecError(f"bad $how {val!r}")
             node.how = val
+            how_given = True
+        elif key == "$exists":
+            # round 7: EXISTS/NOT-EXISTS child predicate — sugar for the
+            # semi/anti join $how. The IN-subquery child predicate is the
+            # same spelling ($exists: true + a child $filter on the value
+            # column — Spark compiles both to one left-semi equi-join).
+            if not isinstance(val, bool):
+                raise SpecError(f"$exists on {entity!r} must be true or false")
+            exists_val = val
         elif key == "$collect":
             node.collect = bool(val)
         elif key in ("$agg", "$groupby", "$having", "$orderby", "$limit",
@@ -418,6 +454,20 @@ def _parse_node(entity: str, body: dict) -> tuple[Node, dict]:
             raise SpecError(
                 f"field {key!r}: expected True or nested dict, got {val!r}"
             )
+    if exists_val is not None:
+        if how_given:
+            raise SpecError(
+                f"{entity!r}: $exists and $how are mutually exclusive"
+            )
+        if node.collect:
+            raise SpecError(f"{entity!r}: $exists cannot combine with $collect")
+        if node.fields:
+            raise SpecError(
+                f"{entity!r}: $exists hop cannot request fields"
+                f" ({node.fields}) — child columns are not visible through"
+                f" a semi/anti join"
+            )
+        node.how = "left_semi" if exists_val else "left_anti"
     return node, top
 
 
@@ -428,6 +478,9 @@ def parse_spec(spec: dict) -> QuerySpec:
     root, top = _parse_node(entity, body)
     if root.collect:
         raise SpecError("$collect is only meaningful on a relationship hop")
+    if root.how != "inner":
+        raise SpecError("$how/$exists only apply to relationship hops,"
+                        " not the root entity")
     qs = QuerySpec(root=root)
     if "$select" in top:
         qs.select = _parse_select(top["$select"])
@@ -469,3 +522,60 @@ def parse_spec(spec: dict) -> QuerySpec:
         # global aggregation is fine; groupby optional
         pass
     return qs
+
+
+@dataclass
+class SetSpec:
+    """A set-operation query: op over >= 2 branch queries (each a full
+    QuerySpec or a nested SetSpec), with optional outer ordering/pagination
+    applied AFTER the combine (SQL ORDER BY/LIMIT scope on a union)."""
+
+    op: str  # one of SET_OPS
+    branches: list  # QuerySpec | SetSpec
+    orderby: list[tuple[str, str]] = field(default_factory=list)
+    limit: int | None = None
+    offset: int | None = None
+
+
+def _nonneg_int(v: object, ctx: str) -> int:
+    if not isinstance(v, int) or isinstance(v, bool) or v < 0:
+        raise SpecError(f"{ctx} must be a non-negative int")
+    return v
+
+
+def parse_query(spec: dict) -> "QuerySpec | SetSpec":
+    """Parse either a plain single-root query or a set-operation query
+    ({"$union": [specA, specB], "$orderby": ..., "$limit": ...})."""
+    if not isinstance(spec, dict):
+        raise SpecError("query spec must be a dict")
+    ops = SET_OPS & set(spec)
+    if not ops:
+        return parse_spec(spec)
+    if len(ops) > 1:
+        raise SpecError(f"only one set operator per level, got {sorted(ops)}")
+    op = next(iter(ops))
+    extra = set(spec) - {op, "$orderby", "$limit", "$offset"}
+    if extra:
+        raise SpecError(
+            f"{op}: unknown sibling keys {sorted(extra)}"
+            f" (only $orderby/$limit/$offset combine with a set op)"
+        )
+    raw = spec[op]
+    if not isinstance(raw, list) or not all(isinstance(b, dict) for b in raw):
+        raise SpecError(f"{op} must be a list of query specs")
+    if op in ("$intersect", "$except"):
+        if len(raw) != 2:
+            raise SpecError(f"{op} takes exactly 2 branches, got {len(raw)}")
+    elif len(raw) < 2:
+        raise SpecError(f"{op} needs at least 2 branches, got {len(raw)}")
+    ss = SetSpec(op=op, branches=[parse_query(b) for b in raw])
+    if "$orderby" in spec:
+        ss.orderby = _parse_orderlist(spec["$orderby"], "$orderby")
+    if "$limit" in spec:
+        ss.limit = _nonneg_int(spec["$limit"], "$limit")
+    if "$offset" in spec:
+        if not ss.orderby:
+            raise SpecError("$offset requires $orderby (unordered pagination"
+                            " is nondeterministic)")
+        ss.offset = _nonneg_int(spec["$offset"], "$offset")
+    return ss

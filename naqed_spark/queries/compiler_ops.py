@@ -264,3 +264,93 @@ def compiler_composite_topk(spark, sf_dir):
             }
         }
     )
+
+
+@query(
+    "compiler_set_ops",
+    # Round 7 (VERDICT r6 item 6): E1 set operators. (BUILDING customers
+    # UNION high-balance customers) EXCEPT low-nationkey customers —
+    # nested set specs, SQL DISTINCT semantics, outer $orderby applied
+    # after the combine. All emitted columns are key/string — no float
+    # discipline needed. Scale shape: the union is a zero-shuffle concat;
+    # the DISTINCT/EXCEPT steps are one full-row shuffle each, which AQE
+    # sizes; nothing here is driver-side.
+    oracle="""
+    (SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'
+     UNION
+     SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000.0)
+    EXCEPT
+    SELECT c_custkey, c_name FROM customer WHERE c_nationkey IN (1, 2, 3)
+    """,
+)
+def compiler_set_ops(spark, sf_dir):
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "$except": [
+                {
+                    "$union": [
+                        {
+                            "customer": {
+                                "$filter": {"c_mktsegment": "BUILDING"},
+                                "c_custkey": True,
+                                "c_name": True,
+                            }
+                        },
+                        {
+                            "customer": {
+                                "$filter": {"c_acctbal": {"$gt": 9000.0}},
+                                "c_custkey": True,
+                                "c_name": True,
+                            }
+                        },
+                    ]
+                },
+                {
+                    "customer": {
+                        "$filter": {"c_nationkey": {"$in": [1, 2, 3]}},
+                        "c_custkey": True,
+                        "c_name": True,
+                    }
+                },
+            ]
+        }
+    )
+
+
+@query(
+    "compiler_exists_child",
+    # Round 7 (VERDICT r6 item 6): EXISTS child predicate — BUILDING
+    # customers having at least one order above 200k. $exists: true is
+    # sugar for $how: left_semi; the child $filter makes it the
+    # IN-subquery shape too (custkey IN (SELECT o_custkey FROM orders
+    # WHERE ...)). Compiles to ONE left-semi equi-join — at 100 TB the
+    # filtered order-key side is aggregated by the semi join itself, no
+    # fan-out rows ever materialize, and AQE can broadcast the small side.
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE c_mktsegment = 'BUILDING'
+      AND EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 200000.0)
+    """,
+)
+def compiler_exists_child(spark, sf_dir):
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "customer": {
+                "$filter": {"c_mktsegment": "BUILDING"},
+                "c_custkey": True,
+                "c_name": True,
+                "orders": {
+                    "$exists": True,
+                    "$filter": {"o_totalprice": {"$gt": 200000.0}},
+                },
+            }
+        }
+    )

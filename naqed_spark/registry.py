@@ -45,22 +45,15 @@ def query(key: str, oracle: Optional[str] = None, rows_only: bool = False):
 
 # Driver-facing key order. The driver's correctness harness walks keys in
 # the order ``queries()`` yields them and checks ~50 per round, so keys
-# with the OLDEST (or no) driver signal go first. Round-6 rotation
-# (VERDICT r4 item 3): the brand-new compiler key, then the 50 keys whose
-# last hard driver signal is round 2 (filters, core joins/aggs, scalar
-# fns, graph — their files changed in r3/r4 without a re-check), then the
-# r3-era keys (windows, streaming, llm, udfs) so round 7's window reaches
-# them next. Keys re-verified in r4/r5 trail in registration order.
+# with the OLDEST (or no) driver signal go first. Round-7 rotation
+# (VERDICT r6 items 2+6): the two brand-new r7 compiler keys, then the
+# r2-era staleness queue (filters, core joins/aggs, scalar fns, graph),
+# then the r3-era keys (windows, streaming, llm, udfs). The r6 additions
+# got their hard signal in round 6 and now trail with everything
+# re-verified r4–r6 (registration order).
 PRIORITY: list[str] = [
-    # round-6 additions — brand new, need first driver contact
-    "compiler_window_rank", "llm_contamination_ngram", "llm_repetition_score",
-    "llm_ann_hyperplane_lsh", "llm_pack_sequences", "llm_corpus_prep_pipeline",
-    "agg_hll_partial_merge", "agg_approx_percentile_sketch",
-    "compiler_pagination", "llm_multimodal_frame_sample",
-    "ts_funnel_stages", "ts_cohort_retention", "graph_scc",
-    "sink_compact_small_files", "llm_minhash_jaccard_estimate",
-    "fn_variant_json", "compiler_composite_topk", "join_asof_nearest",
-    "graph_copurchase", "ts_anomaly_zscore",
+    # round-7 additions — brand new, need first driver contact
+    "compiler_set_ops", "compiler_exists_child",
     # last driver signal r2: projection/filter
     "project_select_alias", "filter_comparison", "filter_boolean_logic",
     "filter_in_between_like", "filter_null_semantics", "project_distinct",
