@@ -44,33 +44,24 @@ def query(key: str, oracle: Optional[str] = None, rows_only: bool = False):
 
 
 # Driver-facing key order. The driver's correctness harness walks keys in
-# the order ``queries()`` yields them and checks ~50 per round, so keys
-# with the OLDEST (or no) driver signal go first. Round-7 rotation
-# (VERDICT r6 items 2+6): the two brand-new r7 compiler keys, then the
-# r2-era staleness queue (filters, core joins/aggs, scalar fns, graph),
-# then the r3-era keys (windows, streaming, llm, udfs). The r6 additions
-# got their hard signal in round 6 and now trail with everything
-# re-verified r4–r6 (registration order).
+# the order ``queries()`` yields them and checks exactly the first 50, so
+# keys with the OLDEST (or no) driver signal go first. Round-7 rotation
+# (VERDICT r6 items 2+6): the brand-new r7 compiler keys, then the
+# staleness queue oldest-first — the r2-era remainder r6's window did NOT
+# reach (agg_string_concat_ordered, scalar fns, graph core), then the
+# r3-era keys (windows, streaming, llm, udfs). The 30 r2-era keys r6's
+# window DID re-verify (filters/projection, core joins, core aggs —
+# CORRECTNESS_r06 keys 21-50) rotate to the back with everything else
+# re-verified r4–r6.
 PRIORITY: list[str] = [
     # round-7 additions — brand new, need first driver contact
     "compiler_set_ops", "compiler_exists_child",
-    # last driver signal r2: projection/filter
-    "project_select_alias", "filter_comparison", "filter_boolean_logic",
-    "filter_in_between_like", "filter_null_semantics", "project_distinct",
-    "filter_dynamic_args",
-    # last driver signal r2: core joins
-    "join_inner_equi", "join_broadcast", "join_left_outer", "join_full_outer",
-    "join_left_semi", "join_left_anti", "join_cross", "join_theta_range",
-    # last driver signal r2: core aggregations
-    "agg_global", "agg_groupby_hash", "agg_count_distinct",
-    "agg_approx_count_distinct", "agg_having", "agg_filtered", "agg_rollup",
-    "agg_cube", "agg_grouping_sets", "agg_stats", "agg_percentile_exact",
-    "agg_collect_set", "agg_min_max_by", "agg_pivot", "agg_unpivot",
+    # last driver signal r2 (missed r6's window): ordered string agg
     "agg_string_concat_ordered",
-    # last driver signal r2: scalar functions
+    # last driver signal r2 (missed r6's window): scalar functions
     "fn_string", "fn_date", "fn_math", "fn_conditional", "fn_array",
     "fn_explode", "fn_map", "fn_json", "fn_cast",
-    # last driver signal r2: graph
+    # last driver signal r2 (missed r6's window): graph
     "graph_degree", "graph_1hop", "graph_2hop", "graph_khop_fixed",
     "graph_reachability_bfs", "graph_shortest_path_weighted",
     "graph_connected_components", "graph_pagerank_fixed",
@@ -83,7 +74,8 @@ PRIORITY: list[str] = [
     "stream_session_window", "stream_watermark_late_drop", "stream_dedup",
     "stream_static_join", "stream_foreachbatch_sink", "stream_complete_topk",
     "stream_stream_join", "source_stream_events",
-    # last driver signal r3: llm pipeline
+    # last driver signal r3: llm pipeline (first 17 fit round 7's window;
+    # the remainder + udfs lead round 8's)
     "llm_exact_dedup", "llm_tokenize_wordcount", "llm_tfidf",
     "llm_shingle_minhash", "llm_neardup_lsh", "llm_knn_bruteforce",
     "llm_knn_centroid", "llm_embed_normalize",
@@ -95,6 +87,17 @@ PRIORITY: list[str] = [
     # last driver signal r3: UDF surface
     "udf_python_scalar", "udf_pandas_vectorized", "udaf_applyinpandas",
     "udtf_python", "udf_arrow_optimized",
+    # re-verified in r6's window (CORRECTNESS_r06): filters/projection,
+    # core joins, core aggregations — freshest of the old guard
+    "project_select_alias", "filter_comparison", "filter_boolean_logic",
+    "filter_in_between_like", "filter_null_semantics", "project_distinct",
+    "filter_dynamic_args",
+    "join_inner_equi", "join_broadcast", "join_left_outer", "join_full_outer",
+    "join_left_semi", "join_left_anti", "join_cross", "join_theta_range",
+    "agg_global", "agg_groupby_hash", "agg_count_distinct",
+    "agg_approx_count_distinct", "agg_having", "agg_filtered", "agg_rollup",
+    "agg_cube", "agg_grouping_sets", "agg_stats", "agg_percentile_exact",
+    "agg_collect_set", "agg_min_max_by", "agg_pivot", "agg_unpivot",
 ]
 
 
