@@ -72,6 +72,56 @@ def sink_parquet_roundtrip(spark, sf_dir):
 
 
 @query(
+    "source_csv_roundtrip",
+    # round 7: CSV source with an EXPLICIT schema — write a projection out
+    # as headered CSV, re-read it typed. Schema inference is deliberately
+    # off: at 100 TB inference is a full extra pass over the files before
+    # the real scan even starts; a declared StructType makes the re-read
+    # single-pass and analysis-time-typed. Columns are int/string only —
+    # CSV is not a binary-exact float carrier, parquet stays the format
+    # for numeric-critical data (sink_parquet_roundtrip covers that).
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_mktsegment, c_name FROM customer
+    """,
+)
+def source_csv_roundtrip(spark, sf_dir):
+    src = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_name"
+    )
+    out = os.environ.get("NAQED_SCRATCH_DIR", tempfile.gettempdir())
+    out = f"{out}/naqed_scratch/customer_csv"
+    src.write.mode("overwrite").option("header", True).csv(out)
+    return spark.read.schema(
+        "c_custkey bigint, c_nationkey bigint, c_mktsegment string,"
+        " c_name string"
+    ).option("header", True).csv(out)
+
+
+@query(
+    "source_json_roundtrip",
+    # round 7: JSON-lines source with an explicit schema (same
+    # no-inference discipline as source_csv_roundtrip — Spark would
+    # otherwise scan every file twice). ndjson is the interchange format
+    # for document/corpus drops; int/string columns keep the roundtrip
+    # byte-exact.
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority FROM orders
+    """,
+)
+def source_json_roundtrip(spark, sf_dir):
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    out = os.environ.get("NAQED_SCRATCH_DIR", tempfile.gettempdir())
+    out = f"{out}/naqed_scratch/orders_json"
+    src.write.mode("overwrite").json(out)
+    return spark.read.schema(
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_orderpriority string"
+    ).json(out)
+
+
+@query(
     "scan_json_props",
     oracle="""
     SELECT event_id,

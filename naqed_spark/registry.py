@@ -56,6 +56,7 @@ def query(key: str, oracle: Optional[str] = None, rows_only: bool = False):
 PRIORITY: list[str] = [
     # round-7 additions — brand new, need first driver contact
     "compiler_set_ops", "compiler_exists_child",
+    "source_csv_roundtrip", "source_json_roundtrip",
     # last driver signal r2 (missed r6's window): ordered string agg
     "agg_string_concat_ordered",
     # last driver signal r2 (missed r6's window): scalar functions
