@@ -216,6 +216,31 @@ class QuerySpec:
     qualify: list[Predicate] = field(default_factory=list)  # post-window filter
 
 
+def _validate_filter_value(col: str, op: str, val: object) -> None:
+    """Shape-check predicate args at parse time (round 7 — the r6
+    typed-error audit extended to the filter DSL: a malformed $in/$between
+    arg must raise SpecError here, never TypeError/ValueError inside the
+    compiler's unpack)."""
+    if op == "$in":
+        if not isinstance(val, (list, tuple)) or any(
+            isinstance(v, (dict, list, tuple)) for v in val
+        ):
+            raise SpecError(f"{col!r}: $in needs a list of scalar values")
+    elif op == "$between":
+        if (not isinstance(val, (list, tuple)) or len(val) != 2
+                or any(isinstance(v, (dict, list, tuple)) for v in val)):
+            raise SpecError(f"{col!r}: $between needs a [low, high] pair")
+    elif op == "$like":
+        if not isinstance(val, str):
+            raise SpecError(f"{col!r}: $like needs a string pattern")
+    elif op in ("$isnull", "$notnull"):
+        if val is not True:
+            raise SpecError(
+                f"{col!r}: {op} takes only true (use the other op for the"
+                f" negation) — got {val!r}"
+            )
+
+
 def _parse_filters(obj: object) -> list[Predicate]:
     if not isinstance(obj, dict):
         raise SpecError(f"$filter must be a dict, got {type(obj).__name__}")
@@ -225,8 +250,13 @@ def _parse_filters(obj: object) -> list[Predicate]:
             for op, val in cond.items():
                 if op not in FILTER_OPS:
                     raise SpecError(f"unknown filter op {op!r} on {col!r}")
+                _validate_filter_value(col, op, val)
                 preds.append(Predicate(col, op, val))
         else:
+            if isinstance(cond, (list, tuple)):
+                raise SpecError(
+                    f"{col!r}: bare list is ambiguous — spell {{'$in': [...]}}"
+                )
             preds.append(Predicate(col, "$eq", cond))
     return preds
 

@@ -728,7 +728,8 @@ _garbage = st.recursive(
                  "$offset", "$select", "$window", "$qualify", "$collect",
                  "$how", "$eq", "$gt", "$sum", "$row_number", "c_name",
                  "c_acctbal", "orders", "nation", "bogus",
-                 "$union", "$union_all", "$intersect", "$except", "$exists"]),
+                 "$union", "$union_all", "$intersect", "$except", "$exists",
+                 "$in", "$between", "$like", "$isnull"]),
             child, max_size=3)),
     max_leaves=8)
 
@@ -783,6 +784,18 @@ def test_malformed_set_branches_fail_typed(eng, op, b1, b2):
         {"customer": {"c_name": True, "$agg": {"a": {"$sum": None}}}},
         {"customer": {"c_name": True, "$orderby": ["c_name"], "$limit": True}},
         {"customer": {"c_name": True, "$orderby": ["c_name"], "$offset": True}},
+        # round-7 filter-DSL shape audit (same typed-error class)
+        {"customer": {"c_custkey": True, "$filter": {"c_acctbal": {"$in": 5}}}},
+        {"customer": {"c_custkey": True,
+                      "$filter": {"c_acctbal": {"$in": [[1]]}}}},
+        {"customer": {"c_custkey": True,
+                      "$filter": {"c_acctbal": {"$between": [1]}}}},
+        {"customer": {"c_custkey": True,
+                      "$filter": {"c_acctbal": {"$between": 7}}}},
+        {"customer": {"c_custkey": True, "$filter": {"c_name": {"$like": 5}}}},
+        {"customer": {"c_custkey": True,
+                      "$filter": {"c_name": {"$isnull": "x"}}}},
+        {"customer": {"c_custkey": True, "$filter": {"c_name": [1, 2]}}},
     ],
 )
 def test_malformed_spec_regressions_raise_spec_error(eng, spec):
