@@ -412,6 +412,10 @@ def _parse_window(obj: object) -> list[WindowFn]:
         if "$default" in params:
             if kind != "offset":
                 raise SpecError(f"$window {alias!r}: $default only applies to $lag/$lead")
+            if isinstance(params["$default"], (dict, list, tuple)):
+                raise SpecError(
+                    f"$window {alias!r}: $default must be a scalar literal"
+                )
             w.default = params["$default"]
         if "$frame" in params:
             if kind != "agg":

@@ -796,6 +796,9 @@ def test_malformed_set_branches_fail_typed(eng, op, b1, b2):
         {"customer": {"c_custkey": True,
                       "$filter": {"c_name": {"$isnull": "x"}}}},
         {"customer": {"c_custkey": True, "$filter": {"c_name": [1, 2]}}},
+        {"customer": {"c_custkey": True, "$window": {"p": {"$lag": {
+            "$of": "c_acctbal", "$order": ["c_custkey"],
+            "$default": {"x": 1}}}}}},
     ],
 )
 def test_malformed_spec_regressions_raise_spec_error(eng, spec):

@@ -399,3 +399,34 @@ def test_copurchase_and_nearest_asof_plans(spark):
     assert "BroadcastNestedLoopJoin" not in tree
     plan = plan_of(spark, "join_asof_nearest")
     assert "WindowGroupLimit" in plan
+
+
+def test_exists_child_is_semi_join_no_fanout(spark):
+    # $exists compiles to ONE left-semi equi-join: order columns never
+    # enter the plan's output, no fan-out rows materialize, and the
+    # filtered child is AQE-broadcastable. NOT EXISTS is the anti twin.
+    plan = plan_of(spark, "compiler_exists_child")
+    assert "LeftSemi" in plan, plan
+    assert "o_orderdate" not in plan  # child pruned to join key + filter col
+
+
+def test_set_ops_key_plan_shape(spark):
+    # (A UNION B) EXCEPT C: the union is a concat (no join); the EXCEPT
+    # and DISTINCT steps are aggregate/join exchanges — never a cartesian.
+    plan = plan_of(spark, "compiler_set_ops")
+    assert "Union" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_source_roundtrips_have_declared_schema(spark):
+    # explicit-schema re-reads: the scan's ReadSchema is the declared
+    # struct (no inference pass ran to discover it; bigint stays bigint).
+    for key, frag in [
+        ("source_csv_roundtrip", "c_custkey:bigint"),
+        ("source_json_roundtrip", "o_orderkey:bigint"),
+    ]:
+        df = QUERIES[key](spark, SF_DIR)
+        assert dict(
+            (f.name, f.dataType.simpleString()) for f in df.schema.fields
+        )[frag.split(":")[0]] == frag.split(":")[1]
