@@ -134,7 +134,7 @@ _STATUSES = ["O", "F", "P"]
 join_agg_strategy = st.fixed_dictionaries(
     {
         "group_on": st.sampled_from(["o_orderstatus", "c_mktsegment"]),
-        "how": st.sampled_from(["inner", "left"]),
+        "how": st.sampled_from(["inner", "left", "right", "full"]),
     },
     optional={
         "o_orderstatus": st.sampled_from(_STATUSES),
@@ -162,8 +162,8 @@ def test_join_agg_spec_matches_direct_dataframe(eng, case):
     child: dict = {"c_mktsegment": True}
     if "c_mktsegment" in case:
         child["$filter"] = {"c_mktsegment": case["c_mktsegment"]}
-    if case["how"] == "left":
-        child["$how"] = "left"
+    if case["how"] != "inner":
+        child["$how"] = case["how"]
     spec_filt = {
         k: case[k] for k in ("o_orderstatus", "o_totalprice") if k in case
     }
@@ -880,3 +880,30 @@ def test_set_op_plan_is_single_exchange_distinct(eng):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Union" in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_exists_with_nested_hop_matches_duckdb_exists(eng):
+    """$exists over a hop that itself traverses deeper (orders ->
+    lineitems): the whole subtree constrains existence, no columns leak.
+    Oracle: the literal correlated EXISTS with a join inside."""
+    import duckdb
+
+    df = eng.query({
+        "customer": {
+            "c_custkey": True,
+            "orders": {"$exists": True,
+                       "lineitems": {"$filter": {"l_quantity": {"$gte": 49.0}}}},
+        }
+    })
+    got = sorted(r["c_custkey"] for r in df.collect())
+    con = duckdb.connect()
+    want = sorted(r[0] for r in con.execute(f"""
+        SELECT c_custkey FROM parquet_scan('{SF_DIR}/customer.parquet') c
+        WHERE EXISTS (
+          SELECT 1 FROM parquet_scan('{SF_DIR}/orders.parquet') o
+          JOIN parquet_scan('{SF_DIR}/lineitem.parquet') l
+            ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_custkey = c.c_custkey AND l.l_quantity >= 49.0)
+    """).fetchall())
+    con.close()
+    assert got == want
