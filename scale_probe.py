@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Empirical scaling probe: do the headline plans scale with data?
+
+The driver fixtures are single-row-group parquet, so every sf0.1 bench
+number carries a serial-scan floor (see SCALE.md "Bench noise
+calibration"). This probe answers the question the bench cannot: *when
+the data grows K x and the files are splittable, does wall-clock grow
+sub-linearly the way the 100 TB argument claims?*
+
+Method: materialize K key-shifted copies of the sf0.1 fact tables
+(lineitem/orders/customer/events; fixed-size dims copied unshifted —
+dims grow slower than facts in real warehouses) as 32-file parquet under
+scratch, then time the registry's own headline queries against the 1x
+and Kx scratch datasets (same warm-up + timed-run method as bench.py).
+Key shifts keep all join/group cardinalities proportional: copy i adds
+i * 10^7 to l_orderkey/o_orderkey, o_custkey/c_custkey, and
+event_id/user_id, so K x data has K x orders, K x customers, K x users
+— never K duplicate rows colliding on one key.
+
+Prints ONE JSON line:
+  {"probe": "scaling", "k": K, "queries": {key: {"t1": s, "tk": s,
+   "ratio": tk/t1}}, ...}
+
+ratio << K is the pass condition: the plans parallelize; the bench's
+constants are floor, not per-row cost. Run: python scale_probe.py [K]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+SHIFT = 10_000_000
+DIMS = ["region", "nation", "supplier", "part", "documents", "embeddings"]
+FACT_SHIFTS = {
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "events": ["event_id", "user_id"],
+}
+HEADLINE = [
+    "agg_groupby_hash",
+    "join_q3_shipping_priority",
+    "join_multiway_star",
+    "win_row_number_topk",
+    "win_sessionize",
+    "limit_topk_global",
+]
+
+
+def build(spark, src_dir: str, out_dir: str, k: int) -> None:
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    from naqed_spark.catalog import load
+
+    os.makedirs(out_dir, exist_ok=True)
+    for t in DIMS:
+        shutil.copy(f"{src_dir}/{t}.parquet", f"{out_dir}/{t}.parquet")
+    for t, keys in FACT_SHIFTS.items():
+        base = load(spark, src_dir, t)
+        copies = []
+        for i in range(k):
+            c = base
+            for col in keys:
+                c = c.withColumn(col, F.col(col) + F.lit(i * SHIFT))
+            copies.append(c)
+        df = reduce(lambda a, b: a.unionByName(b), copies)
+        # 32 files -> the scan is splittable, unlike the driver fixture
+        df.repartition(32).write.mode("overwrite").parquet(
+            f"{out_dir}/{t}.parquet"
+        )
+
+
+def timed(spark, key: str, sf_dir: str) -> float:
+    from naqed_spark.registry import QUERIES
+
+    QUERIES[key](spark, sf_dir).collect()  # warm-up: plan + codegen
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        QUERIES[key](spark, sf_dir).collect()
+        best = min(best, time.monotonic() - t0)
+    return best
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    scratch = os.environ.get("NAQED_SCRATCH_DIR", tempfile.gettempdir())
+    scratch = f"{scratch}/naqed_scale_probe"
+
+    from pyspark.sql import SparkSession
+
+    from naqed_spark.registry import load_all
+    from naqed_spark.session import tune_session
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("naqed-scale-probe")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    tune_session(spark)
+    load_all()
+
+    d1, dk = f"{scratch}/x1", f"{scratch}/x{k}"
+    build(spark, src, d1, 1)
+    build(spark, src, dk, k)
+
+    out = {}
+    for key in HEADLINE:
+        t1 = timed(spark, key, d1)
+        tk = timed(spark, key, dk)
+        out[key] = {"t1": round(t1, 3), "tk": round(tk, 3),
+                    "ratio": round(tk / t1, 2)}
+    print(json.dumps({"probe": "scaling", "k": k, "cpus": int(cpus),
+                      "queries": out}))
+    shutil.rmtree(scratch, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
