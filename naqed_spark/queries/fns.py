@@ -405,3 +405,41 @@ def fn_variant_json(spark, sf_dir):
             " THEN 0 ELSE 1 END"
         ).cast("int").alias("has_k"),
     )
+
+
+@query(
+    "fn_regex",
+    # Regex family composite over documents.text: anchored group extract,
+    # extract-all count, global replace, regex split count, and a partial
+    # rlike match. Engine deltas handled: DuckDB regexp_replace needs the
+    # 'g' flag to match Spark's replace-all default; both engines' \b and
+    # character classes agree on this ASCII corpus.
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '^(\\w+)', 1) AS first_word,
+           CAST(len(regexp_extract_all(text, '\\b[aeiou][a-z]*'))
+                AS BIGINT) AS n_vowel_words,
+           length(regexp_replace(text, '[aeiou]', '*', 'g')) AS masked_len,
+           CAST(len(string_split_regex(text, '\\s+')) AS BIGINT)
+             AS n_tokens,
+           CAST(regexp_matches(text, 'agg.*scan') AS INTEGER) AS has_aggscan
+    FROM documents
+    """,
+)
+def fn_regex(spark, sf_dir):
+    """All five expressions are JVM codegen string ops on a single scan —
+    no shuffle, no Python; the 100 TB shape is embarrassingly parallel
+    per-row work, the only knob being input split size."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"^(\w+)", 1).alias("first_word"),
+        F.size(F.regexp_extract_all("text", F.lit(r"\b[aeiou][a-z]*"), 0))
+        .cast("bigint")
+        .alias("n_vowel_words"),
+        F.length(F.regexp_replace("text", "[aeiou]", "*")).alias(
+            "masked_len"
+        ),
+        F.size(F.split("text", r"\s+")).cast("bigint").alias("n_tokens"),
+        F.col("text").rlike("agg.*scan").cast("int").alias("has_aggscan"),
+    )

@@ -519,3 +519,46 @@ def join_range_bucketed(spark, sf_dir):
         )
         .select("w_id", "event_id")
     )
+
+
+@query(
+    "join_lateral_topn",
+    # Correlated LATERAL subquery with ORDER BY + LIMIT: for every
+    # BUILDING-segment customer, their top-2 orders by price. This is the
+    # per-row dependent-join surface (SQL:1999 LATERAL / CROSS APPLY);
+    # Spark's DecorrelateInnerQuery rewrites the per-customer LIMIT into a
+    # rank-over-partition + filter, so the physical plan is the SAME
+    # WindowGroupLimit + broadcast join you would hand-write — asserted in
+    # tests/test_plans.py, never a per-row re-execution.
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+    FROM customer c JOIN LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t ON TRUE
+    WHERE c.c_mktsegment = 'BUILDING'
+    """,
+)
+def join_lateral_topn(spark, sf_dir):
+    """Scale shape: the decorrelated plan shuffles orders once on
+    o_custkey with a PARTIAL WindowGroupLimit before the exchange (map-side
+    top-k — at most 2 rows per customer per mapper cross the wire), then
+    broadcast-joins the filtered customer side. A naive lateral executor
+    would re-run the inner query per outer row; the rewrite is why this
+    survives 100 TB."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView(
+        "naqed_lat_customer"
+    )
+    load(spark, sf_dir, "orders").createOrReplaceTempView("naqed_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.o_totalprice
+        FROM naqed_lat_customer c JOIN LATERAL (
+          SELECT o_orderkey, o_totalprice FROM naqed_lat_orders o
+          WHERE o.o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        ) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )

@@ -208,3 +208,68 @@ def sink_compact_small_files(spark, sf_dir):
         compact
     )
     return spark.read.parquet(compact)
+
+
+@query(
+    "sink_merge_upsert",
+    # Copy-on-write MERGE (the Delta/Iceberg upsert pattern on plain
+    # parquet): a base snapshot receives a delta of keyed updates (matched
+    # rows get new status/price) plus inserts (unseen keys); the merge is
+    # anti-join(base, delta-keys) UNION ALL delta, rewritten in place and
+    # read back. The oracle derives the identical post-merge state purely
+    # relationally from `orders`.
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey < 12000
+    ),
+    delta AS (
+      SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+             o_totalprice + 100.0 AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey < 12000
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey >= 12000
+    )
+    SELECT * FROM base
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM delta)
+    UNION ALL
+    SELECT * FROM delta
+    """,
+)
+def sink_merge_upsert(spark, sf_dir):
+    """Scale shape: the delta's KEY SET is broadcast into the anti-join,
+    so the base table is scanned once with no shuffle; the rewrite is the
+    copy-on-write cost. At 100 TB the base is hive-partitioned and the
+    anti-join's dynamic partition pruning limits the rewrite to
+    partitions containing matched keys — the plan here is that pattern
+    minus the partition bookkeeping. (+100.0 on a 2-decimal double is an
+    exact IEEE add — bit-identical across engines, no rounding needed.)"""
+    base_path = _scratch("orders_merge_base")
+    merged_path = _scratch("orders_merge_out")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    o.filter(F.col("o_orderkey") < 12000).write.mode("overwrite").parquet(
+        base_path
+    )
+    base = spark.read.parquet(base_path)
+    merge_upsert_frame(o, base).write.mode("overwrite").parquet(merged_path)
+    return spark.read.parquet(merged_path)
+
+
+def merge_upsert_frame(o, base):
+    """The pre-write merge plan (split out so tests/test_plans.py can
+    assert the broadcast anti-join shape — the sink key's returned frame
+    is the post-rewrite read-back, which is just a scan)."""
+    updates = (
+        o.filter((F.col("o_orderkey") % 7 == 0) & (F.col("o_orderkey") < 12000))
+        .withColumn("o_orderstatus", F.lit("U"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 100.0)
+    )
+    inserts = o.filter(F.col("o_orderkey") >= 12000)
+    delta = updates.unionByName(inserts)
+    survivors = base.join(
+        F.broadcast(delta.select("o_orderkey")), "o_orderkey", "left_anti"
+    )
+    return survivors.unionByName(delta)

@@ -345,3 +345,184 @@ def ts_anomaly_zscore(spark, sf_dir):
         w.filter((F.col("n") >= 10) & (var > 0))
         .select("event_id", "event_type", "value", F.round(z, 6).alias("z"))
     )
+
+
+@query(
+    "ts_gaps_islands",
+    # Activity-streak detection (gaps-and-islands): per user, collapse the
+    # distinct calendar days with activity into maximal runs of CONSECUTIVE
+    # days. The classic trick — day minus row_number() is constant within a
+    # run — turns an order-dependent problem into a plain groupBy, so no
+    # iterative logic and no self-join is ever needed.
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+      FROM events WHERE event_type IN ('click', 'view', 'purchase')
+    ),
+    runs AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS anchor
+      FROM days
+    )
+    SELECT user_id,
+           strftime(min(d), '%Y-%m-%d') AS streak_start,
+           strftime(max(d), '%Y-%m-%d') AS streak_end,
+           count(*) AS streak_days
+    FROM runs GROUP BY user_id, anchor
+    """,
+)
+def ts_gaps_islands(spark, sf_dir):
+    """Scale shape: distinct-day dedup is a map-side-combined groupBy on
+    (user_id, day) — state is |users| x |days|, tiny vs the event stream;
+    the row_number window and the run groupBy both partition on user_id,
+    so after the first shuffle the run detection is shuffle-free (the
+    groupBy on (user_id, anchor) is AQE-coalesced re-use of the same
+    hash partitioning). Nothing here depends on global order."""
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    days = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    runs = days.withColumn(
+        "anchor", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    return runs.groupBy("user_id", "anchor").agg(
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias("streak_start"),
+        F.date_format(F.max("d"), "yyyy-MM-dd").alias("streak_end"),
+        F.count(F.lit(1)).alias("streak_days"),
+    ).drop("anchor")
+
+
+@query(
+    "ts_scd2_ranges",
+    # Slowly-changing-dimension type-2 compaction: per customer, collapse
+    # the order-priority history into validity ranges [valid_from,
+    # valid_to) — consecutive orders with the same priority merge into one
+    # range; valid_to is the next range's start (NULL = current). This is
+    # the change-data-capture -> dimension-table build every warehouse
+    # runs: change flag via lag(), run id via running sum, one groupBy.
+    oracle="""
+    WITH flagged AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             CASE WHEN lag(o_orderpriority) OVER w IS DISTINCT FROM
+                       o_orderpriority THEN 1 ELSE 0 END AS chg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    runs AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged
+    ),
+    ranges AS (
+      SELECT o_custkey, o_orderpriority, run_id,
+             min(o_orderdate) AS vf, count(*) AS n_orders
+      FROM runs GROUP BY o_custkey, o_orderpriority, run_id
+    )
+    SELECT o_custkey, o_orderpriority,
+           epoch_us(vf) AS valid_from_us,
+           epoch_us(lead(vf) OVER (PARTITION BY o_custkey ORDER BY run_id))
+             AS valid_to_us,
+           n_orders,
+           CAST(lead(vf) OVER (PARTITION BY o_custkey ORDER BY run_id)
+                IS NULL AS INTEGER) AS is_current
+    FROM ranges
+    """,
+)
+def ts_scd2_ranges(spark, sf_dir):
+    """Scale shape: every window and the groupBy partition on o_custkey —
+    ONE shuffle on the dimension's natural key carries the whole build
+    (lag -> running-sum -> groupBy -> lead all reuse it; AQE coalesces the
+    exchange reuse). State per key is the key's history, never the table.
+    At 100 TB this runs as an incremental MERGE of new CDC rows against
+    the open (is_current=1) ranges only — same plan, delta-sized input."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = o.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("o_orderpriority").over(w).eqNullSafe(
+                F.col("o_orderpriority")
+            ),
+            1,
+        ).otherwise(0),
+    )
+    runs = flagged.withColumn(
+        "run_id", F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    ranges = runs.groupBy("o_custkey", "o_orderpriority", "run_id").agg(
+        F.min("o_orderdate").alias("vf"), F.count(F.lit(1)).alias("n_orders")
+    )
+    wr = Window.partitionBy("o_custkey").orderBy("run_id")
+    nxt = F.lead("vf").over(wr)
+    return ranges.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.unix_micros(F.col("vf").cast("timestamp")).alias("valid_from_us"),
+        F.unix_micros(nxt.cast("timestamp")).alias("valid_to_us"),
+        "n_orders",
+        nxt.isNull().cast("int").alias("is_current"),
+    )
+
+
+@query(
+    "ts_ewma_bounded",
+    # Exponentially-weighted moving average over a bounded trailing frame
+    # (K=10, decay 0.7): y_i = sum_j w^(i-j) x_j / sum_j w^(i-j) for j in
+    # [i-9, i]. Bounding the frame makes EWMA expressible declaratively on
+    # both engines (true infinite-history EWMA is a recursive scan); with
+    # w=0.7 the dropped tail weighs < 0.03 of the total. The oracle spells
+    # it as a bounded rn-range self-join; the Spark side uses an ordered
+    # frame + higher-order array fold — same math, O(n*K) both ways.
+    oracle="""
+    WITH r AS (
+      SELECT user_id, event_id, ts, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events WHERE user_id <= 30
+    )
+    SELECT a.user_id, a.event_id, a.value,
+           round(SUM(b.value * pow(0.7, a.rn - b.rn))
+                 / SUM(pow(0.7, a.rn - b.rn)), 6) AS ewma
+    FROM r a JOIN r b
+      ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 9 AND a.rn
+    GROUP BY a.user_id, a.event_id, a.value
+    """,
+)
+def ts_ewma_bounded(spark, sf_dir):
+    """Scale shape: ONE shuffle on user_id, then a rows-bounded window
+    whose frame is collected as a K-element array and folded JVM-side with
+    higher-order functions (aggregate/zip_with — no Python, no UDF). Cost
+    is O(n*K) with K=10 constant; the oracle's self-join spelling would be
+    O(n_user^2) scanned per user in Spark's SMJ, which is exactly why the
+    window-array form is the engine's plan. round(6) hedges the
+    summation-order ulps between the fold and the oracle's SUM."""
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("user_id") <= 30)
+        .select("user_id", "event_id", "ts", "value")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    arr = F.collect_list("value").over(w.rowsBetween(-9, 0))
+    out = ev.withColumn("arr", arr).select(
+        "user_id",
+        "event_id",
+        "value",
+        F.round(
+            F.expr(
+                """
+                aggregate(zip_with(arr, sequence(1, size(arr)),
+                                   (x, i) -> x * pow(0.7D, size(arr) - i)),
+                          0D, (acc, v) -> acc + v)
+                / aggregate(sequence(1, size(arr)),
+                            0D, (acc, i) -> acc + pow(0.7D, size(arr) - i))
+                """
+            ),
+            6,
+        ).alias("ewma"),
+    )
+    return out

@@ -57,6 +57,8 @@ PRIORITY: list[str] = [
     # round-7 additions — brand new, need first driver contact
     "compiler_set_ops", "compiler_exists_child",
     "source_csv_roundtrip", "source_json_roundtrip",
+    "ts_gaps_islands", "ts_scd2_ranges", "ts_ewma_bounded",
+    "join_lateral_topn", "fn_regex", "sink_merge_upsert",
     # last driver signal r2 (missed r6's window): ordered string agg
     "agg_string_concat_ordered",
     # last driver signal r2 (missed r6's window): scalar functions

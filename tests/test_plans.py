@@ -473,3 +473,82 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_lateral_topn_decorrelates_to_group_limit(spark):
+    # the correlated LATERAL ... LIMIT must be rewritten to a rank window
+    # (WindowGroupLimit at partial+final) + a single equi-join — NEVER a
+    # per-outer-row re-execution or a nested-loop join
+    plan = plan_of(spark, "join_lateral_topn")
+    tree = tree_of(plan)
+    assert "WindowGroupLimit" in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
+    assert "BroadcastHashJoin" in tree or "SortMergeJoin" in tree
+
+
+def test_scd2_single_partitioning_carries_build(spark):
+    # lag -> running sum -> groupBy -> lead all partition on o_custkey:
+    # exactly ONE exchange hash-partitions on the dimension key; the rest
+    # reuse it (AQE may add coalesce reads, never a new hashpartitioning)
+    plan = plan_of(spark, "ts_scd2_ranges")
+    tree = tree_of(plan)
+    assert tree.count("Exchange") == 1, tree
+    assert "hashpartitioning(o_custkey" in plan
+
+
+def test_gaps_islands_shuffles_on_user_only(spark):
+    # distinct-day dedup + window + run groupBy: every exchange in the
+    # plan hash-partitions on user_id (alone or with a second grouping
+    # column) — no global sort, no other key ever shuffled
+    plan = plan_of(spark, "ts_gaps_islands")
+    tree = tree_of(plan)
+    import re as _re
+
+    hashes = _re.findall(r"hashpartitioning\(([a-z_#0-9L]+)", plan)
+    assert hashes, plan
+    assert all(h.startswith("user_id") for h in hashes), hashes
+
+
+def test_ewma_is_jvm_fold_no_python(spark):
+    # the weighted fold must stay JVM-side: no Python/Pandas eval nodes,
+    # one user_id window, rows-bounded frame
+    plan = plan_of(spark, "ts_ewma_bounded")
+    tree = tree_of(plan)
+    assert "BatchEvalPython" not in tree
+    assert "ArrowEvalPython" not in tree
+    assert "FlatMapGroupsInPandas" not in tree
+    assert tree.count("Window") == 1
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_merge_upsert_broadcasts_delta_keys(spark):
+    # the anti-join's build side is the broadcast delta key-set: the base
+    # snapshot is scanned once with no shuffle on its side. The sink key's
+    # own frame is the post-rewrite read-back (a bare scan), so assert on
+    # the pre-write merge plan the sink executes.
+    from naqed_spark.catalog import load
+    from naqed_spark.queries.storage import merge_upsert_frame
+
+    o = load(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    df = merge_upsert_frame(o, o.filter("o_orderkey < 12000"))
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    tree = tree_of(plan)
+    assert "BroadcastHashJoin" in tree
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in tree
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_fn_regex_is_single_codegen_scan(spark):
+    plan = plan_of(spark, "fn_regex")
+    tree = tree_of(plan)
+    assert "Exchange" not in tree
+    # formatted mode tags codegen stages as "[codegen id : N]"
+    assert "codegen id" in plan
