@@ -354,3 +354,38 @@ def compiler_exists_child(spark, sf_dir):
             }
         }
     )
+
+
+@query(
+    "compiler_agg_having",
+    # E1 $groupby/$agg/$having driver coverage (round 7): the post-agg
+    # predicate path ($having sees agg aliases, never raw columns —
+    # engine.py enforces that contract with a typed SpecError). Integer
+    # count + raw-double max: no float discipline needed.
+    oracle="""
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           max(o_totalprice) AS max_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_custkey
+    HAVING count(*) >= 8
+    """,
+)
+def compiler_agg_having(spark, sf_dir):
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "orders": {
+                "$filter": {"o_orderstatus": "F"},
+                "$groupby": ["o_custkey"],
+                "$agg": {
+                    "n_orders": {"$count": True},
+                    "max_price": {"$max": "o_totalprice"},
+                },
+                "$having": {"n_orders": {"$gte": 8}},
+            }
+        }
+    )

@@ -443,3 +443,44 @@ def fn_regex(spark, sf_dir):
         F.size(F.split("text", r"\s+")).cast("bigint").alias("n_tokens"),
         F.col("text").rlike("agg.*scan").cast("int").alias("has_aggscan"),
     )
+
+
+@query(
+    "fn_url",
+    # URL parsing family over a deterministically synthesized URL column:
+    # Spark's parse_url (HOST / PATH / QUERY / per-param extraction) must
+    # recover exactly the components the URL was built from. The oracle
+    # reconstructs the true decomposition directly from the source
+    # columns — it checks the PARSER, not string-building.
+    oracle="""
+    SELECT doc_id,
+           source || '.example.com' AS host,
+           '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+           'lang=' || lang || '&n=' || CAST(n_chars AS VARCHAR) AS query,
+           lang AS q_lang,
+           CAST(n_chars AS VARCHAR) AS q_n
+    FROM documents
+    """,
+)
+def fn_url(spark, sf_dir):
+    """Single codegen scan, no shuffle — parse_url is a JVM expression;
+    the 100 TB shape is per-row string work bounded by scan bandwidth."""
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&n="),
+        F.col("n_chars").cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("n")).alias("q_n"),
+    )

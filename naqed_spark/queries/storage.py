@@ -273,3 +273,47 @@ def merge_upsert_frame(o, base):
         F.broadcast(delta.select("o_orderkey")), "o_orderkey", "left_anti"
     )
     return survivors.unionByName(delta)
+
+
+@query(
+    "join_dpp_partition_pruned",
+    # Dynamic partition pruning — the 100 TB star-schema workhorse: the
+    # fact table is hive-partitioned on the join key; the dimension's
+    # selective filter is broadcast into the fact SCAN at runtime, so only
+    # matching partitions are read even though the pruning values are not
+    # known at plan time. tests/test_plans.py asserts the
+    # dynamicpruningexpression lands in the scan's PartitionFilters.
+    oracle="""
+    WITH dim(event_type, funnel_stage) AS (
+      VALUES ('view', 1), ('click', 2), ('purchase', 3),
+             ('signup', 0), ('error', 0)
+    )
+    SELECT e.event_id, e.user_id, e.value, e.event_type, d.funnel_stage
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    WHERE d.funnel_stage > 0
+    """,
+)
+def join_dpp_partition_pruned(spark, sf_dir):
+    """Scale shape: without DPP this reads every partition of the fact
+    table and filters after the join; with DPP the dim filter runs first
+    and its surviving join keys become a runtime IN-filter on the fact
+    scan's partition column — at 100 TB that is the difference between
+    reading 3/5 of the table and all of it, decided without a second
+    query. The broadcast side doubles as the join's build side (one read
+    of a 5-row dim)."""
+    out = _scratch("events_dpp_by_type")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", "event_type"
+    )
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [("view", 1), ("click", 2), ("purchase", 3),
+         ("signup", 0), ("error", 0)],
+        "event_type string, funnel_stage int",
+    )
+    return (
+        fact.join(dim, "event_type")
+        .filter(F.col("funnel_stage") > 0)
+        .select("event_id", "user_id", "value", "event_type", "funnel_stage")
+    )

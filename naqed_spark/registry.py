@@ -59,6 +59,7 @@ PRIORITY: list[str] = [
     "source_csv_roundtrip", "source_json_roundtrip",
     "ts_gaps_islands", "ts_scd2_ranges", "ts_ewma_bounded",
     "join_lateral_topn", "fn_regex", "sink_merge_upsert",
+    "compiler_agg_having", "fn_url", "join_dpp_partition_pruned",
     # last driver signal r2 (missed r6's window): ordered string agg
     "agg_string_concat_ordered",
     # last driver signal r2 (missed r6's window): scalar functions

@@ -552,3 +552,20 @@ def test_fn_regex_is_single_codegen_scan(spark):
     assert "Exchange" not in tree
     # formatted mode tags codegen stages as "[codegen id : N]"
     assert "codegen id" in plan
+
+
+def test_dpp_prunes_fact_partitions_at_runtime(spark):
+    # the dim filter must reach the hive-partitioned fact SCAN as a
+    # dynamic pruning subquery — partitions are skipped at runtime, not
+    # filtered after the join
+    plan = plan_of(spark, "join_dpp_partition_pruned")
+    assert "dynamicpruningexpression" in plan, plan
+    tree = tree_of(plan)
+    assert "BroadcastHashJoin" in tree
+
+
+def test_fn_url_single_scan_no_shuffle(spark):
+    plan = plan_of(spark, "fn_url")
+    tree = tree_of(plan)
+    assert "Exchange" not in tree
+    assert "codegen id" in plan
