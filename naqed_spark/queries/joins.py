@@ -562,3 +562,61 @@ def join_lateral_topn(spark, sf_dir):
         WHERE c.c_mktsegment = 'BUILDING'
         """
     )
+
+
+@query(
+    "join_runtime_bloom_filter",
+    # Runtime filter injection (Spark's InjectRuntimeFilter): a selective
+    # filter on the orders side is turned into a BLOOM FILTER evaluated on
+    # the lineitem side BEFORE its shuffle, so non-matching fact rows are
+    # dropped at the scan instead of crossing the wire to die in the join.
+    # At 100 TB this is the shuffle-volume saver for selective fact⋈fact
+    # joins that are too big to broadcast.
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'P'
+    GROUP BY l.l_orderkey
+    """,
+)
+def join_runtime_bloom_filter(spark, sf_dir):
+    """The local fixtures are KB-sized, so the production thresholds
+    (application side >= 10 GB) would never trigger here; the callable
+    pins a physical plan compiled with the thresholds scaled to the
+    fixture (bloom always on, broadcast off so the join actually
+    shuffles — at 100 TB both sides being shuffle-sized is the premise).
+    The conf context restores the session settings; the returned frame's
+    QueryExecution caches the bloom-injected plan (asserted in
+    tests/test_plans.py)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus")
+        .filter(F.col("o_orderstatus") == "P")
+    )
+    conf = spark.conf
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: conf.get(k) for k in keys}
+    for k, v in keys.items():
+        conf.set(k, v)
+    try:
+        out = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_orderkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_lines"),
+                dsum(dec("l_quantity")).alias("qty"),
+            )
+        )
+        # force physical planning NOW, inside the scaled-threshold window;
+        # the Dataset caches this QueryExecution for later actions
+        out._jdf.queryExecution().executedPlan()
+    finally:
+        for k, v in prev.items():
+            conf.set(k, v)
+    return out

@@ -688,3 +688,93 @@ def llm_ngram_jaccard(spark, sf_dir):
         .filter(jac >= 0.5)
         .select("id_a", "id_b", r6(jac).alias("jac"))
     )
+
+
+@query(
+    "llm_bm25_score",
+    # BM25 retrieval scoring (k1=1.2, b=0.75) of every document against a
+    # fixed query-term set — the ranking function behind lexical search
+    # over a training corpus. idf uses the classic
+    # ln((N - df + 0.5)/(df + 0.5) + 1) form; dl = word count, avgdl a
+    # corpus scalar. Only docs matching >= 1 term emit.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT (SELECT count(*) FROM documents) AS n,
+             (SELECT avg(dl) FROM dl) AS avgdl
+    ),
+    tf AS (
+      SELECT doc_id, tok, count(*) AS tf FROM toks
+      WHERE tok IN ('scan', 'agg', 'fast') GROUP BY doc_id, tok
+    ),
+    idf AS (
+      SELECT tok, ln((s.n - count(DISTINCT doc_id) + 0.5)
+                     / (count(DISTINCT doc_id) + 0.5) + 1.0) AS idf
+      FROM tf, stats s GROUP BY tok, s.n
+    )
+    SELECT tf.doc_id,
+           round(SUM(idf.idf * tf.tf * 2.2
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 6)
+             AS bm25
+    FROM tf
+    JOIN idf ON idf.tok = tf.tok
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats s
+    GROUP BY tf.doc_id
+    """,
+)
+def llm_bm25_score(spark, sf_dir):
+    """Scale shape: the query-term list is FIXED and tiny, so per-term tf
+    pivots into conditional counts inside ONE explode → ONE groupBy(doc_id)
+    pass — the base frame (doc_id, dl, tf_t...) is the only corpus-sized
+    shuffle. Corpus stats (N, avgdl, per-term df) are one tiny aggregate
+    of that same frame, broadcast back as a 1-row crossJoin; the identical
+    base subtrees share one Exchange via ReuseExchange (asserted in
+    tests/test_plans.py). The score is then pure row-local arithmetic —
+    no per-term join at all."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    terms = ["scan", "agg", "fast"]
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    base = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.count(F.when(F.col("tok") == t, 1)).alias(f"tf_{t}")
+            for t in terms
+        ],
+    )
+    stats = F.broadcast(
+        base.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.avg("dl").alias("avgdl"),
+            *[
+                F.sum((F.col(f"tf_{t}") > 0).cast("long"))
+                .cast("double")
+                .alias(f"df_{t}")
+                for t in terms
+            ],
+        )
+    )
+    def term_score(t: str):
+        idf = F.log(
+            (F.col("n") - F.col(f"df_{t}") + 0.5)
+            / (F.col(f"df_{t}") + 0.5)
+            + 1.0
+        )
+        tf = F.col(f"tf_{t}")
+        return idf * tf * 2.2 / (
+            tf + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))
+        )
+
+    total = sum((term_score(t) for t in terms[1:]), term_score(terms[0]))
+    return (
+        base.crossJoin(stats)
+        .filter(sum(F.col(f"tf_{t}") for t in terms) > 0)
+        .select("doc_id", F.round(total, 6).alias("bm25"))
+    )

@@ -526,3 +526,76 @@ def ts_ewma_bounded(spark, sf_dir):
         ).alias("ewma"),
     )
     return out
+
+
+@query(
+    "ts_interval_merge",
+    # Interval union (merge overlapping/adjacent intervals): each order
+    # opens a 7-day service window [orderdate, orderdate+7d); per customer,
+    # overlapping windows coalesce into maximal covered spans. The classic
+    # sweep: an interval starts a new span iff its start exceeds the
+    # running max of all previous ends; spans group by the running count
+    # of such starts.
+    oracle="""
+    WITH iv AS (
+      SELECT o_custkey,
+             epoch_us(o_orderdate) AS s,
+             epoch_us(o_orderdate) + CAST(604800000000 AS BIGINT) AS e
+      FROM orders
+    ),
+    flagged AS (
+      SELECT o_custkey, s, e,
+             CASE WHEN s > max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING)
+                  OR max(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) IS NULL
+             THEN 1 ELSE 0 END AS new_span
+      FROM iv
+    ),
+    spans AS (
+      SELECT o_custkey, s, e,
+             SUM(new_span) OVER (PARTITION BY o_custkey ORDER BY s, e
+                                 ROWS UNBOUNDED PRECEDING) AS span_id
+      FROM flagged
+    )
+    SELECT o_custkey, CAST(span_id AS BIGINT) AS span_id,
+           min(s) AS span_start_us, max(e) AS span_end_us,
+           count(*) AS n_intervals
+    FROM spans GROUP BY o_custkey, span_id
+    """,
+)
+def ts_interval_merge(spark, sf_dir):
+    """Scale shape: one shuffle on the entity key; the running-max /
+    running-sum windows and the span groupBy all reuse that partitioning.
+    Integer-µs bounds keep the overlap comparisons exact. This is the
+    coverage/uptime primitive (union of maintenance windows, session
+    spans, lease intervals) that a naive approach self-joins
+    quadratically."""
+    o = load(spark, sf_dir, "orders")
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    iv = o.select(
+        "o_custkey",
+        us.alias("s"),
+        (us + F.lit(7 * 86400 * 1000000)).alias("e"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "new_span",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(
+            0
+        ),
+    )
+    spans = flagged.withColumn(
+        "span_id",
+        F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return spans.groupBy("o_custkey", "span_id").agg(
+        F.min("s").alias("span_start_us"),
+        F.max("e").alias("span_end_us"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )

@@ -569,3 +569,43 @@ def test_fn_url_single_scan_no_shuffle(spark):
     tree = tree_of(plan)
     assert "Exchange" not in tree
     assert "codegen id" in plan
+
+
+def test_runtime_bloom_filter_injected_on_fact_side(spark):
+    # the pinned plan must carry a bloom_filter_agg built from the
+    # filtered orders keys and a might_contain probe on the lineitem side
+    # BEFORE its shuffle; the session confs must be restored afterwards
+    prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    plan = plan_of(spark, "join_runtime_bloom_filter")
+    assert "bloom_filter_agg" in plan or "might_contain" in plan, plan
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == prev_bcast
+
+
+def test_bm25_single_corpus_pass_broadcast_stats(spark):
+    # one explode -> one groupBy(doc_id) base frame; corpus stats are a
+    # 1-row broadcast crossJoin; the score is row-local arithmetic. The
+    # base subtree appears twice statically (main + stats branch) and
+    # shares ONE exchange at runtime via ReuseExchange.
+    from naqed_spark.registry import QUERIES as _Q
+
+    df = _Q["llm_bm25_score"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    tree = tree_of(plan)
+    assert "CartesianProduct" not in tree
+    assert tree.count("Generate") == 2, tree  # base subtree, twice pre-reuse
+    assert "SortMergeJoin" not in tree  # never a per-term corpus join
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final
+
+
+def test_interval_merge_single_partitioning(spark):
+    plan = plan_of(spark, "ts_interval_merge")
+    import re as _re
+
+    hashes = _re.findall(r"hashpartitioning\(([a-z_#0-9L]+)", plan)
+    assert hashes and all(h.startswith("o_custkey") for h in hashes), hashes
