@@ -778,3 +778,62 @@ def llm_bm25_score(spark, sf_dir):
         .filter(sum(F.col(f"tf_{t}") for t in terms) > 0)
         .select("doc_id", F.round(total, 6).alias("bm25"))
     )
+
+
+@query(
+    "llm_unigram_logprob",
+    # Unigram language-model scoring — the cheap LM-based quality filter:
+    # token probabilities estimated over the whole corpus (add-one
+    # smoothed), each document scored by its mean negative log-prob
+    # (high = unusual token mix). The corpus IS the model: one token
+    # pass builds it, one scores against it.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (
+      SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ),
+    totals AS (
+      SELECT CAST(sum(c) AS DOUBLE) AS total,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM vocab
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_toks,
+           round(avg(-ln((v.c + 1.0) / (tt.total + tt.v))), 6)
+             AS mean_nll
+    FROM toks t
+    JOIN vocab v ON v.tok = t.tok
+    CROSS JOIN totals tt
+    GROUP BY t.doc_id
+    """,
+)
+def llm_unigram_logprob(spark, sf_dir):
+    """Scale shape: vocab build is a map-side-combined groupBy(token) —
+    vocabulary-sized state, not corpus-sized; the scoring join broadcasts
+    the vocab (bounded: natural-language vocabularies plateau while
+    corpora don't). Two corpus passes total (build + score), both
+    codegen; the totals frame is one broadcast row. avg's
+    summation-order ulps are hedged by round(6)."""
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = F.broadcast(
+        vocab.agg(
+            F.sum("c").cast("double").alias("total"),
+            F.count(F.lit(1)).cast("double").alias("v"),
+        )
+    )
+    nll = -F.log((F.col("c") + 1.0) / (F.col("total") + F.col("v")))
+    return (
+        toks.join(F.broadcast(vocab), "tok")
+        .crossJoin(totals)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.round(F.avg(nll), 6).alias("mean_nll"),
+        )
+    )

@@ -599,3 +599,63 @@ def ts_interval_merge(spark, sf_dir):
         F.max("e").alias("span_end_us"),
         F.count(F.lit(1)).alias("n_intervals"),
     )
+
+
+@query(
+    "ts_rollup_incremental_merge",
+    # Incremental materialized-view maintenance (the hypertable
+    # continuous-aggregate pattern): an existing hourly rollup absorbs a
+    # late-arriving delta batch by MERGING partial aggregates (counts and
+    # exact-cent sums add; no group recomputes from raw events). The
+    # oracle is the from-scratch rollup — merged partials must equal it
+    # exactly, which is the algebraic property that makes the pattern
+    # safe at 100 TB.
+    oracle="""
+    SELECT user_id, epoch_us(date_trunc('hour', ts)) AS hour_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM events GROUP BY 1, 2
+    """,
+)
+def ts_rollup_incremental_merge(spark, sf_dir):
+    """Scale shape: the base rollup is |users|x|hours| — tiny vs raw
+    events — and the delta rollup is delta-sized; the merge is a full
+    outer join on the GROUP KEY (group-local, no raw-event reread) with
+    coalesce+add of the partials. count and exact-integer cent sums are
+    the mergeable forms (avg would be maintained as sum+count). At 100 TB
+    the base never re-scans: only delta partitions are read per refresh."""
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    is_late = F.col("user_id") % 17 == 0  # the simulated late-arriving slice
+
+    def rollup(df):
+        return df.groupBy(
+            "user_id",
+            F.unix_micros(F.date_trunc("hour", "ts")).alias("hour_us"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias(
+                "cents"
+            ),
+        )
+
+    base = rollup(ev.filter(~is_late))
+    delta = rollup(ev.filter(is_late))
+    b = base.select(
+        "user_id", "hour_us",
+        F.col("n_events").alias("b_n"), F.col("cents").alias("b_c"),
+    )
+    d = delta.select(
+        "user_id", "hour_us",
+        F.col("n_events").alias("d_n"), F.col("cents").alias("d_c"),
+    )
+    return b.join(d, ["user_id", "hour_us"], "full_outer").select(
+        "user_id",
+        "hour_us",
+        (F.coalesce("b_n", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias(
+            "n_events"
+        ),
+        (F.coalesce("b_c", F.lit(0)) + F.coalesce("d_c", F.lit(0))).alias(
+            "cents"
+        ),
+    )

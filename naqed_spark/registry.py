@@ -61,6 +61,7 @@ PRIORITY: list[str] = [
     "join_lateral_topn", "fn_regex", "sink_merge_upsert",
     "compiler_agg_having", "fn_url", "join_dpp_partition_pruned",
     "join_runtime_bloom_filter", "llm_bm25_score", "ts_interval_merge",
+    "ts_rollup_incremental_merge", "llm_unigram_logprob",
     # last driver signal r2 (missed r6's window): ordered string agg
     "agg_string_concat_ordered",
     # last driver signal r2 (missed r6's window): scalar functions

@@ -609,3 +609,25 @@ def test_interval_merge_single_partitioning(spark):
 
     hashes = _re.findall(r"hashpartitioning\(([a-z_#0-9L]+)", plan)
     assert hashes and all(h.startswith("o_custkey") for h in hashes), hashes
+
+
+def test_rollup_merge_joins_partials_without_reshuffle(spark):
+    # base and delta rollups each shuffle once on the group key; the
+    # full-outer merge reuses that partitioning (no third exchange) and
+    # never re-reads raw events per group
+    plan = plan_of(spark, "ts_rollup_incremental_merge")
+    tree = tree_of(plan)
+    assert "FullOuter" in plan
+    assert tree.count("Exchange") == 2, tree
+
+
+def test_unigram_broadcasts_vocab(spark):
+    # vocabulary-sized model broadcast into the scoring join: the vocab
+    # BUILD aggregates by token (its own shuffle — that's the model), but
+    # the corpus-sized token stream joins the model via broadcast hash,
+    # never a sort-merge shuffle on tok
+    plan = plan_of(spark, "llm_unigram_logprob")
+    tree = tree_of(plan)
+    assert "BroadcastHashJoin" in tree
+    assert "Left keys [1]: [tok" in plan  # the scoring join IS the tok join
+    assert "SortMergeJoin" not in tree
