@@ -49,6 +49,12 @@ HEADLINE = [
     "win_row_number_topk",
     "win_sessionize",
     "limit_topk_global",
+    # round-7 single-partitioning operators: their scale claim is that the
+    # one entity-key shuffle dominates and windows add no quadratic term
+    "ts_scd2_ranges",
+    "ts_gaps_islands",
+    "ts_interval_merge",
+    "ts_rollup_incremental_merge",
 ]
 
 

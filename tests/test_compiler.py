@@ -907,3 +907,69 @@ def test_exists_with_nested_hop_matches_duckdb_exists(eng):
     """).fetchall())
     con.close()
     assert got == want
+
+
+_having_threshold = st.sampled_from([1, 3, 5, 8, 12])
+_having_op = st.sampled_from(["$gte", "$gt", "$lt", "$eq"])
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(thr=_having_threshold, op=_having_op)
+def test_having_spec_matches_direct_dataframe(eng, thr, op):
+    """E1 $having (post-agg predicate over agg aliases) must return exactly
+    what the hand-built groupBy().agg().filter() pipeline returns — counts
+    are integers, so equality is exact."""
+    from pyspark.sql import functions as F
+
+    spec = {
+        "orders": {
+            "$filter": {"o_orderstatus": "F"},
+            "$groupby": ["o_custkey"],
+            "$agg": {"n": {"$count": True}},
+            "$having": {"n": {op: thr}},
+        }
+    }
+    got = {
+        (r["o_custkey"], r["n"]) for r in eng.query(spec).collect()
+    }
+    cmp = {
+        "$gte": F.col("n") >= thr,
+        "$gt": F.col("n") > thr,
+        "$lt": F.col("n") < thr,
+        "$eq": F.col("n") == thr,
+    }[op]
+    want = {
+        (r["o_custkey"], r["n"])
+        for r in (
+            eng.entity("orders")
+            .filter(F.col("o_orderstatus") == "F")
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(cmp)
+            .collect()
+        )
+    }
+    assert got == want
+
+
+def test_having_on_raw_column_is_typed_error(eng):
+    """$having sees only agg aliases — a raw column there must surface the
+    typed SpecError, not a Spark analysis exception."""
+    import pytest as _pytest
+
+    from naqed_spark.compiler.spec import SpecError
+
+    with _pytest.raises(SpecError):
+        eng.query(
+            {
+                "orders": {
+                    "$groupby": ["o_custkey"],
+                    "$agg": {"n": {"$count": True}},
+                    "$having": {"o_totalprice": {"$gt": 10.0}},
+                }
+            }
+        ).collect()
