@@ -201,7 +201,11 @@ def graph_khop_fixed(spark, sf_dir):
     """,
 )
 def graph_reachability_bfs(spark, sf_dir):
+    from naqed_spark.session import persistent_rdd_ids, trim_pins
+
     ue = user_edges(spark, sf_dir).persist()
+    ue.count()  # materialize the edge cache BEFORE base so trim can't sweep it
+    base = persistent_rdd_ids(spark)
     visited = (
         ue.sparkSession.range(1)
         .select(F.lit(0).cast("bigint").alias("v"), F.lit(0).alias("d"))
@@ -224,6 +228,9 @@ def graph_reachability_bfs(spark, sf_dir):
                 break
             visited = visited.unionAll(nxt).localCheckpoint()
             frontier = nxt
+            # O(1) retained state (VERDICT r6 item 7): the two newest pins
+            # are exactly {nxt, visited}; prior supersteps are folded in.
+            trim_pins(spark, base, keep=2)
     ue.unpersist()
     return visited.select(F.col("v").alias("user_id"), F.col("d").alias("dist"))
 
@@ -269,7 +276,11 @@ def _nation_edges(spark, sf_dir):
     """,
 )
 def graph_shortest_path_weighted(spark, sf_dir):
+    from naqed_spark.session import persistent_rdd_ids, trim_pins
+
     ne = _nation_edges(spark, sf_dir).persist()
+    ne.count()  # materialize the edge cache BEFORE base so trim can't sweep it
+    base = persistent_rdd_ids(spark)
     # Bellman-Ford: relax all edges each round; ≤6 rounds mirrors the CTE cap
     dist = (
         ne.sparkSession.range(1)
@@ -290,6 +301,8 @@ def graph_shortest_path_weighted(spark, sf_dir):
                 .agg(F.min("cost").alias("cost"))
                 .localCheckpoint()
             )
+            # only the newest checkpoint (dist) is live (VERDICT r6 item 7)
+            trim_pins(spark, base, keep=1)
     return dist.select(F.col("v").alias("nationkey"), F.col("cost").alias("dist"))
 
 
@@ -311,12 +324,16 @@ def graph_shortest_path_weighted(spark, sf_dir):
 )
 def graph_connected_components(spark, sf_dir):
     ue = user_edges(spark, sf_dir)
+    from naqed_spark.session import persistent_rdd_ids, trim_pins
+
     sym = (
         ue.select("src", "dst")
         .union(ue.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
         .persist()
     )
+    sym.count()  # materialize the cache BEFORE base so trim can't sweep it
+    base = persistent_rdd_ids(spark)
     labels = (
         sym.select(F.col("src").alias("v"))
         .distinct()
@@ -342,6 +359,9 @@ def graph_connected_components(spark, sf_dir):
                 labels = new_labels
                 break
             labels = new_labels
+            # the convergence join above already consumed the prior
+            # checkpoint; only the newest (labels) stays live (r6 item 7)
+            trim_pins(spark, base, keep=1)
     sym.unpersist()
     return labels.select(
         F.col("v").alias("user_id"), F.col("label").alias("component")
@@ -397,7 +417,10 @@ def graph_pagerank_fixed(spark, sf_dir):
         .distinct()
         .persist()
     )
-    n = verts.count()
+    n = verts.count()  # also materializes both caches BEFORE base (trim safety)
+    from naqed_spark.session import persistent_rdd_ids, trim_pins
+
+    base = persistent_rdd_ids(spark)
     outdeg = ue.groupBy(F.col("src").alias("v")).agg(
         F.count(F.lit(1)).alias("odeg")
     )
@@ -430,6 +453,8 @@ def graph_pagerank_fixed(spark, sf_dir):
                 )
                 .localCheckpoint()
             )
+            # only the newest checkpoint (ranks) is live (VERDICT r6 item 7)
+            trim_pins(spark, base, keep=1)
     ue.unpersist()
     return ranks.select("v", F.col("pr").alias("pagerank"))
 

@@ -124,6 +124,8 @@ def llm_dedup_groups(spark, sf_dir):
     appears in at least one near-dup pair; dropping rows with
     doc_id != keep_id IS the dedup."""
     pairs = llm_neardup_lsh(spark, sf_dir).select("id_a", "id_b")
+    from naqed_spark.session import persistent_rdd_ids, trim_pins
+
     sym = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(
@@ -132,6 +134,8 @@ def llm_dedup_groups(spark, sf_dir):
         .distinct()
         .persist()
     )
+    sym.count()  # materialize the cache BEFORE base so trim can't sweep it
+    base = persistent_rdd_ids(spark)
     labels = (
         sym.select(F.col("src").alias("v"))
         .distinct()
@@ -157,6 +161,9 @@ def llm_dedup_groups(spark, sf_dir):
                 converged = True
                 break
             labels = new_labels
+            # prior checkpoint consumed by the convergence join; only the
+            # newest (labels) stays live (VERDICT r6 item 7)
+            trim_pins(spark, base, keep=1)
         if not converged:
             # a component with diameter > 20 would otherwise return silently
             # wrong (non-minimal) labels while the oracle computes the true

