@@ -17,6 +17,7 @@ from naqed_spark.queries import (  # noqa: F401
     llm_dedup,
     llm_contam,
     llm_ann,
+    llm_mix,
     udfs,
     windows,
     sets,

@@ -484,3 +484,54 @@ def fn_url(spark, sf_dir):
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
         F.parse_url(url, F.lit("QUERY"), F.lit("n")).alias("q_n"),
     )
+
+
+@query(
+    "fn_struct",
+    # struct family: build structs, sort an array<struct> (Spark orders
+    # structs lexicographically by field position), extract fields from
+    # both ends. This is the serialize-nested idiom behind argmin/argmax
+    # and first/last-event queries; per-group array size is bounded by
+    # orders-per-customer (~O(10)), so collect_list is safe at any SF —
+    # the same bound compiler_collect_nested documents. One shuffle on
+    # o_custkey, everything else codegen. The oracle re-derives the
+    # lexicographic-min/max elements with window row_numbers.
+    oracle="""
+    WITH r AS (
+      SELECT o_custkey,
+             strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS ds,
+             o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') ASC,
+                          o_orderkey ASC) AS rn_a,
+             row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') DESC,
+                          o_orderkey DESC) AS rn_d
+      FROM orders)
+    SELECT o_custkey,
+           count(*) AS n_orders,
+           max(CASE WHEN rn_a = 1 THEN ds END) AS first_date,
+           max(CASE WHEN rn_a = 1 THEN o_orderkey END) AS first_key,
+           max(CASE WHEN rn_d = 1 THEN ds END) AS last_date,
+           max(CASE WHEN rn_d = 1 THEN o_orderkey END) AS last_key
+    FROM r GROUP BY o_custkey
+    """,
+)
+def fn_struct(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    arr = F.sort_array(
+        F.collect_list(F.struct(date_str("o_orderdate").alias("ds"),
+                                F.col("o_orderkey").alias("k")))
+    )
+    return (
+        o.groupBy("o_custkey")
+        .agg(arr.alias("arr"), F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.element_at("arr", 1).getField("ds").alias("first_date"),
+            F.element_at("arr", 1).getField("k").alias("first_key"),
+            F.element_at("arr", -1).getField("ds").alias("last_date"),
+            F.element_at("arr", -1).getField("k").alias("last_key"),
+        )
+    )

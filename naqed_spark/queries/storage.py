@@ -317,3 +317,35 @@ def join_dpp_partition_pruned(spark, sf_dir):
         .filter(F.col("funnel_stage") > 0)
         .select("event_id", "user_id", "value", "event_type", "funnel_stage")
     )
+
+
+@query(
+    "sink_sorted_clustered",
+    # range-clustered sorted layout: repartitionByRange(user_id) +
+    # sortWithinPartitions(user_id, event_id) before the write gives every
+    # output file a DISJOINT user_id range and sorted pages inside — so a
+    # later point/range read prunes whole files from the parquet min/max
+    # footer stats instead of scanning everything (the poor man's z-order;
+    # the layout is asserted file-by-file in tests/test_plans.py). At
+    # 100 TB this is THE lever for read-mostly event tables: pay one
+    # range-shuffle at ingest, every downstream user_id query touches
+    # 1/Nth of the files. The read-back filter below returns the rows the
+    # oracle computes straight from the source table.
+    oracle="""
+    SELECT event_id, user_id, value FROM events WHERE user_id BETWEEN 40 AND 59
+    """,
+)
+def sink_sorted_clustered(spark, sf_dir):
+    out = _scratch("events_sorted_by_user")
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    (
+        ev.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id", "event_id")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("user_id").between(40, 59))
+        .select("event_id", "user_id", "value")
+    )

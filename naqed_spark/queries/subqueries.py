@@ -22,7 +22,10 @@ side is small.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from naqed_spark.catalog import Catalog
+from naqed_spark.queries._util import load
 from naqed_spark.registry import query
 
 
@@ -127,3 +130,40 @@ def sub_in_grouped_having(spark, sf_dir):
     l_orderkey — the same co-partitioned shuffle key as the outer join, so
     at scale the exchange is reused, not repeated."""
     return _sql(spark, sf_dir, _Q18_SQL)
+
+
+@query(
+    "sub_any_all",
+    # ANY/ALL quantified comparison subqueries, correlated on nationkey.
+    # Spark SQL has no ANY/ALL syntax, so the DataFrame side IS the
+    # standard decorrelation: one tiny per-nation min/max aggregate (25
+    # rows) broadcast-joined back, with the empty-set semantics the
+    # quantifiers demand (ANY over empty -> FALSE, ALL over empty -> TRUE)
+    # restored via coalesce on the outer join. At 100 TB this is one scan
+    # of each table + a broadcast — the quantifier never becomes a
+    # per-row subquery.
+    oracle="""
+    SELECT s.s_suppkey,
+           s.s_acctbal > ANY (SELECT c.c_acctbal FROM customer c
+                              WHERE c.c_nationkey = s.s_nationkey) AS beats_any,
+           s.s_acctbal > ALL (SELECT c.c_acctbal FROM customer c
+                              WHERE c.c_nationkey = s.s_nationkey) AS beats_all
+    FROM supplier s
+    """,
+)
+def sub_any_all(spark, sf_dir):
+    s = load(spark, sf_dir, "supplier")
+    c = load(spark, sf_dir, "customer")
+    stats = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.min("c_acctbal").alias("mn"), F.max("c_acctbal").alias("mx")
+    )
+    return (
+        s.join(F.broadcast(stats), s.s_nationkey == F.col("nk"), "left")
+        .select(
+            "s_suppkey",
+            F.coalesce(F.col("s_acctbal") > F.col("mn"), F.lit(False))
+            .alias("beats_any"),
+            F.coalesce(F.col("s_acctbal") > F.col("mx"), F.lit(True))
+            .alias("beats_all"),
+        )
+    )

@@ -631,3 +631,60 @@ def test_unigram_broadcasts_vocab(spark):
     assert "BroadcastHashJoin" in tree
     assert "Left keys [1]: [tok" in plan  # the scoring join IS the tok join
     assert "SortMergeJoin" not in tree
+
+
+def test_mixture_sample_is_scan_shaped(spark):
+    """llm_mixture_sample: one codegen filter over one scan — NO exchange,
+    no randomness; the keep decision is a pure function of doc_id."""
+    tree = tree_of(plan_of(spark, "llm_mixture_sample"))
+    assert "Exchange" not in tree
+    assert "Scan parquet" in tree
+    assert "rand" not in tree.lower()
+
+
+def test_length_filter_broadcasts_bounds(spark):
+    """llm_length_filter_percentile: the per-language bounds frame (5 rows)
+    broadcasts back — the corpus is never sort-merged on lang."""
+    tree = tree_of(plan_of(spark, "llm_length_filter_percentile"))
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_any_all_broadcasts_nation_stats(spark):
+    """sub_any_all: the quantifier decorrelates to a 25-row min/max
+    aggregate broadcast into the supplier scan — never a per-row subquery,
+    never a shuffle of the outer table."""
+    tree = tree_of(plan_of(spark, "sub_any_all"))
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_sorted_clustered_files_have_disjoint_ranges(spark):
+    """sink_sorted_clustered: after the range-clustered write every parquet
+    file covers a DISJOINT user_id range (footer min/max), so a point/range
+    read can prune whole files. Executes the write, then checks the layout
+    file-by-file with pyarrow."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    QUERIES["sink_sorted_clustered"](spark, SF_DIR).collect()
+    import os as _os
+    import tempfile as _tf
+
+    base = _os.environ.get("NAQED_SCRATCH_DIR", _tf.gettempdir())
+    files = sorted(glob.glob(f"{base}/naqed_scratch/events_sorted_by_user/part-*.parquet"))
+    assert len(files) >= 2, "range write produced a single file — no pruning to test"
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["user_id"]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
