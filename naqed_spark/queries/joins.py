@@ -620,3 +620,46 @@ def join_runtime_bloom_filter(spark, sf_dir):
         for k, v in prev.items():
             conf.set(k, v)
     return out
+
+
+@query(
+    "join_null_safe",
+    # null-safe equi-join (<=>): NULL keys match each other instead of
+    # dropping out — the semantics CDC/merge pipelines need when the
+    # business key is nullable. Spark plans EqualNullSafe as a REAL
+    # equi-join key (hash/broadcast, NOT a nested-loop — asserted in
+    # tests/test_plans.py), so the 100 TB cost is the same one
+    # hash-partition as a plain equi-join; the one skew hazard is the
+    # NULL group itself (all-null keys co-locate), bounded here and
+    # salt-able like any hot key (join_skew_salted). Nullable keys are
+    # derived deterministically: customers in AUTOMOBILE and suppliers
+    # with negative balance get NULL nation keys.
+    oracle="""
+    SELECT c.c_custkey, s.s_suppkey,
+           CASE WHEN c.c_mktsegment = 'AUTOMOBILE' THEN NULL
+                ELSE c.c_nationkey END AS nk
+    FROM (SELECT c_custkey, c_mktsegment, c_nationkey FROM customer) c
+    JOIN (SELECT s_suppkey, s_acctbal, s_nationkey FROM supplier) s
+      ON (CASE WHEN c.c_mktsegment = 'AUTOMOBILE' THEN NULL
+               ELSE c.c_nationkey END)
+         IS NOT DISTINCT FROM
+         (CASE WHEN s.s_acctbal < 0 THEN NULL ELSE s.s_nationkey END)
+    """,
+)
+def join_null_safe(spark, sf_dir):
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_mktsegment") == "AUTOMOBILE", F.lit(None))
+        .otherwise(F.col("c_nationkey"))
+        .alias("nk"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.when(F.col("s_acctbal") < 0, F.lit(None))
+        .otherwise(F.col("s_nationkey"))
+        .alias("snk"),
+    )
+    return (
+        c.join(F.broadcast(s), c["nk"].eqNullSafe(s["snk"]))
+        .select("c_custkey", "s_suppkey", "nk")
+    )

@@ -1,7 +1,8 @@
 """Corpus-composition operators, round 7: deterministic dataset-mixture
-sampling and per-language length-percentile filtering (SURVEY.md §2-K).
+sampling, per-language length-percentile filtering, SemDeDup semantic
+dedup, and tokenizer-vocabulary coverage (SURVEY.md §2-K).
 
-Both are standard knobs in a pretraining data pipeline:
+All are standard knobs in a pretraining data pipeline:
 
 - ``llm_mixture_sample`` — rebalance the language mixture by
   deterministically downsampling over-represented languages (the
@@ -21,6 +22,10 @@ Both are standard knobs in a pretraining data pipeline:
   engines cannot flip a boundary. At 100 TB swap the exact percentile
   for approx_percentile(…, 10000) — same plan shape, documented ±0.01%%
   rank tolerance; exact is used here so the oracle can hash-match.
+- ``llm_semdedup_cluster`` — SemDeDup (arXiv:2303.09540): within-cluster
+  pairwise cosine dedup, the k×O((n/k)²) semantic-dedup shape.
+- ``llm_vocab_coverage`` — top-K corpus vocabulary + per-document
+  out-of-vocabulary rate (tokenizer-coverage analysis).
 
 No reference file:line possible — ``/root/reference`` is empty (SURVEY.md
 §0); keys extend the §2-K training-data toolkit.
@@ -89,4 +94,144 @@ def llm_length_filter_percentile(spark, sf_dir):
         d.join(F.broadcast(bounds), "lang")
         .filter(F.col("n_chars").between(F.col("lo"), F.col("hi")))
         .select("doc_id", "lang", "n_chars")
+    )
+
+
+# SemDeDup-style threshold: pairs above this cosine within a cluster are
+# semantic duplicates. Fixture-scaled (the synthetic embeddings' max
+# within-cluster cosine is ~0.475, p99 ~0.295, so 0.3 marks the top ~1%
+# of pairs — a real corpus uses ~0.9+); raw-value compare on both engines
+# (the llm_similarity_threshold_join hedge: double error ~1e-15 vs the
+# threshold cannot flip the predicate).
+_SEMDEDUP_TAU = 0.3
+
+_VECS_DBL_SQL = """
+  SELECT vec_id, label,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+         sqrt(list_dot_product(list_transform(embedding,
+              x -> CAST(x AS DOUBLE)),
+              list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+"""
+
+
+@query(
+    "llm_semdedup_cluster",
+    oracle=f"""
+    WITH v AS ({_VECS_DBL_SQL}),
+    p AS (
+      SELECT b.vec_id AS vid, min(a.vec_id) AS dup_of
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) > {_SEMDEDUP_TAU}
+      GROUP BY b.vec_id)
+    SELECT v.vec_id, v.label,
+           p.vid IS NOT NULL AS is_dup, p.dup_of
+    FROM v LEFT JOIN p ON p.vid = v.vec_id
+    """,
+)
+def llm_semdedup_cluster(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup of
+    embeddings by clustering first, then comparing pairs only WITHIN a
+    cluster — the trick that turns O(n²) cosine dedup into k × O((n/k)²).
+    Here the pre-assigned ``label`` column plays the cluster id (a real
+    pipeline computes it with one k-means step — llm_knn_centroid); a row
+    is a duplicate if any LOWER-id member of its cluster has cosine
+    above the threshold with it (greedy keep-lowest, deterministic). Plan shape: one
+    equi-join on the cluster id (k grows with n at 100 TB, so the key has
+    high cardinality and bounded per-group fan-out), dot products via JVM
+    zip_with/aggregate — no Python, no cartesian."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(F.expr(
+            "aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (a, x) -> a + x)"
+        )),
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), "label",
+                 F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("id_b"), "label",
+                 F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    dots = (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "sim",
+            F.expr(
+                "aggregate(zip_with(ea, eb, (x, y) -> x * y), 0D,"
+                " (a, x) -> a + x)"
+            ) / (F.col("na") * F.col("nb")),
+        )
+        .filter(F.col("sim") > _SEMDEDUP_TAU)
+    )
+    dups = dots.groupBy(F.col("id_b").alias("vec_id")).agg(
+        F.min("id_a").alias("dup_of")
+    )
+    return (
+        e.select("vec_id", "label")
+        .join(dups, "vec_id", "left")
+        .select(
+            "vec_id", "label",
+            F.col("dup_of").isNotNull().alias("is_dup"), "dup_of",
+        )
+    )
+
+
+_VOCAB_K = 100
+
+
+@query(
+    "llm_vocab_coverage",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+    v AS (
+      SELECT word FROM (
+        SELECT word, row_number() OVER (ORDER BY count(*) DESC, word ASC)
+               AS rn
+        FROM w GROUP BY word) WHERE rn <= {_VOCAB_K})
+    SELECT doc_id,
+           count(*) AS n_toks,
+           count(*) FILTER (WHERE word NOT IN (SELECT word FROM v))
+             AS n_oov,
+           round(CAST(count(*) FILTER (WHERE word NOT IN
+                 (SELECT word FROM v)) AS DOUBLE) / count(*), 6) AS oov_rate
+    FROM w GROUP BY doc_id
+    """,
+)
+def llm_vocab_coverage(spark, sf_dir):
+    """Tokenizer-vocabulary coverage analysis: build the top-K corpus
+    vocabulary (frequency desc, word asc — deterministic), then score
+    every document's out-of-vocabulary token rate. The vocab build is a
+    map-side-combined groupBy(word) + TakeOrderedAndProject (NOT a global
+    sort, NOT a single-partition window — asserted in tests/test_plans.py);
+    scoring broadcasts the K-row vocab into one codegen pass over the
+    token stream. At 100 TB: two scans of documents, one shuffle of the
+    (deduped, combined) word counts, nothing quadratic."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word").asc())
+        .limit(_VOCAB_K)
+        .select("word", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        words.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_toks",
+            "n_oov",
+            F.round(F.col("n_oov").cast("double") / F.col("n_toks"), 6)
+            .alias("oov_rate"),
+        )
     )

@@ -688,3 +688,31 @@ def test_sorted_clustered_files_have_disjoint_ranges(spark):
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"overlapping file ranges: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+
+def test_semdedup_equi_join_no_cartesian(spark):
+    """llm_semdedup_cluster: the pair generator is an equi-join on the
+    cluster id — never a cartesian/BNLJ — and the dot product stays JVM
+    (no Python eval in the plan)."""
+    tree = tree_of(plan_of(spark, "llm_semdedup_cluster"))
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "Python" not in tree
+
+
+def test_vocab_coverage_topk_not_global_sort(spark):
+    """llm_vocab_coverage: the top-K vocab is TakeOrderedAndProject (scale-
+    safe partial top-k), not a global Sort, and the vocab probe side is a
+    broadcast."""
+    tree = tree_of(plan_of(spark, "llm_vocab_coverage"))
+    assert "TakeOrderedAndProject" in tree
+    assert "BroadcastHashJoin" in tree
+
+
+def test_null_safe_join_is_hash_join(spark):
+    """join_null_safe: EqualNullSafe must plan as a real (broadcast) hash
+    join — a nested-loop here would be the O(n*m) trap."""
+    tree = tree_of(plan_of(spark, "join_null_safe"))
+    assert "BroadcastHashJoin" in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "CartesianProduct" not in tree
