@@ -30,6 +30,7 @@ from naqed_spark.compiler.spec import (
     SetSpec,
     SpecError,
     WindowFn,
+    bind_args,
     parse_query,
     parse_spec,
 )
@@ -120,7 +121,15 @@ class Engine:
         return self.spark.sql(text)
 
     # -- E1: naqed-style query object -------------------------------------
-    def query(self, spec: dict) -> DataFrame:
+    def query(self, spec: dict, params: dict | None = None) -> DataFrame:
+        """Compile a naqed-style query object. ``params`` binds
+        ``{"$arg": name}`` placeholders (resolver arguments, round 7)
+        before parsing — see spec.bind_args for the typed-error
+        contract. Compiled plans are cached by Catalyst, and because
+        binding happens at the SPEC level the bound literal reaches the
+        parquet scan as an ordinary pushed filter — a parameterized
+        query costs exactly what its literal twin costs."""
+        spec = bind_args(spec, params if params is not None else {})
         qs = parse_query(spec)
         if isinstance(qs, SetSpec):
             return self._compile_set(qs)

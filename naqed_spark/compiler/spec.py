@@ -77,6 +77,12 @@ Round-7 extensions (VERDICT r6 item 6 — set/subquery families):
                                       # same spelling: $exists + child
                                       # $filter compiles to one left-semi
                                       # equi-join.
+    {"$arg": "name"}                  # resolver-argument placeholder,
+                                      # bound from Engine.query(spec,
+                                      # params={...}) via bind_args()
+                                      # BEFORE parsing — params carry data
+                                      # only (scalars / scalar lists),
+                                      # never spec structure.
 
 ``$``-keys are arguments (the reference passes resolver args the same way);
 everything else is either a requested field (``True``) or a relationship
@@ -150,6 +156,66 @@ _WINDOW_PARAM_KEYS = {"$partition", "$order", "$of", "$n", "$offset",
 # QuerySpec spelling). SQL semantics: $union/$intersect/$except are
 # DISTINCT; $union_all keeps duplicates. $intersect/$except are binary.
 SET_OPS = {"$union", "$union_all", "$intersect", "$except"}
+
+
+def bind_args(spec: object, params: dict) -> object:
+    """Round-7: resolve ``{"$arg": name}`` placeholders against ``params``
+    BEFORE parsing — the QuerySpec spelling of naqed resolver arguments
+    (SURVEY §1.1: the reference passes resolver args through the query
+    object the same way). Binding happens pre-parse so bound values flow
+    through exactly the same shape/type validation as literals (a string
+    bound into a bigint predicate still raises the typed analysis error).
+
+    Typed-error contract: missing param, unused param (typo catcher),
+    non-string ``$arg`` name, and non-scalar param values all raise
+    ``SpecError``. Param values may be scalars or lists of scalars (for
+    ``$in``); dict values are rejected — parameters carry DATA, never
+    spec structure, so a param can never inject operators."""
+    if not isinstance(params, dict) or any(
+        not isinstance(k, str) for k in params
+    ):
+        raise SpecError("params must be a dict of name -> scalar")
+    used: set[str] = set()
+
+    def _is_scalar(v: object) -> bool:
+        return v is None or isinstance(v, (str, int, float, bool))
+
+    def _sub(obj: object) -> object:
+        if isinstance(obj, dict):
+            if set(obj) == {"$arg"}:
+                name = obj["$arg"]
+                if not isinstance(name, str):
+                    raise SpecError(f"$arg name must be a string, got {name!r}")
+                if name not in params:
+                    raise SpecError(
+                        f"$arg {name!r} not provided (have {sorted(params)})"
+                    )
+                used.add(name)
+                v = params[name]
+                if isinstance(v, (list, tuple)):
+                    if any(not _is_scalar(x) for x in v):
+                        raise SpecError(
+                            f"$arg {name!r}: list param items must be scalars"
+                        )
+                    return list(v)
+                if not _is_scalar(v):
+                    raise SpecError(
+                        f"$arg {name!r}: param value must be a scalar or a"
+                        f" list of scalars, got {type(v).__name__}"
+                    )
+                return v
+            return {k: _sub(v) for k, v in obj.items()}
+        if isinstance(obj, list):
+            return [_sub(x) for x in obj]
+        return obj
+
+    out = _sub(spec)
+    unused = set(params) - used
+    if unused:
+        raise SpecError(
+            f"unused params {sorted(unused)} — no matching $arg in the spec"
+        )
+    return out
 
 
 @dataclass

@@ -389,3 +389,43 @@ def compiler_agg_having(spark, sf_dir):
             }
         }
     )
+
+
+@query(
+    "compiler_params",
+    # E1 parameterized query (round 7): {"$arg": name} placeholders bound
+    # from a params dict BEFORE parsing (spec.bind_args), so bound values
+    # flow through the same shape/type validation as literals and the
+    # bound literal reaches the parquet scan as an ordinary pushed
+    # filter — a parameterized query plans identically to its literal
+    # twin. This is the QuerySpec spelling of naqed resolver arguments
+    # (SURVEY §1.1). The $orderby (price, key) is a unique total order so
+    # the $limit is deterministic on both engines.
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus IN ('F', 'O') AND o_totalprice > 250000.0
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+)
+def compiler_params(spark, sf_dir):
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "orders": {
+                "$filter": {
+                    "o_orderstatus": {"$in": {"$arg": "statuses"}},
+                    "o_totalprice": {"$gt": {"$arg": "min_total"}},
+                },
+                "o_orderkey": True,
+                "o_custkey": True,
+                "o_totalprice": True,
+                "$orderby": [["o_totalprice", "desc"], ["o_orderkey", "asc"]],
+                "$limit": {"$arg": "k"},
+            }
+        },
+        params={"statuses": ["F", "O"], "min_total": 250000.0, "k": 25},
+    )

@@ -973,3 +973,85 @@ def test_having_on_raw_column_is_typed_error(eng):
                 }
             }
         ).collect()
+
+
+# -- round 7: {"$arg": name} parameter binding ---------------------------
+
+
+def test_params_bind_equals_literal_twin(eng):
+    """A parameterized query must return exactly what its literal twin
+    returns — binding happens pre-parse, so the plans are identical."""
+    spec_p = {
+        "orders": {
+            "$filter": {
+                "o_orderstatus": {"$in": {"$arg": "sts"}},
+                "o_totalprice": {"$gt": {"$arg": "mn"}},
+            },
+            "o_orderkey": True,
+        }
+    }
+    spec_l = {
+        "orders": {
+            "$filter": {
+                "o_orderstatus": {"$in": ["F", "O"]},
+                "o_totalprice": {"$gt": 100000.0},
+            },
+            "o_orderkey": True,
+        }
+    }
+    got = {r["o_orderkey"] for r in
+           eng.query(spec_p, params={"sts": ["F", "O"], "mn": 100000.0}).collect()}
+    want = {r["o_orderkey"] for r in eng.query(spec_l).collect()}
+    assert got == want and got
+
+
+@pytest.mark.parametrize(
+    "spec,params",
+    [
+        # missing param
+        ({"orders": {"$filter": {"o_orderkey": {"$arg": "x"}},
+                     "o_orderkey": True}}, {}),
+        # unused param (typo catcher)
+        ({"orders": {"o_orderkey": True}}, {"x": 1}),
+        # non-string $arg name
+        ({"orders": {"$filter": {"o_orderkey": {"$arg": 3}},
+                     "o_orderkey": True}}, {"3": 1}),
+        # dict param value: data only, never spec structure
+        ({"orders": {"$filter": {"o_orderkey": {"$arg": "x"}},
+                     "o_orderkey": True}}, {"x": {"$gt": 1}}),
+        # list param with non-scalar item
+        ({"orders": {"$filter": {"o_orderstatus": {"$in": {"$arg": "x"}}},
+                     "o_orderkey": True}}, {"x": [["F"]]}),
+        # bound value fails the SAME typecheck a literal would
+        ({"orders": {"$filter": {"o_orderkey": {"$gt": {"$arg": "x"}}},
+                     "o_orderkey": True}}, {"x": "not-a-number"}),
+    ],
+)
+def test_params_bad_bindings_fail_typed(eng, spec, params):
+    from naqed_spark.compiler.spec import SpecError
+
+    with pytest.raises(SpecError):
+        eng.query(spec, params=params).collect()
+
+
+def test_params_bound_limit_and_filter_pushdown(eng):
+    """$arg-bound $limit works, and the bound predicate reaches the parquet
+    scan as a pushed filter (the parameterized query costs exactly what
+    the literal costs)."""
+    df = eng.query(
+        {
+            "orders": {
+                "$filter": {"o_totalprice": {"$gt": {"$arg": "mn"}}},
+                "o_orderkey": True,
+                "$orderby": [["o_orderkey", "asc"]],
+                "$limit": {"$arg": "k"},
+            }
+        },
+        params={"mn": 100000.0, "k": 7},
+    )
+    assert df.count() == 7
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted")
+    )
+    assert "PushedFilters" in plan and "GreaterThan(o_totalprice,100000.0)" in plan
