@@ -26,6 +26,9 @@ All are standard knobs in a pretraining data pipeline:
   pairwise cosine dedup, the k×O((n/k)²) semantic-dedup shape.
 - ``llm_vocab_coverage`` — top-K corpus vocabulary + per-document
   out-of-vocabulary rate (tokenizer-coverage analysis).
+- ``llm_shuffle_shard`` — deterministic global shuffle + shard/position
+  assignment: how you "shuffle" 100 TB without a global sort (hash
+  partition on the shard id + independent per-shard windows).
 
 No reference file:line possible — ``/root/reference`` is empty (SURVEY.md
 §0); keys extend the §2-K training-data toolkit.
@@ -234,4 +237,53 @@ def llm_vocab_coverage(spark, sf_dir):
             F.round(F.col("n_oov").cast("double") / F.col("n_toks"), 6)
             .alias("oov_rate"),
         )
+    )
+
+
+_N_SHARDS = 8
+
+
+@query(
+    "llm_shuffle_shard",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents)
+    SELECT doc_id,
+           ((instr('0123456789abcdef', substr(hk, 1, 1)) - 1) * 16
+            + instr('0123456789abcdef', substr(hk, 2, 1)) - 1)
+             % {_N_SHARDS} AS shard,
+           CAST(row_number() OVER (
+             PARTITION BY ((instr('0123456789abcdef', substr(hk, 1, 1)) - 1)
+                           * 16
+                           + instr('0123456789abcdef', substr(hk, 2, 1)) - 1)
+                          % {_N_SHARDS}
+             ORDER BY hk, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def llm_shuffle_shard(spark, sf_dir):
+    """Deterministic global shuffle + shard assignment for training-data
+    serving: every doc gets a shard (md5 bucket mod N) and a position
+    inside its shard (ordered by the md5 key — i.e. a reproducible random
+    permutation). This is how you 'shuffle' a 100 TB dataset without a
+    global sort: the only exchange is the hash partition on the shard id,
+    and each shard orders itself independently (one per-shard window —
+    shard count scales with data so per-shard size stays bounded).
+    Stable across engines, runs, and cluster sizes; md5 tie-break by
+    doc_id is unreachable (distinct ids hash distinctly) but spelled for
+    determinism anyway."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("hk")
+    )
+    bucket = F.expr(
+        "((instr('0123456789abcdef', substring(hk, 1, 1)) - 1) * 16"
+        " + instr('0123456789abcdef', substring(hk, 2, 1)) - 1)"
+    )
+    d = d.withColumn("shard", bucket % _N_SHARDS)
+    w = Window.partitionBy("shard").orderBy("hk", "doc_id")
+    return d.select(
+        "doc_id", "shard",
+        F.row_number().over(w).cast("bigint").alias("pos"),
     )

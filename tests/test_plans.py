@@ -716,3 +716,13 @@ def test_null_safe_join_is_hash_join(spark):
     assert "BroadcastHashJoin" in tree
     assert "BroadcastNestedLoopJoin" not in tree
     assert "CartesianProduct" not in tree
+
+
+def test_shuffle_shard_single_exchange_no_global_sort(spark):
+    """llm_shuffle_shard: exactly one hash exchange (on the shard id) and
+    per-shard windows — a global Sort here would be the 100 TB trap."""
+    plan = plan_of(spark, "llm_shuffle_shard")
+    tree = tree_of(plan)
+    assert tree.count("Exchange") == 1
+    assert "hashpartitioning(shard" in plan
+    assert "rangepartitioning" not in plan
