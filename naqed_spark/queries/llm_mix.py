@@ -287,3 +287,67 @@ def llm_shuffle_shard(spark, sf_dir):
         "doc_id", "shard",
         F.row_number().over(w).cast("bigint").alias("pos"),
     )
+
+
+_UNIGRAM_NLL_SQL = """
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    vocab AS (
+      SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ),
+    totals AS (
+      SELECT CAST(sum(c) AS DOUBLE) AS total,
+             CAST(count(*) AS DOUBLE) AS v
+      FROM vocab
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             round(avg(-ln((v.c + 1.0) / (tt.total + tt.v))), 6) AS mean_nll
+      FROM toks t
+      JOIN vocab v ON v.tok = t.tok
+      CROSS JOIN totals tt
+      GROUP BY t.doc_id
+    )
+"""
+
+
+@query(
+    "llm_perplexity_bucket",
+    oracle=f"""
+    WITH {_UNIGRAM_NLL_SQL}
+    SELECT s.doc_id, d.lang, s.mean_nll,
+           CASE ntile(3) OVER (PARTITION BY d.lang
+                               ORDER BY s.mean_nll, s.doc_id)
+                WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    """,
+)
+def llm_perplexity_bucket(spark, sf_dir):
+    """CCNet-style quality partitioning (Wenzek et al. 2020,
+    arXiv:1911.00359): split each language's documents into head/middle/
+    tail terciles of LM perplexity — head is what you keep, tail is what
+    you drop or down-weight. Composition: the registered
+    llm_unigram_logprob scorer provides mean_nll (corpus-as-model, two
+    codegen passes, broadcast vocab); bucketing adds ONE per-language
+    ntile window ordered by (mean_nll, doc_id) — deterministic total
+    order, and per-language partitions keep the window state bounded at
+    any corpus size (languages grow, a language's share stays a
+    partition key, not a global sort)."""
+    from pyspark.sql import Window
+
+    from naqed_spark.queries.llm_ext import llm_unigram_logprob
+
+    scored = llm_unigram_logprob(spark, sf_dir).select("doc_id", "mean_nll")
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("mean_nll", "doc_id")
+    nt = F.ntile(3).over(w)
+    return (
+        scored.join(d, "doc_id")
+        .select(
+            "doc_id", "lang", "mean_nll",
+            F.when(nt == 1, "head").when(nt == 2, "middle")
+            .otherwise("tail").alias("bucket"),
+        )
+    )

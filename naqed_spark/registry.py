@@ -65,7 +65,7 @@ PRIORITY: list[str] = [
     "llm_mixture_sample", "llm_length_filter_percentile", "sub_any_all",
     "fn_struct", "sink_sorted_clustered", "llm_semdedup_cluster",
     "llm_vocab_coverage", "join_null_safe", "compiler_params",
-    "llm_shuffle_shard",
+    "llm_shuffle_shard", "llm_perplexity_bucket",
     # last driver signal r2 (missed r6's window): ordered string agg
     "agg_string_concat_ordered",
     # last driver signal r2 (missed r6's window): scalar functions

@@ -35,12 +35,15 @@ import tempfile
 import time
 
 SHIFT = 10_000_000
-DIMS = ["region", "nation", "supplier", "part", "documents", "embeddings"]
+DIMS = ["region", "nation", "supplier", "part", "embeddings"]
 FACT_SHIFTS = {
     "lineitem": ["l_orderkey"],
     "orders": ["o_orderkey", "o_custkey"],
     "customer": ["c_custkey"],
     "events": ["event_id", "user_id"],
+    # corpus grows like a fact table; shifted ids give distinct md5
+    # buckets, so hash-keyed ops see genuinely new rows, not K collisions
+    "documents": ["doc_id"],
 }
 HEADLINE = [
     "agg_groupby_hash",
@@ -55,6 +58,16 @@ HEADLINE = [
     "ts_gaps_islands",
     "ts_interval_merge",
     "ts_rollup_incremental_merge",
+    # round-7 corpus-composition ops: scan-shaped (mixture), broadcast-
+    # filter (length percentile), topk+broadcast (vocab), single-exchange
+    # window (shuffle_shard). llm_semdedup_cluster is deliberately NOT
+    # probed: the fixture's cluster count is fixed at 10, so growing the
+    # corpus K x grows within-cluster pairs K^2 — the op's scale story
+    # requires k ~ n (SemDeDup's own design), which the fixture can't vary.
+    "llm_mixture_sample",
+    "llm_length_filter_percentile",
+    "llm_vocab_coverage",
+    "llm_shuffle_shard",
 ]
 
 
