@@ -580,3 +580,51 @@ def agg_approx_percentile_sketch(spark, sf_dir):
             "median_qty"
         ),
     )
+
+
+@query(
+    "agg_conditional_ratio",
+    # Conditional-aggregate family: count_if / sum-if and ratio-of-sums
+    # per group — the shape of every "share of revenue from X" metric.
+    # All predicates evaluate inside the partial aggregate (map-side
+    # combine), so the shuffle carries one row per (group × 4 measures);
+    # ratios divide two exact-decimal sums cast to double (bit-identical
+    # on both engines, round(6) hedge per SURVEY.md §7.3).
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           count(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+           round(CAST(count(*) FILTER (WHERE l_discount > 0.05) AS DOUBLE)
+                 / count(*), 6) AS disc_row_share,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS rev_total,
+           CAST(SUM(CASE WHEN l_discount > 0.05
+                         THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             AS rev_disc,
+           round(CAST(SUM(CASE WHEN l_discount > 0.05
+                              THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                              ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+                        AS DOUBLE), 6) AS disc_rev_share
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_conditional_ratio(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    price = dec("l_extendedprice")
+    is_disc = F.col("l_discount") > 0.05
+    disc_price = F.when(is_disc, price).otherwise(
+        F.lit(0).cast("decimal(12,2)")
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(is_disc).alias("n_disc"),
+        r6(F.count_if(is_disc).cast("double") / F.count(F.lit(1))).alias(
+            "disc_row_share"
+        ),
+        dsum(price).alias("rev_total"),
+        dsum(disc_price).alias("rev_disc"),
+        r6(dsum(disc_price) / dsum(price)).alias("disc_rev_share"),
+    )

@@ -535,3 +535,30 @@ def fn_struct(spark, sf_dir):
             F.element_at("arr", -1).getField("k").alias("last_key"),
         )
     )
+
+
+@query(
+    "fn_hash",
+    # Hash/digest family — the workhorse of dedup keys, shard assignment,
+    # and fingerprinting everywhere else in this repo (md5-bucket sampling,
+    # exact dedup, train splits). md5/sha256 produce identical lowercase
+    # hex on both engines; xxhash64/crc32 are engine-specific and excluded
+    # on determinism grounds (SURVEY.md §7.3). Codegen scan, no shuffle.
+    oracle="""
+    SELECT c_custkey,
+           md5(c_name) AS name_md5,
+           sha256(c_name) AS name_sha256,
+           substr(md5(c_mktsegment), 1, 8) AS seg_bucket,
+           length(sha256(c_name)) AS sha_len
+    FROM customer
+    """,
+)
+def fn_hash(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.md5("c_name").alias("name_md5"),
+        F.sha2("c_name", 256).alias("name_sha256"),
+        F.substring(F.md5("c_mktsegment"), 1, 8).alias("seg_bucket"),
+        F.length(F.sha2("c_name", 256)).alias("sha_len"),
+    )

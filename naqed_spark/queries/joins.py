@@ -663,3 +663,40 @@ def join_null_safe(spark, sf_dir):
         c.join(F.broadcast(s), c["nk"].eqNullSafe(s["snk"]))
         .select("c_custkey", "s_suppkey", "nk")
     )
+
+
+@query(
+    "join_existence_mark",
+    # Mark join: annotate every probe row with a boolean "matched" flag
+    # instead of filtering (the EXISTS-as-column shape semi/anti joins
+    # can't express). Spark has no mark-join physical operator, so the
+    # scale-correct rewrite is a left join against the DISTINCT key set:
+    # the distinct pre-aggregate is map-side combined, bounds the build
+    # side to |unique keys|, and guarantees no row duplication. One
+    # shuffle on the key (same as the semi join would cost); at 100 TB the
+    # distinct side of a selective predicate is often broadcast-able —
+    # Spark's AQE decides from runtime stats.
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           (o.o_custkey IS NOT NULL) AS has_urgent_order
+    FROM customer c
+    LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderpriority = '1-URGENT') o
+      ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_existence_mark(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    urgent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+    )
+    return c.join(
+        urgent, c["c_custkey"] == urgent["o_custkey"], "left"
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("o_custkey").isNotNull().alias("has_urgent_order"),
+    )

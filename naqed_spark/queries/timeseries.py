@@ -659,3 +659,130 @@ def ts_rollup_incremental_merge(spark, sf_dir):
             "cents"
         ),
     )
+
+@query(
+    "ts_interpolate_linear",
+    # Linear interpolation of interior gaps in an hourly per-user series —
+    # the numeric sibling of ts_gap_fill_ffill's last-observation-carried-
+    # forward. Same spine construction (per-user hour range, exploded
+    # JVM-side), then FOUR ignore-nulls window passes (prev/next value,
+    # prev/next observed hour) that all share ONE (user_id, hidx)
+    # ordering — Catalyst plans a single hash exchange on user_id with
+    # stacked Window operators, so the 100 TB cost is one shuffle.
+    # Arithmetic is exact-integer cents → double at the end, round(6)
+    # hedge (SURVEY.md §7.3); the hour index is exact integer division of
+    # epoch-µs so both engines interpolate over identical abscissae.
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE user_id <= 50
+      GROUP BY 1, 2),
+    spine AS (
+      SELECT user_id, unnest(generate_series(min(h), max(h),
+                                             INTERVAL 1 HOUR)) AS h
+      FROM hourly GROUP BY user_id),
+    j AS (
+      SELECT s.user_id, s.h, hourly.cents,
+             epoch_us(s.h) // 3600000000 AS hidx
+      FROM spine s
+      LEFT JOIN hourly ON hourly.user_id = s.user_id AND hourly.h = s.h),
+    w AS (
+      SELECT user_id, h, cents, hidx,
+        last_value(cents IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY hidx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN cents IS NOT NULL THEN hidx END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY hidx
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+        first_value(cents IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY hidx
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN cents IS NOT NULL THEN hidx END IGNORE NULLS)
+          OVER (PARTITION BY user_id ORDER BY hidx
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+      FROM j)
+    SELECT user_id, epoch_us(h) AS hour_us, cents,
+           CASE WHEN cents IS NOT NULL THEN round(CAST(cents AS DOUBLE), 6)
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                  round(CAST(pv AS DOUBLE)
+                        + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                          * (hidx - pt) / (nt - pt), 6)
+           END AS cents_interp
+    FROM w
+    """,
+)
+def ts_interpolate_linear(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") <= 50)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents")
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    j = (
+        spine.join(
+            hourly.select(
+                F.col("user_id").alias("h_user"),
+                F.col("h").alias("h_h"),
+                "cents",
+            ),
+            (spine.user_id == F.col("h_user")) & (spine.h == F.col("h_h")),
+            "left",
+        )
+        .select(
+            spine.user_id,
+            spine.h,
+            "cents",
+            F.expr("unix_micros(h) div 3600000000").alias("hidx"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("hidx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("hidx")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hidx = F.when(F.col("cents").isNotNull(), F.col("hidx"))
+    w = (
+        j.withColumn("pv", F.last("cents", ignorenulls=True).over(w_prev))
+        .withColumn("pt", F.last(obs_hidx, ignorenulls=True).over(w_prev))
+        .withColumn("nv", F.first("cents", ignorenulls=True).over(w_next))
+        .withColumn("nt", F.first(obs_hidx, ignorenulls=True).over(w_next))
+    )
+    interp = (
+        F.when(
+            F.col("cents").isNotNull(),
+            F.round(F.col("cents").cast("double"), 6),
+        )
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.round(
+                F.col("pv").cast("double")
+                + (F.col("nv").cast("double") - F.col("pv").cast("double"))
+                * (F.col("hidx") - F.col("pt"))
+                / (F.col("nt") - F.col("pt")),
+                6,
+            ),
+        )
+    )
+    return w.select(
+        "user_id",
+        F.unix_micros("h").alias("hour_us"),
+        "cents",
+        interp.alias("cents_interp"),
+    )

@@ -338,3 +338,36 @@ def win_first_last_nth(spark, sf_dir):
         F.last("o_orderkey").over(w).alias("last_ok"),
         F.nth_value("o_orderkey", 2).over(w).alias("second_ok"),
     )
+
+
+@query(
+    "win_count_distinct_over",
+    # COUNT(DISTINCT x) OVER (PARTITION BY k) — Spark's analyzer rejects
+    # DISTINCT aggregates in window frames outright, so the engine rewrites
+    # it to the classic two-window form: dense_rank over (k ORDER BY x)
+    # then max(rank) over (k). Both windows share one partitioning, so
+    # Catalyst plans a SINGLE hash exchange on o_custkey followed by two
+    # in-memory Window operators — the 100 TB cost is one shuffle, same as
+    # the naive aggregate; no per-group state beyond the sort run.
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderpriority,
+           max(dr) OVER (PARTITION BY o_custkey) AS n_distinct_prio
+    FROM (
+      SELECT o_orderkey, o_custkey, o_orderpriority,
+             dense_rank() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderpriority) AS dr
+      FROM orders
+    )
+    """,
+)
+def win_count_distinct_over(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    w_rank = Window.partitionBy("o_custkey").orderBy("o_orderpriority")
+    w_all = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("dr", F.dense_rank().over(w_rank))
+        .withColumn("n_distinct_prio", F.max("dr").over(w_all))
+        .select(
+            "o_orderkey", "o_custkey", "o_orderpriority", "n_distinct_prio"
+        )
+    )
