@@ -18,6 +18,7 @@ from naqed_spark.queries import (  # noqa: F401
     llm_contam,
     llm_ann,
     llm_mix,
+    llm_fp,
     udfs,
     windows,
     sets,

@@ -732,3 +732,92 @@ def graph_copurchase(spark, sf_dir):
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
+
+
+# Hub cap for link prediction: vertices with undirected degree above this
+# are dropped before pairing. This is the standard scale bound for
+# common-neighbor scoring — the pair fan-out is Σ d(v)², so one celebrity
+# vertex with d = 10⁶ alone generates 10¹² pairs; capping turns the cost
+# into Σ min(d, CAP)² ≤ |V|·CAP². Fixture degrees span 8–29, so 25
+# actually exercises the cap (a handful of hubs are excluded).
+_CN_HUB_CAP = 25
+
+_UND_DEG_SQL = f"""
+  und AS (SELECT src AS v, dst AS n FROM ue
+          UNION SELECT dst, src FROM ue),
+  deg AS (SELECT v, count(*) AS d FROM und GROUP BY v),
+  kept AS (SELECT v, d FROM deg WHERE d <= {_CN_HUB_CAP}),
+  ke AS (SELECT und.v, und.n FROM und
+         JOIN kept a ON und.v = a.v
+         JOIN kept b ON und.n = b.v)
+"""
+
+
+@query(
+    "graph_common_neighbors",
+    # Link prediction by common-neighbor / Jaccard scoring over the
+    # user-interaction graph. Plan: symmetrize → degree (one groupBy) →
+    # hub-cap filter → self-join of the adjacency list ON THE SHARED
+    # NEIGHBOR (equi-join, hash-partitioned by neighbor id — never a
+    # cartesian) → groupBy(pair) count → broadcast-join the tiny degree
+    # table twice for the Jaccard denominator. At 100 TB: the neighbor
+    # join's per-group fan-out is bounded by the hub cap above, the pair
+    # aggregate is map-side combined, and the degree table is |V|-sized
+    # (broadcast or shuffle-join both fine). Only pairs with an actual
+    # common neighbor materialize.
+    oracle=f"""
+    WITH ue AS ({{ue}}),
+    {_UND_DEG_SQL},
+    pairs AS (
+      SELECT a.v AS u, b.v AS w, count(*) AS cn
+      FROM ke a JOIN ke b ON a.n = b.n AND a.v < b.v
+      GROUP BY a.v, b.v
+    )
+    SELECT p.u, p.w, p.cn,
+           round(CAST(p.cn AS DOUBLE) / (da.d + db.d - p.cn), 6) AS jaccard
+    FROM pairs p
+    JOIN kept da ON p.u = da.v
+    JOIN kept db ON p.w = db.v
+    WHERE p.cn >= 3
+    """.format(ue=_UE_SQL),
+)
+def graph_common_neighbors(spark, sf_dir):
+    ue = user_edges(spark, sf_dir)
+    und = (
+        ue.select(F.col("src").alias("v"), F.col("dst").alias("n"))
+        .union(ue.select(F.col("dst").alias("v"), F.col("src").alias("n")))
+        .distinct()
+    )
+    deg = und.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    kept = deg.filter(F.col("d") <= _CN_HUB_CAP)
+    ke = (
+        und.join(F.broadcast(kept.select("v")), "v")
+        .join(
+            F.broadcast(kept.select(F.col("v").alias("n"))), "n"
+        )
+        .select("v", "n")
+    )
+    a = ke.select(F.col("v").alias("u"), "n")
+    b = ke.select(F.col("v").alias("w"), "n")
+    pairs = (
+        a.join(b, (a["n"] == b["n"]) & (a["u"] < b["w"]))
+        .groupBy("u", "w")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .filter(F.col("cn") >= 3)
+    )
+    da = kept.select(F.col("v").alias("u"), F.col("d").alias("du"))
+    db = kept.select(F.col("v").alias("w"), F.col("d").alias("dw"))
+    return (
+        pairs.join(F.broadcast(da), "u")
+        .join(F.broadcast(db), "w")
+        .select(
+            "u",
+            "w",
+            "cn",
+            F.round(
+                F.col("cn").cast("double")
+                / (F.col("du") + F.col("dw") - F.col("cn")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

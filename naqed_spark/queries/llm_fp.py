@@ -1,0 +1,203 @@
+"""Corpus fingerprinting / provenance operators, round 7 session 2
+(SURVEY.md §2-K): winnowing fingerprints, cross-source overlap audit,
+and chunk→document embedding pooling.
+
+- ``llm_winnowing_fingerprint`` — the MOSS winnowing scheme (Schleimer,
+  Wilkerson, Aiken, SIGMOD 2003): k-gram rolling hashes, then the minimum
+  hash of every w-length window; the distinct set of window-minima is the
+  document fingerprint. Guarantees any shared substring of length
+  ≥ w+k-1 produces at least one shared fingerprint entry, at ~1/w the
+  storage of the full hash stream. Hashes stay 8-hex-digit STRINGS so the
+  window ``min`` is plain ASCII comparison — identical in both engines —
+  instead of an engine-specific hex→int conversion.
+- ``llm_cross_source_overlap`` — provenance audit: which exact texts
+  appear in more than one source shard (the fixture corpus has no
+  duplicates — llm.py:90 — so the corpus is the fixture plus a simulated
+  "crawl refresh" shard re-containing every third doc).
+- ``llm_embedding_pool_mean`` — chunk→document pooling: mean of the chunk
+  embeddings per synthetic doc (vec_id // 10), then L2-normalized. The
+  elementwise mean follows the llm_knn_centroid precedent (round(avg,6)
+  per dimension — the only float-sum in the op); the norm is computed
+  from the ROUNDED means so both engines normalize identical vectors.
+
+No reference file:line possible — ``/root/reference`` is empty (SURVEY.md
+§0); keys extend the §2-K training-data toolkit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window, functions as F
+
+from naqed_spark.queries._util import load, r6
+from naqed_spark.registry import query
+
+# Winnowing parameters: k-gram length and window width. t = w + k - 1 = 11
+# is the guarantee threshold (any shared substring of ≥ 11 chars shares a
+# fingerprint). _FP_LEN caps the scanned prefix so the per-doc work is
+# bounded no matter the document length — at 100 TB you either raise the
+# cap or fingerprint per chunk (llm_chunk_windows) and union.
+_FP_K = 8
+_FP_W = 4
+_FP_LEN = 200
+
+
+@query(
+    "llm_winnowing_fingerprint",
+    # Plan shape: one scan → JVM-side explode of ≤ _FP_LEN positions per
+    # doc → ONE (doc_id, pos) window pass for the rolling minimum → one
+    # groupBy(doc_id) with map-side combine. Nothing quadratic, no
+    # Python; per-doc state is bounded by _FP_LEN. The window and the
+    # final collect_set share the doc_id partitioning, so Catalyst plans
+    # a single hash exchange.
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             p,
+             substr(md5(substr(text, CAST(p AS INT), {_FP_K})), 1, 8) AS h,
+             least(length(text), {_FP_LEN}) - {_FP_K} + 1 AS np
+      FROM documents,
+           LATERAL unnest(generate_series(
+             1, least(length(text), {_FP_LEN}) - {_FP_K} + 1)) AS t(p)
+    ),
+    mins AS (
+      SELECT doc_id, p, np,
+             min(h) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN CURRENT ROW
+                          AND {_FP_W - 1} FOLLOWING) AS wmin
+      FROM g
+    )
+    SELECT doc_id,
+           string_agg(DISTINCT wmin, ',' ORDER BY wmin) AS fingerprint,
+           count(DISTINCT wmin) AS n_marks
+    FROM mins
+    WHERE p <= np - {_FP_W} + 1
+    GROUP BY doc_id
+    """,
+)
+def llm_winnowing_fingerprint(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    np_ = F.least(F.length("text"), F.lit(_FP_LEN)) - _FP_K + 1
+    g = d.select(
+        "doc_id",
+        F.col("text"),
+        np_.alias("np"),
+        F.explode(F.sequence(F.lit(1), np_)).alias("p"),
+    ).select(
+        "doc_id",
+        "np",
+        "p",
+        F.substring(
+            F.md5(F.expr(f"substring(text, CAST(p AS INT), {_FP_K})")), 1, 8
+        ).alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.currentRow, _FP_W - 1)
+    )
+    mins = g.withColumn("wmin", F.min("h").over(w)).filter(
+        F.col("p") <= F.col("np") - _FP_W + 1
+    )
+    return mins.groupBy("doc_id").agg(
+        F.array_join(F.array_sort(F.collect_set("wmin")), ",").alias(
+            "fingerprint"
+        ),
+        F.size(F.collect_set("wmin")).cast("bigint").alias("n_marks"),
+    )
+
+
+@query(
+    "llm_cross_source_overlap",
+    # Provenance audit: exact texts present in >1 source shard. One
+    # map-side-combined groupBy on md5(text) — the 128-bit key shuffles
+    # instead of the full text (at 100 TB that is the difference between
+    # shuffling 16-byte keys and shuffling the corpus). count(DISTINCT
+    # source) stays inside the same aggregate (Spark plans a two-phase
+    # distinct-agg, still one logical shuffle chain, no join).
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text, source FROM documents
+      UNION ALL
+      SELECT doc_id, text, 'refresh' AS source FROM documents
+      WHERE doc_id % 3 = 0
+    )
+    SELECT md5(text) AS text_md5,
+           count(*) AS n_docs,
+           count(DISTINCT source) AS n_sources,
+           min(doc_id) AS first_doc
+    FROM corpus
+    GROUP BY md5(text)
+    HAVING count(DISTINCT source) > 1
+    """,
+)
+def llm_cross_source_overlap(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    refresh = d.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "source", F.lit("refresh")
+    )
+    corpus = d.select("doc_id", "text", "source").unionAll(
+        refresh.select("doc_id", "text", "source")
+    )
+    return (
+        corpus.groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_sources") > 1)
+    )
+
+
+@query(
+    "llm_embedding_pool_mean",
+    # Chunk→doc pooling: synthetic docs own 10 consecutive chunk vectors
+    # (vec_id // 10); pool = per-dimension mean, then L2-normalize. Two
+    # shuffles — (doc, pos) mean, then doc norm — both on narrow keys with
+    # map-side combine; the re-join of the norm is on the same doc key.
+    # round(avg, 6) BEFORE the norm so both engines normalize the same
+    # vector (the llm_knn_centroid float discipline).
+    oracle="""
+    WITH x AS (
+      SELECT vec_id // 10 AS doc,
+             generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ),
+    pooled AS (
+      SELECT doc, pos, round(avg(val), 6) AS m, count(*) AS n_chunks
+      FROM x GROUP BY doc, pos
+    ),
+    nrm AS (
+      SELECT doc, sqrt(sum(m * m)) AS l2 FROM pooled GROUP BY doc
+    )
+    SELECT p.doc, p.pos, p.n_chunks,
+           round(p.m / nullif(n.l2, 0), 6) AS pooled_norm
+    FROM pooled p JOIN nrm n ON p.doc = n.doc
+    """,
+)
+def llm_embedding_pool_mean(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select(
+        (F.col("vec_id") / 10).cast("bigint").alias("doc"),
+        F.posexplode("embedding").alias("pos0", "valf"),
+    ).select(
+        "doc",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    pooled = x.groupBy("doc", "pos").agg(
+        r6(F.avg("val")).alias("m"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    nrm = pooled.groupBy("doc").agg(
+        F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("l2")
+    )
+    return pooled.join(nrm, "doc").select(
+        "doc",
+        "pos",
+        "n_chunks",
+        r6(F.col("m") / F.nullif(F.col("l2"), F.lit(0.0))).alias(
+            "pooled_norm"
+        ),
+    )

@@ -349,3 +349,61 @@ def sink_sorted_clustered(spark, sf_dir):
         .filter(F.col("user_id").between(40, 59))
         .select("event_id", "user_id", "value")
     )
+
+
+def _zexpr(idiv: str) -> str:
+    """Morton/z-order interleave of two 8-bit buckets (user_id % 256,
+    hour-index % 256) as a pure-arithmetic SQL expression — identical
+    math in both engines, parameterized only on the integer-division
+    operator (Spark ``div``, DuckDB ``//``)."""
+    bx = "(user_id % 256)"
+    by = "(hidx % 256)"
+    terms = []
+    for i in range(8):
+        terms.append(f"(({bx} {idiv} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"(({by} {idiv} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "sink_zorder_cluster",
+    # Z-order clustered layout: interleave the bits of TWO filter
+    # dimensions (user and hour) into one Morton key, then range-cluster
+    # the files on it — so file-level min/max footer stats prune reads on
+    # EITHER dimension, not just the leading sort key (the multi-dim
+    # upgrade of sink_sorted_clustered; what Delta OPTIMIZE ZORDER BY
+    # does). The z-value is pure codegen arithmetic — no UDF — and the
+    # write is one range-shuffle; at 100 TB this layout pays for itself on
+    # the first selective scan of the non-leading dimension. Read-back
+    # filters on user_id and returns what the oracle computes from source.
+    oracle=f"""
+    SELECT event_id, user_id, hidx, z FROM (
+      SELECT event_id, user_id,
+             epoch_us(ts) // 3600000000 AS hidx,
+             {_zexpr("//").replace("hidx", "(epoch_us(ts) // 3600000000)")} AS z
+      FROM events
+    ) WHERE user_id BETWEEN 40 AND 59
+    """,
+)
+def sink_zorder_cluster(spark, sf_dir):
+    out = _scratch("events_zorder")
+    ev = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.expr("unix_micros(ts) div 3600000000").alias("hidx"),
+        )
+        .withColumn("z", F.expr(_zexpr("div")))
+    )
+    (
+        ev.repartitionByRange(8, "z")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("user_id").between(40, 59))
+        .select("event_id", "user_id", "hidx", "z")
+    )
