@@ -182,16 +182,41 @@ class Engine:
         return df
 
     # -- compilation -------------------------------------------------------
-    def _load_filtered(self, node: Node) -> DataFrame:
+    def _load_filtered(
+        self, node: Node, sample: "tuple[str, int, int] | None" = None
+    ) -> DataFrame:
         df = self.catalog.entity(node.entity)
         for pred in node.filters:
             _typecheck(df, pred, node.entity)
             df = _apply_predicate(df, pred)
+        if sample is not None:
+            # $sample (round 7): deterministic md5-bucket sample of the
+            # ROOT entity, applied at the scan — before any join — so the
+            # whole downstream plan runs on the reduced row set and the
+            # sample of a join is the join of the samples (the
+            # sample_hash_deterministic discipline; rand() is neither
+            # reproducible nor key-consistent). Pure Column construction —
+            # the key was identifier-checked at parse time and is
+            # column-resolved here, so spec data can never inject SQL.
+            key, keep, buckets = sample
+            if key not in df.columns:
+                raise SpecError(
+                    f"$sample.$key {key!r} is not a column of"
+                    f" {node.entity!r} (have {df.columns})"
+                )
+            bucket = (
+                F.conv(
+                    F.substring(F.md5(F.col(key).cast("string")), 1, 2), 16, 10
+                ).cast("int") % buckets
+            )
+            df = df.filter(bucket < keep)
         return df
 
-    def _compile_node(self, node: Node) -> tuple[DataFrame, list[str]]:
+    def _compile_node(
+        self, node: Node, sample: "tuple[str, int, int] | None" = None
+    ) -> tuple[DataFrame, list[str]]:
         """Compile a traversal subtree to (DataFrame, requested columns)."""
-        df = self._load_filtered(node)
+        df = self._load_filtered(node, sample)
         cols = list(node.fields)
         for rel_name, child in node.children:
             rel = self.catalog.relationship(node.entity, rel_name)
@@ -278,6 +303,11 @@ class Engine:
             return reduce(operator.mul, sub)
         if op == "$div":
             return sub[0] / sub[1]
+        if op == "$mod":
+            # % is C-style (sign of dividend) in BOTH Spark and DuckDB, so
+            # the spelling is engine-stable on the non-negative keys the
+            # specs use it for (bucketing / modular grouping).
+            return sub[0] % sub[1]
         if op == "$abs":
             return F.abs(sub[0])
         if op == "$round":
@@ -368,7 +398,7 @@ class Engine:
         return col
 
     def _compile(self, qs: QuerySpec) -> DataFrame:
-        df, cols = self._compile_node(qs.root)
+        df, cols = self._compile_node(qs.root, qs.sample)
         # $select computed columns land before aggregation, so $groupby/
         # $agg/$orderby can reference them like any field; without an agg
         # they join the projection after the requested fields.

@@ -93,6 +93,7 @@ to join fan-out).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 
@@ -113,6 +114,7 @@ SELECT_OPS = {
     "$sub": 2,
     "$mul": -1,
     "$div": 2,
+    "$mod": 2,       # integer/decimal modulo (pmod-free: both engines C-style on positives)
     "$abs": 1,
     "$round": 2,       # [expr, ndigits-literal]
     "$concat": -1,     # n-ary string
@@ -280,6 +282,7 @@ class QuerySpec:
     select: list[tuple[str, Expr]] = field(default_factory=list)  # computed cols
     windows: list[WindowFn] = field(default_factory=list)  # $window entries
     qualify: list[Predicate] = field(default_factory=list)  # post-window filter
+    sample: "tuple[str, int, int] | None" = None  # ($key, $keep, $buckets)
 
 
 def _validate_filter_value(col: str, op: str, val: object) -> None:
@@ -532,7 +535,8 @@ def _parse_node(entity: str, body: dict) -> tuple[Node, dict]:
         elif key == "$collect":
             node.collect = bool(val)
         elif key in ("$agg", "$groupby", "$having", "$orderby", "$limit",
-                     "$offset", "$distinct", "$select", "$window", "$qualify"):
+                     "$offset", "$distinct", "$select", "$window", "$qualify",
+                     "$sample"):
             top[key] = val
         elif key.startswith("$"):
             raise SpecError(f"unknown argument {key!r} on entity {entity!r}")
@@ -569,6 +573,45 @@ def _parse_node(entity: str, body: dict) -> tuple[Node, dict]:
             )
         node.how = "left_semi" if exists_val else "left_anti"
     return node, top
+
+
+def _parse_sample(obj: object) -> tuple[str, int, int]:
+    """``$sample: {"$key": col, "$keep": k, "$buckets": b?}`` — the
+    deterministic md5-bucket sample (keep rows whose key hashes into the
+    first ``k`` of ``b`` buckets). Reproducible, key-consistent, and
+    engine-mirrorable — the E1 spelling of the repo-wide sampling
+    discipline (sample_hash_deterministic); rand()-based sampling is
+    deliberately not offered. All shape violations are typed SpecErrors
+    (the r6/r7 parser-contract audit)."""
+    if not isinstance(obj, dict):
+        raise SpecError(
+            f"$sample must be a dict with $key/$keep[/$buckets],"
+            f" got {type(obj).__name__}"
+        )
+    extra = set(obj) - {"$key", "$keep", "$buckets"}
+    if extra:
+        raise SpecError(f"$sample: unknown argument(s) {sorted(extra)}")
+    if "$key" not in obj or "$keep" not in obj:
+        raise SpecError("$sample requires both $key and $keep")
+    key = obj["$key"]
+    if (not isinstance(key, str)
+            or not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", key)):
+        raise SpecError(f"$sample.$key must be a column name, got {key!r}")
+    keep = obj["$keep"]
+    if not isinstance(keep, int) or isinstance(keep, bool) or keep <= 0:
+        raise SpecError(f"$sample.$keep must be a positive int, got {keep!r}")
+    buckets = obj.get("$buckets", 256)
+    if (not isinstance(buckets, int) or isinstance(buckets, bool)
+            or not 2 <= buckets <= 256):
+        raise SpecError(
+            f"$sample.$buckets must be an int in [2, 256], got {buckets!r}"
+        )
+    if keep >= buckets:
+        raise SpecError(
+            f"$sample: $keep ({keep}) must be < $buckets ({buckets}) —"
+            f" keeping every bucket is not a sample"
+        )
+    return key, keep, buckets
 
 
 def parse_spec(spec: dict) -> QuerySpec:
@@ -618,6 +661,8 @@ def parse_spec(spec: dict) -> QuerySpec:
         qs.offset = top["$offset"]
     if "$distinct" in top:
         qs.distinct = bool(top["$distinct"])
+    if "$sample" in top:
+        qs.sample = _parse_sample(top["$sample"])
     if qs.aggs and not qs.groupby:
         # global aggregation is fine; groupby optional
         pass

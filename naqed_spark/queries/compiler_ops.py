@@ -429,3 +429,66 @@ def compiler_params(spark, sf_dir):
         },
         params={"statuses": ["F", "O"], "min_total": 250000.0, "k": 25},
     )
+
+
+@query(
+    "compiler_sample",
+    # E1 $sample (round 7): the deterministic md5-bucket sample as a spec
+    # argument — {"$key", "$keep", "$buckets"} keeps the first k of b
+    # buckets of md5(key). Applied at the ROOT SCAN before the customer
+    # hop, so the join runs on the reduced row set and the sample of the
+    # join is the join of the samples (key-consistent, reproducible,
+    # cluster-size-independent — the sample_hash_deterministic discipline;
+    # the engine deliberately has no rand() sampling). The oracle spells
+    # the identical bucket arithmetic with DuckDB's instr construction.
+    oracle="""
+    SELECT o_orderkey, o_totalprice, c_mktsegment
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'O'
+      AND ((instr('0123456789abcdef',
+                  substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) * 16
+           + instr('0123456789abcdef',
+                   substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1)
+          % 10 < 3
+    """,
+)
+def compiler_sample(spark, sf_dir):
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "orders": {
+                "$filter": {"o_orderstatus": "O"},
+                "$sample": {"$key": "o_orderkey", "$keep": 3, "$buckets": 10},
+                "o_orderkey": True,
+                "o_totalprice": True,
+                "customer": {"c_mktsegment": True},
+            }
+        }
+    )
+
+
+@query(
+    "compiler_distinct_values",
+    # E1 $distinct (round 7 driver key for the long-spelled top arg): the
+    # distinct combinations of a computed column and a field — compiles to
+    # project → HashAggregate (map-side combined), never a sort.
+    oracle="""
+    SELECT DISTINCT c_mktsegment, (c_nationkey % 5) AS nk_mod
+    FROM customer
+    """,
+)
+def compiler_distinct_values(spark, sf_dir):
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "customer": {
+                "c_mktsegment": True,
+                "$select": {"nk_mod": {"$mod": ["c_nationkey", {"$lit": 5}]}},
+                "$distinct": True,
+            }
+        }
+    )

@@ -729,7 +729,8 @@ _garbage = st.recursive(
                  "$how", "$eq", "$gt", "$sum", "$row_number", "c_name",
                  "c_acctbal", "orders", "nation", "bogus",
                  "$union", "$union_all", "$intersect", "$except", "$exists",
-                 "$in", "$between", "$like", "$isnull"]),
+                 "$in", "$between", "$like", "$isnull",
+                 "$sample", "$key", "$keep", "$buckets", "$mod"]),
             child, max_size=3)),
     max_leaves=8)
 
@@ -1055,3 +1056,104 @@ def test_params_bound_limit_and_filter_pushdown(eng):
         .fromString("formatted")
     )
     assert "PushedFilters" in plan and "GreaterThan(o_totalprice,100000.0)" in plan
+
+
+# -- round-7 session 2: $sample ---------------------------------------------
+
+
+def test_sample_matches_direct_bucket_filter(eng):
+    from pyspark.sql import functions as F
+
+    spec = eng.query(
+        {
+            "orders": {
+                "$sample": {"$key": "o_orderkey", "$keep": 3, "$buckets": 10},
+                "o_orderkey": True,
+            }
+        }
+    ).collect()
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2),
+            16,
+            10,
+        ).cast("int")
+        % 10
+    )
+    direct = (
+        eng.entity("orders").filter(bucket < 3).select("o_orderkey").collect()
+    )
+    assert {r["o_orderkey"] for r in spec} == {r["o_orderkey"] for r in direct}
+    total = eng.entity("orders").count()
+    assert 0 < len(spec) < total  # non-empty proper subset
+
+
+def test_sample_is_key_consistent_across_join(eng):
+    """The sample of a join equals the join of the sample — the property
+    the md5-bucket discipline exists for."""
+    joined = eng.query(
+        {
+            "orders": {
+                "$sample": {"$key": "o_custkey", "$keep": 2, "$buckets": 8},
+                "o_orderkey": True,
+                "customer": {"c_custkey": True},
+            }
+        }
+    ).collect()
+    root_only = eng.query(
+        {
+            "orders": {
+                "$sample": {"$key": "o_custkey", "$keep": 2, "$buckets": 8},
+                "o_orderkey": True,
+            }
+        }
+    ).collect()
+    assert {r["o_orderkey"] for r in joined} == {
+        r["o_orderkey"] for r in root_only
+    }
+
+
+@pytest.mark.parametrize(
+    "sample",
+    [
+        None,                       # not a dict
+        [],                         # not a dict
+        {"$key": "o_orderkey"},     # missing $keep
+        {"$keep": 3},               # missing $key
+        {"$key": 7, "$keep": 3},    # key not a string
+        {"$key": "a b", "$keep": 3},        # key not an identifier
+        {"$key": "o_orderkey", "$keep": 0},         # keep not positive
+        {"$key": "o_orderkey", "$keep": True},      # bool is not an int
+        {"$key": "o_orderkey", "$keep": 3, "$buckets": 1},    # buckets < 2
+        {"$key": "o_orderkey", "$keep": 3, "$buckets": 257},  # buckets > 256
+        {"$key": "o_orderkey", "$keep": 10, "$buckets": 10},  # keep >= buckets
+        {"$key": "o_orderkey", "$keep": 3, "$frac": 0.5},     # unknown arg
+    ],
+)
+def test_sample_bad_shapes_fail_typed(eng, sample):
+    with pytest.raises(SpecError):
+        eng.query({"orders": {"$sample": sample, "o_orderkey": True}})
+
+
+def test_sample_unknown_key_column_fails_typed(eng):
+    with pytest.raises(SpecError):
+        eng.query(
+            {
+                "orders": {
+                    "$sample": {"$key": "nope", "$keep": 3},
+                    "o_orderkey": True,
+                }
+            }
+        )
+
+
+def test_mod_select_op(eng):
+    rows = eng.query(
+        {
+            "customer": {
+                "c_custkey": True,
+                "$select": {"m": {"$mod": ["c_custkey", {"$lit": 7}]}},
+            }
+        }
+    ).collect()
+    assert all(r["m"] == r["c_custkey"] % 7 for r in rows)
