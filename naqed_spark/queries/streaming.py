@@ -584,3 +584,161 @@ def stream_complete_topk(spark, sf_dir):
         .limit(5)
     )
     return _run_to_memory(out, spark, "complete")
+
+
+# Conservative end-of-replay cutoff for APPEND-mode outer/chained results:
+# rows whose emission depends on watermark expiry are only deterministic
+# once the final watermark is guaranteed past them. 3 h clears the 1 h
+# join/window span + 10 min delay + one micro-batch of cascade lag with
+# margin; both the streaming result and the batch oracle filter to the
+# same region, so the compare is exact. (Production doesn't have this
+# cutoff — the stream simply keeps running; it is an artifact of replaying
+# a BOUNDED stream and comparing against batch.)
+_TAIL_CUTOFF_US = 3 * 3600 * 1_000_000
+
+
+def _max_ts_us(spark: SparkSession, sf_dir: str) -> int:
+    return (
+        load(spark, sf_dir, "events")
+        .agg(F.max(epoch_us("ts")).alias("m"))
+        .collect()[0]["m"]
+    )
+
+
+def _join_wm_floor_us(spark: SparkSession, sf_dir: str) -> int:
+    """Deterministic floor of the FINAL global watermark for the
+    click/purchase join: Spark's global watermark is the MIN across all
+    watermarked inputs, and each input's watermark derives from the max
+    event time THAT INPUT has seen — so the bound must come from
+    min(max click ts, max purchase ts), not the global max (at small SFs
+    the purchase stream can end hours before the last event)."""
+    r = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max(epoch_us("ts")).alias("m"))
+        .agg(F.min("m").alias("wm"))
+        .collect()
+    )
+    return r[0]["wm"]
+
+
+@query(
+    "stream_left_outer_join",
+    # Stream-stream LEFT OUTER join: every click, with its purchase within
+    # the following hour OR nulls. The outer semantics are the hard part:
+    # Spark buffers the left row until the watermark proves no match can
+    # still arrive, THEN emits the null-padded row — so unmatched results
+    # are late by construction, and state is evicted the moment the
+    # time-bound + watermark window closes (the 100 TB requirement: state
+    # is O(in-flight window), not O(stream)). Batch twin: the identical
+    # LEFT JOIN, both sides filtered to the deterministic region (see
+    # _TAIL_CUTOFF_US).
+    oracle="""
+    WITH m AS (SELECT min(mx) AS mx FROM (
+           SELECT event_type, max(epoch_us(ts)) AS mx FROM events
+           WHERE event_type IN ('click', 'purchase') GROUP BY event_type))
+    SELECT a.event_id AS click_id, a.user_id,
+           epoch_us(a.ts) AS click_us,
+           b.event_id AS purchase_id,
+           epoch_us(b.ts) AS purchase_us
+    FROM events a
+    LEFT JOIN events b
+      ON a.user_id = b.user_id
+     AND b.event_type = 'purchase'
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    CROSS JOIN m
+    WHERE a.event_type = 'click'
+      AND epoch_us(a.ts) <= m.mx - 10800000000
+    """,
+)
+def stream_left_outer_join(spark, sf_dir):
+    base = _stage(spark, sf_dir)
+    path = os.path.join(base, "all")
+    clicks = (
+        _read_stream(spark, path)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "10 minutes")
+    )
+    purchases = (
+        _read_stream(spark, path)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "10 minutes")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+        ),
+        "leftOuter",
+    ).select(
+        "click_id",
+        "user_id",
+        F.unix_micros("click_ts").alias("click_us"),
+        "purchase_id",
+        F.unix_micros("purchase_ts").alias("purchase_us"),
+    )
+    sink = _run_to_memory(joined, spark, "append")
+    cutoff = _join_wm_floor_us(spark, sf_dir) - _TAIL_CUTOFF_US
+    return sink.filter(F.col("click_us") <= cutoff)
+
+
+@query(
+    "stream_chained_agg",
+    # Chained stateful aggregations in ONE streaming query (Spark ≥3.4
+    # multiple-stateful-operator support): hourly events per user → hourly
+    # active-user count + event total. The second aggregation windows over
+    # window_time() of the first — each level keeps its own watermark-
+    # bounded state store, and finalized level-1 rows cascade into level 2
+    # without leaving the query (no intermediate sink — at 100 TB that's
+    # one job, one state lifecycle, instead of two pipelines with a
+    # storage hop between them). Batch twin: the same two-level group-by.
+    oracle="""
+    WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events),
+    per_user AS (
+      SELECT date_trunc('hour', ts) AS h, user_id, count(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT epoch_us(h) AS win_start_us,
+           count(*) AS n_active_users,
+           CAST(sum(n) AS BIGINT) AS n_events
+    FROM per_user CROSS JOIN m
+    WHERE epoch_us(h) <= m.mx - 10800000000
+    GROUP BY h, m.mx
+    """,
+)
+def stream_chained_agg(spark, sf_dir):
+    base = _stage(spark, sf_dir)
+    s = _read_stream(spark, os.path.join(base, "all"))
+    lvl1 = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    lvl2 = lvl1.groupBy(
+        F.window(F.window_time("window"), "1 hour").alias("w2")
+    ).agg(
+        F.count(F.lit(1)).alias("n_active_users"),
+        F.sum("n").alias("n_events"),
+    )
+    out = lvl2.select(
+        F.unix_micros(F.col("w2.start")).alias("win_start_us"),
+        "n_active_users",
+        "n_events",
+    )
+    sink = _run_to_memory(out, spark, "append")
+    cutoff = _max_ts_us(spark, sf_dir) - _TAIL_CUTOFF_US
+    return sink.filter(F.col("win_start_us") <= cutoff)
