@@ -726,3 +726,77 @@ def test_shuffle_shard_single_exchange_no_global_sort(spark):
     assert tree.count("Exchange") == 1
     assert "hashpartitioning(shard" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_winnowing_single_doc_exchange(spark):
+    """llm_winnowing_fingerprint: the rolling-min window and the final
+    collect share the doc_id partitioning — exactly ONE exchange, and no
+    Python in the plan (hashes are JVM md5/substring)."""
+    tree = tree_of(plan_of(spark, "llm_winnowing_fingerprint"))
+    assert tree.count("Exchange") == 1
+    assert "Python" not in tree
+    assert "CartesianProduct" not in tree
+
+
+def test_common_neighbors_equi_join_no_cartesian(spark):
+    """graph_common_neighbors: the pair generation is an equi-join on the
+    shared neighbor — never a cartesian/BNLJ — and the degree frames come
+    back broadcast."""
+    tree = tree_of(plan_of(spark, "graph_common_neighbors"))
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "BroadcastHashJoin" in tree
+
+
+def test_cross_source_overlap_single_agg_chain(spark):
+    """llm_cross_source_overlap: one hash-agg chain over the unioned scans
+    — the md5 key shuffles, the text never does (no join, no sort)."""
+    tree = tree_of(plan_of(spark, "llm_cross_source_overlap"))
+    assert "Join" not in tree
+    assert "Sort" not in tree
+
+
+def test_sample_filter_reaches_scan(spark):
+    """compiler_sample: the $sample bucket filter is applied at the ROOT
+    scan — below the customer join — so the join probes only sampled rows
+    (sample-of-join = join-of-samples). The Filter containing the md5
+    bucket must appear on the orders side, not above the join."""
+    tree = plan_of(spark, "compiler_sample")
+    ops = tree.split("\n\n")[0]
+    assert "BroadcastHashJoin" in ops or "SortMergeJoin" in ops
+    # details section: the md5/conv bucket expression lives in a Filter
+    assert "md5" in tree
+    join_pos = ops.find("Join")
+    # the scan-side filter node index appears AFTER the join node in the
+    # formatted tree (children print below parents)
+    filt_pos = ops.rfind("Filter")
+    assert join_pos != -1 and filt_pos > join_pos
+
+
+def test_interpolate_single_user_exchange(spark):
+    """ts_interpolate_linear: the four ignore-nulls window passes share one
+    (user_id, hidx) sort order — a single exchange on user_id feeds every
+    Window operator (the spine join may add its own, but no per-window
+    re-shuffle: #exchanges must stay well below #window passes)."""
+    tree = tree_of(plan_of(spark, "ts_interpolate_linear"))
+    # all Window ops stack over ONE Sort — no exchange between windows
+    # (the only exchanges are the two pre-join aggregates + the broadcast)
+    assert tree.count("Sort") == 1
+    assert tree.count("Exchange") <= 3
+    assert "Python" not in tree
+
+
+def test_zorder_read_keeps_codegen(spark):
+    """sink_zorder_cluster (plan of the read-back side): the user_id filter
+    prunes via parquet min/max — the z-layout write happens inside the
+    callable; here we assert the filter is pushed to the scan."""
+    import naqed_spark.queries.storage as storage
+
+    df = QUERIES["sink_zorder_cluster"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "PushedFilters" in plan
+    assert "user_id" in plan
