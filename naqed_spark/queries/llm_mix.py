@@ -351,3 +351,86 @@ def llm_perplexity_bucket(spark, sf_dir):
             .otherwise("tail").alias("bucket"),
         )
     )
+
+
+@query(
+    "llm_importance_resample",
+    # DSIR-style data selection (arXiv:2302.03169, simplified to unigram
+    # LMs): importance weight w(doc) = mean over tokens of
+    # ln p_target(tok) / p_raw(tok), where the target LM is estimated on
+    # the English slice and the raw LM on the whole corpus (both add-one
+    # smoothed over the SHARED raw vocabulary). Selection keeps the top-3
+    # importance deciles — deterministic ntile over the (rounded weight,
+    # doc_id) total order, the llm_perplexity_bucket discipline, instead
+    # of DSIR's gumbel sampling (reproducibility rule: no rand()).
+    # Scale: two map-side-combined vocab builds (vocabulary-sized state),
+    # ONE scoring pass joining the broadcast vocab, one ntile window over
+    # doc-level rows. ln is libm-backed → round(6) hedge on the avg.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    raw AS (SELECT tok, count(*) AS cr FROM toks GROUP BY tok),
+    tgt AS (SELECT tok, count(*) AS ct FROM toks WHERE lang = 'en'
+            GROUP BY tok),
+    tot AS (
+      SELECT CAST(sum(cr) AS DOUBLE) AS total_r,
+             CAST(count(*) AS DOUBLE) AS v,
+             (SELECT CAST(sum(ct) AS DOUBLE) FROM tgt) AS total_t
+      FROM raw
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             round(avg(
+               ln((coalesce(g.ct, 0) + 1.0) / (tt.total_t + tt.v))
+               - ln((r.cr + 1.0) / (tt.total_r + tt.v))), 6) AS w
+      FROM toks t
+      JOIN raw r ON r.tok = t.tok
+      LEFT JOIN tgt g ON g.tok = t.tok
+      CROSS JOIN tot tt
+      GROUP BY t.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, w,
+             ntile(10) OVER (ORDER BY w, doc_id) AS decile
+      FROM scored
+    )
+    SELECT doc_id, w, decile FROM ranked WHERE decile >= 8
+    """,
+)
+def llm_importance_resample(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    raw = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        toks.filter(F.col("lang") == "en")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = F.broadcast(
+        raw.agg(
+            F.sum("cr").cast("double").alias("total_r"),
+            F.count(F.lit(1)).cast("double").alias("v"),
+        ).crossJoin(tgt.agg(F.sum("ct").cast("double").alias("total_t")))
+    )
+    ratio = F.log(
+        (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+        / (F.col("total_t") + F.col("v"))
+    ) - F.log((F.col("cr") + 1.0) / (F.col("total_r") + F.col("v")))
+    scored = (
+        toks.join(F.broadcast(raw), "tok")
+        .join(F.broadcast(tgt), "tok", "left")
+        .crossJoin(tot)
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(ratio), 6).alias("w"))
+    )
+    ranked = scored.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.col("w").asc(), F.col("doc_id").asc())),
+    )
+    return ranked.filter(F.col("decile") >= 8).select("doc_id", "w", "decile")

@@ -742,3 +742,51 @@ def stream_chained_agg(spark, sf_dir):
     sink = _run_to_memory(out, spark, "append")
     cutoff = _max_ts_us(spark, sf_dir) - _TAIL_CUTOFF_US
     return sink.filter(F.col("win_start_us") <= cutoff)
+
+
+@query(
+    "stream_file_sink_exactly_once",
+    # Exactly-once file sink: the stream writes parquet through a
+    # checkpointed file sink, then the SAME query is started AGAIN on the
+    # same checkpoint — the restart must process nothing (offsets are
+    # committed) and the sink must contain each input row exactly once
+    # (the sink's transaction log, _spark_metadata, makes uncommitted
+    # files invisible to readers). This is THE production property for
+    # file-based pipelines at 100 TB: crash/restart cannot duplicate or
+    # drop data. Batch twin: the plain projection of events.
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(round(value * 100, 0) AS BIGINT) AS cents
+    FROM events
+    """,
+)
+def stream_file_sink_exactly_once(spark, sf_dir):
+    base = _stage(spark, sf_dir)
+    src = os.path.join(base, "all")
+    out = os.path.join(base, "..", "file_sink_out")
+    ckpt = os.path.join(base, "..", "file_sink_ckpt")
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    def run_once():
+        s = _read_stream(spark, src, one_file_per_batch=True).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        )
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # full replay, one micro-batch per chunk file
+    run_once()  # restart on the same checkpoint: must be a no-op
+    return spark.read.parquet(out).select(
+        "event_id", "user_id", "event_type", "cents"
+    )

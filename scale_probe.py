@@ -68,6 +68,12 @@ HEADLINE = [
     "llm_length_filter_percentile",
     "llm_vocab_coverage",
     "llm_shuffle_shard",
+    # round-7 session 2: winnowing is scan + one doc_id exchange; the
+    # windowed distinct-count rewrite is one custkey exchange; DSIR is
+    # two vocab builds + one broadcast-join scoring pass
+    "llm_winnowing_fingerprint",
+    "win_count_distinct_over",
+    "llm_importance_resample",
 ]
 
 
