@@ -628,3 +628,35 @@ def agg_conditional_ratio(spark, sf_dir):
         dsum(disc_price).alias("rev_disc"),
         r6(dsum(disc_price) / dsum(price)).alias("disc_rev_share"),
     )
+
+
+@query(
+    "agg_bitmap_distinct",
+    # EXACT distinct counting via bitmap aggregation (Spark ≥3.5
+    # bitmap_construct_agg): keys are bucketed into 32k-bit bitmaps, OR-ed
+    # per (group, bucket) — a partial-mergeable representation like HLL
+    # but exact, so it CAN be oracle-hash-checked (vs the rows-only
+    # approx sketches). The 100 TB shape: the shuffle carries one 4 KB
+    # bitmap per (group × bucket) instead of every distinct key, buckets
+    # merge associatively across partitions/partial files, and the final
+    # count is a sum of popcounts. This is the materialized-view pattern
+    # for exact COUNT(DISTINCT) at scale.
+    oracle="""
+    SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_distinct_orders
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    per_bucket = li.groupBy(
+        "l_returnflag",
+        F.expr("bitmap_bucket_number(l_orderkey)").alias("bucket"),
+    ).agg(
+        F.expr(
+            "bitmap_count(bitmap_construct_agg("
+            "bitmap_bit_position(l_orderkey)))"
+        ).alias("c")
+    )
+    return per_bucket.groupBy("l_returnflag").agg(
+        F.sum("c").alias("n_distinct_orders")
+    )

@@ -201,3 +201,41 @@ def llm_embedding_pool_mean(spark, sf_dir):
             "pooled_norm"
         ),
     )
+
+
+@query(
+    "llm_word_entropy",
+    # Word-distribution Shannon entropy + type-token ratio per document —
+    # the Gopher-style repetitiveness/diversity quality signals (low
+    # entropy = a few tokens dominate; low TTR = heavy repetition). One
+    # explode + two-level groupBy sharing the doc_id partitioning (the
+    # llm_repetition_score shape): H = ln n − (Σ c·ln c)/n computed from
+    # exact integer counts, libm ln hedged with round(6).
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tc AS (
+      SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT) AS n_toks,
+           round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr,
+           round(ln(CAST(sum(c) AS DOUBLE))
+                 - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy
+    FROM tc GROUP BY doc_id
+    """,
+)
+def llm_word_entropy(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    return tc.groupBy("doc_id").agg(
+        n.cast("bigint").alias("n_toks"),
+        r6(F.count(F.lit(1)).cast("double") / n).alias("ttr"),
+        r6(
+            F.log(n.cast("double"))
+            - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / n
+        ).alias("entropy"),
+    )

@@ -786,3 +786,34 @@ def ts_interpolate_linear(spark, sf_dir):
         "cents",
         interp.alias("cents_interp"),
     )
+
+
+@query(
+    "ts_time_bucket_arbitrary",
+    # Arbitrary-interval time bucketing (the hypertable time_bucket
+    # primitive): date_trunc only offers calendar units, so 15-minute and
+    # 6-hour buckets come from exact integer epoch arithmetic —
+    # (epoch_µs ÷ span) × span — identical in both engines, no timezone
+    # or calendar dependence. One scan, one map-side-combined groupBy on
+    # the (coarse bucket, type) pair; cents stay exact integers.
+    oracle="""
+    SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS bucket6h_us,
+           event_type,
+           count(*) AS n_events,
+           count(DISTINCT (epoch_us(ts) // 900000000)) AS n_active_15m,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_time_bucket_arbitrary(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    b6h = (us - (us % (21600 * 1_000_000))).alias("bucket6h_us")
+    b15 = F.expr("unix_micros(ts) div 900000000")
+    return ev.groupBy(b6h, F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(b15).alias("n_active_15m"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"),
+    )
