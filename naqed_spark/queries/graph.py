@@ -821,3 +821,114 @@ def graph_common_neighbors(spark, sf_dir):
             ).alias("jaccard"),
         )
     )
+
+
+def _ppr_oracle() -> str:
+    """8 unrolled iterations of personalized PageRank (teleport restricted
+    to the seed set). Same per-iteration round(6) discipline as
+    _pagerank_oracle — the thing that makes deep iterative float math
+    hash-matchable across engines."""
+    steps = []
+    prev = "p0"
+    for i in range(1, 9):
+        steps.append(
+            f"""
+    pc{i} AS MATERIALIZED (SELECT ue.dst AS v, sum({prev}.pr / outdeg.odeg) AS inflow
+             FROM {prev} JOIN outdeg USING (v) JOIN ue ON ue.src = {prev}.v
+             GROUP BY ue.dst),
+    pd{i} AS MATERIALIZED (SELECT coalesce(sum(pr), 0.0) AS mass FROM {prev}
+             WHERE v NOT IN (SELECT v FROM outdeg)),
+    p{i} AS MATERIALIZED (SELECT verts.v,
+                    round(0.15 * s.ind / ns.k
+                          + 0.85 * (coalesce(pc{i}.inflow, 0.0)
+                                    + pd{i}.mass * s.ind / ns.k), 6) AS pr
+             FROM verts
+             LEFT JOIN pc{i} ON pc{i}.v = verts.v
+             JOIN seeds s ON s.v = verts.v, pd{i}, ns)"""
+        )
+        prev = f"p{i}"
+    return f"""
+    WITH ue AS MATERIALIZED ({_UE_SQL}),
+    verts AS MATERIALIZED (SELECT DISTINCT v FROM
+              (SELECT src AS v FROM ue UNION ALL SELECT dst AS v FROM ue)),
+    seeds AS MATERIALIZED (SELECT v, CASE WHEN v % 10 = 0 THEN 1.0 ELSE 0.0 END
+              AS ind FROM verts),
+    ns AS MATERIALIZED (SELECT CAST(sum(ind) AS DOUBLE) AS k FROM seeds),
+    outdeg AS MATERIALIZED
+      (SELECT src AS v, count(*) AS odeg FROM ue GROUP BY src),
+    p0 AS MATERIALIZED (SELECT s.v, s.ind / ns.k AS pr FROM seeds s, ns),
+    {",".join(steps)}
+    SELECT v, pr AS ppr FROM p8 WHERE pr > 0.0
+    """
+
+
+@query("graph_personalized_pagerank", oracle=_ppr_oracle())
+def graph_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank (the recommendation/similar-items workhorse):
+    teleport and dangling mass return to the SEED SET (user_id % 10 == 0)
+    instead of the whole graph, so rank concentrates around the seeds.
+    8 fixed iterations, d=0.85, per-iteration round(6) on both engines
+    (the graph_pagerank_fixed discipline). Scale shape identical to
+    global PageRank — one frontier⋈edges equi-join + one hash agg per
+    superstep, O(1) retained state via localCheckpoint + trim — plus a
+    broadcast seed vector. Zero-rank vertices are dropped at the end
+    (at 100 TB a PPR result is seed-local: emitting the whole vertex set
+    would be the scale bug)."""
+    ue = user_edges(spark, sf_dir).persist()
+    verts = (
+        ue.select(F.col("src").alias("v"))
+        .union(ue.select(F.col("dst").alias("v")))
+        .distinct()
+        .persist()
+    )
+    verts.count()  # materialize before trim baseline
+    from naqed_spark.session import persistent_rdd_ids, trim_pins
+
+    base = persistent_rdd_ids(spark)
+    seeds = verts.select(
+        "v",
+        F.when(F.col("v") % 10 == 0, F.lit(1.0)).otherwise(0.0).alias("ind"),
+    )
+    k = seeds.agg(F.sum("ind")).collect()[0][0]
+    outdeg = ue.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("odeg")
+    )
+    ranks = seeds.select("v", (F.col("ind") / k).alias("pr"))
+    with low_shuffle(spark):
+        for _ in range(8):
+            inflow = (
+                ranks.join(outdeg, "v")
+                .join(ue, ranks.v == ue.src)
+                .select(
+                    F.col("dst").alias("v"),
+                    (F.col("pr") / F.col("odeg")).alias("c"),
+                )
+                .groupBy("v")
+                .agg(F.sum("c").alias("inflow"))
+            )
+            dangling = ranks.join(outdeg, "v", "left_anti").agg(
+                F.coalesce(F.sum("pr"), F.lit(0.0)).alias("mass")
+            )
+            ranks = (
+                seeds.join(inflow, "v", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "v",
+                    F.round(
+                        F.lit(0.15) * F.col("ind") / k
+                        + F.lit(0.85)
+                        * (
+                            F.coalesce("inflow", F.lit(0.0))
+                            + F.col("mass") * F.col("ind") / k
+                        ),
+                        6,
+                    ).alias("pr"),
+                )
+                .localCheckpoint()
+            )
+            trim_pins(spark, base, keep=1)
+    ue.unpersist()
+    verts.unpersist()
+    return ranks.filter(F.col("pr") > 0.0).select(
+        "v", F.col("pr").alias("ppr")
+    )

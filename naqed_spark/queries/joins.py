@@ -700,3 +700,64 @@ def join_existence_mark(spark, sf_dir):
         "c_mktsegment",
         F.col("o_custkey").isNotNull().alias("has_urgent_order"),
     )
+
+
+@query(
+    "join_fuzzy_entity_resolution",
+    # Entity resolution with edit distance: a small "dirty batch" of
+    # corrupted names (one character X-ed out, derived deterministically
+    # from every 50th customer) is matched against the master table by
+    # levenshtein <= 2, keeping the best match per probe (min distance,
+    # key tiebreak). Physical shape: the dirty batch is the BROADCAST
+    # side of a nested-loop probe — the legitimate plan for fuzzy
+    # predicates (no equi-key exists by construction); cost is
+    # O(|master| × |batch|) with |batch| small and the corpus scanned
+    # ONCE. At 100 TB you add a blocking key (length band / phonetic
+    # bucket) to cut the per-row candidate set; the fixture's uniform
+    # name shape makes every blocking key degenerate, so the probe is
+    # the honest minimal form.
+    oracle="""
+    WITH probe AS (
+      SELECT c_custkey AS p_key,
+             substr(c_name, 1, 10) || 'X' || substr(c_name, 12) AS p_name
+      FROM customer WHERE c_custkey % 50 = 0
+    ),
+    cand AS (
+      SELECT p.p_key, p.p_name, m.c_custkey, m.c_name,
+             levenshtein(p.p_name, m.c_name) AS dist
+      FROM probe p JOIN customer m
+        ON levenshtein(p.p_name, m.c_name) <= 2
+    )
+    SELECT p_key, p_name, c_custkey AS matched_key, dist FROM (
+      SELECT *, row_number() OVER (PARTITION BY p_key
+                                   ORDER BY dist, c_custkey) AS rn
+      FROM cand
+    ) WHERE rn = 1
+    """,
+)
+def join_fuzzy_entity_resolution(spark, sf_dir):
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer")
+    probe = c.filter(F.col("c_custkey") % 50 == 0).select(
+        F.col("c_custkey").alias("p_key"),
+        F.concat(
+            F.substring("c_name", 1, 10),
+            F.lit("X"),
+            F.expr("substring(c_name, 12)"),
+        ).alias("p_name"),
+    )
+    master = c.select("c_custkey", "c_name")
+    dist = F.levenshtein(F.col("p_name"), F.col("c_name"))
+    cand = (
+        master.join(F.broadcast(probe), dist <= 2)
+        .select("p_key", "p_name", "c_custkey", dist.alias("dist"))
+    )
+    w = Window.partitionBy("p_key").orderBy(
+        F.col("dist").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_key", "p_name", F.col("c_custkey").alias("matched_key"), "dist")
+    )

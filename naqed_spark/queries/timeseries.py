@@ -817,3 +817,62 @@ def ts_time_bucket_arbitrary(spark, sf_dir):
         F.countDistinct(b15).alias("n_active_15m"),
         F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents"),
     )
+
+
+@query(
+    "ts_outlier_mad",
+    # Robust outlier detection: median/MAD instead of mean/stddev (the
+    # ts_anomaly_zscore sibling that outliers themselves cannot poison).
+    # Per event_type: med = median(value), MAD = median(|v − med|),
+    # flag |v − med| > 3·1.4826·MAD. Exact percentiles here (hash-
+    # matchable); at 100 TB swap approx_percentile — same two-pass plan:
+    # tiny per-type stats broadcast back into a codegen filter, the fact
+    # table never shuffles. Both interpolated medians are rounded to 6
+    # decimals BEFORE the comparison arithmetic so the engines threshold
+    # identical doubles (the llm_length_filter_percentile hedge).
+    oracle="""
+    WITH med AS (
+      SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS ad
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, round(quantile_cont(ad, 0.5), 6) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type, d.value,
+           round(d.ad / (1.4826 * x.mad), 6) AS robust_z
+    FROM dev d JOIN mad x USING (event_type)
+    WHERE d.ad > 3 * 1.4826 * x.mad
+    """,
+)
+def ts_outlier_mad(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.abs(F.col("value") - F.col("med")).alias("ad"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(ad, 0.5)"), 6).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("ad") > 3 * 1.4826 * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(F.col("ad") / (1.4826 * F.col("mad")), 6).alias(
+                "robust_z"
+            ),
+        )
+    )
