@@ -73,35 +73,39 @@ def _typecheck(df: DataFrame, pred: Predicate, entity: str) -> None:
             )
 
 
-def _apply_predicate(df: DataFrame, pred: Predicate) -> DataFrame:
+def _predicate_condition(pred: Predicate):
+    """One parsed predicate → a boolean Column (shared by $filter/$having/
+    $qualify row filtering and the $if conditional expression)."""
     c = F.col(pred.column)
     op = pred.op
     if op == "$eq":
-        cond = c == F.lit(pred.value)
-    elif op == "$ne":
-        cond = c != F.lit(pred.value)
-    elif op == "$gt":
-        cond = c > F.lit(pred.value)
-    elif op == "$gte":
-        cond = c >= F.lit(pred.value)
-    elif op == "$lt":
-        cond = c < F.lit(pred.value)
-    elif op == "$lte":
-        cond = c <= F.lit(pred.value)
-    elif op == "$in":
-        cond = c.isin(list(pred.value))
-    elif op == "$between":
+        return c == F.lit(pred.value)
+    if op == "$ne":
+        return c != F.lit(pred.value)
+    if op == "$gt":
+        return c > F.lit(pred.value)
+    if op == "$gte":
+        return c >= F.lit(pred.value)
+    if op == "$lt":
+        return c < F.lit(pred.value)
+    if op == "$lte":
+        return c <= F.lit(pred.value)
+    if op == "$in":
+        return c.isin(list(pred.value))
+    if op == "$between":
         lo, hi = pred.value
-        cond = c.between(F.lit(lo), F.lit(hi))
-    elif op == "$like":
-        cond = c.like(pred.value)
-    elif op == "$isnull":
-        cond = c.isNull()
-    elif op == "$notnull":
-        cond = c.isNotNull()
-    else:  # pragma: no cover — parser already validated
-        raise SpecError(f"unknown op {op!r}")
-    return df.filter(cond)
+        return c.between(F.lit(lo), F.lit(hi))
+    if op == "$like":
+        return c.like(pred.value)
+    if op == "$isnull":
+        return c.isNull()
+    if op == "$notnull":
+        return c.isNotNull()
+    raise SpecError(f"unknown op {op!r}")  # pragma: no cover
+
+
+def _apply_predicate(df: DataFrame, pred: Predicate) -> DataFrame:
+    return df.filter(_predicate_condition(pred))
 
 
 class Engine:
@@ -285,6 +289,22 @@ class Engine:
     def _compile_expr(self, df: DataFrame, ex: Expr):
         """$select expression tree → Column; unknown refs fail fast."""
         op = ex.op
+        if op == "$if":
+            # conditional expression: the condition is a parsed predicate
+            # list (AND-ed, $filter syntax); branches are full expressions.
+            preds = ex.args[0]
+            for p in preds:
+                if p.column not in df.columns:
+                    raise SpecError(
+                        f"$if: no such column {p.column!r}"
+                        f" (have {sorted(df.columns)})"
+                    )
+            cond = reduce(
+                operator.and_, (_predicate_condition(p) for p in preds)
+            )
+            return F.when(
+                cond, self._compile_expr(df, ex.args[1])
+            ).otherwise(self._compile_expr(df, ex.args[2]))
         if op == "$col":
             name = ex.args[0]
             if name not in df.columns:

@@ -126,6 +126,7 @@ SELECT_OPS = {
     "$year": 1,
     "$month": 1,
     "$cast": 2,        # [expr, {"$lit": type-name}] — CAST_TYPES only
+    "$if": 3,          # [cond ($filter syntax), then-expr, else-expr]
 }
 
 # $cast target types. decimal(p,s) is the determinism workhorse (§7.3:
@@ -384,6 +385,14 @@ def _parse_expr(obj: object) -> Expr:
                 "$array_join second argument must be a {'$lit': str} separator"
             )
         return Expr("$array_join", [_parse_expr(args[0]), Expr("$lit", [sep["$lit"]])])
+    if op == "$if":
+        cond = args[0]
+        if not isinstance(cond, dict) or not cond:
+            raise SpecError(
+                "$if condition must be a non-empty $filter-style dict"
+            )
+        preds = _parse_filters(cond)
+        return Expr("$if", [preds, _parse_expr(args[1]), _parse_expr(args[2])])
     if op == "$cast":
         ty = args[1]
         if not (isinstance(ty, dict) and set(ty) == {"$lit"}

@@ -492,3 +492,50 @@ def compiler_distinct_values(spark, sf_dir):
             }
         }
     )
+
+
+@query(
+    "compiler_conditional",
+    # E1 $if conditional expression (round 7): CASE WHEN as a spec node —
+    # [$filter-style condition, then, else], nestable in the else branch
+    # for multi-way bands. Conditions reuse the predicate DSL (and its
+    # typed-error validation); the whole expression compiles to one
+    # Catalyst CaseWhen — pure codegen, evaluated in the same projection
+    # as the requested fields, no extra pass.
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_totalprice > 250000.0 THEN 'high'
+                WHEN o_totalprice > 100000.0 THEN 'mid'
+                ELSE 'low' END AS band
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def compiler_conditional(spark, sf_dir):
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "orders": {
+                "$filter": {"o_orderstatus": "F"},
+                "o_orderkey": True,
+                "o_totalprice": True,
+                "$select": {
+                    "band": {
+                        "$if": [
+                            {"o_totalprice": {"$gt": 250000.0}},
+                            {"$lit": "high"},
+                            {
+                                "$if": [
+                                    {"o_totalprice": {"$gt": 100000.0}},
+                                    {"$lit": "mid"},
+                                    {"$lit": "low"},
+                                ]
+                            },
+                        ]
+                    }
+                },
+            }
+        }
+    )

@@ -239,3 +239,131 @@ def llm_word_entropy(spark, sf_dir):
             - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / n
         ).alias("entropy"),
     )
+
+
+# Containment dedup parameters: word-8-gram chunks at stride 4; chunk
+# hashes shared by more than _CONT_DF_CAP docs are dropped as boilerplate
+# (the _NGRAM_DF_CAP discipline — bounds the equi-join fan-out to
+# CAP × chunk multiplicity at any corpus size); pairs need ≥ half of the
+# source's chunks shared to count as containment.
+_CONT_W = 8
+_CONT_STRIDE = 4
+_CONT_DF_CAP = 20
+_CONT_TAU = 0.5
+
+
+@query(
+    "llm_containment_dedup",
+    # Containment (asymmetric near-dup): what fraction of doc A's chunks
+    # appear verbatim in doc B — catches partial copies (truncations,
+    # quotes, stitched documents) that whole-document MinHash misses
+    # because Jaccard divides by the UNION. The fixture corpus has no
+    # partial copies, so the corpus is documents plus a 60%-truncation of
+    # every 4th doc (the llm_exact_dedup replay discipline, llm.py:90).
+    # Plan: chunk explode → distinct (doc, hash) → df-capped hash
+    # equi-join (never cartesian) → pair groupBy → broadcast-join the
+    # per-doc chunk counts. At 100 TB every stage is a narrow-key
+    # shuffle with map-side combine; the cap bounds hot-chunk fan-out.
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000,
+             array_to_string((string_split(text, ' '))
+               [1:(3 * len(string_split(text, ' '))) // 5], ' ')
+      FROM documents WHERE doc_id % 4 = 0
+    ),
+    w AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+    ch AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(w[s:s + {_CONT_W - 1}], ' ')) AS h
+      FROM w, unnest(range(1, len(w) - {_CONT_W} + 2, {_CONT_STRIDE}))
+           AS u(s)
+    ),
+    hot AS (SELECT h FROM ch GROUP BY h
+            HAVING count(*) > {_CONT_DF_CAP}),
+    cf AS (SELECT * FROM ch WHERE h NOT IN (SELECT h FROM hot)),
+    na AS (SELECT doc_id, count(*) AS n FROM cf GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc, count(*) AS shared
+      FROM cf a JOIN cf b ON a.h = b.h AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.src_doc, p.dst_doc, p.shared, na.n AS n_src,
+           round(CAST(p.shared AS DOUBLE) / na.n, 6) AS containment
+    FROM pairs p JOIN na ON na.doc_id = p.src_doc
+    WHERE CAST(p.shared AS DOUBLE) / na.n >= {_CONT_TAU}
+    """,
+)
+def llm_containment_dedup(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    trunc = d.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.array_join(
+            F.expr(
+                "slice(split(text, ' '), 1,"
+                " CAST((3 * size(split(text, ' '))) / 5 AS INT))"
+            ),
+            " ",
+        ).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionAll(trunc)
+    w = corpus.select("doc_id", F.split("text", " ").alias("w")).filter(
+        # docs shorter than one chunk produce no chunks (Spark's sequence()
+        # rejects descending bounds; DuckDB's range() returns empty)
+        F.size("w") >= _CONT_W
+    )
+    ch = (
+        w.select(
+            "doc_id",
+            "w",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.size("w") - _CONT_W + 1,
+                    F.lit(_CONT_STRIDE),
+                )
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.array_join(F.slice("w", F.col("s"), F.lit(_CONT_W)), " ")
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    hot = (
+        ch.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > _CONT_DF_CAP)
+        .select("h")
+    )
+    cf = ch.join(F.broadcast(hot), "h", "left_anti")
+    na = cf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = cf.select(F.col("doc_id").alias("src_doc"), "h")
+    b = cf.select(F.col("doc_id").alias("dst_doc"), "h")
+    pairs = (
+        a.join(b, (a["h"] == b["h"]) & (a["src_doc"] != b["dst_doc"]))
+        .groupBy("src_doc", "dst_doc")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(na.select(F.col("doc_id").alias("src_doc"),
+                                  F.col("n").alias("n_src"))),
+            "src_doc",
+        )
+        .filter(
+            F.col("shared").cast("double") / F.col("n_src") >= _CONT_TAU
+        )
+        .select(
+            "src_doc",
+            "dst_doc",
+            "shared",
+            "n_src",
+            r6(F.col("shared").cast("double") / F.col("n_src")).alias(
+                "containment"
+            ),
+        )
+    )

@@ -371,3 +371,52 @@ def win_count_distinct_over(spark, sf_dir):
             "o_orderkey", "o_custkey", "o_orderpriority", "n_distinct_prio"
         )
     )
+
+
+@query(
+    "win_cumulative_distinct",
+    # Running DISTINCT count over time — "how many distinct event types
+    # has this user seen so far": another DISTINCT-window Spark rejects
+    # outright, rewritten as first-occurrence flag (row_number over
+    # (user, type) = 1) + running sum over (user, time). Two window passes
+    # on different keys → two exchanges; the second reuses the first's
+    # rows unexpanded, so the 100 TB cost is two narrow shuffles of the
+    # event stream, no state beyond the sort runs.
+    oracle="""
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+           CAST(sum(is_first) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS n_types_seen
+    FROM (
+      SELECT event_id, user_id, ts,
+             CASE WHEN row_number() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY epoch_us(ts), event_id) = 1
+                  THEN 1 ELSE 0 END AS is_first
+      FROM events
+    )
+    """,
+)
+def win_cumulative_distinct(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w_first = Window.partitionBy("user_id", "event_type").orderBy(
+        F.unix_micros("ts"), "event_id"
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn(
+            "is_first",
+            F.when(F.row_number().over(w_first) == 1, 1).otherwise(0),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("ts").alias("ts_us"),
+            F.sum("is_first").over(w_run).alias("n_types_seen"),
+        )
+    )

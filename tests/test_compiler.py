@@ -730,7 +730,7 @@ _garbage = st.recursive(
                  "c_acctbal", "orders", "nation", "bogus",
                  "$union", "$union_all", "$intersect", "$except", "$exists",
                  "$in", "$between", "$like", "$isnull",
-                 "$sample", "$key", "$keep", "$buckets", "$mod"]),
+                 "$sample", "$key", "$keep", "$buckets", "$mod", "$if"]),
             child, max_size=3)),
     max_leaves=8)
 
@@ -1157,3 +1157,77 @@ def test_mod_select_op(eng):
         }
     ).collect()
     assert all(r["m"] == r["c_custkey"] % 7 for r in rows)
+
+
+# -- round-7 session 2: $if conditional -------------------------------------
+
+
+def test_if_matches_direct_case_when(eng):
+    from pyspark.sql import functions as F
+
+    spec = eng.query(
+        {
+            "customer": {
+                "c_custkey": True,
+                "$select": {
+                    "seg": {
+                        "$if": [
+                            {"c_mktsegment": "BUILDING"},
+                            {"$lit": 1},
+                            {"$lit": 0},
+                        ]
+                    }
+                },
+            }
+        }
+    ).collect()
+    direct = (
+        eng.entity("customer")
+        .select(
+            "c_custkey",
+            F.when(F.col("c_mktsegment") == "BUILDING", 1)
+            .otherwise(0)
+            .alias("seg"),
+        )
+        .collect()
+    )
+    assert {(r["c_custkey"], r["seg"]) for r in spec} == {
+        (r["c_custkey"], r["seg"]) for r in direct
+    }
+
+
+@pytest.mark.parametrize(
+    "expr",
+    [
+        {"$if": []},                                  # wrong arity
+        {"$if": [{"a": 1}, {"$lit": 1}]},             # wrong arity
+        {"$if": [[], {"$lit": 1}, {"$lit": 0}]},      # cond not a dict
+        {"$if": [{}, {"$lit": 1}, {"$lit": 0}]},      # empty cond
+        {"$if": [{"x": {"$bogus": 1}}, {"$lit": 1}, {"$lit": 0}]},  # bad op
+    ],
+)
+def test_if_bad_shapes_fail_typed(eng, expr):
+    with pytest.raises(SpecError):
+        eng.query(
+            {"customer": {"c_custkey": True, "$select": {"v": expr}}}
+        )
+
+
+def test_if_unknown_condition_column_fails_typed(eng):
+    with pytest.raises(SpecError):
+        eng.query(
+            {
+                "customer": {
+                    "c_custkey": True,
+                    "$select": {
+                        "v": {
+                            "$if": [
+                                {"nope": {"$gt": 1}},
+                                {"$lit": 1},
+                                {"$lit": 0},
+                            ]
+                        }
+                    },
+                }
+            }
+        )
