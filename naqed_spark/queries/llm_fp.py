@@ -367,3 +367,85 @@ def llm_containment_dedup(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "llm_bpe_pair_counts",
+    # The first iteration of BPE/WordPiece tokenizer TRAINING: count
+    # adjacent character pairs across the corpus vocabulary (weighted by
+    # word frequency) and rank the merge candidates. This is the
+    # map-reduce shape the full training loop repeats per merge: the
+    # corpus collapses to a (word, freq) vocab first — pair explosion
+    # runs over the VOCABULARY (bounded, plateaus), never the raw token
+    # stream. Top-20 merges with the deterministic (count desc, pair asc)
+    # total order via TakeOrderedAndProject, not a global sort.
+    oracle="""
+    WITH words AS (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    vocab AS (SELECT w, count(*) AS freq FROM words WHERE length(w) >= 2
+              GROUP BY w),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INT), 2) AS pair, freq
+      FROM vocab, LATERAL unnest(generate_series(1, length(w) - 1)) AS t(i)
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair ASC
+    LIMIT 20
+    """,
+)
+def llm_bpe_pair_counts(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    words = d.select(F.explode(F.split("text", " ")).alias("w")).filter(
+        F.length("w") >= 2
+    )
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    pairs = vocab.select(
+        "freq",
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        F.col("w"),
+    ).select(
+        F.expr("substring(w, CAST(i AS INT), 2)").alias("pair"), "freq"
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "llm_dataset_card_stats",
+    # The "dataset card" one-pass summary every corpus release ships:
+    # per (source, lang) — doc count, total/median length, token totals,
+    # short-doc share. One scan, one map-side-combined groupBy on the
+    # (source, lang) pair; exact percentile here (swap approx_percentile
+    # at 100 TB, same plan). The grid is small (sources × langs), so the
+    # output is driver-safe at any corpus size.
+    oracle="""
+    SELECT source, lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           CAST(round(quantile_cont(n_chars, 0.5), 6) AS DOUBLE)
+             AS median_chars,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_toks,
+           round(CAST(count(*) FILTER (WHERE n_chars < 200) AS DOUBLE)
+                 / count(*), 6) AS short_share
+    FROM documents
+    GROUP BY source, lang
+    """,
+)
+def llm_dataset_card_stats(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    short = F.col("n_chars") < 200
+    return d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("median_chars"),
+        F.sum(F.size(F.split("text", " "))).alias("total_toks"),
+        r6(F.count_if(short).cast("double") / F.count(F.lit(1))).alias(
+            "short_share"
+        ),
+    )

@@ -407,3 +407,35 @@ def sink_zorder_cluster(spark, sf_dir):
         .filter(F.col("user_id").between(40, 59))
         .select("event_id", "user_id", "hidx", "z")
     )
+
+
+@query(
+    "scan_nested_struct_pruning",
+    # Nested-schema scan with SUBFIELD pruning: a parquet table with a
+    # two-level struct column is read back requesting only meta.k — Spark's
+    # nestedSchemaPruning pushes the subfield into ReadSchema, so the scan
+    # decodes ONE leaf column instead of the whole struct (asserted in
+    # tests/test_plans.py). At 100 TB with wide metadata structs (the
+    # multimodal pattern: payload + typed metadata) this is the difference
+    # between reading kilobytes and megabytes per row group. The payload
+    # column — the big one — is never touched.
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+)
+def scan_nested_struct_pruning(spark, sf_dir):
+    out = _scratch("events_nested")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        F.struct(
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+            F.col("event_type").alias("klass"),
+        ).alias("meta"),
+        F.repeat(F.col("props"), 10).alias("payload"),
+    )
+    ev.write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out).select(
+        "event_id", F.col("meta.k").alias("k")
+    )

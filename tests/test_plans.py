@@ -800,3 +800,23 @@ def test_zorder_read_keeps_codegen(spark):
     )
     assert "PushedFilters" in plan
     assert "user_id" in plan
+
+
+def test_nested_struct_pruning_reads_one_leaf(spark):
+    """scan_nested_struct_pruning: ReadSchema must contain meta.k only —
+    neither the sibling leaf (meta.klass) nor the fat payload column is
+    decoded."""
+    df = QUERIES["scan_nested_struct_pruning"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    import re
+
+    m = re.search(r"ReadSchema: (.*)", plan)
+    assert m, plan
+    rs = m.group(1)
+    assert "k" in rs
+    assert "payload" not in rs
+    assert "klass" not in rs
