@@ -660,3 +660,38 @@ def agg_bitmap_distinct(spark, sf_dir):
     return per_bucket.groupBy("l_returnflag").agg(
         F.sum("c").alias("n_distinct_orders")
     )
+
+
+@query(
+    "agg_grouping_id",
+    # GROUPING()/grouping-level labels for grouping sets: the bit flags
+    # that let a consumer tell a real NULL group from a rollup subtotal —
+    # without them, multi-level rollup outputs are ambiguous. Same single
+    # expand+aggregate plan as agg_grouping_sets; the flags are free
+    # metadata, not extra passes.
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_flag,
+           CAST(grouping(l_linestatus) AS INT) AS g_status,
+           count(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    """,
+)
+def agg_grouping_id(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+            dsum(dec("l_quantity")).alias("qty"),
+        )
+    )

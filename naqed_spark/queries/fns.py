@@ -562,3 +562,41 @@ def fn_hash(spark, sf_dir):
         F.substring(F.md5("c_mktsegment"), 1, 8).alias("seg_bucket"),
         F.length(F.sha2("c_name", 256)).alias("sha_len"),
     )
+
+
+@query(
+    "fn_try_safe",
+    # Error-safe expression family — the runtime counterpart of the E1
+    # compiler's analysis-time SpecErrors (naqed's $error semantics,
+    # SURVEY §1.2): malformed casts and zero denominators yield NULL
+    # instead of failing the job. At 100 TB this is the difference
+    # between one bad row killing a 6-hour job and a NULL you can audit.
+    # try_divide's twin is spelled x / nullif(y, 0) (DuckDB raises on
+    # integer /0); try_cast is native in both engines. Codegen scan, no
+    # shuffle.
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           TRY_CAST(event_type AS INTEGER) AS bogus_int,
+           round(value / nullif(CAST(round(value * 100, 0) AS BIGINT)
+                                % 7, 0), 6) AS div7,
+           TRY_CAST(substr(event_type, 1, 1) AS INTEGER) AS first_char_int
+    FROM events
+    """,
+)
+def fn_try_safe(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    cents_mod = F.round(F.col("value") * 100, 0).cast("bigint") % 7
+    return ev.select(
+        "event_id",
+        F.try_to_number(
+            F.get_json_object("props", "$.k"), F.lit("999999")
+        ).cast("int").alias("k_int"),
+        F.expr("try_cast(event_type AS INT)").alias("bogus_int"),
+        r6(F.try_divide(F.col("value"), F.nullif(cents_mod, F.lit(0)))).alias(
+            "div7"
+        ),
+        F.expr("try_cast(substring(event_type, 1, 1) AS INT)").alias(
+            "first_char_int"
+        ),
+    )

@@ -876,3 +876,57 @@ def ts_outlier_mad(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "ts_period_over_period",
+    # Week-over-week comparison: daily per-type totals joined to their
+    # value 7 days earlier (calendar-aligned lag — NOT row-lag, which
+    # breaks on missing days). Growth is a ratio of exact integer cents →
+    # double at the end (round 6). Plan: one rollup groupBy, then a
+    # self-equi-join on (type, day−7) — both sides the SAME tiny rollup,
+    # reusing one partitioning; the fact table is scanned once.
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(epoch_us(date_trunc('day', ts)) AS BIGINT)
+               AS day_us,
+             CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type, a.day_us, a.cents,
+           b.cents AS cents_prev_week,
+           round(CAST(a.cents AS DOUBLE) / b.cents - 1.0, 6) AS wow_growth
+    FROM daily a
+    LEFT JOIN daily b
+      ON a.event_type = b.event_type
+     AND b.day_us = a.day_us - 604800000000
+    """,
+)
+def ts_period_over_period(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.unix_micros(F.date_trunc("day", "ts")).alias("day_us"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents")
+    )
+    prev = daily.select(
+        F.col("event_type").alias("p_type"),
+        F.col("day_us").alias("p_day"),
+        F.col("cents").alias("cents_prev_week"),
+    )
+    return daily.join(
+        prev,
+        (daily["event_type"] == prev["p_type"])
+        & (prev["p_day"] == daily["day_us"] - 604800000000),
+        "left",
+    ).select(
+        "event_type",
+        "day_us",
+        "cents",
+        "cents_prev_week",
+        F.round(
+            F.col("cents").cast("double") / F.col("cents_prev_week") - 1.0, 6
+        ).alias("wow_growth"),
+    )
