@@ -932,3 +932,69 @@ def graph_personalized_pagerank(spark, sf_dir):
     return ranks.filter(F.col("pr") > 0.0).select(
         "v", F.col("pr").alias("ppr")
     )
+
+
+@query(
+    "graph_neighborhood_sampling",
+    # GraphSAGE-style 2-level neighborhood sampling — the GNN training-
+    # data prep step: for every vertex keep (up to) 5 hash-ranked hop-1
+    # neighbors, then (up to) 3 hop-2 neighbors of each, emitting the
+    # sampled (root, hop1, hop2) paths. Determinism: neighbors are ranked
+    # by md5(src || dst) + id tiebreak — reproducible across runs,
+    # engines, and cluster sizes (rand() sampling would be none of
+    # those). Scale: each level is one WindowGroupLimit top-k per vertex
+    # (partial top-k BEFORE the shuffle) followed by an equi-join on the
+    # frontier — per-vertex fan-out is capped at 5×3, so the output is
+    # O(15·|V|) no matter how skewed the degree distribution.
+    oracle=f"""
+    WITH ue AS ({_UE_SQL}),
+    r1 AS (
+      SELECT src, dst, row_number() OVER (
+               PARTITION BY src
+               ORDER BY md5(CAST(src AS VARCHAR) || '_' ||
+                            CAST(dst AS VARCHAR)), dst) AS rk
+      FROM ue
+    ),
+    s1 AS (SELECT src AS root, dst AS hop1 FROM r1 WHERE rk <= 5),
+    r2 AS (
+      SELECT s1.root, s1.hop1, ue.dst AS hop2,
+             row_number() OVER (
+               PARTITION BY s1.root, s1.hop1
+               ORDER BY md5(CAST(s1.hop1 AS VARCHAR) || '_' ||
+                            CAST(ue.dst AS VARCHAR)), ue.dst) AS rk
+      FROM s1 JOIN ue ON ue.src = s1.hop1
+      WHERE ue.dst <> s1.root
+    )
+    SELECT root, hop1, hop2 FROM r2 WHERE rk <= 3
+    """,
+)
+def graph_neighborhood_sampling(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ue = user_edges(spark, sf_dir)
+    rank1 = F.md5(
+        F.concat(
+            F.col("src").cast("string"), F.lit("_"), F.col("dst").cast("string")
+        )
+    )
+    w1 = Window.partitionBy("src").orderBy(rank1, F.col("dst"))
+    s1 = (
+        ue.withColumn("rk", F.row_number().over(w1))
+        .filter(F.col("rk") <= 5)
+        .select(F.col("src").alias("root"), F.col("dst").alias("hop1"))
+    )
+    e2 = ue.select(F.col("src").alias("hop1"), F.col("dst").alias("hop2"))
+    cand = s1.join(e2, "hop1").filter(F.col("hop2") != F.col("root"))
+    rank2 = F.md5(
+        F.concat(
+            F.col("hop1").cast("string"),
+            F.lit("_"),
+            F.col("hop2").cast("string"),
+        )
+    )
+    w2 = Window.partitionBy("root", "hop1").orderBy(rank2, F.col("hop2"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= 3)
+        .select("root", "hop1", "hop2")
+    )

@@ -449,3 +449,68 @@ def llm_dataset_card_stats(spark, sf_dir):
             "short_share"
         ),
     )
+
+
+@query(
+    "llm_quality_ensemble",
+    # The composite keep/drop gate a production corpus filter actually
+    # runs: four signals — length band, type-token ratio, top-token
+    # dominance, word-entropy — each thresholded on its ROUNDED value
+    # (round(6) before compare: both engines threshold identical
+    # doubles), AND-ed into one verdict. Thresholds sit inside the
+    # fixture's signal distributions so both branches are exercised.
+    # One token pass + one doc-level aggregate sharing the doc_id
+    # partitioning, then a broadcast-free join back to n_chars (doc-level
+    # frame, narrow). Signals are emitted alongside the verdict — the
+    # auditability requirement (a bare boolean is undebuggable at 100 TB).
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tc AS (
+      SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_toks,
+             round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr,
+             round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_share,
+             round(ln(CAST(sum(c) AS DOUBLE))
+                   - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy
+      FROM tc GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.n_chars, s.n_toks, s.ttr, s.top_share, s.entropy,
+           (d.n_chars BETWEEN 100 AND 500
+            AND s.ttr >= 0.35 AND s.top_share <= 0.12
+            AND s.entropy >= 2.5) AS keep
+    FROM documents d JOIN s ON s.doc_id = d.doc_id
+    """,
+)
+def llm_quality_ensemble(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    s = tc.groupBy("doc_id").agg(
+        n.cast("bigint").alias("n_toks"),
+        r6(F.count(F.lit(1)).cast("double") / n).alias("ttr"),
+        r6(F.max("c").cast("double") / n).alias("top_share"),
+        r6(
+            F.log(n.cast("double"))
+            - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / n
+        ).alias("entropy"),
+    )
+    keep = (
+        F.col("n_chars").between(100, 500)
+        & (F.col("ttr") >= 0.35)
+        & (F.col("top_share") <= 0.12)
+        & (F.col("entropy") >= 2.5)
+    )
+    return (
+        d.select("doc_id", "n_chars")
+        .join(s, "doc_id")
+        .select(
+            "doc_id", "n_chars", "n_toks", "ttr", "top_share", "entropy",
+            keep.alias("keep"),
+        )
+    )
