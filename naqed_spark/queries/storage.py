@@ -439,3 +439,92 @@ def scan_nested_struct_pruning(spark, sf_dir):
     return spark.read.parquet(out).select(
         "event_id", F.col("meta.k").alias("k")
     )
+
+
+@query(
+    "source_csv_permissive",
+    # Error-TOLERANT ingestion: a CSV drop with deterministically
+    # corrupted lines (every 7th row gets a non-numeric key) read in
+    # PERMISSIVE mode — malformed rows land with NULL typed columns and
+    # the raw line preserved in _corrupt_record instead of failing the
+    # job (the ingest-side counterpart of fn_try_safe; naqed's $error
+    # semantics at the source boundary, SURVEY §1.2). At 100 TB one bad
+    # line in a million otherwise kills the nightly load. The key's
+    # output counts both populations so the oracle pins the exact
+    # good/bad split.
+    oracle="""
+    SELECT (o_orderkey % 7 = 0) AS corrupted,
+           count(*) AS n,
+           CAST(sum(CASE WHEN o_orderkey % 7 = 0 THEN 0
+                         ELSE o_orderkey END) AS BIGINT) AS key_sum
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def source_csv_permissive(spark, sf_dir):
+    out = _scratch("orders_dirty_csv")
+    src = load(spark, sf_dir, "orders").select(
+        # every 7th key becomes a non-numeric token -> malformed for the
+        # bigint schema below
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("BAD"))
+        .otherwise(F.col("o_orderkey").cast("string"))
+        .alias("k"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    src.write.mode("overwrite").option("header", False).csv(out)
+    dirty = (
+        spark.read.schema(
+            "o_orderkey bigint, o_orderstatus string, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+    )
+    return dirty.groupBy(
+        F.col("_corrupt_record").isNotNull().alias("corrupted")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.coalesce(F.col("o_orderkey"), F.lit(0))).alias("key_sum"),
+    )
+
+
+@query(
+    "sink_dynamic_partition_overwrite",
+    # Dynamic partition overwrite — the idempotent-backfill primitive:
+    # rewriting ONE partition's data replaces ONLY that partition, the
+    # others survive untouched (partitionOverwriteMode=dynamic; static
+    # mode would wipe the whole table root). The test rewrites the
+    # 'click' partition with doubled cents, then reads the whole table:
+    # clicks must show the rewrite, every other type the original load.
+    # At 100 TB this is how late-arriving corrections land without
+    # rewriting the table or breaking readers of other partitions.
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(CASE WHEN event_type = 'click'
+                     THEN 2 * CAST(round(value * 100, 0) AS BIGINT)
+                     ELSE CAST(round(value * 100, 0) AS BIGINT)
+                END AS BIGINT) AS cents
+    FROM events
+    """,
+)
+def sink_dynamic_partition_overwrite(spark, sf_dir):
+    out = _scratch("events_dyn_overwrite")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            ev.filter(F.col("event_type") == "click")
+            .withColumn("cents", F.col("cents") * 2)
+            .write.mode("overwrite")
+            .partitionBy("event_type")
+            .parquet(out)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return spark.read.parquet(out).select("event_id", "event_type", "cents")

@@ -930,3 +930,65 @@ def ts_period_over_period(spark, sf_dir):
             F.col("cents").cast("double") / F.col("cents_prev_week") - 1.0, 6
         ).alias("wow_growth"),
     )
+
+
+@query(
+    "ts_forecast_naive_eval",
+    # Seasonal-naive forecasting + backtest — the baseline every real
+    # forecast must beat: predict each day's per-type total as the value
+    # 7 days earlier, then score MAE/MAPE over the evaluable region. Two
+    # uses of ONE tiny daily rollup (self-join on day−7, the
+    # ts_period_over_period shape) + one grid-sized aggregate; the raw
+    # events table is scanned once. Errors are exact integer cents;
+    # MAE/MAPE go double only at the end (round 6).
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(epoch_us(date_trunc('day', ts)) AS BIGINT)
+               AS day_us,
+             CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT a.event_type,
+           count(*) AS n_days,
+           CAST(sum(abs(a.cents - b.cents)) AS BIGINT) AS abs_err_cents,
+           round(CAST(sum(abs(a.cents - b.cents)) AS DOUBLE) / count(*), 6)
+             AS mae_cents,
+           round(avg(CAST(abs(a.cents - b.cents) AS DOUBLE)
+                     / nullif(a.cents, 0)), 6) AS mape
+    FROM daily a
+    JOIN daily b
+      ON a.event_type = b.event_type
+     AND b.day_us = a.day_us - 604800000000
+    GROUP BY a.event_type
+    """,
+)
+def ts_forecast_naive_eval(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.unix_micros(F.date_trunc("day", "ts")).alias("day_us"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents")
+    )
+    prev = daily.select(
+        F.col("event_type").alias("p_type"),
+        F.col("day_us").alias("p_day"),
+        F.col("cents").alias("p_cents"),
+    )
+    joined = daily.join(
+        prev,
+        (daily["event_type"] == prev["p_type"])
+        & (prev["p_day"] == daily["day_us"] - 604800000000),
+    )
+    err = F.abs(F.col("cents") - F.col("p_cents"))
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(err).alias("abs_err_cents"),
+        F.round(F.sum(err).cast("double") / F.count(F.lit(1)), 6).alias(
+            "mae_cents"
+        ),
+        F.round(
+            F.avg(err.cast("double") / F.nullif(F.col("cents"), F.lit(0))), 6
+        ).alias("mape"),
+    )

@@ -141,12 +141,23 @@ def main() -> None:
     build(spark, src, d1, 1)
     build(spark, src, dk, k)
 
+    # The window/sort family's Kx cost is dominated by per-partition sort
+    # size; a real cluster scales shuffle-partition count with data. Probe
+    # both configurations at Kx so the claim is measured, not asserted:
+    # tk uses the 1x partition count, tk_scaled uses partitions × K.
     out = {}
     for key in HEADLINE:
         t1 = timed(spark, key, d1)
         tk = timed(spark, key, dk)
+        spark.conf.set("spark.sql.shuffle.partitions", str(int(cpus) * k))
+        try:
+            tks = timed(spark, key, dk)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", cpus)
         out[key] = {"t1": round(t1, 3), "tk": round(tk, 3),
-                    "ratio": round(tk / t1, 2)}
+                    "ratio": round(tk / t1, 2),
+                    "tk_scaled": round(tks, 3),
+                    "ratio_scaled": round(tks / t1, 2)}
     print(json.dumps({"probe": "scaling", "k": k, "cpus": int(cpus),
                       "queries": out}))
     shutil.rmtree(scratch, ignore_errors=True)
