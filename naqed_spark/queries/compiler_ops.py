@@ -539,3 +539,55 @@ def compiler_conditional(spark, sf_dir):
             }
         }
     )
+
+
+@query(
+    "compiler_child_rollup",
+    # E1 aggregation grouped on a RELATIONSHIP field (round 7): the
+    # naqed traversal (orders → customer) feeding $groupby on the child's
+    # column — grouping by a joined attribute is the star-schema rollup
+    # in spec form. Money goes through the $select expression DSL as
+    # exact integer cents ($mul → $round → $cast bigint) BEFORE $sum, so
+    # the aggregate is order-independent (the §7.3 decimal discipline,
+    # spelled entirely in E1). Plan: broadcast-eligible child join, then
+    # one map-side-combined hash aggregate on the child key.
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'O'
+    GROUP BY c.c_mktsegment
+    """,
+)
+def compiler_child_rollup(spark, sf_dir):
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "orders": {
+                "$filter": {"o_orderstatus": "O"},
+                "customer": {"c_mktsegment": True},
+                "$select": {
+                    "cents": {
+                        "$cast": [
+                            {
+                                "$round": [
+                                    {"$mul": ["o_totalprice", {"$lit": 100}]},
+                                    0,
+                                ]
+                            },
+                            {"$lit": "bigint"},
+                        ]
+                    }
+                },
+                "$groupby": ["c_mktsegment"],
+                "$agg": {
+                    "n_orders": {"$count": True},
+                    "total_cents": {"$sum": "cents"},
+                },
+            }
+        }
+    )

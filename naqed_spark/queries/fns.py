@@ -600,3 +600,42 @@ def fn_try_safe(spark, sf_dir):
             "first_char_int"
         ),
     )
+
+
+@query(
+    "fn_date_arith",
+    # Calendar-arithmetic family: month-end, add-months (with the
+    # end-of-month clamp: Jan 31 + 1 mo = Feb 29), quarter, ISO week,
+    # ISO day-of-week, and day distance to a fixed horizon. Cross-dialect
+    # traps: DuckDB's add_months is + INTERVAL (same clamp), its
+    # dayofweek is locale-shifted vs Spark — the ISO form (Spark
+    # weekday()+1 = DuckDB isodow) is the portable spelling; datediff
+    # argument order flips between engines. Codegen scan, no shuffle.
+    oracle="""
+    SELECT o_orderkey,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d')
+             AS month_end,
+           strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH
+                         AS DATE), '%Y-%m-%d') AS plus3m,
+           CAST(quarter(CAST(o_orderdate AS DATE)) AS INT) AS qtr,
+           CAST(weekofyear(CAST(o_orderdate AS DATE)) AS INT) AS iso_week,
+           CAST(isodow(CAST(o_orderdate AS DATE)) AS INT) AS iso_dow,
+           CAST(datediff('day', CAST(o_orderdate AS DATE),
+                         DATE '2025-01-01') AS INT) AS days_to_2025
+    FROM orders
+    """,
+)
+def fn_date_arith(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        date_str(F.last_day(d)).alias("month_end"),
+        date_str(F.add_months(d, 3)).alias("plus3m"),
+        F.quarter(d).alias("qtr"),
+        F.weekofyear(d).alias("iso_week"),
+        (F.weekday(d) + 1).alias("iso_dow"),
+        F.datediff(F.lit("2025-01-01").cast("date"), d).alias(
+            "days_to_2025"
+        ),
+    )

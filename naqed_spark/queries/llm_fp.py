@@ -514,3 +514,80 @@ def llm_quality_ensemble(spark, sf_dir):
             keep.alias("keep"),
         )
     )
+
+
+@query(
+    "llm_lsh_bucket_audit",
+    # Operational skew audit for the LSH dedup pipeline: per band, the
+    # bucket-size distribution that determines the band-join's cost —
+    # candidate pairs per bucket grow as c·(c−1)/2, so ONE hot bucket
+    # (boilerplate shingles colliding) can dominate the whole join. This
+    # is the monitoring query you run BEFORE the 100 TB dedup to decide
+    # band/row counts and df-caps; it reuses the registered MinHash
+    # construction (llm.py seeds/bands) so the audit measures the real
+    # pipeline, not a model of it. One signature pass + one (band,
+    # bucket) groupBy + one band-level rollup — no pair materialization.
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, len(string_split(text, ' ')) - 3),
+               i -> array_to_string(string_split(text, ' ')[i:i+4], ' ')))
+               AS sset
+      FROM documents WHERE len(string_split(text, ' ')) >= 5
+    ),
+    sigs AS (SELECT doc_id,
+             list_min(list_transform(sset, s -> md5('s0|' || s))) AS sig0,
+             list_min(list_transform(sset, s -> md5('s1|' || s))) AS sig1,
+             list_min(list_transform(sset, s -> md5('s2|' || s))) AS sig2,
+             list_min(list_transform(sset, s -> md5('s3|' || s))) AS sig3,
+             list_min(list_transform(sset, s -> md5('s4|' || s))) AS sig4,
+             list_min(list_transform(sset, s -> md5('s5|' || s))) AS sig5,
+             list_min(list_transform(sset, s -> md5('s6|' || s))) AS sig6,
+             list_min(list_transform(sset, s -> md5('s7|' || s))) AS sig7
+             FROM sh),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(sig0 || sig1) AS bh FROM sigs
+      UNION ALL SELECT doc_id, 1, md5(sig2 || sig3) FROM sigs
+      UNION ALL SELECT doc_id, 2, md5(sig4 || sig5) FROM sigs
+      UNION ALL SELECT doc_id, 3, md5(sig6 || sig7) FROM sigs
+    ),
+    buckets AS (
+      SELECT band, bh, count(*) AS c FROM bands GROUP BY band, bh
+    )
+    SELECT band,
+           count(*) AS n_buckets,
+           CAST(max(c) AS BIGINT) AS max_bucket,
+           CAST(sum(c * (c - 1) / 2) AS BIGINT) AS cand_pairs,
+           round(CAST(max(c) * (max(c) - 1) / 2 AS DOUBLE)
+                 / greatest(sum(c * (c - 1) / 2), 1), 6) AS top_pair_share
+    FROM buckets GROUP BY band
+    """,
+)
+def llm_lsh_bucket_audit(spark, sf_dir):
+    from naqed_spark.queries.llm import _minhash_sigs
+
+    sigs = _minhash_sigs(spark, sf_dir)
+    bands = None
+    for b in range(4):
+        part = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat(F.col(f"sig{2*b}"), F.col(f"sig{2*b+1}"))).alias(
+                "bh"
+            ),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    buckets = bands.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("c"))
+    pairs = (F.col("c") * (F.col("c") - 1) / 2).cast("bigint")
+    mx = F.max("c")
+    return buckets.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        mx.alias("max_bucket"),
+        F.sum(pairs).alias("cand_pairs"),
+        F.round(
+            (mx * (mx - 1) / 2).cast("double")
+            / F.greatest(F.sum(pairs), F.lit(1)),
+            6,
+        ).alias("top_pair_share"),
+    )

@@ -420,3 +420,35 @@ def win_cumulative_distinct(spark, sf_dir):
             F.sum("is_first").over(w_run).alias("n_types_seen"),
         )
     )
+
+
+@query(
+    "win_median_over",
+    # Aggregate-percentile WINDOW: each event against its type's median —
+    # the "how unusual is this row within its group" primitive without
+    # collapsing rows. Spark evaluates percentile as an unbounded window
+    # aggregate (one shuffle on the partition key, whole-group state per
+    # partition — at 100 TB prefer the two-pass broadcast form of
+    # ts_outlier_mad when groups are huge; this key IS the windowed
+    # spelling for group-sized data). Interpolated medians round(6)
+    # before the deviation arithmetic.
+    oracle="""
+    SELECT event_id, event_type, value,
+           round(round(quantile_cont(value, 0.5) OVER (
+                   PARTITION BY event_type), 6), 6) AS type_median,
+           round(value - round(quantile_cont(value, 0.5) OVER (
+                   PARTITION BY event_type), 6), 6) AS dev
+    FROM events
+    """,
+)
+def win_median_over(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    med = F.round(F.expr("percentile(value, 0.5)").over(w), 6)
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(med, 6).alias("type_median"),
+        F.round(F.col("value") - med, 6).alias("dev"),
+    )
