@@ -20,7 +20,10 @@ themselves are what scale:
   - dedup state is evicted by watermark when the event-time column is part of
     the dedup key (demonstrated in `stream_dedup`);
   - `applyInPandasWithState` state is per-group, shuffled once on the group
-    key — the same hash partitioning a batch groupBy would use.
+    key — the same hash partitioning a batch groupBy would use. (Spark 4's
+    successor API, transformWithStateInPandas, needs the protobuf-backed
+    Python state server; google.protobuf is absent in this container, so
+    the custom-state surface is covered by applyInPandasWithState.)
 
 Chunk ordering is pinned with explicit mtimes (`os.utime`) because the file
 source orders files by modification time; `maxFilesPerTrigger=1` turns chunks
