@@ -434,3 +434,59 @@ def llm_importance_resample(spark, sf_dir):
         F.ntile(10).over(Window.orderBy(F.col("w").asc(), F.col("doc_id").asc())),
     )
     return ranked.filter(F.col("decile") >= 8).select("doc_id", "w", "decile")
+
+
+@query(
+    "llm_contribution_bounding",
+    # User-level contribution bounding — the deterministic half of DP
+    # aggregation (DP-SGD / DP statistics prep): cap every user at K=20
+    # events (md5-hash-ranked, reproducible — never rand()), THEN
+    # aggregate, so no single user can move a count by more than K. The
+    # noise-addition half of DP is deliberately absent: calibrated noise
+    # is random by definition and this engine's contract is determinism;
+    # bounding is the part that belongs in the data layer. Plan: one
+    # WindowGroupLimit top-K per user (partial top-k before the shuffle)
+    # + one map-side-combined aggregate. Output includes the clipped and
+    # unclipped counts so the bounding's effect is auditable.
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+      FROM events
+    ),
+    bounded AS (SELECT user_id, event_type FROM ranked WHERE rk <= 20)
+    SELECT event_type,
+           count(*) AS bounded_count,
+           (SELECT count(*) FROM events e
+            WHERE e.event_type = bounded.event_type) AS raw_count,
+           count(DISTINCT user_id) AS n_users
+    FROM bounded
+    GROUP BY event_type
+    """,
+)
+def llm_contribution_bounding(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    bounded = (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("user_id", "event_type")
+    )
+    raw = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("raw_count"))
+    return (
+        bounded.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("bounded_count"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .join(F.broadcast(raw), "event_type")
+        .select(
+            "event_type", "bounded_count", "raw_count", "n_users"
+        )
+    )
