@@ -639,3 +639,42 @@ def fn_date_arith(spark, sf_dir):
             "days_to_2025"
         ),
     )
+
+
+@query(
+    "fn_string_extra",
+    # Second string family: padding, character translation, replacement,
+    # reversal, repetition, edge slicing — the formatting/normalization
+    # toolkit (ID zero-padding, char-class scrubbing). initcap is
+    # deliberately absent: DuckDB has no twin and locale-sensitive
+    # casing is an engine-divergence trap. Codegen scan, no shuffle.
+    oracle="""
+    SELECT c_custkey,
+           lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded_id,
+           rpad(c_mktsegment, 12, '.') AS padded_seg,
+           translate(c_name, '#0', '_X') AS translated,
+           replace(c_name, 'Customer', 'Acct') AS replaced,
+           reverse(c_mktsegment) AS rev_seg,
+           repeat('*', CAST(c_custkey % 5 AS INT)) AS stars,
+           left(c_name, 8) AS l8,
+           right(c_name, 4) AS r4
+    FROM customer
+    """,
+)
+def fn_string_extra(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded_id"),
+        F.rpad("c_mktsegment", 12, ".").alias("padded_seg"),
+        F.translate("c_name", "#0", "_X").alias("translated"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Acct")).alias(
+            "replaced"
+        ),
+        F.reverse("c_mktsegment").alias("rev_seg"),
+        F.repeat(F.lit("*"), (F.col("c_custkey") % 5).cast("int")).alias(
+            "stars"
+        ),
+        F.expr("left(c_name, 8)").alias("l8"),
+        F.expr("right(c_name, 4)").alias("r4"),
+    )

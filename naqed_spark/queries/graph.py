@@ -1067,3 +1067,79 @@ def graph_kcore(spark, sf_dir):
             )
             trim_pins(spark, base, keep=1)
     return cur.groupBy("v").agg(F.count(F.lit(1)).alias("core_degree"))
+
+
+@query(
+    "graph_clustering_coefficient",
+    # Local clustering coefficient: triangles(v) / C(deg(v), 2) — how
+    # close each vertex's neighborhood is to a clique (the community-
+    # cohesion metric on top of graph_triangle_count's counting). Same
+    # canonical a<b<c triangle join (each triangle credited to all three
+    # corners), plus one degree aggregate LEFT-joined so triangle-free
+    # vertices report 0.0 rather than vanishing. The division is exact
+    # integers → double, round(6).
+    oracle=f"""
+    WITH ue AS ({_UE_SQL}),
+    sym AS (SELECT src, dst FROM ue UNION SELECT dst, src FROM ue),
+    deg AS (SELECT src AS v, count(*) AS d FROM sym GROUP BY src),
+    e AS (SELECT src, dst FROM sym WHERE src < dst),
+    tri AS (
+      SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      FROM e e1 JOIN e e2 ON e2.src = e1.dst
+                JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    corners AS (
+      SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    ),
+    tcount AS (SELECT v, count(*) AS t FROM corners GROUP BY v)
+    SELECT deg.v AS user_id, deg.d AS degree,
+           CAST(coalesce(tcount.t, 0) AS BIGINT) AS n_triangles,
+           round(CASE WHEN deg.d >= 2
+                      THEN CAST(2 * coalesce(tcount.t, 0) AS DOUBLE)
+                           / (deg.d * (deg.d - 1))
+                      ELSE 0.0 END, 6) AS clustering
+    FROM deg LEFT JOIN tcount ON tcount.v = deg.v
+    """,
+)
+def graph_clustering_coefficient(spark, sf_dir):
+    ue = user_edges(spark, sf_dir)
+    sym = (
+        ue.select("src", "dst")
+        .union(ue.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    deg = sym.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    e = sym.filter(F.col("src") < F.col("dst"))
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select(F.col("src").alias("b2"), F.col("dst").alias("c"))
+    e3 = e.select(F.col("src").alias("a3"), F.col("dst").alias("c3"))
+    tri = (
+        e1.join(e2, e1["b"] == e2["b2"])
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("v"))
+        .unionAll(tri.select(F.col("b").alias("v")))
+        .unionAll(tri.select(F.col("c").alias("v")))
+    )
+    tcount = corners.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
+    t = F.coalesce(F.col("t"), F.lit(0))
+    return (
+        deg.join(tcount, "v", "left")
+        .select(
+            F.col("v").alias("user_id"),
+            F.col("d").alias("degree"),
+            t.cast("bigint").alias("n_triangles"),
+            F.round(
+                F.when(
+                    F.col("d") >= 2,
+                    (2 * t).cast("double") / (F.col("d") * (F.col("d") - 1)),
+                ).otherwise(0.0),
+                6,
+            ).alias("clustering"),
+        )
+    )
