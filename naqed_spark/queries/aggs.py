@@ -695,3 +695,72 @@ def agg_grouping_id(spark, sf_dir):
             dsum(dec("l_quantity")).alias("qty"),
         )
     )
+
+
+@query(
+    "agg_higher_moments",
+    # Skewness / excess kurtosis per group, computed FROM RAW MOMENTS
+    # (Σx, Σx², Σx³, Σx⁴ over exact integer cents) instead of the
+    # engines' built-in skewness/kurtosis — whose bias corrections
+    # (sample vs population) differ between Spark and DuckDB and would
+    # never hash-match. The x³/x⁴ sums go through DECIMAL(38,0): cents⁴
+    # ≈ 5.8e18 is within one row of BIGINT overflow, and Spark's
+    # sum(bigint) wraps where DuckDB promotes to HUGEINT — decimal is
+    # the overflow-safe exact form BOTH engines share. Assembly into
+    # g1/g2 is identical IEEE arithmetic on identical inputs, round(6).
+    # One map-side-combined pass.
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(c) AS DOUBLE) AS s1,
+             CAST(sum(c * c) AS DOUBLE) AS s2,
+             CAST(sum(CAST(c AS DECIMAL(19,0)) * CAST(c * c AS DECIMAL(19,0)))
+                  AS DOUBLE) AS s3,
+             CAST(sum(CAST(c * c AS DECIMAL(19,0))
+                      * CAST(c * c AS DECIMAL(19,0))) AS DOUBLE) AS s4
+      FROM (SELECT event_type,
+                   CAST(round(value * 100, 0) AS BIGINT) AS c
+            FROM events)
+      GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * pow(s1 / n, 3))
+                 / pow(s2 / n - pow(s1 / n, 2), 1.5), 6) AS skew_g1,
+           round((s4 / n - 4 * (s1 / n) * (s3 / n)
+                  + 6 * pow(s1 / n, 2) * (s2 / n) - 3 * pow(s1 / n, 4))
+                 / pow(s2 / n - pow(s1 / n, 2), 2) - 3.0, 6) AS kurt_g2
+    FROM m
+    """,
+)
+def agg_higher_moments(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+    )
+    c = F.col("c")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c).cast("double").alias("s1"),
+        F.sum(c * c).cast("double").alias("s2"),
+        F.sum(
+            c.cast("decimal(19,0)") * (c * c).cast("decimal(19,0)")
+        ).cast("double").alias("s3"),
+        F.sum(
+            (c * c).cast("decimal(19,0)") * (c * c).cast("decimal(19,0)")
+        ).cast("double").alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(x) for x in ("n", "s1", "s2", "s3", "s4"))
+    mu = s1 / n
+    var = s2 / n - F.pow(mu, 2)
+    skew = (s3 / n - 3 * mu * (s2 / n) + 2 * F.pow(mu, 3)) / F.pow(var, 1.5)
+    kurt = (
+        s4 / n - 4 * mu * (s3 / n) + 6 * F.pow(mu, 2) * (s2 / n)
+        - 3 * F.pow(mu, 4)
+    ) / F.pow(var, 2) - 3.0
+    return m.select(
+        "event_type",
+        "n",
+        F.round(skew, 6).alias("skew_g1"),
+        F.round(kurt, 6).alias("kurt_g2"),
+    )

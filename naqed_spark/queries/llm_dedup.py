@@ -347,3 +347,57 @@ def llm_train_split(spark, sf_dir):
         .otherwise("test")
         .alias("split"),
     )
+
+
+@query(
+    "llm_normalized_dedup",
+    # Normalization-aware dedup: lowercase, strip punctuation, collapse
+    # whitespace, THEN group — catches trivially-reformatted duplicates
+    # exact dedup misses (the standard first rung of the dedup ladder,
+    # below MinHash). The normalized form is md5'd so the shuffle moves
+    # 16-byte keys; groups keep the min doc_id and per-variant count.
+    # The corpus gains deterministic case/punct variants of every 5th
+    # doc (the llm_exact_dedup replay discipline) so both branches are
+    # exercised.
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 200000, upper(text) || ' !!' FROM documents
+      WHERE doc_id % 5 = 0
+    ),
+    norm AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g'))) AS nh
+      FROM corpus
+    )
+    SELECT nh, min(doc_id) AS keep_id, count(*) AS n_variants
+    FROM norm GROUP BY nh
+    """,
+)
+def llm_normalized_dedup(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    variants = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit(" !!")).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionAll(variants)
+    nh = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+                " +",
+                " ",
+            )
+        )
+    )
+    return (
+        corpus.select("doc_id", nh.alias("nh"))
+        .groupBy("nh")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+    )

@@ -167,3 +167,34 @@ def sub_any_all(spark, sf_dir):
             .alias("beats_all"),
         )
     )
+
+
+@query(
+    "sub_division_forall",
+    # Relational division — the FOR-ALL subquery: customers whose orders
+    # cover EVERY order priority class. SQL's double-NOT-EXISTS spelling
+    # decorrelates (in both engines) to: count distinct priorities per
+    # customer == total distinct priorities. The DataFrame side IS that
+    # rewrite — one map-side-combined distinct-agg per customer + one
+    # broadcast scalar — because a literal nested NOT EXISTS would be a
+    # per-row subquery at 100 TB.
+    oracle="""
+    WITH tot AS (SELECT count(DISTINCT o_orderpriority) AS k FROM orders)
+    SELECT o_custkey,
+           count(DISTINCT o_orderpriority) AS n_prio
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(DISTINCT o_orderpriority) = (SELECT k FROM tot)
+    """,
+)
+def sub_division_forall(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    tot = o.agg(F.countDistinct("o_orderpriority").alias("k"))
+    per = o.groupBy("o_custkey").agg(
+        F.countDistinct("o_orderpriority").alias("n_prio")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .filter(F.col("n_prio") == F.col("k"))
+        .select("o_custkey", "n_prio")
+    )

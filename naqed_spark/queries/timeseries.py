@@ -992,3 +992,83 @@ def ts_forecast_naive_eval(spark, sf_dir):
             F.avg(err.cast("double") / F.nullif(F.col("cents"), F.lit(0))), 6
         ).alias("mape"),
     )
+
+
+@query(
+    "ts_changepoint_cusum",
+    # CUSUM drift detection: per event_type, the running cumulative sum
+    # of deviations from the type's overall daily mean; the day where
+    # |CUSUM| peaks is the changepoint estimate. All arithmetic on exact
+    # integer cents (deviation = day_cents·n_days − total_cents, scaled
+    # to avoid division) — no float until the final report. One daily
+    # rollup + a broadcast of the 4-row type stats + one window pass
+    # ordered by day; the changepoint pick is WindowGroupLimit (rank 1).
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(epoch_us(date_trunc('day', ts)) AS BIGINT)
+               AS day_us,
+             CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, CAST(sum(cents) AS BIGINT) AS total,
+             count(*) AS nd
+      FROM daily GROUP BY event_type
+    ),
+    cusum AS (
+      SELECT d.event_type, d.day_us,
+             CAST(sum(d.cents * s.nd - s.total) OVER (
+               PARTITION BY d.event_type ORDER BY d.day_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS c
+      FROM daily d JOIN stats s USING (event_type)
+    )
+    SELECT event_type, day_us AS changepoint_day_us, c AS peak_cusum
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY abs(c) DESC, day_us) AS rn
+      FROM cusum
+    ) WHERE rn = 1
+    """,
+)
+def ts_changepoint_cusum(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.unix_micros(F.date_trunc("day", "ts")).alias("day_us"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.sum("cents").alias("total"), F.count(F.lit(1)).alias("nd")
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("day_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cusum = (
+        daily.join(F.broadcast(stats), "event_type")
+        .withColumn(
+            "c",
+            F.sum(
+                F.col("cents") * F.col("nd") - F.col("total")
+            ).over(w_run).cast("bigint"),
+        )
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("c")).desc(), F.col("day_us")
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day_us").alias("changepoint_day_us"),
+            F.col("c").alias("peak_cusum"),
+        )
+    )
