@@ -591,3 +591,173 @@ def llm_lsh_bucket_audit(spark, sf_dir):
             6,
         ).alias("top_pair_share"),
     )
+
+
+# LSH evaluation: variants drop every 7th word → planted near-dup pairs
+# with known-high Jaccard; precision verifies candidates by EXACT Jaccard
+# (computed only on candidates — sub-quadratic), recall is measured
+# against the planted set. Thresholold is fixture-scaled.
+_LSH_EVAL_TAU = 0.5
+
+
+@query(
+    "llm_lsh_precision_recall",
+    # Planted-duplicate evaluation of the LSH dedup pipeline (the audit
+    # every dedup deployment runs before trusting it at 100 TB): every
+    # 5th doc gains a variant missing each 7th word — a known near-dup
+    # pair. Recall = planted pairs the band-join finds; precision =
+    # candidate pairs whose EXACT Jaccard clears τ. No all-pairs stage
+    # anywhere: candidates come from the band equi-join, exact Jaccard
+    # runs only on candidates, and the planted set is join-derived. The
+    # MinHash construction is the registered llm.py one (same seeds and
+    # banding), so the numbers audit the REAL pipeline.
+    oracle=f"""
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents),
+    corpus AS (
+      SELECT doc_id, w FROM base
+      UNION ALL
+      SELECT doc_id + 300000,
+             list_transform(list_filter(range(1, len(w) + 1),
+                                        i -> i % 7 != 0), i -> w[i])
+      FROM base WHERE doc_id % 5 = 0
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 3),
+               i -> array_to_string(w[i:i+4], ' '))) AS sset
+      FROM corpus WHERE len(w) >= 5
+    ),
+    sigs AS (SELECT doc_id, sset,
+             list_min(list_transform(sset, s -> md5('s0|' || s))) AS sig0,
+             list_min(list_transform(sset, s -> md5('s1|' || s))) AS sig1,
+             list_min(list_transform(sset, s -> md5('s2|' || s))) AS sig2,
+             list_min(list_transform(sset, s -> md5('s3|' || s))) AS sig3,
+             list_min(list_transform(sset, s -> md5('s4|' || s))) AS sig4,
+             list_min(list_transform(sset, s -> md5('s5|' || s))) AS sig5,
+             list_min(list_transform(sset, s -> md5('s6|' || s))) AS sig6,
+             list_min(list_transform(sset, s -> md5('s7|' || s))) AS sig7
+             FROM sh),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(sig0 || sig1) AS bh FROM sigs
+      UNION ALL SELECT doc_id, 1, md5(sig2 || sig3) FROM sigs
+      UNION ALL SELECT doc_id, 2, md5(sig4 || sig5) FROM sigs
+      UNION ALL SELECT doc_id, 3, md5(sig6 || sig7) FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.ia, c.ib,
+             len(list_intersect(sa.sset, sb.sset)) * 1.0
+               / len(list_distinct(sa.sset || sb.sset)) AS j
+      FROM cand c JOIN sh sa ON sa.doc_id = c.ia
+                  JOIN sh sb ON sb.doc_id = c.ib
+    ),
+    planted AS (
+      SELECT s1.doc_id AS ia, s2.doc_id AS ib
+      FROM sh s1 JOIN sh s2 ON s2.doc_id = s1.doc_id + 300000
+    )
+    SELECT
+      (SELECT count(*) FROM planted) AS n_planted,
+      (SELECT count(*) FROM planted p JOIN cand c
+        ON c.ia = p.ia AND c.ib = p.ib) AS n_recalled,
+      round((SELECT count(*) FROM planted p JOIN cand c
+             ON c.ia = p.ia AND c.ib = p.ib) * 1.0
+            / (SELECT count(*) FROM planted), 6) AS recall,
+      (SELECT count(*) FROM cand) AS n_candidates,
+      (SELECT count(*) FROM verified WHERE j >= {_LSH_EVAL_TAU})
+        AS n_precise,
+      round((SELECT count(*) FROM verified WHERE j >= {_LSH_EVAL_TAU})
+            * 1.0 / greatest((SELECT count(*) FROM cand), 1), 6)
+        AS precision
+    """,
+)
+def llm_lsh_precision_recall(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("w"))
+    variant = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.expr(
+            "transform(filter(sequence(1, size(w)), i -> i % 7 != 0),"
+            " i -> element_at(w, i))"
+        ).alias("w"),
+    )
+    corpus = base.unionAll(variant).filter(F.size("w") >= 5)
+    sh = corpus.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, size(w) - 4),"
+                " i -> array_join(slice(w, i, 5), ' '))"
+            )
+        ).alias("sset"),
+    )
+    seeds = [f"s{k}|" for k in range(8)]
+    sigs = sh.select(
+        "doc_id",
+        "sset",
+        *[
+            F.array_min(
+                F.expr(f"transform(sset, s -> md5('{seed}' || s))")
+            ).alias(f"sig{k}")
+            for k, seed in enumerate(seeds)
+        ],
+    )
+    bands = None
+    for b in range(4):
+        part = sigs.select(
+            "doc_id",
+            F.lit(b).alias("band"),
+            F.md5(F.concat(F.col(f"sig{2*b}"), F.col(f"sig{2*b+1}"))).alias(
+                "bh"
+            ),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    a = bands.select(F.col("doc_id").alias("ia"), "band", "bh")
+    b_ = bands.select(F.col("doc_id").alias("ib"), "band", "bh")
+    cand = (
+        a.join(b_, ["band", "bh"])
+        .filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("ia"), F.col("sset").alias("sa"))
+    sb = sh.select(F.col("doc_id").alias("ib"), F.col("sset").alias("sb"))
+    verified = (
+        cand.join(sa, "ia")
+        .join(sb, "ib")
+        .select(
+            "ia",
+            "ib",
+            (
+                F.size(F.array_intersect("sa", "sb")).cast("double")
+                / F.size(F.array_distinct(F.concat("sa", "sb")))
+            ).alias("j"),
+        )
+    )
+    s1 = sh.select(F.col("doc_id").alias("ia"))
+    s2 = sh.select((F.col("doc_id") - 300000).alias("ia"),
+                   F.col("doc_id").alias("ib"))
+    planted = s1.join(s2, "ia").select("ia", "ib")
+    n_planted = planted.count()
+    n_recalled = planted.join(cand, ["ia", "ib"], "left_semi").count()
+    n_candidates = cand.count()
+    n_precise = verified.filter(F.col("j") >= _LSH_EVAL_TAU).count()
+    row = [
+        (
+            n_planted,
+            n_recalled,
+            round(n_recalled / n_planted, 6),
+            n_candidates,
+            n_precise,
+            round(n_precise / max(n_candidates, 1), 6),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_planted bigint, n_recalled bigint, recall double,"
+        " n_candidates bigint, n_precise bigint, precision double",
+    )

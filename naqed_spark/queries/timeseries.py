@@ -1072,3 +1072,50 @@ def ts_changepoint_cusum(spark, sf_dir):
             F.col("c").alias("peak_cusum"),
         )
     )
+
+
+@query(
+    "ts_rolling_active_users",
+    # Rolling 7-day distinct active users (the DAU/WAU product metric):
+    # per day, the distinct user count over [d−6, d]. A sliding DISTINCT
+    # cannot use a plain window sum (distinct doesn't decompose), so the
+    # exact form joins the per-(day, user) grid to the 7-day offset range
+    # and re-counts — at fixture scale that is |days|×7 narrow rows. At
+    # 100 TB the exact form becomes the HLL-partial pattern
+    # (agg_hll_partial_merge): per-day sketches union-merged over the
+    # window — same plan, mergeable state; documented here, exact kept
+    # for the oracle.
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT)
+               AS day_us, user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day_us FROM du),
+    win AS (
+      SELECT d.day_us, du.user_id
+      FROM days d JOIN du
+        ON du.day_us BETWEEN d.day_us - 518400000000 AND d.day_us
+    )
+    SELECT day_us,
+           count(DISTINCT user_id) AS wau,
+           (SELECT count(DISTINCT u2.user_id) FROM du u2
+            WHERE u2.day_us = win.day_us) AS dau
+    FROM win GROUP BY day_us
+    """,
+)
+def ts_rolling_active_users(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    du = ev.select(
+        F.unix_micros(F.date_trunc("day", "ts")).alias("day_us"), "user_id"
+    ).distinct()
+    days = du.select("day_us").distinct()
+    win = days.alias("d").join(
+        du.alias("u"),
+        F.col("u.day_us").between(
+            F.col("d.day_us") - 518400000000, F.col("d.day_us")
+        ),
+    ).select(F.col("d.day_us").alias("day_us"), F.col("u.user_id"))
+    wau = win.groupBy("day_us").agg(F.countDistinct("user_id").alias("wau"))
+    dau = du.groupBy("day_us").agg(F.countDistinct("user_id").alias("dau"))
+    return wau.join(dau, "day_us").select("day_us", "wau", "dau")
