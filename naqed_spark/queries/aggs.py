@@ -764,3 +764,40 @@ def agg_higher_moments(spark, sf_dir):
         F.round(skew, 6).alias("skew_g1"),
         F.round(kurt, 6).alias("kurt_g2"),
     )
+
+
+@query(
+    "agg_product_rewrite",
+    # PRODUCT aggregate: Spark has no product() — the engine rewrite is
+    # exp(Σ ln x) over positive inputs (compounding factors, geometric
+    # means). The geometric mean drops out of the same sums for free.
+    # DuckDB's native product() is deliberately NOT the oracle twin —
+    # the ln-sum form is spelled identically on both engines because
+    # exp/ln round-trips differ from native multiplication in the last
+    # ulp. Determinism: the ln-SUM is rounded to 6 decimals BEFORE exp —
+    # exp amplifies summation-order ulps multiplicatively, so hedging
+    # after exp would not survive partitioning changes; hedging the sum
+    # does. Map-side combinable (sums), one exchange.
+    oracle="""
+    SELECT l_returnflag,
+           count(*) AS n,
+           round(exp(round(sum(ln(1.0 + CAST(l_discount AS DECIMAL(4,2)))),
+                           6)), 6) AS growth_product,
+           round(exp(round(avg(ln(1.0 + CAST(l_discount AS DECIMAL(4,2)))),
+                           6)), 6) AS geo_mean_factor
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_product_rewrite(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    factor = 1.0 + F.col("l_discount").cast("decimal(4,2)")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.exp(F.round(F.sum(F.log(factor)), 6)), 6).alias(
+            "growth_product"
+        ),
+        F.round(F.exp(F.round(F.avg(F.log(factor)), 6)), 6).alias(
+            "geo_mean_factor"
+        ),
+    )

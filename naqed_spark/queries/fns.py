@@ -678,3 +678,51 @@ def fn_string_extra(spark, sf_dir):
         F.expr("left(c_name, 8)").alias("l8"),
         F.expr("right(c_name, 4)").alias("r4"),
     )
+
+
+@query(
+    "fn_json_roundtrip",
+    # Structured → JSON → structured round trip: build a nested document
+    # from order fields with to_json(struct(...)), parse it back with
+    # from_json against an explicit schema, extract leaves — the
+    # interchange pattern for event payloads. The JSON STRING itself is
+    # never compared (serializers differ on spacing/key order across
+    # engines); only extracted VALUES are, which is also the production
+    # contract — consumers parse, they don't diff bytes. Codegen scan,
+    # no shuffle, no Python.
+    oracle="""
+    SELECT o_orderkey,
+           CAST(json_extract_string(j, '$.meta.status') AS VARCHAR)
+             AS status,
+           CAST(json_extract(j, '$.meta.prio_len') AS INTEGER) AS prio_len,
+           CAST(json_extract(j, '$.key2') AS BIGINT) AS key2
+    FROM (
+      SELECT o_orderkey,
+             to_json(struct_pack(
+               meta := struct_pack(status := o_orderstatus,
+                                   prio_len := length(o_orderpriority)),
+               key2 := o_orderkey * 2)) AS j
+      FROM orders
+    )
+    """,
+)
+def fn_json_roundtrip(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    j = F.to_json(
+        F.struct(
+            F.struct(
+                F.col("o_orderstatus").alias("status"),
+                F.length("o_orderpriority").alias("prio_len"),
+            ).alias("meta"),
+            (F.col("o_orderkey") * 2).alias("key2"),
+        )
+    )
+    parsed = F.from_json(
+        j, "meta struct<status: string, prio_len: int>, key2 bigint"
+    )
+    return o.select(
+        "o_orderkey",
+        parsed.getField("meta").getField("status").alias("status"),
+        parsed.getField("meta").getField("prio_len").alias("prio_len"),
+        parsed.getField("key2").alias("key2"),
+    )

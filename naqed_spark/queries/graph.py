@@ -1143,3 +1143,91 @@ def graph_clustering_coefficient(spark, sf_dir):
             ).alias("clustering"),
         )
     )
+
+
+_WALK_LEN = 4
+
+
+def _walk_oracle() -> str:
+    """Unrolled deterministic walk: at step t from vertex v, the next hop
+    is the out-neighbor minimizing md5(root || t || neighbor) — a
+    reproducible stand-in for node2vec's random choice (same uniform-ish
+    spread, zero randomness)."""
+    steps = []
+    prev = "w0"
+    for t in range(1, _WALK_LEN + 1):
+        steps.append(f"""
+    w{t} AS MATERIALIZED (
+      SELECT root, path || '-' || CAST(nxt AS VARCHAR) AS path, nxt AS cur
+      FROM (
+        SELECT {prev}.root, {prev}.path, ue.dst AS nxt,
+               row_number() OVER (
+                 PARTITION BY {prev}.root
+                 ORDER BY md5(CAST({prev}.root AS VARCHAR) || '|{t}|'
+                              || CAST(ue.dst AS VARCHAR)), ue.dst) AS rk
+        FROM {prev} JOIN ue ON ue.src = {prev}.cur
+      ) WHERE rk = 1)""")
+        prev = f"w{t}"
+    return f"""
+    WITH ue AS MATERIALIZED ({_UE_SQL}),
+    roots AS MATERIALIZED (
+      SELECT DISTINCT src AS v FROM ue WHERE src % 5 = 0),
+    w0 AS MATERIALIZED (
+      SELECT v AS root, CAST(v AS VARCHAR) AS path, v AS cur FROM roots),
+    {",".join(steps)}
+    SELECT root, path FROM w{_WALK_LEN}
+    """
+
+
+@query("graph_random_walks", oracle=_walk_oracle())
+def graph_random_walks(spark, sf_dir):
+    """Deterministic fixed-length walk generation (the node2vec/DeepWalk
+    data-prep step): from every 5th vertex, a 4-step walk whose next hop
+    minimizes md5(root || step || neighbor) — reproducible across
+    engines/runs/cluster sizes where true random walks are not. Each
+    step is one frontier⋈edges equi-join + a WindowGroupLimit rank-1
+    pick; the frontier stays one row per root, so the superstep cost is
+    O(|roots| × avg-degree) and retained state is the live frontier
+    (checkpoint + trim). At 100 TB you run many walks per root by
+    salting the walk id into the hash."""
+    from pyspark.sql import Window
+
+    from naqed_spark.session import persistent_rdd_ids, trim_pins
+
+    ue = user_edges(spark, sf_dir).localCheckpoint()
+    base = persistent_rdd_ids(spark)
+    roots = (
+        ue.select(F.col("src").alias("v"))
+        .filter(F.col("v") % 5 == 0)
+        .distinct()
+    )
+    walk = roots.select(
+        F.col("v").alias("root"),
+        F.col("v").cast("string").alias("path"),
+        F.col("v").alias("cur"),
+    )
+    with low_shuffle(spark):
+        for t in range(1, _WALK_LEN + 1):
+            rank = F.md5(
+                F.concat(
+                    F.col("root").cast("string"),
+                    F.lit(f"|{t}|"),
+                    F.col("dst").cast("string"),
+                )
+            )
+            w = Window.partitionBy("root").orderBy(rank, F.col("dst"))
+            walk = (
+                walk.join(ue, walk["cur"] == ue["src"])
+                .withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") == 1)
+                .select(
+                    "root",
+                    F.concat(
+                        F.col("path"), F.lit("-"), F.col("dst").cast("string")
+                    ).alias("path"),
+                    F.col("dst").alias("cur"),
+                )
+                .localCheckpoint()
+            )
+            trim_pins(spark, base, keep=1)
+    return walk.select("root", "path")
