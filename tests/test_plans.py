@@ -820,3 +820,57 @@ def test_nested_struct_pruning_reads_one_leaf(spark):
     assert "k" in rs
     assert "payload" not in rs
     assert "klass" not in rs
+
+
+def test_neighborhood_sampling_uses_group_limit(spark):
+    """graph_neighborhood_sampling: both levels must pick top-k via
+    WindowGroupLimit (partial top-k before the shuffle) and the hop
+    expansion must be an equi-join — never cartesian."""
+    plan = plan_of(spark, "graph_neighborhood_sampling")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_contribution_bounding_uses_group_limit(spark):
+    plan = plan_of(spark, "llm_contribution_bounding")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_eval_has_no_allpairs(spark):
+    """llm_lsh_precision_recall: candidates come from the band equi-join;
+    exact Jaccard runs only on candidates — the plan may not contain a
+    cartesian/nested-loop anywhere."""
+    tree = tree_of(plan_of(spark, "llm_lsh_precision_recall"))
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_containment_join_is_equi(spark):
+    tree = tree_of(plan_of(spark, "llm_containment_dedup"))
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_fuzzy_resolution_broadcasts_the_small_side(spark):
+    """join_fuzzy_entity_resolution: the nested-loop is the declared plan
+    for a non-equi fuzzy predicate, but the BUILD side must be the tiny
+    probe batch (broadcast), never the master table."""
+    tree = tree_of(plan_of(spark, "join_fuzzy_entity_resolution"))
+    assert "BroadcastNestedLoopJoin" in tree
+    # exactly one broadcast exchange — the probe side
+    assert tree.count("BroadcastExchange") == 1
+
+
+def test_kcore_and_walks_are_flat_state(spark):
+    """graph_kcore / graph_random_walks: after running, the number of
+    pinned RDDs must not grow with supersteps (checkpoint+trim — the
+    VERDICT r6 item 7 discipline extended to the new fixpoint loops)."""
+    from naqed_spark.session import persistent_rdd_ids
+
+    for key in ("graph_kcore", "graph_random_walks"):
+        before = len(persistent_rdd_ids(spark))
+        QUERIES[key](spark, SF_DIR).collect()
+        after = len(persistent_rdd_ids(spark))
+        assert after - before <= 2, (key, before, after)
