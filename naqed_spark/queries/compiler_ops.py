@@ -591,3 +591,42 @@ def compiler_child_rollup(spark, sf_dir):
             }
         }
     )
+
+
+@query(
+    "compiler_deep_traversal",
+    # E1 three-level traversal (round 7) — the naqed identity shape at
+    # depth: region → nations → customers, a $filter at every level,
+    # relational fan-out at each many-hop (SURVEY §1.2's array auto-map
+    # translation). Compiles to two equi-joins: the region and nation
+    # hops broadcast (SMALL_DIMS policy), customer stays AQE's call —
+    # the deep spec costs exactly what the hand-written join chain
+    # costs.
+    oracle="""
+    SELECT r.r_name, n.n_name, c.c_name, c.c_acctbal
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE') AND c.c_acctbal > 9000.0
+    """,
+)
+def compiler_deep_traversal(spark, sf_dir):
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "region": {
+                "$filter": {"r_name": {"$in": ["ASIA", "EUROPE"]}},
+                "r_name": True,
+                "nations": {
+                    "n_name": True,
+                    "customers": {
+                        "$filter": {"c_acctbal": {"$gt": 9000.0}},
+                        "c_name": True,
+                        "c_acctbal": True,
+                    },
+                },
+            }
+        }
+    )

@@ -761,3 +761,78 @@ def llm_lsh_precision_recall(spark, sf_dir):
         "n_planted bigint, n_recalled bigint, recall double,"
         " n_candidates bigint, n_precise bigint, precision double",
     )
+
+
+@query(
+    "llm_multimodal_dedup",
+    # Media dedup over opaque binary payloads — the image/audio dedup
+    # shape: exact groups by md5(bytes) (the only safe whole-payload
+    # key), plus an edge-sketch (head 32 B ‖ tail 32 B ‖ size bucket) —
+    # the cheap perceptual-hash STAND-IN this container allows (no media
+    # codecs; a real pHash/chromaprint drops into the same column). The
+    # corpus replays every 6th payload as an exact duplicate (llm.py:90
+    # discipline). Plan: one scan, 16-byte keys shuffle — payload bytes
+    # never cross an exchange (head/tail/md5 all computed scan-side:
+    # at 100 TB shuffling media bytes is THE mistake).
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, encode(text) AS payload FROM documents
+      UNION ALL
+      SELECT doc_id + 400000, encode(text) FROM documents
+      WHERE doc_id % 6 = 0
+    ),
+    keyed AS (
+      SELECT doc_id,
+             md5(lower(hex(payload))) AS payload_md5,
+             md5(lower(hex(substring(payload, 1, 32)))
+                 || lower(hex(substring(payload,
+                        greatest(octet_length(payload) - 31, 1), 32)))
+                 || CAST(octet_length(payload) // 64 AS VARCHAR))
+               AS edge_sketch
+      FROM corpus
+    )
+    SELECT payload_md5,
+           min(edge_sketch) AS edge_sketch,
+           min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM keyed GROUP BY payload_md5
+    """,
+)
+def llm_multimodal_dedup(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    mk = lambda df: df.select(  # noqa: E731
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    corpus = mk(d).unionAll(
+        mk(
+            d.filter(F.col("doc_id") % 6 == 0).withColumn(
+                "doc_id", F.col("doc_id") + 400000
+            )
+        )
+    )
+    n = F.octet_length("payload")
+    keyed = corpus.select(
+        "doc_id",
+        # DuckDB's md5 is VARCHAR-only, so BOTH engines hash the lowercase
+        # hex spelling of the bytes (hex letter case differs per engine)
+        F.md5(F.lower(F.hex("payload"))).alias("payload_md5"),
+        F.md5(
+            F.concat(
+                F.lower(F.hex(F.expr("substring(payload, 1, 32)"))),
+                F.lower(
+                    F.hex(
+                        F.expr(
+                            "substring(payload,"
+                            " greatest(octet_length(payload) - 31, 1), 32)"
+                        )
+                    )
+                ),
+                (n.cast("bigint") / 64).cast("bigint").cast("string"),
+            )
+        ).alias("edge_sketch"),
+    )
+    return keyed.groupBy("payload_md5").agg(
+        F.min("edge_sketch").alias("edge_sketch"),
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
