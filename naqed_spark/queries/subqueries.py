@@ -198,3 +198,38 @@ def sub_division_forall(spark, sf_dir):
         .filter(F.col("n_prio") == F.col("k"))
         .select("o_custkey", "n_prio")
     )
+
+
+@query(
+    "sub_exists_aggregated",
+    # EXISTS over an AGGREGATED subquery — "customers with more than 5
+    # urgent orders": the correlated HAVING subquery decorrelates to a
+    # filtered pre-aggregate semi-joined back to the outer table (in
+    # both engines). The DataFrame side is the rewrite: one map-side-
+    # combined count on the filtered orders + one semi join — never a
+    # per-customer subquery execution.
+    oracle="""
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderpriority = '1-URGENT'
+      GROUP BY o.o_custkey
+      HAVING count(*) > 5
+    )
+    """,
+)
+def sub_exists_aggregated(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    heavy = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 5)
+        .select("o_custkey")
+    )
+    return c.join(
+        heavy, c["c_custkey"] == heavy["o_custkey"], "left_semi"
+    ).select("c_custkey", "c_mktsegment")

@@ -1119,3 +1119,35 @@ def ts_rolling_active_users(spark, sf_dir):
     wau = win.groupBy("day_us").agg(F.countDistinct("user_id").alias("wau"))
     dau = du.groupBy("day_us").agg(F.countDistinct("user_id").alias("dau"))
     return wau.join(dau, "day_us").select("day_us", "wau", "dau")
+
+
+@query(
+    "ts_histogram_equi_width",
+    # Equi-width value histogram per event_type (the profiling primitive
+    # behind every dashboard distribution plot): 10 fixed bins over
+    # [0, 500) in exact integer cents — bin = min(cents ÷ 5000, 9), no
+    # floats anywhere, so bins are unambiguous on both engines. One scan,
+    # one map-side-combined groupBy on (type, bin); output is
+    # grid-sized. At 100 TB this replaces collecting values to plot.
+    oracle="""
+    SELECT event_type,
+           least(CAST(round(value * 100, 0) AS BIGINT) // 5000, 9) AS bin,
+           count(*) AS n,
+           CAST(min(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS min_cents,
+           CAST(max(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS max_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_histogram_equi_width(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    bin_ = F.least(F.expr("CAST(round(value * 100, 0) AS BIGINT) div 5000"),
+                   F.lit(9))
+    return ev.groupBy("event_type", bin_.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(cents).alias("min_cents"),
+        F.max(cents).alias("max_cents"),
+    )
