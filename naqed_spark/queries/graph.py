@@ -1231,3 +1231,63 @@ def graph_random_walks(spark, sf_dir):
             )
             trim_pins(spark, base, keep=1)
     return walk.select("root", "path")
+
+
+@query(
+    "graph_degree_powerlaw",
+    # Degree-distribution power-law fit: log-log OLS slope over the
+    # degree histogram — the graph-shape diagnostic that decides whether
+    # hub mitigation (salting, caps) is needed before the heavy joins.
+    # The histogram is exact integers; the ln/ln regression runs on the
+    # HISTOGRAM (≤ max-degree rows, driver-safe at any graph size), with
+    # the OLS sums rounded to 6 decimals before assembly on both engines
+    # (libm ln + tiny-sum determinism, the agg_product_rewrite hedge).
+    oracle="""
+    WITH ue AS ({ue}),
+    und AS (SELECT src AS v, dst AS n FROM ue UNION SELECT dst, src FROM ue),
+    deg AS (SELECT v, count(*) AS d FROM und GROUP BY v),
+    hist AS (SELECT d, count(*) AS cnt FROM deg GROUP BY d),
+    pts AS (SELECT ln(CAST(d AS DOUBLE)) AS lx,
+                   ln(CAST(cnt AS DOUBLE)) AS ly
+            FROM hist),
+    s AS (
+      SELECT count(*) AS n,
+             round(sum(lx), 6) AS sx, round(sum(ly), 6) AS sy,
+             round(sum(lx * ly), 6) AS sxy, round(sum(lx * lx), 6) AS sxx
+      FROM pts
+    )
+    SELECT n AS n_points,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS intercept
+    FROM s
+    """.format(ue=_UE_SQL),
+)
+def graph_degree_powerlaw(spark, sf_dir):
+    ue = user_edges(spark, sf_dir)
+    und = (
+        ue.select(F.col("src").alias("v"), F.col("dst").alias("n"))
+        .union(ue.select(F.col("dst").alias("v"), F.col("src").alias("n")))
+        .distinct()
+    )
+    deg = und.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    hist = deg.groupBy("d").agg(F.count(F.lit(1)).alias("cnt"))
+    pts = hist.select(
+        F.log(F.col("d").cast("double")).alias("lx"),
+        F.log(F.col("cnt").cast("double")).alias("ly"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("lx"), 6).alias("sx"),
+        F.round(F.sum("ly"), 6).alias("sy"),
+        F.round(F.sum(F.col("lx") * F.col("ly")), 6).alias("sxy"),
+        F.round(F.sum(F.col("lx") * F.col("lx")), 6).alias("sxx"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx = F.col("sxy"), F.col("sxx")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        F.col("n").alias("n_points"),
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+    )

@@ -1151,3 +1151,97 @@ def ts_histogram_equi_width(spark, sf_dir):
         F.min(cents).alias("min_cents"),
         F.max(cents).alias("max_cents"),
     )
+
+
+@query(
+    "ts_autocorrelation",
+    # Autocorrelation of the daily per-type series at lags 1 and 7 (the
+    # seasonality detector feeding ts_forecast_naive_eval's lag choice).
+    # Numerator/denominator are built from exact integer cents: with
+    # m = n·Σxy − Σx·Σy over the lag-aligned pairs, r = m / √(dx·dy) —
+    # every Σ is an exact integer (DECIMAL(38,0) to survive the x·y
+    # products), so both engines assemble identical doubles; round(6).
+    # One daily rollup + two self-equi-joins on (type, day−lag).
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(epoch_us(date_trunc('day', ts)) AS BIGINT)
+               AS day_us,
+             CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS c
+      FROM events GROUP BY 1, 2
+    ),
+    lags AS (SELECT unnest([1, 7]) AS lag),
+    pairs AS (
+      SELECT a.event_type, l.lag, a.c AS x, b.c AS y
+      FROM daily a
+      JOIN lags l ON true
+      JOIN daily b ON b.event_type = a.event_type
+                  AND b.day_us = a.day_us - l.lag * 86400000000
+    ),
+    m AS (
+      SELECT event_type, lag, count(*) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                  AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+                  AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                  AS DOUBLE) AS syy
+      FROM pairs GROUP BY event_type, lag
+    )
+    SELECT event_type, lag, n,
+           round((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS acf
+    FROM m
+    """,
+)
+def ts_autocorrelation(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.unix_micros(F.date_trunc("day", "ts")).alias("day_us"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("c")
+    )
+    lags = daily.sparkSession.createDataFrame([(1,), (7,)], "lag int")
+    b = daily.select(
+        F.col("event_type").alias("b_type"),
+        F.col("day_us").alias("b_day"),
+        F.col("c").alias("y"),
+    )
+    pairs = (
+        daily.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            (F.col("b_type") == F.col("event_type"))
+            & (
+                F.col("b_day")
+                == F.col("day_us") - F.col("lag") * 86400000000
+            ),
+        )
+        .select("event_type", "lag", F.col("c").alias("x"), "y")
+    )
+    x, y = F.col("x"), F.col("y")
+    d19 = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    m = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum(d19(x) * d19(y)).cast("double").alias("sxy"),
+        F.sum(d19(x) * d19(x)).cast("double").alias("sxx"),
+        F.sum(d19(y) * d19(y)).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return m.select(
+        "event_type",
+        "lag",
+        "n",
+        F.round(
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("acf"),
+    )
