@@ -836,3 +836,67 @@ def llm_multimodal_dedup(spark, sf_dir):
         F.min("doc_id").alias("keep_id"),
         F.count(F.lit(1)).alias("n_copies"),
     )
+
+
+@query(
+    "llm_snapshot_diff",
+    # Dataset-version diff — the audit between two corpus snapshots
+    # (what changed since the last training run): FULL OUTER join on
+    # doc_id comparing content hashes → added / removed / changed /
+    # unchanged. Snapshot B is derived deterministically from A (every
+    # 11th doc dropped, every 9th edited, 50 synthetic docs added) so
+    # every branch is exercised. The join compares 16-byte md5s, never
+    # text; one hash-partitioned full-outer join + a codegen CASE — at
+    # 100 TB this is the cheap nightly integrity check before kicking
+    # off a re-train.
+    oracle="""
+    WITH a AS (SELECT doc_id, md5(text) AS h FROM documents),
+    b AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 9 = 0 THEN md5(text || ' EDIT')
+                  ELSE md5(text) END AS h
+      FROM documents WHERE doc_id % 11 != 0
+      UNION ALL
+      SELECT 900000 + i, md5('new doc ' || CAST(i AS VARCHAR))
+      FROM unnest(generate_series(1, 50)) AS t(i)
+    )
+    SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                WHEN a.h != b.h THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    """,
+)
+def llm_snapshot_diff(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    a = d.select("doc_id", F.md5("text").alias("h"))
+    edited = d.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.md5(F.concat(F.col("text"), F.lit(" EDIT"))),
+        )
+        .otherwise(F.md5("text"))
+        .alias("h"),
+    )
+    new = spark.range(1, 51).select(
+        (F.col("id") + 900000).alias("doc_id"),
+        F.md5(F.concat(F.lit("new doc "), F.col("id").cast("string"))).alias(
+            "h"
+        ),
+    )
+    b = edited.unionAll(new)
+    a2 = a.select(F.col("doc_id").alias("a_id"), F.col("h").alias("a_h"))
+    b2 = b.select(F.col("doc_id").alias("b_id"), F.col("h").alias("b_h"))
+    j = a2.join(b2, a2["a_id"] == b2["b_id"], "full_outer")
+    status = (
+        F.when(F.col("a_id").isNull(), "added")
+        .when(F.col("b_id").isNull(), "removed")
+        .when(F.col("a_h") != F.col("b_h"), "changed")
+        .otherwise("unchanged")
+    )
+    return j.select(
+        F.coalesce(F.col("a_id"), F.col("b_id")).alias("doc_id"),
+        status.alias("status"),
+    )
