@@ -783,13 +783,11 @@ def llm_lsh_precision_recall(spark, sf_dir):
     ),
     keyed AS (
       SELECT doc_id,
-             md5(lower(hex(payload))) AS payload_md5,
-             md5(lower(hex(substring(payload, 1, 32)))
-                 || lower(hex(substring(payload,
-                        greatest(octet_length(payload) - 31, 1), 32)))
-                 || CAST(octet_length(payload) // 64 AS VARCHAR))
-               AS edge_sketch
-      FROM corpus
+             md5(hx) AS payload_md5,
+             md5(substr(hx, 1, 64)
+                 || substr(hx, greatest(length(hx) - 63, 1), 64)
+                 || CAST(length(hx) // 128 AS VARCHAR)) AS edge_sketch
+      FROM (SELECT doc_id, lower(hex(payload)) AS hx FROM corpus)
     )
     SELECT payload_md5,
            min(edge_sketch) AS edge_sketch,
@@ -810,24 +808,22 @@ def llm_multimodal_dedup(spark, sf_dir):
             )
         )
     )
-    n = F.octet_length("payload")
-    keyed = corpus.select(
+    # DuckDB (1.0) has neither md5(BLOB) nor substring(BLOB, …): BOTH
+    # engines therefore work on the lowercase-HEX spelling of the bytes —
+    # head/tail slices are 64 hex chars = 32 bytes, the size bucket is
+    # hex-length // 128 = bytes // 64. Equivalent keys, engine-portable.
+    hexed = corpus.select(
+        "doc_id", F.lower(F.hex("payload")).alias("hx")
+    )
+    hl = F.length("hx")
+    keyed = hexed.select(
         "doc_id",
-        # DuckDB's md5 is VARCHAR-only, so BOTH engines hash the lowercase
-        # hex spelling of the bytes (hex letter case differs per engine)
-        F.md5(F.lower(F.hex("payload"))).alias("payload_md5"),
+        F.md5("hx").alias("payload_md5"),
         F.md5(
             F.concat(
-                F.lower(F.hex(F.expr("substring(payload, 1, 32)"))),
-                F.lower(
-                    F.hex(
-                        F.expr(
-                            "substring(payload,"
-                            " greatest(octet_length(payload) - 31, 1), 32)"
-                        )
-                    )
-                ),
-                (n.cast("bigint") / 64).cast("bigint").cast("string"),
+                F.substring("hx", 1, 64),
+                F.expr("substring(hx, greatest(length(hx) - 63, 1), 64)"),
+                F.expr("CAST(length(hx) div 128 AS STRING)"),
             )
         ).alias("edge_sketch"),
     )
