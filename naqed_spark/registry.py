@@ -53,6 +53,11 @@ def query(key: str, oracle: Optional[str] = None, rows_only: bool = False):
 # window DID re-verify (filters/projection, core joins, core aggs —
 # CORRECTNESS_r06 keys 21-50) rotate to the back with everything else
 # re-verified r4–r6.
+# NOTE for round 8: the 60 session-2 keys (registered after this list —
+# they appear in ordered_keys() AFTER the PRIORITY block, in registration
+# order) have sf0.001+sf0.01+sf0.1 local oracle evidence but NO driver
+# signal yet; they should lead round 8's PRIORITY, followed by the r3-era
+# staleness remainder (the llm tail + udfs below).
 PRIORITY: list[str] = [
     # round-7 additions — brand new, need first driver contact
     "compiler_set_ops", "compiler_exists_child",
