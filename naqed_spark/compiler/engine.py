@@ -340,6 +340,8 @@ class Engine:
             return F.upper(sub[0])
         if op == "$length":
             return F.length(sub[0])
+        if op == "$md5":
+            return F.md5(sub[0])
         if op == "$size":
             return F.size(sub[0])
         if op == "$array_join":

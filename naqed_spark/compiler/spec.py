@@ -121,6 +121,7 @@ SELECT_OPS = {
     "$lower": 1,
     "$upper": 1,
     "$length": 1,      # string length
+    "$md5": 1,         # md5 hex digest — the deterministic shuffle/dedup key
     "$size": 1,        # array length (a $collect-ed relationship)
     "$array_join": 2,  # [array-expr, {"$lit": sep}] → serialized string
     "$year": 1,

@@ -630,3 +630,45 @@ def compiler_deep_traversal(spark, sf_dir):
             }
         }
     )
+
+
+@query(
+    "compiler_orderby_computed",
+    # E1 $orderby over a $select-computed alias (round 7): computed
+    # columns land before ordering, so a spec can rank by a derived
+    # expression — here a deterministic md5 shuffle key with the row key
+    # as tiebreak (the reproducible-shuffle idiom in spec form). The
+    # plan is TakeOrderedAndProject over a codegen projection — the
+    # $limit prevents a global sort.
+    oracle="""
+    SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR)) AS shuffle_key
+    FROM orders
+    WHERE o_orderstatus = 'P'
+    ORDER BY shuffle_key ASC, o_orderkey ASC
+    LIMIT 50
+    """,
+)
+def compiler_orderby_computed(spark, sf_dir):
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "orders": {
+                "$filter": {"o_orderstatus": "P"},
+                "o_orderkey": True,
+                "$select": {
+                    "shuffle_key": {
+                        "$md5": [
+                            {"$cast": ["o_orderkey", {"$lit": "string"}]}
+                        ]
+                    }
+                },
+                "$orderby": [
+                    ["shuffle_key", "asc"],
+                    ["o_orderkey", "asc"],
+                ],
+                "$limit": 50,
+            }
+        }
+    )

@@ -761,3 +761,58 @@ def join_fuzzy_entity_resolution(spark, sf_dir):
         .filter(F.col("rn") == 1)
         .select("p_key", "p_name", F.col("c_custkey").alias("matched_key"), "dist")
     )
+
+
+@query(
+    "join_asof_tolerance",
+    # As-of with a staleness bound (pandas merge_asof's `tolerance`): the
+    # latest order at-or-before the event per user, but only if it is at
+    # most 30 days old — stale matches become NULL, not silently-ancient
+    # joins (the feature-store freshness contract: serving a 2-year-old
+    # feature is worse than serving none). LEFT join keeps every event.
+    # Same scale shape as join_asof — user-key equi-join + per-event
+    # rank-1 — the tolerance is one more pushed conjunct, which also
+    # SHRINKS the join fan-out (at 100 TB the bound doubles as the
+    # time-bucketing prune).
+    oracle="""
+    WITH matched AS (
+      SELECT event_id, o_orderkey, order_us FROM (
+        SELECT e.event_id, o.o_orderkey,
+               epoch_us(o.o_orderdate) AS order_us,
+               row_number() OVER (
+                 PARTITION BY e.event_id
+                 ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+        FROM events e JOIN orders o
+          ON o.o_custkey = e.user_id
+         AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)
+         AND epoch_us(o.o_orderdate) >= epoch_us(e.ts) - 2592000000000
+      ) WHERE rn = 1
+    )
+    SELECT e.event_id, e.user_id, m.o_orderkey, m.order_us
+    FROM events e LEFT JOIN matched m ON m.event_id = e.event_id
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", epoch_us("ts").alias("ev_us")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", epoch_us("o_orderdate").alias("order_us")
+    )
+    j = e.join(
+        o,
+        (o["o_custkey"] == e["user_id"])
+        & (o["order_us"] <= e["ev_us"])
+        & (o["order_us"] >= e["ev_us"] - 2592000000000),
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("order_us").desc(), F.col("o_orderkey").desc()
+    )
+    matched = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("event_id").alias("m_id"), "o_orderkey", "order_us")
+    )
+    return e.join(matched, e["event_id"] == matched["m_id"], "left").select(
+        "event_id", "user_id", "o_orderkey", "order_us"
+    )
