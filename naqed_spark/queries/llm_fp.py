@@ -896,3 +896,154 @@ def llm_snapshot_diff(spark, sf_dir):
         F.coalesce(F.col("a_id"), F.col("b_id")).alias("doc_id"),
         status.alias("status"),
     )
+
+
+def _banding_sql(nbands: int, rows: int) -> str:
+    """Band-hash CTE rows for one (bands × rows-per-band) config over the
+    8 MinHash signatures: band i hashes the concat of its `rows` sigs."""
+    parts = []
+    for b in range(nbands):
+        sig_concat = " || ".join(
+            f"sig{b * rows + j}" for j in range(rows)
+        )
+        parts.append(
+            f"SELECT doc_id, {b} AS band, md5({sig_concat}) AS bh FROM psigs"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "llm_lsh_banding_sweep",
+    # The banding-parameter sweep that PICKS the LSH config before a
+    # 100 TB dedup: recall of the planted near-dup pairs under 8×1, 4×2
+    # and 2×4 (bands × rows) over the SAME 8 MinHash signatures —
+    # the S-curve P(candidate) = 1 − (1 − j^r)^b made empirical. More
+    # rows per band = higher precision / lower recall; this key measures
+    # the recall side on the planted corpus (llm_lsh_precision_recall's
+    # construction), per config, in one signature pass. Each config is a
+    # band equi-join — never all-pairs.
+    oracle=f"""
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents),
+    corpus AS (
+      SELECT doc_id, w FROM base
+      UNION ALL
+      SELECT doc_id + 300000,
+             list_transform(list_filter(range(1, len(w) + 1),
+                                        i -> i % 7 != 0), i -> w[i])
+      FROM base WHERE doc_id % 5 = 0
+    ),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(w) - 3),
+               i -> array_to_string(w[i:i+4], ' '))) AS sset
+      FROM corpus WHERE len(w) >= 5
+    ),
+    psigs AS (SELECT doc_id,
+             list_min(list_transform(sset, s -> md5('s0|' || s))) AS sig0,
+             list_min(list_transform(sset, s -> md5('s1|' || s))) AS sig1,
+             list_min(list_transform(sset, s -> md5('s2|' || s))) AS sig2,
+             list_min(list_transform(sset, s -> md5('s3|' || s))) AS sig3,
+             list_min(list_transform(sset, s -> md5('s4|' || s))) AS sig4,
+             list_min(list_transform(sset, s -> md5('s5|' || s))) AS sig5,
+             list_min(list_transform(sset, s -> md5('s6|' || s))) AS sig6,
+             list_min(list_transform(sset, s -> md5('s7|' || s))) AS sig7
+             FROM sh),
+    planted AS (
+      SELECT s1.doc_id AS ia, s2.doc_id AS ib
+      FROM sh s1 JOIN sh s2 ON s2.doc_id = s1.doc_id + 300000
+    ),
+    b81 AS ({_banding_sql(8, 1)}),
+    b42 AS ({_banding_sql(4, 2)}),
+    b24 AS ({_banding_sql(2, 4)}),
+    c81 AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib FROM b81 a
+            JOIN b81 b ON a.band = b.band AND a.bh = b.bh
+                       AND a.doc_id < b.doc_id),
+    c42 AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib FROM b42 a
+            JOIN b42 b ON a.band = b.band AND a.bh = b.bh
+                       AND a.doc_id < b.doc_id),
+    c24 AS (SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib FROM b24 a
+            JOIN b24 b ON a.band = b.band AND a.bh = b.bh
+                       AND a.doc_id < b.doc_id)
+    SELECT * FROM (
+      SELECT 8 AS bands, 1 AS rows_per_band,
+             (SELECT count(*) FROM c81) AS n_candidates,
+             round((SELECT count(*) FROM planted p JOIN c81 c
+                    ON c.ia = p.ia AND c.ib = p.ib) * 1.0
+                   / (SELECT count(*) FROM planted), 6) AS recall
+      UNION ALL
+      SELECT 4, 2, (SELECT count(*) FROM c42),
+             round((SELECT count(*) FROM planted p JOIN c42 c
+                    ON c.ia = p.ia AND c.ib = p.ib) * 1.0
+                   / (SELECT count(*) FROM planted), 6)
+      UNION ALL
+      SELECT 2, 4, (SELECT count(*) FROM c24),
+             round((SELECT count(*) FROM planted p JOIN c24 c
+                    ON c.ia = p.ia AND c.ib = p.ib) * 1.0
+                   / (SELECT count(*) FROM planted), 6)
+    )
+    """,
+)
+def llm_lsh_banding_sweep(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("w"))
+    variant = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.expr(
+            "transform(filter(sequence(1, size(w)), i -> i % 7 != 0),"
+            " i -> element_at(w, i))"
+        ).alias("w"),
+    )
+    corpus = base.unionAll(variant).filter(F.size("w") >= 5)
+    sh = corpus.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, size(w) - 4),"
+                " i -> array_join(slice(w, i, 5), ' '))"
+            )
+        ).alias("sset"),
+    )
+    sigs = sh.select(
+        "doc_id",
+        *[
+            F.array_min(
+                F.expr(f"transform(sset, s -> md5('s{k}|' || s))")
+            ).alias(f"sig{k}")
+            for k in range(8)
+        ],
+    ).localCheckpoint()  # reused by all three configs — compute once
+    s1 = sh.select(F.col("doc_id").alias("ia"))
+    s2 = sh.select(
+        (F.col("doc_id") - 300000).alias("ia"), F.col("doc_id").alias("ib")
+    )
+    planted = s1.join(s2, "ia").select("ia", "ib")
+    n_planted = planted.count()
+
+    def config(nbands: int, rows: int):
+        bands = None
+        for b in range(nbands):
+            bh = F.md5(
+                F.concat(*[F.col(f"sig{b * rows + j}") for j in range(rows)])
+            )
+            part = sigs.select(
+                "doc_id", F.lit(b).alias("band"), bh.alias("bh")
+            )
+            bands = part if bands is None else bands.unionAll(part)
+        a = bands.select(F.col("doc_id").alias("ia"), "band", "bh")
+        b_ = bands.select(F.col("doc_id").alias("ib"), "band", "bh")
+        cand = (
+            a.join(b_, ["band", "bh"])
+            .filter(F.col("ia") < F.col("ib"))
+            .select("ia", "ib")
+            .distinct()
+        )
+        n_cand = cand.count()
+        n_rec = planted.join(cand, ["ia", "ib"], "left_semi").count()
+        return (nbands, rows, n_cand, round(n_rec / n_planted, 6))
+
+    rows = [config(8, 1), config(4, 2), config(2, 4)]
+    return spark.createDataFrame(
+        rows,
+        "bands int, rows_per_band int, n_candidates bigint, recall double",
+    )
