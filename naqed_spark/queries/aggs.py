@@ -801,3 +801,30 @@ def agg_product_rewrite(spark, sf_dir):
             "geo_mean_factor"
         ),
     )
+
+
+@query(
+    "agg_listagg_distinct",
+    # DISTINCT ordered listagg: Spark's listagg/string_agg cannot take
+    # DISTINCT with a separate order — the engine rewrite is collect_set
+    # → array_sort → array_join (set semantics, deterministic order,
+    # §7.3-serializable). Per-group output is bounded by the DISTINCT
+    # domain (priorities: 5), so the aggregate state is tiny even when
+    # groups are huge — the safe cousin of the unbounded
+    # agg_string_concat_ordered.
+    oracle="""
+    SELECT o_custkey,
+           string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority)
+             AS prios,
+           count(DISTINCT o_orderpriority) AS n_prios
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def agg_listagg_distinct(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderpriority")), "|"
+        ).alias("prios"),
+        F.countDistinct("o_orderpriority").alias("n_prios"),
+    )

@@ -726,3 +726,32 @@ def fn_json_roundtrip(spark, sf_dir):
         parsed.getField("meta").getField("prio_len").alias("prio_len"),
         parsed.getField("key2").alias("key2"),
     )
+
+
+@query(
+    "fn_mask_redact",
+    # Data masking (Spark 3.4+ mask()): upper→X, lower→x, digit→n — the
+    # display-redaction primitive for PII-adjacent columns (the scrub
+    # sibling of llm_pii_scrub, which removes; mask preserves shape so
+    # formats stay validatable). DuckDB has no mask(): the twin is the
+    # equivalent regexp_replace chain — same semantics for the default
+    # masks over ASCII. Also shown: custom mask chars and a digits-only
+    # variant. Codegen scan, no shuffle.
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(c_name,
+             '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+             AS masked_name,
+           regexp_replace(c_name, '[0-9]', '*', 'g') AS digits_starred
+    FROM customer
+    """,
+)
+def fn_mask_redact(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr("mask(c_name)").alias("masked_name"),
+        F.expr(
+            "mask(c_name, NULL, NULL, '*', NULL)"
+        ).alias("digits_starred"),
+    )

@@ -490,3 +490,43 @@ def llm_contribution_bounding(spark, sf_dir):
             "event_type", "bounded_count", "raw_count", "n_users"
         )
     )
+
+
+@query(
+    "llm_target_encoding",
+    # Leave-one-out target encoding — the categorical-feature prep for
+    # tabular ML: each row's category is encoded as the mean target of
+    # all OTHER rows in that category ((Σ − own)/(n − 1)), which blocks
+    # the label-leak a plain group mean commits. Exact integer cents all
+    # the way: one map-side-combined per-category aggregate broadcast
+    # back into a codegen per-row expression — the fact table never
+    # shuffles. Singleton categories yield NULL (nothing to borrow).
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS s,
+             count(*) AS n
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round(CAST(st.s - CAST(round(e.value * 100, 0) AS BIGINT)
+                      AS DOUBLE) / nullif(st.n - 1, 0), 6) AS loo_enc
+    FROM events e JOIN stats st USING (event_type)
+    """,
+)
+def llm_target_encoding(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    stats = ev.groupBy("event_type").agg(
+        F.sum(cents).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return ev.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(
+            (F.col("s") - cents).cast("double")
+            / F.nullif(F.col("n") - 1, F.lit(0)),
+            6,
+        ).alias("loo_enc"),
+    )

@@ -1245,3 +1245,46 @@ def ts_autocorrelation(spark, sf_dir):
             6,
         ).alias("acf"),
     )
+
+
+@query(
+    "ts_inter_event_stats",
+    # Inter-arrival-time distribution per user (the traffic-model /
+    # anomaly primitive behind session-gap choices like win_sessionize's
+    # 30 min): per-user consecutive gaps via lag, then per-user median /
+    # p90 / max gap in exact integer microseconds (integer percentiles —
+    # Spark and DuckDB interpolate identically over integers, rounded 6).
+    # One window pass + one groupBy sharing the user_id partitioning.
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+               AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_gaps,
+           round(quantile_cont(gap_us, 0.5), 6) AS median_gap_us,
+           round(quantile_cont(gap_us, 0.9), 6) AS p90_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def ts_inter_event_stats(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gaps = ev.withColumn(
+        "gap_us", F.col("ts_us") - F.lag("ts_us").over(w)
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.expr("percentile(gap_us, 0.5)"), 6).alias("median_gap_us"),
+        F.round(F.expr("percentile(gap_us, 0.9)"), 6).alias("p90_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
