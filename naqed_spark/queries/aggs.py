@@ -828,3 +828,41 @@ def agg_listagg_distinct(spark, sf_dir):
         ).alias("prios"),
         F.countDistinct("o_orderpriority").alias("n_prios"),
     )
+
+
+@query(
+    "agg_profile_columns",
+    # One-pass data-quality profile — the monitoring query a pipeline
+    # runs on every new partition before trusting it: per column-of-
+    # interest, row/null/distinct counts and value bounds, spelled as ONE
+    # aggregate over one scan (not a per-column loop — at 100 TB, N
+    # passes for N columns is the profiler anti-pattern). Distinct
+    # counts are exact here; swap approx_count_distinct at scale, same
+    # single-pass plan.
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(l_returnflag) AS rf_non_null,
+           count(DISTINCT l_returnflag) AS rf_distinct,
+           count(DISTINCT l_linestatus) AS status_distinct,
+           min(l_quantity) AS qty_min,
+           max(l_quantity) AS qty_max,
+           count(DISTINCT l_orderkey) AS key_distinct,
+           CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS qty_nulls
+    FROM lineitem
+    """,
+)
+def agg_profile_columns(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("l_returnflag").alias("rf_non_null"),
+        F.countDistinct("l_returnflag").alias("rf_distinct"),
+        F.countDistinct("l_linestatus").alias("status_distinct"),
+        F.min("l_quantity").alias("qty_min"),
+        F.max("l_quantity").alias("qty_max"),
+        F.countDistinct("l_orderkey").alias("key_distinct"),
+        F.sum(
+            F.when(F.col("l_quantity").isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("qty_nulls"),
+    )

@@ -816,3 +816,93 @@ def join_asof_tolerance(spark, sf_dir):
     return e.join(matched, e["event_id"] == matched["m_id"], "left").select(
         "event_id", "user_id", "o_orderkey", "order_us"
     )
+
+
+@query(
+    "join_scd2_point_in_time",
+    # Point-in-time dimension lookup against SCD2 validity ranges — the
+    # warehouse join that makes historical reports truthful: each event
+    # gets the order-priority version that was CURRENT at event time
+    # (ts_scd2_ranges builds the ranges; this consumes them). Because
+    # ranges partition each key's timeline, PIT = as-of on valid_from
+    # (latest range starting at-or-before the event) — the same user-key
+    # equi-join + rank-1 shape as join_asof; events before a customer's
+    # first range fall out (inner). At 100 TB the dimension side is the
+    # compacted range table (orders-of-magnitude smaller than the raw
+    # history), which is the entire point of the SCD2 build.
+    oracle="""
+    WITH flagged AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+             CASE WHEN lag(o_orderpriority) OVER w IS DISTINCT FROM
+                       o_orderpriority THEN 1 ELSE 0 END AS chg
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ),
+    runs AS (
+      SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey
+                               ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged
+    ),
+    ranges AS (
+      SELECT o_custkey, o_orderpriority, run_id,
+             epoch_us(min(o_orderdate)) AS vf
+      FROM runs GROUP BY o_custkey, o_orderpriority, run_id
+    )
+    SELECT event_id, user_id, ev_us, o_orderpriority AS prio_at_event, vf
+    FROM (
+      SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ev_us,
+             r.o_orderpriority, r.vf,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY r.vf DESC, r.run_id DESC) AS rn
+      FROM events e JOIN ranges r
+        ON r.o_custkey = e.user_id AND r.vf <= epoch_us(e.ts)
+    ) WHERE rn = 1
+    """,
+)
+def join_scd2_point_in_time(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    flagged = o.withColumn(
+        "chg",
+        F.when(
+            ~F.lag("o_orderpriority").over(w).eqNullSafe(
+                F.col("o_orderpriority")
+            ),
+            1,
+        ).otherwise(0),
+    )
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    runs = flagged.withColumn("run_id", F.sum("chg").over(w_run))
+    ranges = runs.groupBy("o_custkey", "o_orderpriority", "run_id").agg(
+        F.min(epoch_us("o_orderdate")).alias("vf")
+    )
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", epoch_us("ts").alias("ev_us")
+    )
+    j = e.join(
+        ranges,
+        (ranges["o_custkey"] == e["user_id"])
+        & (ranges["vf"] <= e["ev_us"]),
+    )
+    w_pick = Window.partitionBy("event_id").orderBy(
+        F.col("vf").desc(), F.col("run_id").desc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "ev_us",
+            F.col("o_orderpriority").alias("prio_at_event"),
+            "vf",
+        )
+    )
