@@ -398,3 +398,57 @@ def llm_multimodal_frame_sample(spark, sf_dir):
         .select("doc_id", F.encode("text", "utf-8").alias("payload"))
     )
     return d.mapInPandas(sample_frames, schema=FRAME_SCHEMA)
+
+
+@query(
+    "llm_sft_format",
+    # SFT/chat-template assembly — the last step before tokenization in a
+    # fine-tuning pipeline: each document becomes a chat-formatted
+    # training string (system + user prompt + the document as the
+    # assistant turn), with a deterministic character budget: the
+    # assistant text is truncated at the LAST SPACE at-or-before the
+    # budget (never mid-word — truncation must be tokenizer-friendly),
+    # and a drop flag marks docs that lost content. Pure codegen string
+    # ops, one scan, no shuffle; the template literals are engine-
+    # neutral constants.
+    oracle="""
+    SELECT doc_id,
+           '<|system|>summarize<|user|>' || lang || ':' || source
+             || '<|assistant|>' || body || '<|end|>' AS sample,
+           length(body) AS body_chars,
+           (length(text) > 240) AS truncated
+    FROM (
+      SELECT doc_id, lang, source, text,
+             CASE WHEN length(text) <= 240 THEN text
+                  ELSE substr(text, 1,
+                         240 - position(' ' IN reverse(substr(text, 1, 240))))
+             END AS body
+      FROM documents
+    )
+    """,
+)
+def llm_sft_format(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    # last space at-or-before the budget, via the reversed-prefix trick
+    # (position of the FIRST space in the reversed prefix = distance of
+    # the LAST space from the cut) — identical arithmetic in both engines
+    body = F.when(F.length("text") <= 240, F.col("text")).otherwise(
+        F.expr(
+            "substring(text, 1,"
+            " 240 - position(' ' IN reverse(substring(text, 1, 240))))"
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<|system|>summarize<|user|>"),
+            F.col("lang"),
+            F.lit(":"),
+            F.col("source"),
+            F.lit("<|assistant|>"),
+            body,
+            F.lit("<|end|>"),
+        ).alias("sample"),
+        F.length(body).alias("body_chars"),
+        (F.length("text") > 240).alias("truncated"),
+    )

@@ -528,3 +528,50 @@ def sink_dynamic_partition_overwrite(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return spark.read.parquet(out).select("event_id", "event_type", "cents")
+
+
+@query(
+    "source_json_nested_roundtrip",
+    # Semi-structured ingestion round trip: per-customer order histories
+    # are serialized as NESTED json-lines (object + array-of-structs),
+    # written to disk, re-read with an explicit nested schema, and
+    # exploded back to rows — the API-export → lake → relational
+    # flattening path. The re-read declares the schema (no inference
+    # scan) and the array explodes JVM-side; values must survive the
+    # full trip bit-exact. Sorted arrays make the nesting
+    # order-independent (§7.3).
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_custkey
+    """,
+)
+def source_json_nested_roundtrip(spark, sf_dir):
+    out = _scratch("orders_nested_json")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    nested = o.groupBy("o_custkey").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("o_orderkey").alias("k"),
+                    F.round(F.col("o_totalprice") * 100, 0)
+                    .cast("bigint")
+                    .alias("cents"),
+                )
+            )
+        ).alias("orders")
+    )
+    nested.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "o_custkey bigint, orders array<struct<k: bigint, cents: bigint>>"
+    ).json(out)
+    flat = back.select(
+        "o_custkey", F.explode("orders").alias("o")
+    ).select("o_custkey", F.col("o.k"), F.col("o.cents").alias("cents"))
+    return flat.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("cents"),
+    )

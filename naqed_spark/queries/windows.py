@@ -452,3 +452,74 @@ def win_median_over(spark, sf_dir):
         F.round(med, 6).alias("type_median"),
         F.round(F.col("value") - med, 6).alias("dev"),
     )
+
+
+@query(
+    "win_rolling_corr",
+    # Rolling 7-day correlation between two daily series (click vs
+    # purchase cents) — the co-movement monitor. The five moment sums
+    # (Σx, Σy, Σxy, Σx², Σy²) are WINDOW sums over exact integer cents
+    # (DECIMAL for the products) sharing ONE ordering, so Catalyst
+    # stacks them over a single exchange; r assembles from identical
+    # integers on both engines, round(6), NULL when the window variance
+    # is 0. The pivot to (day, x, y) is a tiny conditional aggregate.
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_us,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                      THEN CAST(round(value * 100, 0) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(round(value * 100, 0) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT day_us, x, y,
+             count(*) OVER w AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,0))) OVER w AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,0))) OVER w AS DOUBLE) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                  OVER w AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+                  OVER w AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                  OVER w AS DOUBLE) AS syy
+      FROM daily
+      WINDOW w AS (ORDER BY day_us ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day_us, n,
+           round((n * sxy - sx * sy)
+                 / nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                          0), 6) AS rolling_r
+    FROM m
+    """,
+)
+def win_rolling_corr(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    daily = ev.groupBy(
+        F.unix_micros(F.date_trunc("day", "ts")).alias("day_us")
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "click", cents).otherwise(0))
+        .cast("bigint").alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(0))
+        .cast("bigint").alias("y"),
+    )
+    w = Window.orderBy("day_us").rowsBetween(-6, Window.currentRow)
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    x, y = F.col("x"), F.col("y")
+    m = (
+        daily.withColumn("n", F.count(F.lit(1)).over(w))
+        .withColumn("sx", F.sum(x.cast("decimal(38,0)")).over(w).cast("double"))
+        .withColumn("sy", F.sum(y.cast("decimal(38,0)")).over(w).cast("double"))
+        .withColumn("sxy", F.sum(d19(x) * d19(y)).over(w).cast("double"))
+        .withColumn("sxx", F.sum(d19(x) * d19(x)).over(w).cast("double"))
+        .withColumn("syy", F.sum(d19(y) * d19(y)).over(w).cast("double"))
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    r = (n * sxy - sx * sy) / F.nullif(
+        F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), F.lit(0.0)
+    )
+    return m.select("day_us", "n", F.round(r, 6).alias("rolling_r"))
