@@ -1291,3 +1291,70 @@ def graph_degree_powerlaw(spark, sf_dir):
         F.round(slope, 6).alias("slope"),
         F.round((sy - slope * sx) / n, 6).alias("intercept"),
     )
+
+
+@query(
+    "graph_assortativity",
+    # Degree assortativity — Pearson correlation of endpoint degrees over
+    # directed edges (do hubs link to hubs?): the one-number summary that
+    # predicts whether degree-based partitioning will skew. Exact
+    # integer moment sums over (out-degree(src), in-degree(dst)) pairs —
+    # the agg_higher_moments DECIMAL discipline — assembled identically
+    # on both engines, round(6). Two degree aggregates + one edge join +
+    # one global aggregate; never materializes anything bigger than the
+    # edge list.
+    oracle=f"""
+    WITH ue AS ({_UE_SQL}),
+    outd AS (SELECT src, count(*) AS od FROM ue GROUP BY src),
+    ind AS (SELECT dst, count(*) AS idg FROM ue GROUP BY dst),
+    pairs AS (
+      SELECT o.od AS x, i.idg AS y
+      FROM ue JOIN outd o ON o.src = ue.src
+              JOIN ind i ON i.dst = ue.dst
+    ),
+    m AS (
+      SELECT count(*) AS n,
+             CAST(sum(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                  AS DOUBLE) AS sxy,
+             CAST(sum(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+                  AS DOUBLE) AS sxx,
+             CAST(sum(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+                  AS DOUBLE) AS syy
+      FROM pairs
+    )
+    SELECT n AS n_edges,
+           round((n * sxy - sx * sy)
+                 / nullif(sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+                          0), 6) AS assortativity
+    FROM m
+    """,
+)
+def graph_assortativity(spark, sf_dir):
+    ue = user_edges(spark, sf_dir)
+    outd = ue.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+    ind = ue.groupBy("dst").agg(F.count(F.lit(1)).alias("idg"))
+    pairs = (
+        ue.join(outd, "src")
+        .join(ind, "dst")
+        .select(F.col("od").alias("x"), F.col("idg").alias("y"))
+    )
+    d19 = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    x, y = F.col("x"), F.col("y")
+    m = pairs.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum(d19(x) * d19(y)).cast("double").alias("sxy"),
+        F.sum(d19(x) * d19(x)).cast("double").alias("sxx"),
+        F.sum(d19(y) * d19(y)).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    r = (n * sxy - sx * sy) / F.nullif(
+        F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), F.lit(0.0)
+    )
+    return m.select(
+        F.col("n").alias("n_edges"), F.round(r, 6).alias("assortativity")
+    )
