@@ -1252,9 +1252,12 @@ def ts_autocorrelation(spark, sf_dir):
     # Inter-arrival-time distribution per user (the traffic-model /
     # anomaly primitive behind session-gap choices like win_sessionize's
     # 30 min): per-user consecutive gaps via lag, then per-user median /
-    # p90 / max gap in exact integer microseconds (integer percentiles —
-    # Spark and DuckDB interpolate identically over integers, rounded 6).
-    # One window pass + one groupBy sharing the user_id partitioning.
+    # p90 / max gap. Percentiles are DISCRETE (the exact element at rank
+    # ⌈p·n⌉ — percentile_disc semantics spelled as row_number = rank):
+    # continuous interpolation left the engines one double-ulp apart on
+    # ~1e11-µs values (measured at sf0.1), and any fixed rounding has a
+    # boundary flip risk — exact integer selection has none. Two window
+    # passes + one groupBy, all sharing the user_id partitioning.
     oracle="""
     WITH gaps AS (
       SELECT user_id,
@@ -1262,13 +1265,22 @@ def ts_autocorrelation(spark, sf_dir):
                PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
                AS gap_us
       FROM events
+    ),
+    ranked AS (
+      SELECT user_id, gap_us,
+             row_number() OVER (PARTITION BY user_id ORDER BY gap_us)
+               AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM gaps WHERE gap_us IS NOT NULL
     )
     SELECT user_id,
-           count(*) AS n_gaps,
-           round(quantile_cont(gap_us, 0.5), 6) AS median_gap_us,
-           round(quantile_cont(gap_us, 0.9), 6) AS p90_gap_us,
+           CAST(max(n) AS BIGINT) AS n_gaps,
+           CAST(max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT)
+                         THEN gap_us END) AS BIGINT) AS median_gap_us,
+           CAST(max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT)
+                         THEN gap_us END) AS BIGINT) AS p90_gap_us,
            CAST(max(gap_us) AS BIGINT) AS max_gap_us
-    FROM gaps WHERE gap_us IS NOT NULL
+    FROM ranked
     GROUP BY user_id
     """,
 )
@@ -1282,9 +1294,20 @@ def ts_inter_event_stats(spark, sf_dir):
     gaps = ev.withColumn(
         "gap_us", F.col("ts_us") - F.lag("ts_us").over(w)
     ).filter(F.col("gap_us").isNotNull())
-    return gaps.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_gaps"),
-        F.round(F.expr("percentile(gap_us, 0.5)"), 6).alias("median_gap_us"),
-        F.round(F.expr("percentile(gap_us, 0.9)"), 6).alias("p90_gap_us"),
-        F.max("gap_us").alias("max_gap_us"),
+    w_rank = Window.partitionBy("user_id").orderBy("gap_us")
+    w_all = Window.partitionBy("user_id")
+    ranked = gaps.withColumn("rn", F.row_number().over(w_rank)).withColumn(
+        "n", F.count(F.lit(1)).over(w_all)
+    )
+    pick = lambda p: F.max(  # noqa: E731
+        F.when(
+            F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+            F.col("gap_us"),
+        )
+    ).cast("bigint")
+    return ranked.groupBy("user_id").agg(
+        F.max("n").cast("bigint").alias("n_gaps"),
+        pick(0.5).alias("median_gap_us"),
+        pick(0.9).alias("p90_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
     )
