@@ -866,3 +866,34 @@ def agg_profile_columns(spark, sf_dir):
             F.when(F.col("l_quantity").isNull(), 1).otherwise(0)
         ).cast("bigint").alias("qty_nulls"),
     )
+
+
+@query(
+    "agg_count_distinct_multi",
+    # Multi-column DISTINCT counting: distinct (key, date) combinations
+    # per group plus the single-column distincts they decompose from —
+    # the cardinality profile behind join-size estimation. Spark's
+    # countDistinct(a, b) and DuckDB's count(DISTINCT (a, b)) agree on
+    # NULL-free keys (both skip rows where any part is NULL — the
+    # fixture keys are dense and non-null). One two-phase distinct
+    # aggregate per measure, all sharing the group-key exchange.
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT (o_custkey, o_orderdate)) AS cust_date_combos,
+           count(DISTINCT o_custkey) AS n_custs,
+           count(DISTINCT o_orderdate) AS n_dates,
+           count(*) AS n_rows
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_count_distinct_multi(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey", "o_orderdate").alias(
+            "cust_date_combos"
+        ),
+        F.countDistinct("o_custkey").alias("n_custs"),
+        F.countDistinct("o_orderdate").alias("n_dates"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -401,3 +401,78 @@ def llm_normalized_dedup(spark, sf_dir):
             F.count(F.lit(1)).alias("n_variants"),
         )
     )
+
+
+@query(
+    "llm_dedup_keep_best",
+    # Dedup with a QUALITY keep-policy: within each normalized-text
+    # group, keep the variant with the most content (n_chars, doc_id
+    # tiebreak) instead of llm_normalized_dedup's min-id rule — the
+    # policy choice that decides what survives a 100 TB dedup (min-id
+    # keeps whatever crawled first; keep-best keeps the fullest copy).
+    # Spelled as a rank-1 window on the group key in BOTH engines
+    # (argmax with a deterministic total order), so the policy swap
+    # costs nothing over the min-id plan: same one shuffle on the
+    # 16-byte hash. Corpus replays case/punct variants (every 5th doc)
+    # like llm_normalized_dedup — the variants are LONGER (+ ' !!'), so
+    # keep-best provably picks differently than keep-min.
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 200000, upper(text) || ' !!' FROM documents
+      WHERE doc_id % 5 = 0
+    ),
+    norm AS (
+      SELECT doc_id, length(text) AS n_chars,
+             md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+               ' +', ' ', 'g'))) AS nh
+      FROM corpus
+    )
+    SELECT nh, doc_id AS keep_id, n_chars AS keep_chars, n_variants
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY nh
+               ORDER BY n_chars DESC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY nh) AS n_variants
+      FROM norm
+    ) WHERE rn = 1
+    """,
+)
+def llm_dedup_keep_best(spark, sf_dir):
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    variants = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit(" !!")).alias("text"),
+    )
+    corpus = d.select("doc_id", "text").unionAll(variants)
+    nh = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+                " +",
+                " ",
+            )
+        )
+    )
+    norm = corpus.select(
+        "doc_id", F.length("text").alias("n_chars"), nh.alias("nh")
+    )
+    w = Window.partitionBy("nh").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    w_all = Window.partitionBy("nh")
+    return (
+        norm.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_variants", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("rn") == 1)
+        .select(
+            "nh",
+            F.col("doc_id").alias("keep_id"),
+            F.col("n_chars").alias("keep_chars"),
+            "n_variants",
+        )
+    )
