@@ -410,12 +410,14 @@ def llm_normalized_dedup(spark, sf_dir):
     # tiebreak) instead of llm_normalized_dedup's min-id rule — the
     # policy choice that decides what survives a 100 TB dedup (min-id
     # keeps whatever crawled first; keep-best keeps the fullest copy).
-    # Spelled as a rank-1 window on the group key in BOTH engines
-    # (argmax with a deterministic total order), so the policy swap
-    # costs nothing over the min-id plan: same one shuffle on the
-    # 16-byte hash. Corpus replays case/punct variants (every 5th doc)
-    # like llm_normalized_dedup — the variants are LONGER (+ ' !!'), so
-    # keep-best provably picks differently than keep-min.
+    # Spelled as a rank-1 window on the group key (argmax with a
+    # deterministic total order) PLUS a separate map-side-combined
+    # variant count joined back — deliberately NOT count(*) OVER the
+    # same window, which would force every row through the exchange and
+    # defeat WindowGroupLimit's partial top-1 (asserted in
+    # tests/test_plans.py). Corpus replays case/punct variants (every
+    # 5th doc) like llm_normalized_dedup — the variants are LONGER
+    # (+ ' !!'), so keep-best provably picks differently than keep-min.
     oracle="""
     WITH corpus AS (
       SELECT doc_id, text FROM documents
@@ -464,15 +466,18 @@ def llm_dedup_keep_best(spark, sf_dir):
     w = Window.partitionBy("nh").orderBy(
         F.col("n_chars").desc(), F.col("doc_id").asc()
     )
-    w_all = Window.partitionBy("nh")
-    return (
+    counts = norm.groupBy("nh").agg(
+        F.count(F.lit(1)).alias("n_variants")
+    )
+    best = (
         norm.withColumn("rn", F.row_number().over(w))
-        .withColumn("n_variants", F.count(F.lit(1)).over(w_all))
         .filter(F.col("rn") == 1)
         .select(
             "nh",
             F.col("doc_id").alias("keep_id"),
             F.col("n_chars").alias("keep_chars"),
-            "n_variants",
         )
+    )
+    return best.join(counts, "nh").select(
+        "nh", "keep_id", "keep_chars", "n_variants"
     )

@@ -874,3 +874,28 @@ def test_kcore_and_walks_are_flat_state(spark):
         QUERIES[key](spark, SF_DIR).collect()
         after = len(persistent_rdd_ids(spark))
         assert after - before <= 2, (key, before, after)
+
+
+def test_keep_best_dedup_uses_group_limit(spark):
+    """llm_dedup_keep_best: the argmax keep-policy must plan as a partial
+    top-1 per hash group (WindowGroupLimit) — the policy swap may not
+    cost more than keep-min's aggregate."""
+    plan = plan_of(spark, "llm_dedup_keep_best")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scd2_pit_is_equi_join_rank1(spark):
+    """join_scd2_point_in_time: the PIT lookup is a user-key equi-join +
+    rank-1 — no range/nested-loop join anywhere."""
+    tree = tree_of(plan_of(spark, "join_scd2_point_in_time"))
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+
+
+def test_target_encoding_broadcasts_stats(spark):
+    """llm_target_encoding: the per-category stats broadcast back — the
+    event table never shuffles."""
+    tree = tree_of(plan_of(spark, "llm_target_encoding"))
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
