@@ -672,3 +672,48 @@ def compiler_orderby_computed(spark, sf_dir):
             }
         }
     )
+
+
+@query(
+    "compiler_multi_child",
+    # E1 sibling-hop composition (round 7): ONE root with TWO
+    # relationship children — a to-one hop (customer, fields flatten in)
+    # and a $collect hop (lineitems re-nested as a sorted array,
+    # serialized via $array_join per §7.3) — the "diamond" every real
+    # naqed query tree has. Compiles to one broadcast-eligible equi-join
+    # plus one pre-aggregated array join; the hops are independent, so
+    # Catalyst orders them freely.
+    oracle="""
+    SELECT o.o_orderkey, c.c_mktsegment,
+           (SELECT count(*) FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey) AS n_items,
+           (SELECT coalesce(string_agg(l.l_linestatus,
+                                       ',' ORDER BY l.l_linestatus), '')
+            FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+             AS lineitems
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'P'
+    """,
+)
+def compiler_multi_child(spark, sf_dir):
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "orders": {
+                "$filter": {"o_orderstatus": "P"},
+                "o_orderkey": True,
+                "customer": {"c_mktsegment": True},
+                "lineitems": {"$collect": True, "l_linestatus": True},
+                # n_items first ($size needs the array), then the in-place
+                # §7.3 serialization (the compiler_collect_nested idiom)
+                "$select": {
+                    "n_items": {"$size": "lineitems"},
+                    "lineitems": {
+                        "$array_join": ["lineitems", {"$lit": ","}]
+                    },
+                },
+            }
+        }
+    )

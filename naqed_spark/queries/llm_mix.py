@@ -530,3 +530,60 @@ def llm_target_encoding(spark, sf_dir):
             6,
         ).alias("loo_enc"),
     )
+
+
+@query(
+    "llm_token_budget_mixture",
+    # Token-budget mixture rebalancing — llm_mixture_sample's grown-up
+    # form: languages are downsampled toward EQUAL TOKEN SHARES (DoReMi-
+    # style domain weights applied on token counts, not doc counts —
+    # what the training loader actually consumes). Per-language keep
+    # thresholds are derived FROM THE DATA as exact integers:
+    # keep_buckets(lang) = min(256, (256 · min_lang_tokens) ÷ tokens(lang))
+    # — integer floor division of exact token sums, so both engines
+    # derive identical thresholds; the keep decision is the md5-bucket
+    # filter against that broadcast threshold. Two passes: a lang-sized
+    # token aggregate, then one codegen filter; the audit columns carry
+    # the thresholds so the rebalance is verifiable.
+    oracle="""
+    WITH tok AS (
+      SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t
+      FROM documents GROUP BY lang
+    ),
+    thr AS (
+      SELECT lang, t,
+             least(256, (256 * (SELECT min(t) FROM tok)) // t)
+               AS keep_buckets
+      FROM tok
+    )
+    SELECT d.doc_id, d.lang, thr.keep_buckets,
+           len(string_split(d.text, ' ')) AS n_toks
+    FROM documents d JOIN thr USING (lang)
+    WHERE ((instr('0123456789abcdef',
+                  substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+           + instr('0123456789abcdef',
+                   substr(md5(CAST(d.doc_id AS VARCHAR)), 2, 1)) - 1)
+          < thr.keep_buckets
+    """,
+)
+def llm_token_budget_mixture(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    ntoks = F.size(F.split("text", " "))
+    tok = d.groupBy("lang").agg(F.sum(ntoks.cast("bigint")).alias("t"))
+    min_t = tok.agg(F.min("t").alias("mn"))
+    thr = tok.crossJoin(F.broadcast(min_t)).select(
+        "lang",
+        F.least(
+            F.lit(256), F.expr("(256 * mn) div t")
+        ).alias("keep_buckets"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+        ).cast("int")
+    )
+    return (
+        d.join(F.broadcast(thr), "lang")
+        .filter(bucket < F.col("keep_buckets"))
+        .select("doc_id", "lang", "keep_buckets", ntoks.alias("n_toks"))
+    )

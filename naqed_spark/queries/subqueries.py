@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from naqed_spark.catalog import Catalog
-from naqed_spark.queries._util import load
+from naqed_spark.queries._util import epoch_us, load
 from naqed_spark.registry import query
 
 
@@ -233,3 +233,47 @@ def sub_exists_aggregated(spark, sf_dir):
     return c.join(
         heavy, c["c_custkey"] == heavy["o_custkey"], "left_semi"
     ).select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "sub_in_tuple",
+    # Tuple IN-subquery — (custkey, date) IN (SELECT ...): membership on
+    # a COMPOSITE key. Spark's DataFrame API has no tuple-IN; the engine
+    # rewrite is a left-semi join on both columns at once (which is also
+    # what Catalyst rewrites SQL tuple-IN to) — one hash-partitioned
+    # semi join on the composite key, map-side-combined distinct on the
+    # subquery side. Finds orders placed on a (customer, date) pair that
+    # also saw an urgent order. (DuckDB 1.0 lacks multi-column tuple-IN;
+    # the oracle spells the equivalent correlated EXISTS, which both
+    # engines decorrelate to the same semi join.)
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, epoch_us(o.o_orderdate) AS od_us
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM orders u
+      WHERE u.o_orderpriority = '1-URGENT'
+        AND u.o_custkey = o.o_custkey
+        AND u.o_orderdate = o.o_orderdate
+    ) AND o.o_orderpriority != '1-URGENT'
+    """,
+)
+def sub_in_tuple(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            F.col("o_custkey").alias("u_cust"),
+            F.col("o_orderdate").alias("u_date"),
+        )
+        .distinct()
+    )
+    return (
+        o.filter(F.col("o_orderpriority") != "1-URGENT")
+        .join(
+            urgent,
+            (F.col("o_custkey") == F.col("u_cust"))
+            & (F.col("o_orderdate") == F.col("u_date")),
+            "left_semi",
+        )
+        .select("o_orderkey", "o_custkey", epoch_us("o_orderdate").alias("od_us"))
+    )
