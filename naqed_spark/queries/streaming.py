@@ -793,3 +793,51 @@ def stream_file_sink_exactly_once(spark, sf_dir):
     return spark.read.parquet(out).select(
         "event_id", "user_id", "event_type", "cents"
     )
+
+
+@query(
+    "stream_union_two_sources",
+    # Multi-source streaming union — the "several topics, one pipeline"
+    # shape: two INDEPENDENT file streams (clicks vs everything else,
+    # staged as separate directories) unioned inside one streaming query
+    # and aggregated together. Spark tracks offsets PER SOURCE in one
+    # checkpoint, so exactly-once holds across both; at 100 TB this is
+    # N kafka topics feeding one job without an intermediate merge hop.
+    # Batch twin: the same aggregate over the whole table.
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_union_two_sources(spark, sf_dir):
+    base = _stage(spark, sf_dir)
+    src = os.path.join(base, "all")
+    # split the staged chunks into two source dirs by event_type at
+    # stage-split time (plumbing, like _stage itself)
+    # inside the per-SF staging dir (base embeds the sf fingerprint) so
+    # different scale factors never share a split
+    split_base = os.path.join(base, "union_split")
+    marker = os.path.join(split_base, "_SPLIT_OK")
+    if not os.path.exists(marker):
+        shutil.rmtree(split_base, ignore_errors=True)
+        os.makedirs(split_base, exist_ok=True)
+        full = spark.read.parquet(src)
+        full.filter(F.col("event_type") == "click").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(split_base, "clicks"))
+        full.filter(F.col("event_type") != "click").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(split_base, "rest"))
+        open(marker, "w").close()
+    clicks = _read_stream(spark, os.path.join(split_base, "clicks"))
+    rest = _read_stream(spark, os.path.join(split_base, "rest"))
+    both = clicks.unionByName(rest)
+    agg = both.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias(
+            "cents"
+        ),
+    )
+    return _run_to_memory(agg, spark, "complete")

@@ -523,3 +523,50 @@ def win_rolling_corr(spark, sf_dir):
         F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), F.lit(0.0)
     )
     return m.select("day_us", "n", F.round(r, 6).alias("rolling_r"))
+
+
+@query(
+    "win_weighted_moving_avg",
+    # Linearly-weighted moving average (3-tap WMA: weights 3/2/1 on
+    # current/prev/prev2) per user — the lag-spelled FIR filter that,
+    # unlike win_moving_avg's uniform frame, cannot be expressed as a
+    # frame aggregate at all (frames cannot weight by offset): the
+    # engine rewrite is explicit lag() taps. Exact integer cents
+    # arithmetic; edges emit NULL (incomplete taps) rather than a
+    # silently rescaled average. One user_id exchange shared by all
+    # three lags.
+    oracle="""
+    SELECT user_id, event_id, ts_us,
+           CASE WHEN p2 IS NOT NULL THEN
+             round((3 * c + 2 * p1 + 1 * p2) / 6.0, 6)
+           END AS wma_cents
+    FROM (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CAST(round(value * 100, 0) AS BIGINT) AS c,
+             lag(CAST(round(value * 100, 0) AS BIGINT), 1) OVER w AS p1,
+             lag(CAST(round(value * 100, 0) AS BIGINT), 2) OVER w AS p2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    """,
+)
+def win_weighted_moving_avg(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    taps = ev.withColumn("p1", F.lag("c", 1).over(w)).withColumn(
+        "p2", F.lag("c", 2).over(w)
+    )
+    wma = F.when(
+        F.col("p2").isNotNull(),
+        F.round(
+            (3 * F.col("c") + 2 * F.col("p1") + F.col("p2")) / 6.0, 6
+        ),
+    )
+    return taps.select(
+        "user_id", "event_id", "ts_us", wma.alias("wma_cents")
+    )
