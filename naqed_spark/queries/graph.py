@@ -1358,3 +1358,100 @@ def graph_assortativity(spark, sf_dir):
     return m.select(
         F.col("n").alias("n_edges"), F.round(r, 6).alias("assortativity")
     )
+
+
+def _harmonic_oracle() -> str:
+    """Seed-sampled harmonic centrality, 3 unrolled BFS layers: per
+    (seed, vertex) the min hop distance ≤ 3, contribution 1/d summed per
+    vertex. Seeds are every 15th vertex (hash-free — ids are already
+    uniform), bounding work to |seeds| × 3 frontier joins."""
+    return f"""
+    WITH ue AS MATERIALIZED ({_UE_SQL}),
+    und AS MATERIALIZED (SELECT src AS v, dst AS n FROM ue
+          UNION SELECT dst, src FROM ue),
+    seeds AS MATERIALIZED (
+      SELECT DISTINCT v AS s FROM und WHERE v % 15 = 0),
+    d1 AS MATERIALIZED (
+      SELECT DISTINCT seeds.s, und.n AS v FROM seeds
+      JOIN und ON und.v = seeds.s
+      WHERE und.n <> seeds.s),
+    d2 AS MATERIALIZED (
+      SELECT DISTINCT d1.s, und.n AS v FROM d1
+      JOIN und ON und.v = d1.v
+      WHERE und.n <> d1.s
+        AND NOT EXISTS (SELECT 1 FROM d1 p
+                        WHERE p.s = d1.s AND p.v = und.n)),
+    d3 AS MATERIALIZED (
+      SELECT DISTINCT d2.s, und.n AS v FROM d2
+      JOIN und ON und.v = d2.v
+      WHERE und.n <> d2.s
+        AND NOT EXISTS (SELECT 1 FROM d1 p
+                        WHERE p.s = d2.s AND p.v = und.n)
+        AND NOT EXISTS (SELECT 1 FROM d2 p
+                        WHERE p.s = d2.s AND p.v = und.n)),
+    contrib AS (
+      SELECT v, 1.0 AS c FROM d1
+      UNION ALL SELECT v, 0.5 FROM d2
+      UNION ALL SELECT v, 1.0 / 3 FROM d3
+    )
+    SELECT v AS user_id,
+           CAST(count(*) AS BIGINT) AS n_seeds_reaching,
+           round(sum(c), 6) AS harmonic
+    FROM contrib GROUP BY v
+    """
+
+
+@query("graph_harmonic_centrality", oracle=_harmonic_oracle())
+def graph_harmonic_centrality(spark, sf_dir):
+    """Seed-sampled harmonic centrality (the scalable spelling of
+    closeness: Σ 1/d(seed, v) over a deterministic seed subset, hop
+    depth capped at 3) — exact all-pairs closeness is O(|V|·E) and is
+    exactly what you do NOT run at 100 TB; seed sampling with a hop cap
+    is the standard estimator (contributions are exact small rationals:
+    1, 1/2, 1/3 — identical doubles both engines, round(6) on the sum).
+    Each layer is one frontier⋈edges equi-join + an anti-join against
+    the seen set — the BFS superstep shape. All three layer frames are
+    retained to the end (the final union consumes them), so retained
+    state is O(hop cap) — a fixed constant, not per-superstep growth."""
+    ue = user_edges(spark, sf_dir)
+    und = (
+        ue.select(F.col("src").alias("v"), F.col("dst").alias("n"))
+        .union(ue.select(F.col("dst").alias("v"), F.col("src").alias("n")))
+        .distinct()
+        .localCheckpoint()
+    )
+    seeds = und.select(F.col("v").alias("s")).filter(
+        F.col("s") % 15 == 0
+    ).distinct()
+    layers = []
+    with low_shuffle(spark):
+        frontier = (
+            seeds.join(und, seeds["s"] == und["v"])
+            .filter(F.col("n") != F.col("s"))
+            .select("s", F.col("n").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        layers.append(frontier)
+        seen = frontier
+        for _ in range(2):
+            nxt = (
+                seen.join(und, seen["v"] == und["v"])
+                .select("s", F.col("n").alias("nv"))
+                .filter(F.col("nv") != F.col("s"))
+                .select("s", F.col("nv").alias("v"))
+                .distinct()
+                .join(seen, ["s", "v"], "left_anti")
+                .localCheckpoint()
+            )
+            layers.append(nxt)
+            seen = seen.union(nxt).localCheckpoint()
+    contrib = (
+        layers[0].select("v", F.lit(1.0).alias("c"))
+        .unionAll(layers[1].select("v", F.lit(0.5).alias("c")))
+        .unionAll(layers[2].select("v", (F.lit(1.0) / 3).alias("c")))
+    )
+    return contrib.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seeds_reaching"),
+        F.round(F.sum("c"), 6).alias("harmonic"),
+    ).select(F.col("v").alias("user_id"), "n_seeds_reaching", "harmonic")

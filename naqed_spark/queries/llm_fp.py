@@ -1047,3 +1047,67 @@ def llm_lsh_banding_sweep(spark, sf_dir):
         rows,
         "bands int, rows_per_band int, n_candidates bigint, recall double",
     )
+
+
+@query(
+    "llm_ngram_novelty",
+    # N-gram novelty scoring — the memorization/diversity signal: for
+    # each doc (in doc_id order, the corpus's arrival order), what
+    # fraction of its distinct 3-grams has never appeared in ANY earlier
+    # doc. First-occurrence is a per-ngram min(doc_id) — one map-side-
+    # combined groupBy on the ngram hash — joined back to the per-doc
+    # ngram sets; novelty = |ngrams where min == self| / |ngrams|. At
+    # 100 TB both sides shuffle once on the 16-byte ngram hash; nothing
+    # is quadratic and no ordering is global (min() is order-free).
+    oracle="""
+    WITH g AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(string_split(text, ' ')[i:i+2], ' '))
+               AS h
+      FROM documents,
+           LATERAL unnest(generate_series(
+             1, len(string_split(text, ' ')) - 2)) AS t(i)
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    first_seen AS (SELECT h, min(doc_id) AS first_doc FROM g GROUP BY h)
+    SELECT g.doc_id,
+           count(*) AS n_ngrams,
+           CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           round(CAST(sum(CASE WHEN f.first_doc = g.doc_id
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS novelty
+    FROM g JOIN first_seen f ON f.h = g.h
+    GROUP BY g.doc_id
+    """,
+)
+def llm_ngram_novelty(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    g = (
+        d.filter(F.size(w) >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size(w) - 2)).alias("i"),
+            w.alias("w"),
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.array_join(F.slice("w", F.col("i"), F.lit(3)), " ")
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    first_seen = g.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    joined = g.join(first_seen, "h")
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_ngrams"),
+        novel.cast("bigint").alias("n_novel"),
+        F.round(novel.cast("double") / F.count(F.lit(1)), 6).alias(
+            "novelty"
+        ),
+    )
