@@ -52,6 +52,11 @@ _PY_TYPES = {
 def _typecheck(df: DataFrame, pred: Predicate, entity: str) -> None:
     """Analysis-time arg typecheck — the Spark translation of naqed's
     result/argument type checking (SURVEY.md §1.2: $error → fail fast)."""
+    if pred.op == "$or":
+        for grp in pred.value:
+            for p in grp:
+                _typecheck(df, p, entity)
+        return
     schema = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
     if pred.column not in schema:
         raise SpecError(f"{entity}.{pred.column}: no such field")
@@ -76,6 +81,15 @@ def _typecheck(df: DataFrame, pred: Predicate, entity: str) -> None:
 def _predicate_condition(pred: Predicate):
     """One parsed predicate → a boolean Column (shared by $filter/$having/
     $qualify row filtering and the $if conditional expression)."""
+    if pred.op == "$or":
+        # value = list of predicate lists: OR of AND-groups
+        return reduce(
+            operator.or_,
+            (
+                reduce(operator.and_, (_predicate_condition(p) for p in grp))
+                for grp in pred.value
+            ),
+        )
     c = F.col(pred.column)
     op = pred.op
     if op == "$eq":

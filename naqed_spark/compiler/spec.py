@@ -317,6 +317,19 @@ def _parse_filters(obj: object) -> list[Predicate]:
         raise SpecError(f"$filter must be a dict, got {type(obj).__name__}")
     preds: list[Predicate] = []
     for col, cond in obj.items():
+        if col == "$or":
+            # round 7: disjunction — {"$or": [branch, branch, ...]} where
+            # each branch is a $filter-style dict (AND within a branch,
+            # OR across branches). Nested $or inside a branch recurses.
+            if (not isinstance(cond, list) or len(cond) < 2
+                    or not all(isinstance(b, dict) and b for b in cond)):
+                raise SpecError(
+                    "$or takes a list of >= 2 non-empty $filter dicts"
+                )
+            preds.append(
+                Predicate("$or", "$or", [_parse_filters(b) for b in cond])
+            )
+            continue
         if isinstance(cond, dict):
             for op, val in cond.items():
                 if op not in FILTER_OPS:

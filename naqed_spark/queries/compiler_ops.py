@@ -717,3 +717,42 @@ def compiler_multi_child(spark, sf_dir):
             }
         }
     )
+
+
+@query(
+    "compiler_filter_or",
+    # E1 $or disjunction (round 7): {"$or": [branch, ...]} — AND within a
+    # branch, OR across branches, nestable — closing the last boolean
+    # gap in the $filter DSL (it was conjunction-only). The whole
+    # disjunction compiles to ONE Catalyst Or tree inside a single
+    # Filter, so it is pushdown-eligible like any predicate; branch
+    # predicates go through the same type checks as top-level ones.
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'P'
+       OR (o_totalprice > 300000.0 AND o_orderpriority = '1-URGENT')
+    """,
+)
+def compiler_filter_or(spark, sf_dir):
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "orders": {
+                "$filter": {
+                    "$or": [
+                        {"o_orderstatus": "P"},
+                        {
+                            "o_totalprice": {"$gt": 300000.0},
+                            "o_orderpriority": "1-URGENT",
+                        },
+                    ]
+                },
+                "o_orderkey": True,
+                "o_orderstatus": True,
+                "o_totalprice": True,
+            }
+        }
+    )

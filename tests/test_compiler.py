@@ -730,7 +730,7 @@ _garbage = st.recursive(
                  "c_acctbal", "orders", "nation", "bogus",
                  "$union", "$union_all", "$intersect", "$except", "$exists",
                  "$in", "$between", "$like", "$isnull",
-                 "$sample", "$key", "$keep", "$buckets", "$mod", "$if"]),
+                 "$sample", "$key", "$keep", "$buckets", "$mod", "$if", "$or"]),
             child, max_size=3)),
     max_leaves=8)
 
@@ -1231,3 +1231,88 @@ def test_if_unknown_condition_column_fails_typed(eng):
                 }
             }
         )
+
+
+# -- round-7 session 2: $or disjunction -------------------------------------
+
+
+def test_or_matches_direct_filter(eng):
+    from pyspark.sql import functions as F
+
+    spec = eng.query(
+        {
+            "customer": {
+                "$filter": {
+                    "$or": [
+                        {"c_mktsegment": "BUILDING"},
+                        {"c_acctbal": {"$gt": 9000.0}},
+                    ]
+                },
+                "c_custkey": True,
+            }
+        }
+    ).collect()
+    direct = (
+        eng.entity("customer")
+        .filter(
+            (F.col("c_mktsegment") == "BUILDING")
+            | (F.col("c_acctbal") > 9000.0)
+        )
+        .select("c_custkey")
+        .collect()
+    )
+    assert {r["c_custkey"] for r in spec} == {r["c_custkey"] for r in direct}
+    assert len(spec) > 0
+
+
+def test_or_nested_and_or(eng):
+    """Nested $or inside a branch composes: (seg=MACHINERY) OR
+    ((bal > 9500) OR (nation < 3))."""
+    spec = eng.query(
+        {
+            "customer": {
+                "$filter": {
+                    "$or": [
+                        {"c_mktsegment": "MACHINERY"},
+                        {
+                            "$or": [
+                                {"c_acctbal": {"$gt": 9500.0}},
+                                {"c_nationkey": {"$lt": 3}},
+                            ]
+                        },
+                    ]
+                },
+                "c_custkey": True,
+            }
+        }
+    ).collect()
+    from pyspark.sql import functions as F
+
+    direct = (
+        eng.entity("customer")
+        .filter(
+            (F.col("c_mktsegment") == "MACHINERY")
+            | (F.col("c_acctbal") > 9500.0)
+            | (F.col("c_nationkey") < 3)
+        )
+        .select("c_custkey")
+        .collect()
+    )
+    assert {r["c_custkey"] for r in spec} == {r["c_custkey"] for r in direct}
+
+
+@pytest.mark.parametrize(
+    "cond",
+    [
+        {"$or": []},                      # empty
+        {"$or": [{"a": 1}]},              # single branch — not a disjunction
+        {"$or": [{"a": 1}, []]},          # non-dict branch
+        {"$or": [{"a": 1}, {}]},          # empty branch
+        {"$or": "nope"},                  # not a list
+        {"$or": [{"c_acctbal": {"$bogus": 1}}, {"c_custkey": 1}]},  # bad op
+        {"$or": [{"nope": 1}, {"c_custkey": 1}]},  # unknown column
+    ],
+)
+def test_or_bad_shapes_fail_typed(eng, cond):
+    with pytest.raises(SpecError):
+        eng.query({"customer": {"$filter": cond, "c_custkey": True}})
