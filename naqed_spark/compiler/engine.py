@@ -122,6 +122,21 @@ def _apply_predicate(df: DataFrame, pred: Predicate) -> DataFrame:
     return df.filter(_predicate_condition(pred))
 
 
+def _check_pred_columns(pred: Predicate, df: DataFrame, ctx: str) -> None:
+    """Recursive column-existence check ($or branches included) for the
+    post-agg/post-window scopes, which bind against the CURRENT frame."""
+    if pred.op == "$or":
+        for grp in pred.value:
+            for p in grp:
+                _check_pred_columns(p, df, ctx)
+        return
+    if pred.column not in df.columns:
+        raise SpecError(
+            f"{ctx}: {pred.column!r} is not available in this scope"
+            f" (have {df.columns})"
+        )
+
+
 class Engine:
     """The user-facing engine bound to one scale-factor directory."""
 
@@ -450,11 +465,7 @@ class Engine:
             for pred in qs.having:
                 # $having predicates see the post-agg frame: agg aliases and
                 # group columns only (mirrors SQL HAVING scope)
-                if pred.column not in df.columns:
-                    raise SpecError(
-                        f"$having: {pred.column!r} is not an agg alias or"
-                        f" group column (have {df.columns})"
-                    )
+                _check_pred_columns(pred, df, "$having")
                 df = _apply_predicate(df, pred)
         # $window lands AFTER $agg (SQL ordering: windows see aggregated
         # rows when both are present), so a window can rank agg results.
@@ -463,11 +474,7 @@ class Engine:
             cols.append(w.alias)
         for pred in qs.qualify:
             # $qualify sees the post-window frame (SQL QUALIFY scope)
-            if pred.column not in df.columns:
-                raise SpecError(
-                    f"$qualify: {pred.column!r} is not a window alias or"
-                    f" column (have {df.columns})"
-                )
+            _check_pred_columns(pred, df, "$qualify")
             df = _apply_predicate(df, pred)
         if not qs.aggs and cols:
             df = df.select(*[F.col(c) for c in dict.fromkeys(cols)])

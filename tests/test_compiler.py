@@ -1316,3 +1316,41 @@ def test_or_nested_and_or(eng):
 def test_or_bad_shapes_fail_typed(eng, cond):
     with pytest.raises(SpecError):
         eng.query({"customer": {"$filter": cond, "c_custkey": True}})
+
+
+def test_or_in_having_and_qualify(eng):
+    """$or composes into the post-agg and post-window scopes too."""
+    rows = eng.query(
+        {
+            "orders": {
+                "$groupby": ["o_custkey"],
+                "$agg": {"n": {"$count": True},
+                         "mx": {"$max": "o_totalprice"}},
+                "$having": {"$or": [{"n": {"$gte": 25}},
+                                    {"mx": {"$gt": 400000.0}}]},
+            }
+        }
+    ).collect()
+    from pyspark.sql import functions as F
+
+    direct = (
+        eng.entity("orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("o_totalprice").alias("mx"))
+        .filter((F.col("n") >= 25) | (F.col("mx") > 400000.0))
+        .collect()
+    )
+    assert {(r["o_custkey"], r["n"]) for r in rows} == {
+        (r["o_custkey"], r["n"]) for r in direct
+    }
+    with pytest.raises(SpecError):
+        eng.query(
+            {
+                "orders": {
+                    "$groupby": ["o_custkey"],
+                    "$agg": {"n": {"$count": True}},
+                    "$having": {"$or": [{"n": {"$gte": 25}},
+                                        {"nope": {"$gt": 1}}]},
+                }
+            }
+        )
