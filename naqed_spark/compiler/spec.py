@@ -84,6 +84,22 @@ Round-7 extensions (VERDICT r6 item 6 — set/subquery families):
                                       # only (scalars / scalar lists),
                                       # never spec structure.
 
+Round-7 session-2 extensions:
+
+    "$sample": {"$key": k, "$keep": n, "$buckets": b?}
+                                      # deterministic md5-bucket sample of
+                                      # the ROOT entity, applied at the scan
+                                      # (sample-of-join = join-of-samples)
+    "$if" in $select                  # [cond ($filter syntax), then, else] —
+                                      # CASE WHEN as a spec node, nestable
+    "$mod", "$md5" in $select         # modulo; md5 hex digest (the
+                                      # deterministic shuffle/dedup key)
+    {"$or": [branch, ...]} in $filter # disjunction: AND within a branch,
+      (also $having / $qualify)       # OR across branches, nestable —
+                                      # one Catalyst Or tree, pushdown-
+                                      # eligible; branch predicates get the
+                                      # same typed checks
+
 ``$``-keys are arguments (the reference passes resolver args the same way);
 everything else is either a requested field (``True``) or a relationship
 traversal (nested dict). Relationship fan-out is relational: one output row
