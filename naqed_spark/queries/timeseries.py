@@ -1311,3 +1311,41 @@ def ts_inter_event_stats(spark, sf_dir):
         pick(0.9).alias("p90_gap_us"),
         F.max("gap_us").cast("bigint").alias("max_gap_us"),
     )
+
+
+@query(
+    "ts_coverage_ratio",
+    # Coverage / uptime ratio — "what share of its active window does
+    # this source actually report": per user, hours-with-data over the
+    # hour-spine between first and last event (the ts_gap_fill_ffill
+    # spine, reduced to one ratio per key). The SLA-dashboard primitive;
+    # low coverage is the trigger for the interpolation/gap-fill ops.
+    # Exact integer hour counts; one ratio divide at the end (round 6).
+    oracle="""
+    WITH hours AS (
+      SELECT user_id, epoch_us(date_trunc('hour', ts)) AS h
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           count(*) AS hours_with_data,
+           CAST((max(h) - min(h)) / 3600000000 + 1 AS BIGINT)
+             AS span_hours,
+           round(CAST(count(*) AS DOUBLE)
+                 / ((max(h) - min(h)) / 3600000000 + 1), 6) AS coverage
+    FROM hours GROUP BY user_id
+    """,
+)
+def ts_coverage_ratio(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    hours = ev.select(
+        "user_id",
+        F.unix_micros(F.date_trunc("hour", "ts")).alias("h"),
+    ).distinct()
+    span = (F.max("h") - F.min("h")) / 3600000000 + 1
+    return hours.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("hours_with_data"),
+        span.cast("bigint").alias("span_hours"),
+        F.round(F.count(F.lit(1)).cast("double") / span, 6).alias(
+            "coverage"
+        ),
+    )
