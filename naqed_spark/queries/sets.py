@@ -77,3 +77,29 @@ def set_intersect_all(spark, sf_dir):
 def set_except_all(spark, sf_dir):
     """Bag difference (multiplicities subtract)."""
     return _a(spark, sf_dir).exceptAll(_b(spark, sf_dir))
+
+
+@query(
+    "set_symmetric_diff",
+    # Symmetric difference (A △ B) — the change-detection set op SQL
+    # never named: customers in the BUILDING segment XOR customers with
+    # balance > 5000. Composed as (A∖B) ∪ (B∖A) over the §2-G
+    # primitives; both EXCEPTs hash-partition on the full row and AQE
+    # sizes the two exchanges — no new physical machinery, which is the
+    # point of a complete algebra: the missing op is a 2-line
+    # composition, not a feature request.
+    oracle="""
+    (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+     EXCEPT
+     SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    UNION
+    (SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+     EXCEPT
+     SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+)
+def set_symmetric_diff(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.subtract(b).union(b.subtract(a)).distinct()
