@@ -755,3 +755,38 @@ def fn_mask_redact(spark, sf_dir):
             "mask(c_name, NULL, NULL, '*', NULL)"
         ).alias("digits_starred"),
     )
+
+
+@query(
+    "fn_trig",
+    # Trigonometric family over derived angles (key % 360 degrees):
+    # radians conversion, sin/cos/tan, atan2 quadrant recovery, and the
+    # sin²+cos² identity as a built-in self-check column. All libm-backed
+    # → every emission carries the round(6) hedge (§7.3); tan is kept
+    # away from ±90° poles by the integer-degree construction (90/270
+    # map to well-conditioned neighbors via the +0.5° offset).
+    oracle="""
+    SELECT c_custkey,
+           round(radians(deg), 6) AS rad,
+           round(sin(radians(deg)), 6) AS s,
+           round(cos(radians(deg)), 6) AS c,
+           round(tan(radians(deg)), 6) AS t,
+           round(atan2(sin(radians(deg)), cos(radians(deg))), 6) AS theta,
+           round(sin(radians(deg)) * sin(radians(deg))
+                 + cos(radians(deg)) * cos(radians(deg)), 6) AS unit
+    FROM (SELECT c_custkey, (c_custkey % 360) + 0.5 AS deg FROM customer)
+    """,
+)
+def fn_trig(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    deg = (F.col("c_custkey") % 360) + 0.5
+    rad = F.radians(deg)
+    return c.select(
+        "c_custkey",
+        r6(rad).alias("rad"),
+        r6(F.sin(rad)).alias("s"),
+        r6(F.cos(rad)).alias("c"),
+        r6(F.tan(rad)).alias("t"),
+        r6(F.atan2(F.sin(rad), F.cos(rad))).alias("theta"),
+        r6(F.sin(rad) * F.sin(rad) + F.cos(rad) * F.cos(rad)).alias("unit"),
+    )
