@@ -1111,3 +1111,78 @@ def llm_ngram_novelty(spark, sf_dir):
             "novelty"
         ),
     )
+
+
+@query(
+    "llm_corpus_health_report",
+    # The per-language corpus health report — the one-page rollup a data
+    # lead reads before signing off a release: doc counts, quality-gate
+    # keep share (the llm_quality_ensemble thresholds), and mean word
+    # entropy, per language. Composition by CONSTRUCTION: the doc-level
+    # signal pass is the ensemble's (same thresholds, same rounding),
+    # then one grid-sized groupBy(lang) — demonstrating that report
+    # queries reuse operator internals instead of re-deriving them. The
+    # mean-of-rounded-entropies carries its own round(6) hedge.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tc AS (
+      SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+    ),
+    s AS (
+      SELECT doc_id,
+             round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr,
+             round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_share,
+             round(ln(CAST(sum(c) AS DOUBLE))
+                   - sum(c * ln(CAST(c AS DOUBLE))) / sum(c), 6) AS entropy
+      FROM tc GROUP BY doc_id
+    )
+    SELECT d.lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN d.n_chars BETWEEN 100 AND 500
+                          AND s.ttr >= 0.35 AND s.top_share <= 0.12
+                          AND s.entropy >= 2.5 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_keep,
+           round(CAST(sum(CASE WHEN d.n_chars BETWEEN 100 AND 500
+                               AND s.ttr >= 0.35 AND s.top_share <= 0.12
+                               AND s.entropy >= 2.5 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS keep_share,
+           round(avg(s.entropy), 6) AS mean_entropy
+    FROM documents d JOIN s ON s.doc_id = d.doc_id
+    GROUP BY d.lang
+    """,
+)
+def llm_corpus_health_report(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    tc = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    s = tc.groupBy("doc_id").agg(
+        r6(F.count(F.lit(1)).cast("double") / n).alias("ttr"),
+        r6(F.max("c").cast("double") / n).alias("top_share"),
+        r6(
+            F.log(n.cast("double"))
+            - F.sum(F.col("c") * F.log(F.col("c").cast("double"))) / n
+        ).alias("entropy"),
+    )
+    keep = (
+        F.col("n_chars").between(100, 500)
+        & (F.col("ttr") >= 0.35)
+        & (F.col("top_share") <= 0.12)
+        & (F.col("entropy") >= 2.5)
+    )
+    keep_i = F.when(keep, 1).otherwise(0)
+    return (
+        d.select("doc_id", "lang", "n_chars")
+        .join(s, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(keep_i).cast("bigint").alias("n_keep"),
+            r6(F.sum(keep_i).cast("double") / F.count(F.lit(1))).alias(
+                "keep_share"
+            ),
+            r6(F.avg("entropy")).alias("mean_entropy"),
+        )
+    )
