@@ -27,6 +27,7 @@ from naqed_spark.queries import (  # noqa: F401
     scans,
     subqueries,
     timeseries,
+    tpch,
     joins,
     aggs,
     filters,
