@@ -3,10 +3,10 @@ into ``naqed_spark.registry`` (each module's ``@query`` decorators run at
 import time). ``registry.load_all()`` imports this package; keep the list
 below in sync as modules land.
 
-Registration order used to drive the driver's key walk; since round 4 the
-authoritative driver-facing order is ``registry.PRIORITY`` +
-``registry.ordered_keys()`` (the 40 keys with no driver signal from r2/r3
-go first). Import order below only breaks ties behind PRIORITY.
+The driver-facing key order is ``registry.ordered_keys()``, computed
+from the committed CORRECTNESS_r*.json artifacts since round 8
+(never-driver-checked keys first, then stalest-signal-first).
+Import order below only breaks ties among equally-stale keys.
 """
 
 from naqed_spark.queries import (  # noqa: F401

@@ -66,11 +66,12 @@ def test_priority_keys_all_registered():
     from naqed_spark import registry
 
     registry.load_all()
-    unknown = [k for k in registry.PRIORITY if k not in registry.QUERIES]
-    assert unknown == [], f"PRIORITY names unregistered keys: {unknown}"
-    assert len(set(registry.PRIORITY)) == len(registry.PRIORITY)
     ordered = registry.ordered_keys()
     assert sorted(ordered) == sorted(registry.QUERIES)
-    # the driver checks the first 50: they must start with the round's
-    # brand-new keys so every key gets first contact promptly
-    assert ordered[: len(registry.PRIORITY)] == registry.PRIORITY
+    # the driver checks a fixed front window (~50): it must be filled
+    # with never-driver-checked keys while any exist, so every key gets
+    # first contact as promptly as the window allows
+    signal = registry._driver_signal_rounds()
+    never = [k for k in registry.QUERIES if k not in signal]
+    front = ordered[: len(never)]
+    assert set(front) == set(never)

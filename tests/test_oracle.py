@@ -154,17 +154,20 @@ def test_no_oracle_emits_hugeint(duck):
 
 
 def test_priority_rotation_covers_all_keys():
-    """ordered_keys(): every registered key exactly once, round-6 PRIORITY
-    (new compiler key, then oldest-driver-signal-first: r2-era keys, then
-    r3-era) strictly first, and the driver-facing dicts in
+    """ordered_keys() (round-8 computed rotation): every registered key
+    exactly once; keys with NO driver signal in any committed
+    CORRECTNESS_r*.json strictly precede keys with one; signalled keys
+    are stalest-round-first; and the driver-facing dicts in
     __spark_entry__ follow that order."""
     import __spark_entry__ as entry
-    from naqed_spark.registry import PRIORITY, ordered_keys
+    from naqed_spark.registry import _driver_signal_rounds, ordered_keys
 
     keys = ordered_keys()
     assert sorted(keys) == sorted(QUERIES)
     assert len(keys) == len(set(keys))
-    assert keys[: len(PRIORITY)] == PRIORITY
+    signal = _driver_signal_rounds()
+    rounds = [signal.get(k, -1) for k in keys]
+    assert rounds == sorted(rounds), "rotation must be oldest-signal-first"
     assert list(entry.queries()) == keys
 
 
