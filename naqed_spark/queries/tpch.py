@@ -871,10 +871,14 @@ def tpch_q20_part_promotion(spark, sf_dir):
     """,
 )
 def tpch_q21_waiting_supplier(spark, sf_dir):
-    """All three levels (per-(order,supp) max, per-order max+count, the
-    unique-latest check) re-group the SAME l_orderkey partitioning —
-    one shuffle total for the correlation, no self-join of raw lineitem
-    against itself; the final supplier tally is a tiny aggregate."""
+    """The per-order correlation (max shipdate + supplier count) is an
+    unbounded window over the SAME frame the per-(order,supp) aggregate
+    produced — lineitem is scanned ONCE (the naive groupBy+self-join
+    spelling scans it twice; asserted in test_plans). The follow-up
+    unique-latest groupBy reuses the window's l_orderkey partitioning,
+    so the whole correlation costs two exchanges total."""
+    from pyspark.sql import Window
+
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")
@@ -886,19 +890,12 @@ def tpch_q21_waiting_supplier(spark, sf_dir):
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max("l_shipdate").alias("ms"))
     )
-    om = os_.groupBy("l_orderkey").agg(
-        F.max("ms").alias("m"), F.count("*").alias("nsupp")
-    ).withColumnRenamed("l_orderkey", "om_orderkey")
-    last = (
-        os_.join(
-            om,
-            (os_["l_orderkey"] == om["om_orderkey"]) & (os_["ms"] == om["m"]),
-        )
-        .filter(F.col("nsupp") >= 2)
-        .select("l_orderkey", "l_suppkey")
-    )
+    w = Window.partitionBy("l_orderkey")
     uniq = (
-        last.groupBy("l_orderkey")
+        os_.withColumn("m", F.max("ms").over(w))
+        .withColumn("nsupp", F.count("*").over(w))
+        .filter((F.col("ms") == F.col("m")) & (F.col("nsupp") >= 2))
+        .groupBy("l_orderkey")
         .agg(
             F.min("l_suppkey").alias("l_suppkey"),
             F.count("*").alias("nlast"),

@@ -899,3 +899,58 @@ def test_target_encoding_broadcasts_stats(spark):
     tree = tree_of(plan_of(spark, "llm_target_encoding"))
     assert "BroadcastHashJoin" in tree
     assert "SortMergeJoin" not in tree
+
+
+def test_tpch_no_cartesian_blowups(spark):
+    """Every tpch_* key: no CartesianProduct anywhere, and nested-loop
+    joins only where the build side is a 1-row scalar aggregate (the
+    Q11/Q15/Q22 broadcast scalar pattern — bounded by construction)."""
+    scalar_ok = {
+        "tpch_q11_important_values",
+        "tpch_q15_top_supplier",
+        "tpch_q22_prospects",
+    }
+    for key in sorted(k for k in QUERIES if k.startswith("tpch_")):
+        tree = tree_of(plan_of(spark, key))
+        assert "CartesianProduct" not in tree, key
+        if key not in scalar_ok:
+            assert "BroadcastNestedLoopJoin" not in tree, key
+
+
+def test_tpch_q6_is_pure_pushed_scan_agg(spark):
+    """Q6: every predicate reaches the parquet scan, the read schema is
+    the 4 referenced columns, and the aggregate partials map-side with
+    exactly one exchange."""
+    plan = plan_of(spark, "tpch_q6_revenue_change")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity,24.0)" in plan
+    for unread in ("l_returnflag", "l_tax", "l_partkey"):
+        assert unread not in plan, unread
+    tree = tree_of(plan)
+    assert tree.count("HashAggregate") == 2
+    assert tree.count("Exchange") == 1
+
+
+def test_tpch_topk_queries_use_takeordered(spark):
+    """Q10/Q18: the global top-20 is TakeOrderedAndProject (per-partition
+    heaps), never a full Sort of the grouped frame."""
+    for key in ("tpch_q10_returned_items", "tpch_q18_large_orders"):
+        tree = tree_of(plan_of(spark, key))
+        assert "TakeOrderedAndProject" in tree, key
+
+
+def test_tpch_exists_shapes_are_semi_anti_joins(spark):
+    """Q4's EXISTS compiles to LeftSemi; Q16/Q22's NOT IN / NOT EXISTS
+    compile to LeftAnti — correlation never becomes a per-row re-scan."""
+    assert "LeftSemi" in tree_of(plan_of(spark, "tpch_q4_order_priority"))
+    for key in ("tpch_q16_supplier_cnt", "tpch_q22_prospects"):
+        assert "LeftAnti" in tree_of(plan_of(spark, key)), key
+
+
+def test_tpch_q21_correlation_is_one_lineitem_pass(spark):
+    """Q21: the three correlation levels re-group one l_orderkey
+    partitioning — lineitem is scanned once, never self-joined raw."""
+    tree = tree_of(plan_of(spark, "tpch_q21_waiting_supplier"))
+    assert tree.count("Scan parquet") <= 3  # lineitem + orders + supplier
+    assert "CartesianProduct" not in tree
