@@ -19,6 +19,7 @@ from naqed_spark.queries import (  # noqa: F401
     llm_ann,
     llm_mix,
     llm_fp,
+    llm_lm,
     udfs,
     windows,
     sets,

@@ -1,0 +1,270 @@
+"""Corpus language-model statistics (round 8): bigram-LM document
+scoring, int8 embedding quantization, Zipf power-law fit, and hapax
+vocabulary health — the model-side complements to the unigram scorer
+(llm_ext.llm_unigram_logprob) and the corpus-health rollup.
+
+Scale doctrine: every operator is a constant number of token-level or
+vector-level aggregates with map-side combine; LM vocabularies and
+scalar fit results travel as broadcasts; nothing collects to the driver.
+Determinism: counts stay exact integers end to end; ln/avg/regression
+outputs carry the round(6) libm hedge (_util docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from naqed_spark.queries._util import load, r6
+from naqed_spark.registry import query
+
+_TOKS_SQL = """
+  SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+         unnest(string_split(text, ' ')) AS tok
+  FROM documents
+"""
+
+
+@query(
+    "llm_bigram_logprob",
+    # Add-one-smoothed bigram LM trained on the corpus itself, scoring
+    # every document: mean over its bigrams of
+    # ln((c(w1,w2)+1)/(c(w1)+V)). The fluency signal one step up from
+    # unigram NLL — repeated-boilerplate docs score high, shuffled-word
+    # docs score low, which the unigram model cannot distinguish.
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    big AS (
+      SELECT doc_id, tok AS w1,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM toks
+    ), bo AS (SELECT doc_id, w1, w2 FROM big WHERE w2 IS NOT NULL),
+    uni AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY tok),
+    bc  AS (SELECT w1, w2, count(*) AS c2 FROM bo GROUP BY w1, w2),
+    v   AS (SELECT CAST(count(*) AS DOUBLE) AS vocab FROM uni)
+    SELECT bo.doc_id, count(*) AS n_bigrams,
+           round(avg(ln((bc.c2 + 1.0) / (uni.c1 + v.vocab))), 6)
+             AS mean_ll
+    FROM bo
+    JOIN bc  ON bc.w1 = bo.w1 AND bc.w2 = bo.w2
+    JOIN uni ON uni.tok = bo.w1
+    CROSS JOIN v
+    GROUP BY bo.doc_id
+    """,
+)
+def llm_bigram_logprob(spark, sf_dir):
+    """One tokenize pass feeds three aggregates (bigram occurrences via a
+    per-doc lead window, bigram counts, unigram counts) that all combine
+    map-side; the vocab size is a 1-row broadcast. The scoring join
+    shuffles occurrences and counts on the same bigram key once —
+    state is vocabulary-sized, never corpus-sized."""
+    from pyspark.sql import Window
+
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bo = (
+        toks.withColumn("w2", F.lead("tok").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.col("tok").alias("w1"), "w2")
+    )
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c1"))
+    bc = (
+        bo.groupBy(F.col("w1").alias("b1"), F.col("w2").alias("b2"))
+        .agg(F.count("*").alias("c2"))
+    )
+    v = uni.agg(F.count("*").cast("double").alias("vocab"))
+    return (
+        bo.join(bc, (bo["w1"] == bc["b1"]) & (bo["w2"] == bc["b2"]))
+        .join(uni, bo["w1"] == uni["tok"])
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            r6(
+                F.avg(
+                    F.log(
+                        (F.col("c2") + F.lit(1.0))
+                        / (F.col("c1") + F.col("vocab"))
+                    )
+                )
+            ).alias("mean_ll"),
+        )
+    )
+
+
+@query(
+    "llm_embedding_quantize_int8",
+    # Symmetric per-vector int8 quantization — the product-quantization /
+    # storage-compression building block for ANN at scale: scale =
+    # 127/max|x|, q = floor(x*scale + 0.5) (floor is exact on both
+    # engines where round-half ties are not), reconstruction = q/scale.
+    # The integer checksums (sum q, sum |q|) are hash-exact evidence the
+    # quantized codes match bit-for-bit; the max reconstruction error is
+    # the quality metric.
+    oracle="""
+    WITH vals AS (
+      SELECT vec_id,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+               AS v
+      FROM embeddings
+    ), sc AS (
+      SELECT vec_id, 127.0 / max(abs(v)) AS scale FROM vals
+      GROUP BY vec_id HAVING max(abs(v)) > 0
+    )
+    SELECT vals.vec_id,
+           round(sc.scale, 6) AS scale_r,
+           CAST(SUM(CAST(floor(v * sc.scale + 0.5) AS BIGINT)) AS BIGINT)
+             AS qsum,
+           CAST(SUM(abs(CAST(floor(v * sc.scale + 0.5) AS BIGINT)))
+                AS BIGINT) AS q_l1,
+           round(max(abs(v - floor(v * sc.scale + 0.5) / sc.scale)), 6)
+             AS max_abs_err
+    FROM vals JOIN sc ON vals.vec_id = sc.vec_id
+    GROUP BY vals.vec_id, sc.scale
+    """,
+)
+def llm_embedding_quantize_int8(spark, sf_dir):
+    """Pure JVM-side array math: the per-vector max and the quantize +
+    checksum pass are two codegen aggregates over exploded values that
+    re-group on vec_id (one exchange, reused). At 100 TB this is the
+    compression sweep that runs before ANN index build — no Python, no
+    driver state."""
+    vals = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            F.explode(
+                F.expr("transform(embedding, x -> cast(x as double))")
+            ).alias("v"),
+        )
+    )
+    sc = (
+        vals.groupBy("vec_id")
+        .agg(F.max(F.abs("v")).alias("mx"))
+        .filter(F.col("mx") > 0)
+        .select("vec_id", (F.lit(127.0) / F.col("mx")).alias("scale"))
+        .withColumnRenamed("vec_id", "sc_vec_id")
+    )
+    q = F.floor(F.col("v") * F.col("scale") + F.lit(0.5)).cast("bigint")
+    return (
+        vals.join(sc, vals["vec_id"] == sc["sc_vec_id"])
+        .groupBy("vec_id", "scale")
+        .agg(
+            F.sum(q).cast("bigint").alias("qsum"),
+            F.sum(F.abs(q)).cast("bigint").alias("q_l1"),
+            r6(
+                F.max(F.abs(F.col("v") - q / F.col("scale")))
+            ).alias("max_abs_err"),
+        )
+        .select(
+            "vec_id",
+            r6(F.col("scale")).alias("scale_r"),
+            "qsum",
+            "q_l1",
+            "max_abs_err",
+        )
+    )
+
+
+@query(
+    "llm_zipf_fit",
+    # Zipf power-law fit over the top-100 word frequencies: slope and
+    # intercept of ln(freq) ~ ln(rank) by least squares. Natural corpora
+    # sit near slope -1; synthetic or template-heavy corpora flatten —
+    # the corpus-level naturalness check (per-doc twin: word entropy).
+    # Rank ties break by token text so the rank assignment is a total
+    # order on both engines.
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    freq AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+    top AS (
+      SELECT cnt,
+             row_number() OVER (ORDER BY cnt DESC, tok) AS rank
+      FROM freq ORDER BY cnt DESC, tok LIMIT 100
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_points,
+           round(regr_slope(ln(CAST(cnt AS DOUBLE)),
+                            ln(CAST(rank AS DOUBLE))), 6) AS slope,
+           round(regr_intercept(ln(CAST(cnt AS DOUBLE)),
+                                ln(CAST(rank AS DOUBLE))), 6) AS intercept
+    FROM top
+    """,
+)
+def llm_zipf_fit(spark, sf_dir):
+    """The frequency table aggregates map-side; the top-100 is
+    TakeOrdered (per-partition heaps — the vocabulary is never globally
+    sorted); ranking + regression then run on a 100-row frame, so the
+    single-partition window is bounded by the constant k, not the
+    corpus."""
+    from pyspark.sql import Window
+
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    top = freq.orderBy(F.col("cnt").desc(), "tok").limit(100)
+    ranked = top.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), "tok"))
+        .alias("rank"),
+    )
+    y = F.log(F.col("cnt").cast("double"))
+    x = F.log(F.col("rank").cast("double"))
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        r6(F.regr_slope(y, x)).alias("slope"),
+        r6(F.regr_intercept(y, x)).alias("intercept"),
+    )
+
+
+@query(
+    "llm_hapax_ratio",
+    # Per-language vocabulary health: vocabulary size, hapax legomena
+    # (words occurring once), the hapax share, and total tokens. High
+    # hapax share = rich/noisy long tail (OCR garbage also lands here);
+    # low = template repetition. All-integer until the single exact
+    # division.
+    oracle=f"""
+    WITH toks AS (
+      SELECT d.lang, t.tok
+      FROM ({_TOKS_SQL}) t JOIN documents d ON d.doc_id = t.doc_id
+    ), wf AS (
+      SELECT lang, tok, count(*) AS cnt FROM toks GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS vocab,
+           CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hapax,
+           CAST(sum(cnt) AS BIGINT) AS total_tokens,
+           round(CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS hapax_share
+    FROM wf GROUP BY lang ORDER BY lang
+    """,
+)
+def llm_hapax_ratio(spark, sf_dir):
+    """One tokenize pass, one (lang, token) aggregate with map-side
+    combine, one language-grid rollup — state is vocabulary-sized and
+    the language key keeps the final group tiny at any corpus size."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.split("text", " ")).alias("tok"))
+    )
+    wf = toks.groupBy("lang", "tok").agg(F.count("*").alias("cnt"))
+    hap = F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+    return (
+        wf.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("vocab"),
+            hap.cast("bigint").alias("hapax"),
+            F.sum("cnt").cast("bigint").alias("total_tokens"),
+            r6(hap.cast("double") / F.count("*")).alias("hapax_share"),
+        )
+        .orderBy("lang")
+    )
