@@ -22,7 +22,7 @@ Determinism (SURVEY.md §7.3 + _util docstring):
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from naqed_spark.queries._util import dec, dsum, load, r4, r6
 from naqed_spark.registry import query
@@ -944,4 +944,168 @@ def agg_percent_of_total(spark, sf_dir):
             r6(F.col("rev") / F.col("flag_rev")).alias("pct_of_flag"),
             r6(F.col("rev") / F.col("t")).alias("pct_of_total"),
         )
+    )
+
+
+@query(
+    "agg_benford_digits",
+    # First-significant-digit distribution of o_totalprice vs Benford's
+    # law — the forensic data-quality check that flags fabricated or
+    # truncated monetary columns. The digit is extracted from the exact
+    # DECIMAL's string form (both engines render "1320.51" identically;
+    # floor(log10(x)) would be ulp-fragile at powers of ten). Counts are
+    # exact; the observed share and Benford expectation ln(1+1/d)/ln(10)
+    # carry the round(6) hedge.
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(12,2))
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d)
+    SELECT digit, count(*) AS cnt,
+           round(count(*) / max(tot.n), 6) AS observed,
+           round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford
+    FROM d CROSS JOIN tot
+    GROUP BY digit ORDER BY digit
+    """,
+)
+def agg_benford_digits(spark, sf_dir):
+    """One scan, one 9-group hash aggregate with a broadcast 1-row total
+    — the shape survives any scale because the group key domain is
+    fixed at nine digits."""
+    d = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.substring(
+                F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
+                1,
+                1,
+            )
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    tot = d.agg(F.count("*").cast("double").alias("n"))
+    return (
+        d.crossJoin(F.broadcast(tot))
+        .groupBy("digit")
+        .agg(
+            F.count("*").alias("cnt"),
+            r6(F.count("*") / F.max("n")).alias("observed"),
+            r6(
+                F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+                / F.log(F.lit(10.0))
+            ).alias("benford"),
+        )
+        .orderBy("digit")
+    )
+
+
+@query(
+    "agg_weighted_median",
+    # Exact weighted median of l_extendedprice weighted by l_quantity,
+    # per return flag: the first row (in a TOTAL order: price, orderkey,
+    # linenumber) whose doubled cumulative weight reaches the group
+    # total. Quantities are whole-numbered so every cumulative sum is an
+    # exact integer-valued double — the crossing comparison is engine-
+    # identical, no percentile interpolation ambiguity.
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_extendedprice,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+    ), hit AS (
+      SELECT l_returnflag, l_extendedprice, cw, tw,
+             row_number() OVER (PARTITION BY l_returnflag ORDER BY cw)
+               AS rn
+      FROM c WHERE 2 * cw >= tw
+    )
+    SELECT l_returnflag, l_extendedprice AS weighted_median, tw AS total_w
+    FROM hit WHERE rn = 1 ORDER BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark, sf_dir):
+    """One per-flag sort shuffle shared by the running and total window;
+    the crossing-point filter then reduces each group to one row. Skew
+    note: return-flag groups are huge but the window is rows-bounded
+    cumulative state, and at scale the same spelling runs per finer key
+    (flag × month) to cap partition size."""
+    w_ord = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy("l_returnflag")
+    c = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(w_ord).alias("cw"),
+        F.sum("l_quantity").over(w_all).alias("tw"),
+    ).filter(2 * F.col("cw") >= F.col("tw"))
+    rn = F.row_number().over(
+        Window.partitionBy("l_returnflag").orderBy("cw")
+    )
+    return (
+        c.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_extendedprice").alias("weighted_median"),
+            F.col("tw").alias("total_w"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_entropy_categorical",
+    # Shannon entropy (nats) of the order-priority mix per market
+    # segment — the categorical drift/imbalance primitive. Shares are
+    # exact integer ratios so each p·ln p term is engine-identical; only
+    # the ~5-term sum order differs → round(6) hedge.
+    oracle="""
+    WITH c AS (
+      SELECT c_mktsegment, o_orderpriority, count(*) AS cnt
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), t AS (
+      SELECT c_mktsegment, CAST(sum(cnt) AS DOUBLE) AS tot FROM c
+      GROUP BY 1
+    )
+    SELECT c.c_mktsegment,
+           CAST(sum(cnt) AS BIGINT) AS n_orders,
+           round(-sum((cnt / tot) * ln(cnt / tot)), 6) AS entropy_nats
+    FROM c JOIN t ON c.c_mktsegment = t.c_mktsegment
+    GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+)
+def agg_entropy_categorical(spark, sf_dir):
+    """Two stacked hash aggregates on the same segment key (the second
+    reuses the first's partitioning — no extra exchange); the cell grid
+    is |segments| × |priorities| = tiny at any fact-table scale."""
+    c = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment"
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"))
+    )
+    t = c.groupBy(F.col("c_mktsegment").alias("t_seg")).agg(
+        F.sum("cnt").cast("double").alias("tot")
+    )
+    p = F.col("cnt") / F.col("tot")
+    return (
+        c.join(t, c["c_mktsegment"] == t["t_seg"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_orders"),
+            r6(-F.sum(p * F.log(p))).alias("entropy_nats"),
+        )
+        .orderBy("c_mktsegment")
     )

@@ -268,3 +268,112 @@ def llm_hapax_ratio(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "llm_js_divergence",
+    # Jensen-Shannon divergence (nats) between the token distributions
+    # of every language pair — the corpus-drift / source-similarity
+    # matrix. Zero-frequency terms contribute 0 by JSD's own definition
+    # (no smoothing needed); every p, q, m is an exact integer ratio so
+    # each term is engine-identical and only the vocabulary-sized sum
+    # order differs → round(6) hedge.
+    oracle=f"""
+    WITH toks AS (
+      SELECT d.lang, t.tok
+      FROM ({_TOKS_SQL}) t JOIN documents d ON d.doc_id = t.doc_id
+    ), wf AS (
+      SELECT lang, tok, count(*) AS cnt FROM toks GROUP BY 1, 2
+    ), tot AS (
+      SELECT lang, CAST(sum(cnt) AS DOUBLE) AS t FROM wf GROUP BY 1
+    ), pairs AS (
+      SELECT a.lang AS lang_a, b.lang AS lang_b
+      FROM tot a JOIN tot b ON a.lang < b.lang
+    ), grid AS (
+      SELECT p.lang_a, p.lang_b, v.tok,
+             coalesce(wa.cnt, 0) / ta.t AS pa,
+             coalesce(wb.cnt, 0) / tb.t AS pb
+      FROM pairs p
+      CROSS JOIN (SELECT DISTINCT tok FROM wf) v
+      JOIN tot ta ON ta.lang = p.lang_a
+      JOIN tot tb ON tb.lang = p.lang_b
+      LEFT JOIN wf wa ON wa.lang = p.lang_a AND wa.tok = v.tok
+      LEFT JOIN wf wb ON wb.lang = p.lang_b AND wb.tok = v.tok
+    )
+    SELECT lang_a, lang_b,
+           round(sum(
+             CASE WHEN pa > 0
+                  THEN 0.5 * pa * ln(pa / ((pa + pb) / 2)) ELSE 0 END
+           + CASE WHEN pb > 0
+                  THEN 0.5 * pb * ln(pb / ((pa + pb) / 2)) ELSE 0 END),
+             6) AS jsd
+    FROM grid GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def llm_js_divergence(spark, sf_dir):
+    """The (lang, token) frequency table is built once; the pair grid is
+    |langs|²/2 × vocab — vocabulary-sized state fanned out by a
+    broadcast pair list, never corpus-sized. Per-language totals ride
+    along as a broadcast. At 100 TB the token agg is the only wide
+    shuffle; the JSD matrix itself is grid-sized."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.split("text", " ")).alias("tok"))
+    )
+    wf = toks.groupBy("lang", "tok").agg(F.count("*").alias("cnt"))
+    tot = wf.groupBy("lang").agg(F.sum("cnt").cast("double").alias("t"))
+    pairs = (
+        tot.select(F.col("lang").alias("lang_a"))
+        .join(
+            tot.select(F.col("lang").alias("lang_b")),
+            F.col("lang_a") < F.col("lang_b"),
+        )
+    )
+    vocab = wf.select("tok").distinct()
+    wa = wf.select(
+        F.col("lang").alias("wa_lang"),
+        F.col("tok").alias("wa_tok"),
+        F.col("cnt").alias("ca"),
+    )
+    wb = wf.select(
+        F.col("lang").alias("wb_lang"),
+        F.col("tok").alias("wb_tok"),
+        F.col("cnt").alias("cb"),
+    )
+    ta = tot.select(F.col("lang").alias("ta_lang"), F.col("t").alias("ta"))
+    tb = tot.select(F.col("lang").alias("tb_lang"), F.col("t").alias("tb"))
+    grid = (
+        F.broadcast(pairs)
+        .crossJoin(vocab)
+        .join(ta, F.col("lang_a") == F.col("ta_lang"))
+        .join(tb, F.col("lang_b") == F.col("tb_lang"))
+        .join(
+            wa,
+            (F.col("wa_lang") == F.col("lang_a"))
+            & (F.col("wa_tok") == F.col("tok")),
+            "left",
+        )
+        .join(
+            wb,
+            (F.col("wb_lang") == F.col("lang_b"))
+            & (F.col("wb_tok") == F.col("tok")),
+            "left",
+        )
+        .select(
+            "lang_a",
+            "lang_b",
+            (F.coalesce(F.col("ca"), F.lit(0)) / F.col("ta")).alias("pa"),
+            (F.coalesce(F.col("cb"), F.lit(0)) / F.col("tb")).alias("pb"),
+        )
+    )
+    m = (F.col("pa") + F.col("pb")) / 2
+    term = F.when(
+        F.col("pa") > 0, 0.5 * F.col("pa") * F.log(F.col("pa") / m)
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.col("pb") > 0, 0.5 * F.col("pb") * F.log(F.col("pb") / m)
+    ).otherwise(F.lit(0.0))
+    return (
+        grid.groupBy("lang_a", "lang_b")
+        .agg(r6(F.sum(term)).alias("jsd"))
+        .orderBy("lang_a", "lang_b")
+    )

@@ -1349,3 +1349,69 @@ def ts_coverage_ratio(spark, sf_dir):
             "coverage"
         ),
     )
+
+
+@query(
+    "ts_psi_drift",
+    # Population Stability Index of the event-value distribution between
+    # the first and second half of the month, per event type — the
+    # standard serving-drift monitor. Fixed equal-width buckets (0..400
+    # by 40, derived from the declared domain, NOT from the data — a
+    # data-derived range re-bins every run and breaks comparability) and
+    # add-one smoothing so empty buckets stay finite. All counts exact;
+    # the ≤10-term PSI sum carries the round(6) ln hedge.
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                  THEN 'a' ELSE 'b' END AS win,
+             LEAST(CAST(floor(value / 40.0) AS INT), 9) AS bucket
+      FROM events
+    ), c AS (
+      SELECT event_type, bucket,
+             1 + sum(CASE WHEN win = 'a' THEN 1 ELSE 0 END) AS ca,
+             1 + sum(CASE WHEN win = 'b' THEN 1 ELSE 0 END) AS cb
+      FROM b GROUP BY 1, 2
+    ), t AS (
+      SELECT event_type, CAST(sum(ca) AS DOUBLE) AS ta,
+             CAST(sum(cb) AS DOUBLE) AS tb
+      FROM c GROUP BY 1
+    )
+    SELECT c.event_type,
+           round(sum((ca / ta - cb / tb) * ln((ca / ta) / (cb / tb))), 6)
+             AS psi
+    FROM c JOIN t ON c.event_type = t.event_type
+    GROUP BY c.event_type ORDER BY c.event_type
+    """,
+)
+def ts_psi_drift(spark, sf_dir):
+    """One scan, two stacked aggregates on the event_type key (the
+    second reuses the first's partitioning), final grid =
+    |event types| × 10 buckets — constant state at any event volume."""
+    b = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(
+            F.col("ts") < F.lit("2024-01-16").cast("timestamp_ntz"), "a"
+        ).otherwise("b").alias("win"),
+        F.least(
+            F.floor(F.col("value") / 40.0).cast("int"), F.lit(9)
+        ).alias("bucket"),
+    )
+    c = b.groupBy("event_type", "bucket").agg(
+        (1 + F.sum(F.when(F.col("win") == "a", 1).otherwise(0))).alias("ca"),
+        (1 + F.sum(F.when(F.col("win") == "b", 1).otherwise(0))).alias("cb"),
+    )
+    t = c.groupBy(F.col("event_type").alias("t_type")).agg(
+        F.sum("ca").cast("double").alias("ta"),
+        F.sum("cb").cast("double").alias("tb"),
+    )
+    pa = F.col("ca") / F.col("ta")
+    pb = F.col("cb") / F.col("tb")
+    from naqed_spark.queries._util import r6 as _r6
+
+    return (
+        c.join(t, c["event_type"] == t["t_type"])
+        .groupBy("event_type")
+        .agg(_r6(F.sum((pa - pb) * F.log(pa / pb))).alias("psi"))
+        .orderBy("event_type")
+    )
