@@ -20,6 +20,7 @@ from naqed_spark.queries import (  # noqa: F401
     llm_mix,
     llm_fp,
     llm_lm,
+    llm_mm,
     udfs,
     windows,
     sets,

@@ -1,0 +1,126 @@
+"""Multimodal preprocessing plumbing, part 2 (round 8): resize planning
+and audio chunking — the metadata-side halves of the decode pipeline in
+``naqed_spark/functions/multimodal.py`` (the byte-decode itself is the
+PIL/ffmpeg-gated stub there; everything here is the Spark-side geometry
+that surrounds it and runs at full scale with no codec).
+
+Media dimensions are derived deterministically from doc_id (the fixture
+has no real image/audio columns — TESTDATA.md), exactly like the binary
+payloads in llm_multimodal_binary. All arithmetic is INTEGER-only
+(``(w*224) // max(w,h)``, never ``floor(w * (224.0/max))``) so both
+engines agree bit-for-bit with no rounding hedge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from naqed_spark.queries._util import load
+from naqed_spark.registry import query
+
+
+@query(
+    "llm_multimodal_resize_spec",
+    # Aspect-preserving fit into a 224x224 training canvas with
+    # letterbox padding: the resize PLAN (target dims + pad) computed
+    # JVM-side for every image; the pixel work is the mapInPandas decode
+    # stage. Integer-only: out_w = w*224 // max(w,h).
+    oracle="""
+    WITH img AS (
+      SELECT doc_id,
+             320 + (doc_id * 7) % 1280 AS w,
+             240 + (doc_id * 13) % 720 AS h
+      FROM documents
+    )
+    SELECT doc_id, w, h,
+           CAST(w * 224 // GREATEST(w, h) AS BIGINT) AS out_w,
+           CAST(h * 224 // GREATEST(w, h) AS BIGINT) AS out_h,
+           CAST((224 - w * 224 // GREATEST(w, h)) // 2 AS BIGINT)
+             AS pad_x,
+           CAST((224 - h * 224 // GREATEST(w, h)) // 2 AS BIGINT)
+             AS pad_y
+    FROM img
+    """,
+)
+def llm_multimodal_resize_spec(spark, sf_dir):
+    """Pure codegen scan — the plan column rides next to the payload so
+    the decode stage receives (payload, out_w, out_h, pad) in one Arrow
+    batch and never re-derives geometry in Python."""
+    img = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (320 + (F.col("doc_id") * 7) % 1280).alias("w"),
+        (240 + (F.col("doc_id") * 13) % 720).alias("h"),
+    )
+    mx = F.greatest("w", "h")
+    out_w = (F.col("w") * 224 - (F.col("w") * 224) % mx) / mx
+    out_h = (F.col("h") * 224 - (F.col("h") * 224) % mx) / mx
+    ow = out_w.cast("bigint")
+    oh = out_h.cast("bigint")
+    return img.select(
+        "doc_id",
+        "w",
+        "h",
+        ow.alias("out_w"),
+        oh.alias("out_h"),
+        (((224 - ow) - (224 - ow) % 2) / 2).cast("bigint").alias("pad_x"),
+        (((224 - oh) - (224 - oh) % 2) / 2).cast("bigint").alias("pad_y"),
+    )
+
+
+@query(
+    "llm_multimodal_audio_chunks",
+    # Fixed-duration (1 s) audio chunking from metadata: each doc's fake
+    # waveform (n_chars*160 samples @16 kHz) explodes into chunk rows
+    # (start/end ms, sample count) — the windowing that feeds a
+    # frame-level feature extractor. Last chunk is truncated, never
+    # padded, and chunk counts are ceil-divisions in exact integers.
+    oracle="""
+    WITH a AS (
+      SELECT doc_id, n_chars * 160 AS n_samples,
+             (n_chars * 160 * 1000) // 16000 AS dur_ms
+      FROM documents
+    ), c AS (
+      SELECT doc_id, n_samples, dur_ms,
+             unnest(generate_series(0, CAST((dur_ms + 999) // 1000 - 1
+                                            AS INT))) AS chunk_idx
+      FROM a WHERE dur_ms > 0
+    )
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(chunk_idx * 1000 AS BIGINT) AS start_ms,
+           CAST(LEAST((chunk_idx + 1) * 1000, dur_ms) AS BIGINT)
+             AS end_ms,
+           CAST((LEAST((chunk_idx + 1) * 1000, dur_ms) - chunk_idx * 1000)
+                * 16 AS BIGINT) AS chunk_samples
+    FROM c
+    """,
+)
+def llm_multimodal_audio_chunks(spark, sf_dir):
+    """sequence() + explode is the JVM-side chunk generator — fan-out is
+    duration-bounded per row (no cross-row state, no shuffle at all
+    until a downstream aggregate), which is exactly how a 100 TB audio
+    corpus shards into bounded Arrow batches for feature extraction."""
+    a = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("n_chars") * 160).alias("n_samples"),
+        ((F.col("n_chars") * 160 * 1000) / 16000)
+        .cast("bigint")
+        .alias("dur_ms"),
+    ).filter(F.col("dur_ms") > 0)
+    n_chunks = ((F.col("dur_ms") + 999) / 1000).cast("bigint")
+    c = a.select(
+        "doc_id",
+        "dur_ms",
+        F.explode(
+            F.sequence(F.lit(0).cast("int"), (n_chunks - 1).cast("int"))
+        ).alias("chunk_idx"),
+    )
+    end = F.least((F.col("chunk_idx") + 1) * 1000, F.col("dur_ms"))
+    return c.select(
+        "doc_id",
+        "chunk_idx",
+        (F.col("chunk_idx") * 1000).cast("bigint").alias("start_ms"),
+        end.cast("bigint").alias("end_ms"),
+        ((end - F.col("chunk_idx") * 1000) * 16)
+        .cast("bigint")
+        .alias("chunk_samples"),
+    )
