@@ -1109,3 +1109,70 @@ def agg_entropy_categorical(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "agg_gini_concentration",
+    # Gini coefficient of customer spend per market segment — the
+    # revenue-concentration governance metric. Exact decimal spend sums;
+    # rank-weighted sum via G = (2·Σ i·sᵢ − (n+1)·Σ sᵢ) / (n·Σ sᵢ) over
+    # the (spend, custkey) total order, everything decimal-exact until
+    # the one final division.
+    oracle="""
+    WITH s AS (
+      SELECT c_mktsegment, o_custkey,
+             sum(CAST(o_totalprice AS DECIMAL(12,2))) AS spend
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY 1, 2
+    ), r AS (
+      SELECT c_mktsegment, spend,
+             row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY spend, o_custkey) AS i
+      FROM s
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           round((2.0 * CAST(sum(i * spend) AS DOUBLE)
+                  - (count(*) + 1) * CAST(sum(spend) AS DOUBLE))
+                 / (count(*) * CAST(sum(spend) AS DOUBLE)), 6) AS gini
+    FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def agg_gini_concentration(spark, sf_dir):
+    """The rank window partitions on the segment key (never global), so
+    cumulative state is segment-bounded; at 100 TB the same spelling
+    runs per finer key (segment × nation) to cap partition size, and
+    the rank-weighted products stay exact decimals until the final
+    division. Spend aggregation itself is the usual map-side-partial
+    hash agg on the customer key."""
+    s = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment"
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(F.sum(dec("o_totalprice")).alias("spend"))
+    )
+    i = F.row_number().over(
+        Window.partitionBy("c_mktsegment").orderBy("spend", "o_custkey")
+    )
+    r = s.withColumn("i", i)
+    n = F.count("*")
+    tot = F.sum("spend").cast("double")
+    return (
+        r.groupBy("c_mktsegment")
+        .agg(
+            n.cast("bigint").alias("n_cust"),
+            r6(
+                (
+                    2.0 * F.sum(F.col("i") * F.col("spend")).cast("double")
+                    - (n + 1) * tot
+                )
+                / (n * tot)
+            ).alias("gini"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -1455,3 +1455,58 @@ def graph_harmonic_centrality(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_seeds_reaching"),
         F.round(F.sum("c"), 6).alias("harmonic"),
     ).select(F.col("v").alias("user_id"), "n_seeds_reaching", "harmonic")
+
+
+@query(
+    "graph_adamic_adar",
+    # Adamic-Adar link prediction over the same capped adjacency as
+    # graph_common_neighbors: score(u,w) = Σ_z 1/ln(deg(z)) over common
+    # neighbors z — rare shared neighbors count more than hubs, the
+    # refinement Jaccard can't express. A common neighbor necessarily
+    # has degree ≥ 2, so ln(deg) > 0 by construction. Each 1/ln term is
+    # engine-identical (exact integer degree into libm); only the
+    # per-pair sum order differs → round(6).
+    oracle=f"""
+    WITH ue AS ({_UE_SQL}),
+    {_UND_DEG_SQL}
+    SELECT a.v AS u, b.v AS w, count(*) AS cn,
+           round(sum(1.0 / ln(dn.d)), 6) AS aa_score
+    FROM ke a
+    JOIN ke b ON a.n = b.n AND a.v < b.v
+    JOIN kept dn ON dn.v = a.n
+    GROUP BY a.v, b.v
+    HAVING count(*) >= 3
+    ORDER BY u, w
+    """,
+)
+def graph_adamic_adar(spark, sf_dir):
+    """Same scale shape as graph_common_neighbors (hub-capped adjacency
+    self-joined ON the shared neighbor, map-side-combined pair
+    aggregate); the neighbor-degree weight joins BEFORE pairing so the
+    1/ln(d) factor rides the adjacency rows instead of a third join on
+    the pair table."""
+    ue = user_edges(spark, sf_dir)
+    und = (
+        ue.select(F.col("src").alias("v"), F.col("dst").alias("n"))
+        .union(ue.select(F.col("dst").alias("v"), F.col("src").alias("n")))
+        .distinct()
+    )
+    deg = und.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    kept = deg.filter(F.col("d") <= _CN_HUB_CAP)
+    ke = (
+        und.join(F.broadcast(kept.select("v")), "v")
+        .join(F.broadcast(kept.select(F.col("v").alias("n"), "d")), "n")
+        .select("v", "n", "d")
+    )
+    a = ke.select(F.col("v").alias("u"), "n", "d")
+    b = ke.select(F.col("v").alias("w"), F.col("n").alias("nb"))
+    return (
+        a.join(b, (a["n"] == b["nb"]) & (a["u"] < b["w"]))
+        .groupBy("u", "w")
+        .agg(
+            F.count(F.lit(1)).alias("cn"),
+            F.round(F.sum(1.0 / F.log(F.col("d"))), 6).alias("aa_score"),
+        )
+        .filter(F.col("cn") >= 3)
+        .orderBy("u", "w")
+    )

@@ -377,3 +377,148 @@ def llm_js_divergence(spark, sf_dir):
         .agg(r6(F.sum(term)).alias("jsd"))
         .orderBy("lang_a", "lang_b")
     )
+
+
+@query(
+    "llm_collocation_pmi",
+    # Top-20 bigram collocations by pointwise mutual information —
+    # the phrase-mining primitive (vocabulary building for tokenizers,
+    # stop-phrase lists). PMI = ln(p(w1,w2)/(p(w1)p(w2))) with a min
+    # support of 5; every probability is an exact integer ratio so each
+    # PMI input is engine-identical, and the ranking orders by the
+    # ROUNDED score with a (w1, w2) tiebreak — a total order stable
+    # against libm's last-ulp ln differences.
+    oracle=f"""
+    WITH toks AS ({_TOKS_SQL}),
+    big AS (
+      SELECT doc_id, tok AS w1,
+             lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      FROM toks
+    ), bo AS (SELECT w1, w2 FROM big WHERE w2 IS NOT NULL),
+    uni AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY tok),
+    bc  AS (SELECT w1, w2, count(*) AS c2 FROM bo GROUP BY w1, w2),
+    n   AS (
+      SELECT CAST((SELECT count(*) FROM bo) AS DOUBLE) AS nb,
+             CAST((SELECT count(*) FROM toks) AS DOUBLE) AS nu
+    )
+    SELECT w1, w2, c2,
+           round(ln((bc.c2 / n.nb)
+                    / ((ua.c1 / n.nu) * (ub.c1 / n.nu))), 6) AS pmi
+    FROM bc
+    JOIN uni ua ON ua.tok = bc.w1
+    JOIN uni ub ON ub.tok = bc.w2
+    CROSS JOIN n
+    WHERE c2 >= 5
+    ORDER BY pmi DESC, w1, w2 LIMIT 20
+    """,
+)
+def llm_collocation_pmi(spark, sf_dir):
+    """Bigram and unigram counts combine map-side; the scoring join
+    shuffles the vocabulary-sized count tables, the corpus totals ride
+    as a 1-row broadcast, and the top-20 is TakeOrderedAndProject over
+    the scored bigram table — never a global sort."""
+    from pyspark.sql import Window
+
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bo = (
+        toks.withColumn("w2", F.lead("tok").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select(F.col("tok").alias("w1"), "w2")
+    )
+    uni = toks.groupBy("tok").agg(F.count("*").alias("c1"))
+    bc = bo.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    n = bo.agg(
+        F.count("*").cast("double").alias("nb")
+    ).crossJoin(toks.agg(F.count("*").cast("double").alias("nu")))
+    ua = uni.select(F.col("tok").alias("ua_tok"), F.col("c1").alias("ca"))
+    ub = uni.select(F.col("tok").alias("ub_tok"), F.col("c1").alias("cb"))
+    return (
+        bc.filter(F.col("c2") >= 5)
+        .join(ua, F.col("w1") == F.col("ua_tok"))
+        .join(ub, F.col("w2") == F.col("ub_tok"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "c2",
+            r6(
+                F.log(
+                    (F.col("c2") / F.col("nb"))
+                    / (
+                        (F.col("ca") / F.col("nu"))
+                        * (F.col("cb") / F.col("nu"))
+                    )
+                )
+            ).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )
+
+
+@query(
+    "llm_source_concentration",
+    # Source-concentration curve for corpus governance: per source the
+    # doc share and the cumulative share in popularity order (docs desc,
+    # source asc), plus the top-80% membership flag — the "how few
+    # sources dominate the corpus" release check. All-integer until the
+    # per-row exact divisions.
+    oracle="""
+    WITH s AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars
+      FROM documents GROUP BY source
+    ), t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS tot FROM s),
+    c AS (
+      SELECT source, n_docs, n_chars, tot,
+             SUM(n_docs) OVER (ORDER BY n_docs DESC, source
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM s CROSS JOIN t
+    )
+    SELECT source, n_docs, n_chars,
+           round(n_docs / tot, 6) AS share,
+           round(cum / tot, 6) AS cum_share,
+           CAST(cum / tot <= 0.8 AS BOOLEAN) AS in_top80
+    FROM c ORDER BY n_docs DESC, source
+    """,
+)
+def llm_source_concentration(spark, sf_dir):
+    """The only window runs over the SOURCE GRID (|sources| rows — the
+    per-doc work is one map-side-combined count), so the unpartitioned
+    cumulative sum is bounded by the catalog of sources, not the
+    corpus."""
+    from pyspark.sql import Window
+
+    s = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+    t = s.agg(F.sum("n_docs").cast("double").alias("tot"))
+    w = Window.orderBy(F.col("n_docs").desc(), "source").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            "source",
+            "n_docs",
+            "n_chars",
+            r6(F.col("n_docs") / F.col("tot")).alias("share"),
+            r6(F.sum("n_docs").over(w) / F.col("tot")).alias("cum_share"),
+            (F.sum("n_docs").over(w) / F.col("tot") <= 0.8).alias(
+                "in_top80"
+            ),
+        )
+        .orderBy(F.col("n_docs").desc(), "source")
+    )

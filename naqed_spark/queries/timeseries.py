@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from naqed_spark.queries._util import load
+from naqed_spark.queries._util import load, r6
 from naqed_spark.registry import query
 
 
@@ -1414,4 +1414,40 @@ def ts_psi_drift(spark, sf_dir):
         .groupBy("event_type")
         .agg(_r6(F.sum((pa - pb) * F.log(pa / pb))).alias("psi"))
         .orderBy("event_type")
+    )
+
+
+@query(
+    "ts_seasonal_profile",
+    # Hour-of-week seasonality fingerprint: event count and exact-decimal
+    # mean value per (ISO weekday, hour) cell — the profile that feeds
+    # expected-load baselines and the seasonal term of anomaly scores.
+    # ISO weekday (Monday=1) on both engines: Spark weekday()+1 ==
+    # DuckDB isodow() — the engines' default dayofweek origins differ.
+    oracle="""
+    SELECT CAST(isodow(ts) AS INT) AS dow,
+           CAST(hour(ts) AS INT) AS hod,
+           count(*) AS n_events,
+           round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                 / count(*), 6) AS mean_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def ts_seasonal_profile(spark, sf_dir):
+    """One scan, one hash aggregate onto a fixed 7×24 grid — constant
+    result size and map-side partials at any event volume."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.weekday("ts") + 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            r6(
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+                / F.count("*")
+            ).alias("mean_value"),
+        )
+        .orderBy("dow", "hod")
     )
