@@ -377,6 +377,11 @@ class Engine:
             # separator is a parse-time-validated string literal (spec.py),
             # passed to array_join as a plain str, not a Column
             return F.array_join(sub[0], ex.args[1].args[0])
+        if op == "$json":
+            # path is a parse-time-validated "$."-prefixed literal; NULL on
+            # missing keys in both engines (DuckDB twin:
+            # json_extract_string)
+            return F.get_json_object(sub[0], ex.args[1].args[0])
         if op == "$year":
             return F.year(sub[0])
         if op == "$month":
@@ -509,6 +514,10 @@ class Engine:
             e = F.min(a.column)
         elif a.op == "$max":
             e = F.max(a.column)
+        elif a.op == "$min_by":
+            e = F.min_by(F.col(a.column), F.col(a.order_col))
+        elif a.op == "$max_by":
+            e = F.max_by(F.col(a.column), F.col(a.order_col))
         else:  # pragma: no cover
             raise SpecError(f"unknown agg {a.op!r}")
         return e.alias(a.alias)

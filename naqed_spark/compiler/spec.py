@@ -100,6 +100,18 @@ Round-7 session-2 extensions:
                                       # eligible; branch predicates get the
                                       # same typed checks
 
+Round-8 extensions:
+
+    "$json" in $select                # [col, {"$lit": "$.path"}] — JSON
+                                      # field accessor (get_json_object ≡
+                                      # DuckDB json_extract_string, NULL on
+                                      # missing); extracted values group/
+                                      # filter like any field
+    {alias: {"$max_by": [val, ord]}}  # per-group argmax/argmin aggregates
+      (and "$min_by") in $agg         # — order by a UNIQUE column or
+                                      # accept engine-dependent ties (the
+                                      # SQL arg_max contract)
+
 ``$``-keys are arguments (the reference passes resolver args the same way);
 everything else is either a requested field (``True``) or a relationship
 traversal (nested dict). Relationship fan-out is relational: one output row
@@ -120,7 +132,8 @@ class SpecError(ValueError):
 
 FILTER_OPS = {"$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$in", "$between",
               "$like", "$isnull", "$notnull"}
-AGG_OPS = {"$count", "$sum", "$avg", "$min", "$max", "$count_distinct"}
+AGG_OPS = {"$count", "$sum", "$avg", "$min", "$max", "$count_distinct",
+           "$min_by", "$max_by"}
 # $select expression DSL (round 4): arity-checked at parse time.
 # A bare string is a column reference; numbers are literals; string
 # literals must be spelled {"$lit": "..."} to stay unambiguous.
@@ -144,6 +157,7 @@ SELECT_OPS = {
     "$month": 1,
     "$cast": 2,        # [expr, {"$lit": type-name}] — CAST_TYPES only
     "$if": 3,          # [cond ($filter syntax), then-expr, else-expr]
+    "$json": 2,        # [expr, {"$lit": "$.path"}] — JSON field accessor
 }
 
 # $cast target types. decimal(p,s) is the determinism workhorse (§7.3:
@@ -250,6 +264,7 @@ class AggSpec:
     alias: str
     op: str  # one of AGG_OPS
     column: str | None  # None for $count
+    order_col: str | None = None  # $min_by/$max_by ordering column
 
 
 @dataclass
@@ -371,6 +386,24 @@ def _parse_aggs(obj: object) -> list[AggSpec]:
         ((op, col),) = body.items()
         if op not in AGG_OPS:
             raise SpecError(f"unknown agg op {op!r} in {alias!r}")
+        if op in ("$min_by", "$max_by"):
+            # argmin/argmax: [value-column, ordering-column]. The caller
+            # must order by a UNIQUE column (or accept engine-dependent
+            # tie-breaks) — same determinism contract as SQL arg_max.
+            if (
+                not isinstance(col, list)
+                or len(col) != 2
+                or not all(
+                    isinstance(c, str) and not isinstance(c, bool)
+                    for c in col
+                )
+            ):
+                raise SpecError(
+                    f"$agg entry {alias!r}: {op} takes exactly"
+                    f" [value-column, ordering-column] — got {col!r}"
+                )
+            aggs.append(AggSpec(alias, op, col[0], col[1]))
+            continue
         if col is not True and not isinstance(col, str):
             raise SpecError(
                 f"$agg entry {alias!r}: column must be a name or True (count-star)"
@@ -415,6 +448,16 @@ def _parse_expr(obj: object) -> Expr:
                 "$array_join second argument must be a {'$lit': str} separator"
             )
         return Expr("$array_join", [_parse_expr(args[0]), Expr("$lit", [sep["$lit"]])])
+    if op == "$json":
+        path = args[1]
+        if not (isinstance(path, dict) and set(path) == {"$lit"}
+                and isinstance(path["$lit"], str)
+                and path["$lit"].startswith("$.")):
+            raise SpecError(
+                "$json second argument must be a {'$lit': '$.path'}"
+                " JSONPath literal"
+            )
+        return Expr("$json", [_parse_expr(args[0]), Expr("$lit", [path["$lit"]])])
     if op == "$if":
         cond = args[0]
         if not isinstance(cond, dict) or not cond:

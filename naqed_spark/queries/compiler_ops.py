@@ -756,3 +756,81 @@ def compiler_filter_or(spark, sf_dir):
             }
         }
     )
+
+
+@query(
+    "compiler_json_field",
+    # $json accessor (round 8): naqed resolves custom/JSON-typed fields
+    # through resolvers; the E1 spelling is a $select op extracting a
+    # JSONPath from a JSON string column, then grouping on the extracted
+    # value like any field. NULL-on-missing matches on both engines
+    # (get_json_object ≡ json_extract_string).
+    oracle="""
+    SELECT json_extract_string(props, '$.k') AS k,
+           count(*) AS n,
+           count(DISTINCT user_id) AS users
+    FROM events
+    WHERE event_type = 'click'
+    GROUP BY 1 ORDER BY k
+    """,
+)
+def compiler_json_field(spark, sf_dir):
+    """The extraction is one codegen expression evaluated in the scan
+    stage (no UDF, no parse-twice); grouping shuffles the extracted key
+    exactly like a physical column. At 100 TB: prefer promoting hot JSON
+    fields to VARIANT/columns at ingest — this op is the ad-hoc path."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "events": {
+                "$filter": {"event_type": "click"},
+                "$select": {"k": {"$json": ["props", {"$lit": "$.k"}]}},
+                "$groupby": ["k"],
+                "$agg": {
+                    "n": {"$count": True},
+                    "users": {"$count_distinct": "user_id"},
+                },
+                "$orderby": ["k"],
+            }
+        }
+    )
+
+
+@query(
+    "compiler_agg_minmax_by",
+    # $min_by/$max_by (round 8): per-group argmin/argmax as a first-class
+    # E1 aggregate — "the name of the newest/oldest customer per nation"
+    # without a window + qualify round trip. Ordering columns here are
+    # UNIQUE keys (c_custkey), the determinism contract the parser
+    # documents; SQL twins are DuckDB's arg_min/arg_max.
+    oracle="""
+    SELECT c_nationkey,
+           count(*) AS n_cust,
+           arg_max(c_name, c_custkey) AS newest_cust,
+           arg_min(c_name, c_custkey) AS oldest_cust
+    FROM customer
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def compiler_agg_minmax_by(spark, sf_dir):
+    """min_by/max_by are single-pass hash aggregates (value+ordering pair
+    per group in the partial state) — the 100 TB win over the
+    window-rank-filter spelling is no sort and no second pass."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "customer": {
+                "$groupby": ["c_nationkey"],
+                "$agg": {
+                    "n_cust": {"$count": True},
+                    "newest_cust": {"$max_by": ["c_name", "c_custkey"]},
+                    "oldest_cust": {"$min_by": ["c_name", "c_custkey"]},
+                },
+                "$orderby": ["c_nationkey"],
+            }
+        }
+    )

@@ -1354,3 +1354,81 @@ def test_or_in_having_and_qualify(eng):
                 }
             }
         )
+
+
+# -- round 8: $json accessor + $min_by/$max_by aggregates --------------------
+
+
+def test_json_matches_direct_get_json_object(eng):
+    from pyspark.sql import functions as F
+
+    got = eng.query(
+        {
+            "events": {
+                "event_id": True,
+                "$select": {"k": {"$json": ["props", {"$lit": "$.k"}]}},
+            }
+        }
+    )
+    want = (
+        eng.catalog.entity("events")
+        .select(
+            "event_id", F.get_json_object("props", "$.k").alias("k")
+        )
+    )
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+@pytest.mark.parametrize(
+    "expr",
+    [
+        {"$json": ["props"]},                      # wrong arity
+        {"$json": ["props", "$.k"]},               # path not a $lit
+        {"$json": ["props", {"$lit": "k"}]},       # path missing "$." prefix
+        {"$json": ["props", {"$lit": 3}]},         # path not a string
+    ],
+)
+def test_json_bad_shapes_fail_typed(eng, expr):
+    with pytest.raises(SpecError):
+        eng.query({"events": {"event_id": True, "$select": {"k": expr}}})
+
+
+def test_minmax_by_matches_window_spelling(eng):
+    from pyspark.sql import functions as F
+
+    got = eng.query(
+        {
+            "customer": {
+                "$groupby": ["c_nationkey"],
+                "$agg": {"newest": {"$max_by": ["c_name", "c_custkey"]}},
+            }
+        }
+    )
+    want = (
+        eng.catalog.entity("customer")
+        .groupBy("c_nationkey")
+        .agg(F.max_by("c_name", "c_custkey").alias("newest"))
+    )
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+@pytest.mark.parametrize(
+    "body",
+    [
+        {"$max_by": "c_name"},                     # not a list
+        {"$max_by": ["c_name"]},                   # wrong arity
+        {"$min_by": ["c_name", "c_custkey", 3]},   # wrong arity
+        {"$min_by": ["c_name", True]},             # bool is not a column
+        {"$max_by": [1, "c_custkey"]},             # non-string column
+    ],
+)
+def test_minmax_by_bad_shapes_fail_typed(eng, body):
+    with pytest.raises(SpecError):
+        eng.query(
+            {
+                "customer": {
+                    "$groupby": ["c_nationkey"],
+                    "$agg": {"v": body},
+                }
+            }
+        )
