@@ -1510,3 +1510,48 @@ def graph_adamic_adar(spark, sf_dir):
         .filter(F.col("cn") >= 3)
         .orderBy("u", "w")
     )
+
+
+@query(
+    "graph_reciprocity",
+    # Edge reciprocity: the share of directed edges whose reverse edge
+    # also exists — the "mutual interaction" health metric (bot/broadcast
+    # graphs are near 0, social graphs high). The reverse check is a
+    # self semi-join on the swapped key pair; counts exact, one exact
+    # division rounded at the end.
+    oracle=f"""
+    WITH ue AS ({_UE_SQL}),
+    mutual AS (
+      SELECT a.src, a.dst FROM ue a
+      WHERE EXISTS (SELECT 1 FROM ue b
+                    WHERE b.src = a.dst AND b.dst = a.src)
+    )
+    SELECT (SELECT count(*) FROM ue) AS n_edges,
+           (SELECT count(*) FROM mutual) AS n_mutual,
+           round(CAST((SELECT count(*) FROM mutual) AS DOUBLE)
+                 / (SELECT count(*) FROM ue), 6) AS reciprocity
+    """,
+)
+def graph_reciprocity(spark, sf_dir):
+    """One edge-list self semi-join hash-partitioned on the (dst, src)
+    pair — no fan-out (semi join emits each edge at most once) — then
+    two scalar counts combined driver-free via a cross join of 1-row
+    aggregates."""
+    ue = user_edges(spark, sf_dir)
+    rev = ue.select(
+        F.col("src").alias("r_src"), F.col("dst").alias("r_dst")
+    )
+    mutual = ue.join(
+        rev,
+        (ue["src"] == rev["r_dst"]) & (ue["dst"] == rev["r_src"]),
+        "left_semi",
+    )
+    n_e = ue.agg(F.count("*").alias("n_edges"))
+    n_m = mutual.agg(F.count("*").alias("n_mutual"))
+    return n_e.crossJoin(n_m).select(
+        "n_edges",
+        "n_mutual",
+        F.round(
+            F.col("n_mutual").cast("double") / F.col("n_edges"), 6
+        ).alias("reciprocity"),
+    )

@@ -17,6 +17,11 @@ from __future__ import annotations
 
 import re
 
+# module-level so PySpark can resolve the stringified type hints of the
+# iterator pandas UDF (PEP 563 turns annotations into strings evaluated
+# against module globals; typing.Iterator/Tuple are what its parser knows)
+from typing import Iterator, Tuple  # noqa: UP035
+
 import pandas as pd
 
 from pyspark.sql import Window, functions as F
@@ -172,3 +177,43 @@ def udf_arrow_optimized(spark, sf_dir):
 
     s = load(spark, sf_dir, "supplier")
     return s.select("s_suppkey", slug("s_name").alias("slug"))
+
+
+@query(
+    "udf_pandas_iterator_model",
+    # Iterator-of-series pandas UDF — THE model-inference batch pattern:
+    # the "model" loads ONCE per Python worker in the iterator prelude
+    # (here a deterministic per-language weight table standing in for a
+    # real scorer checkpoint), then scores every Arrow batch without
+    # re-loading. Row-at-a-time and plain pandas UDFs re-derive such
+    # state per call/batch; at 100 TB the prelude amortizes a real
+    # model's multi-second load across an entire partition.
+    oracle="""
+    SELECT doc_id,
+           round(CAST(n_chars AS DOUBLE) * (CASE lang
+             WHEN 'de' THEN 0.25 WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.75
+             WHEN 'fr' THEN 1.0 WHEN 'zh' THEN 1.25 ELSE 0.0 END), 4)
+             AS model_score
+    FROM documents
+    """,
+)
+def udf_pandas_iterator_model(spark, sf_dir):
+    @pandas_udf("double")
+    def score(
+        batches: Iterator[Tuple[pd.Series, pd.Series]],
+    ) -> Iterator[pd.Series]:
+        # prelude: runs once per worker — the model-load site
+        weights = {
+            lang: 0.25 * (i + 1)
+            for i, lang in enumerate(["de", "en", "es", "fr", "zh"])
+        }
+        for lang, n_chars in batches:
+            yield n_chars * lang.map(weights).fillna(0.0)
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(score(F.col("lang"), F.col("n_chars")), 4).alias(
+            "model_score"
+        ),
+    )
