@@ -1176,3 +1176,110 @@ def agg_gini_concentration(spark, sf_dir):
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "agg_hll_from_scratch",
+    # HyperLogLog built from relational primitives — unlike the engine
+    # sketches (agg_approx_count_distinct, rows-only by necessity), this
+    # one is HASH-EXACT across engines: md5 is bit-identical, the
+    # 40-bit hash splits into an 8-bit bucket and a 32-bit suffix with
+    # integer-only arithmetic, rho is a binary-string length (no log2),
+    # registers are exact integer maxima, and Σ2⁻ᴹ over 256 registers
+    # spans ≤41 dyadic bits — exact in double in ANY summation order.
+    # Flajolet's alpha and the small-range ln(m/V) correction are the
+    # only libm touches → round(6) on the estimate columns.
+    oracle="""
+    WITH h AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 10))
+                  AS BIGINT) AS v
+      FROM events
+    ), b AS (
+      SELECT event_type, v // 4294967296 AS bucket,
+             v % 4294967296 AS w
+      FROM h
+    ), regs AS (
+      SELECT event_type, bucket,
+             max(CASE WHEN w = 0 THEN 33
+                      ELSE 33 - length(bin(w)) END) AS m
+      FROM b GROUP BY 1, 2
+    ), z AS (
+      SELECT event_type,
+             sum(power(2.0, -m)) + (256 - count(*)) AS zz,
+             256 - count(*) AS v_empty
+      FROM regs GROUP BY 1
+    ), est AS (
+      SELECT event_type,
+             CASE WHEN (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 / zz
+                       <= 640.0 AND v_empty > 0
+                  THEN 256.0 * ln(256.0 / v_empty)
+                  ELSE (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 / zz
+             END AS e
+      FROM z
+    ), exact AS (
+      SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events
+      GROUP BY 1
+    )
+    SELECT est.event_type, n_exact,
+           round(e, 6) AS hll_estimate,
+           round((e - n_exact) / n_exact, 6) AS rel_err
+    FROM est JOIN exact ON est.event_type = exact.event_type
+    ORDER BY est.event_type
+    """,
+)
+def agg_hll_from_scratch(spark, sf_dir):
+    """The scale story IS HyperLogLog's: register state is a constant
+    256 rows per group key regardless of input size, the register max
+    combines map-side, and merging shards = elementwise max — the
+    distributed sketch contract, here expressed as a plain groupBy so
+    every piece is visible to Catalyst. (Production path:
+    approx_count_distinct — same algorithm fused in the JVM.)"""
+    B = 4294967296  # 2^32 (8-bit bucket, 32-bit suffix: p=256 registers)
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 10),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("v"),
+    )
+    b = ev.select(
+        "event_type",
+        ((F.col("v") - F.col("v") % B) / B).cast("bigint").alias("bucket"),
+        (F.col("v") % B).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, 33).otherwise(
+        33 - F.length(F.bin(F.col("w")))
+    )
+    regs = b.groupBy("event_type", "bucket").agg(F.max(rho).alias("m"))
+    z = regs.groupBy("event_type").agg(
+        (F.sum(F.pow(F.lit(2.0), -F.col("m"))) + (256 - F.count("*"))).alias(
+            "zz"
+        ),
+        (256 - F.count("*")).alias("v_empty"),
+    )
+    e_raw = (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 / F.col("zz")
+    e = F.when(
+        (e_raw <= 640.0) & (F.col("v_empty") > 0),
+        256.0 * F.log(256.0 / F.col("v_empty")),
+    ).otherwise(e_raw)
+    exact = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("x_type"))
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+    )
+    return (
+        z.select("event_type", e.alias("e"))
+        .join(exact, F.col("event_type") == F.col("x_type"))
+        .select(
+            "event_type",
+            "n_exact",
+            F.round(F.col("e"), 6).alias("hll_estimate"),
+            F.round((F.col("e") - F.col("n_exact")) / F.col("n_exact"), 6)
+            .alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
