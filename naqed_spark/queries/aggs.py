@@ -1283,3 +1283,100 @@ def agg_hll_from_scratch(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "agg_countmin_sketch",
+    # Count-min sketch (d=4 rows × w=256 columns) over document tokens,
+    # built from relational primitives and — like agg_hll_from_scratch —
+    # HASH-EXACT across engines: the 4 salted md5 cell hashes are
+    # bit-identical, every sketch cell is an exact integer sum, and the
+    # point estimate is an integer min. Emits the top-20 tokens with
+    # exact count, CM estimate, and the (always ≥0) collision
+    # overcount — the sketch's error made visible.
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), freq AS (
+      SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+    ), cells AS (
+      SELECT tok, cnt, i,
+             CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || tok),
+                                  1, 8)) AS BIGINT) % 256 AS cell
+      FROM freq CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS i)
+    ), sketch AS (
+      SELECT i, cell, CAST(sum(cnt) AS BIGINT) AS total
+      FROM cells GROUP BY 1, 2
+    ), top AS (
+      SELECT tok, cnt FROM freq ORDER BY cnt DESC, tok LIMIT 20
+    )
+    SELECT top.tok AS tok, top.cnt AS exact_cnt,
+           CAST(min(sketch.total) AS BIGINT) AS cm_estimate,
+           CAST(min(sketch.total) - top.cnt AS BIGINT) AS overcount
+    FROM top
+    JOIN cells ON cells.tok = top.tok
+    JOIN sketch ON sketch.i = cells.i AND sketch.cell = cells.cell
+    GROUP BY top.tok, top.cnt
+    ORDER BY exact_cnt DESC, top.tok
+    """,
+)
+def agg_countmin_sketch(spark, sf_dir):
+    """The sketch is CONSTANT state (4×256 integer cells) built with one
+    map-side-combined aggregate over the token frequency table; point
+    queries join the 4 cells back and take an integer min. Merging
+    shards = cellwise add — the same distributed-sketch contract as the
+    HLL key, with zero float anywhere."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    rows = F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("i")
+    cells = freq.select("tok", "cnt", rows).select(
+        "tok",
+        "cnt",
+        "i",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("i").cast("string"),
+                            F.lit(":"),
+                            F.col("tok"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 256
+        ).alias("cell"),
+    )
+    sketch = (
+        cells.groupBy("i", "cell")
+        .agg(F.sum("cnt").cast("bigint").alias("total"))
+        .withColumnRenamed("i", "s_i")
+        .withColumnRenamed("cell", "s_cell")
+    )
+    top = freq.orderBy(F.col("cnt").desc(), "tok").limit(20)
+    return (
+        top.join(cells.select("tok", "i", "cell"), "tok")
+        .join(
+            sketch,
+            (F.col("i") == F.col("s_i")) & (F.col("cell") == F.col("s_cell")),
+        )
+        .groupBy("tok", "cnt")
+        .agg(F.min("total").cast("bigint").alias("cm_estimate"))
+        .select(
+            "tok",
+            F.col("cnt").alias("exact_cnt"),
+            "cm_estimate",
+            (F.col("cm_estimate") - F.col("cnt"))
+            .cast("bigint")
+            .alias("overcount"),
+        )
+        .orderBy(F.col("exact_cnt").desc(), "tok")
+    )
