@@ -1380,3 +1380,97 @@ def agg_countmin_sketch(spark, sf_dir):
         )
         .orderBy(F.col("exact_cnt").desc(), "tok")
     )
+
+
+@query(
+    "agg_bloom_from_scratch",
+    # Bloom filter from relational primitives, third of the hash-exact
+    # sketch trio: k=3 salted md5 hashes into m=4096 bits. Build over
+    # BUILDING-segment customer keys, probe with MACHINERY-segment keys,
+    # and count true/false positives against the exact answer — the
+    # sketch's false-positive behavior measured inside the query, all
+    # in exact integers (a probe is positive iff all 3 of its bits are
+    # set: COUNT of matched DISTINCT bits = 3).
+    oracle="""
+    WITH build AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), probe AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+    ), bits AS (
+      SELECT DISTINCT
+             CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+                                      || CAST(c_custkey AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 4096 AS bit
+      FROM build CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS i)
+    ), pcells AS (
+      SELECT c_custkey,
+             CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
+                                      || CAST(c_custkey AS VARCHAR)),
+                                  1, 8)) AS BIGINT) % 4096 AS bit
+      FROM probe CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS i)
+    ), hits AS (
+      SELECT c_custkey FROM pcells JOIN bits USING (bit)
+      GROUP BY c_custkey HAVING count(DISTINCT bit) = 3
+    )
+    SELECT (SELECT count(*) FROM build) AS n_build,
+           (SELECT count(*) FROM probe) AS n_probe,
+           (SELECT count(*) FROM bits) AS bits_set,
+           (SELECT count(*) FROM hits) AS bloom_positives
+    """,
+)
+def agg_bloom_from_scratch(spark, sf_dir):
+    """The filter is a 4096-row DISTINCT bit set (constant state,
+    broadcastable); probing is an equi-join on the bit id + an all-bits
+    HAVING — the relational spelling of what
+    join_runtime_bloom_filter's engine-injected filter does natively.
+    Probe keys are disjoint from build keys by construction (segments
+    partition customers), so every positive is a measured false
+    positive."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+    def cells(df):
+        i = F.explode(F.array(*[F.lit(x) for x in range(3)])).alias("i")
+        c = df.select("c_custkey", i)
+        return c.select(
+            "c_custkey",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("i").cast("string"),
+                                F.lit(":"),
+                                F.col("c_custkey").cast("string"),
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 4096
+            ).alias("bit"),
+        )
+
+    build = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    probe = cust.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        "c_custkey"
+    )
+    bits = cells(build).select("bit").distinct()
+    hits = (
+        cells(probe)
+        .join(F.broadcast(bits), "bit")
+        .groupBy("c_custkey")
+        .agg(F.count_distinct("bit").alias("nb"))
+        .filter(F.col("nb") == 3)
+    )
+    nb = build.agg(F.count("*").alias("n_build"))
+    np_ = probe.agg(F.count("*").alias("n_probe"))
+    bs = bits.agg(F.count("*").alias("bits_set"))
+    bp = hits.agg(F.count("*").alias("bloom_positives"))
+    return nb.crossJoin(np_).crossJoin(bs).crossJoin(bp)
