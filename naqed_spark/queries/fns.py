@@ -790,3 +790,59 @@ def fn_trig(spark, sf_dir):
         r6(F.atan2(F.sin(rad), F.cos(rad))).alias("theta"),
         r6(F.sin(rad) * F.sin(rad) + F.cos(rad) * F.cos(rad)).alias("unit"),
     )
+
+
+@query(
+    "fn_higher_order_lambdas",
+    # Array higher-order functions — the JVM-codegen path that keeps
+    # per-element logic OUT of Python UDFs: aggregate (fold), transform,
+    # filter, exists, zip_with over the embedding arrays. Sum-of-squares
+    # and dot-with-reversed are exact-input float folds in ONE
+    # deterministic left-to-right order on both engines (Spark aggregate
+    # and DuckDB list_sum/list_dot_product both fold sequentially), but
+    # the round(6) hedge still applies; the count/any outputs are exact
+    # integers/booleans.
+    oracle="""
+    SELECT vec_id,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6)
+             AS sum_sq,
+           CAST(len(list_filter(embedding, x -> x > 0.0)) AS INT)
+             AS n_positive,
+           (len(list_filter(embedding, x -> abs(x) > 0.9)) > 0)
+             AS any_large,
+           round(list_dot_product(
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                 list_transform(list_reverse(embedding),
+                                x -> CAST(x AS DOUBLE))), 6)
+             AS dot_reversed
+    FROM embeddings
+    """,
+)
+def fn_higher_order_lambdas(spark, sf_dir):
+    """All four lambdas compile into whole-stage codegen (no Python, no
+    shuffle) — at 100 TB this is a pure scan whose cost is bandwidth,
+    the reason per-element feature math belongs in transform/aggregate
+    and not in a UDF."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+    )
+    return e.select(
+        "vec_id",
+        F.round(
+            F.expr("aggregate(e, cast(0.0 as double), (acc, x) -> acc + x * x)"),
+            6,
+        ).alias("sum_sq"),
+        F.expr("size(filter(e, x -> x > 0.0d))").cast("int").alias(
+            "n_positive"
+        ),
+        F.expr("exists(e, x -> abs(x) > 0.9d)").alias("any_large"),
+        F.round(
+            F.expr(
+                "aggregate(zip_with(e, reverse(e), (a, b) -> a * b),"
+                " cast(0.0 as double), (acc, x) -> acc + x)"
+            ),
+            6,
+        ).alias("dot_reversed"),
+    )

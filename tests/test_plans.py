@@ -954,3 +954,13 @@ def test_tpch_q21_correlation_is_one_lineitem_pass(spark):
     tree = tree_of(plan_of(spark, "tpch_q21_waiting_supplier"))
     assert tree.count("Scan parquet") <= 3  # lineitem + orders + supplier
     assert "CartesianProduct" not in tree
+
+
+def test_tpch_q2_filter_below_aggregate(spark):
+    """Q2's part filter must reach BELOW the (part, supplier) min
+    aggregate as a semi-join (Catalyst cannot hoist it; round-8 fix cut
+    the grouped input ~300×): the plan has a LeftSemi, and the part
+    filter appears as a pushed filter on the part scan."""
+    plan = plan_of(spark, "tpch_q2_min_cost_supplier")
+    assert "LeftSemi" in tree_of(plan)
+    assert "EqualTo(p_type,STANDARD)" in plan and "LessThan(p_size,10)" in plan
