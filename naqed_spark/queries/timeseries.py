@@ -1451,3 +1451,86 @@ def ts_seasonal_profile(spark, sf_dir):
         )
         .orderBy("dow", "hod")
     )
+
+
+@query(
+    "ts_seasonal_anomaly",
+    # Seasonally-adjusted anomaly detection: an event is anomalous when
+    # its value deviates more than 2σ from ITS OWN (ISO weekday, hour)
+    # cell — the seasonal twin of ts_anomaly_zscore (which a daily load
+    # peak would fool). Moments are exact: values are 2-decimal, so
+    # Σx (DECIMAL 12,2) and Σx² (DECIMAL 24,4 products) are
+    # order-independent on both engines; sqrt is IEEE-correctly-rounded
+    # (identical), so even the >2σ comparison is engine-stable. Cells
+    # with <10 events or zero variance are excluded identically.
+    oracle="""
+    WITH c AS (
+      SELECT CAST(isodow(ts) AS INT) AS dow, CAST(hour(ts) AS INT) AS hod,
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(value AS DECIMAL(12,2))
+                      * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sxx
+      FROM events GROUP BY 1, 2 HAVING count(*) >= 10
+    ), s AS (
+      SELECT dow, hod, n, sx / n AS mean,
+             sqrt((sxx - sx * sx / n) / (n - 1)) AS sd
+      FROM c WHERE (sxx - sx * sx / n) > 0
+    )
+    SELECT e.event_id, e.value,
+           CAST(isodow(e.ts) AS INT) AS dow, CAST(hour(e.ts) AS INT) AS hod,
+           round(s.mean, 6) AS cell_mean,
+           round((e.value - s.mean) / s.sd, 6) AS z
+    FROM events e
+    JOIN s ON s.dow = CAST(isodow(e.ts) AS INT)
+          AND s.hod = CAST(hour(e.ts) AS INT)
+    WHERE abs(e.value - s.mean) > 2 * s.sd
+    ORDER BY e.event_id
+    """,
+)
+def ts_seasonal_anomaly(spark, sf_dir):
+    """The seasonal model is a 7×24-cell aggregate (constant state)
+    broadcast back onto the event stream — one scan to fit, one scan to
+    score, no window over raw events at all; at 100 TB the same two
+    passes hold with the model still grid-sized."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        (F.weekday("ts") + 1).cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hod"),
+    )
+    dv = F.col("value").cast("decimal(12,2)")
+    c = (
+        ev.groupBy(F.col("dow").alias("c_dow"), F.col("hod").alias("c_hod"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(dv).cast("double").alias("sx"),
+            F.sum(dv * dv).cast("double").alias("sxx"),
+        )
+        .filter(F.col("n") >= 10)
+        .filter((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) > 0)
+        .select(
+            "c_dow",
+            "c_hod",
+            (F.col("sx") / F.col("n")).alias("mean"),
+            F.sqrt(
+                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                / (F.col("n") - 1)
+            ).alias("sd"),
+        )
+    )
+    return (
+        ev.join(
+            F.broadcast(c),
+            (F.col("dow") == F.col("c_dow")) & (F.col("hod") == F.col("c_hod")),
+        )
+        .filter(F.abs(F.col("value") - F.col("mean")) > 2 * F.col("sd"))
+        .select(
+            "event_id",
+            "value",
+            "dow",
+            "hod",
+            r6(F.col("mean")).alias("cell_mean"),
+            r6((F.col("value") - F.col("mean")) / F.col("sd")).alias("z"),
+        )
+        .orderBy("event_id")
+    )
