@@ -1474,3 +1474,143 @@ def agg_bloom_from_scratch(spark, sf_dir):
     bs = bits.agg(F.count("*").alias("bits_set"))
     bp = hits.agg(F.count("*").alias("bloom_positives"))
     return nb.crossJoin(np_).crossJoin(bs).crossJoin(bp)
+
+
+@query(
+    "agg_ks_statistic",
+    # Two-sample Kolmogorov-Smirnov distance between the value
+    # distributions of 'click' and 'purchase' events: D = max over the
+    # merged support of |F₁(v) − F₂(v)|. Counts are exact integers and
+    # each ECDF value is one exact division, so D is engine-identical
+    # up to the final round(6). The window runs over DISTINCT values —
+    # bounded by the 2-decimal value DOMAIN (≤40k points), not by event
+    # volume; at 100 TB the same spelling holds (quantile-bucket the
+    # support first if the domain were unbounded).
+    oracle="""
+    WITH a AS (SELECT value FROM events WHERE event_type = 'click'),
+    b AS (SELECT value FROM events WHERE event_type = 'purchase'),
+    pts AS (
+      SELECT value,
+             CAST(count(CASE WHEN src = 'a' THEN 1 END) AS BIGINT) AS ca,
+             CAST(count(CASE WHEN src = 'b' THEN 1 END) AS BIGINT) AS cb
+      FROM (SELECT value, 'a' AS src FROM a
+            UNION ALL SELECT value, 'b' FROM b)
+      GROUP BY value
+    ), cdf AS (
+      SELECT value,
+             SUM(ca) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+               / (SELECT CAST(count(*) AS DOUBLE) FROM a) AS f1,
+             SUM(cb) OVER (ORDER BY value ROWS UNBOUNDED PRECEDING)
+               / (SELECT CAST(count(*) AS DOUBLE) FROM b) AS f2
+      FROM pts
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+           (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
+           round(max(abs(f1 - f2)), 6) AS ks_d
+    FROM cdf
+    """,
+)
+def agg_ks_statistic(spark, sf_dir):
+    """One grouped count onto the merged support, one domain-bounded
+    cumulative window, one max — the per-event work is all in the
+    map-side-combined count; sample sizes ride as 1-row broadcasts."""
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    a = ev.filter(F.col("event_type") == "click")
+    b = ev.filter(F.col("event_type") == "purchase")
+    merged = a.select("value", F.lit("a").alias("src")).unionAll(
+        b.select("value", F.lit("b").alias("src"))
+    )
+    pts = merged.groupBy("value").agg(
+        F.count(F.when(F.col("src") == "a", 1)).alias("ca"),
+        F.count(F.when(F.col("src") == "b", 1)).alias("cb"),
+    )
+    na = a.agg(F.count("*").alias("n_a"))
+    nb = b.agg(F.count("*").alias("n_b"))
+    w = Window.orderBy("value").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cdf = (
+        pts.crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "n_a",
+            "n_b",
+            (
+                F.sum("ca").over(w) / F.col("n_a").cast("double")
+                - F.sum("cb").over(w) / F.col("n_b").cast("double")
+            ).alias("d"),
+        )
+    )
+    return cdf.groupBy("n_a", "n_b").agg(
+        r6(F.max(F.abs(F.col("d")))).alias("ks_d")
+    )
+
+
+@query(
+    "agg_chi_square",
+    # Chi-square test of independence on the (event_type × ISO weekday)
+    # contingency table: χ² = Σ (observed − expected)² / expected with
+    # expected = row·col/total. Observed counts and the margin products
+    # are exact integers; each cell term is built from identical doubles
+    # on both engines and the 35-term sum carries the round(6) hedge.
+    # Degrees of freedom emitted as exact integers.
+    oracle="""
+    WITH o AS (
+      SELECT event_type, CAST(isodow(ts) AS INT) AS dow,
+             CAST(count(*) AS BIGINT) AS obs
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type, CAST(sum(obs) AS BIGINT) AS rt FROM o GROUP BY 1
+    ), c AS (
+      SELECT dow, CAST(sum(obs) AS BIGINT) AS ct FROM o GROUP BY 1
+    ), t AS (SELECT CAST(sum(obs) AS DOUBLE) AS total FROM o)
+    SELECT CAST((SELECT count(*) FROM m) AS BIGINT) AS n_rows,
+           CAST((SELECT count(*) FROM c) AS BIGINT) AS n_cols,
+           CAST(((SELECT count(*) FROM m) - 1)
+                * ((SELECT count(*) FROM c) - 1) AS BIGINT) AS dof,
+           round(sum(power(obs - rt * ct / total, 2)
+                     / (rt * ct / total)), 6) AS chi2
+    FROM o
+    JOIN m USING (event_type)
+    JOIN c USING (dow)
+    CROSS JOIN t
+    """,
+)
+def agg_chi_square(spark, sf_dir):
+    """Three stacked aggregates over a 5×7 contingency grid — the
+    per-event work is one map-side count; margins and the total are
+    grid-sized broadcasts. Constant state at any event volume."""
+    o = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", (F.weekday("ts") + 1).cast("int").alias("dow")
+        )
+        .agg(F.count("*").cast("bigint").alias("obs"))
+    )
+    m = o.groupBy(F.col("event_type").alias("m_type")).agg(
+        F.sum("obs").cast("bigint").alias("rt")
+    )
+    c = o.groupBy(F.col("dow").alias("c_dow")).agg(
+        F.sum("obs").cast("bigint").alias("ct")
+    )
+    t = o.agg(F.sum("obs").cast("double").alias("total"))
+    nr = m.agg(F.count("*").cast("bigint").alias("n_rows"))
+    nc = c.agg(F.count("*").cast("bigint").alias("n_cols"))
+    exp = F.col("rt") * F.col("ct") / F.col("total")
+    return (
+        o.join(F.broadcast(m), F.col("event_type") == F.col("m_type"))
+        .join(F.broadcast(c), F.col("dow") == F.col("c_dow"))
+        .crossJoin(F.broadcast(t))
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .groupBy("n_rows", "n_cols")
+        .agg(
+            ((F.col("n_rows") - 1) * (F.col("n_cols") - 1))
+            .cast("bigint")
+            .alias("dof"),
+            r6(F.sum(F.pow(F.col("obs") - exp, 2) / exp)).alias("chi2"),
+        )
+        .select("n_rows", "n_cols", "dof", "chi2")
+    )
