@@ -522,3 +522,90 @@ def llm_source_concentration(spark, sf_dir):
         )
         .orderBy(F.col("n_docs").desc(), "source")
     )
+
+
+@query(
+    "llm_knn_label_eval",
+    # Majority-vote k-NN classification accuracy per label — the EVAL
+    # half of the similarity-search family: each vector's 5 neighbors
+    # (from the verified llm_knn_bruteforce kernel) vote with their
+    # labels; ties break (count desc, label asc) so the prediction is a
+    # total order on both engines; accuracy is exact-integer counts and
+    # one exact division.
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             sqrt(list_dot_product(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE)),
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS src, a.label AS true_label, b.label AS nbr_label,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY round(list_dot_product(a.e, b.e)
+                              / (a.nrm * b.nrm), 6) DESC, b.vec_id ASC)
+               AS rnk
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    ), votes AS (
+      SELECT src, true_label, nbr_label, count(*) AS c
+      FROM pairs WHERE rnk <= 5 GROUP BY 1, 2, 3
+    ), pick AS (
+      SELECT src, true_label, nbr_label AS pred,
+             row_number() OVER (PARTITION BY src
+                                ORDER BY c DESC, nbr_label ASC) AS pr
+      FROM votes
+    )
+    SELECT true_label AS label,
+           CAST(count(*) AS BIGINT) AS n_queries,
+           CAST(sum(CASE WHEN pred = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(sum(CASE WHEN pred = true_label THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS accuracy
+    FROM pick WHERE pr = 1
+    GROUP BY true_label ORDER BY true_label
+    """,
+)
+def llm_knn_label_eval(spark, sf_dir):
+    """Reuses the blocked-broadcast knn kernel (no second O(n²) path to
+    maintain); the vote + argmax is two vec_id-partitioned aggregates
+    and the final rollup is label-grid-sized. The eval that tells you
+    whether the embedding space is worth indexing."""
+    from pyspark.sql import Window
+
+    from naqed_spark.queries.llm import llm_knn_bruteforce
+
+    knn = llm_knn_bruteforce(spark, sf_dir).select("src", "nbr")
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    tl = emb.select(
+        F.col("vec_id").alias("t_id"), F.col("label").alias("true_label")
+    )
+    nl = emb.select(
+        F.col("vec_id").alias("n_id"), F.col("label").alias("nbr_label")
+    )
+    votes = (
+        knn.join(tl, knn["src"] == tl["t_id"])
+        .join(nl, knn["nbr"] == nl["n_id"])
+        .groupBy("src", "true_label", "nbr_label")
+        .agg(F.count("*").alias("c"))
+    )
+    pick = votes.withColumn(
+        "pr",
+        F.row_number().over(
+            Window.partitionBy("src").orderBy(
+                F.col("c").desc(), F.col("nbr_label").asc()
+            )
+        ),
+    ).filter(F.col("pr") == 1)
+    correct = F.sum(
+        F.when(F.col("nbr_label") == F.col("true_label"), 1).otherwise(0)
+    )
+    return (
+        pick.groupBy(F.col("true_label").alias("label"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_queries"),
+            correct.cast("bigint").alias("n_correct"),
+            r6(correct / F.count("*").cast("double")).alias("accuracy"),
+        )
+        .orderBy("label")
+    )
