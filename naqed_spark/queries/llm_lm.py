@@ -609,3 +609,105 @@ def llm_knn_label_eval(spark, sf_dir):
         )
         .orderBy("label")
     )
+
+
+from naqed_spark.queries.llm_ext import _IVF_SQL  # noqa: E402
+
+
+@query(
+    "llm_ivf_recall_at_k",
+    # Recall@3 of the IVF index vs exact brute force — the accuracy/cost
+    # dial every ANN deployment tunes (nprobe up -> recall up, candidates
+    # up). Composes the two VERIFIED kernels; the score is exact-integer
+    # hit counts over the two top-3 sets, recall = hits/(3n) in ONE
+    # exact division (never a mean of per-query thirds — 1/3 is not
+    # dyadic and a summed mean would be order-sensitive).
+    oracle=f"""
+    WITH {_IVF_SQL},
+    assigned AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+    probes AS (SELECT vec_id, cell FROM ranked WHERE rn <= 2),
+    v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             sqrt(list_dot_product(
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    ivf AS (
+      SELECT src, nbr FROM (
+        SELECT c.src, c.nbr,
+               row_number() OVER (PARTITION BY c.src
+                 ORDER BY round(list_dot_product(va.e, vb.e)
+                                / (va.nrm * vb.nrm), 6) DESC,
+                          c.nbr ASC) AS rnk
+        FROM (SELECT p.vec_id AS src, a.vec_id AS nbr
+              FROM probes p JOIN assigned a ON p.cell = a.cell
+              WHERE p.vec_id <> a.vec_id) c
+        JOIN v va ON va.vec_id = c.src
+        JOIN v vb ON vb.vec_id = c.nbr
+      ) WHERE rnk <= 3
+    ),
+    bf AS (
+      SELECT src, nbr FROM (
+        SELECT a.vec_id AS src, b.vec_id AS nbr,
+               row_number() OVER (PARTITION BY a.vec_id
+                 ORDER BY round(list_dot_product(a.e, b.e)
+                                / (a.nrm * b.nrm), 6) DESC,
+                          b.vec_id ASC) AS rnk
+        FROM v a JOIN v b ON a.vec_id <> b.vec_id
+      ) WHERE rnk <= 3
+    ),
+    hits AS (
+      SELECT bf.src, count(*) AS h
+      FROM bf JOIN ivf ON bf.src = ivf.src AND bf.nbr = ivf.nbr
+      GROUP BY bf.src
+    ), n AS (SELECT CAST(count(DISTINCT src) AS BIGINT) AS nq FROM bf)
+    SELECT n.nq AS n_queries,
+           CAST(coalesce(sum(h), 0) AS BIGINT) AS total_hits,
+           round(coalesce(sum(h), 0) / (3.0 * n.nq), 6) AS recall_at_3,
+           CAST(count(CASE WHEN h = 3 THEN 1 END) AS BIGINT) AS n_perfect
+    FROM n LEFT JOIN hits ON TRUE
+    GROUP BY n.nq
+    """,
+)
+def llm_ivf_recall_at_k(spark, sf_dir):
+    """Both sides come from the already-verified kernels (blocked
+    broadcast for brute force, cell-join for IVF) — this key adds only
+    an equi-join on (query, neighbor) and a grid-sized rollup, so the
+    recall measurement costs one extra shuffle over the two top-k
+    frames."""
+    from naqed_spark.queries.llm import llm_knn_bruteforce
+    from naqed_spark.queries.llm_ext import llm_knn_ivf
+
+    bf = (
+        llm_knn_bruteforce(spark, sf_dir)
+        .filter(F.col("rnk") <= 3)
+        .select("src", "nbr")
+    )
+    ivf = llm_knn_ivf(spark, sf_dir).select(
+        F.col("src").alias("i_src"), F.col("nbr").alias("i_nbr")
+    )
+    hits = (
+        bf.join(
+            ivf,
+            (bf["src"] == ivf["i_src"]) & (bf["nbr"] == ivf["i_nbr"]),
+        )
+        .groupBy("src")
+        .agg(F.count("*").alias("h"))
+    )
+    n = bf.agg(F.count_distinct("src").cast("bigint").alias("n_queries"))
+    agg = hits.agg(
+        F.coalesce(F.sum("h"), F.lit(0)).cast("bigint").alias("total_hits"),
+        F.count(F.when(F.col("h") == 3, 1)).cast("bigint").alias(
+            "n_perfect"
+        ),
+    )
+    return n.crossJoin(agg).select(
+        "n_queries",
+        "total_hits",
+        r6(
+            F.col("total_hits") / (3.0 * F.col("n_queries"))
+        ).alias("recall_at_3"),
+        "n_perfect",
+    )
