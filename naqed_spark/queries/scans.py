@@ -187,3 +187,29 @@ def sample_stratified_hash(spark, sf_dir):
         .filter(F.col("rn") <= 20)
         .select("c_custkey", "c_mktsegment")
     )
+
+
+@query(
+    "scan_count_star_metadata",
+    # count(*) with no filter — the scan must read ZERO data columns
+    # (ReadSchema struct<>, asserted in test_plans): Spark answers from
+    # parquet row-group metadata plus row reconstruction, never
+    # materializing a column. Per-table row counts are the cheapest
+    # catalog statistic and the first sanity check of any ingest.
+    oracle="""
+    SELECT 'lineitem' AS tbl, (SELECT count(*) FROM lineitem) AS n
+    UNION ALL SELECT 'orders', (SELECT count(*) FROM orders)
+    UNION ALL SELECT 'customer', (SELECT count(*) FROM customer)
+    ORDER BY tbl
+    """,
+)
+def scan_count_star_metadata(spark, sf_dir):
+    from functools import reduce
+
+    frames = [
+        load(spark, sf_dir, t)
+        .agg(F.count("*").alias("n"))
+        .select(F.lit(t).alias("tbl"), "n")
+        for t in ("lineitem", "orders", "customer")
+    ]
+    return reduce(lambda a, b: a.unionAll(b), frames).orderBy("tbl")

@@ -110,3 +110,27 @@ def limit_topk_global(spark, sf_dir):
         .limit(10)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@query(
+    "sort_global_range_partitioned",
+    # Full global ORDER BY — the one sort that genuinely needs a total
+    # order across partitions. Spark range-partitions on sampled
+    # boundaries (Exchange rangepartitioning, asserted in test_plans) so
+    # each of the N partitions sorts locally and the output is globally
+    # ordered WITHOUT funnelling through one task — the difference
+    # between this and a single-partition window is the whole 100 TB
+    # story. Unique (totalprice, orderkey) tiebreak for determinism.
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders WHERE o_orderstatus = 'F'
+    ORDER BY o_totalprice DESC, o_orderkey
+    """,
+)
+def sort_global_range_partitioned(spark, sf_dir):
+    return (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    )

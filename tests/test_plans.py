@@ -964,3 +964,23 @@ def test_tpch_q2_filter_below_aggregate(spark):
     plan = plan_of(spark, "tpch_q2_min_cost_supplier")
     assert "LeftSemi" in tree_of(plan)
     assert "EqualTo(p_type,STANDARD)" in plan and "LessThan(p_size,10)" in plan
+
+
+def test_count_star_reads_no_columns(spark):
+    """scan_count_star_metadata: every scan's ReadSchema is struct<> —
+    count(*) answered without materializing any column."""
+    plan = plan_of(spark, "scan_count_star_metadata")
+    assert "ReadSchema: struct<>" in plan
+    import re
+
+    schemas = re.findall(r"ReadSchema: (struct<[^\n]*)", plan)
+    assert schemas and all(s.startswith("struct<>") for s in schemas)
+
+
+def test_global_sort_is_range_partitioned(spark):
+    """sort_global_range_partitioned: the total order comes from a
+    rangepartitioning Exchange (parallel per-partition sorts), never a
+    SinglePartition funnel."""
+    plan = plan_of(spark, "sort_global_range_partitioned")
+    assert "rangepartitioning" in plan.lower()
+    assert "SinglePartition" not in plan
