@@ -575,3 +575,44 @@ def source_json_nested_roundtrip(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("cents").alias("cents"),
     )
+
+
+@query(
+    "source_schema_evolution",
+    # Schema evolution across parquet file generations: generation 1
+    # writes (o_orderkey, o_totalprice); generation 2 adds a
+    # priority column. mergeSchema unifies the footers and back-fills
+    # NULL for the missing column — the append-only lake contract where
+    # old files are never rewritten. The oracle simulates both
+    # generations with a NULL-extended union.
+    oracle="""
+    SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS priority,
+           1 AS gen
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderpriority, 2
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def source_schema_evolution(spark, sf_dir):
+    """mergeSchema pays a footer read per file at planning time — at
+    100 TB you pin the merged schema in a catalog instead of
+    re-merging per query, but the NULL back-fill semantics are
+    identical. Columns present in both generations stay scan-prunable."""
+    out = _scratch("orders_evolving")
+    o = load(spark, sf_dir, "orders")
+    g1 = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice", F.lit(1).alias("gen")
+    )
+    g2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderpriority").alias("priority"),
+        F.lit(2).alias("gen"),
+    )
+    g1.write.mode("overwrite").parquet(f"{out}/gen=1")
+    g2.write.mode("overwrite").parquet(f"{out}/gen=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/gen=1", f"{out}/gen=2"
+    )
+    return merged.select("o_orderkey", "o_totalprice", "priority", "gen")
