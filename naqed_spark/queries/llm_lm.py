@@ -711,3 +711,58 @@ def llm_ivf_recall_at_k(spark, sf_dir):
         ).alias("recall_at_3"),
         "n_perfect",
     )
+
+
+@query(
+    "llm_sampling_temperature",
+    # Temperature-scaled multilingual sampling weights (the mC4/XLM-R
+    # recipe, arXiv:1911.02116 §3.1): q_l ∝ p_l^α with α = 0.7 —
+    # upsamples low-resource languages without flattening the mix.
+    # p_l is an exact integer ratio; pow/normalization are identical
+    # doubles; the normalizing sum over the LANGUAGE GRID (5 terms)
+    # carries the round(6) hedge. Emits the effective per-doc
+    # multiplier (weight share / doc share) the sampler applies.
+    oracle="""
+    WITH l AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+      GROUP BY lang
+    ), t AS (SELECT CAST(sum(n_docs) AS DOUBLE) AS total FROM l),
+    w AS (
+      SELECT lang, n_docs, power(n_docs / t.total, 0.7) AS q
+      FROM l CROSS JOIN t
+    ), z AS (SELECT sum(q) AS zq FROM w)
+    SELECT w.lang, w.n_docs,
+           round(w.q / z.zq, 6) AS sample_weight,
+           round((w.q / z.zq) / (w.n_docs / t.total), 6) AS doc_multiplier
+    FROM w CROSS JOIN z CROSS JOIN t ORDER BY w.lang
+    """,
+)
+def llm_sampling_temperature(spark, sf_dir):
+    """One language-grid aggregate; the temperature math runs on the
+    5-row grid with the total and normalizer as 1-row broadcasts —
+    constant state at any corpus size, and the emitted multipliers are
+    what a downstream weighted sampler joins back per doc."""
+    l = load(spark, sf_dir, "documents").groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )
+    t = l.agg(F.sum("n_docs").cast("double").alias("total"))
+    w = l.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n_docs",
+        "total",
+        F.pow(F.col("n_docs") / F.col("total"), 0.7).alias("q"),
+    )
+    z = w.agg(F.sum("q").alias("zq"))
+    return (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "lang",
+            "n_docs",
+            r6(F.col("q") / F.col("zq")).alias("sample_weight"),
+            r6(
+                (F.col("q") / F.col("zq"))
+                / (F.col("n_docs") / F.col("total"))
+            ).alias("doc_multiplier"),
+        )
+        .orderBy("lang")
+    )
