@@ -1614,3 +1614,81 @@ def agg_chi_square(spark, sf_dir):
         )
         .select("n_rows", "n_cols", "dof", "chi2")
     )
+
+
+@query(
+    "agg_welch_ttest",
+    # Welch's unequal-variance t-test between click and purchase event
+    # values: t statistic and Welch–Satterthwaite degrees of freedom,
+    # all derived from exact decimal moments (Σx, Σx² over 2-decimal
+    # values are order-independent), so every division/sqrt input is
+    # engine-identical — round(6) only on the emitted statistics.
+    oracle="""
+    WITH s AS (
+      SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+             CAST(sum(CAST(value AS DECIMAL(12,2))
+                      * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sxx
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY event_type
+    ), w AS (
+      SELECT
+        (SELECT sx / n FROM s WHERE event_type = 'click')
+          - (SELECT sx / n FROM s WHERE event_type = 'purchase') AS dmean,
+        (SELECT ((sxx - sx * sx / n) / (n - 1)) / n FROM s
+         WHERE event_type = 'click') AS va,
+        (SELECT ((sxx - sx * sx / n) / (n - 1)) / n FROM s
+         WHERE event_type = 'purchase') AS vb,
+        (SELECT n FROM s WHERE event_type = 'click') AS na,
+        (SELECT n FROM s WHERE event_type = 'purchase') AS nb
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           round(dmean / sqrt(va + vb), 6) AS t_stat,
+           round(power(va + vb, 2)
+                 / (power(va, 2) / (na - 1) + power(vb, 2) / (nb - 1)),
+                 6) AS welch_dof
+    FROM w
+    """,
+)
+def agg_welch_ttest(spark, sf_dir):
+    """One 2-group moment aggregate (map-side combined), then scalar
+    arithmetic on a 1-row frame — the A/B significance primitive at
+    any event volume."""
+    dv = F.col("value").cast("decimal(12,2)")
+    s = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("double").alias("n"),
+            F.sum(dv).cast("double").alias("sx"),
+            F.sum(dv * dv).cast("double").alias("sxx"),
+        )
+    )
+    var_over_n = ((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+                  / (F.col("n") - 1)) / F.col("n")
+    a = s.filter(F.col("event_type") == "click").select(
+        F.col("n").alias("na"),
+        (F.col("sx") / F.col("n")).alias("ma"),
+        var_over_n.alias("va"),
+    )
+    b = s.filter(F.col("event_type") == "purchase").select(
+        F.col("n").alias("nb"),
+        (F.col("sx") / F.col("n")).alias("mb"),
+        var_over_n.alias("vb"),
+    )
+    return a.crossJoin(b).select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        r6(
+            (F.col("ma") - F.col("mb"))
+            / F.sqrt(F.col("va") + F.col("vb"))
+        ).alias("t_stat"),
+        r6(
+            F.pow(F.col("va") + F.col("vb"), 2)
+            / (
+                F.pow(F.col("va"), 2) / (F.col("na") - 1)
+                + F.pow(F.col("vb"), 2) / (F.col("nb") - 1)
+            )
+        ).alias("welch_dof"),
+    )

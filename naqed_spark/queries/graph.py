@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from naqed_spark.queries._util import dec, dsum, epoch_us, load, low_shuffle
+from naqed_spark.queries._util import dec, dsum, epoch_us, load, low_shuffle, r6
 from naqed_spark.registry import query
 
 HOUR_US = 3600 * 1000 * 1000
@@ -1554,4 +1554,119 @@ def graph_reciprocity(spark, sf_dir):
         F.round(
             F.col("n_mutual").cast("double") / F.col("n_edges"), 6
         ).alias("reciprocity"),
+    )
+
+
+@query(
+    "graph_modularity",
+    # Newman modularity Q of an attribute partition: communities are
+    # each user's dominant props.k value (argmax, count desc / k asc
+    # tie-break), scored over the undirected interaction graph:
+    # Q = Σ_c [e_c/m − (d_c/2m)²]. Every ingredient is an exact integer
+    # count, so each community term is engine-identical; only the
+    # community-grid sum order differs → round(6). The quality gate for
+    # ANY community assignment (labels, CC output, attributes) before
+    # trusting it downstream.
+    oracle=f"""
+    WITH ue AS ({_UE_SQL}),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM ue
+    ),
+    kc AS (
+      SELECT user_id, json_extract_string(props, '$.k') AS k, count(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    comm AS (
+      SELECT user_id, k AS com FROM (
+        SELECT user_id, k,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY c DESC, k ASC) AS rn
+        FROM kc) WHERE rn = 1
+    ),
+    m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM und),
+    within AS (
+      SELECT ca.com, count(*) AS ec
+      FROM und
+      JOIN comm ca ON ca.user_id = und.a
+      JOIN comm cb ON cb.user_id = und.b
+      WHERE ca.com = cb.com GROUP BY ca.com
+    ),
+    degs AS (
+      SELECT v, count(*) AS d FROM (
+        SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v
+    ),
+    dc AS (
+      SELECT comm.com, CAST(sum(d) AS BIGINT) AS dc
+      FROM degs JOIN comm ON comm.user_id = degs.v GROUP BY comm.com
+    )
+    SELECT CAST((SELECT count(*) FROM dc) AS BIGINT) AS n_communities,
+           CAST((SELECT m FROM m) AS BIGINT) AS n_edges,
+           round(sum(coalesce(within.ec, 0) / m.m
+                     - power(dc.dc / (2 * m.m), 2)), 6) AS modularity
+    FROM dc LEFT JOIN within ON within.com = dc.com CROSS JOIN m
+    """,
+)
+def graph_modularity(spark, sf_dir):
+    """Community assignment is ONE argmax aggregate; scoring is two
+    community-grid aggregates over the canonical undirected edge list
+    (each edge counted once via least/greatest) with the edge total as
+    a 1-row broadcast — no per-vertex iteration, no fixpoint."""
+    from pyspark.sql import Window
+
+    ue = user_edges(spark, sf_dir)
+    und = ue.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.get_json_object("props", "$.k").alias("k")
+    )
+    kc = ev.groupBy("user_id", "k").agg(F.count("*").alias("c"))
+    comm = (
+        kc.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("c").desc(), F.col("k").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("k").alias("com"))
+    )
+    ca = comm.select(F.col("user_id").alias("ua"), F.col("com").alias("coma"))
+    cb = comm.select(F.col("user_id").alias("ub"), F.col("com").alias("comb"))
+    within = (
+        und.join(ca, und["a"] == ca["ua"])
+        .join(cb, und["b"] == cb["ub"])
+        .filter(F.col("coma") == F.col("comb"))
+        .groupBy(F.col("coma").alias("w_com"))
+        .agg(F.count("*").alias("ec"))
+    )
+    degs = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select("b"))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    dc = (
+        degs.join(comm, degs["v"] == comm["user_id"])
+        .groupBy("com")
+        .agg(F.sum("d").cast("bigint").alias("dc"))
+    )
+    m = und.agg(F.count("*").cast("double").alias("m"))
+    nc = dc.agg(F.count("*").cast("bigint").alias("n_communities"))
+    term = F.coalesce(F.col("ec"), F.lit(0)) / F.col("m") - F.pow(
+        F.col("dc") / (2 * F.col("m")), 2
+    )
+    return (
+        dc.join(within, dc["com"] == within["w_com"], "left")
+        .crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(nc))
+        .groupBy("n_communities")
+        .agg(
+            F.max(F.col("m")).cast("bigint").alias("n_edges"),
+            r6(F.sum(term)).alias("modularity"),
+        )
+        .select("n_communities", "n_edges", "modularity")
     )
