@@ -766,3 +766,94 @@ def llm_sampling_temperature(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "llm_preference_pairs",
+    # Preference-pair assembly for reward-model / DPO training: within
+    # each (lang, source) prompt group, the highest-quality doc becomes
+    # `chosen` and the lowest `rejected` (deterministic argmax/argmin on
+    # the ROUNDED quality score with doc_id tie-breaks), with the score
+    # margin attached. Groups with fewer than 2 docs — or where best
+    # and worst are the same doc — produce no pair.
+    oracle="""
+    WITH q AS (
+      SELECT doc_id, lang, source,
+             round(ln(1 + n_chars) * 0.5
+                   + len(string_split(text, ' ')) * 0.01, 6) AS quality
+      FROM documents
+    ), ranked AS (
+      SELECT lang, source, doc_id, quality,
+             row_number() OVER (PARTITION BY lang, source
+                                ORDER BY quality DESC, doc_id) AS rb,
+             row_number() OVER (PARTITION BY lang, source
+                                ORDER BY quality ASC, doc_id) AS rw,
+             count(*) OVER (PARTITION BY lang, source) AS n
+      FROM q
+    )
+    SELECT b.lang, b.source,
+           b.doc_id AS chosen_doc, w.doc_id AS rejected_doc,
+           round(b.quality - w.quality, 6) AS margin
+    FROM (SELECT * FROM ranked WHERE rb = 1 AND n >= 2) b
+    JOIN (SELECT * FROM ranked WHERE rw = 1) w
+      ON b.lang = w.lang AND b.source = w.source
+    WHERE b.doc_id <> w.doc_id
+    ORDER BY b.lang, b.source
+    """,
+)
+def llm_preference_pairs(spark, sf_dir):
+    """Both extremes come from ONE (lang, source) window partitioning
+    (two rank columns over the same sort exchange), so the pair
+    assembly costs a single shuffle plus a grid-sized self-join — the
+    shape that still holds when prompt groups number in the millions."""
+    from pyspark.sql import Window
+
+    q = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.round(
+            F.log(1 + F.col("n_chars")) * 0.5
+            + F.size(F.split("text", " ")) * 0.01,
+            6,
+        ).alias("quality"),
+    )
+    wp = Window.partitionBy("lang", "source")
+    ranked = q.select(
+        "lang",
+        "source",
+        "doc_id",
+        "quality",
+        F.row_number()
+        .over(wp.orderBy(F.col("quality").desc(), "doc_id"))
+        .alias("rb"),
+        F.row_number()
+        .over(wp.orderBy(F.col("quality").asc(), "doc_id"))
+        .alias("rw"),
+        F.count("*").over(wp).alias("n"),
+    )
+    b = ranked.filter((F.col("rb") == 1) & (F.col("n") >= 2)).select(
+        "lang", "source", F.col("doc_id").alias("chosen_doc"),
+        F.col("quality").alias("qb"),
+    )
+    w = ranked.filter(F.col("rw") == 1).select(
+        F.col("lang").alias("w_lang"),
+        F.col("source").alias("w_source"),
+        F.col("doc_id").alias("rejected_doc"),
+        F.col("quality").alias("qw"),
+    )
+    return (
+        b.join(
+            w,
+            (b["lang"] == w["w_lang"]) & (b["source"] == w["w_source"]),
+        )
+        .filter(F.col("chosen_doc") != F.col("rejected_doc"))
+        .select(
+            "lang",
+            "source",
+            "chosen_doc",
+            "rejected_doc",
+            F.round(F.col("qb") - F.col("qw"), 6).alias("margin"),
+        )
+        .orderBy("lang", "source")
+    )

@@ -616,3 +616,64 @@ def source_schema_evolution(spark, sf_dir):
         f"{out}/gen=1", f"{out}/gen=2"
     )
     return merged.select("o_orderkey", "o_totalprice", "priority", "gen")
+
+
+@query(
+    "sink_scd2_apply_changes",
+    # APPLY CHANGES INTO an SCD2 dimension: a change batch (customers
+    # crossing an account-balance threshold re-segment to 'UPGRADED'
+    # effective 2000-01-01) closes the affected open rows and inserts
+    # new open rows; untouched rows pass through. The relational form
+    # of the MERGE every warehouse dimension pipeline runs — emitted as
+    # the full post-merge dimension state.
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment AS segment,
+             '1995-01-01' AS valid_from, CAST(NULL AS VARCHAR) AS valid_to
+      FROM customer
+    ), changes AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 8000
+    )
+    SELECT d.c_custkey, d.segment, d.valid_from,
+           CASE WHEN ch.c_custkey IS NOT NULL THEN '2000-01-01' END
+             AS valid_to
+    FROM dim d LEFT JOIN changes ch ON d.c_custkey = ch.c_custkey
+    UNION ALL
+    SELECT c_custkey, 'UPGRADED', '2000-01-01', CAST(NULL AS VARCHAR)
+    FROM changes
+    """,
+)
+def sink_scd2_apply_changes(spark, sf_dir):
+    """One equi-join marks rows to close (LEFT join keeps the pass-
+    through rows in the same pass) and the insert set is the change
+    batch itself — two scans of the dimension total, no per-row MERGE
+    loop; at 100 TB the join partitions on the dimension key and
+    dynamic partition overwrite rewrites only touched partitions
+    (sink_dynamic_partition_overwrite is the write half)."""
+    cust = load(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1995-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    changes = cust.filter(F.col("c_acctbal") > 8000).select(
+        F.col("c_custkey").alias("ch_key")
+    )
+    closed = dim.join(
+        changes, dim["c_custkey"] == changes["ch_key"], "left"
+    ).select(
+        "c_custkey",
+        "segment",
+        "valid_from",
+        F.when(F.col("ch_key").isNotNull(), F.lit("2000-01-01")).alias(
+            "valid_to"
+        ),
+    )
+    inserted = changes.select(
+        F.col("ch_key").alias("c_custkey"),
+        F.lit("UPGRADED").alias("segment"),
+        F.lit("2000-01-01").alias("valid_from"),
+        F.lit(None).cast("string").alias("valid_to"),
+    )
+    return closed.unionAll(inserted)
