@@ -857,3 +857,60 @@ def llm_preference_pairs(spark, sf_dir):
         )
         .orderBy("lang", "source")
     )
+
+
+@query(
+    "llm_span_corruption",
+    # T5-style span-corruption planning (arXiv:1910.10683 §3.1.4,
+    # deterministic spelling): spans of 2 tokens starting at positions
+    # 5, 15, 25, … (~20% corruption, reproducibility rule: no rand) —
+    # emits per span the sentinel id, 1-based start, and the masked
+    # text, i.e. the (inputs, targets) plan a seq2seq pretraining
+    # pipeline materializes. Pure integer arithmetic + list slicing.
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    )
+    SELECT doc_id, CAST(span_idx AS INT) AS span_idx,
+           CAST(5 + 10 * span_idx + 1 AS BIGINT) AS start_pos,
+           array_to_string(
+             w[5 + 10 * span_idx + 1 : 5 + 10 * span_idx + 2], ' ')
+             AS masked_text
+    FROM d
+    CROSS JOIN (SELECT unnest(generate_series(0, 99)) AS span_idx)
+    WHERE 5 + 10 * span_idx + 2 <= n
+    """,
+)
+def llm_span_corruption(spark, sf_dir):
+    """sequence() + explode generates span indices per doc (fan-out
+    bounded by doc length / 10), slice() extracts the masked tokens
+    JVM-side — no shuffle at all until a downstream aggregate; the doc
+    body never leaves codegen."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+        F.size(F.split("text", " ")).alias("n"),
+    ).filter(F.col("n") >= 7)
+    spans = d.select(
+        "doc_id",
+        "w",
+        "n",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                (((F.col("n") - 7) - (F.col("n") - 7) % 10) / 10)
+                .cast("int"),
+            )
+        ).alias("span_idx"),
+    ).filter(5 + 10 * F.col("span_idx") + 2 <= F.col("n"))
+    start = 5 + 10 * F.col("span_idx") + 1
+    return spans.select(
+        "doc_id",
+        "span_idx",
+        start.cast("bigint").alias("start_pos"),
+        F.array_join(
+            F.slice(F.col("w"), start, 2), " "
+        ).alias("masked_text"),
+    )
