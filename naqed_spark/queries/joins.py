@@ -906,3 +906,65 @@ def join_scd2_point_in_time(spark, sf_dir):
             "vf",
         )
     )
+
+
+@query(
+    "join_fk_orphan_audit",
+    # Referential-integrity audit over the catalog's FK edges: child
+    # rows whose foreign key has no parent (orphans) per relationship —
+    # the ingest gate that catches broken joins before queries silently
+    # drop rows. Anti-join per edge, union of per-edge counts.
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, (SELECT count(*) FROM lineitem) AS n_child,
+           (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+             AS n_orphans
+    UNION ALL
+    SELECT 'orders->customer', (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders o WHERE NOT EXISTS
+             (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'lineitem->part', (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem->supplier', (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'customer->nation', (SELECT count(*) FROM customer),
+           (SELECT count(*) FROM customer c WHERE NOT EXISTS
+             (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey))
+    ORDER BY fk
+    """,
+)
+def join_fk_orphan_audit(spark, sf_dir):
+    """One LEFT ANTI join per FK edge (the parent side is key-only and
+    AQE-broadcastable after projection); counts union into a
+    relationship-grid report. At 100 TB each audit is a key-projected
+    semi-join pass — the cheapest shape that proves integrity."""
+    from functools import reduce
+
+    edges = [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier",
+         "s_suppkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation",
+         "n_nationkey"),
+    ]
+    frames = []
+    for name, child, ck, parent, pk in edges:
+        c = load(spark, sf_dir, child).select(ck)
+        p = load(spark, sf_dir, parent).select(pk)
+        orphans = c.join(p, c[ck] == p[pk], "left_anti").agg(
+            F.count("*").alias("n_orphans")
+        )
+        total = c.agg(F.count("*").alias("n_child"))
+        frames.append(
+            total.crossJoin(orphans).select(
+                F.lit(name).alias("fk"), "n_child", "n_orphans"
+            )
+        )
+    return reduce(lambda a, b: a.unionAll(b), frames).orderBy("fk")
