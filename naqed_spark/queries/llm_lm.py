@@ -914,3 +914,72 @@ def llm_span_corruption(spark, sf_dir):
             F.slice(F.col("w"), start, 2), " "
         ).alias("masked_text"),
     )
+
+
+@query(
+    "llm_hard_negatives",
+    # Hard-negative mining for contrastive/embedding training: each
+    # vector's highest-ranked neighbor whose label DIFFERS — the
+    # near-but-wrong examples that make a metric-learning batch
+    # informative. Reuses the verified knn kernel; vectors whose whole
+    # top-5 shares their label yield no row (nothing hard to mine).
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             sqrt(list_dot_product(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE)),
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ), pairs AS (
+      SELECT a.vec_id AS src, a.label AS src_label,
+             b.vec_id AS nbr, b.label AS nbr_label,
+             round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 6) AS sim,
+             row_number() OVER (PARTITION BY a.vec_id
+               ORDER BY round(list_dot_product(a.e, b.e)
+                              / (a.nrm * b.nrm), 6) DESC, b.vec_id ASC)
+               AS rnk
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    )
+    SELECT src, src_label, nbr AS hard_negative, nbr_label, sim,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY src ORDER BY rnk) AS hn
+      FROM pairs WHERE rnk <= 5 AND nbr_label <> src_label
+    ) WHERE hn = 1
+    """,
+)
+def llm_hard_negatives(spark, sf_dir):
+    """knn output (already top-5 per query) filtered to cross-label
+    rows and reduced with one more rank-1 window on the same src
+    partitioning — mining cost is one window over an O(5n) frame."""
+    from pyspark.sql import Window
+
+    from naqed_spark.queries.llm import llm_knn_bruteforce
+
+    knn = llm_knn_bruteforce(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    sl = emb.select(
+        F.col("vec_id").alias("s_id"), F.col("label").alias("src_label")
+    )
+    nl = emb.select(
+        F.col("vec_id").alias("n_id"), F.col("label").alias("nbr_label")
+    )
+    cand = (
+        knn.join(sl, knn["src"] == sl["s_id"])
+        .join(nl, knn["nbr"] == nl["n_id"])
+        .filter(F.col("nbr_label") != F.col("src_label"))
+    )
+    hn = F.row_number().over(Window.partitionBy("src").orderBy("rnk"))
+    return (
+        cand.withColumn("hn", hn)
+        .filter(F.col("hn") == 1)
+        .select(
+            "src",
+            "src_label",
+            F.col("nbr").alias("hard_negative"),
+            "nbr_label",
+            "sim",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

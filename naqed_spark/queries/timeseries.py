@@ -1534,3 +1534,81 @@ def ts_seasonal_anomaly(spark, sf_dir):
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "ts_mann_kendall",
+    # Mann-Kendall trend test per event type over the DAILY revenue
+    # series: S = Σ_{i<j} sign(x_j − x_i) and Kendall's tau = S / C(n,2)
+    # — the nonparametric "is there a monotonic trend" test that needs
+    # no distribution assumption. The pair join is DOMAIN-bounded (the
+    # ~30-day grid per type, ≤435 pairs), daily sums are exact decimals,
+    # so S is an exact integer and tau one exact division.
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS rev
+      FROM events GROUP BY 1, 2
+    ), s AS (
+      SELECT a.event_type,
+             CAST(sum(CASE WHEN b.rev > a.rev THEN 1
+                           WHEN b.rev < a.rev THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s_stat,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM d a JOIN d b
+        ON a.event_type = b.event_type AND a.day < b.day
+      GROUP BY 1
+    )
+    SELECT event_type, s_stat, n_pairs,
+           round(s_stat / CAST(n_pairs AS DOUBLE), 6) AS tau
+    FROM s ORDER BY event_type
+    """,
+)
+def ts_mann_kendall(spark, sf_dir):
+    """The quadratic pair join runs on the DAILY aggregate (calendar-
+    bounded, never event-bounded) partitioned by event_type — the
+    pre-aggregate-then-pair shape that keeps nonparametric tests
+    feasible at any event volume."""
+    d = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.col("value").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    a = d.select(
+        "event_type", F.col("day").alias("da"), F.col("rev").alias("ra")
+    )
+    b = d.select(
+        F.col("event_type").alias("et_b"),
+        F.col("day").alias("db"),
+        F.col("rev").alias("rb"),
+    )
+    sgn = F.when(F.col("rb") > F.col("ra"), 1).when(
+        F.col("rb") < F.col("ra"), -1
+    ).otherwise(0)
+    return (
+        a.join(
+            b,
+            (F.col("event_type") == F.col("et_b"))
+            & (F.col("da") < F.col("db")),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(sgn).cast("bigint").alias("s_stat"),
+            F.count("*").cast("bigint").alias("n_pairs"),
+        )
+        .select(
+            "event_type",
+            "s_stat",
+            "n_pairs",
+            r6(F.col("s_stat") / F.col("n_pairs").cast("double")).alias(
+                "tau"
+            ),
+        )
+        .orderBy("event_type")
+    )
