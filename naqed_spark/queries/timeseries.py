@@ -1612,3 +1612,65 @@ def ts_mann_kendall(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "ts_time_weighted_avg",
+    # Time-weighted average of the event value per user — the TWAP/IoT
+    # aggregate where a value holds until the next observation: each
+    # value is weighted by the microseconds until the user's next event
+    # (the final, open-ended event carries no weight). Weights are
+    # exact integer micros and values exact 2-decimal decimals, so
+    # every product and both sums are exact — one final division, no
+    # rounding hedge needed beyond round(6) on the emitted average.
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, CAST(value AS DECIMAL(12,2)) AS v,
+             epoch_us(ts) AS t,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id)
+               AS t_next
+      FROM events
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_weighted,
+           CAST(sum(t_next - t) AS BIGINT) AS total_us,
+           round(CAST(sum(v * (t_next - t)) AS DOUBLE)
+                 / CAST(sum(t_next - t) AS DOUBLE), 6) AS twap
+    FROM seq WHERE t_next IS NOT NULL
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def ts_time_weighted_avg(spark, sf_dir):
+    """One per-user sort exchange shared by the lead window and the
+    final aggregate (same partitioning) — the hold-until-next weighting
+    that a plain AVG silently gets wrong on irregular streams."""
+    from pyspark.sql import Window
+
+    from naqed_spark.queries._util import epoch_us
+
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    seq = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.col("value").cast("decimal(12,2)").alias("v"),
+            epoch_us("ts").alias("t"),
+        )
+        .withColumn("t_next", F.lead("t").over(w))
+        .filter(F.col("t_next").isNotNull())
+    )
+    dt = F.col("t_next") - F.col("t")
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_weighted"),
+            F.sum(dt).cast("bigint").alias("total_us"),
+            r6(
+                F.sum(F.col("v") * dt).cast("double")
+                / F.sum(dt).cast("double")
+            ).alias("twap"),
+        )
+        .orderBy("user_id")
+    )
