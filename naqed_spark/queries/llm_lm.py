@@ -983,3 +983,55 @@ def llm_hard_negatives(spark, sf_dir):
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+@query(
+    "llm_prefix_clusters",
+    # Shared-prefix clustering: documents whose first 8 tokens are
+    # identical form a cluster — the crawl artifact (truncated pages,
+    # boilerplate templates) that exact full-text dedup misses because
+    # the tails differ. Emits clusters of ≥2 docs with the md5 prefix
+    # key, sizes, the representative (min doc_id), and whether the
+    # cluster spans multiple sources (template syndication signal).
+    oracle="""
+    WITH p AS (
+      SELECT doc_id, source,
+             md5(array_to_string((string_split(text, ' '))[1:8], ' '))
+               AS prefix_key
+      FROM documents WHERE len(string_split(text, ' ')) >= 8
+    )
+    SELECT prefix_key,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           (count(DISTINCT source) > 1) AS cross_source
+    FROM p GROUP BY prefix_key HAVING count(*) >= 2
+    ORDER BY n_docs DESC, prefix_key
+    """,
+)
+def llm_prefix_clusters(spark, sf_dir):
+    """One codegen slice+hash per doc, one 16-byte-key aggregate with
+    map-side combine — the same one-shuffle cost as exact dedup, over
+    a key that catches what full-text hashing can't."""
+    p = (
+        load(spark, sf_dir, "documents")
+        .filter(F.size(F.split("text", " ")) >= 8)
+        .select(
+            "doc_id",
+            "source",
+            F.md5(
+                F.array_join(F.slice(F.split("text", " "), 1, 8), " ")
+            ).alias("prefix_key"),
+        )
+    )
+    return (
+        p.groupBy("prefix_key")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("keep_doc"),
+            F.count_distinct("source").cast("bigint").alias("n_sources"),
+            (F.count_distinct("source") > 1).alias("cross_source"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), "prefix_key")
+    )
