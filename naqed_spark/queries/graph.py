@@ -1679,3 +1679,55 @@ def graph_modularity(spark, sf_dir):
         )
         .select("n_communities", "n_edges", "modularity")
     )
+
+
+@query(
+    "graph_centralization",
+    # Freeman degree centralization of the undirected interaction graph:
+    # Σ(d_max − d_i) / ((n−1)(n−2)) — 0 for a regular graph, 1 for a
+    # perfect star; the single number that says "does one hub dominate".
+    # All-integer ingredients (degrees, n), one exact division.
+    oracle=f"""
+    WITH ue AS ({_UE_SQL}),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM ue
+    ),
+    deg AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS d FROM (
+        SELECT a AS v FROM und UNION ALL SELECT b FROM und) GROUP BY v
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+           max(d) AS d_max,
+           round(CAST(sum(max_d - d) AS DOUBLE)
+                 / ((count(*) - 1) * (count(*) - 2)), 6)
+             AS centralization
+    FROM (SELECT v, d, max(d) OVER () AS max_d FROM deg)
+    """,
+)
+def graph_centralization(spark, sf_dir):
+    """One degree aggregate; d_max is a 1-row broadcast joined back (no
+    global window over vertices) and the final reduction is a single
+    scalar aggregate — vertex-table-sized work throughout."""
+    ue = user_edges(spark, sf_dir)
+    und = ue.select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select("b"))
+        .groupBy("v")
+        .agg(F.count("*").cast("bigint").alias("d"))
+    )
+    mx = deg.agg(F.max("d").alias("max_d"))
+    return (
+        deg.crossJoin(F.broadcast(mx))
+        .agg(
+            F.count("*").cast("bigint").alias("n_vertices"),
+            F.max("d").alias("d_max"),
+            r6(
+                F.sum(F.col("max_d") - F.col("d")).cast("double")
+                / ((F.count("*") - 1) * (F.count("*") - 2))
+            ).alias("centralization"),
+        )
+    )
