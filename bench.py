@@ -114,6 +114,18 @@ def main() -> None:
         except Exception as ex:  # one broken query must not lose the run
             print(f"# {key}: FAILED {ex}", file=sys.stderr)
 
+    # TPC-H suite diagnostic (round 8): one warmed timing per adapted
+    # query — not part of the headline metric (no BASELINE rows exist),
+    # but recorded so plan regressions in the suite are driver-visible.
+    tpch: dict[str, float] = {}
+    for key in sorted(k for k in QUERIES if k.startswith("tpch_")):
+        try:
+            fn = QUERIES[key]
+            fn(spark, sf_dir).collect()
+            tpch[key] = timed(lambda: fn(spark, sf_dir).collect())
+        except Exception as ex:
+            print(f"# {key}: FAILED {ex}", file=sys.stderr)
+
     total = round(sum(per_query.values()), 3)
     # floor-normalized views (VERDICT r3 item 4): BENCH_r03's 31 s headline
     # was a contended machine, not code — the floor measurements are the
@@ -137,6 +149,8 @@ def main() -> None:
                 "value_minus_floor": minus_floor,
                 "floor": {"action": floor_action, "scan_lineitem": floor_scan},
                 "contended": floor_action > 0.35 or floor_scan > 0.6,
+                "queries_tpch": tpch,
+                "tpch_total": round(sum(tpch.values()), 3),
                 "sf": sf,
             }
         )
