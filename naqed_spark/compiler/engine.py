@@ -472,6 +472,14 @@ class Engine:
                 # group columns only (mirrors SQL HAVING scope)
                 _check_pred_columns(pred, df, "$having")
                 df = _apply_predicate(df, pred)
+        # $derive lands after $agg/$having: post-aggregation computed
+        # columns that see agg aliases (withColumn semantics — a
+        # same-named derive replaces the column, e.g. casting an exact
+        # decimal sum to double at the emission boundary, §7.3).
+        for alias, ex in qs.derive:
+            df = df.withColumn(alias, self._compile_expr(df, ex))
+            if alias not in cols:
+                cols.append(alias)
         # $window lands AFTER $agg (SQL ordering: windows see aggregated
         # rows when both are present), so a window can rank agg results.
         for w in qs.windows:

@@ -102,6 +102,13 @@ Round-7 session-2 extensions:
 
 Round-8 extensions:
 
+    "$derive": {"alias": <expr>}      # POST-aggregation computed columns:
+                                      # same expression DSL as $select but
+                                      # evaluated after $agg/$having (sees
+                                      # agg aliases); withColumn semantics —
+                                      # a same-named alias REPLACES the
+                                      # column (how an exact-decimal sum is
+                                      # emitted as double, §7.3)
     "$json" in $select                # [col, {"$lit": "$.path"}] — JSON
                                       # field accessor (get_json_object ≡
                                       # DuckDB json_extract_string, NULL on
@@ -313,6 +320,7 @@ class QuerySpec:
     offset: int | None = None
     distinct: bool = False
     select: list[tuple[str, Expr]] = field(default_factory=list)  # computed cols
+    derive: list[tuple[str, Expr]] = field(default_factory=list)  # post-agg cols
     windows: list[WindowFn] = field(default_factory=list)  # $window entries
     qualify: list[Predicate] = field(default_factory=list)  # post-window filter
     sample: "tuple[str, int, int] | None" = None  # ($key, $keep, $buckets)
@@ -617,8 +625,8 @@ def _parse_node(entity: str, body: dict) -> tuple[Node, dict]:
         elif key == "$collect":
             node.collect = bool(val)
         elif key in ("$agg", "$groupby", "$having", "$orderby", "$limit",
-                     "$offset", "$distinct", "$select", "$window", "$qualify",
-                     "$sample"):
+                     "$offset", "$distinct", "$select", "$derive", "$window",
+                     "$qualify", "$sample"):
             top[key] = val
         elif key.startswith("$"):
             raise SpecError(f"unknown argument {key!r} on entity {entity!r}")
@@ -709,6 +717,13 @@ def parse_spec(spec: dict) -> QuerySpec:
     qs = QuerySpec(root=root)
     if "$select" in top:
         qs.select = _parse_select(top["$select"])
+    if "$derive" in top:
+        # post-aggregation computed columns: same expression DSL as
+        # $select but evaluated AFTER $agg/$having (withColumn
+        # semantics — an alias matching an existing column REPLACES it
+        # in place, which is how an exact-decimal aggregate is emitted
+        # as double without leaking the decimal to the API surface)
+        qs.derive = _parse_select(top["$derive"])
     if "$groupby" in top:
         gb = top["$groupby"]
         if not isinstance(gb, list) or not all(isinstance(c, str) for c in gb):

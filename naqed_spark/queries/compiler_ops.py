@@ -834,3 +834,81 @@ def compiler_agg_minmax_by(spark, sf_dir):
             }
         }
     )
+
+
+@query(
+    "compiler_q3_full",
+    # Round 8: a COMPLETE TPC-H query (Q3 shipping priority) expressed
+    # in the E1 QuerySpec DSL — filter + two relationship hops + exact
+    # decimal $select arithmetic + $agg + the new $derive (post-agg
+    # computed columns) casting the decimal sum to double at the
+    # emission boundary + ordered top-10. The parity proof that a naqed
+    # user's query DSL reaches real decision-support shape, with the
+    # same determinism discipline as the hand-built join_q3 key.
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY 1, 2
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+)
+def compiler_q3_full(spark, sf_dir):
+    """Compiles to the same plan family as join_q3_shipping_priority:
+    hop joins AQE-sized after their pushdown-eligible filters, one
+    partial+final revenue aggregate, TakeOrderedAndProject top-10."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "customer": {
+                "$filter": {"c_mktsegment": "BUILDING"},
+                "orders": {
+                    "$filter": {"o_orderdate": {"$lt": "1996-07-01"}},
+                    "o_orderkey": True,
+                    "o_orderpriority": True,
+                    "lineitems": {
+                        "$filter": {"l_shipdate": {"$gt": "1996-07-01"}},
+                    },
+                },
+                "$select": {
+                    "rev_dec": {
+                        "$mul": [
+                            {
+                                "$cast": [
+                                    "l_extendedprice",
+                                    {"$lit": "decimal(12,2)"},
+                                ]
+                            },
+                            {
+                                "$sub": [
+                                    1,
+                                    {
+                                        "$cast": [
+                                            "l_discount",
+                                            {"$lit": "decimal(4,2)"},
+                                        ]
+                                    },
+                                ]
+                            },
+                        ]
+                    },
+                },
+                "$groupby": ["o_orderkey", "o_orderpriority"],
+                "$agg": {"revenue": {"$sum": "rev_dec"}},
+                "$derive": {
+                    "revenue": {"$cast": ["revenue", {"$lit": "double"}]}
+                },
+                "$orderby": [["revenue", "desc"], ["o_orderkey", "asc"]],
+                "$limit": 10,
+            }
+        }
+    )

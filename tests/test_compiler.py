@@ -1432,3 +1432,53 @@ def test_minmax_by_bad_shapes_fail_typed(eng, body):
                 }
             }
         )
+
+
+# -- round 8: $derive post-aggregation computed columns ----------------------
+
+
+def test_derive_sees_agg_aliases_and_replaces_in_place(eng):
+    from pyspark.sql import functions as F
+
+    got = eng.query(
+        {
+            "customer": {
+                "$groupby": ["c_nationkey"],
+                "$agg": {"n": {"$count": True}},
+                "$derive": {
+                    "n": {"$cast": ["n", {"$lit": "double"}]},
+                    "n2": {"$mul": ["n", 2]},
+                },
+            }
+        }
+    )
+    assert dict(got.dtypes)["n"] == "double"
+    assert "n2" in got.columns
+    want = (
+        eng.catalog.entity("customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .withColumn("n2", F.col("n") * 2)
+    )
+    assert got.exceptAll(want).isEmpty() and want.exceptAll(got).isEmpty()
+
+
+@pytest.mark.parametrize(
+    "derive",
+    [
+        ["not", "a", "dict"],
+        {"v": {"$bogus": 1}},
+        {"v": {"$cast": ["nope_col", {"$lit": "double"}]}},
+    ],
+)
+def test_derive_bad_shapes_fail_typed(eng, derive):
+    with pytest.raises((SpecError, KeyError)):
+        eng.query(
+            {
+                "customer": {
+                    "$groupby": ["c_nationkey"],
+                    "$agg": {"n": {"$count": True}},
+                    "$derive": derive,
+                }
+            }
+        )
