@@ -912,3 +912,84 @@ def compiler_q3_full(spark, sf_dir):
             }
         }
     )
+
+
+@query(
+    "compiler_q1_full",
+    # TPC-H Q1 (pricing summary) in the E1 DSL — the multi-aggregate
+    # stress case: three exact-decimal money expressions in $select,
+    # five sums + a count in $agg, and $derive finishing the surface
+    # (decimal→double casts and the three averages as divisions over
+    # agg aliases). With compiler_q3_full this closes the loop: the two
+    # canonical TPC-H shapes both run from the naqed-style query dict.
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                    * (1 + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+             AS sum_charge,
+           sum(l_quantity) / count(*) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / count(*) AS avg_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def compiler_q1_full(spark, sf_dir):
+    """One scan-pushed filter, one partial+final hash aggregate over the
+    2x2 flag grid — identical plan family to agg_groupby_hash; every
+    money sum stays exact decimal until the $derive boundary."""
+    from naqed_spark.compiler.engine import Engine
+
+    dec12 = {"$lit": "decimal(12,2)"}
+    dec4 = {"$lit": "decimal(4,2)"}
+    price = {"$cast": ["l_extendedprice", dec12]}
+    disc1 = {"$sub": [1, {"$cast": ["l_discount", dec4]}]}
+    tax1 = {"$add": [1, {"$cast": ["l_tax", dec4]}]}
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "lineitem": {
+                "$filter": {"l_shipdate": {"$lte": "1998-09-01"}},
+                "$select": {
+                    "price_dec": price,
+                    "disc_price_dec": {"$mul": [price, disc1]},
+                    "charge_dec": {"$mul": [price, disc1, tax1]},
+                },
+                "$groupby": ["l_returnflag", "l_linestatus"],
+                "$agg": {
+                    "sum_qty": {"$sum": "l_quantity"},
+                    "sum_base_price": {"$sum": "price_dec"},
+                    "sum_disc_price": {"$sum": "disc_price_dec"},
+                    "sum_charge": {"$sum": "charge_dec"},
+                    "count_order": {"$count": True},
+                },
+                "$derive": {
+                    "sum_base_price": {
+                        "$cast": ["sum_base_price", {"$lit": "double"}]
+                    },
+                    "sum_disc_price": {
+                        "$cast": ["sum_disc_price", {"$lit": "double"}]
+                    },
+                    "sum_charge": {
+                        "$cast": ["sum_charge", {"$lit": "double"}]
+                    },
+                    "avg_qty": {"$div": ["sum_qty", "count_order"]},
+                    "avg_price": {
+                        "$div": [
+                            {"$cast": ["sum_base_price", {"$lit": "double"}]},
+                            "count_order",
+                        ]
+                    },
+                },
+            }
+        }
+    )
