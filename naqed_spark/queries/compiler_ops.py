@@ -993,3 +993,62 @@ def compiler_q1_full(spark, sf_dir):
             }
         }
     )
+
+
+@query(
+    "compiler_q6_full",
+    # TPC-H Q6 in the E1 DSL — the pure scan case: three pushdown-
+    # eligible $filter predicates (range + between-style pair + bound),
+    # one exact-decimal product in $select, one global $agg, one $derive
+    # cast. Q1 + Q3 + Q6 from the naqed query dict = the three canonical
+    # TPC-H shapes (scan-agg, join-agg-topk, multi-aggregate) all
+    # reachable from the reference's own query surface.
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+           AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def compiler_q6_full(spark, sf_dir):
+    """Same plan as tpch_q6_revenue_change: every predicate in
+    PushedFilters, 4-column read schema, map-side partial aggregate."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "lineitem": {
+                "$filter": {
+                    "l_shipdate": {"$gte": "1997-01-01", "$lt": "1998-01-01"},
+                    "l_discount": {"$between": [0.05, 0.07]},
+                    "l_quantity": {"$lt": 24},
+                },
+                "$select": {
+                    "disc_rev": {
+                        "$mul": [
+                            {
+                                "$cast": [
+                                    "l_extendedprice",
+                                    {"$lit": "decimal(12,2)"},
+                                ]
+                            },
+                            {
+                                "$cast": [
+                                    "l_discount",
+                                    {"$lit": "decimal(4,2)"},
+                                ]
+                            },
+                        ]
+                    }
+                },
+                "$agg": {"revenue": {"$sum": "disc_rev"}},
+                "$derive": {
+                    "revenue": {"$cast": ["revenue", {"$lit": "double"}]}
+                },
+            }
+        }
+    )
