@@ -802,12 +802,13 @@ def llm_sampling_temperature(spark, sf_dir):
     """,
 )
 def llm_preference_pairs(spark, sf_dir):
-    """Both extremes come from ONE (lang, source) window partitioning
-    (two rank columns over the same sort exchange), so the pair
-    assembly costs a single shuffle plus a grid-sized self-join — the
-    shape that still holds when prompt groups number in the millions."""
-    from pyspark.sql import Window
-
+    """Both extremes come from ONE hash aggregate: the argmax/argmin
+    ride as max_by/min_by over a (quality, ±doc_id) struct — ordering
+    structs lexicographically reproduces the (quality desc/asc, doc_id
+    asc) rank-1 exactly — so the pair assembly is a single map-side-
+    combined shuffle with no window, no sort, and no self-join (the
+    earlier two-rank-window spelling cost 4 exchanges; this costs 1,
+    asserted in test_plans)."""
     q = load(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
@@ -818,36 +819,21 @@ def llm_preference_pairs(spark, sf_dir):
             6,
         ).alias("quality"),
     )
-    wp = Window.partitionBy("lang", "source")
-    ranked = q.select(
-        "lang",
-        "source",
-        "doc_id",
-        "quality",
-        F.row_number()
-        .over(wp.orderBy(F.col("quality").desc(), "doc_id"))
-        .alias("rb"),
-        F.row_number()
-        .over(wp.orderBy(F.col("quality").asc(), "doc_id"))
-        .alias("rw"),
-        F.count("*").over(wp).alias("n"),
-    )
-    b = ranked.filter((F.col("rb") == 1) & (F.col("n") >= 2)).select(
-        "lang", "source", F.col("doc_id").alias("chosen_doc"),
-        F.col("quality").alias("qb"),
-    )
-    w = ranked.filter(F.col("rw") == 1).select(
-        F.col("lang").alias("w_lang"),
-        F.col("source").alias("w_source"),
-        F.col("doc_id").alias("rejected_doc"),
-        F.col("quality").alias("qw"),
-    )
+    best_key = F.struct(F.col("quality"), (-F.col("doc_id")).alias("nd"))
+    worst_key = F.struct(F.col("quality"), F.col("doc_id").alias("d"))
     return (
-        b.join(
-            w,
-            (b["lang"] == w["w_lang"]) & (b["source"] == w["w_source"]),
+        q.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n"),
+            F.max_by("doc_id", best_key).alias("chosen_doc"),
+            F.max("quality").alias("qb"),
+            F.min_by("doc_id", worst_key).alias("rejected_doc"),
+            F.min("quality").alias("qw"),
         )
-        .filter(F.col("chosen_doc") != F.col("rejected_doc"))
+        .filter(
+            (F.col("n") >= 2)
+            & (F.col("chosen_doc") != F.col("rejected_doc"))
+        )
         .select(
             "lang",
             "source",

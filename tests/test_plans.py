@@ -984,3 +984,13 @@ def test_global_sort_is_range_partitioned(spark):
     plan = plan_of(spark, "sort_global_range_partitioned")
     assert "rangepartitioning" in plan.lower()
     assert "SinglePartition" not in plan
+
+
+def test_preference_pairs_single_exchange_no_window(spark):
+    """llm_preference_pairs: both extremes come from one max_by/min_by
+    hash aggregate — exactly one exchange before the final sort, and no
+    Window operator at all (the two-rank-window spelling cost 4)."""
+    tree = tree_of(plan_of(spark, "llm_preference_pairs"))
+    assert "Window" not in tree
+    # one aggregate exchange + the output orderBy's range exchange
+    assert tree.count("Exchange") <= 2
