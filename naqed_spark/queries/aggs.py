@@ -1692,3 +1692,145 @@ def agg_welch_ttest(spark, sf_dir):
             )
         ).alias("welch_dof"),
     )
+
+
+@query(
+    "agg_skyline_pareto",
+    # 2-D skyline (Pareto front): orders not dominated on
+    # (o_totalprice, o_orderdate) — dominated means another order is ≥
+    # in both dimensions and strictly greater in at least one. The
+    # scalable spelling is ONE sort, not the O(n²) dominance join: over
+    # DISTINCT (price, date) pairs ordered (price desc, date desc), a
+    # pair is on the front iff its date strictly exceeds the running max
+    # date of all earlier pairs — every earlier pair has ≥ price, so a
+    # non-greater date there means domination. Exact doubles + exact
+    # timestamps → engine-identical front.
+    oracle="""
+    WITH pts AS (
+      SELECT o_totalprice AS price, epoch_us(o_orderdate) AS d,
+             count(*) AS n_orders
+      FROM orders GROUP BY 1, 2
+    ), s AS (
+      SELECT price, d, n_orders,
+             max(d) OVER (ORDER BY price DESC, d DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_d
+      FROM pts
+    )
+    SELECT price, CAST(d AS BIGINT) AS order_date_us,
+           CAST(n_orders AS BIGINT) AS n_orders
+    FROM s WHERE prev_max_d IS NULL OR d > prev_max_d
+    ORDER BY price DESC
+    """,
+)
+def agg_skyline_pareto(spark, sf_dir):
+    """Skyline via sort + running max over the DISTINCT value grid (the
+    duplicate-collapsing groupBy runs first, so the window sees the
+    value domain, not the row count); at 100 TB the standard refinement
+    is grid-partition pre-pruning (drop any cell dominated by another
+    cell's min corner) before this same sort."""
+    from pyspark.sql import Window
+
+    from naqed_spark.queries._util import epoch_us
+
+    pts = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_totalprice").alias("price"),
+            epoch_us("o_orderdate").alias("d"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+    )
+    w = Window.orderBy(F.col("price").desc(), F.col("d").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        pts.withColumn("prev_max_d", F.max("d").over(w))
+        .filter(
+            F.col("prev_max_d").isNull() | (F.col("d") > F.col("prev_max_d"))
+        )
+        .select(
+            "price",
+            F.col("d").cast("bigint").alias("order_date_us"),
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+        )
+        .orderBy(F.col("price").desc())
+    )
+
+
+@query(
+    "agg_abc_classification",
+    # ABC/Pareto inventory classification: parts ranked by revenue,
+    # class A = the head covering ≤80% of cumulative revenue, B to 95%,
+    # C the tail. Exact decimal revenue sums; the cumulative share uses
+    # the part's EXCLUSIVE prefix (standard ABC: a part belongs to the
+    # class its cumulative share ENTERS) with (revenue desc, partkey)
+    # total order. Emits the per-class rollup.
+    oracle="""
+    WITH r AS (
+      SELECT l_partkey,
+             sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev_dec
+      FROM lineitem GROUP BY 1
+    ), t AS (SELECT CAST(sum(rev_dec) AS DOUBLE) AS total FROM r),
+    c AS (
+      SELECT l_partkey, CAST(rev_dec AS DOUBLE) AS rev, total,
+             CAST(coalesce(sum(rev_dec) OVER (ORDER BY rev_dec DESC,
+                    l_partkey ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS DOUBLE) / total AS cum_before
+      FROM r CROSS JOIN t
+    ), cls AS (
+      SELECT CASE WHEN cum_before < 0.80 THEN 'A'
+                  WHEN cum_before < 0.95 THEN 'B' ELSE 'C' END AS abc,
+             rev, total
+      FROM c
+    )
+    SELECT abc, CAST(count(*) AS BIGINT) AS n_parts,
+           round(sum(rev / total), 6) AS revenue_share
+    FROM cls GROUP BY abc ORDER BY abc
+    """,
+)
+def agg_abc_classification(spark, sf_dir):
+    """The ranking window runs over the PART dimension (bounded by the
+    catalog, not the fact table — lineitem collapses to per-part
+    decimals first); the exclusive cumulative sum stays exact decimal
+    until one division per part. revenue_share sums per-part exact
+    ratios — identical term sets, round(6) on the 3-row output."""
+    from pyspark.sql import Window
+
+    r = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                dec("l_extendedprice") * (1 - dec("l_discount", "decimal(4,2)"))
+            ).alias("rev_dec")
+        )
+    )
+    t = r.agg(F.sum("rev_dec").cast("double").alias("total"))
+    w = Window.orderBy(F.col("rev_dec").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = (
+        r.crossJoin(F.broadcast(t))
+        .withColumn(
+            "cum_before",
+            F.coalesce(F.sum("rev_dec").over(w), F.lit(0)).cast("double")
+            / F.col("total"),
+        )
+        .select(
+            F.when(F.col("cum_before") < 0.80, "A")
+            .when(F.col("cum_before") < 0.95, "B")
+            .otherwise("C")
+            .alias("abc"),
+            (F.col("rev_dec").cast("double") / F.col("total")).alias("share"),
+        )
+    )
+    return (
+        c.groupBy("abc")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            r6(F.sum("share")).alias("revenue_share"),
+        )
+        .orderBy("abc")
+    )
