@@ -1834,3 +1834,38 @@ def agg_abc_classification(spark, sf_dir):
         )
         .orderBy("abc")
     )
+
+
+@query(
+    "agg_hhi_index",
+    # Herfindahl–Hirschman concentration index of corpus sources:
+    # HHI = Σ share², on the standard 0–10,000 scale — the regulator's
+    # concentration number beside the Gini/top-80 curve. Shares are
+    # exact integer ratios; the grid-sized sum carries round(6).
+    oracle="""
+    WITH s AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents
+      GROUP BY source
+    ), t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM s)
+    SELECT CAST(count(*) AS BIGINT) AS n_sources,
+           round(sum(power(100.0 * n / tot, 2)), 6) AS hhi
+    FROM s CROSS JOIN t
+    """,
+)
+def agg_hhi_index(spark, sf_dir):
+    """One source-grid count + a broadcast total — constant state; the
+    concentration triple (Gini, top-80 curve, HHI) now covers the
+    standard governance reports."""
+    s = load(spark, sf_dir, "documents").groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    t = s.agg(F.sum("n").cast("double").alias("tot"))
+    return (
+        s.crossJoin(F.broadcast(t))
+        .agg(
+            F.count("*").cast("bigint").alias("n_sources"),
+            r6(
+                F.sum(F.pow(100.0 * F.col("n") / F.col("tot"), 2))
+            ).alias("hhi"),
+        )
+    )

@@ -1674,3 +1674,64 @@ def ts_time_weighted_avg(spark, sf_dir):
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "ts_max_drawdown",
+    # Maximum drawdown of the cumulative daily revenue curve per event
+    # type: max over days of (running peak − running value) — the
+    # risk/robustness metric for any monotone-ish KPI. Cumulative sums
+    # and running maxima stay EXACT DECIMAL through the whole window
+    # chain (order-independent), cast double only at the final
+    # subtraction — no rounding hedge needed, but round(6) applied to
+    # match the emission convention.
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             sum(CAST(value AS DECIMAL(12,2))) AS rev
+      FROM events GROUP BY 1, 2
+    ), c AS (
+      SELECT event_type, day,
+             sum(rev) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM d
+    ), p AS (
+      SELECT event_type,
+             max(cum) OVER (PARTITION BY event_type ORDER BY day
+                            ROWS UNBOUNDED PRECEDING) AS peak,
+             cum
+      FROM c
+    )
+    SELECT event_type,
+           round(CAST(max(peak - cum) AS DOUBLE), 6) AS max_drawdown,
+           round(CAST(max(peak) AS DOUBLE), 6) AS final_peak
+    FROM p GROUP BY event_type ORDER BY event_type
+    """,
+)
+def ts_max_drawdown(spark, sf_dir):
+    """Daily pre-aggregation first (calendar-bounded), then one
+    event_type-partitioned sort exchange shared by the cumulative sum
+    and the running peak; the final rollup is grid-sized."""
+    from pyspark.sql import Window
+
+    d = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(12,2)")).alias("rev"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = d.withColumn("cum", F.sum("rev").over(w)).withColumn(
+        "peak", F.max(F.col("cum")).over(w)
+    )
+    return (
+        c.groupBy("event_type")
+        .agg(
+            r6(
+                F.max(F.col("peak") - F.col("cum")).cast("double")
+            ).alias("max_drawdown"),
+            r6(F.max("peak").cast("double")).alias("final_peak"),
+        )
+        .orderBy("event_type")
+    )
