@@ -213,3 +213,89 @@ def scan_count_star_metadata(spark, sf_dir):
         for t in ("lineitem", "orders", "customer")
     ]
     return reduce(lambda a, b: a.unionAll(b), frames).orderBy("tbl")
+
+
+@query(
+    "scan_expectations_check",
+    # Declarative data-quality expectations (the dbt-test /
+    # expectations-suite shape): each rule is a predicate evaluated as a
+    # conditional count over ONE scan — not-null, positive-range,
+    # accepted-values, referential bounds — emitted as a (rule,
+    # n_violations, passed) report. The ingest contract a table must
+    # pass before downstream queries trust it.
+    oracle="""
+    WITH o AS (SELECT * FROM orders), checks AS (
+      SELECT
+        CAST(count(CASE WHEN o_custkey IS NULL THEN 1 END) AS BIGINT)
+          AS v_custkey_null,
+        CAST(count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS BIGINT)
+          AS v_price_nonpos,
+        CAST(count(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 END)
+          AS BIGINT) AS v_status_domain,
+        CAST(count(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01 00:00:00'
+                         OR o_orderdate >= TIMESTAMP '2005-01-01 00:00:00'
+                        THEN 1 END) AS BIGINT) AS v_date_range,
+        CAST(count(*) AS BIGINT) AS n_rows
+      FROM o
+    )
+    SELECT r.rule, r.n_violations, (r.n_violations = 0) AS passed,
+           checks.n_rows
+    FROM checks, LATERAL (VALUES
+      ('custkey_not_null', v_custkey_null),
+      ('totalprice_positive', v_price_nonpos),
+      ('status_in_domain', v_status_domain),
+      ('orderdate_in_range', v_date_range)
+    ) AS r(rule, n_violations)
+    ORDER BY r.rule
+    """,
+)
+def scan_expectations_check(spark, sf_dir):
+    """All rules share ONE scan (conditional counts in a single
+    aggregate — N rules never means N passes), then unpivot to the
+    report rows. At 100 TB this is the cheapest possible contract:
+    one pass, constant output."""
+    o = load(spark, sf_dir, "orders")
+    checks = o.agg(
+        F.count(F.when(F.col("o_custkey").isNull(), 1))
+        .cast("bigint")
+        .alias("custkey_not_null"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1))
+        .cast("bigint")
+        .alias("totalprice_positive"),
+        F.count(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1)
+        )
+        .cast("bigint")
+        .alias("status_in_domain"),
+        F.count(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp_ntz"))
+                | (
+                    F.col("o_orderdate")
+                    >= F.lit("2005-01-01").cast("timestamp_ntz")
+                ),
+                1,
+            )
+        )
+        .cast("bigint")
+        .alias("orderdate_in_range"),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
+    rules = ["custkey_not_null", "totalprice_positive", "status_in_domain",
+             "orderdate_in_range"]
+    stack = ", ".join(f"'{r}', {r}" for r in rules)
+    return (
+        checks.select(
+            F.expr(
+                f"stack({len(rules)}, {stack}) AS (rule, n_violations)"
+            ),
+            "n_rows",
+        )
+        .select(
+            "rule",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+            "n_rows",
+        )
+        .orderBy("rule")
+    )
