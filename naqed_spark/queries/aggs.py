@@ -1869,3 +1869,108 @@ def agg_hhi_index(spark, sf_dir):
             ).alias("hhi"),
         )
     )
+
+
+@query(
+    "agg_tukey_fences",
+    # Tukey's IQR outlier fences per market segment over order totals:
+    # Q1/Q3 by DISCRETE selection (row_number at ⌈p·n⌉ — §7.3: no
+    # interpolated percentiles on large-magnitude money), fences at
+    # 1.5·IQR, and exact outlier counts beyond each fence — the other
+    # classic robust-outlier rule beside MAD (ts_outlier_mad).
+    oracle="""
+    WITH r AS (
+      SELECT c_mktsegment, o_totalprice,
+             row_number() OVER (PARTITION BY c_mktsegment
+               ORDER BY o_totalprice, o_orderkey) AS rn,
+             count(*) OVER (PARTITION BY c_mktsegment) AS n
+      FROM orders JOIN customer ON c_custkey = o_custkey
+    ), q AS (
+      SELECT c_mktsegment,
+             max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT)
+                      THEN o_totalprice END) AS q1,
+             max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT)
+                      THEN o_totalprice END) AS q3,
+             max(n) AS n
+      FROM r GROUP BY 1
+    )
+    SELECT q.c_mktsegment, CAST(q.n AS BIGINT) AS n_orders, q.q1, q.q3,
+           round(q.q3 - q.q1, 6) AS iqr,
+           CAST(count(CASE WHEN r.o_totalprice
+                                < q.q1 - 1.5 * (q.q3 - q.q1)
+                           THEN 1 END) AS BIGINT) AS n_low_outliers,
+           CAST(count(CASE WHEN r.o_totalprice
+                                > q.q3 + 1.5 * (q.q3 - q.q1)
+                           THEN 1 END) AS BIGINT) AS n_high_outliers
+    FROM q JOIN r ON r.c_mktsegment = q.c_mktsegment
+    GROUP BY 1, 2, 3, 4, 5 ORDER BY 1
+    """,
+)
+def agg_tukey_fences(spark, sf_dir):
+    """One segment-partitioned rank window selects both quartiles as
+    exact elements (no float interpolation); the fence comparison
+    reuses the same ranked frame, so the whole rule costs one sort
+    exchange + a grid-sized join-back."""
+    from pyspark.sql import Window
+
+    r = (
+        load(spark, sf_dir, "orders")
+        .join(
+            load(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment"
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_mktsegment",
+            "o_totalprice",
+            F.row_number()
+            .over(
+                Window.partitionBy("c_mktsegment").orderBy(
+                    "o_totalprice", "o_orderkey"
+                )
+            )
+            .alias("rn"),
+            F.count("*")
+            .over(Window.partitionBy("c_mktsegment"))
+            .alias("n"),
+        )
+    )
+    q = r.groupBy(F.col("c_mktsegment").alias("q_seg")).agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.25 * F.col("n")).cast("bigint"),
+                F.col("o_totalprice"),
+            )
+        ).alias("q1"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(0.75 * F.col("n")).cast("bigint"),
+                F.col("o_totalprice"),
+            )
+        ).alias("q3"),
+        F.max("n").alias("q_n"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        r.join(F.broadcast(q), F.col("c_mktsegment") == F.col("q_seg"))
+        .groupBy("c_mktsegment", "q_n", "q1", "q3")
+        .agg(
+            F.count(
+                F.when(F.col("o_totalprice") < F.col("q1") - 1.5 * iqr, 1)
+            ).cast("bigint").alias("n_low_outliers"),
+            F.count(
+                F.when(F.col("o_totalprice") > F.col("q3") + 1.5 * iqr, 1)
+            ).cast("bigint").alias("n_high_outliers"),
+        )
+        .select(
+            "c_mktsegment",
+            F.col("q_n").cast("bigint").alias("n_orders"),
+            "q1",
+            "q3",
+            r6(iqr).alias("iqr"),
+            "n_low_outliers",
+            "n_high_outliers",
+        )
+        .orderBy("c_mktsegment")
+    )

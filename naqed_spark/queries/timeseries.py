@@ -1735,3 +1735,85 @@ def ts_max_drawdown(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "ts_bollinger_bands",
+    # Bollinger bands over the daily revenue series per event type:
+    # 7-day rolling mean ± 2σ with breakout flags. Moments stay exact
+    # (decimal Σx, Σx² in the rows-bounded frame), sqrt is IEEE-exact,
+    # so even the breakout comparisons are engine-stable; only full
+    # 7-row windows emit (partial head windows are not comparable).
+    oracle="""
+    WITH d AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS rev,
+             sum(CAST(value AS DECIMAL(12,2))) AS rev_dec
+      FROM events GROUP BY 1, 2
+    ), w AS (
+      SELECT event_type, day, rev,
+             CAST(sum(rev_dec) OVER win AS DOUBLE) AS sx,
+             CAST(sum(rev_dec * rev_dec) OVER win AS DOUBLE) AS sxx,
+             count(*) OVER win AS n
+      FROM d
+      WINDOW win AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day_s, rev,
+           round(sx / n, 6) AS mid,
+           round(sx / n - 2 * sqrt((sxx - sx * sx / n) / (n - 1)), 6)
+             AS lower_band,
+           round(sx / n + 2 * sqrt((sxx - sx * sx / n) / (n - 1)), 6)
+             AS upper_band,
+           (rev > sx / n + 2 * sqrt((sxx - sx * sx / n) / (n - 1)))
+             AS above_upper,
+           (rev < sx / n - 2 * sqrt((sxx - sx * sx / n) / (n - 1)))
+             AS below_lower
+    FROM w WHERE n = 7 AND (sxx - sx * sx / n) > 0
+    ORDER BY event_type, day_s
+    """,
+)
+def ts_bollinger_bands(spark, sf_dir):
+    """Calendar-bounded daily pre-aggregate, then ONE partitioned sort
+    exchange carrying both rolling moments (rows-bounded frame = O(7)
+    state per row at any volume)."""
+    from pyspark.sql import Window
+
+    from naqed_spark.queries._util import date_str
+
+    d = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(F.sum(F.col("value").cast("decimal(12,2)")).alias("rev_dec"))
+        .withColumn("rev", F.col("rev_dec").cast("double"))
+    )
+    win = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    w = d.select(
+        "event_type",
+        "day",
+        "rev",
+        F.sum("rev_dec").over(win).cast("double").alias("sx"),
+        F.sum(F.col("rev_dec") * F.col("rev_dec"))
+        .over(win)
+        .cast("double")
+        .alias("sxx"),
+        F.count("*").over(win).alias("n"),
+    ).filter(
+        (F.col("n") == 7)
+        & ((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) > 0)
+    )
+    mid = F.col("sx") / F.col("n")
+    sd = F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    return w.select(
+        "event_type",
+        date_str("day").alias("day_s"),
+        "rev",
+        r6(mid).alias("mid"),
+        r6(mid - 2 * sd).alias("lower_band"),
+        r6(mid + 2 * sd).alias("upper_band"),
+        (F.col("rev") > mid + 2 * sd).alias("above_upper"),
+        (F.col("rev") < mid - 2 * sd).alias("below_lower"),
+    ).orderBy("event_type", "day_s")
