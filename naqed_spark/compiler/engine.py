@@ -153,6 +153,21 @@ class Engine:
         self.catalog.register_views()
         return self.spark.sql(text)
 
+    def explain(
+        self, spec: dict, params: dict | None = None,
+        mode: str = "formatted",
+    ) -> str:
+        """Physical-plan text for a QuerySpec (round 8) — the
+        introspection hook behind every scale claim in this repo: users
+        check PushedFilters/ReadSchema/broadcasts the same way
+        tests/test_plans.py does. ``mode`` is any Spark ExplainMode
+        (simple/extended/codegen/cost/formatted)."""
+        df = self.query(spec, params)
+        jmode = self.spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        return df._jdf.queryExecution().explainString(
+            jmode.fromString(mode)
+        )
+
     # -- E1: naqed-style query object -------------------------------------
     def query(self, spec: dict, params: dict | None = None) -> DataFrame:
         """Compile a naqed-style query object. ``params`` binds

@@ -1482,3 +1482,24 @@ def test_derive_bad_shapes_fail_typed(eng, derive):
                 }
             }
         )
+
+
+def test_explain_surfaces_pushdown(eng):
+    """Engine.explain (round 8): the formatted plan for a filtered spec
+    must show the predicate in PushedFilters — the user-facing
+    introspection the scale doctrine depends on."""
+    plan = eng.explain(
+        {
+            "orders": {
+                "$filter": {"o_orderstatus": "F"},
+                "o_orderkey": True,
+            }
+        }
+    )
+    assert "PushedFilters" in plan and "o_orderstatus" in plan
+    simple = eng.explain(
+        {"orders": {"o_orderkey": True}}, mode="simple"
+    )
+    assert "Physical Plan" in simple
+    with pytest.raises(Exception):
+        eng.explain({"orders": {"o_orderkey": True}}, mode="not-a-mode")
