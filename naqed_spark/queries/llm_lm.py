@@ -1021,3 +1021,88 @@ def llm_prefix_clusters(spark, sf_dir):
         .filter(F.col("n_docs") >= 2)
         .orderBy(F.col("n_docs").desc(), "prefix_key")
     )
+
+
+@query(
+    "llm_prototype_selection",
+    # Exemplar/prototype selection for few-shot prompting and dataset
+    # cards: per label, the 3 vectors closest to their OWN label
+    # centroid (rounded d², vec_id tie-break) — the most-representative
+    # examples, the complement of llm_hard_negatives' most-confusable
+    # ones. Centroid components round to 6 on both engines so distances
+    # compute from identical inputs (the llm_knn_centroid discipline).
+    oracle="""
+    WITH x AS (
+      SELECT vec_id, label,
+             generate_subscripts(embedding, 1) AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label AS c_label, pos, round(avg(val), 6) AS c
+      FROM x GROUP BY label, pos
+    ),
+    dist AS (
+      SELECT x.vec_id, x.label,
+             round(sum((x.val - cent.c) * (x.val - cent.c)), 6) AS d2
+      FROM x JOIN cent ON x.pos = cent.pos AND x.label = cent.c_label
+      GROUP BY x.vec_id, x.label
+    )
+    SELECT label, CAST(rn AS INT) AS rank, vec_id, d2 FROM (
+      SELECT label, vec_id, d2,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY d2 ASC, vec_id ASC) AS rn
+      FROM dist
+    ) WHERE rn <= 3
+    ORDER BY label, rank
+    """,
+)
+def llm_prototype_selection(spark, sf_dir):
+    """Own-label distances only (the centroid join carries the label as
+    a second equi-key, so candidates are |vectors| rows, not
+    |vectors|×|labels|); the top-3 is a WindowGroupLimit-eligible rank
+    over the label partition."""
+    from pyspark.sql import Window
+
+    x = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.posexplode("embedding").alias("pos0", "valf"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            (F.col("pos0") + 1).alias("pos"),
+            F.col("valf").cast("double").alias("val"),
+        )
+    )
+    cent = x.groupBy(F.col("label").alias("c_label"), "pos").agg(
+        r6(F.avg("val")).alias("c")
+    )
+    dist = (
+        x.join(
+            cent,
+            (x["pos"] == cent["pos"]) & (x["label"] == cent["c_label"]),
+        )
+        .groupBy("vec_id", "label")
+        .agg(
+            r6(
+                F.sum(
+                    (F.col("val") - F.col("c")) * (F.col("val") - F.col("c"))
+                )
+            ).alias("d2")
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("label").orderBy(
+            F.col("d2").asc(), F.col("vec_id").asc()
+        )
+    )
+    return (
+        dist.withColumn("rn", rn)
+        .filter(F.col("rn") <= 3)
+        .select("label", F.col("rn").cast("int").alias("rank"), "vec_id", "d2")
+        .orderBy("label", "rank")
+    )

@@ -1817,3 +1817,83 @@ def ts_bollinger_bands(spark, sf_dir):
         (F.col("rev") > mid + 2 * sd).alias("above_upper"),
         (F.col("rev") < mid - 2 * sd).alias("below_lower"),
     ).orderBy("event_type", "day_s")
+
+
+@query(
+    "ts_cohort_ltv",
+    # Cohort lifetime value: users grouped by first-seen week, tracked
+    # by week offset, with per-cohort cumulative revenue per user — the
+    # LTV curve that retention counts (ts_cohort_retention) don't give.
+    # Exact decimal revenue; cumulative sums stay decimal through the
+    # cohort window; one exact division per cell.
+    oracle="""
+    WITH first AS (
+      SELECT user_id, min(epoch_us(ts) // 604800000000) AS cohort_w
+      FROM events GROUP BY user_id
+    ), sized AS (
+      SELECT cohort_w, count(*) AS cohort_users FROM first GROUP BY 1
+    ), cell AS (
+      SELECT f.cohort_w,
+             (epoch_us(e.ts) // 604800000000) - f.cohort_w AS w_off,
+             sum(CAST(e.value AS DECIMAL(12,2))) AS rev
+      FROM events e JOIN first f ON e.user_id = f.user_id
+      GROUP BY 1, 2
+    ), cum AS (
+      SELECT cohort_w, w_off,
+             sum(rev) OVER (PARTITION BY cohort_w ORDER BY w_off
+                            ROWS UNBOUNDED PRECEDING) AS cum_rev
+      FROM cell
+    )
+    SELECT CAST(c.cohort_w AS BIGINT) AS cohort_w,
+           CAST(c.w_off AS BIGINT) AS w_off,
+           CAST(s.cohort_users AS BIGINT) AS cohort_users,
+           round(CAST(c.cum_rev AS DOUBLE) / s.cohort_users, 6)
+             AS ltv_per_user
+    FROM cum c JOIN sized s ON c.cohort_w = s.cohort_w
+    ORDER BY cohort_w, w_off
+    """,
+)
+def ts_cohort_ltv(spark, sf_dir):
+    """One user-key aggregate for cohort assignment (re-joined on the
+    user key — same partitioning), a calendar-grid cell aggregate, and
+    a cohort-partitioned cumulative window over the tiny (cohort ×
+    offset) grid — per-event work is two hash aggregates."""
+    from pyspark.sql import Window
+
+    from naqed_spark.queries._util import epoch_us
+
+    WEEK = 604800000000
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("value").cast("decimal(12,2)").alias("v"),
+        ((epoch_us("ts") - epoch_us("ts") % WEEK) / WEEK)
+        .cast("bigint")
+        .alias("w"),
+    )
+    first = ev.groupBy(F.col("user_id").alias("f_user")).agg(
+        F.min("w").alias("cohort_w")
+    )
+    sized = first.groupBy("cohort_w").agg(
+        F.count("*").alias("cohort_users")
+    ).withColumnRenamed("cohort_w", "s_cohort")
+    cell = (
+        ev.join(first, ev["user_id"] == first["f_user"])
+        .groupBy("cohort_w", (F.col("w") - F.col("cohort_w")).alias("w_off"))
+        .agg(F.sum("v").alias("rev"))
+    )
+    cw = Window.partitionBy("cohort_w").orderBy("w_off").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        cell.withColumn("cum_rev", F.sum("rev").over(cw))
+        .join(F.broadcast(sized), F.col("cohort_w") == F.col("s_cohort"))
+        .select(
+            F.col("cohort_w").cast("bigint").alias("cohort_w"),
+            F.col("w_off").cast("bigint").alias("w_off"),
+            F.col("cohort_users").cast("bigint").alias("cohort_users"),
+            r6(
+                F.col("cum_rev").cast("double") / F.col("cohort_users")
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_w", "w_off")
+    )
