@@ -1731,3 +1731,166 @@ def graph_centralization(spark, sf_dir):
             ).alias("centralization"),
         )
     )
+
+
+@query(
+    "agg_association_rules",
+    # Association-rule metrics on top of the co-purchase pairs: for
+    # part pairs with pair support ≥ 5 orders, emit support, directed
+    # confidence P(b|a), and lift — the Apriori output retail
+    # recommenders rank by. Every metric is an exact integer ratio
+    # (pair count, item counts, basket total) → engine-identical up to
+    # round(6); lift > 1 flags genuinely associated pairs.
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    ok AS (
+      SELECT l_orderkey FROM items GROUP BY l_orderkey
+      HAVING count(*) <= {{cap}}
+    ),
+    kept AS (SELECT i.* FROM items i JOIN ok USING (l_orderkey)),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS nb FROM kept),
+    item_n AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM kept GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS c_ab
+      FROM kept a JOIN kept b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    )
+    SELECT p.part_a, p.part_b, p.c_ab,
+           round(p.c_ab / n.nb, 6) AS support,
+           round(CAST(p.c_ab AS DOUBLE) / ia.c, 6) AS conf_a_to_b,
+           round(CAST(p.c_ab AS DOUBLE) / ib.c, 6) AS conf_b_to_a,
+           round((p.c_ab / n.nb) / ((ia.c / n.nb) * (ib.c / n.nb)), 6)
+             AS lift
+    FROM pairs p
+    JOIN item_n ia ON ia.l_partkey = p.part_a
+    JOIN item_n ib ON ib.l_partkey = p.part_b
+    CROSS JOIN n
+    ORDER BY p.part_a, p.part_b
+    """.format(cap=_BASKET_CAP),
+)
+def agg_association_rules(spark, sf_dir):
+    """Reuses the capped co-purchase shape (quadratic only in basket
+    size) and adds two broadcast-sized joins for the item counts plus a
+    1-row basket total — the metrics cost nothing beyond the pair
+    aggregate the recommender already runs."""
+    items = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    ).distinct()
+    ok = (
+        items.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= _BASKET_CAP)
+        .select("l_orderkey")
+    )
+    kept = items.join(ok, "l_orderkey")
+    n = kept.agg(
+        F.count_distinct("l_orderkey").cast("double").alias("nb")
+    )
+    item_n = kept.groupBy("l_partkey").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    a = kept.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = kept.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(
+            b,
+            (a["l_orderkey"] == b["l_orderkey"])
+            & (F.col("part_a") < F.col("part_b")),
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    ia = item_n.select(
+        F.col("l_partkey").alias("ia_key"), F.col("c").alias("ca")
+    )
+    ib = item_n.select(
+        F.col("l_partkey").alias("ib_key"), F.col("c").alias("cb")
+    )
+    return (
+        pairs.join(F.broadcast(ia), F.col("part_a") == F.col("ia_key"))
+        .join(F.broadcast(ib), F.col("part_b") == F.col("ib_key"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "part_a",
+            "part_b",
+            "c_ab",
+            r6(F.col("c_ab") / F.col("nb")).alias("support"),
+            r6(F.col("c_ab").cast("double") / F.col("ca")).alias(
+                "conf_a_to_b"
+            ),
+            r6(F.col("c_ab").cast("double") / F.col("cb")).alias(
+                "conf_b_to_a"
+            ),
+            r6(
+                (F.col("c_ab") / F.col("nb"))
+                / ((F.col("ca") / F.col("nb")) * (F.col("cb") / F.col("nb")))
+            ).alias("lift"),
+        )
+        .orderBy("part_a", "part_b")
+    )
+
+
+@query(
+    "graph_edge_support",
+    # Edge support (triangles through each edge) on the hub-capped
+    # undirected graph — the k-truss building block: an edge with
+    # support ≥ k−2 survives the k-truss. Computed as the neighbor-set
+    # intersection of the edge's endpoints via the same
+    # join-on-shared-neighbor shape as common-neighbors; all-integer.
+    oracle=f"""
+    WITH ue AS ({_UE_SQL}),
+    {_UND_DEG_SQL},
+    edges AS (
+      SELECT DISTINCT LEAST(v, n) AS a, GREATEST(v, n) AS b FROM ke
+    )
+    SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS support
+    FROM edges e
+    JOIN ke x ON x.v = e.a
+    JOIN ke y ON y.v = e.b AND y.n = x.n
+    WHERE x.n <> e.b AND x.n <> e.a
+    GROUP BY e.a, e.b
+    ORDER BY e.a, e.b
+    """,
+)
+def graph_edge_support(spark, sf_dir):
+    """Support = |N(a) ∩ N(b)| per edge: two adjacency joins hash-
+    partitioned on the shared neighbor, fan-out bounded by the same
+    hub cap as common-neighbors; edges with no triangle simply don't
+    emit (their support is 0 by absence — the truss peel drops them
+    first)."""
+    ue = user_edges(spark, sf_dir)
+    und = (
+        ue.select(F.col("src").alias("v"), F.col("dst").alias("n"))
+        .union(ue.select(F.col("dst").alias("v"), F.col("src").alias("n")))
+        .distinct()
+    )
+    deg = und.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    kept = deg.filter(F.col("d") <= _CN_HUB_CAP)
+    ke = (
+        und.join(F.broadcast(kept.select("v")), "v")
+        .join(F.broadcast(kept.select(F.col("v").alias("n"))), "n")
+        .select("v", "n")
+    )
+    edges = ke.select(
+        F.least("v", "n").alias("a"), F.greatest("v", "n").alias("b")
+    ).distinct()
+    x = ke.select(F.col("v").alias("xa"), F.col("n").alias("xn"))
+    y = ke.select(F.col("v").alias("yb"), F.col("n").alias("yn"))
+    return (
+        edges.join(x, F.col("a") == F.col("xa"))
+        .join(
+            y,
+            (F.col("b") == F.col("yb")) & (F.col("yn") == F.col("xn")),
+        )
+        .filter((F.col("xn") != F.col("b")) & (F.col("xn") != F.col("a")))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("bigint").alias("support"))
+        .orderBy("a", "b")
+    )
