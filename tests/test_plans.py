@@ -994,3 +994,34 @@ def test_preference_pairs_single_exchange_no_window(spark):
     assert "Window" not in tree
     # one aggregate exchange + the output orderBy's range exchange
     assert tree.count("Exchange") <= 2
+
+
+def test_skyline_prunes_before_global_window(spark):
+    """agg_skyline_pareto (VERDICT r8 item 1): the partition-less skyline
+    window may only consume the grid-pruned Pareto band — the plan must
+    show the broadcast dominator join + higher_max_d filter BELOW the
+    final window, and the only other window is the suffix-max over the
+    ≤1024-row cell frame (itself behind a BroadcastExchange)."""
+    plan = plan_of(spark, "agg_skyline_pareto")
+    tree = tree_of(plan)
+    # exactly the two windows: cell suffix-max + final band skyline
+    assert tree.count("Window") == 2
+    # the pre-prune join is a broadcast hash join on the bucket id
+    assert "BroadcastHashJoin" in tree
+    # the dominator filter exists (details section carries expressions)
+    assert "higher_max_d" in plan
+    # the cell suffix-max window sits under a BroadcastExchange (bounded
+    # grid frame), i.e. at least one Window appears below a broadcast
+    bcast_sub = tree.split("BroadcastHashJoin")[1]
+    assert "Window" in bcast_sub
+
+
+def test_quality_buckets_use_broadcast_thresholds_no_window(spark):
+    """llm_importance_resample / llm_perplexity_bucket (VERDICT r8 item
+    2): decile/tercile assignment is a broadcast threshold compare — NO
+    window operator anywhere (the prior ntile spelling was a one-task
+    total sort of every doc score at corpus scale)."""
+    for key in ("llm_importance_resample", "llm_perplexity_bucket"):
+        tree = tree_of(plan_of(spark, key))
+        assert "Window" not in tree, key
+        assert "BroadcastExchange" in tree, key
