@@ -1029,26 +1029,73 @@ def agg_benford_digits(spark, sf_dir):
     """,
 )
 def agg_weighted_median(spark, sf_dir):
-    """One per-flag sort shuffle shared by the running and total window;
-    the crossing-point filter then reduces each group to one row. Skew
-    note: return-flag groups are huge but the window is rows-bounded
-    cumulative state, and at scale the same spelling runs per finer key
-    (flag × month) to cap partition size."""
-    w_ord = Window.partitionBy("l_returnflag").orderBy(
+    """TWO-PHASE crossing search (round 9: the old per-flag cumulative
+    window put ~a third of the fact table through one task — return flag
+    has 3 values at any scale). Phase 1: range-bucket each flag's rows
+    by price (broadcast per-flag min/max), sum quantities per (flag,
+    bucket), exclusive-prefix over the ≤1024-row-per-flag bucket frame,
+    and pick the CROSSING bucket — the first whose end-of-bucket
+    cumulative weight reaches half the flag total. Phase 2: the ordered
+    cumulative window runs only over that one bucket's rows (~1/1024 of
+    the group), seeded with the bucket offset. Quantity sums are exact
+    integer-valued doubles, so offset + local_cum equals the single-
+    window cw bit-for-bit and the crossing row is identical."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber",
+        "l_quantity",
+    )
+    rng = li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("_lo"),
+        F.max("l_extendedprice").alias("_hi"),
+    )
+    b = li.join(F.broadcast(rng), "l_returnflag").withColumn(
+        "bkt",
+        F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+            F.least(
+                F.lit(_SKYLINE_GRID - 1),
+                F.floor(
+                    (F.col("l_extendedprice") - F.col("_lo"))
+                    / ((F.col("_hi") - F.col("_lo")) / _SKYLINE_GRID)
+                ).cast("int"),
+            )
+        ),
+    ).drop("_lo", "_hi")
+    bt = b.groupBy("l_returnflag", "bkt").agg(
+        F.sum("l_quantity").alias("tq")
+    )
+    wb = Window.partitionBy("l_returnflag").orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = bt.select(
+        "l_returnflag", "bkt", "tq",
+        F.coalesce(F.sum("tq").over(wb), F.lit(0.0)).alias("off"),
+    )
+    tw = bt.groupBy("l_returnflag").agg(F.sum("tq").alias("tw"))
+    # crossing bucket: first whose end-of-bucket cumulative reaches tw/2
+    cross = (
+        off.join(F.broadcast(tw), "l_returnflag")
+        .filter(2 * (F.col("off") + F.col("tq")) >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("bkt").alias("cbkt"),
+            F.min_by("off", "bkt").alias("coff"),
+            F.max("tw").alias("tw"),
+        )
+    )
+    wl = Window.partitionBy("l_returnflag").orderBy(
         "l_extendedprice", "l_orderkey", "l_linenumber"
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    w_all = Window.partitionBy("l_returnflag")
-    c = load(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        "l_extendedprice",
-        F.sum("l_quantity").over(w_ord).alias("cw"),
-        F.sum("l_quantity").over(w_all).alias("tw"),
-    ).filter(2 * F.col("cw") >= F.col("tw"))
+    cand = (
+        b.join(F.broadcast(cross), "l_returnflag")
+        .filter(F.col("bkt") == F.col("cbkt"))
+        .withColumn("cw", F.col("coff") + F.sum("l_quantity").over(wl))
+        .filter(2 * F.col("cw") >= F.col("tw"))
+    )
     rn = F.row_number().over(
         Window.partitionBy("l_returnflag").orderBy("cw")
     )
     return (
-        c.withColumn("rn", rn)
+        cand.withColumn("rn", rn)
         .filter(F.col("rn") == 1)
         .select(
             "l_returnflag",
@@ -1482,10 +1529,12 @@ def agg_bloom_from_scratch(spark, sf_dir):
     # distributions of 'click' and 'purchase' events: D = max over the
     # merged support of |F₁(v) − F₂(v)|. Counts are exact integers and
     # each ECDF value is one exact division, so D is engine-identical
-    # up to the final round(6). The window runs over DISTINCT values —
-    # bounded by the 2-decimal value DOMAIN (≤40k points), not by event
-    # volume; at 100 TB the same spelling holds (quantile-bucket the
-    # support first if the domain were unbounded).
+    # up to the final round(6). The merged support is NOT assumed
+    # bounded (it grows with volume at sf0.01→0.1), so the cumulative
+    # sums are TWO-PHASE: range-bucket the support, exclusive-prefix the
+    # per-bucket totals over the ≤1024-row bucket frame, broadcast, then
+    # per-bucket local cumsums — no partition-less window ever sees the
+    # support itself.
     oracle="""
     WITH a AS (SELECT value FROM events WHERE event_type = 'click'),
     b AS (SELECT value FROM events WHERE event_type = 'purchase'),
@@ -1511,9 +1560,14 @@ def agg_bloom_from_scratch(spark, sf_dir):
     """,
 )
 def agg_ks_statistic(spark, sf_dir):
-    """One grouped count onto the merged support, one domain-bounded
-    cumulative window, one max — the per-event work is all in the
-    map-side-combined count; sample sizes ride as 1-row broadcasts."""
+    """One grouped count onto the merged support, then the TWO-PHASE
+    cumulative sum (round 9, the distributed-prefix-sum pattern shared
+    with sort_global_range_partitioned): per-bucket integer totals →
+    exclusive prefix over the bounded bucket frame (broadcast) → local
+    per-bucket cumsum, so the running F₁/F₂ never funnel the support
+    through one task. Integer count sums are associative and exact, so
+    bucket_offset + local_cum equals the single-window cumsum bit-for-
+    bit and the oracle's plain window spelling is unchanged."""
     from pyspark.sql import Window
 
     ev = load(spark, sf_dir, "events").select("event_type", "value")
@@ -1528,18 +1582,35 @@ def agg_ks_statistic(spark, sf_dir):
     )
     na = a.agg(F.count("*").alias("n_a"))
     nb = b.agg(F.count("*").alias("n_b"))
-    w = Window.orderBy("value").rowsBetween(
+    bucketed = _range_bucketed(pts, "value")
+    # phase 1: per-bucket totals, exclusive-prefix-summed over the
+    # ≤_SKYLINE_GRID-row bucket frame (the only partition-less window)
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        bucketed.groupBy("bkt")
+        .agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+        .select(
+            "bkt",
+            F.coalesce(F.sum("ta").over(wb), F.lit(0)).alias("off_a"),
+            F.coalesce(F.sum("tb").over(wb), F.lit(0)).alias("off_b"),
+        )
+    )
+    # phase 2: local cumsum within each bucket + broadcast offset
+    wl = Window.partitionBy("bkt").orderBy("value").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     cdf = (
-        pts.crossJoin(F.broadcast(na))
+        bucketed.join(F.broadcast(offsets), "bkt")
+        .crossJoin(F.broadcast(na))
         .crossJoin(F.broadcast(nb))
         .select(
             "n_a",
             "n_b",
             (
-                F.sum("ca").over(w) / F.col("n_a").cast("double")
-                - F.sum("cb").over(w) / F.col("n_b").cast("double")
+                (F.col("off_a") + F.sum("ca").over(wl))
+                / F.col("n_a").cast("double")
+                - (F.col("off_b") + F.sum("cb").over(wl))
+                / F.col("n_b").cast("double")
             ).alias("d"),
         )
     )
@@ -1775,30 +1846,40 @@ def agg_skyline_pareto(spark, sf_dir):
 _SKYLINE_GRID = 1024
 
 
+def _range_bucketed(df, col, n=_SKYLINE_GRID):
+    """Assign a monotone range bucket to ``col`` via a broadcast min/max:
+    floor of an affine map, so bucket(v') < bucket(v) ⇒ v' < v whatever
+    float rounding does to the boundaries — the ordering precondition
+    both for the skyline's dominance pre-prune and for two-phase
+    distributed prefix sums (bucket offsets + local cumsum)."""
+    rng = df.agg(F.min(col).alias("_lo"), F.max(col).alias("_hi"))
+    return (
+        df.crossJoin(F.broadcast(rng))
+        .withColumn(
+            "bkt",
+            F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.lit(n - 1),
+                    F.floor(
+                        (F.col(col) - F.col("_lo"))
+                        / ((F.col("_hi") - F.col("_lo")) / n)
+                    ).cast("int"),
+                )
+            ),
+        )
+        .drop("_lo", "_hi")
+    )
+
+
 def _skyline_band(pts):
     """Grid pre-prune for the 2-D skyline: drop every point dominated by a
     strictly-higher price bucket's max d. Bucketing is monotone in price
-    (floor of an affine map), so bucket(p') > bucket(p) ⇒ p' > p — any
-    point in a higher bucket with d' ≥ d dominates (p, d) regardless of
-    float rounding in the bucket boundaries themselves. Survivors keep the
-    whole Pareto band; the exact window runs on them only."""
+    (``_range_bucketed``), so any point in a higher bucket with d' ≥ d
+    dominates (p, d). Survivors keep the whole Pareto band; the exact
+    window runs on them only."""
     from pyspark.sql import Window
 
-    rng = pts.agg(
-        F.min("price").alias("lo"), F.max("price").alias("hi")
-    )
-    bucketed = pts.crossJoin(F.broadcast(rng)).withColumn(
-        "bkt",
-        F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
-            F.least(
-                F.lit(_SKYLINE_GRID - 1),
-                F.floor(
-                    (F.col("price") - F.col("lo"))
-                    / ((F.col("hi") - F.col("lo")) / _SKYLINE_GRID)
-                ).cast("int"),
-            )
-        ),
-    )
+    bucketed = _range_bucketed(pts, "price")
     cell_max = bucketed.groupBy("bkt").agg(F.max("d").alias("cell_max_d"))
     # max d over all STRICTLY higher buckets: suffix max on ≤_SKYLINE_GRID
     # rows — the only partition-less window, bounded by the grid size.
@@ -1851,11 +1932,16 @@ def _skyline_band(pts):
     """,
 )
 def agg_abc_classification(spark, sf_dir):
-    """The ranking window runs over the PART dimension (bounded by the
-    catalog, not the fact table — lineitem collapses to per-part
-    decimals first); the exclusive cumulative sum stays exact decimal
-    until one division per part. revenue_share sums per-part exact
-    ratios — identical term sets, round(6) on the 3-row output."""
+    """Lineitem collapses to per-part exact decimals first, then the
+    exclusive cumulative revenue is TWO-PHASE (round 9: the part
+    dimension is catalog-bounded only until it isn't — at 100 TB parts
+    are billions): range-bucket parts by revenue, exclusive-prefix the
+    per-bucket decimal totals over the ≤1024-row bucket frame in
+    descending order (broadcast), then a per-bucket local window in the
+    same (rev desc, partkey) total order. Decimal sums are associative
+    and exact, so bucket_offset + local_prefix equals the single-window
+    cumsum bit-for-bit; revenue_share sums per-part exact ratios —
+    identical term sets, round(6) on the 3-row output."""
     from pyspark.sql import Window
 
     r = (
@@ -1868,14 +1954,34 @@ def agg_abc_classification(spark, sf_dir):
         )
     )
     t = r.agg(F.sum("rev_dec").cast("double").alias("total"))
-    w = Window.orderBy(F.col("rev_dec").desc(), "l_partkey").rowsBetween(
+    # monotone double shadow for bucketing only (cast keeps order; exact
+    # decimals still carry every sum)
+    b = _range_bucketed(
+        r.withColumn("rev_d", F.col("rev_dec").cast("double")), "rev_d"
+    )
+    # descending order ⇒ offsets come from STRICTLY HIGHER buckets
+    wb = Window.orderBy(F.col("bkt").desc()).rowsBetween(
         Window.unboundedPreceding, -1
     )
+    offsets = (
+        b.groupBy("bkt")
+        .agg(F.sum("rev_dec").alias("trev"))
+        .select(
+            "bkt", F.coalesce(F.sum("trev").over(wb), F.lit(0)).alias("off")
+        )
+    )
+    wl = Window.partitionBy("bkt").orderBy(
+        F.col("rev_dec").desc(), "l_partkey"
+    ).rowsBetween(Window.unboundedPreceding, -1)
     c = (
-        r.crossJoin(F.broadcast(t))
+        b.join(F.broadcast(offsets), "bkt")
+        .crossJoin(F.broadcast(t))
         .withColumn(
             "cum_before",
-            F.coalesce(F.sum("rev_dec").over(w), F.lit(0)).cast("double")
+            (
+                F.col("off")
+                + F.coalesce(F.sum("rev_dec").over(wl), F.lit(0))
+            ).cast("double")
             / F.col("total"),
         )
         .select(

@@ -1025,3 +1025,37 @@ def test_quality_buckets_use_broadcast_thresholds_no_window(spark):
         tree = tree_of(plan_of(spark, key))
         assert "Window" not in tree, key
         assert "BroadcastExchange" in tree, key
+
+
+def test_two_phase_prefix_sums_bound_window_state(spark):
+    """agg_ks_statistic / agg_abc_classification (round 9): cumulative
+    sums over an unbounded support/dimension are two-phase — the only
+    partition-less window runs over the ≤1024-row bucket frame; the
+    data-sized cumulative window is hash-partitioned by bucket and its
+    offsets arrive via a broadcast join."""
+    for key in ("agg_ks_statistic", "agg_abc_classification"):
+        plan = plan_of(spark, key)
+        tree = tree_of(plan)
+        # bucket-offset window + per-bucket local window, nothing else
+        assert tree.count("Window") == 2, key
+        # the local window is partitioned (bkt), not a global funnel
+        assert "hashpartitioning(bkt" in plan, key
+        # offsets reach the data-sized side via broadcast
+        assert "BroadcastHashJoin" in tree, key
+
+
+def test_weighted_median_window_runs_on_one_bucket(spark):
+    """agg_weighted_median (round 9): the ordered cumulative window may
+    only consume the crossing bucket's rows — the plan must filter
+    bkt = cbkt (broadcast crossing frame) BELOW the ordered window, and
+    every window is partitioned by l_returnflag."""
+    plan = plan_of(spark, "agg_weighted_median")
+    tree = tree_of(plan)
+    assert "cbkt" in plan
+    assert "BroadcastHashJoin" in tree
+    # offsets window + local cumsum + rank-1 (whose WindowGroupLimit
+    # partial top-k is welcome and not counted): all flag-partitioned
+    import re
+
+    assert len(re.findall(r"\bWindow \(", tree)) == 3
+    assert "hashpartitioning(l_returnflag" in plan

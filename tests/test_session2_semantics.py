@@ -136,3 +136,19 @@ def test_zorder_files_prune_on_both_dims(spark):
         sum(1 for lo, hi in stats if p < lo or p > hi) for p in probes
     )
     assert best >= len(stats) // 3, stats
+
+
+def test_schema_cache_reads_are_schema_identical(spark):
+    """catalog._read_parquet (round 9): the cached-StructType read path
+    must produce byte-identical schemas to a fresh footer-inferred read —
+    and the cache must actually populate so later builds skip the ~95 ms
+    footer/listing constant."""
+    from naqed_spark import catalog
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("lineitem", "events", "documents"):
+        catalog._SCHEMA_CACHE.pop(f"{sf}/{name}.parquet", None)
+        first = catalog.load(spark, sf, name).schema  # populates cache
+        assert f"{sf}/{name}.parquet" in catalog._SCHEMA_CACHE
+        second = catalog.load(spark, sf, name).schema  # cached path
+        assert first == second
