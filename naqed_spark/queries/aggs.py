@@ -1044,22 +1044,7 @@ def agg_weighted_median(spark, sf_dir):
         "l_returnflag", "l_extendedprice", "l_orderkey", "l_linenumber",
         "l_quantity",
     )
-    rng = li.groupBy("l_returnflag").agg(
-        F.min("l_extendedprice").alias("_lo"),
-        F.max("l_extendedprice").alias("_hi"),
-    )
-    b = li.join(F.broadcast(rng), "l_returnflag").withColumn(
-        "bkt",
-        F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
-            F.least(
-                F.lit(_SKYLINE_GRID - 1),
-                F.floor(
-                    (F.col("l_extendedprice") - F.col("_lo"))
-                    / ((F.col("_hi") - F.col("_lo")) / _SKYLINE_GRID)
-                ).cast("int"),
-            )
-        ),
-    ).drop("_lo", "_hi")
+    b = _grouped_range_bucketed(li, "l_returnflag", "l_extendedprice")
     bt = b.groupBy("l_returnflag", "bkt").agg(
         F.sum("l_quantity").alias("tq")
     )
@@ -1186,12 +1171,15 @@ def agg_entropy_categorical(spark, sf_dir):
     """,
 )
 def agg_gini_concentration(spark, sf_dir):
-    """The rank window partitions on the segment key (never global), so
-    cumulative state is segment-bounded; at 100 TB the same spelling
-    runs per finer key (segment × nation) to cap partition size, and
-    the rank-weighted products stay exact decimals until the final
-    division. Spend aggregation itself is the usual map-side-partial
-    hash agg on the customer key."""
+    """TWO-PHASE rank (round 9: segments are 5 values at any scale, so a
+    per-segment rank window over the customer dimension is 1/5 of all
+    customers through one task). Per-(segment, spend-bucket) row counts
+    are exclusive-prefix-summed over the ≤1024-row-per-segment bucket
+    frame and broadcast; the global rank i = bucket count offset +
+    per-bucket local row_number in the same (spend, custkey) total order
+    — identical integers, so every i·spend term matches the single-
+    window spelling exactly. Spend aggregation itself is the usual
+    map-side-partial hash agg on the customer key."""
     s = (
         load(spark, sf_dir, "orders")
         .join(
@@ -1203,10 +1191,28 @@ def agg_gini_concentration(spark, sf_dir):
         .groupBy("c_mktsegment", "o_custkey")
         .agg(F.sum(dec("o_totalprice")).alias("spend"))
     )
-    i = F.row_number().over(
-        Window.partitionBy("c_mktsegment").orderBy("spend", "o_custkey")
+    b = _grouped_range_bucketed(
+        s.withColumn("spend_d", F.col("spend").cast("double")),
+        "c_mktsegment", "spend_d",
     )
-    r = s.withColumn("i", i)
+    wb = Window.partitionBy("c_mktsegment").orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        b.groupBy("c_mktsegment", "bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "c_mktsegment", "bkt",
+            F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("off_cnt"),
+        )
+    )
+    wl = Window.partitionBy("c_mktsegment", "bkt").orderBy(
+        "spend", "o_custkey"
+    )
+    r = (
+        b.join(F.broadcast(offsets), ["c_mktsegment", "bkt"])
+        .withColumn("i", F.col("off_cnt") + F.row_number().over(wl))
+    )
     n = F.count("*")
     tot = F.sum("spend").cast("double")
     return (
@@ -1871,6 +1877,32 @@ def _range_bucketed(df, col, n=_SKYLINE_GRID):
     )
 
 
+def _grouped_range_bucketed(df, group_col, col, n=_SKYLINE_GRID):
+    """Per-group variant of ``_range_bucketed``: bucket ``col`` within
+    each ``group_col`` value against that group's own broadcast min/max —
+    the phase-1 step for per-group two-phase prefix sums / rank / k-th
+    selection (Gini rank, weighted-median crossing, quartile fences)."""
+    rng = df.groupBy(group_col).agg(
+        F.min(col).alias("_lo"), F.max(col).alias("_hi")
+    )
+    return (
+        df.join(F.broadcast(rng), group_col)
+        .withColumn(
+            "bkt",
+            F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.lit(n - 1),
+                    F.floor(
+                        (F.col(col) - F.col("_lo"))
+                        / ((F.col("_hi") - F.col("_lo")) / n)
+                    ).cast("int"),
+                )
+            ),
+        )
+        .drop("_lo", "_hi")
+    )
+
+
 def _skyline_band(pts):
     """Grid pre-prune for the 2-D skyline: drop every point dominated by a
     strictly-higher price bucket's max d. Bucketing is monotone in price
@@ -2073,13 +2105,16 @@ def agg_hhi_index(spark, sf_dir):
     """,
 )
 def agg_tukey_fences(spark, sf_dir):
-    """One segment-partitioned rank window selects both quartiles as
-    exact elements (no float interpolation); the fence comparison
-    reuses the same ranked frame, so the whole rule costs one sort
-    exchange + a grid-sized join-back."""
-    from pyspark.sql import Window
-
-    r = (
+    """TWO-PHASE k-th selection for both quartiles (round 9: the old
+    segment-partitioned rank window put 1/5 of all orders through one
+    task). Per-(segment, price-bucket) counts locate each quartile's
+    CROSSING bucket (first whose cumulative count reaches ⌈p·n⌉); the
+    ordered row_number then runs only over that bucket's rows, seeded
+    with the bucket's count offset — global rank = offset + local rank,
+    identical integers, so the selected elements match the single-window
+    spelling exactly. Fence counts are a broadcast join + codegen
+    aggregate over the unranked base."""
+    base = (
         load(spark, sf_dir, "orders")
         .join(
             load(spark, sf_dir, "customer").select(
@@ -2087,39 +2122,67 @@ def agg_tukey_fences(spark, sf_dir):
             ),
             F.col("o_custkey") == F.col("c_custkey"),
         )
-        .select(
-            "c_mktsegment",
-            "o_totalprice",
-            F.row_number()
-            .over(
-                Window.partitionBy("c_mktsegment").orderBy(
-                    "o_totalprice", "o_orderkey"
-                )
+        .select("c_mktsegment", "o_totalprice", "o_orderkey")
+    )
+    b = _grouped_range_bucketed(base, "c_mktsegment", "o_totalprice")
+    bt = b.groupBy("c_mktsegment", "bkt").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wb = Window.partitionBy("c_mktsegment").orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = bt.select(
+        "c_mktsegment", "bkt", "cnt",
+        F.coalesce(F.sum("cnt").over(wb), F.lit(0)).alias("off"),
+    )
+    nseg = bt.groupBy("c_mktsegment").agg(F.sum("cnt").alias("n"))
+    targets = nseg.select(
+        "c_mktsegment", "n",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("q1").alias("tag"),
+                    F.ceil(0.25 * F.col("n")).cast("bigint").alias("k"),
+                ),
+                F.struct(
+                    F.lit("q3").alias("tag"),
+                    F.ceil(0.75 * F.col("n")).cast("bigint").alias("k"),
+                ),
             )
-            .alias("rn"),
-            F.count("*")
-            .over(Window.partitionBy("c_mktsegment"))
-            .alias("n"),
+        ).alias("t"),
+    ).select("c_mktsegment", "n", "t.tag", "t.k")
+    crossing = (
+        off.join(F.broadcast(targets), "c_mktsegment")
+        .filter(F.col("off") + F.col("cnt") >= F.col("k"))
+        .groupBy("c_mktsegment", "tag")
+        .agg(
+            F.min("bkt").alias("cbkt"),
+            F.min_by("off", "bkt").alias("coff"),
+            F.max("k").alias("k"),
+            F.max("n").alias("n"),
         )
     )
-    q = r.groupBy(F.col("c_mktsegment").alias("q_seg")).agg(
+    wl = Window.partitionBy("c_mktsegment", "tag").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    sel = (
+        b.join(F.broadcast(crossing), "c_mktsegment")
+        .filter(F.col("bkt") == F.col("cbkt"))
+        .withColumn("grank", F.col("coff") + F.row_number().over(wl))
+        .filter(F.col("grank") == F.col("k"))
+    )
+    q = sel.groupBy(F.col("c_mktsegment").alias("q_seg")).agg(
         F.max(
-            F.when(
-                F.col("rn") == F.ceil(0.25 * F.col("n")).cast("bigint"),
-                F.col("o_totalprice"),
-            )
+            F.when(F.col("tag") == "q1", F.col("o_totalprice"))
         ).alias("q1"),
         F.max(
-            F.when(
-                F.col("rn") == F.ceil(0.75 * F.col("n")).cast("bigint"),
-                F.col("o_totalprice"),
-            )
+            F.when(F.col("tag") == "q3", F.col("o_totalprice"))
         ).alias("q3"),
         F.max("n").alias("q_n"),
     )
     iqr = F.col("q3") - F.col("q1")
     return (
-        r.join(F.broadcast(q), F.col("c_mktsegment") == F.col("q_seg"))
+        base.join(F.broadcast(q), F.col("c_mktsegment") == F.col("q_seg"))
         .groupBy("c_mktsegment", "q_n", "q1", "q3")
         .agg(
             F.count(

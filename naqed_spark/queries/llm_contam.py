@@ -220,25 +220,43 @@ def llm_pack_sequences(spark, sf_dir):
     """Sequence packing (fixed token budget, contiguous fill) — the
     precursor step to writing packed training examples.
 
-    Scale shape: ONE window partitioned by the shard key (``source``) —
-    each shard's running token count is independent, so the frame
-    shuffles once on source and packs in parallel across shards; there
-    is no global order and no single-partition window. Shard skew maps
-    to window-partition skew; a production packer shards by
-    (source, hash-bucket) to bound partition size — same plan.
+    Scale shape (round 9): the per-source running token count is a
+    TWO-PHASE prefix sum — sources are few while the corpus is not, so
+    a window partitioned on the bare source key alone would put a whole
+    shard through one task. Docs range-bucket by doc_id within each
+    source (broadcast min/max); per-(source, bucket) token totals are
+    exclusive-prefix-summed over the bounded bucket frame and broadcast
+    back as offsets for (source, bucket)-partitioned local cumsums.
+    Integer token sums are associative, so offset + local_cum equals the
+    single-window running count bit-for-bit (oracle unchanged).
     """
     from pyspark.sql import Window
+
+    from naqed_spark.queries.aggs import _grouped_range_bucketed
 
     t = load(spark, sf_dir, "documents").select(
         "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
     )
-    w = (
-        Window.partitionBy("source")
+    b = _grouped_range_bucketed(t, "source", "doc_id")
+    wb = Window.partitionBy("source").orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        b.groupBy("source", "bkt")
+        .agg(F.sum("n_tok").alias("ttok"))
+        .select(
+            "source", "bkt",
+            F.coalesce(F.sum("ttok").over(wb), F.lit(0)).alias("off"),
+        )
+    )
+    wl = (
+        Window.partitionBy("source", "bkt")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    c = t.withColumn(
-        "start_tok", F.sum("n_tok").over(w) - F.col("n_tok")
+    c = b.join(F.broadcast(offsets), ["source", "bkt"]).withColumn(
+        "start_tok",
+        F.col("off") + F.sum("n_tok").over(wl) - F.col("n_tok"),
     )
     return c.select(
         "doc_id",

@@ -309,30 +309,77 @@ def ts_cohort_retention(spark, sf_dir):
     """,
 )
 def ts_anomaly_zscore(spark, sf_dir):
-    """Scale shape: one window partitioned by event_type (the monitoring
-    key) — shuffles once, trailing frames are rows-bounded so state per
-    row is O(1); events with fewer than 10 predecessors are warm-up and
-    emit nothing. Skewed event_type volumes map to window-partition skew;
-    production adds a coarse time bucket to the partition key."""
+    """OVERLAP-STITCHED trailing window (round 9): the monitoring key
+    (event_type) has a handful of values at any scale, so partitioning
+    on it alone funnels a type's whole history through one task. The
+    window now partitions on (event_type, day) with each day's frame
+    seeded by a CARRY-IN of the 50 most recent prior-day rows: per-day
+    tail-50s (a WindowGroupLimit partial top-k) joined to the bounded
+    calendar grid give exactly the rows any trailing-50 frame can reach
+    across a day boundary, tagged as context and dropped after the
+    window — every real row sees the identical preceding-50 frame, so
+    results are bit-equal to the single-partition spelling (oracle
+    unchanged). Rows with fewer than 10 predecessors are warm-up and
+    emit nothing."""
     ev = load(spark, sf_dir, "events").select(
         "event_id", "event_type", "ts", "value"
     )
+    evd = ev.withColumn("day", F.col("ts").cast("date"))
+    # per-(type, day) last-50 rows — the only rows a later day's trailing
+    # frame can reach; rn<=50 compiles to a WindowGroupLimit partial top-k
+    r_tail = F.row_number().over(
+        Window.partitionBy("event_type", "day").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+    )
+    tails = evd.withColumn("rt", r_tail).filter(F.col("rt") <= 50).drop("rt")
+    days = evd.select("event_type", "day").distinct()
+    # calendar-grid join (types × days² × 50 — bounded by the calendar,
+    # never by event volume): for each day, the 50 most recent prior rows
+    carry = (
+        tails.alias("t")
+        .join(
+            days.alias("d"),
+            (F.col("t.event_type") == F.col("d.event_type"))
+            & (F.col("t.day") < F.col("d.day")),
+        )
+        .select(
+            F.col("t.event_id").alias("event_id"),
+            F.col("d.event_type").alias("event_type"),
+            F.col("t.ts").alias("ts"),
+            F.col("t.value").alias("value"),
+            F.col("d.day").alias("day"),
+        )
+    )
+    r_carry = F.row_number().over(
+        Window.partitionBy("event_type", "day").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+    )
+    carry50 = (
+        carry.withColumn("rc", r_carry)
+        .filter(F.col("rc") <= 50)
+        .drop("rc")
+        .withColumn("is_ctx", F.lit(True))
+    )
+    u = evd.withColumn("is_ctx", F.lit(False)).unionByName(carry50)
     tw = (
-        Window.partitionBy("event_type")
+        Window.partitionBy("event_type", "day")
         .orderBy("ts", "event_id")
         .rowsBetween(-50, -1)
     )
-    w = ev.select(
+    w = u.select(
         "event_id",
         "event_type",
         "value",
+        "is_ctx",
         F.count(F.lit(1)).over(tw).alias("n"),
         F.sum(F.col("value").cast("decimal(14,2)")).over(tw)
         .cast("double").alias("sx"),
         F.sum(F.round(F.col("value") * F.col("value"), 4)
               .cast("decimal(20,4)")).over(tw)
         .cast("double").alias("sx2"),
-    )
+    ).filter(~F.col("is_ctx"))
     # Guard variance > 0 identically on both engines (ADVICE r6): a window
     # of identical values gives var 0, where Spark's Divide yields NULL but
     # DuckDB yields inf/NaN — filtering the degenerate rows out keeps the

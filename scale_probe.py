@@ -74,6 +74,19 @@ HEADLINE = [
     "llm_winnowing_fingerprint",
     "win_count_distinct_over",
     "llm_importance_resample",
+    # round-9 window-state hardening: skyline grid pre-prune, broadcast
+    # percentile terciles, and the three two-phase prefix-sum rewrites
+    # (KS / ABC / weighted median). Note the fixture's K-copy growth
+    # keeps some windows' INPUT constant by construction (duplicated
+    # price/value grids collapse in the pre-groupBy) — the probe then
+    # measures the scan/aggregate phases, which is exactly where K x the
+    # rows land; weighted_median and perplexity_bucket grow the window
+    # side too (shifted doc_ids / K x lineitem rows per bucket).
+    "agg_skyline_pareto",
+    "llm_perplexity_bucket",
+    "agg_ks_statistic",
+    "agg_abc_classification",
+    "agg_weighted_median",
 ]
 
 

@@ -1044,6 +1044,56 @@ def test_two_phase_prefix_sums_bound_window_state(spark):
         assert "BroadcastHashJoin" in tree, key
 
 
+def test_gini_and_tukey_are_two_phase(spark):
+    """agg_gini_concentration / agg_tukey_fences (round 9): per-segment
+    rank / k-th selection over data-sized input is two-phase — the
+    ordered windows are partitioned by (segment, bucket) or restricted
+    to the crossing bucket (cbkt), with offsets via broadcast joins;
+    no window partitioned by the bare 5-value segment key consumes the
+    full frame."""
+    import re
+
+    plan = plan_of(spark, "agg_gini_concentration")
+    tree = tree_of(plan)
+    assert len(re.findall(r"\bWindow \(", tree)) == 2
+    assert "BroadcastHashJoin" in tree
+    # the data-sized rank window is partitioned by (segment, bucket)
+    assert re.search(r"hashpartitioning\(c_mktsegment[^)]*, bkt", plan)
+
+    plan = plan_of(spark, "agg_tukey_fences")
+    tree = tree_of(plan)
+    assert len(re.findall(r"\bWindow \(", tree)) == 2
+    assert "cbkt" in plan  # crossing-bucket filter below the rank window
+    assert "BroadcastHashJoin" in tree
+
+
+def test_pack_sequences_two_phase_prefix_sum(spark):
+    """llm_pack_sequences (round 9): the per-source running token count
+    is two-phase — bucket-offset window over the bounded bucket frame +
+    (source, bucket)-partitioned local cumsums behind a broadcast join;
+    no window partitioned on the bare source key."""
+    import re
+
+    plan = plan_of(spark, "llm_pack_sequences")
+    tree = tree_of(plan)
+    assert len(re.findall(r"\bWindow \(", tree)) == 2
+    assert "BroadcastHashJoin" in tree
+    assert re.search(r"hashpartitioning\(source[^)]*, bkt", plan)
+
+
+def test_anomaly_zscore_overlap_stitched(spark):
+    """ts_anomaly_zscore (round 9): the trailing frame partitions on
+    (event_type, day) with a tagged carry-in union — never on the bare
+    handful-valued event_type; the per-day tail extraction is a
+    WindowGroupLimit partial top-k."""
+    plan = plan_of(spark, "ts_anomaly_zscore")
+    tree = tree_of(plan)
+    assert "is_ctx" in plan  # carry-in rows tagged and dropped post-window
+    assert "WindowGroupLimit" in tree  # per-day tail-50
+    assert "hashpartitioning(event_type" in plan and ", day" in plan
+    assert "Union" in tree
+
+
 def test_weighted_median_window_runs_on_one_bucket(spark):
     """agg_weighted_median (round 9): the ordered cumulative window may
     only consume the crossing bucket's rows — the plan must filter
