@@ -152,3 +152,139 @@ def test_schema_cache_reads_are_schema_identical(spark):
         assert f"{sf}/{name}.parquet" in catalog._SCHEMA_CACHE
         second = catalog.load(spark, sf, name).schema  # cached path
         assert first == second
+
+
+def test_range_bucketing_is_order_compatible(spark):
+    """_range_bucketed / _grouped_range_bucketed (round 9): the bucket id
+    must be monotone non-decreasing in the bucketed column within each
+    group — the precondition that makes every two-phase prefix sum /
+    rank / k-th selection exact. Checked on adversarial values: negative,
+    denormal-ish tiny gaps, huge magnitudes, duplicates, and a
+    constant-valued group (the lo == hi degenerate branch)."""
+    from pyspark.sql import functions as F
+
+    from naqed_spark.queries.aggs import (
+        _grouped_range_bucketed,
+        _range_bucketed,
+    )
+
+    vals = [
+        -1e12, -1.0, -1.0, -0.999999999, 0.0, 1e-9, 2e-9, 0.5, 0.5,
+        1.0, 1.0000001, 3.14, 1e6, 1e6, 9.99e11, 1e12,
+    ]
+    rows = [("g1", v) for v in vals] + [("flat", 42.0)] * 5
+    df = spark.createDataFrame(rows, ["g", "v"])
+
+    got = _range_bucketed(df.filter(F.col("g") == "g1"), "v").collect()
+    ordered = sorted(got, key=lambda r: r["v"])
+    bkts = [r["bkt"] for r in ordered]
+    assert bkts == sorted(bkts)  # monotone
+    assert all(0 <= b < 1024 for b in bkts)
+    # equal values always share a bucket
+    by_v = {}
+    for r in got:
+        by_v.setdefault(r["v"], set()).add(r["bkt"])
+    assert all(len(s) == 1 for s in by_v.values())
+
+    gg = _grouped_range_bucketed(df, "g", "v").collect()
+    for grp in ("g1", "flat"):
+        sub = sorted((r for r in gg if r["g"] == grp), key=lambda r: r["v"])
+        bkts = [r["bkt"] for r in sub]
+        assert bkts == sorted(bkts), grp
+    # constant group takes the lo == hi branch: every row in bucket 0
+    assert {r["bkt"] for r in gg if r["g"] == "flat"} == {0}
+
+
+def test_overlap_stitch_equals_single_partition_window(spark):
+    """ts_anomaly_zscore's overlap-stitch construction (round 9), checked
+    on ADVERSARIAL data the fixture cannot produce: days with far fewer
+    than 50 rows, so trailing frames span several day boundaries and the
+    carry-in must assemble from multiple prior days' tails. The stitched
+    spelling must equal the single-partition window row for row."""
+    import datetime
+
+    from pyspark.sql import Window, functions as F
+
+    rows = []
+    base = datetime.datetime(2024, 1, 1)
+    rid = 0
+    # type A: 7 rows/day over 30 days (frame spans ~8 days); type B: 3/day
+    for day in range(30):
+        for k in range(7):
+            rid += 1
+            rows.append(
+                ("A", rid, base + datetime.timedelta(days=day, minutes=k),
+                 float((rid * 37) % 100))
+            )
+        for k in range(3):
+            rid += 1
+            rows.append(
+                ("B", rid, base + datetime.timedelta(days=day, minutes=k),
+                 float((rid * 61) % 50))
+            )
+    ev = spark.createDataFrame(
+        rows, ["event_type", "event_id", "ts", "value"]
+    )
+
+    def stats(df, part_cols, extra=()):
+        tw = (
+            Window.partitionBy(*part_cols)
+            .orderBy("ts", "event_id")
+            .rowsBetween(-50, -1)
+        )
+        return df.select(
+            "event_id",
+            *extra,
+            F.count(F.lit(1)).over(tw).alias("n"),
+            F.sum(F.col("value").cast("decimal(14,2)")).over(tw)
+            .cast("double").alias("sx"),
+        )
+
+    truth = {
+        r["event_id"]: (r["n"], r["sx"])
+        for r in stats(ev, ["event_type"]).collect()
+    }
+
+    # the stitched construction, mirroring ts_anomaly_zscore
+    evd = ev.withColumn("day", F.col("ts").cast("date"))
+    r_tail = F.row_number().over(
+        Window.partitionBy("event_type", "day").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+    )
+    tails = evd.withColumn("rt", r_tail).filter(F.col("rt") <= 50).drop("rt")
+    days = evd.select("event_type", "day").distinct()
+    carry = (
+        tails.alias("t")
+        .join(
+            days.alias("d"),
+            (F.col("t.event_type") == F.col("d.event_type"))
+            & (F.col("t.day") < F.col("d.day")),
+        )
+        .select(
+            F.col("t.event_id").alias("event_id"),
+            F.col("d.event_type").alias("event_type"),
+            F.col("t.ts").alias("ts"),
+            F.col("t.value").alias("value"),
+            F.col("d.day").alias("day"),
+        )
+    )
+    r_carry = F.row_number().over(
+        Window.partitionBy("event_type", "day").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+    )
+    carry50 = (
+        carry.withColumn("rc", r_carry)
+        .filter(F.col("rc") <= 50)
+        .drop("rc")
+        .withColumn("is_ctx", F.lit(True))
+    )
+    u = evd.withColumn("is_ctx", F.lit(False)).unionByName(carry50)
+    stitched = {
+        r["event_id"]: (r["n"], r["sx"])
+        for r in stats(u, ["event_type", "day"], extra=("is_ctx",))
+        .filter(~F.col("is_ctx"))
+        .collect()
+    }
+    assert stitched == truth
