@@ -996,6 +996,91 @@ def test_preference_pairs_single_exchange_no_window(spark):
     assert tree.count("Exchange") <= 2
 
 
+def _single_partition_windows(plan: str) -> int:
+    """Count Window operators whose feeding Exchange is SinglePartition —
+    the 100 TB funnel class (VERDICT r8 items 1-2). Walks each Window's
+    first-child chain through order-preserving nodes to the Exchange that
+    satisfies its distribution, then reads that node's Arguments from the
+    details section."""
+    import re
+
+    tree = plan.split("\n\n")[0]
+    nodes = []
+    for line in tree.splitlines():
+        m = re.search(r"([A-Za-z][A-Za-z0-9_ ]*?)\s*\((\d+)\)\s*$", line)
+        if not m:
+            continue
+        indent = re.match(r"[\s:+|-]*", line).group(0)
+        nodes.append((len(indent), m.group(1).strip(), int(m.group(2))))
+    args = {}
+    for m in re.finditer(
+        r"\((\d+)\) ([A-Za-z][A-Za-z0-9_ ]*)\n((?:[^\n]+\n)*?)(?=\n|\(\d+\) )",
+        plan,
+    ):
+        am = re.search(r"Arguments: ([^\n]*)", m.group(3))
+        if am:
+            args[int(m.group(1))] = am.group(1)
+    passthrough = {
+        "Sort", "Filter", "Project", "WindowGroupLimit", "Window",
+        "ColumnarToRow", "InputAdapter",
+    }
+    count = 0
+    for i, (d, name, _nid) in enumerate(nodes):
+        if name.split()[0] != "Window":
+            continue
+        j = i + 1
+        while j < len(nodes):
+            d2, n2, id2 = nodes[j]
+            if d2 <= d:
+                break
+            base = n2.split()[0]
+            if base == "Exchange":
+                if "SinglePartition" in args.get(id2, ""):
+                    count += 1
+                break
+            if base not in passthrough:
+                break  # join/agg/scan: has its own distribution
+            j += 1
+    return count
+
+
+# Every single-partition Window in the whole registry, enumerated and
+# justified. The lint below pins this EXACT map: a new partition-less
+# window over data-sized input (the class behind VERDICT r8 items 1-2
+# and the round-9 two-phase rewrites) fails the suite until it is
+# consciously justified here with a boundedness argument.
+SINGLE_PARTITION_WINDOW_BUDGET = {
+    # two-phase bucket-offset frames, ≤ _SKYLINE_GRID rows by construction
+    "agg_abc_classification": 1,
+    "agg_ks_statistic": 1,
+    # grid cell suffix-max (≤1024 rows) + final window over the pruned
+    # Pareto band only
+    "agg_skyline_pareto": 2,
+    # per-source share frame: one row per corpus source
+    "llm_source_concentration": 1,
+    # two-phase global rank: offsets over ≤ shuffle-partitions count rows
+    "sort_multikey": 1,
+    # calendar-bounded daily-aggregate frames (one row per day)
+    "win_moving_avg": 1,
+    "win_range_frame": 1,
+    "win_running_sum": 1,
+    "win_rolling_corr": 6,
+}
+
+
+def test_no_unjustified_single_partition_windows(spark):
+    """Registry-wide lint: the set of queries with SinglePartition-fed
+    Window operators must equal the justified budget above — nothing
+    data-sized may funnel through a one-task window anywhere in the 356
+    keys. Plan-only (no jobs execute)."""
+    got = {}
+    for key in sorted(QUERIES):
+        n = _single_partition_windows(plan_of(spark, key))
+        if n:
+            got[key] = n
+    assert got == SINGLE_PARTITION_WINDOW_BUDGET
+
+
 def test_skyline_prunes_before_global_window(spark):
     """agg_skyline_pareto (VERDICT r8 item 1): the partition-less skyline
     window may only consume the grid-pruned Pareto band — the plan must
