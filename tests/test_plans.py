@@ -1067,18 +1067,79 @@ SINGLE_PARTITION_WINDOW_BUDGET = {
     "win_rolling_corr": 6,
 }
 
+# Row-at-a-time Python evaluation: allowed ONLY in the two §2 keys whose
+# contract IS demonstrating that execution model (its ~100x cost vs
+# Arrow-batched is asserted elsewhere).
+BATCH_EVAL_PYTHON_BUDGET = {"udf_python_scalar": 1, "udtf_python": 1}
+
+# BroadcastNestedLoopJoin: every occurrence is either the scalar-
+# broadcast pattern (crossJoin against a 1-row/grid-sized aggregate —
+# totals, thresholds, counts, calendar grids: bounded build side by
+# construction) or a contract-defined non-equi join (join_cross,
+# join_theta_range, the fuzzy-resolution blocked band). Pinned exactly:
+# a new NLJ against a data-sized side fails here until justified.
+BNLJ_BUDGET = {
+    "agg_abc_classification": 3,
+    "agg_association_rules": 1,
+    "agg_benford_digits": 1,
+    "agg_bloom_from_scratch": 3,
+    "agg_chi_square": 3,
+    "agg_hhi_index": 1,
+    "agg_ks_statistic": 4,
+    "agg_percent_of_total": 1,
+    "agg_skyline_pareto": 2,
+    "agg_welch_ttest": 1,
+    "graph_centralization": 1,
+    "graph_modularity": 2,
+    "graph_reciprocity": 1,
+    "join_cross": 1,
+    "join_fk_orphan_audit": 5,
+    "join_fuzzy_entity_resolution": 1,
+    "join_theta_range": 1,
+    "llm_bigram_logprob": 1,
+    "llm_bm25_score": 1,
+    "llm_collocation_pmi": 2,
+    "llm_importance_resample": 5,
+    "llm_ivf_recall_at_k": 1,
+    "llm_js_divergence": 2,
+    "llm_perplexity_bucket": 2,
+    "llm_sampling_temperature": 3,
+    "llm_source_concentration": 1,
+    "llm_tfidf": 1,
+    "llm_token_budget_mixture": 1,
+    "llm_unigram_logprob": 1,
+    "tpch_q11_important_values": 1,
+    "tpch_q22_prospects": 1,
+    "ts_autocorrelation": 1,
+    "ts_rolling_active_users": 1,
+}
+
 
 def test_no_unjustified_single_partition_windows(spark):
-    """Registry-wide lint: the set of queries with SinglePartition-fed
-    Window operators must equal the justified budget above — nothing
-    data-sized may funnel through a one-task window anywhere in the 356
-    keys. Plan-only (no jobs execute)."""
-    got = {}
+    """Registry-wide governance lint, ONE plan pass over all keys:
+    (a) the set of SinglePartition-fed Window operators equals the
+    justified budget — nothing data-sized funnels through a one-task
+    window; (b) CartesianProduct appears nowhere; (c) row-at-a-time
+    BatchEvalPython only in the two contract demo keys; (d) every
+    BroadcastNestedLoopJoin is a pinned scalar-broadcast / contract
+    non-equi occurrence. Plan-only (no jobs execute)."""
+    got_w, got_bep, got_bnlj, got_cart = {}, {}, {}, {}
     for key in sorted(QUERIES):
-        n = _single_partition_windows(plan_of(spark, key))
+        plan = plan_of(spark, key)
+        tree = tree_of(plan)
+        n = _single_partition_windows(plan)
         if n:
-            got[key] = n
-    assert got == SINGLE_PARTITION_WINDOW_BUDGET
+            got_w[key] = n
+        if tree.count("BatchEvalPython"):
+            got_bep[key] = tree.count("BatchEvalPython")
+        if tree.count("BroadcastNestedLoopJoin"):
+            got_bnlj[key] = tree.count("BroadcastNestedLoopJoin")
+        if tree.count("CartesianProduct"):
+            got_cart[key] = tree.count("CartesianProduct")
+    assert got_cart == {}
+    assert got_w == SINGLE_PARTITION_WINDOW_BUDGET
+    assert got_bep == BATCH_EVAL_PYTHON_BUDGET
+    assert got_bnlj == BNLJ_BUDGET
 
 
 def test_skyline_prunes_before_global_window(spark):
