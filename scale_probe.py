@@ -89,6 +89,23 @@ HEADLINE = [
     "agg_weighted_median",
 ]
 
+# The adapted TPC-H suite rides the same probe (round 9): its sf0.1
+# bench numbers are floor-dominated (see BASELINE.md), so the scaling
+# ratio against splittable 8x data is the evidence that the plan
+# shapes — semi/anti joins, decorrelated aggregates, broadcast dims,
+# TakeOrdered top-k — and not the constants, carry the suite.
+HEADLINE += [
+    "tpch_q2_min_cost_supplier", "tpch_q4_order_priority",
+    "tpch_q6_revenue_change", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q10_returned_items", "tpch_q11_important_values",
+    "tpch_q12_priority_class", "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier", "tpch_q16_supplier_cnt",
+    "tpch_q17_small_qty_revenue", "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_pred", "tpch_q20_part_promotion",
+    "tpch_q21_waiting_supplier", "tpch_q22_prospects",
+]
+
 
 def build(spark, src_dir: str, out_dir: str, k: int) -> None:
     from functools import reduce

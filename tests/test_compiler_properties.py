@@ -1,0 +1,186 @@
+"""Metamorphic property tests for COMPOSITE E1 specs (round 9).
+
+The per-feature compiler tests compare each spec feature against a
+directly-built DataFrame twin; these close the composition gap with
+twin-free metamorphic relations between ENGINE outputs over seeded
+random predicates — algebraic identities any correct compiler must
+satisfy regardless of which operators happen to be composed:
+
+  1. partition:     |σ(A∧B)| + |σ(A∧¬B)| == |σ(A)|
+  2. disjunction:   σ($or[A, B]) == σ(A) ∪ σ(B)  (row multisets on a key)
+  3. group totals:  Σ per-group $count over σ(A) == |σ(A)|
+  4. pagination:    ordered $limit/$offset chunks reassemble the whole
+
+Deterministic seeded random (no hypothesis shrinking churn — each case
+runs real Spark jobs, so the suite pins ~a dozen diverse seeds).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pytest
+
+from naqed_spark.compiler.engine import Engine
+from naqed_spark.session import get_spark, tune_session
+
+SF_DIR = os.environ.get("NAQED_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="module")
+def eng():
+    spark = tune_session(get_spark("naqed-compiler-prop-tests"))
+    return Engine(spark, SF_DIR)
+
+
+# predicate pool over orders: (field, spec-predicate, negation)
+def _pred_pool(rng: random.Random):
+    thr = rng.choice([50000.0, 120000.0, 200000.0, 280000.0])
+    lo, hi = sorted(rng.sample([10000.0, 90000.0, 180000.0, 300000.0], 2))
+    stats = rng.sample(["O", "F", "P"], rng.randint(1, 2))
+    prio = rng.choice(["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED"])
+    price = rng.choice(
+        [
+            (
+                {"o_totalprice": {"$gt": thr}},
+                {"o_totalprice": {"$lte": thr}},
+            ),
+            (
+                {"o_totalprice": {"$between": [lo, hi]}},
+                {"$or": [{"o_totalprice": {"$lt": lo}},
+                         {"o_totalprice": {"$gt": hi}}]},
+            ),
+        ]
+    )
+    # one entry per FIELD — predicates conjoin via dict merge, so two
+    # predicates on the same field would overwrite each other
+    pool = [
+        price,
+        (
+            # o_orderstatus has the closed domain {O, F, P}, so the
+            # complement of an $in list is $in over the remaining values
+            {"o_orderstatus": {"$in": stats}},
+            {"o_orderstatus": {"$in": [s for s in ["O", "F", "P"]
+                                       if s not in stats]}},
+        ),
+        (
+            {"o_orderpriority": prio},
+            {"o_orderpriority": {"$ne": prio}},
+        ),
+    ]
+    return rng.sample(pool, 2)
+
+
+SEEDS = list(range(12))
+
+
+@pytest.mark.parametrize("seed", SEEDS)
+def test_filter_partition_identity(eng, seed):
+    """|σ(A∧B)| + |σ(A∧¬B)| == |σ(A)| for random predicate pairs —
+    null-free fields, so the complement is exact."""
+    rng = random.Random(seed)
+    (a, _na), (b, nb) = _pred_pool(rng)
+
+    def count(filters):
+        # conjoin plain predicates; distribute a $or complement over the
+        # conjunction: σ(merged ∧ (x ∨ y)) == σ($or[merged∧x, merged∧y])
+        merged: dict = {}
+        ors = []
+        for f in filters:
+            if "$or" in f:
+                ors.append(f["$or"])
+            else:
+                merged.update(f)
+        body = {"$filter": dict(merged), "o_orderkey": True}
+        if ors:
+            body["$filter"] = {"$or": [dict(merged, **br) for br in ors[0]]}
+        return eng.query({"orders": body}).count()
+
+    n_ab = count([a, b])
+    n_anb = count([a, nb])
+    n_a = count([a])
+    assert n_ab + n_anb == n_a, (seed, a, b, nb, n_ab, n_anb, n_a)
+
+
+@pytest.mark.parametrize("seed", SEEDS[:8])
+def test_or_is_union_of_branches(eng, seed):
+    """σ($or[A,B]) over a unique key == σ(A) ∪ σ(B) as sets."""
+    rng = random.Random(seed + 100)
+    (a, _), (b, _) = _pred_pool(rng)
+    if "$or" in a or "$or" in b:  # keep branches simple predicates
+        a = {"o_totalprice": {"$gt": 150000.0}}
+    keys_or = {
+        r["o_orderkey"]
+        for r in eng.query(
+            {"orders": {"$filter": {"$or": [a, b]}, "o_orderkey": True}}
+        ).collect()
+    }
+    keys_a = {
+        r["o_orderkey"]
+        for r in eng.query(
+            {"orders": {"$filter": a, "o_orderkey": True}}
+        ).collect()
+    }
+    keys_b = {
+        r["o_orderkey"]
+        for r in eng.query(
+            {"orders": {"$filter": b, "o_orderkey": True}}
+        ).collect()
+    }
+    assert keys_or == keys_a | keys_b, (seed, a, b)
+
+
+@pytest.mark.parametrize("seed", SEEDS[:8])
+def test_group_counts_sum_to_filtered_total(eng, seed):
+    """Σ per-group $count over σ(A) == |σ(A)| for a random predicate and
+    random group key."""
+    rng = random.Random(seed + 200)
+    (a, _), _ = _pred_pool(rng)
+    if "$or" in a:
+        a = {"o_totalprice": {"$between": [50000.0, 250000.0]}}
+    gkey = rng.choice(["o_orderstatus", "o_orderpriority"])
+    grouped = eng.query(
+        {
+            "orders": {
+                "$filter": a,
+                "$groupby": [gkey],
+                "$agg": {"n": {"$count": True}},
+            }
+        }
+    ).collect()
+    total = eng.query({"orders": {"$filter": a, "o_orderkey": True}}).count()
+    assert sum(r["n"] for r in grouped) == total, (seed, a, gkey)
+
+
+@pytest.mark.parametrize("seed", SEEDS[:6])
+def test_pagination_chunks_reassemble(eng, seed):
+    """Ordered $limit/$offset chunks concatenate to the ordered whole —
+    composite of filter + computed select + orderby + pagination."""
+    rng = random.Random(seed + 300)
+    (a, _), _ = _pred_pool(rng)
+    if "$or" in a:
+        a = {"o_orderstatus": {"$in": ["O", "F"]}}
+    chunk = rng.choice([7, 19, 50])
+    base = {
+        "$filter": a,
+        "$select": {"half": {"$div": ["o_totalprice", 2]}},
+        "o_orderkey": True,
+        "$orderby": [["half", "desc"], ["o_orderkey", "asc"]],
+    }
+    whole = [
+        (r["o_orderkey"], r["half"])
+        for r in eng.query(
+            {"orders": dict(base, **{"$limit": 200})}
+        ).collect()
+    ]
+    paged = []
+    for off in range(0, 200, chunk):
+        paged.extend(
+            (r["o_orderkey"], r["half"])
+            for r in eng.query(
+                {"orders": dict(base, **{"$limit": min(chunk, 200 - off),
+                                         "$offset": off})}
+            ).collect()
+        )
+    assert paged == whole, (seed, a, chunk)
