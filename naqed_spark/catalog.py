@@ -70,6 +70,10 @@ RELATIONSHIPS: list[Relationship] = [
     Relationship("supplier", "lineitem", "supplier", "l_suppkey", "s_suppkey", False),
     Relationship("customer", "events", "customer", "user_id", "c_custkey", False),
     Relationship("events", "customer", "events", "c_custkey", "user_id", True),
+    # round 9: the temporal edges the $asof hop rides (event → that
+    # user's orders and back; rank-1 picks the as-of match)
+    Relationship("orders", "events", "orders", "user_id", "o_custkey", True),
+    Relationship("events", "orders", "events", "o_custkey", "user_id", True),
     Relationship("embedding", "documents", "embeddings", "doc_id", "vec_id", False),
     Relationship("document", "embeddings", "documents", "vec_id", "doc_id", False),
 ]

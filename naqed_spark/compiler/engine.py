@@ -315,6 +315,50 @@ class Engine:
                 )
                 cols.append(rel_name)
                 continue
+            if child.asof is not None:
+                # round 9: $asof — the E1 spelling of the registered
+                # join_asof/join_asof_nearest family: FK equi-join +
+                # time residual + rank-1 per parent key. The rn == 1
+                # filter compiles to a WindowGroupLimit partial top-1
+                # BEFORE the shuffle, so the plan never materializes the
+                # full fan-out — the same scale shape the §2 keys assert.
+                from pyspark.sql.window import Window
+
+                a = child.asof
+                for col, frame, side in (
+                    (a.left_on, df, node.entity),
+                    (a.per, df, node.entity),
+                    (a.right_on, child_df, child.entity),
+                    (a.tiebreak, child_df, child.entity),
+                ):
+                    if col not in frame.columns:
+                        raise SpecError(
+                            f"$asof on {rel_name!r}: unknown column"
+                            f" {col!r} on {side!r}"
+                        )
+                left, right = df[a.left_on], child_df[a.right_on]
+                cond = df[rel.src_key] == child_df[rel.dst_key]
+                if a.strategy == "backward":
+                    cond = cond & (right <= left)
+                    order = [
+                        child_df[a.right_on].desc(),
+                        child_df[a.tiebreak].desc(),
+                    ]
+                else:  # forward
+                    cond = cond & (right >= left)
+                    order = [
+                        child_df[a.right_on].asc(),
+                        child_df[a.tiebreak].asc(),
+                    ]
+                w = Window.partitionBy(df[a.per]).orderBy(*order)
+                df = (
+                    df.join(child_df, cond, "inner")
+                    .withColumn("__asof_rn", F.row_number().over(w))
+                    .filter(F.col("__asof_rn") == 1)
+                    .drop("__asof_rn")
+                )
+                cols.extend(child_cols)
+                continue
             # broadcast ONLY fixed-size dims (region/nation/supplier); at
             # 100 TB customer/part are not broadcastable — a forced hint
             # there is an executor OOM. AQE demotes sort-merge → broadcast

@@ -100,6 +100,23 @@ Round-7 session-2 extensions:
                                       # eligible; branch predicates get the
                                       # same typed checks
 
+Round-9 extension (VERDICT r8 item 8 — the last §2 join family with no
+E1 spelling; no new §2 key: the registered join_asof/join_asof_nearest
+remain the driver-checked contract and the compiler tests pin parity):
+
+    "orders": {"$asof": {...}, ...}   # temporal rank-1 hop: match each
+                                      # parent row to the ONE child row
+                                      # nearest in time along the FK edge
+                                      # — $left_on/$right_on (ordering
+                                      # columns), $per (parent unique
+                                      # key), $tiebreak (unique child
+                                      # column), $strategy backward
+                                      # (latest at-or-before, default) |
+                                      # forward (earliest at-or-after).
+                                      # Compiles to equi-join + residual
+                                      # + WindowGroupLimit top-1 — never
+                                      # the full temporal fan-out.
+
 Round-8 extensions:
 
     "$derive": {"alias": <expr>}      # POST-aggregation computed columns:
@@ -298,6 +315,23 @@ class WindowFn:
 
 
 @dataclass
+class AsofSpec:
+    """Round-9 ``$asof`` hop modifier: match each parent row to the ONE
+    child row nearest in time along the declared FK edge instead of the
+    full fan-out. ``left_on``/``right_on`` are the parent/child ordering
+    columns, ``per`` the parent's unique key (the rank-1 partition),
+    ``tiebreak`` a unique child column making the pick deterministic,
+    ``strategy`` backward (latest child at-or-before, the join_asof
+    contract) or forward (earliest child at-or-after)."""
+
+    left_on: str
+    right_on: str
+    per: str
+    tiebreak: str
+    strategy: str = "backward"
+
+
+@dataclass
 class Node:
     """One entity in the traversal tree."""
 
@@ -307,6 +341,7 @@ class Node:
     children: list[tuple[str, "Node"]] = field(default_factory=list)  # (rel name, node)
     how: str = "inner"  # join type for this hop
     collect: bool = False  # $collect: re-nest as array-of-children, no fan-out
+    asof: "AsofSpec | None" = None  # $asof: rank-1 temporal match, no fan-out
 
 
 @dataclass
@@ -624,6 +659,8 @@ def _parse_node(entity: str, body: dict) -> tuple[Node, dict]:
             exists_val = val
         elif key == "$collect":
             node.collect = bool(val)
+        elif key == "$asof":
+            node.asof = _parse_asof(entity, val)
         elif key in ("$agg", "$groupby", "$having", "$orderby", "$limit",
                      "$offset", "$distinct", "$select", "$derive", "$window",
                      "$qualify", "$sample"):
@@ -662,7 +699,52 @@ def _parse_node(entity: str, body: dict) -> tuple[Node, dict]:
                 f" a semi/anti join"
             )
         node.how = "left_semi" if exists_val else "left_anti"
+    if node.asof is not None:
+        if how_given or exists_val is not None:
+            raise SpecError(
+                f"{entity!r}: $asof picks its own join semantics —"
+                f" cannot combine with $how or $exists"
+            )
+        if node.collect:
+            raise SpecError(f"{entity!r}: $asof cannot combine with $collect")
     return node, top
+
+
+def _parse_asof(entity: str, val: object) -> AsofSpec:
+    """``$asof: {"$left_on": c, "$right_on": c, "$per": c, "$tiebreak": c,
+    "$strategy"?: "backward"|"forward"}`` — all shape violations are
+    typed SpecErrors per the parser contract."""
+    if not isinstance(val, dict):
+        raise SpecError(
+            f"$asof on {entity!r} must be a dict, got {type(val).__name__}"
+        )
+    allowed = {"$left_on", "$right_on", "$per", "$tiebreak", "$strategy"}
+    unknown = set(val) - allowed
+    if unknown:
+        raise SpecError(f"$asof on {entity!r}: unknown keys {sorted(unknown)}")
+    required = {"$left_on", "$right_on", "$per", "$tiebreak"}
+    missing = required - set(val)
+    if missing:
+        raise SpecError(f"$asof on {entity!r}: missing {sorted(missing)}")
+    for k in required:
+        if not isinstance(val[k], str) or not val[k]:
+            raise SpecError(
+                f"$asof on {entity!r}: {k} must be a column name,"
+                f" got {val[k]!r}"
+            )
+    strategy = val.get("$strategy", "backward")
+    if strategy not in ("backward", "forward"):
+        raise SpecError(
+            f"$asof on {entity!r}: $strategy must be 'backward' or"
+            f" 'forward', got {strategy!r}"
+        )
+    return AsofSpec(
+        left_on=val["$left_on"],
+        right_on=val["$right_on"],
+        per=val["$per"],
+        tiebreak=val["$tiebreak"],
+        strategy=strategy,
+    )
 
 
 def _parse_sample(obj: object) -> tuple[str, int, int]:

@@ -1503,3 +1503,144 @@ def test_explain_surfaces_pushdown(eng):
     assert "Physical Plan" in simple
     with pytest.raises(Exception):
         eng.explain({"orders": {"o_orderkey": True}}, mode="not-a-mode")
+
+
+def test_asof_backward_matches_registered_join_asof(eng):
+    """The $asof hop (round 9) must reproduce the registered join_asof
+    key exactly: latest order at-or-before each event per user,
+    (o_orderdate desc, o_orderkey desc) tie order."""
+    from naqed_spark.queries.joins import join_asof
+
+    got = {
+        (r["event_id"], r["user_id"], r["o_orderkey"])
+        for r in eng.query(
+            {
+                "events": {
+                    "event_id": True,
+                    "user_id": True,
+                    "orders": {
+                        "$asof": {
+                            "$left_on": "ts",
+                            "$right_on": "o_orderdate",
+                            "$per": "event_id",
+                            "$tiebreak": "o_orderkey",
+                        },
+                        "o_orderkey": True,
+                    },
+                }
+            }
+        ).collect()
+    }
+    want = {
+        (r["event_id"], r["user_id"], r["o_orderkey"])
+        for r in join_asof(eng.spark, SF_DIR).collect()
+    }
+    assert got == want and got
+
+
+def test_asof_forward_is_earliest_at_or_after(eng):
+    """$strategy forward, orders → events (every fixture event postdates
+    every order, so each order matches its customer's EARLIEST event):
+    the matched event ts is >= the order date and nothing earlier
+    qualifies for that user."""
+    res = eng.query(
+        {
+            "orders": {
+                "o_orderkey": True,
+                "o_custkey": True,
+                "events": {
+                    "$asof": {
+                        "$left_on": "o_orderdate",
+                        "$right_on": "ts",
+                        "$per": "o_orderkey",
+                        "$tiebreak": "event_id",
+                        "$strategy": "forward",
+                    },
+                    "ts": True,
+                },
+            }
+        }
+    )
+    rows = res.collect()
+    assert rows
+    first_event = {
+        r["user_id"]: r["first_ts"]
+        for r in eng.entity("events")
+        .groupBy("user_id")
+        .agg({"ts": "min"})
+        .withColumnRenamed("min(ts)", "first_ts")
+        .collect()
+    }
+    for r in rows:
+        assert r["ts"] == first_event[r["o_custkey"]], r
+
+
+@pytest.mark.parametrize(
+    "asof",
+    [
+        "notadict",
+        {"$left_on": "ts"},  # missing keys
+        {"$left_on": "ts", "$right_on": "o_orderdate", "$per": "event_id",
+         "$tiebreak": "o_orderkey", "$strategy": "sideways"},
+        {"$left_on": "ts", "$right_on": "o_orderdate", "$per": "event_id",
+         "$tiebreak": "o_orderkey", "$bogus": 1},
+        {"$left_on": 7, "$right_on": "o_orderdate", "$per": "event_id",
+         "$tiebreak": "o_orderkey"},
+    ],
+)
+def test_asof_bad_shapes_fail_typed(eng, asof):
+    with pytest.raises(SpecError):
+        eng.query(
+            {"events": {"event_id": True,
+                        "orders": {"$asof": asof, "o_orderkey": True}}}
+        )
+
+
+def test_asof_unknown_columns_and_bad_combos_fail_typed(eng):
+    good = {"$left_on": "ts", "$right_on": "o_orderdate",
+            "$per": "event_id", "$tiebreak": "o_orderkey"}
+    with pytest.raises(SpecError):
+        eng.query({"events": {"event_id": True, "orders": {
+            "$asof": dict(good, **{"$left_on": "no_such"}),
+            "o_orderkey": True}}})
+    with pytest.raises(SpecError):
+        eng.query({"events": {"event_id": True, "orders": {
+            "$asof": dict(good, **{"$right_on": "no_such"}),
+            "o_orderkey": True}}})
+    with pytest.raises(SpecError):
+        eng.query({"events": {"event_id": True, "orders": {
+            "$asof": good, "$how": "left", "o_orderkey": True}}})
+    with pytest.raises(SpecError):
+        eng.query({"events": {"event_id": True, "orders": {
+            "$asof": good, "$collect": True, "o_orderkey": True}}})
+    with pytest.raises(SpecError):
+        eng.query({"events": {"event_id": True, "orders": {
+            "$asof": good, "$exists": True}}})
+
+
+def test_asof_plan_uses_window_group_limit(eng):
+    """The rn == 1 pick must compile to a WindowGroupLimit partial top-1
+    — the $asof hop never materializes the full temporal fan-out."""
+    df = eng.query(
+        {
+            "events": {
+                "event_id": True,
+                "orders": {
+                    "$asof": {
+                        "$left_on": "ts",
+                        "$right_on": "o_orderdate",
+                        "$per": "event_id",
+                        "$tiebreak": "o_orderkey",
+                    },
+                    "o_orderkey": True,
+                },
+            }
+        }
+    )
+    plan = df._jdf.queryExecution().explainString(
+        eng.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
