@@ -366,6 +366,27 @@ class Engine:
             if rel.dst in SMALL_DIMS:
                 child_df = F.broadcast(child_df)
             cond = df[rel.src_key] == child_df[rel.dst_key]
+            # round 9: $theta residuals ride the FK equi-join (works for
+            # every $how including the $exists semi/anti forms) — the
+            # equi key keeps the join hash-based, so the plan never
+            # degrades to a nested loop.
+            _theta_ops = {
+                "$eq": operator.eq, "$ne": operator.ne,
+                "$lt": operator.lt, "$lte": operator.le,
+                "$gt": operator.gt, "$gte": operator.ge,
+            }
+            for lc, top_op, rc in child.theta:
+                if lc not in df.columns:
+                    raise SpecError(
+                        f"$theta on {rel_name!r}: unknown column {lc!r}"
+                        f" on {node.entity!r}"
+                    )
+                if rc not in child_df.columns:
+                    raise SpecError(
+                        f"$theta on {rel_name!r}: unknown column {rc!r}"
+                        f" on {child.entity!r}"
+                    )
+                cond = cond & _theta_ops[top_op](df[lc], child_df[rc])
             joined = df.join(child_df, cond, child.how)
             if child.how in ("left_semi", "left_anti"):
                 df = joined  # child columns are not visible after semi/anti

@@ -116,6 +116,16 @@ remain the driver-checked contract and the compiler tests pin parity):
                                       # Compiles to equi-join + residual
                                       # + WindowGroupLimit top-1 — never
                                       # the full temporal fan-out.
+    "orders": {"$theta": [[l, op, r], ...]}  # residual non-equi join
+                                      # conditions (op ∈ $eq/$ne/$lt/
+                                      # $lte/$gt/$gte; l on the parent, r
+                                      # on the child) ANDed onto the FK
+                                      # equi-join — works with every $how
+                                      # including $exists semi/anti. The
+                                      # equi key keeps the join hash-
+                                      # based; a pure cross theta is
+                                      # deliberately not offered (the
+                                      # no-cartesian plan budget).
 
 Round-8 extensions:
 
@@ -342,6 +352,11 @@ class Node:
     how: str = "inner"  # join type for this hop
     collect: bool = False  # $collect: re-nest as array-of-children, no fan-out
     asof: "AsofSpec | None" = None  # $asof: rank-1 temporal match, no fan-out
+    # $theta: residual non-equi conditions [left_col, op, right_col] ANDed
+    # onto the FK equi-join (the scale-safe theta subset — the equi key
+    # keeps the join hash-based; a pure cross theta is deliberately not
+    # offered, mirroring the no-cartesian plan budget)
+    theta: list = field(default_factory=list)
 
 
 @dataclass
@@ -661,6 +676,8 @@ def _parse_node(entity: str, body: dict) -> tuple[Node, dict]:
             node.collect = bool(val)
         elif key == "$asof":
             node.asof = _parse_asof(entity, val)
+        elif key == "$theta":
+            node.theta = _parse_theta(entity, val)
         elif key in ("$agg", "$groupby", "$having", "$orderby", "$limit",
                      "$offset", "$distinct", "$select", "$derive", "$window",
                      "$qualify", "$sample"):
@@ -707,7 +724,48 @@ def _parse_node(entity: str, body: dict) -> tuple[Node, dict]:
             )
         if node.collect:
             raise SpecError(f"{entity!r}: $asof cannot combine with $collect")
+        if node.theta:
+            raise SpecError(f"{entity!r}: $asof cannot combine with $theta")
+    if node.theta and node.collect:
+        raise SpecError(
+            f"{entity!r}: $theta cannot combine with $collect — the"
+            f" residual references parent columns the pre-join groupBy"
+            f" cannot see"
+        )
     return node, top
+
+
+_THETA_OPS = {"$eq", "$ne", "$lt", "$lte", "$gt", "$gte"}
+
+
+def _parse_theta(entity: str, val: object) -> list:
+    """``$theta: [[left_col, op, right_col], ...]`` — residual non-equi
+    conditions ANDed onto the hop's FK equi-join. Typed SpecErrors on
+    every malformed shape."""
+    if not isinstance(val, list) or not val:
+        raise SpecError(
+            f"$theta on {entity!r} must be a non-empty list of"
+            f" [left_col, op, right_col] triples"
+        )
+    out = []
+    for item in val:
+        if (
+            not isinstance(item, (list, tuple))
+            or len(item) != 3
+            or not all(isinstance(x, str) and x for x in item)
+        ):
+            raise SpecError(
+                f"$theta on {entity!r}: each condition must be"
+                f" [left_col, op, right_col] strings, got {item!r}"
+            )
+        left, op, right = item
+        if op not in _THETA_OPS:
+            raise SpecError(
+                f"$theta on {entity!r}: unknown op {op!r}"
+                f" (allowed: {sorted(_THETA_OPS)})"
+            )
+        out.append((left, op, right))
+    return out
 
 
 def _parse_asof(entity: str, val: object) -> AsofSpec:

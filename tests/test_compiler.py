@@ -1644,3 +1644,107 @@ def test_asof_plan_uses_window_group_limit(eng):
     )
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_theta_residual_matches_direct_join(eng):
+    """$theta [ts >= o_orderdate] on the events->orders FK hop equals
+    the directly-built equi-join + residual."""
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["event_id"], r["o_orderkey"])
+        for r in eng.query(
+            {
+                "events": {
+                    "event_id": True,
+                    "orders": {
+                        "$theta": [["ts", "$gte", "o_orderdate"]],
+                        "o_orderkey": True,
+                    },
+                }
+            }
+        ).collect()
+    }
+    e = eng.entity("events").select("event_id", "user_id", "ts")
+    o = eng.entity("orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    want = {
+        (r["event_id"], r["o_orderkey"])
+        for r in e.join(
+            o,
+            (e.user_id == o.o_custkey) & (e.ts >= F.col("o_orderdate")),
+        ).collect()
+    }
+    assert got == want and got
+
+
+def test_theta_with_exists_is_semi_join(eng):
+    """$exists + $theta: customers of a nation with at least one event
+    strictly after an order date — compiles to ONE left-semi hash join
+    with the residual on it, no nested loop."""
+    df = eng.query(
+        {
+            "orders": {
+                "o_orderkey": True,
+                "events": {
+                    "$exists": True,
+                    "$theta": [["o_orderdate", "$lt", "ts"]],
+                },
+            }
+        }
+    )
+    plan = df._jdf.queryExecution().explainString(
+        eng.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # every fixture event postdates every order, so the semi join keeps
+    # every order with ANY event for its customer
+    n_semi = df.count()
+    n_plain = eng.query(
+        {"orders": {"o_orderkey": True,
+                    "events": {"$exists": True}}}
+    ).count()
+    assert n_semi == n_plain > 0
+
+
+@pytest.mark.parametrize(
+    "theta",
+    [
+        "notalist",
+        [],
+        [["ts", "$gte"]],
+        [["ts", "$regex", "o_orderdate"]],
+        [["ts", "$gte", 7]],
+        [{"ts": "$gte"}],
+    ],
+)
+def test_theta_bad_shapes_fail_typed(eng, theta):
+    with pytest.raises(SpecError):
+        eng.query(
+            {"events": {"event_id": True,
+                        "orders": {"$theta": theta, "o_orderkey": True}}}
+        )
+
+
+def test_theta_unknown_columns_and_bad_combos_fail_typed(eng):
+    with pytest.raises(SpecError):
+        eng.query({"events": {"event_id": True, "orders": {
+            "$theta": [["no_such", "$gte", "o_orderdate"]],
+            "o_orderkey": True}}})
+    with pytest.raises(SpecError):
+        eng.query({"events": {"event_id": True, "orders": {
+            "$theta": [["ts", "$gte", "no_such"]],
+            "o_orderkey": True}}})
+    with pytest.raises(SpecError):
+        eng.query({"events": {"event_id": True, "orders": {
+            "$theta": [["ts", "$gte", "o_orderdate"]],
+            "$collect": True, "o_orderkey": True}}})
+    with pytest.raises(SpecError):
+        eng.query({"events": {"event_id": True, "orders": {
+            "$theta": [["ts", "$gte", "o_orderdate"]],
+            "$asof": {"$left_on": "ts", "$right_on": "o_orderdate",
+                      "$per": "event_id", "$tiebreak": "o_orderkey"},
+            "o_orderkey": True}}})
