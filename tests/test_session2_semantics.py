@@ -288,3 +288,65 @@ def test_overlap_stitch_equals_single_partition_window(spark):
         .collect()
     }
     assert stitched == truth
+
+
+def test_two_phase_prefix_equals_single_window_on_random_data(spark):
+    """Generic construction check for the two-phase pattern (round 9):
+    on seeded random (group, value, weight) rows — hostile value ranges,
+    heavy duplicates — bucket-offset + per-bucket local cumsum/rank must
+    equal the single-window cumulative sum and row_number exactly."""
+    import random
+
+    from pyspark.sql import Window, functions as F
+
+    from naqed_spark.queries.aggs import _grouped_range_bucketed
+
+    rng = random.Random(902)
+    vals = [-1e9, -3.5, 0.0, 1e-6, 2.25, 7.0, 1e7]
+    rows = [
+        (f"g{rng.randint(0, 2)}", rng.choice(vals) + rng.randint(0, 4),
+         rng.randint(1, 9), i)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, ["g", "v", "wgt", "rid"])
+
+    w_single = Window.partitionBy("g").orderBy("v", "rid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    truth = {
+        r["rid"]: (r["cw"], r["rk"])
+        for r in df.select(
+            "rid",
+            F.sum("wgt").over(w_single).alias("cw"),
+            F.row_number().over(
+                Window.partitionBy("g").orderBy("v", "rid")
+            ).alias("rk"),
+        ).collect()
+    }
+
+    b = _grouped_range_bucketed(df, "g", "v")
+    wb = Window.partitionBy("g").orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        b.groupBy("g", "bkt")
+        .agg(F.sum("wgt").alias("tw"), F.count(F.lit(1)).alias("tc"))
+        .select(
+            "g", "bkt",
+            F.coalesce(F.sum("tw").over(wb), F.lit(0)).alias("off_w"),
+            F.coalesce(F.sum("tc").over(wb), F.lit(0)).alias("off_c"),
+        )
+    )
+    wl_sum = Window.partitionBy("g", "bkt").orderBy("v", "rid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wl_rk = Window.partitionBy("g", "bkt").orderBy("v", "rid")
+    got = {
+        r["rid"]: (r["cw"], r["rk"])
+        for r in b.join(F.broadcast(offsets), ["g", "bkt"]).select(
+            "rid",
+            (F.col("off_w") + F.sum("wgt").over(wl_sum)).alias("cw"),
+            (F.col("off_c") + F.row_number().over(wl_rk)).alias("rk"),
+        ).collect()
+    }
+    assert got == truth
