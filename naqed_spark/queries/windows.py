@@ -424,14 +424,15 @@ def win_cumulative_distinct(spark, sf_dir):
 
 @query(
     "win_median_over",
-    # Aggregate-percentile WINDOW: each event against its type's median —
-    # the "how unusual is this row within its group" primitive without
-    # collapsing rows. Spark evaluates percentile as an unbounded window
-    # aggregate (one shuffle on the partition key, whole-group state per
-    # partition — at 100 TB prefer the two-pass broadcast form of
-    # ts_outlier_mad when groups are huge; this key IS the windowed
-    # spelling for group-sized data). Interpolated medians round(6)
-    # before the deviation arithmetic.
+    # Aggregate-percentile over the group, attached to every row: each
+    # event against its type's median — the "how unusual is this row
+    # within its group" primitive without collapsing rows. The oracle
+    # keeps the windowed SQL spelling; the Spark side computes the SAME
+    # values as one percentile aggregate + a broadcast join-back (round
+    # 9: the unordered window shuffled the whole fact table onto a
+    # handful of type partitions for a per-group scalar — the broadcast
+    # form touches rows in place, no fact shuffle at all). Interpolated
+    # medians round(6) before the deviation arithmetic.
     oracle="""
     SELECT event_id, event_type, value,
            round(round(quantile_cont(value, 0.5) OVER (
@@ -443,14 +444,15 @@ def win_cumulative_distinct(spark, sf_dir):
 )
 def win_median_over(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type")
-    med = F.round(F.expr("percentile(value, 0.5)").over(w), 6)
-    return ev.select(
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("__med")
+    )
+    return ev.join(F.broadcast(med), "event_type").select(
         "event_id",
         "event_type",
         "value",
-        F.round(med, 6).alias("type_median"),
-        F.round(F.col("value") - med, 6).alias("dev"),
+        F.round(F.col("__med"), 6).alias("type_median"),
+        F.round(F.col("value") - F.col("__med"), 6).alias("dev"),
     )
 
 

@@ -1255,3 +1255,12 @@ def test_weighted_median_window_runs_on_one_bucket(spark):
 
     assert len(re.findall(r"\bWindow \(", tree)) == 3
     assert "hashpartitioning(l_returnflag" in plan
+
+
+def test_median_over_is_broadcast_join_back(spark):
+    """win_median_over (round 9): the per-type median must arrive via a
+    broadcast join-back — no Window operator, no fact-table shuffle onto
+    a handful of type partitions."""
+    tree = tree_of(plan_of(spark, "win_median_over"))
+    assert "Window" not in tree
+    assert "BroadcastHashJoin" in tree
