@@ -1072,6 +1072,28 @@ SINGLE_PARTITION_WINDOW_BUDGET = {
 # Arrow-batched is asserted elsewhere).
 BATCH_EVAL_PYTHON_BUDGET = {"udf_python_scalar": 1, "udtf_python": 1}
 
+# Arrow-batched Python (the sanctioned vectorized escape hatch): only the
+# blocked-broadcast vector kernel and its consumers, the multimodal
+# decode plumbing, and the three UDF-surface contract keys. Everything
+# else stays JVM-side.
+ARROW_PYTHON_BUDGET = {
+    "llm_hard_negatives": 1,
+    "llm_ivf_recall_at_k": 2,
+    "llm_knn_bruteforce": 1,
+    "llm_knn_label_eval": 1,
+    "llm_multimodal_binary": 1,
+    "llm_multimodal_frame_sample": 1,
+    "llm_similarity_threshold_join": 1,
+    "udaf_applyinpandas": 1,
+    "udf_arrow_optimized": 1,
+    "udf_pandas_iterator_model": 1,
+    "udf_pandas_vectorized": 1,
+}
+_ARROW_OPS = (
+    "MapInPandas", "ArrowEvalPython", "FlatMapGroupsInPandas",
+    "PythonMapInArrow",
+)
+
 # BroadcastNestedLoopJoin: every occurrence is either the scalar-
 # broadcast pattern (crossJoin against a 1-row/grid-sized aggregate —
 # totals, thresholds, counts, calendar grids: bounded build side by
@@ -1123,7 +1145,7 @@ def test_no_unjustified_single_partition_windows(spark):
     BatchEvalPython only in the two contract demo keys; (d) every
     BroadcastNestedLoopJoin is a pinned scalar-broadcast / contract
     non-equi occurrence. Plan-only (no jobs execute)."""
-    got_w, got_bep, got_bnlj, got_cart = {}, {}, {}, {}
+    got_w, got_bep, got_bnlj, got_cart, got_arrow = {}, {}, {}, {}, {}
     for key in sorted(QUERIES):
         plan = plan_of(spark, key)
         tree = tree_of(plan)
@@ -1136,10 +1158,14 @@ def test_no_unjustified_single_partition_windows(spark):
             got_bnlj[key] = tree.count("BroadcastNestedLoopJoin")
         if tree.count("CartesianProduct"):
             got_cart[key] = tree.count("CartesianProduct")
+        n_arrow = sum(tree.count(op) for op in _ARROW_OPS)
+        if n_arrow:
+            got_arrow[key] = n_arrow
     assert got_cart == {}
     assert got_w == SINGLE_PARTITION_WINDOW_BUDGET
     assert got_bep == BATCH_EVAL_PYTHON_BUDGET
     assert got_bnlj == BNLJ_BUDGET
+    assert got_arrow == ARROW_PYTHON_BUDGET
 
 
 def test_skyline_prunes_before_global_window(spark):
