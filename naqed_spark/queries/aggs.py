@@ -1879,14 +1879,17 @@ def _range_bucketed(df, col, n=_SKYLINE_GRID):
 
 def _grouped_range_bucketed(df, group_col, col, n=_SKYLINE_GRID):
     """Per-group variant of ``_range_bucketed``: bucket ``col`` within
-    each ``group_col`` value against that group's own broadcast min/max —
-    the phase-1 step for per-group two-phase prefix sums / rank / k-th
-    selection (Gini rank, weighted-median crossing, quartile fences)."""
-    rng = df.groupBy(group_col).agg(
+    each ``group_col`` value (a column name or list of names — composite
+    group keys bucket within each combination) against that group's own
+    broadcast min/max — the phase-1 step for per-group two-phase prefix
+    sums / rank / k-th selection (Gini rank, weighted-median crossing,
+    quartile fences, two-phase row_number)."""
+    gcols = [group_col] if isinstance(group_col, str) else list(group_col)
+    rng = df.groupBy(*gcols).agg(
         F.min(col).alias("_lo"), F.max(col).alias("_hi")
     )
     return (
-        df.join(F.broadcast(rng), group_col)
+        df.join(F.broadcast(rng), gcols)
         .withColumn(
             "bkt",
             F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(

@@ -67,15 +67,56 @@ def win_row_number_topk(spark, sf_dir):
     """,
 )
 def win_rank_dense(spark, sf_dir):
+    """rank/dense_rank ordered by a VALUE alone are value statistics,
+    not positions (round 9): rank = 1 + count of strictly-greater rows,
+    dense_rank = 1 + count of distinct greater values. Computed on the
+    distinct (flag, quantity) grid with the two-phase suffix pattern
+    (bucket offsets + per-bucket local prefix — the grid itself is never
+    one task) and broadcast-joined back — the fact rows never shuffle
+    and no window touches data-sized input."""
+    from naqed_spark.queries.aggs import _grouped_range_bucketed
+
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
-    w = Window.partitionBy("l_returnflag").orderBy(F.col("l_quantity").desc())
-    return li.select(
-        "l_returnflag",
-        "l_orderkey",
-        "l_linenumber",
-        "l_quantity",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
+    vals = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    b = _grouped_range_bucketed(vals, "l_returnflag", "l_quantity")
+    wb = Window.partitionBy("l_returnflag").orderBy(
+        F.col("bkt").desc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    offs = (
+        b.groupBy("l_returnflag", "bkt")
+        .agg(F.sum("cnt").alias("tc"), F.count(F.lit(1)).alias("td"))
+        .select(
+            "l_returnflag", "bkt",
+            F.coalesce(F.sum("tc").over(wb), F.lit(0)).alias("off_c"),
+            F.coalesce(F.sum("td").over(wb), F.lit(0)).alias("off_d"),
+        )
+    )
+    wl = Window.partitionBy("l_returnflag", "bkt").orderBy(
+        F.col("l_quantity").desc()
+    )
+    ranked_vals = (
+        b.join(F.broadcast(offs), ["l_returnflag", "bkt"])
+        .withColumn(
+            "lv",
+            F.coalesce(
+                F.sum("cnt").over(wl.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .select(
+            "l_returnflag", "l_quantity",
+            (1 + F.col("off_c") + F.col("lv")).cast("int").alias("rnk"),
+            (F.col("off_d") + F.row_number().over(wl)).cast("int")
+            .alias("drnk"),
+        )
+    )
+    return li.join(
+        F.broadcast(ranked_vals), ["l_returnflag", "l_quantity"]
+    ).select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_quantity",
+        "rnk", "drnk",
     )
 
 
@@ -91,18 +132,90 @@ def win_rank_dense(spark, sf_dir):
     """,
 )
 def win_ntile(spark, sf_dir):
+    """ntile is a closed-form function of (row position, partition size)
+    (round 9): with q = n div k, r = n mod k, the first r tiles hold
+    q+1 rows — tile(rn) is pure integer arithmetic once rn is known.
+    rn comes from the TWO-LEVEL two-phase row_number: level 1 offsets
+    over the distinct (flag, quantity) grid (bucketed suffix/prefix —
+    the grid never sits in one task), level 2 offsets over orderkey
+    range-buckets WITHIN each (flag, quantity), local row_number only
+    inside one (flag, quantity, bucket) cell. Identical integers ⇒
+    identical tiles; the fact rows shuffle once on the composite cell
+    key instead of funnelling per flag."""
+    from naqed_spark.queries.aggs import _grouped_range_bucketed
+
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
-    w = Window.partitionBy("l_returnflag").orderBy(
-        F.col("l_quantity").asc(),
-        F.col("l_orderkey").asc(),
-        F.col("l_linenumber").asc(),
+    # level 1: rows in LOWER quantities, per flag (two-phase over the
+    # distinct-quantity grid)
+    vals = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
-    return li.select(
-        "l_returnflag",
-        "l_orderkey",
-        "l_linenumber",
-        "l_quantity",
-        F.ntile(4).over(w).alias("quartile"),
+    vb = _grouped_range_bucketed(vals, "l_returnflag", "l_quantity")
+    wvb = Window.partitionBy("l_returnflag").orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    voffs = (
+        vb.groupBy("l_returnflag", "bkt")
+        .agg(F.sum("cnt").alias("tc"))
+        .select(
+            "l_returnflag", "bkt",
+            F.coalesce(F.sum("tc").over(wvb), F.lit(0)).alias("voff"),
+        )
+    )
+    wvl = Window.partitionBy("l_returnflag", "bkt").orderBy("l_quantity")
+    off1 = (
+        vb.join(F.broadcast(voffs), ["l_returnflag", "bkt"])
+        .withColumn(
+            "off1",
+            F.col("voff")
+            + F.coalesce(
+                F.sum("cnt").over(
+                    wvl.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("l_returnflag", "l_quantity", "off1")
+    )
+    n_per = vals.groupBy("l_returnflag").agg(F.sum("cnt").alias("n"))
+    # level 2: orderkey range-buckets within each (flag, quantity)
+    b = _grouped_range_bucketed(
+        li, ["l_returnflag", "l_quantity"], "l_orderkey"
+    )
+    wb2 = Window.partitionBy("l_returnflag", "l_quantity").orderBy(
+        "bkt"
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    offs2 = (
+        b.groupBy("l_returnflag", "l_quantity", "bkt")
+        .agg(F.count(F.lit(1)).alias("bc"))
+        .select(
+            "l_returnflag", "l_quantity", "bkt",
+            F.coalesce(F.sum("bc").over(wb2), F.lit(0)).alias("off2"),
+        )
+    )
+    wl = Window.partitionBy("l_returnflag", "l_quantity", "bkt").orderBy(
+        "l_orderkey", "l_linenumber"
+    )
+    rn = (
+        F.col("off1") + F.col("off2") + F.row_number().over(wl)
+    ).cast("bigint")
+    # ntile(4) closed form: first r tiles have q+1 rows
+    k = 4
+    q = F.floor(F.col("n") / k).cast("bigint")
+    r = (F.col("n") % k).cast("bigint")
+    head = (F.lit(1) + F.floor((rn - 1) / (q + 1))).cast("int")
+    tail = (
+        r + 1 + F.floor((rn - r * (q + 1) - 1) / F.greatest(q, F.lit(1)))
+    ).cast("int")
+    return (
+        b.join(F.broadcast(off1), ["l_returnflag", "l_quantity"])
+        .join(F.broadcast(offs2), ["l_returnflag", "l_quantity", "bkt"])
+        .join(F.broadcast(n_per), "l_returnflag")
+        .select(
+            "l_returnflag", "l_orderkey", "l_linenumber", "l_quantity",
+            F.when(rn <= r * (q + 1), head).otherwise(tail)
+            .alias("quartile"),
+        )
     )
 
 
@@ -235,15 +348,61 @@ def win_range_frame(spark, sf_dir):
     """,
 )
 def win_percent_cume(spark, sf_dir):
+    """percent_rank/cume_dist ordered by a VALUE are value statistics
+    (round 9): pr = (1 + #less − 1)/(n − 1), cd = #at-or-below / n —
+    tie-stable, so they live on the distinct (nation, acctbal) grid.
+    Two-phase prefix counts over the grid (bucket offsets + local
+    exclusive prefix) + broadcast n per nation + broadcast join-back:
+    the customer rows never shuffle and no window touches data-sized
+    input. Integer counts ⇒ one identical double division per grid row
+    on both engines."""
+    from naqed_spark.queries.aggs import _grouped_range_bucketed
+
     c = load(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal")
-    return c.select(
-        "c_nationkey",
-        "c_custkey",
-        "c_acctbal",
-        F.percent_rank().over(w).alias("pr"),
-        F.cume_dist().over(w).alias("cd"),
+    vals = c.groupBy("c_nationkey", "c_acctbal").agg(
+        F.count(F.lit(1)).alias("cnt")
     )
+    b = _grouped_range_bucketed(vals, "c_nationkey", "c_acctbal")
+    wb = Window.partitionBy("c_nationkey").orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = (
+        b.groupBy("c_nationkey", "bkt")
+        .agg(F.sum("cnt").alias("tc"))
+        .select(
+            "c_nationkey", "bkt",
+            F.coalesce(F.sum("tc").over(wb), F.lit(0)).alias("off_c"),
+        )
+    )
+    n_per = vals.groupBy("c_nationkey").agg(
+        F.sum("cnt").alias("n")
+    )
+    wl = Window.partitionBy("c_nationkey", "bkt").orderBy("c_acctbal")
+    grid = (
+        b.join(F.broadcast(offs), ["c_nationkey", "bkt"])
+        .join(F.broadcast(n_per), "c_nationkey")
+        .withColumn(
+            "less",
+            F.col("off_c")
+            + F.coalesce(
+                F.sum("cnt").over(wl.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .select(
+            "c_nationkey", "c_acctbal",
+            F.when(F.col("n") == 1, F.lit(0.0))
+            .otherwise(
+                F.col("less").cast("double") / (F.col("n") - 1)
+            ).alias("pr"),
+            (
+                (F.col("less") + F.col("cnt")).cast("double") / F.col("n")
+            ).alias("cd"),
+        )
+    )
+    return c.join(
+        F.broadcast(grid), ["c_nationkey", "c_acctbal"]
+    ).select("c_nationkey", "c_custkey", "c_acctbal", "pr", "cd")
 
 
 @query(

@@ -1290,3 +1290,39 @@ def test_median_over_is_broadcast_join_back(spark):
     tree = tree_of(plan_of(spark, "win_median_over"))
     assert "Window" not in tree
     assert "BroadcastHashJoin" in tree
+
+
+def test_value_rank_family_is_grid_join_back(spark):
+    """win_rank_dense / win_percent_cume (round 9): rank statistics live
+    on the broadcast distinct-value grid — the fact/dimension rows flow
+    straight from the scan into the final BroadcastHashJoin with NO
+    exchange on the probe side, and the only windows are the two-phase
+    grid windows (bucket offsets + local prefix)."""
+    import re
+
+    for key in ("win_rank_dense", "win_percent_cume"):
+        tree = tree_of(plan_of(spark, key))
+        assert len(re.findall(r"\bWindow \(", tree)) == 2, key
+        lines = tree.splitlines()
+        bhj = next(i for i, ln in enumerate(lines)
+                   if "BroadcastHashJoin" in ln)
+        bex = next(i for i, ln in enumerate(lines[bhj:], bhj)
+                   if "BroadcastExchange" in ln)
+        probe = "\n".join(lines[bhj + 1:bex])
+        assert "Exchange" not in probe, (key, probe)
+        assert "Scan parquet" in probe, (key, probe)
+
+
+def test_ntile_two_level_two_phase(spark):
+    """win_ntile (round 9): the tile comes from a closed form over the
+    two-level two-phase row_number — the only data-sized window is
+    partitioned by the (flag, quantity, orderkey-bucket) cell, never by
+    the bare flag."""
+    import re
+
+    plan = plan_of(spark, "win_ntile")
+    tree = tree_of(plan)
+    assert len(re.findall(r"\bWindow \(", tree)) == 4
+    assert re.search(
+        r"hashpartitioning\(l_returnflag[^)]*l_quantity[^)]*bkt", plan
+    )
