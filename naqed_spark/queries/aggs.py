@@ -1610,8 +1610,6 @@ def agg_ks_statistic(spark, sf_dir):
         .crossJoin(F.broadcast(na))
         .crossJoin(F.broadcast(nb))
         .select(
-            "n_a",
-            "n_b",
             (
                 (F.col("off_a") + F.sum("ca").over(wl))
                 / F.col("n_a").cast("double")
@@ -1620,9 +1618,11 @@ def agg_ks_statistic(spark, sf_dir):
             ).alias("d"),
         )
     )
-    return cdf.groupBy("n_a", "n_b").agg(
-        r6(F.max(F.abs(F.col("d")))).alias("ks_d")
-    )
+    # GLOBAL final agg (not grouped on the carried scalars): over zero
+    # input rows a grouped agg emits nothing while the oracle's scalar
+    # subqueries emit one NULL row — the 1-row frames are joined after.
+    ks = cdf.agg(r6(F.max(F.abs(F.col("d")))).alias("ks_d"))
+    return na.crossJoin(F.broadcast(nb)).crossJoin(F.broadcast(ks))
 
 
 @query(
@@ -1676,20 +1676,26 @@ def agg_chi_square(spark, sf_dir):
     nr = m.agg(F.count("*").cast("bigint").alias("n_rows"))
     nc = c.agg(F.count("*").cast("bigint").alias("n_cols"))
     exp = F.col("rt") * F.col("ct") / F.col("total")
-    return (
+    # GLOBAL cell-term sum (1 row even over an empty table — the oracle's
+    # scalar-subquery spelling also emits one row there), then the 1-row
+    # margin-count frames join on after.
+    chi = (
         o.join(F.broadcast(m), F.col("event_type") == F.col("m_type"))
         .join(F.broadcast(c), F.col("dow") == F.col("c_dow"))
         .crossJoin(F.broadcast(t))
-        .crossJoin(F.broadcast(nr))
-        .crossJoin(F.broadcast(nc))
-        .groupBy("n_rows", "n_cols")
-        .agg(
+        .agg(r6(F.sum(F.pow(F.col("obs") - exp, 2) / exp)).alias("chi2"))
+    )
+    return (
+        nr.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(chi))
+        .select(
+            "n_rows",
+            "n_cols",
             ((F.col("n_rows") - 1) * (F.col("n_cols") - 1))
             .cast("bigint")
             .alias("dof"),
-            r6(F.sum(F.pow(F.col("obs") - exp, 2) / exp)).alias("chi2"),
+            "chi2",
         )
-        .select("n_rows", "n_cols", "dof", "chi2")
     )
 
 
@@ -1754,7 +1760,15 @@ def agg_welch_ttest(spark, sf_dir):
         (F.col("sx") / F.col("n")).alias("mb"),
         var_over_n.alias("vb"),
     )
-    return a.crossJoin(b).select(
+    # anchor row + constant-key left joins: both moment frames are ≤1 row
+    # (one filtered group each), and a missing group must surface as one
+    # NULL row — the oracle's scalar subqueries do — not as zero rows
+    # (a.crossJoin(b) vanishes when either side is empty).
+    one = spark.range(1).select(F.lit(1).alias("jk"))
+    ab = one.join(
+        F.broadcast(a.withColumn("jk", F.lit(1))), "jk", "left"
+    ).join(F.broadcast(b.withColumn("jk", F.lit(1))), "jk", "left")
+    return ab.select(
         F.col("na").cast("bigint").alias("n_a"),
         F.col("nb").cast("bigint").alias("n_b"),
         r6(

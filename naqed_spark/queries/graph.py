@@ -427,6 +427,11 @@ def graph_pagerank_fixed(spark, sf_dir):
         .persist()
     )
     n = verts.count()  # also materializes both caches BEFORE base (trim safety)
+    if n == 0:
+        # empty edge set → no vertices, no mass to distribute (and 1/n is
+        # undefined): the empty frame with the output schema IS the answer.
+        ue.unpersist()
+        return verts.select("v", F.lit(0.0).alias("pagerank"))
     from naqed_spark.session import persistent_rdd_ids, trim_pins
 
     base = persistent_rdd_ids(spark)
@@ -1668,15 +1673,17 @@ def graph_modularity(spark, sf_dir):
     term = F.coalesce(F.col("ec"), F.lit(0)) / F.col("m") - F.pow(
         F.col("dc") / (2 * F.col("m")), 2
     )
-    return (
+    # GLOBAL community-term sum → always 1 row (an empty graph must yield
+    # one (0, 0, NULL) row like the oracle's scalar subqueries, not zero
+    # rows from a grouped agg); the 1-row count frames join on after.
+    q = (
         dc.join(within, dc["com"] == within["w_com"], "left")
         .crossJoin(F.broadcast(m))
-        .crossJoin(F.broadcast(nc))
-        .groupBy("n_communities")
-        .agg(
-            F.max(F.col("m")).cast("bigint").alias("n_edges"),
-            r6(F.sum(term)).alias("modularity"),
-        )
+        .agg(r6(F.sum(term)).alias("modularity"))
+    )
+    return (
+        nc.crossJoin(F.broadcast(m.select(F.col("m").cast("bigint").alias("n_edges"))))
+        .crossJoin(F.broadcast(q))
         .select("n_communities", "n_edges", "modularity")
     )
 

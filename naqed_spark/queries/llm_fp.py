@@ -750,7 +750,9 @@ def llm_lsh_precision_recall(spark, sf_dir):
         (
             n_planted,
             n_recalled,
-            round(n_recalled / n_planted, 6),
+            # recall over zero planted pairs is NULL in both engines
+            # (DuckDB division by zero yields NULL)
+            round(n_recalled / n_planted, 6) if n_planted else None,
             n_candidates,
             n_precise,
             round(n_precise / max(n_candidates, 1), 6),
@@ -1040,7 +1042,9 @@ def llm_lsh_banding_sweep(spark, sf_dir):
         )
         n_cand = cand.count()
         n_rec = planted.join(cand, ["ia", "ib"], "left_semi").count()
-        return (nbands, rows, n_cand, round(n_rec / n_planted, 6))
+        # NULL recall when nothing is planted (DuckDB x/0 → NULL parity)
+        rec = round(n_rec / n_planted, 6) if n_planted else None
+        return (nbands, rows, n_cand, rec)
 
     rows = [config(8, 1), config(4, 2), config(2, 4)]
     return spark.createDataFrame(

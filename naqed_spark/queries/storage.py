@@ -36,8 +36,11 @@ def sink_partitioned_parquet(spark, sf_dir):
         "event_id", "user_id", "value", "event_type"
     )
     ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    # explicit schema: a zero-row partitioned write creates no partition
+    # dirs, so inference would fail — the writer's schema is authoritative
+    # (partition discovery/pruning is unaffected by a user-supplied schema)
     return (
-        spark.read.parquet(out)
+        spark.read.schema(ev.schema).parquet(out)
         .filter(F.col("event_type") == "click")
         .select("event_id", "user_id", "value")
     )
@@ -306,7 +309,10 @@ def join_dpp_partition_pruned(spark, sf_dir):
         "event_id", "user_id", "value", "event_type"
     )
     ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
-    fact = spark.read.parquet(out)
+    # explicit schema keeps the read valid when the staged fact table has
+    # zero partitions (see sink_partitioned_parquet); DPP operates on the
+    # discovered partition values either way
+    fact = spark.read.schema(ev.schema).parquet(out)
     dim = spark.createDataFrame(
         [("view", 1), ("click", 2), ("purchase", 3),
          ("signup", 0), ("error", 0)],
@@ -527,7 +533,11 @@ def sink_dynamic_partition_overwrite(spark, sf_dir):
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    return spark.read.parquet(out).select("event_id", "event_type", "cents")
+    # explicit schema: valid even when the staged table has zero partitions
+    return (
+        spark.read.schema(ev.schema).parquet(out)
+        .select("event_id", "event_type", "cents")
+    )
 
 
 @query(

@@ -123,26 +123,33 @@ def _stage(spark: SparkSession, sf_dir: str) -> str:
     # then a flush row advances the watermark far enough that every
     # surviving window is emitted by the trailing no-data batch.
     lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
-    cut = pd.Timestamp(lo).floor("h") + pd.Timedelta(hours=1)
-    flush_ts = pd.Timestamp(hi) + pd.Timedelta(hours=2)
     late_dir = os.path.join(base, "late")
-    _write_chunk(ev.filter(F.col("ts") >= F.lit(cut)), late_dir, 0)
-    _write_chunk(ev.filter(F.lit(False)), late_dir, 1)
-    _write_chunk(ev.filter(F.col("ts") < F.lit(cut)), late_dir, 2)
-    flush = spark.createDataFrame(
-        pd.DataFrame(
-            {
-                "event_id": [-1],
-                "ts": [flush_ts],
-                "user_id": [-1],
-                "event_type": ["flush"],
-                "value": [0.0],
-                "props": ["{}"],
-            }
-        ),
-        schema=ev.schema,
-    )
-    _write_chunk(flush, late_dir, 3)
+    if lo is None:
+        # Zero-row events: no late/flush choreography is possible (there is
+        # no min/max timestamp) or needed — a single empty chunk gives every
+        # replay an empty stream with the right schema, and each streaming
+        # key's batch oracle is empty over the same zero rows.
+        _write_chunk(ev, late_dir, 0)
+    else:
+        cut = pd.Timestamp(lo).floor("h") + pd.Timedelta(hours=1)
+        flush_ts = pd.Timestamp(hi) + pd.Timedelta(hours=2)
+        _write_chunk(ev.filter(F.col("ts") >= F.lit(cut)), late_dir, 0)
+        _write_chunk(ev.filter(F.lit(False)), late_dir, 1)
+        _write_chunk(ev.filter(F.col("ts") < F.lit(cut)), late_dir, 2)
+        flush = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "event_id": [-1],
+                    "ts": [flush_ts],
+                    "user_id": [-1],
+                    "event_type": ["flush"],
+                    "value": [0.0],
+                    "props": ["{}"],
+                }
+            ),
+            schema=ev.schema,
+        )
+        _write_chunk(flush, late_dir, 3)
     with open(os.path.join(base, _STAGE_MARKER), "w") as f:
         f.write("ok")
     try:
@@ -601,11 +608,13 @@ _TAIL_CUTOFF_US = 3 * 3600 * 1_000_000
 
 
 def _max_ts_us(spark: SparkSession, sf_dir: str) -> int:
-    return (
+    m = (
         load(spark, sf_dir, "events")
         .agg(F.max(epoch_us("ts")).alias("m"))
         .collect()[0]["m"]
     )
+    # max over zero rows is NULL: any cutoff works — the sink is empty too.
+    return m if m is not None else 0
 
 
 def _join_wm_floor_us(spark: SparkSession, sf_dir: str) -> int:
@@ -623,7 +632,8 @@ def _join_wm_floor_us(spark: SparkSession, sf_dir: str) -> int:
         .agg(F.min("m").alias("wm"))
         .collect()
     )
-    return r[0]["wm"]
+    wm = r[0]["wm"] if r else None
+    return wm if wm is not None else 0
 
 
 @query(

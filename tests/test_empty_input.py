@@ -1,0 +1,115 @@
+"""Zero-row robustness battery (round 9).
+
+At 100 TB an operator's input is routinely empty — a selective filter, a
+freshly-created partition, a source with no data for the window. An
+operator that THROWS on empty input is a pipeline-killer, so every
+registered key must (a) run and (b) keep matching its DuckDB oracle on a
+fixture where every table has zero rows (real schemas, no data).
+
+The round-9 probe that motivated this battery found 21 genuinely
+empty-crashing keys: the streaming family (NaT watermark bounds from a
+null max-timestamp scalar), pagerank (1/n with n=0), the two LSH eval
+keys (recall over zero planted pairs), and the three partitioned
+write-read-back keys (a zero-row partitioned write creates no partition
+dirs, so schema inference fails). All are fixed; this battery pins the
+class shut.
+
+Documented engine divergences (asserted, not ignored):
+
+- ``agg_cube`` / ``agg_rollup`` / ``agg_grouping_sets`` /
+  ``agg_grouping_id``: ANSI GROUP BY CUBE/ROLLUP includes the global
+  ``()`` grouping set, which over zero input rows yields ONE row
+  (count=0) in DuckDB/PostgreSQL, while Spark's native cube/rollup
+  operators yield ZERO rows. These keys exist to exercise Spark's
+  native multi-grouping operators, so we pin Spark's behavior (empty,
+  no crash) rather than simulate the ANSI row with an extra job.
+- the three pre-declared rows-only sketch keys: their ≥1-row driver
+  contract is meaningful only on non-empty fixtures; here we just
+  require them to run.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from naqed_spark.catalog import TABLES
+from naqed_spark.oracle_check import check_key, duck_connect
+from naqed_spark.registry import QUERIES, load_all
+from naqed_spark.session import get_spark, tune_session
+
+SCHEMA_SRC = os.environ.get("NAQED_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+# Spark's native cube/rollup emit no global () row over empty input
+# (ANSI/DuckDB emit one) — pinned as empty-but-running below.
+ANSI_GROUPING_SET_DIVERGENCE = {
+    "agg_cube",
+    "agg_rollup",
+    "agg_grouping_sets",
+    "agg_grouping_id",
+}
+# rows-only sketch keys: no SQL oracle by design; ≥1-row floor does not
+# apply to a zero-row fixture.
+ROWS_ONLY_SKETCHES = {
+    "agg_approx_count_distinct",
+    "agg_approx_percentile_sketch",
+    "agg_hll_partial_merge",
+}
+
+load_all()
+
+
+@pytest.fixture(scope="session")
+def spark():
+    yield tune_session(get_spark("naqed-tests"))
+
+
+@pytest.fixture(scope="session")
+def empty_sf_dir(tmp_path_factory):
+    """Zero-row copies of every entity table with the real schemas."""
+    d = tmp_path_factory.mktemp("sf_empty")
+    for t in TABLES:
+        schema = pq.read_schema(os.path.join(SCHEMA_SRC, t + ".parquet"))
+        empty = pa.table({f.name: pa.array([], type=f.type) for f in schema})
+        pq.write_table(empty, str(d / (t + ".parquet")))
+    return str(d)
+
+
+def test_every_key_runs_and_matches_oracle_on_empty_tables(
+    spark, empty_sf_dir
+):
+    """One loop (not 356 parametrizations — the fixture setup and
+    session reuse dominate): every key must execute, and every key with
+    a SQL oracle outside the documented divergence set must hash-match
+    DuckDB over the same zero rows."""
+    con = duck_connect(empty_sf_dir)
+    failures: list[str] = []
+    try:
+        for key in sorted(QUERIES):
+            if key in ANSI_GROUPING_SET_DIVERGENCE or key in ROWS_ONLY_SKETCHES:
+                try:
+                    rows = QUERIES[key](spark, empty_sf_dir).collect()
+                except Exception as exc:  # noqa: BLE001
+                    failures.append(f"{key}: raised {exc!r}")
+                    continue
+                if key in ANSI_GROUPING_SET_DIVERGENCE and rows:
+                    failures.append(
+                        f"{key}: expected Spark's empty grouping-set "
+                        f"result, got {len(rows)} rows — divergence note "
+                        "is stale, update this battery"
+                    )
+                continue
+            try:
+                problems = check_key(spark, con, key, empty_sf_dir)
+            except Exception as exc:  # noqa: BLE001
+                failures.append(f"{key}: raised {exc!r}")
+                continue
+            failures.extend(f"{key}: {p}" for p in problems)
+    finally:
+        con.close()
+    assert not failures, (
+        f"{len(failures)} empty-input failures:\n" + "\n".join(failures)
+    )

@@ -1107,12 +1107,18 @@ BNLJ_BUDGET = {
     "agg_bloom_from_scratch": 3,
     "agg_chi_square": 3,
     "agg_hhi_index": 1,
-    "agg_ks_statistic": 4,
+    # +2 in round 9: the global-final-agg empty-input fix joins the 1-row
+    # n_a/n_b count frames after the aggregate instead of carrying them
+    # through a grouped agg (same 1-row build sides, one extra hop each)
+    "agg_ks_statistic": 6,
     "agg_percent_of_total": 1,
     "agg_skyline_pareto": 2,
-    "agg_welch_ttest": 1,
+    # anchor-row left joins (≤1-row moment frames, empty-input fix)
+    "agg_welch_ttest": 2,
     "graph_centralization": 1,
-    "graph_modularity": 2,
+    # +1 in round 9: empty-input fix joins the 1-row edge-count frame
+    # onto the global modularity aggregate
+    "graph_modularity": 3,
     "graph_reciprocity": 1,
     "join_cross": 1,
     "join_fk_orphan_audit": 5,
