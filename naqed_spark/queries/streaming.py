@@ -342,7 +342,11 @@ def stream_session_window(spark, sf_dir):
     # (4) a flush row at max(ts)+2h advances the watermark so every
     # surviving window is emitted (the flush's own window never closes and
     # is never emitted). Batch twin: hourly aggregation excluding the first
-    # hour.
+    # hour — but ONLY when the on-time replay actually advanced the
+    # watermark past the first hour's window end (max on-time ts − 10 min
+    # ≥ cut). When the whole corpus fits inside ~1h10m (degenerate small
+    # inputs), no event is late under real watermark semantics and the
+    # first-hour window is kept by BOTH engines.
     oracle="""
     WITH cut AS (
       SELECT date_trunc('hour', min(ts)) + INTERVAL 1 HOUR AS c FROM events
@@ -352,6 +356,8 @@ def stream_session_window(spark, sf_dir):
            CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
     FROM events, cut
     WHERE ts >= cut.c
+       OR coalesce((SELECT max(ts) FROM events, cut WHERE ts >= cut.c)
+                     - INTERVAL 10 MINUTE < cut.c, TRUE)
     GROUP BY 1
     """,
 )

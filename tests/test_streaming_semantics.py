@@ -67,3 +67,34 @@ def test_dedup_state_removes_all_duplicates(spark):
     n_out = result.count()
     assert n_in == 2 * n_out  # replay delivered everything exactly twice
     assert result.select("event_id").distinct().count() == n_out
+
+
+def test_late_drop_oracle_models_unadvanced_watermark(spark, tmp_path):
+    """Round-9 single-row probe regression: when the whole corpus fits
+    inside ~1h10m, the on-time replay chunk is empty, the watermark never
+    advances past the first hour, and NOTHING is late — Spark keeps the
+    first-hour window. The batch twin must model that (its original
+    spelling dropped the first hour unconditionally); this pins spark ==
+    oracle == 1 kept window on a single-event corpus."""
+    import pyarrow.parquet as pq
+
+    from naqed_spark.catalog import TABLES
+    from naqed_spark.oracle_check import check_key, duck_connect
+
+    d = tmp_path / "sf_one_event"
+    d.mkdir()
+    for t in TABLES:
+        tbl = pq.read_table(os.path.join(SF_DIR, t + ".parquet"))
+        pq.write_table(tbl.slice(0, 1), str(d / (t + ".parquet")))
+    con = duck_connect(str(d))
+    try:
+        problems = check_key(
+            spark, con, "stream_watermark_late_drop", str(d)
+        )
+        assert not problems, "\n".join(problems)
+        rows = (
+            stq.stream_watermark_late_drop(spark, str(d)).collect()
+        )
+        assert len(rows) == 1 and rows[0]["n_events"] == 1
+    finally:
+        con.close()
