@@ -55,6 +55,10 @@ def fake_features(doc_id: int, payload: bytes) -> tuple[int, int, int, int, int]
     """Deterministic decode stand-in: byte length, first byte, a 256-byte
     'frame sample' count, and a multiplicative feature hash — everything a
     real extractor's harness needs, with none of the codecs."""
+    if payload is None:
+        # a missing payload (failed fetch, pruned media) carries NULL
+        # features — never a crash; real decoders hit this constantly
+        return (doc_id, None, None, None, None)
     n = len(payload)
     return (
         doc_id,

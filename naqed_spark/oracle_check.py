@@ -177,7 +177,11 @@ def main(argv: list[str] | None = None) -> int:
     con = duck_connect(args.sf)
     failed = 0
     for key in keys:
-        probs = check_key(spark, con, key, args.sf)
+        try:
+            probs = check_key(spark, con, key, args.sf)
+        except Exception as exc:  # noqa: BLE001 — one key must not kill
+            # the sweep (the driver records a per-key ERR; mirror that)
+            probs = [f"{key}: raised {type(exc).__name__}: {exc}"]
         if probs:
             failed += 1
             for pr in probs:

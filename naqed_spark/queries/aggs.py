@@ -1209,9 +1209,8 @@ def agg_gini_concentration(spark, sf_dir):
     wl = Window.partitionBy("c_mktsegment", "bkt").orderBy(
         "spend", "o_custkey"
     )
-    r = (
-        b.join(F.broadcast(offsets), ["c_mktsegment", "bkt"])
-        .withColumn("i", F.col("off_cnt") + F.row_number().over(wl))
+    r = _ns_bjoin(b, offsets, ["c_mktsegment", "bkt"]).withColumn(
+        "i", F.col("off_cnt") + F.row_number().over(wl)
     )
     n = F.count("*")
     tot = F.sum("spend").cast("double")
@@ -1891,19 +1890,43 @@ def _range_bucketed(df, col, n=_SKYLINE_GRID):
     )
 
 
+def _ns_bjoin(left, right, keys, how="inner"):
+    """Null-safe broadcast equi-join on ``keys`` (NULL matches NULL, like
+    SQL's ``<=>``), emitting the key columns once from the left side.
+
+    The two-phase pattern joins per-group frames (min/max ranges, bucket
+    offsets, thresholds) back onto the data on the GROUP columns — and a
+    plain equi-join silently DROPS null-keyed groups, while GROUP BY /
+    PARTITION BY treat NULL as a regular group in both engines (the
+    round-9 null-fixture probe caught exactly this). EqualNullSafe is
+    still a hash-joinable key, so the plan stays a BroadcastHashJoin."""
+    r2 = right
+    for k in keys:
+        r2 = r2.withColumnRenamed(k, "_ns_" + k)
+    cond = None
+    for k in keys:
+        c = left[k].eqNullSafe(r2["_ns_" + k])
+        cond = c if cond is None else (cond & c)
+    return left.join(F.broadcast(r2), cond, how).drop(
+        *["_ns_" + k for k in keys]
+    )
+
+
 def _grouped_range_bucketed(df, group_col, col, n=_SKYLINE_GRID):
     """Per-group variant of ``_range_bucketed``: bucket ``col`` within
     each ``group_col`` value (a column name or list of names — composite
     group keys bucket within each combination) against that group's own
     broadcast min/max — the phase-1 step for per-group two-phase prefix
     sums / rank / k-th selection (Gini rank, weighted-median crossing,
-    quartile fences, two-phase row_number)."""
+    quartile fences, two-phase row_number). Null-safe on the group keys:
+    a NULL group is a group (matches GROUP BY semantics), not a dropped
+    row."""
     gcols = [group_col] if isinstance(group_col, str) else list(group_col)
     rng = df.groupBy(*gcols).agg(
         F.min(col).alias("_lo"), F.max(col).alias("_hi")
     )
     return (
-        df.join(F.broadcast(rng), gcols)
+        _ns_bjoin(df, rng, gcols)
         .withColumn(
             "bkt",
             F.when(F.col("_hi") == F.col("_lo"), F.lit(0)).otherwise(

@@ -21,6 +21,14 @@ from naqed_spark.queries._util import date_str, epoch_us, load, r6
 from naqed_spark.registry import query
 
 
+def _null_size(src, arr):
+    """``size(arr)`` with SQL null semantics: NULL when ``src`` (the
+    column the array derives from) is NULL — Spark's legacy ``size``
+    returns -1 there, DuckDB's ``len`` returns NULL; the demos' null
+    contract is "function of NULL is NULL"."""
+    return F.when(src.isNotNull(), F.size(arr))
+
+
 @query(
     "fn_string",
     oracle="""
@@ -29,7 +37,7 @@ from naqed_spark.registry import query
            upper(c_mktsegment) AS useg,
            substr(c_name, 1, 8) AS prefix,
            trim(concat(' ', c_name, ' ')) AS trimmed,
-           concat(c_name, '/', c_mktsegment) AS joined,
+           c_name || '/' || c_mktsegment AS joined,
            length(c_name) AS name_len,
            string_split(c_name, '#')[1] AS first_part,
            regexp_extract(c_name, '([0-9]+)', 1) AS digits,
@@ -188,8 +196,10 @@ def fn_conditional(spark, sf_dir):
            array_to_string(list_sort(string_split(d.text, ' '))[1:3], ' ')
              AS first3_sorted,
            list_contains(string_split(d.text, ' '), 'scan') AS has_scan,
-           len(flatten([string_split(d.text, ' '),
-                        string_split(d.text, ' ')])) AS n_words_x2,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE len(flatten([string_split(d.text, ' '),
+                                  string_split(d.text, ' ')])) END
+             AS n_words_x2,
            len(e.embedding) AS dim,
            round(list_sum(list_transform(e.embedding,
                  x -> CAST(x AS DOUBLE) * 2)), 6) AS sum2,
@@ -205,13 +215,19 @@ def fn_array(spark, sf_dir):
         d.join(e, d.doc_id == e.vec_id)
         .select(
             "doc_id",
-            F.size(words).alias("n_words"),
-            F.size(F.array_distinct(words)).alias("n_distinct_words"),
+            # size(NULL) is -1 in Spark vs NULL in DuckDB — the demo's
+            # null contract is "function of NULL is NULL", guarded here
+            _null_size(F.col("text"), words).alias("n_words"),
+            _null_size(F.col("text"), F.array_distinct(words)).alias(
+                "n_distinct_words"
+            ),
             F.array_join(F.slice(F.sort_array(words), 1, 3), " ").alias(
                 "first3_sorted"
             ),
             F.array_contains(words, "scan").alias("has_scan"),
-            F.size(F.flatten(F.array(words, words))).alias("n_words_x2"),
+            _null_size(
+                F.col("text"), F.flatten(F.array(words, words))
+            ).alias("n_words_x2"),
             F.size("embedding").alias("dim"),
             r6(
                 F.expr(
@@ -269,16 +285,19 @@ def fn_map(spark, sf_dir):
     "fn_json",
     # nested JSON built per-row from the flat props payload, then extracted
     # back out with path expressions + cast.
+    # `||` (NULL-propagating, like Spark's concat) not concat() (DuckDB's
+    # concat SKIPS nulls, producing malformed JSON that crashes
+    # json_extract_string when props is NULL)
     oracle="""
     SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
            json_extract_string(
-             concat('{"outer":{"inner":', json_extract_string(props, '$.k'),
-                    ',"tag":"', event_type, '"}}'),
+             '{"outer":{"inner":' || json_extract_string(props, '$.k')
+               || ',"tag":"' || event_type || '"}}',
              '$.outer.inner') AS nested_k,
            json_extract_string(
-             concat('{"outer":{"inner":', json_extract_string(props, '$.k'),
-                    ',"tag":"', event_type, '"}}'),
+             '{"outer":{"inner":' || json_extract_string(props, '$.k')
+               || ',"tag":"' || event_type || '"}}',
              '$.outer.tag') AS nested_tag
     FROM events
     """,
@@ -434,13 +453,18 @@ def fn_regex(spark, sf_dir):
     return d.select(
         "doc_id",
         F.regexp_extract("text", r"^(\w+)", 1).alias("first_word"),
-        F.size(F.regexp_extract_all("text", F.lit(r"\b[aeiou][a-z]*"), 0))
+        _null_size(
+            F.col("text"),
+            F.regexp_extract_all("text", F.lit(r"\b[aeiou][a-z]*"), 0),
+        )
         .cast("bigint")
         .alias("n_vowel_words"),
         F.length(F.regexp_replace("text", "[aeiou]", "*")).alias(
             "masked_len"
         ),
-        F.size(F.split("text", r"\s+")).cast("bigint").alias("n_tokens"),
+        _null_size(F.col("text"), F.split("text", r"\s+"))
+        .cast("bigint")
+        .alias("n_tokens"),
         F.col("text").rlike("agg.*scan").cast("int").alias("has_aggscan"),
     )
 
@@ -452,13 +476,22 @@ def fn_regex(spark, sf_dir):
     # recover exactly the components the URL was built from. The oracle
     # reconstructs the true decomposition directly from the source
     # columns — it checks the PARSER, not string-building.
+    # a NULL source or lang makes the whole built URL NULL (Spark concat
+    # propagates), so the parser returns NULL for EVERY component — the
+    # oracle's reconstruction mirrors that with one guard
     oracle="""
     SELECT doc_id,
-           source || '.example.com' AS host,
-           '/docs/' || CAST(doc_id AS VARCHAR) AS path,
-           'lang=' || lang || '&n=' || CAST(n_chars AS VARCHAR) AS query,
-           lang AS q_lang,
-           CAST(n_chars AS VARCHAR) AS q_n
+           CASE WHEN source IS NULL OR lang IS NULL THEN NULL
+                ELSE source || '.example.com' END AS host,
+           CASE WHEN source IS NULL OR lang IS NULL THEN NULL
+                ELSE '/docs/' || CAST(doc_id AS VARCHAR) END AS path,
+           CASE WHEN source IS NULL OR lang IS NULL THEN NULL
+                ELSE 'lang=' || lang || '&n=' || CAST(n_chars AS VARCHAR)
+           END AS query,
+           CASE WHEN source IS NULL OR lang IS NULL THEN NULL
+                ELSE lang END AS q_lang,
+           CASE WHEN source IS NULL OR lang IS NULL THEN NULL
+                ELSE CAST(n_chars AS VARCHAR) END AS q_n
     FROM documents
     """,
 )

@@ -745,7 +745,13 @@ def llm_text_stats(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
         (
-            F.sum(F.size(F.split("text", " "))).cast("double")
+            # size(split(NULL)) is -1, which would poison the sum; NULL
+            # word counts are skipped by sum() in both engines instead
+            F.sum(
+                F.when(
+                    F.col("text").isNotNull(), F.size(F.split("text", " "))
+                )
+            ).cast("double")
             / F.count(F.lit(1))
         ).alias("avg_words"),
         F.count(F.when(F.col("n_chars") != F.length("text"), 1)).alias(

@@ -201,7 +201,7 @@ _PACK_BUDGET = 512  # tokens per packed sequence
     oracle=f"""
     WITH t AS (
       SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     c AS (
       SELECT doc_id, source, n_tok,
@@ -234,8 +234,15 @@ def llm_pack_sequences(spark, sf_dir):
 
     from naqed_spark.queries.aggs import _grouped_range_bucketed
 
-    t = load(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+    # null text has no tokens to pack (size(NULL) = -1 would corrupt the
+    # running count) — excluded identically in both engines; a NULL
+    # source is still a shard (null-safe joins below keep it)
+    t = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id", "source", F.size(F.split("text", " ")).alias("n_tok")
+        )
     )
     b = _grouped_range_bucketed(t, "source", "doc_id")
     wb = Window.partitionBy("source").orderBy("bkt").rowsBetween(
@@ -254,7 +261,9 @@ def llm_pack_sequences(spark, sf_dir):
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    c = b.join(F.broadcast(offsets), ["source", "bkt"]).withColumn(
+    from naqed_spark.queries.aggs import _ns_bjoin
+
+    c = _ns_bjoin(b, offsets, ["source", "bkt"]).withColumn(
         "start_tok",
         F.col("off") + F.sum("n_tok").over(wl) - F.col("n_tok"),
     )

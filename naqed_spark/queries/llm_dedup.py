@@ -39,7 +39,7 @@ _LONGNUM_PAT = "[0-9]{9,}"
       SELECT doc_id,
              text || ' contact-' || doc_id ||
                '@example.com ph 555123' || (4000000 + doc_id) AS t
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id,
            len(regexp_extract_all(t, '{_EMAIL_PAT}')) AS n_emails,
@@ -52,7 +52,9 @@ _LONGNUM_PAT = "[0-9]{9,}"
     """,
 )
 def llm_pii_scrub(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+    # null-text rows carry nothing to scrub and diverge on size(NULL)
+    # semantics — excluded identically in both engines
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     t = F.concat(
         F.col("text"),
         F.lit(" contact-"),
@@ -273,7 +275,8 @@ def llm_simhash_neardup(spark, sf_dir):
     # relational: per-doc start positions are a strided sequence, the chunk
     # is an array slice; chunks verified by md5 of the joined text.
     oracle="""
-    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+               WHERE text IS NOT NULL)
     SELECT doc_id,
            (s - 1) // 48 AS chunk_idx,
            len(w[s:s + 63]) AS n_toks,
@@ -282,8 +285,12 @@ def llm_simhash_neardup(spark, sf_dir):
     """,
 )
 def llm_chunk_windows(spark, sf_dir):
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.split("text", " ").alias("w")
+    # null text must be excluded BEFORE sequence(): size(NULL) is -1 and
+    # sequence(1, -1, 48) throws — the round-9 null-probe crash
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.split("text", " ").alias("w"))
     )
     return (
         d.select(
@@ -420,10 +427,10 @@ def llm_normalized_dedup(spark, sf_dir):
     # (+ ' !!'), so keep-best provably picks differently than keep-min.
     oracle="""
     WITH corpus AS (
-      SELECT doc_id, text FROM documents
+      SELECT doc_id, text FROM documents WHERE text IS NOT NULL
       UNION ALL
       SELECT doc_id + 200000, upper(text) || ' !!' FROM documents
-      WHERE doc_id % 5 = 0
+      WHERE doc_id % 5 = 0 AND text IS NOT NULL
     ),
     norm AS (
       SELECT doc_id, length(text) AS n_chars,
@@ -445,7 +452,8 @@ def llm_normalized_dedup(spark, sf_dir):
 def llm_dedup_keep_best(spark, sf_dir):
     from pyspark.sql import Window
 
-    d = load(spark, sf_dir, "documents")
+    # null text has no content hash — excluded identically in both engines
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     variants = d.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.concat(F.upper("text"), F.lit(" !!")).alias("text"),

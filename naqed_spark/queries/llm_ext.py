@@ -188,7 +188,7 @@ _QUALITY_PPM_DUCK = """
              length(text) AS n_chars_m,
              length(list_filter(string_split(text, ' '),
                     t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS n_stop
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     )
     SELECT doc_id, n_words,
            round(CAST(n_stop AS DOUBLE) / n_words, 6) AS stop_ratio,
@@ -199,7 +199,9 @@ _QUALITY_PPM_DUCK = """
     """,
 )
 def llm_quality_score(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+    # null text scores nothing (and size(NULL) is -1 Spark-side) —
+    # excluded identically in both engines
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     base = d.select(
         "doc_id",
         F.size(F.split("text", " ")).alias("n_words"),
@@ -555,11 +557,13 @@ _BPE_PAT = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
     SELECT doc_id,
            len(regexp_extract_all(text, '{_BPE_PAT}')) AS n_pieces,
            length(text) AS n_chars_m
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
 )
 def llm_tokenize_bpe_regex(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+    # size(regexp_extract_all(NULL)) is -1 Spark-side vs NULL in DuckDB —
+    # null text excluded identically in both engines
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return d.select(
         "doc_id",
         F.size(F.expr(f"regexp_extract_all(text, '{_BPE_PAT}', 0)")).alias(
@@ -700,12 +704,13 @@ def llm_ngram_jaccard(spark, sf_dir):
     oracle="""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      WHERE text IS NOT NULL
     ),
     dl AS (
       SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
     ),
     stats AS (
-      SELECT (SELECT count(*) FROM documents) AS n,
+      SELECT (SELECT count(*) FROM documents WHERE text IS NOT NULL) AS n,
              (SELECT avg(dl) FROM dl) AS avgdl
     ),
     tf AS (
@@ -737,7 +742,12 @@ def llm_bm25_score(spark, sf_dir):
     base subtrees share one Exchange via ReuseExchange (asserted in
     tests/test_plans.py). The score is then pure row-local arithmetic —
     no per-term join at all."""
-    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # corpus N counts scorable (non-null-text) documents in both engines
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", "text")
+    )
     terms = ["scan", "agg", "fast"]
     toks = d.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")

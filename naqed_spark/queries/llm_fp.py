@@ -58,6 +58,7 @@ _FP_LEN = 200
       FROM documents,
            LATERAL unnest(generate_series(
              1, least(length(text), {_FP_LEN}) - {_FP_K} + 1)) AS t(p)
+      WHERE text IS NOT NULL
     ),
     mins AS (
       SELECT doc_id, p, np,
@@ -75,7 +76,8 @@ _FP_LEN = 200
     """,
 )
 def llm_winnowing_fingerprint(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+    # null text fingerprints nothing — excluded identically in both engines
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     np_ = F.least(F.length("text"), F.lit(_FP_LEN)) - _FP_K + 1
     g = d.select(
         "doc_id",
@@ -444,7 +446,11 @@ def llm_dataset_card_stats(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
         F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("median_chars"),
-        F.sum(F.size(F.split("text", " "))).alias("total_toks"),
+        # size(split(NULL)) is -1 — NULL word counts skip the sum in both
+        # engines instead of poisoning the token total
+        F.sum(
+            F.when(F.col("text").isNotNull(), F.size(F.split("text", " ")))
+        ).alias("total_toks"),
         r6(F.count_if(short).cast("double") / F.count(F.lit(1))).alias(
             "short_share"
         ),

@@ -781,7 +781,7 @@ def llm_sampling_temperature(spark, sf_dir):
       SELECT doc_id, lang, source,
              round(ln(1 + n_chars) * 0.5
                    + len(string_split(text, ' ')) * 0.01, 6) AS quality
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ), ranked AS (
       SELECT lang, source, doc_id, quality,
              row_number() OVER (PARTITION BY lang, source
@@ -796,7 +796,8 @@ def llm_sampling_temperature(spark, sf_dir):
            round(b.quality - w.quality, 6) AS margin
     FROM (SELECT * FROM ranked WHERE rb = 1 AND n >= 2) b
     JOIN (SELECT * FROM ranked WHERE rw = 1) w
-      ON b.lang = w.lang AND b.source = w.source
+      ON b.lang IS NOT DISTINCT FROM w.lang
+     AND b.source IS NOT DISTINCT FROM w.source
     WHERE b.doc_id <> w.doc_id
     ORDER BY b.lang, b.source
     """,
@@ -809,15 +810,21 @@ def llm_preference_pairs(spark, sf_dir):
     combined shuffle with no window, no sort, and no self-join (the
     earlier two-rank-window spelling cost 4 exchanges; this costs 1,
     asserted in test_plans)."""
-    q = load(spark, sf_dir, "documents").select(
-        "doc_id",
-        "lang",
-        "source",
-        F.round(
-            F.log(1 + F.col("n_chars")) * 0.5
-            + F.size(F.split("text", " ")) * 0.01,
-            6,
-        ).alias("quality"),
+    # null text is unscorable (and size(NULL) = -1 would fabricate a
+    # quality) — excluded identically in both engines
+    q = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.round(
+                F.log(1 + F.col("n_chars")) * 0.5
+                + F.size(F.split("text", " ")) * 0.01,
+                6,
+            ).alias("quality"),
+        )
     )
     best_key = F.struct(F.col("quality"), (-F.col("doc_id")).alias("nd"))
     worst_key = F.struct(F.col("quality"), F.col("doc_id").alias("d"))

@@ -580,9 +580,10 @@ def llm_target_encoding(spark, sf_dir):
     # token aggregate, then one codegen filter; the audit columns carry
     # the thresholds so the rebalance is verifiable.
     oracle="""
-    WITH tok AS (
+    WITH docs AS (SELECT * FROM documents WHERE text IS NOT NULL),
+    tok AS (
       SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t
-      FROM documents GROUP BY lang
+      FROM docs GROUP BY lang
     ),
     thr AS (
       SELECT lang, t,
@@ -592,7 +593,7 @@ def llm_target_encoding(spark, sf_dir):
     )
     SELECT d.doc_id, d.lang, thr.keep_buckets,
            len(string_split(d.text, ' ')) AS n_toks
-    FROM documents d JOIN thr USING (lang)
+    FROM docs d JOIN thr USING (lang)
     WHERE ((instr('0123456789abcdef',
                   substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) * 16
            + instr('0123456789abcdef',
@@ -601,7 +602,9 @@ def llm_target_encoding(spark, sf_dir):
     """,
 )
 def llm_token_budget_mixture(spark, sf_dir):
-    d = load(spark, sf_dir, "documents")
+    # token budgets are over tokenizable (non-null-text) docs — identical
+    # filter in both engines (size(split(NULL)) is -1 Spark-side)
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     ntoks = F.size(F.split("text", " "))
     tok = d.groupBy("lang").agg(F.sum(ntoks.cast("bigint")).alias("t"))
     min_t = tok.agg(F.min("t").alias("mn"))

@@ -437,19 +437,29 @@ def stream_stateful_count(spark, sf_dir):
     s = _read_stream(spark, os.path.join(base, "all"))
 
     def upd(key, pdfs, state):
-        n, cents = state.get if state.exists else (0, 0)
+        # NULL values: count(*) counts the row, SUM skips it — and a key
+        # that has never seen a non-null value must emit NULL cents (not
+        # 0), so the state carries the non-null contribution count. The
+        # naive astype("int64") also CRASHED on NaN (round-9 null probe).
+        n, nv, cents = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
-        state.update((n, cents))
+            vals = pdf["value"].dropna()
+            nv += len(vals)
+            cents += int(vals.mul(100).round().astype("int64").sum())
+        state.update((n, nv, cents))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_cents": [cents if nv else None],
+            }
         )
 
     out = s.groupBy("user_id").applyInPandasWithState(
         upd,
         outputStructType="user_id long, n_events long, total_cents long",
-        stateStructType="n long, cents long",
+        stateStructType="n long, nv long, cents long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -152,18 +152,36 @@ def sub_in_grouped_having(spark, sf_dir):
     """,
 )
 def sub_any_all(spark, sf_dir):
+    """Full three-valued ANSI quantifier semantics (the round-9 null
+    probe caught the naive min/max rewrite): with NULLs in the set,
+    `x > ANY(S)` is TRUE if some non-null member is beaten, else NULL
+    (not FALSE) when the set holds a NULL; `x > ALL(S)` is FALSE if some
+    member is not beaten, else NULL when the set holds a NULL. min/max
+    skip NULLs, so the decorrelated aggregate additionally carries a
+    has-null flag and a group marker."""
     s = load(spark, sf_dir, "supplier")
     c = load(spark, sf_dir, "customer")
     stats = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
-        F.min("c_acctbal").alias("mn"), F.max("c_acctbal").alias("mx")
+        F.min("c_acctbal").alias("mn"),
+        F.max("c_acctbal").alias("mx"),
+        F.max(F.col("c_acctbal").isNull().cast("int")).alias("hasnull"),
+        F.count(F.lit(1)).alias("grp_n"),
     )
+    matched = F.col("grp_n").isNotNull()
+    unknown = F.lit(None).cast("boolean")
     return (
         s.join(F.broadcast(stats), s.s_nationkey == F.col("nk"), "left")
         .select(
             "s_suppkey",
-            F.coalesce(F.col("s_acctbal") > F.col("mn"), F.lit(False))
+            F.when(~matched, F.lit(False))  # ANY over empty set → FALSE
+            .when(F.col("s_acctbal") > F.col("mn"), F.lit(True))
+            .when(F.col("hasnull") == 1, unknown)
+            .otherwise(F.lit(False))
             .alias("beats_any"),
-            F.coalesce(F.col("s_acctbal") > F.col("mx"), F.lit(True))
+            F.when(~matched, F.lit(True))  # ALL over empty set → TRUE
+            .when(F.col("s_acctbal") <= F.col("mx"), F.lit(False))
+            .when(F.col("hasnull") == 1, unknown)
+            .otherwise(F.lit(True))
             .alias("beats_all"),
         )
     )

@@ -530,7 +530,7 @@ def ts_scd2_ranges(spark, sf_dir):
       SELECT user_id, event_id, ts, value,
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
                AS rn
-      FROM events WHERE user_id <= 30
+      FROM events WHERE user_id <= 30 AND value IS NOT NULL
     )
     SELECT a.user_id, a.event_id, a.value,
            round(SUM(b.value * pow(0.7, a.rn - b.rn))
@@ -548,9 +548,13 @@ def ts_ewma_bounded(spark, sf_dir):
     O(n_user^2) scanned per user in Spark's SMJ, which is exactly why the
     window-array form is the engine's plan. round(6) hedges the
     summation-order ulps between the fold and the oracle's SUM."""
+    # EWMA is over OBSERVED values: missing (NULL) observations carry
+    # neither weight nor value (collect_list would silently drop them
+    # from the array while the oracle's frame kept the rows — the round-9
+    # null-probe divergence), so both engines filter them up front.
     ev = (
         load(spark, sf_dir, "events")
-        .filter(F.col("user_id") <= 30)
+        .filter((F.col("user_id") <= 30) & F.col("value").isNotNull())
         .select("user_id", "event_id", "ts", "value")
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -702,9 +706,17 @@ def ts_rollup_incremental_merge(spark, sf_dir):
         (F.coalesce("b_n", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias(
             "n_events"
         ),
-        (F.coalesce("b_c", F.lit(0)) + F.coalesce("d_c", F.lit(0))).alias(
-            "cents"
-        ),
+        # NULL is the identity of the partial-sum merge, but a group whose
+        # EVERY value is NULL must stay NULL (sum-over-all-null), not 0 —
+        # coalesce alone fabricated a 0 there (round-9 null probe)
+        F.when(
+            F.col("b_c").isNull() & F.col("d_c").isNull(),
+            F.lit(None).cast("bigint"),
+        )
+        .otherwise(
+            F.coalesce("b_c", F.lit(0)) + F.coalesce("d_c", F.lit(0))
+        )
+        .alias("cents"),
     )
 
 @query(

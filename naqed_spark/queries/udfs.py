@@ -70,11 +70,14 @@ def udf_pandas_vectorized(spark, sf_dir):
         return np.log1p(n_chars) * 0.5 + n_words * 0.01
 
     d = load(spark, sf_dir, "documents")
+    # size(split(NULL)) is -1 — a null text must reach the UDF as null
+    # (pandas NaN), so the score comes back NULL like the oracle's
+    n_words = F.when(
+        F.col("text").isNotNull(), F.size(F.split("text", " "))
+    )
     return d.select(
         "doc_id",
-        F.round(
-            quality(F.col("n_chars"), F.size(F.split("text", " "))), 6
-        ).alias("quality"),
+        F.round(quality(F.col("n_chars"), n_words), 6).alias("quality"),
     )
 
 
@@ -100,12 +103,20 @@ def udaf_applyinpandas(spark, sf_dir):
     def trend(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
         n = len(pdf)
+        # regr_slope semantics: (value, x) pairs with a NULL value are
+        # excluded — but x keeps its position in the full time-ordered
+        # sequence. pandas' skipna sums would silently mix the two
+        # conventions (NaN-skipping numerators over a full-length x sum).
         x = pd.Series(range(n), dtype="float64")
         y = pdf["value"].astype("float64")
-        denom = (x * x).sum() - x.sum() ** 2 / n
+        m = y.notna()
+        xm, ym, np_ = x[m], y[m], int(m.sum())
+        denom = (xm * xm).sum() - xm.sum() ** 2 / np_ if np_ else 0.0
         slope = (
-            round(((x * y).sum() - x.sum() * y.sum() / n) / denom, 4)
-            if denom > 0
+            round(
+                ((xm * ym).sum() - xm.sum() * ym.sum() / np_) / denom, 4
+            )
+            if np_ and denom > 0
             else None
         )
         return pd.DataFrame(
@@ -141,6 +152,8 @@ def udtf_python(spark, sf_dir):
     @udtf(returnType="chunk_idx bigint, chunk string")
     class Chunker:
         def eval(self, text: str):
+            if text is None:  # a null doc explodes into zero chunks,
+                return  # exactly like the oracle's unnest over NULL
             words = text.split(" ")
             for i in range(0, (len(words) + 4) // 5):
                 yield i, " ".join(words[i * 5 : i * 5 + 5])

@@ -337,14 +337,18 @@ def win_range_frame(spark, sf_dir):
 @query(
     "win_percent_cume",
     # percent_rank/cume_dist are rank-derived → tie-stable; the division
-    # (rank-1)/(n-1) is one identical double op on both engines.
+    # (rank-1)/(n-1) is one identical double op on both engines. Rank
+    # statistics are DEFINED over non-null values only (a null balance
+    # has no rank, and the engines disagree on null sort order — Spark
+    # nulls-first vs DuckDB nulls-last — so including them is
+    # ill-defined); both spellings filter identically.
     oracle="""
     SELECT c_nationkey, c_custkey, c_acctbal,
            percent_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal)
              AS pr,
            cume_dist() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal)
              AS cd
-    FROM customer
+    FROM customer WHERE c_acctbal IS NOT NULL
     """,
 )
 def win_percent_cume(spark, sf_dir):
@@ -358,7 +362,9 @@ def win_percent_cume(spark, sf_dir):
     on both engines."""
     from naqed_spark.queries.aggs import _grouped_range_bucketed
 
-    c = load(spark, sf_dir, "customer")
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal").isNotNull()
+    )
     vals = c.groupBy("c_nationkey", "c_acctbal").agg(
         F.count(F.lit(1)).alias("cnt")
     )

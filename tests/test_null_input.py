@@ -1,0 +1,94 @@
+"""Null-heavy dirty-data battery (round 9).
+
+At 100 TB, nulls in payload columns are the NORM: crawl text that failed
+to extract, events with no measured value, missing media payloads,
+unlabeled lang/source. The round-9 null probe (nulls planted in
+documents.text/lang/source, events.props/value, customer.c_mktsegment/
+c_acctbal, orders.o_orderpriority — keys and timestamps intact) found 27
+keys that crashed or silently diverged from their oracles:
+
+- crashes: llm_chunk_windows (sequence(1, size(NULL)=-1)), udtf_python
+  (None.split), the multimodal feature extractor (len(None)),
+  stream_stateful_count (astype int64 on NaN), and the fn_json ORACLE
+  (DuckDB concat() skips NULLs → malformed JSON);
+- null-group drops: the two-phase value-grid join-backs equi-joined on
+  group columns, so NULL groups vanished while GROUP BY kept them
+  (fixed null-safe in aggs._ns_bjoin / _grouped_range_bucketed);
+- semantic divergences: size(NULL) = -1 vs NULL, concat null-skip vs
+  propagate, ANY/ALL three-valued logic, regr_slope pair-exclusion,
+  EWMA over missing observations, all-NULL-group sums.
+
+All fixed with DEFINED semantics mirrored in both engines; this battery
+pins every key to full oracle parity on the null fixture.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from naqed_spark.catalog import TABLES
+from naqed_spark.oracle_check import check_key, duck_connect
+from naqed_spark.registry import QUERIES, load_all
+from naqed_spark.session import get_spark, tune_session
+
+SCHEMA_SRC = os.environ.get("NAQED_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+# column -> null every k-th row (keys and timestamps stay non-null)
+NULL_SPEC = {
+    "documents": {"text": 7, "lang": 5, "source": 6},
+    "events": {"props": 5, "value": 3},
+    "customer": {"c_mktsegment": 4, "c_acctbal": 5},
+    "orders": {"o_orderpriority": 6},
+}
+
+load_all()
+
+
+@pytest.fixture(scope="session")
+def spark():
+    yield tune_session(get_spark("naqed-tests"))
+
+
+@pytest.fixture(scope="session")
+def null_sf_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sf_nulls")
+    for t in TABLES:
+        tbl = pq.read_table(os.path.join(SCHEMA_SRC, t + ".parquet"))
+        spec = NULL_SPEC.get(t, {})
+        n = tbl.num_rows
+        cols = {}
+        for name in tbl.schema.names:
+            col = tbl.column(name).combine_chunks()
+            if name in spec:
+                k = spec[name]
+                mask = pa.array([(i % k) == 0 for i in range(n)])
+                col = pc.if_else(mask, pa.nulls(n, type=col.type), col)
+            cols[name] = col
+        pq.write_table(pa.table(cols), str(d / (t + ".parquet")))
+    return str(d)
+
+
+def test_every_key_matches_oracle_on_null_heavy_tables(spark, null_sf_dir):
+    """One loop over the registry: every key must run AND hash-match its
+    DuckDB oracle on the null-planted fixture (rows-only sketch keys:
+    run + their usual ≥1-row floor, enforced by check_key itself)."""
+    con = duck_connect(null_sf_dir)
+    failures: list[str] = []
+    try:
+        for key in sorted(QUERIES):
+            try:
+                problems = check_key(spark, con, key, null_sf_dir)
+            except Exception as exc:  # noqa: BLE001
+                failures.append(f"{key}: raised {exc!r}")
+                continue
+            failures.extend(f"{key}: {p}" for p in problems)
+    finally:
+        con.close()
+    assert not failures, (
+        f"{len(failures)} null-input failures:\n" + "\n".join(failures)
+    )
