@@ -432,7 +432,12 @@ def fn_variant_json(spark, sf_dir):
     # extract-all count, global replace, regex split count, and a partial
     # rlike match. Engine deltas handled: DuckDB regexp_replace needs the
     # 'g' flag to match Spark's replace-all default; both engines' \b and
-    # character classes agree on this ASCII corpus.
+    # character classes agree on this ASCII corpus. KNOWN LIMIT (probed,
+    # round 9): on NON-ASCII text Java's \b is Unicode-aware while
+    # DuckDB/RE2's is ASCII-only (RE2 sees a boundary inside "ça"), and
+    # RE2 has no lookbehind to emulate either side — so \b counts on
+    # multibyte text are engine-defined (tests/test_adversarial_input.py
+    # documents and pins this).
     oracle="""
     SELECT doc_id,
            regexp_extract(text, '^(\\w+)', 1) AS first_word,
