@@ -45,6 +45,15 @@ NULL_SPEC = {
     "customer": {"c_mktsegment": 4, "c_acctbal": 5},
     "orders": {"o_orderpriority": 6},
 }
+# measure column -> (negate every nk-th, zero every zk-th) on rows the
+# null spec left alone — the extreme-value class (log/sqrt domains,
+# zero variance, zero prices) swept 356/356 clean in round 9; folding
+# it into this fixture keeps it pinned without another battery
+EXTREME_SPEC = {
+    "events": ("value", 4, 7),
+    "customer": ("c_acctbal", 4, 9),
+    "orders": ("o_totalprice", 11, 9),
+}
 
 load_all()
 
@@ -62,12 +71,26 @@ def null_sf_dir(tmp_path_factory):
         spec = NULL_SPEC.get(t, {})
         n = tbl.num_rows
         cols = {}
+        ex = EXTREME_SPEC.get(t)
         for name in tbl.schema.names:
             col = tbl.column(name).combine_chunks()
             if name in spec:
                 k = spec[name]
                 mask = pa.array([(i % k) == 0 for i in range(n)])
                 col = pc.if_else(mask, pa.nulls(n, type=col.type), col)
+            if ex and name == ex[0]:
+                _, nk, zk = ex
+                vals = []
+                for i, v in enumerate(col.to_pylist()):
+                    if v is None:
+                        vals.append(v)
+                    elif i % zk == 0:
+                        vals.append(0.0)
+                    elif i % nk == 0:
+                        vals.append(-abs(v))
+                    else:
+                        vals.append(v)
+                col = pa.array(vals, type=col.type)
             cols[name] = col
         pq.write_table(pa.table(cols), str(d / (t + ".parquet")))
     return str(d)
