@@ -774,32 +774,53 @@ def agg_higher_moments(spark, sf_dir):
     # DuckDB's native product() is deliberately NOT the oracle twin —
     # the ln-sum form is spelled identically on both engines because
     # exp/ln round-trips differ from native multiplication in the last
-    # ulp. Determinism: the ln-SUM is rounded to 6 decimals BEFORE exp —
-    # exp amplifies summation-order ulps multiplicatively, so hedging
-    # after exp would not survive partitioning changes; hedging the sum
-    # does. Map-side combinable (sums), one exchange.
+    # ulp. Determinism: the ln-SUM is rounded to 6 decimals BEFORE any
+    # exponentiation (exp amplifies summation-order ulps), and the
+    # product is emitted as MANTISSA × 10^EXP10: the raw exp() value can
+    # be arbitrarily large, where a 1-ulp libm difference between
+    # engines exceeds any decimal rounding (the round-9 null probe hit
+    # exactly that on a new group), while the mantissa lives in [1, 10)
+    # where round(6) hedges pow's last ulp — and at 100 TB the raw
+    # product overflows double anyway, so mantissa/exponent is the only
+    # scale-true emission. The log10 divisor is a shared literal, so the
+    # division and floor are bit-identical on both engines.
     oracle="""
-    SELECT l_returnflag,
-           count(*) AS n,
-           round(exp(round(sum(ln(1.0 + CAST(l_discount AS DECIMAL(4,2)))),
-                           6)), 6) AS growth_product,
-           round(exp(round(avg(ln(1.0 + CAST(l_discount AS DECIMAL(4,2)))),
-                           6)), 6) AS geo_mean_factor
-    FROM lineitem
-    GROUP BY l_returnflag
+    WITH s AS (
+      SELECT l_returnflag,
+             count(*) AS n,
+             round(sum(ln(1.0 + CAST(l_discount AS DECIMAL(4,2)))), 6)
+               AS rs,
+             round(avg(ln(1.0 + CAST(l_discount AS DECIMAL(4,2)))), 6)
+               AS ra
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round(pow(10, rs / 2.302585092994046
+                         - floor(rs / 2.302585092994046)), 6)
+             AS product_mantissa,
+           CAST(floor(rs / 2.302585092994046) AS BIGINT) AS product_exp10,
+           round(exp(ra), 6) AS geo_mean_factor
+    FROM s
     """,
 )
 def agg_product_rewrite(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     factor = 1.0 + F.col("l_discount").cast("decimal(4,2)")
-    return li.groupBy("l_returnflag").agg(
+    ln10 = F.lit(2.302585092994046)
+    s = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.exp(F.round(F.sum(F.log(factor)), 6)), 6).alias(
-            "growth_product"
+        F.round(F.sum(F.log(factor)), 6).alias("rs"),
+        F.round(F.avg(F.log(factor)), 6).alias("ra"),
+    )
+    lg = F.col("rs") / ln10
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(F.pow(F.lit(10.0), lg - F.floor(lg)), 6).alias(
+            "product_mantissa"
         ),
-        F.round(F.exp(F.round(F.avg(F.log(factor)), 6)), 6).alias(
-            "geo_mean_factor"
-        ),
+        F.floor(lg).cast("bigint").alias("product_exp10"),
+        F.round(F.exp(F.col("ra")), 6).alias("geo_mean_factor"),
     )
 
 
@@ -1058,7 +1079,7 @@ def agg_weighted_median(spark, sf_dir):
     tw = bt.groupBy("l_returnflag").agg(F.sum("tq").alias("tw"))
     # crossing bucket: first whose end-of-bucket cumulative reaches tw/2
     cross = (
-        off.join(F.broadcast(tw), "l_returnflag")
+        _ns_bjoin(off, tw, ["l_returnflag"])
         .filter(2 * (F.col("off") + F.col("tq")) >= F.col("tw"))
         .groupBy("l_returnflag")
         .agg(
@@ -1071,7 +1092,7 @@ def agg_weighted_median(spark, sf_dir):
         "l_extendedprice", "l_orderkey", "l_linenumber"
     ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cand = (
-        b.join(F.broadcast(cross), "l_returnflag")
+        _ns_bjoin(b, cross, ["l_returnflag"])
         .filter(F.col("bkt") == F.col("cbkt"))
         .withColumn("cw", F.col("coff") + F.sum("l_quantity").over(wl))
         .filter(2 * F.col("cw") >= F.col("tw"))

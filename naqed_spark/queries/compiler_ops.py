@@ -682,11 +682,14 @@ def compiler_orderby_computed(spark, sf_dir):
     # serialized via $array_join per §7.3) — the "diamond" every real
     # naqed query tree has. Compiles to one broadcast-eligible equi-join
     # plus one pre-aggregated array join; the hops are independent, so
-    # Catalyst orders them freely.
+    # Catalyst orders them freely. n_items is count(l_linestatus), not
+    # count(*): $size measures the COLLECTED array, and both engines'
+    # collectors (collect_list / string_agg) skip NULL field values.
     oracle="""
     SELECT o.o_orderkey, c.c_mktsegment,
-           (SELECT count(*) FROM lineitem l
+           (SELECT count(l.l_linestatus) FROM lineitem l
             WHERE l.l_orderkey = o.o_orderkey) AS n_items,
+
            (SELECT coalesce(string_agg(l.l_linestatus,
                                        ',' ORDER BY l.l_linestatus), '')
             FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)

@@ -494,7 +494,8 @@ def llm_importance_resample(spark, sf_dir):
     SELECT event_type,
            count(*) AS bounded_count,
            (SELECT count(*) FROM events e
-            WHERE e.event_type = bounded.event_type) AS raw_count,
+            WHERE e.event_type IS NOT DISTINCT FROM bounded.event_type)
+             AS raw_count,
            count(DISTINCT user_id) AS n_users
     FROM bounded
     GROUP BY event_type
@@ -512,18 +513,19 @@ def llm_contribution_bounding(spark, sf_dir):
         .filter(F.col("rk") <= 20)
         .select("user_id", "event_type")
     )
+    from naqed_spark.queries.aggs import _ns_bjoin
+
     raw = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("raw_count"))
-    return (
-        bounded.groupBy("event_type")
-        .agg(
+    # null-safe: a NULL event_type is a group in both aggregates and must
+    # survive the raw-count join-back
+    return _ns_bjoin(
+        bounded.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("bounded_count"),
             F.countDistinct("user_id").alias("n_users"),
-        )
-        .join(F.broadcast(raw), "event_type")
-        .select(
-            "event_type", "bounded_count", "raw_count", "n_users"
-        )
-    )
+        ),
+        raw,
+        ["event_type"],
+    ).select("event_type", "bounded_count", "raw_count", "n_users")
 
 
 @query(

@@ -26,10 +26,13 @@ from naqed_spark.registry import query
     # (l_orderkey, l_linenumber) is NOT unique in the fixtures — the order
     # covers every emitted column, so rank ties can only occur between
     # fully-identical rows (where rank assignment is interchangeable and
-    # the output multiset is unaffected).
+    # the output multiset is unaffected). Null placement is EXPLICIT: the
+    # engines' defaults diverge (Spark ASC=nulls first / DESC=nulls last,
+    # DuckDB nulls last both ways) — the oracle pins Spark's convention.
     oracle="""
     SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus, l_quantity,
-           row_number() OVER (ORDER BY l_returnflag DESC, l_linestatus ASC,
+           row_number() OVER (ORDER BY l_returnflag DESC NULLS LAST,
+                              l_linestatus ASC NULLS FIRST,
                               l_orderkey ASC, l_linenumber ASC,
                               l_quantity ASC) AS rnk
     FROM lineitem WHERE l_quantity >= 49

@@ -845,15 +845,20 @@ def stream_union_two_sources(spark, sf_dir):
     # inside the per-SF staging dir (base embeds the sf fingerprint) so
     # different scale factors never share a split
     split_base = os.path.join(base, "union_split")
-    marker = os.path.join(split_base, "_SPLIT_OK")
+    # v2: null-safe split (old splits dropped null event_type rows)
+    marker = os.path.join(split_base, "_SPLIT_OK_v2")
     if not os.path.exists(marker):
         shutil.rmtree(split_base, ignore_errors=True)
         os.makedirs(split_base, exist_ok=True)
         full = spark.read.parquet(src)
-        full.filter(F.col("event_type") == "click").coalesce(1).write.mode(
+        # null-safe complement: `!= 'click'` alone silently DROPS null
+        # event_type rows (they fail both predicates) — a split must
+        # PARTITION the stream, never lose rows
+        is_click = F.col("event_type").eqNullSafe(F.lit("click"))
+        full.filter(is_click).coalesce(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(split_base, "clicks"))
-        full.filter(F.col("event_type") != "click").coalesce(1).write.mode(
+        full.filter(~is_click).coalesce(1).write.mode(
             "overwrite"
         ).parquet(os.path.join(split_base, "rest"))
         open(marker, "w").close()

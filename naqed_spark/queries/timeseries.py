@@ -340,7 +340,9 @@ def ts_anomaly_zscore(spark, sf_dir):
         tails.alias("t")
         .join(
             days.alias("d"),
-            (F.col("t.event_type") == F.col("d.event_type"))
+            # null-safe type match: a NULL event_type is a monitoring
+            # group like any other and must receive its carry-in context
+            F.col("t.event_type").eqNullSafe(F.col("d.event_type"))
             & (F.col("t.day") < F.col("d.day")),
         )
         .select(

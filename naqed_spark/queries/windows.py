@@ -96,8 +96,10 @@ def win_rank_dense(spark, sf_dir):
     wl = Window.partitionBy("l_returnflag", "bkt").orderBy(
         F.col("l_quantity").desc()
     )
+    from naqed_spark.queries.aggs import _ns_bjoin
+
     ranked_vals = (
-        b.join(F.broadcast(offs), ["l_returnflag", "bkt"])
+        _ns_bjoin(b, offs, ["l_returnflag", "bkt"])
         .withColumn(
             "lv",
             F.coalesce(
@@ -112,9 +114,8 @@ def win_rank_dense(spark, sf_dir):
             .alias("drnk"),
         )
     )
-    return li.join(
-        F.broadcast(ranked_vals), ["l_returnflag", "l_quantity"]
-    ).select(
+    # null-safe: a NULL flag is a PARTITION BY group, its rows keep ranks
+    return _ns_bjoin(li, ranked_vals, ["l_returnflag", "l_quantity"]).select(
         "l_returnflag", "l_orderkey", "l_linenumber", "l_quantity",
         "rnk", "drnk",
     )
@@ -163,8 +164,10 @@ def win_ntile(spark, sf_dir):
         )
     )
     wvl = Window.partitionBy("l_returnflag", "bkt").orderBy("l_quantity")
+    from naqed_spark.queries.aggs import _ns_bjoin
+
     off1 = (
-        vb.join(F.broadcast(voffs), ["l_returnflag", "bkt"])
+        _ns_bjoin(vb, voffs, ["l_returnflag", "bkt"])
         .withColumn(
             "off1",
             F.col("voff")
@@ -208,9 +211,15 @@ def win_ntile(spark, sf_dir):
         r + 1 + F.floor((rn - r * (q + 1) - 1) / F.greatest(q, F.lit(1)))
     ).cast("int")
     return (
-        b.join(F.broadcast(off1), ["l_returnflag", "l_quantity"])
-        .join(F.broadcast(offs2), ["l_returnflag", "l_quantity", "bkt"])
-        .join(F.broadcast(n_per), "l_returnflag")
+        _ns_bjoin(
+            _ns_bjoin(
+                _ns_bjoin(b, off1, ["l_returnflag", "l_quantity"]),
+                offs2,
+                ["l_returnflag", "l_quantity", "bkt"],
+            ),
+            n_per,
+            ["l_returnflag"],
+        )
         .select(
             "l_returnflag", "l_orderkey", "l_linenumber", "l_quantity",
             F.when(rn <= r * (q + 1), head).otherwise(tail)
@@ -608,11 +617,15 @@ def win_cumulative_distinct(spark, sf_dir):
     """,
 )
 def win_median_over(spark, sf_dir):
+    from naqed_spark.queries.aggs import _ns_bjoin
+
     ev = load(spark, sf_dir, "events")
     med = ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("__med")
     )
-    return ev.join(F.broadcast(med), "event_type").select(
+    # null-safe join-back: a NULL event_type is a PARTITION BY group in
+    # the oracle's window, so its rows keep their group median too
+    return _ns_bjoin(ev, med, ["event_type"]).select(
         "event_id",
         "event_type",
         "value",

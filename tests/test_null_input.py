@@ -41,9 +41,13 @@ SCHEMA_SRC = os.environ.get("NAQED_TEST_SF_DIR", "/root/testdata/sf0.001")
 # column -> null every k-th row (keys and timestamps stay non-null)
 NULL_SPEC = {
     "documents": {"text": 7, "lang": 5, "source": 6},
-    "events": {"props": 5, "value": 3},
+    "events": {"props": 5, "value": 3, "event_type": 8},
     "customer": {"c_mktsegment": 4, "c_acctbal": 5},
     "orders": {"o_orderpriority": 6},
+    # category/flag columns: the second null wave (round 9) — these feed
+    # GROUP BY / PARTITION BY keys, so they flush out null-group drops
+    # at join-backs and null-sort-order divergence
+    "lineitem": {"l_returnflag": 9, "l_linestatus": 11},
 }
 # measure column -> (negate every nk-th, zero every zk-th) on rows the
 # null spec left alone — the extreme-value class (log/sqrt domains,
