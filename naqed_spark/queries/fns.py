@@ -432,12 +432,13 @@ def fn_variant_json(spark, sf_dir):
     # extract-all count, global replace, regex split count, and a partial
     # rlike match. Engine deltas handled: DuckDB regexp_replace needs the
     # 'g' flag to match Spark's replace-all default; both engines' \b and
-    # character classes agree on this ASCII corpus. KNOWN LIMIT (probed,
-    # round 9): on NON-ASCII text Java's \b is Unicode-aware while
+    # character classes agree on this ASCII corpus — and on non-ASCII
+    # text too, because the Spark side spells the word boundary as an
+    # EXPLICIT ASCII lookbehind: Java's \b is Unicode-aware while
     # DuckDB/RE2's is ASCII-only (RE2 sees a boundary inside "ça"), and
-    # RE2 has no lookbehind to emulate either side — so \b counts on
-    # multibyte text are engine-defined (tests/test_adversarial_input.py
-    # documents and pins this).
+    # RE2 has no lookbehind, so the common semantic is RE2's — Java gets
+    # (?<![A-Za-z0-9_]) which is exactly RE2's \b before a word char
+    # (probed by tests/test_adversarial_input.py's multibyte fixture).
     oracle="""
     SELECT doc_id,
            regexp_extract(text, '^(\\w+)', 1) AS first_word,
@@ -460,7 +461,9 @@ def fn_regex(spark, sf_dir):
         F.regexp_extract("text", r"^(\w+)", 1).alias("first_word"),
         _null_size(
             F.col("text"),
-            F.regexp_extract_all("text", F.lit(r"\b[aeiou][a-z]*"), 0),
+            F.regexp_extract_all(
+                "text", F.lit(r"(?<![A-Za-z0-9_])[aeiou][a-z]*"), 0
+            ),
         )
         .cast("bigint")
         .alias("n_vowel_words"),

@@ -16,13 +16,13 @@ touch disjoint columns:
   length/substr, UTF-8 md5, split and shingle boundaries must agree
   across engines.
 
-Documented divergence (asserted, not ignored): ``fn_regex`` uses the
-regex word boundary ``\\b``, which is Unicode-aware in Java (Spark) but
-ASCII-only in DuckDB's RE2 — e.g. RE2 sees a boundary inside "ça" and
-matches the "a" as a vowel word where Java sees one word. The key's
-contract documents the ASCII-corpus assumption; on multibyte text we
-assert it still RUNS and leave the count engine-defined (RE2 has no
-lookbehind, so no common spelling exists).
+The regex word boundary was the one initial divergence here: Java's
+``\\b`` is Unicode-aware while DuckDB/RE2's is ASCII-only (RE2 sees a
+boundary inside "ça" and matches the "a" as a vowel word). RE2 has no
+lookbehind, so the common semantic is RE2's: ``fn_regex``'s Spark side
+now spells the boundary as the explicit ASCII lookbehind
+``(?<![A-Za-z0-9_])``, and the whole registry holds FULL oracle parity
+on this fixture.
 """
 
 from __future__ import annotations
@@ -58,9 +58,6 @@ DECOR = [
     "кириллица текст",
     "ça à ü ñ",
 ]
-# \b semantics are engine-defined on non-ASCII text (see module docstring)
-REGEX_BOUNDARY_DIVERGENCE = {"fn_regex"}
-
 load_all()
 
 
@@ -104,12 +101,6 @@ def test_every_key_matches_oracle_on_ties_and_multibyte_text(
     failures: list[str] = []
     try:
         for key in sorted(QUERIES):
-            if key in REGEX_BOUNDARY_DIVERGENCE:
-                try:
-                    QUERIES[key](spark, adversarial_sf_dir).collect()
-                except Exception as exc:  # noqa: BLE001
-                    failures.append(f"{key}: raised {exc!r}")
-                continue
             try:
                 problems = check_key(spark, con, key, adversarial_sf_dir)
             except Exception as exc:  # noqa: BLE001
