@@ -59,9 +59,23 @@ def cents(v) -> np.ndarray:
     return np.floor(np.asarray(v, dtype=np.float64) * 100 + 0.5).astype(np.int64)
 
 
+def _norm(v):
+    """None-ify the NaN/None spellings a nullable column can surface as."""
+    if v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    return v
+
+
 def close(a, b, tol=1e-6) -> bool:
-    if a is None or b is None or (isinstance(a, float) and math.isnan(a)):
-        return a is b or (isinstance(b, float) and math.isnan(b))
+    a, b = _norm(a), _norm(b)
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, (bool, np.bool_)) or isinstance(b, (bool, np.bool_)):
+        return bool(a) == bool(b)
+    if isinstance(a, str) or isinstance(b, str):
+        return a == b
     return abs(float(a) - float(b)) <= tol + tol * abs(float(b))
 
 
@@ -622,3 +636,377 @@ def test_modularity_matches_textbook(spark):
     assert int(got.n_communities) == len(dc)
     assert int(got.n_edges) == int(m)
     assert close(got.modularity, q, 1e-5)
+
+
+# ---------------------------------------------------- as-of joins (wave 2)
+# pandas.merge_asof is an industry-standard INDEPENDENT as-of
+# implementation — the strongest possible twin-bug reference for the
+# backward and tolerance variants; the nearest variant's tiebreak
+# (earlier order, lower key on equidistance) is spelled manually because
+# pandas' own equidistance rule is not the documented one.
+
+
+def _asof_frames():
+    ev = _tbl("events")
+    o = _tbl("orders")
+    left = pd.DataFrame(
+        {
+            "event_id": ev.event_id,
+            "user_id": ev.user_id,
+            "ev_us": ev.ts.astype("int64"),
+        }
+    ).sort_values("ev_us", kind="mergesort")
+    right = pd.DataFrame(
+        {
+            "o_custkey": o.o_custkey,
+            "o_orderkey": o.o_orderkey,
+            "order_us": pd.to_datetime(o.o_orderdate).astype("int64"),
+        }
+    ).sort_values(["order_us", "o_orderkey"], kind="mergesort")
+    return left, right
+
+
+def test_join_asof_matches_pandas_merge_asof(spark):
+    left, right = _asof_frames()
+    m = pd.merge_asof(
+        left,
+        right,
+        left_on="ev_us",
+        right_on="order_us",
+        left_by="user_id",
+        right_by="o_custkey",
+        direction="backward",
+    ).dropna(subset=["o_orderkey"])
+    want = {
+        (int(r.event_id),): {
+            "user_id": int(r.user_id),
+            "o_orderkey": int(r.o_orderkey),
+            "order_us": int(r.order_us),
+        }
+        for _, r in m.iterrows()
+    }
+    assert_keyed(
+        run(spark, "join_asof"),
+        want,
+        ["event_id"],
+        ["user_id", "o_orderkey", "order_us"],
+    )
+
+
+def test_join_asof_tolerance_matches_pandas_merge_asof(spark):
+    left, right = _asof_frames()
+    m = pd.merge_asof(
+        left,
+        right,
+        left_on="ev_us",
+        right_on="order_us",
+        left_by="user_id",
+        right_by="o_custkey",
+        direction="backward",
+        tolerance=2_592_000_000_000,  # 30 days in µs
+    )
+    want = {
+        (int(r.event_id),): {
+            "user_id": int(r.user_id),
+            "o_orderkey": None if pd.isna(r.o_orderkey) else int(r.o_orderkey),
+            "order_us": None if pd.isna(r.order_us) else int(r.order_us),
+        }
+        for _, r in m.iterrows()
+    }
+    assert_keyed(
+        run(spark, "join_asof_tolerance"),
+        want,
+        ["event_id"],
+        ["user_id", "o_orderkey", "order_us"],
+    )
+
+
+def test_join_asof_nearest_matches_manual(spark):
+    left, right = _asof_frames()
+    by_user: dict = {}
+    for _, r in right.iterrows():
+        by_user.setdefault(r.o_custkey, []).append(
+            (int(r.order_us), int(r.o_orderkey))
+        )
+    want = {}
+    for _, e in left.iterrows():
+        orders = by_user.get(e.user_id)
+        if not orders:
+            continue
+        best = min(
+            orders, key=lambda ok: (abs(ok[0] - e.ev_us), ok[0], ok[1])
+        )
+        want[(int(e.event_id),)] = {
+            "user_id": int(e.user_id),
+            "o_orderkey": best[1],
+            "dt_us": abs(best[0] - int(e.ev_us)),
+        }
+    assert_keyed(
+        run(spark, "join_asof_nearest"),
+        want,
+        ["event_id"],
+        ["user_id", "o_orderkey", "dt_us"],
+    )
+
+
+# ------------------------------------------------ rolling family (wave 2)
+
+
+def _daily_type_cents() -> pd.DataFrame:
+    ev = _tbl("events")
+    return (
+        pd.DataFrame(
+            {
+                "event_type": ev.event_type,
+                "day": ev.ts.dt.normalize(),
+                "c": cents(ev.value),
+            }
+        )
+        .groupby(["event_type", "day"], as_index=False)["c"]
+        .sum()
+    )
+
+
+def test_rolling_corr_matches_textbook(spark):
+    ev = _tbl("events")
+    df = pd.DataFrame(
+        {
+            "day": ev.ts.dt.normalize(),
+            "x": np.where(ev.event_type == "click", cents(ev.value), 0),
+            "y": np.where(ev.event_type == "purchase", cents(ev.value), 0),
+        }
+    ).groupby("day", as_index=False).sum().sort_values("day")
+    x = df.x.to_numpy(dtype=np.float64)
+    y = df.y.to_numpy(dtype=np.float64)
+    days = df.day.astype("int64").to_numpy()
+    want = {}
+    for i in range(len(x)):
+        lo = max(0, i - 6)
+        xs, ys = x[lo : i + 1], y[lo : i + 1]
+        n = len(xs)
+        num = n * (xs * ys).sum() - xs.sum() * ys.sum()
+        den2 = (n * (xs * xs).sum() - xs.sum() ** 2) * (
+            n * (ys * ys).sum() - ys.sum() ** 2
+        )
+        r = None if den2 <= 0 else num / math.sqrt(den2)
+        want[(days[i],)] = {"n": n, "rolling_r": r}
+    assert_keyed(
+        run(spark, "win_rolling_corr"), want, ["day_us"], ["n", "rolling_r"]
+    )
+
+
+def test_weighted_moving_avg_matches_textbook(spark):
+    ev = _tbl("events")
+    df = pd.DataFrame(
+        {
+            "user_id": ev.user_id,
+            "event_id": ev.event_id,
+            "ts_us": ev.ts.astype("int64"),
+            "c": cents(ev.value),
+        }
+    ).sort_values(["user_id", "ts_us", "event_id"])
+    want = {}
+    for _, grp in df.groupby("user_id"):
+        c = grp.c.to_numpy()
+        for i, (_, r) in enumerate(grp.iterrows()):
+            wma = (
+                None
+                if i < 2
+                else (3 * c[i] + 2 * c[i - 1] + c[i - 2]) / 6.0
+            )
+            want[(int(r.user_id), int(r.event_id))] = {
+                "ts_us": int(r.ts_us),
+                "wma_cents": wma,
+            }
+    assert_keyed(
+        run(spark, "win_weighted_moving_avg"),
+        want,
+        ["user_id", "event_id"],
+        ["ts_us", "wma_cents"],
+    )
+
+
+def test_ewma_bounded_matches_textbook(spark):
+    ev = _tbl("events")
+    df = ev.loc[ev.user_id <= 30, ["user_id", "event_id", "ts", "value"]]
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    want = {}
+    for _, grp in df.groupby("user_id"):
+        v = grp.value.to_numpy()
+        for i, (_, r) in enumerate(grp.iterrows()):
+            lo = max(0, i - 9)
+            w = 0.7 ** np.arange(i - lo, -1, -1, dtype=np.float64)
+            want[(int(r.user_id), int(r.event_id))] = {
+                "value": r.value,
+                "ewma": float((w * v[lo : i + 1]).sum() / w.sum()),
+            }
+    assert_keyed(
+        run(spark, "ts_ewma_bounded"),
+        want,
+        ["user_id", "event_id"],
+        ["value", "ewma"],
+    )
+
+
+def test_max_drawdown_matches_textbook(spark):
+    daily = _daily_type_cents()
+    want = {}
+    for et, grp in daily.groupby("event_type"):
+        cum = np.cumsum(grp.sort_values("day").c.to_numpy())
+        peak = np.maximum.accumulate(cum)
+        want[(et,)] = {
+            "max_drawdown": float((peak - cum).max()) / 100.0,
+            "final_peak": float(peak.max()) / 100.0,
+        }
+    assert_keyed(
+        run(spark, "ts_max_drawdown"),
+        want,
+        ["event_type"],
+        ["max_drawdown", "final_peak"],
+    )
+
+
+def test_bollinger_bands_match_textbook(spark):
+    daily = _daily_type_cents()
+    want = {}
+    for et, grp in daily.groupby("event_type"):
+        g = grp.sort_values("day")
+        rev = g.c.to_numpy(dtype=np.float64) / 100.0
+        days = g.day.dt.strftime("%Y-%m-%d").to_numpy()
+        for i in range(6, len(rev)):
+            win = rev[i - 6 : i + 1]
+            mid = win.mean()
+            var = win.var(ddof=1)
+            if var <= 0:
+                continue
+            sd = math.sqrt(var)
+            want[(et, days[i])] = {
+                "rev": rev[i],
+                "mid": mid,
+                "lower_band": mid - 2 * sd,
+                "upper_band": mid + 2 * sd,
+                "above_upper": rev[i] > mid + 2 * sd,
+                "below_lower": rev[i] < mid - 2 * sd,
+            }
+    assert_keyed(
+        run(spark, "ts_bollinger_bands"),
+        want,
+        ["event_type", "day_s"],
+        ["rev", "mid", "lower_band", "upper_band", "above_upper", "below_lower"],
+        1e-5,
+    )
+
+
+def test_changepoint_cusum_matches_textbook(spark):
+    daily = _daily_type_cents()
+    want = {}
+    for et, grp in daily.groupby("event_type"):
+        g = grp.sort_values("day")
+        c = [int(x) for x in g.c]
+        days = g.day.astype("int64").to_numpy()
+        total, nd = sum(c), len(c)
+        run_sum, best = 0, None
+        for day, ci in zip(days, c):
+            run_sum += ci * nd - total
+            if best is None or abs(run_sum) > abs(best[1]):
+                best = (int(day), run_sum)
+        want[(et,)] = {
+            "changepoint_day_us": best[0],
+            "peak_cusum": best[1],
+        }
+    assert_keyed(
+        run(spark, "ts_changepoint_cusum"),
+        want,
+        ["event_type"],
+        ["changepoint_day_us", "peak_cusum"],
+    )
+
+
+def _rhu6(x: float) -> float:
+    """round-half-up to 6 decimals (both engines' round() on positives)."""
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def test_outlier_mad_matches_textbook(spark):
+    ev = _tbl("events")
+    flagged = {}
+    for et, grp in ev.groupby("event_type"):
+        v = grp.value.to_numpy()
+        med = _rhu6(float(np.median(v)))
+        ad = np.abs(v - med)
+        mad = _rhu6(float(np.median(ad)))
+        thresh = 3 * 1.4826 * mad
+        for eid, vi, adi in zip(grp.event_id, v, ad):
+            if adi > thresh:
+                flagged[(int(eid),)] = {
+                    "event_type": et,
+                    "value": vi,
+                    "robust_z": adi / (1.4826 * mad),
+                }
+    assert_keyed(
+        run(spark, "ts_outlier_mad"),
+        flagged,
+        ["event_id"],
+        ["event_type", "value", "robust_z"],
+        1e-5,
+    )
+
+
+def test_interpolate_linear_matches_textbook(spark):
+    ev = _tbl("events")
+    df = ev.loc[ev.user_id <= 50]
+    hourly = (
+        pd.DataFrame(
+            {
+                "user_id": df.user_id,
+                "h": df.ts.dt.floor("h"),
+                "c": cents(df.value),
+            }
+        )
+        .groupby(["user_id", "h"], as_index=False)["c"]
+        .sum()
+    )
+    want = {}
+    for uid, grp in hourly.groupby("user_id"):
+        obs = dict(zip(grp.h.astype("int64") // HOUR_US, grp.c))
+        hidxs = sorted(obs)
+        for hidx in range(hidxs[0], hidxs[-1] + 1):
+            if hidx in obs:
+                val = float(obs[hidx])
+            else:
+                pt = max(h for h in hidxs if h < hidx)
+                nt = min(h for h in hidxs if h > hidx)
+                pv, nv = obs[pt], obs[nt]
+                val = pv + (nv - pv) * (hidx - pt) / (nt - pt)
+            want[(uid, hidx * HOUR_US)] = {
+                "cents": obs.get(hidx),
+                "cents_interp": val,
+            }
+    assert_keyed(
+        run(spark, "ts_interpolate_linear"),
+        want,
+        ["user_id", "hour_us"],
+        ["cents", "cents_interp"],
+        1e-5,
+    )
+
+
+def test_corr_regr_matches_numpy(spark):
+    li = _tbl("lineitem")
+    want = {}
+    for flag, grp in li.groupby("l_returnflag"):
+        q = grp.l_quantity.to_numpy(dtype=np.float64)
+        p = grp.l_extendedprice.to_numpy(dtype=np.float64)
+        cov = (q * p).mean() - q.mean() * p.mean()
+        want[(flag,)] = {
+            "qp_corr": float(np.corrcoef(q, p)[0, 1]),
+            "qp_covar": cov,
+            "price_per_qty": cov / q.var(),
+        }
+    assert_keyed(
+        run(spark, "agg_corr_regr"),
+        want,
+        ["l_returnflag"],
+        ["qp_corr", "qp_covar", "price_per_qty"],
+        1e-4,
+    )
