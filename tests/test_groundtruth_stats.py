@@ -1010,3 +1010,347 @@ def test_corr_regr_matches_numpy(spark):
         ["qp_corr", "qp_covar", "price_per_qty"],
         1e-4,
     )
+
+
+# ------------------------------------------- graph structure (wave 3)
+
+
+def _und_adj(edges=None) -> dict:
+    adj: dict = {}
+    for s, d in (edges if edges is not None else _edges()):
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    return adj
+
+
+def test_kcore_matches_converged_peeling(spark):
+    """Peel to CONVERGENCE (not a fixed round count) — also proves the
+    operator's 8 rounds reach the fixture's fixpoint."""
+    adj = {v: set(n) for v, n in _und_adj().items()}
+    changed = True
+    while changed:
+        drop = {v for v, n in adj.items() if len(n) < 12}
+        changed = bool(drop)
+        for v in drop:
+            del adj[v]
+        for v in adj:
+            adj[v] -= drop
+    adj = {v: n for v, n in adj.items() if n}
+    want = {(v,): {"core_degree": len(n)} for v, n in adj.items()}
+    assert_keyed(run(spark, "graph_kcore"), want, ["v"], ["core_degree"])
+
+
+def test_harmonic_centrality_matches_bfs(spark):
+    adj = _und_adj()
+    seeds = [v for v in adj if v % 15 == 0]
+    reach: dict = {}
+    for s in seeds:
+        dist = {s: 0}
+        frontier = [s]
+        for d in (1, 2, 3):
+            nxt = []
+            for v in frontier:
+                for n in adj[v]:
+                    if n not in dist:
+                        dist[n] = d
+                        nxt.append(n)
+            frontier = nxt
+        for v, d in dist.items():
+            if v != s:
+                cnt, h = reach.get(v, (0, 0.0))
+                reach[v] = (cnt + 1, h + 1.0 / d)
+    want = {
+        (v,): {"n_seeds_reaching": c, "harmonic": h}
+        for v, (c, h) in reach.items()
+    }
+    assert_keyed(
+        run(spark, "graph_harmonic_centrality"),
+        want,
+        ["user_id"],
+        ["n_seeds_reaching", "harmonic"],
+    )
+
+
+def test_reciprocity_matches_textbook(spark):
+    edges = _edges()
+    mutual = sum(1 for s, d in edges if (d, s) in edges)
+    got = run(spark, "graph_reciprocity").iloc[0]
+    assert int(got.n_edges) == len(edges)
+    assert int(got.n_mutual) == mutual
+    assert close(got.reciprocity, mutual / len(edges))
+
+
+def test_centralization_matches_textbook(spark):
+    adj = _und_adj()
+    degs = np.array([len(n) for n in adj.values()], dtype=np.float64)
+    n = len(degs)
+    want = (degs.max() - degs).sum() / ((n - 1) * (n - 2))
+    got = run(spark, "graph_centralization").iloc[0]
+    assert int(got.n_vertices) == n
+    assert int(got.d_max) == int(degs.max())
+    assert close(got.centralization, want)
+
+
+def test_degree_powerlaw_matches_numpy_ols(spark):
+    adj = _und_adj()
+    degs = pd.Series([len(n) for n in adj.values()])
+    hist = degs.value_counts()
+    x = np.log(hist.index.to_numpy(dtype=np.float64))
+    y = np.log(hist.to_numpy(dtype=np.float64))
+    slope, intercept = np.polyfit(x, y, 1)
+    got = run(spark, "graph_degree_powerlaw").iloc[0]
+    assert int(got.n_points) == len(hist)
+    assert close(got.slope, slope, 1e-4)
+    assert close(got.intercept, intercept, 1e-4)
+
+
+def _kept_adj() -> dict:
+    """Hub-capped adjacency (degree ≤ 25, both endpoints kept)."""
+    adj = _und_adj()
+    kept = {v for v, n in adj.items() if len(n) <= 25}
+    return {
+        v: {n for n in adj[v] if n in kept} for v in kept
+    }
+
+
+def test_edge_support_matches_textbook(spark):
+    ka = _kept_adj()
+    want = {}
+    for a in sorted(ka):
+        for b in ka[a]:
+            if a < b:
+                sup = len((ka[a] & ka[b]) - {a, b})
+                if sup > 0:
+                    want[(a, b)] = {"support": sup}
+    assert_keyed(
+        run(spark, "graph_edge_support"), want, ["a", "b"], ["support"]
+    )
+
+
+def test_common_neighbors_matches_textbook(spark):
+    adj = _und_adj()
+    kept = {v: len(adj[v]) for v in adj if len(adj[v]) <= 25}
+    ka = {v: {n for n in adj[v] if n in kept} for v in kept}
+    want = {}
+    verts = sorted(ka)
+    for i, u in enumerate(verts):
+        for w in verts[i + 1 :]:
+            cn = len(ka[u] & ka[w])
+            if cn >= 3:
+                want[(u, w)] = {
+                    "cn": cn,
+                    "jaccard": cn / (kept[u] + kept[w] - cn),
+                }
+    assert_keyed(
+        run(spark, "graph_common_neighbors"),
+        want,
+        ["u", "w"],
+        ["cn", "jaccard"],
+    )
+
+
+# --------------------------------------------- lexical scores (wave 3)
+
+
+def test_word_entropy_matches_textbook(spark):
+    tl = _token_lists()
+    want = {}
+    for doc_id, toks in zip(tl.doc_id, tl.toks):
+        cnt: dict = {}
+        for t in toks:
+            cnt[t] = cnt.get(t, 0) + 1
+        n = len(toks)
+        want[(doc_id,)] = {
+            "n_toks": n,
+            "ttr": len(cnt) / n,
+            "entropy": math.log(n)
+            - sum(c * math.log(c) for c in cnt.values()) / n,
+        }
+    assert_keyed(
+        run(spark, "llm_word_entropy"),
+        want,
+        ["doc_id"],
+        ["n_toks", "ttr", "entropy"],
+    )
+
+
+def test_hapax_ratio_matches_textbook(spark):
+    tl = _token_lists()
+    want = {}
+    for lang, grp in tl.groupby("lang"):
+        cnt: dict = {}
+        for toks in grp.toks:
+            for t in toks:
+                cnt[t] = cnt.get(t, 0) + 1
+        hapax = sum(1 for c in cnt.values() if c == 1)
+        want[(lang,)] = {
+            "vocab": len(cnt),
+            "hapax": hapax,
+            "total_tokens": sum(cnt.values()),
+            "hapax_share": hapax / len(cnt),
+        }
+    assert_keyed(
+        run(spark, "llm_hapax_ratio"),
+        want,
+        ["lang"],
+        ["vocab", "hapax", "total_tokens", "hapax_share"],
+    )
+
+
+def test_unigram_logprob_matches_textbook(spark):
+    tl = _token_lists()
+    vocab: dict = {}
+    for toks in tl.toks:
+        for t in toks:
+            vocab[t] = vocab.get(t, 0) + 1
+    total, v = float(sum(vocab.values())), float(len(vocab))
+    want = {}
+    for doc_id, toks in zip(tl.doc_id, tl.toks):
+        nll = [-math.log((vocab[t] + 1.0) / (total + v)) for t in toks]
+        want[(doc_id,)] = {
+            "n_toks": len(toks),
+            "mean_nll": sum(nll) / len(nll),
+        }
+    assert_keyed(
+        run(spark, "llm_unigram_logprob"),
+        want,
+        ["doc_id"],
+        ["n_toks", "mean_nll"],
+    )
+
+
+def test_bigram_logprob_matches_textbook(spark):
+    tl = _token_lists()
+    uni: dict = {}
+    bc: dict = {}
+    for toks in tl.toks:
+        for t in toks:
+            uni[t] = uni.get(t, 0) + 1
+        for w1, w2 in zip(toks, toks[1:]):
+            bc[(w1, w2)] = bc.get((w1, w2), 0) + 1
+    v = float(len(uni))
+    want = {}
+    for doc_id, toks in zip(tl.doc_id, tl.toks):
+        lls = [
+            math.log((bc[(w1, w2)] + 1.0) / (uni[w1] + v))
+            for w1, w2 in zip(toks, toks[1:])
+        ]
+        if lls:
+            want[(doc_id,)] = {
+                "n_bigrams": len(lls),
+                "mean_ll": sum(lls) / len(lls),
+            }
+    assert_keyed(
+        run(spark, "llm_bigram_logprob"),
+        want,
+        ["doc_id"],
+        ["n_bigrams", "mean_ll"],
+    )
+
+
+def test_bm25_matches_textbook(spark):
+    tl = _token_lists()
+    terms = ["scan", "agg", "fast"]
+    n_docs = len(tl)
+    dl = {d: len(t) for d, t in zip(tl.doc_id, tl.toks)}
+    avgdl = sum(dl.values()) / len(dl)
+    tf = {
+        d: {t: toks.count(t) for t in terms if t in toks}
+        for d, toks in zip(tl.doc_id, tl.toks)
+    }
+    df = {t: sum(1 for d in tf if t in tf[d]) for t in terms}
+    idf = {
+        t: math.log((n_docs - df[t] + 0.5) / (df[t] + 0.5) + 1.0)
+        for t in terms
+    }
+    k1, b = 1.2, 0.75
+    want = {}
+    for d, tfs in tf.items():
+        if not tfs:
+            continue
+        score = sum(
+            idf[t]
+            * f
+            * (k1 + 1)
+            / (f + k1 * (1 - b + b * dl[d] / avgdl))
+            for t, f in tfs.items()
+        )
+        want[(d,)] = {"bm25": score}
+    assert_keyed(run(spark, "llm_bm25_score"), want, ["doc_id"], ["bm25"])
+
+
+def test_tfidf_matches_textbook(spark):
+    tl = _token_lists()
+    n_corpus = len(tl)
+    df: dict = {}
+    for toks in tl.toks:
+        for t in set(toks):
+            df[t] = df.get(t, 0) + 1
+    want = {}
+    for doc_id, toks in zip(tl.doc_id, tl.toks):
+        n = len(toks)
+        cnt: dict = {}
+        for t in toks:
+            cnt[t] = cnt.get(t, 0) + 1
+        for t, c in cnt.items():
+            want[(doc_id, t)] = {
+                "tfidf": (c / n) * math.log(n_corpus / df[t])
+            }
+    assert_keyed(
+        run(spark, "llm_tfidf"), want, ["doc_id", "word"], ["tfidf"]
+    )
+
+
+def test_repetition_score_matches_textbook(spark):
+    tl = _token_lists()
+    want = {}
+    for doc_id, toks in zip(tl.doc_id, tl.toks):
+        if len(toks) < 2:
+            continue
+        cnt: dict = {}
+        for w1, w2 in zip(toks, toks[1:]):
+            bg = f"{w1} {w2}"
+            cnt[bg] = cnt.get(bg, 0) + 1
+        top = max(cnt.values())
+        total = sum(cnt.values())
+        want[(doc_id,)] = {
+            "top_cnt": top,
+            "n_bigrams": total,
+            "n_distinct": len(cnt),
+            "rep_ratio": top / total,
+            "distinct_ratio": len(cnt) / total,
+        }
+    assert_keyed(
+        run(spark, "llm_repetition_score"),
+        want,
+        ["doc_id"],
+        ["top_cnt", "n_bigrams", "n_distinct", "rep_ratio", "distinct_ratio"],
+    )
+
+
+def test_source_concentration_matches_textbook(spark):
+    doc = _tbl("documents")
+    s = doc.groupby("source").agg(
+        n_docs=("doc_id", "size"), n_chars=("n_chars", "sum")
+    )
+    s = s.sort_values(
+        ["n_docs", "source"], ascending=[False, True], key=None
+    ).reset_index()
+    tot = float(s.n_docs.sum())
+    cum = 0
+    want = {}
+    for _, r in s.iterrows():
+        cum += r.n_docs
+        want[(r.source,)] = {
+            "n_docs": int(r.n_docs),
+            "n_chars": int(r.n_chars),
+            "share": r.n_docs / tot,
+            "cum_share": cum / tot,
+            "in_top80": cum / tot <= 0.8,
+        }
+    assert_keyed(
+        run(spark, "llm_source_concentration"),
+        want,
+        ["source"],
+        ["n_docs", "n_chars", "share", "cum_share", "in_top80"],
+    )
