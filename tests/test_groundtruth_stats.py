@@ -1354,3 +1354,338 @@ def test_source_concentration_matches_textbook(spark):
         ["source"],
         ["n_docs", "n_chars", "share", "cum_share", "in_top80"],
     )
+
+
+# ------------------------------------------ vector kernels (wave 4)
+# Full-matrix numpy is the independent reference: the operators use a
+# blocked-broadcast kernel (llm.py `_blocked_union`) or relational
+# explode/agg spellings — none of which share code with a dense
+# M @ M.T over the whole table.
+
+
+def _emb():
+    e = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    m = np.stack([np.asarray(v, dtype=np.float64) for v in e.embedding])
+    return e.vec_id.to_numpy(), e.label.to_numpy(), m
+
+
+def test_knn_bruteforce_matches_dense_numpy(spark):
+    ids, _, m = _emb()
+    nrm = np.sqrt((m * m).sum(axis=1))
+    sims = (m @ m.T) / np.outer(nrm, nrm)
+    want = {}
+    for i, src in enumerate(ids):
+        cand = [
+            (-round(float(sims[i, j]), 6), int(ids[j]), float(sims[i, j]))
+            for j in range(len(ids))
+            if ids[j] != src
+        ]
+        cand.sort(key=lambda t: (t[0], t[1]))
+        for rnk, (_, nbr, raw) in enumerate(cand[:5], start=1):
+            want[(int(src), rnk)] = {"nbr": nbr, "sim": raw}
+    assert_keyed(
+        run(spark, "llm_knn_bruteforce"),
+        want,
+        ["src", "rnk"],
+        ["nbr", "sim"],
+        1e-5,
+    )
+
+
+def test_knn_centroid_matches_dense_numpy(spark):
+    ids, labels, m = _emb()
+    cents = {
+        lab: np.round(m[labels == lab].mean(axis=0), 6)
+        for lab in np.unique(labels)
+    }
+    want = {}
+    for i, vid in enumerate(ids):
+        d2 = {
+            int(lab): float(((m[i] - c) ** 2).sum())
+            for lab, c in cents.items()
+        }
+        assigned = min(d2, key=lambda lab: (d2[lab], lab))
+        want[(int(vid),)] = {
+            "label": int(labels[i]),
+            "assigned_label": assigned,
+            "d2": d2[assigned],
+        }
+    assert_keyed(
+        run(spark, "llm_knn_centroid"),
+        want,
+        ["vec_id"],
+        ["label", "assigned_label", "d2"],
+        1e-4,
+    )
+
+
+def test_embed_normalize_matches_numpy(spark):
+    ids, _, m = _emb()
+    nrm = np.sqrt((m * m).sum(axis=1))
+    want = {}
+    for i, vid in enumerate(ids):
+        for pos in range(m.shape[1]):
+            want[(int(vid), pos + 1)] = {
+                "nval": m[i, pos] / nrm[i],
+                "l2_norm": nrm[i],
+            }
+    assert_keyed(
+        run(spark, "llm_embed_normalize"),
+        want,
+        ["vec_id", "pos"],
+        ["nval", "l2_norm"],
+        1e-5,
+    )
+
+
+def test_embedding_pool_mean_matches_numpy(spark):
+    ids, _, m = _emb()
+    docs = ids // 10
+    want = {}
+    for doc in np.unique(docs):
+        rows = m[docs == doc]
+        pooled = np.round(rows.mean(axis=0), 6)
+        l2 = math.sqrt(float((pooled * pooled).sum()))
+        for pos in range(m.shape[1]):
+            want[(int(doc), pos + 1)] = {
+                "n_chunks": rows.shape[0],
+                "pooled_norm": None if l2 == 0 else pooled[pos] / l2,
+            }
+    assert_keyed(
+        run(spark, "llm_embedding_pool_mean"),
+        want,
+        ["doc", "pos"],
+        ["n_chunks", "pooled_norm"],
+        1e-5,
+    )
+
+
+def test_embedding_quantize_int8_matches_numpy(spark):
+    ids, _, m = _emb()
+    want = {}
+    for i, vid in enumerate(ids):
+        mx = np.abs(m[i]).max()
+        if mx == 0:
+            continue
+        scale = 127.0 / mx
+        q = np.floor(m[i] * scale + 0.5)
+        want[(int(vid),)] = {
+            "scale_r": scale,
+            "qsum": int(q.sum()),
+            "q_l1": int(np.abs(q).sum()),
+            "max_abs_err": float(np.abs(m[i] - q / scale).max()),
+        }
+    got = run(spark, "llm_embedding_quantize_int8")
+    # the integer checksums must match EXACTLY — floor on identical IEEE
+    # doubles is bit-deterministic across numpy and the JVM
+    gk = {int(r.vec_id): r for _, r in got.iterrows()}
+    assert set(gk) == {k[0] for k in want}
+    for (vid,), w in want.items():
+        r = gk[vid]
+        assert int(r.qsum) == w["qsum"], vid
+        assert int(r.q_l1) == w["q_l1"], vid
+        assert close(r.scale_r, w["scale_r"], 1e-5)
+        assert close(r.max_abs_err, w["max_abs_err"], 1e-4)
+
+
+def test_similarity_threshold_join_matches_dense_numpy(spark):
+    ids, _, m = _emb()
+    doc = _tbl("documents")[["doc_id", "lang"]]
+    lang = dict(zip(doc.doc_id, doc.lang))
+    nrm = np.sqrt((m * m).sum(axis=1))
+    sims = (m @ m.T) / np.outer(nrm, nrm)
+    want = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = int(ids[i]), int(ids[j])
+            if a > b:
+                a, b = b, a
+                s = float(sims[j, i])
+            else:
+                s = float(sims[i, j])
+            if s > 0.3 and lang.get(a) == lang.get(b):
+                want[(a, b)] = {"sim": s, "lang": lang[a]}
+    assert_keyed(
+        run(spark, "llm_similarity_threshold_join"),
+        want,
+        ["id_a", "id_b"],
+        ["sim", "lang"],
+        1e-5,
+    )
+
+
+# ------------------------------------------------ ts analytics (wave 4b)
+
+
+def test_seasonal_profile_matches_textbook(spark):
+    ev = _tbl("events")
+    df = pd.DataFrame(
+        {
+            "dow": ev.ts.dt.dayofweek + 1,
+            "hod": ev.ts.dt.hour,
+            "c": cents(ev.value),
+        }
+    )
+    want = {}
+    for (dow, hod), grp in df.groupby(["dow", "hod"]):
+        want[(dow, hod)] = {
+            "n_events": len(grp),
+            "mean_value": grp.c.sum() / 100.0 / len(grp),
+        }
+    assert_keyed(
+        run(spark, "ts_seasonal_profile"),
+        want,
+        ["dow", "hod"],
+        ["n_events", "mean_value"],
+    )
+
+
+def test_forecast_naive_eval_matches_textbook(spark):
+    daily = _daily_type_cents()
+    want = {}
+    for et, grp in daily.groupby("event_type"):
+        series = dict(zip(grp.day, grp.c))
+        errs, mapes = [], []
+        for day, c in series.items():
+            prev = series.get(day - pd.Timedelta(days=7))
+            if prev is None:
+                continue
+            err = abs(int(c) - int(prev))
+            errs.append(err)
+            if c != 0:
+                mapes.append(err / float(c))
+        if errs:
+            want[(et,)] = {
+                "n_days": len(errs),
+                "abs_err_cents": sum(errs),
+                "mae_cents": sum(errs) / len(errs),
+                "mape": sum(mapes) / len(mapes) if mapes else None,
+            }
+    assert_keyed(
+        run(spark, "ts_forecast_naive_eval"),
+        want,
+        ["event_type"],
+        ["n_days", "abs_err_cents", "mae_cents", "mape"],
+    )
+
+
+def test_inter_event_stats_match_textbook(spark):
+    ev = _tbl("events")
+    df = pd.DataFrame(
+        {
+            "user_id": ev.user_id,
+            "t": ev.ts.astype("int64"),
+            "event_id": ev.event_id,
+        }
+    ).sort_values(["user_id", "t", "event_id"])
+    want = {}
+    for uid, grp in df.groupby("user_id"):
+        gaps = sorted(np.diff(grp.t.to_numpy()))
+        if not gaps:
+            continue
+        n = len(gaps)
+        want[(uid,)] = {
+            "n_gaps": n,
+            "median_gap_us": gaps[math.ceil(0.5 * n) - 1],
+            "p90_gap_us": gaps[math.ceil(0.9 * n) - 1],
+            "max_gap_us": gaps[-1],
+        }
+    assert_keyed(
+        run(spark, "ts_inter_event_stats"),
+        want,
+        ["user_id"],
+        ["n_gaps", "median_gap_us", "p90_gap_us", "max_gap_us"],
+    )
+
+
+def test_coverage_ratio_matches_textbook(spark):
+    ev = _tbl("events")
+    hours = pd.DataFrame(
+        {
+            "user_id": ev.user_id,
+            "h": ev.ts.dt.floor("h").astype("int64"),
+        }
+    ).drop_duplicates()
+    want = {}
+    for uid, grp in hours.groupby("user_id"):
+        span = (grp.h.max() - grp.h.min()) // HOUR_US + 1
+        want[(uid,)] = {
+            "hours_with_data": len(grp),
+            "span_hours": int(span),
+            "coverage": len(grp) / float(span),
+        }
+    assert_keyed(
+        run(spark, "ts_coverage_ratio"),
+        want,
+        ["user_id"],
+        ["hours_with_data", "span_hours", "coverage"],
+    )
+
+
+def test_histogram_equi_width_matches_textbook(spark):
+    ev = _tbl("events")
+    c = cents(ev.value)
+    df = pd.DataFrame(
+        {
+            "event_type": ev.event_type,
+            "bin": np.minimum(c // 5000, 9),
+            "c": c,
+        }
+    )
+    want = {}
+    for (et, b), grp in df.groupby(["event_type", "bin"]):
+        want[(et, b)] = {
+            "n": len(grp),
+            "min_cents": int(grp.c.min()),
+            "max_cents": int(grp.c.max()),
+        }
+    assert_keyed(
+        run(spark, "ts_histogram_equi_width"),
+        want,
+        ["event_type", "bin"],
+        ["n", "min_cents", "max_cents"],
+    )
+
+
+def test_rolling_active_users_matches_textbook(spark):
+    ev = _tbl("events")
+    du = pd.DataFrame(
+        {
+            "day": ev.ts.dt.normalize().astype("int64"),
+            "user_id": ev.user_id,
+        }
+    ).drop_duplicates()
+    days = sorted(du.day.unique())
+    want = {}
+    for d in days:
+        in_win = du[(du.day >= d - 518_400_000_000) & (du.day <= d)]
+        want[(d,)] = {
+            "wau": in_win.user_id.nunique(),
+            "dau": du[du.day == d].user_id.nunique(),
+        }
+    assert_keyed(
+        run(spark, "ts_rolling_active_users"),
+        want,
+        ["day_us"],
+        ["wau", "dau"],
+    )
+
+
+def test_period_over_period_matches_textbook(spark):
+    daily = _daily_type_cents()
+    want = {}
+    for et, grp in daily.groupby("event_type"):
+        series = dict(zip(grp.day.astype("int64"), grp.c))  # µs-unit fixture
+        for day, c in series.items():
+            prev = series.get(day - 604_800_000_000)  # 7 days in µs
+            want[(et, day)] = {
+                "cents": int(c),
+                "cents_prev_week": None if prev is None else int(prev),
+                "wow_growth": None if prev is None else c / float(prev) - 1.0,
+            }
+    assert_keyed(
+        run(spark, "ts_period_over_period"),
+        want,
+        ["event_type", "day_us"],
+        ["cents", "cents_prev_week", "wow_growth"],
+    )
