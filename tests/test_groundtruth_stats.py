@@ -1689,3 +1689,413 @@ def test_period_over_period_matches_textbook(spark):
         ["event_type", "day_us"],
         ["cents", "cents_prev_week", "wow_growth"],
     )
+
+
+# ------------------------------------- classic sweep algorithms (wave 5)
+# Sessionization, gaps-and-islands, interval union, forward fill: the
+# operators spell these as window tricks (day − row_number anchors,
+# running-max sweeps, IGNORE NULLS frames); the ground truths are plain
+# single-pass Python sweeps — the textbook form of each algorithm.
+
+
+def test_sessionize_matches_manual_sweep(spark):
+    ev = _tbl("events")
+    df = pd.DataFrame(
+        {
+            "user_id": ev.user_id,
+            "event_id": ev.event_id,
+            "t": ev.ts.astype("int64"),
+        }
+    ).sort_values(["user_id", "t", "event_id"])
+    want = {}
+    for uid, grp in df.groupby("user_id"):
+        sid, prev = 0, None
+        for _, r in grp.iterrows():
+            if prev is None or r.t - prev > 1_800_000_000:
+                sid += 1
+            prev = r.t
+            k = (uid, sid)
+            if k not in want:
+                want[k] = {"n_events": 0, "session_start_us": r.t,
+                           "session_end_us": r.t}
+            want[k]["n_events"] += 1
+            want[k]["session_end_us"] = r.t
+    assert_keyed(
+        run(spark, "win_sessionize"),
+        want,
+        ["user_id", "session_id"],
+        ["n_events", "session_start_us", "session_end_us"],
+    )
+
+
+def test_anomaly_zscore_matches_manual_trailing_window(spark):
+    ev = _tbl("events")
+    df = ev[["event_id", "event_type", "ts", "value"]].sort_values(
+        ["event_type", "ts", "event_id"]
+    )
+    want = {}
+    for _, grp in df.groupby("event_type"):
+        v = grp.value.to_numpy()
+        ids = grp.event_id.to_numpy()
+        for i in range(len(v)):
+            win = v[max(0, i - 50) : i]
+            n = len(win)
+            if n < 10:
+                continue
+            mean = win.mean()
+            var = win.var(ddof=1)
+            if var <= 0:
+                continue
+            want[(int(ids[i]),)] = {
+                "event_type": grp.event_type.iloc[0],
+                "value": v[i],
+                "z": (v[i] - mean) / math.sqrt(var),
+            }
+    assert_keyed(
+        run(spark, "ts_anomaly_zscore"),
+        want,
+        ["event_id"],
+        ["event_type", "value", "z"],
+        1e-5,
+    )
+
+
+def test_gaps_islands_matches_manual_sweep(spark):
+    ev = _tbl("events")
+    act = ev[ev.event_type.isin(["click", "view", "purchase"])]
+    days = (
+        pd.DataFrame(
+            {"user_id": act.user_id, "d": act.ts.dt.normalize()}
+        )
+        .drop_duplicates()
+        .sort_values(["user_id", "d"])
+    )
+    want = {}
+    for uid, grp in days.groupby("user_id"):
+        ds = list(grp.d)
+        start = prev = ds[0]
+        n = 1
+        for d in ds[1:]:
+            if (d - prev).days == 1:
+                n += 1
+            else:
+                want[(uid, start.strftime("%Y-%m-%d"))] = {
+                    "streak_end": prev.strftime("%Y-%m-%d"),
+                    "streak_days": n,
+                }
+                start, n = d, 1
+            prev = d
+        want[(uid, start.strftime("%Y-%m-%d"))] = {
+            "streak_end": prev.strftime("%Y-%m-%d"),
+            "streak_days": n,
+        }
+    assert_keyed(
+        run(spark, "ts_gaps_islands"),
+        want,
+        ["user_id", "streak_start"],
+        ["streak_end", "streak_days"],
+    )
+
+
+def test_interval_merge_matches_manual_sweep(spark):
+    o = _tbl("orders")
+    iv = pd.DataFrame(
+        {
+            "cust": o.o_custkey,
+            "s": pd.to_datetime(o.o_orderdate).astype("int64"),
+        }
+    )
+    iv["e"] = iv.s + 604_800_000_000
+    iv = iv.sort_values(["cust", "s", "e"])
+    want = {}
+    for cust, grp in iv.groupby("cust"):
+        span_id, max_e, start, n = 0, None, None, 0
+        for _, r in grp.iterrows():
+            if max_e is None or r.s > max_e:
+                if span_id:
+                    want[(cust, span_id)] = {
+                        "span_start_us": start,
+                        "span_end_us": max_e,
+                        "n_intervals": n,
+                    }
+                span_id += 1
+                start, max_e, n = r.s, r.e, 1
+            else:
+                max_e = max(max_e, r.e)
+                n += 1
+        want[(cust, span_id)] = {
+            "span_start_us": start,
+            "span_end_us": max_e,
+            "n_intervals": n,
+        }
+    assert_keyed(
+        run(spark, "ts_interval_merge"),
+        want,
+        ["o_custkey", "span_id"],
+        ["span_start_us", "span_end_us", "n_intervals"],
+    )
+
+
+def test_gap_fill_ffill_matches_manual_sweep(spark):
+    ev = _tbl("events")
+    df = ev[ev.user_id <= 50]
+    hourly = (
+        pd.DataFrame(
+            {
+                "user_id": df.user_id,
+                "h": df.ts.dt.floor("h").astype("int64"),
+                "c": cents(df.value),
+            }
+        )
+        .groupby(["user_id", "h"])
+        .agg(n_events=("c", "size"), cents=("c", "sum"))
+        .reset_index()
+    )
+    want = {}
+    for uid, grp in hourly.groupby("user_id"):
+        obs = {
+            h: (n, c)
+            for h, n, c in zip(grp.h, grp.n_events, grp.cents)
+        }
+        last = None
+        for h in range(min(obs), max(obs) + HOUR_US, HOUR_US):
+            if h in obs:
+                n, c = obs[h]
+                last = c
+                want[(uid, h)] = {
+                    "n_events": n, "cents_ffill": int(c), "is_gap": 0,
+                }
+            else:
+                want[(uid, h)] = {
+                    "n_events": 0,
+                    "cents_ffill": None if last is None else int(last),
+                    "is_gap": 1,
+                }
+    assert_keyed(
+        run(spark, "ts_gap_fill_ffill"),
+        want,
+        ["user_id", "hour_us"],
+        ["n_events", "cents_ffill", "is_gap"],
+    )
+
+
+def test_time_bucket_arbitrary_matches_manual(spark):
+    ev = _tbl("events")
+    us = ev.ts.astype("int64")
+    df = pd.DataFrame(
+        {
+            "b6": (us // 21_600_000_000) * 21_600_000_000,
+            "b15": us // 900_000_000,
+            "event_type": ev.event_type,
+            "c": cents(ev.value),
+        }
+    )
+    want = {}
+    for (b6, et), grp in df.groupby(["b6", "event_type"]):
+        want[(b6, et)] = {
+            "n_events": len(grp),
+            "n_active_15m": grp.b15.nunique(),
+            "cents": int(grp.c.sum()),
+        }
+    assert_keyed(
+        run(spark, "ts_time_bucket_arbitrary"),
+        want,
+        ["bucket6h_us", "event_type"],
+        ["n_events", "n_active_15m", "cents"],
+    )
+
+
+# ----------------------------------- cohorts, funnel, ABC, heuristics
+
+
+def test_cohort_retention_matches_manual(spark):
+    ev = _tbl("events")
+    df = pd.DataFrame(
+        {"user_id": ev.user_id, "d": ev.ts.dt.normalize()}
+    ).drop_duplicates()
+    cohort = df.groupby("user_id")["d"].min()
+    want = {}
+    for _, r in df.iterrows():
+        c = cohort[r.user_id]
+        off = (r.d - c).days
+        if 0 <= off <= 7:
+            k = (c.strftime("%Y-%m-%d"), off)
+            want.setdefault(k, {"n_active": 0})["n_active"] += 1
+    assert_keyed(
+        run(spark, "ts_cohort_retention"),
+        want,
+        ["cohort_day", "day_offset"],
+        ["n_active"],
+    )
+
+
+def test_funnel_stages_match_manual(spark):
+    ev = _tbl("events")
+    df = pd.DataFrame(
+        {
+            "user_id": ev.user_id,
+            "event_type": ev.event_type,
+            "t": ev.ts.astype("int64"),
+        }
+    )
+    want = {}
+    for uid, grp in df.groupby("user_id"):
+        views = grp.loc[grp.event_type == "view", "t"]
+        if views.empty:
+            continue
+        t1 = int(views.min())
+        clicks = grp.loc[(grp.event_type == "click") & (grp.t > t1), "t"]
+        t2 = None if clicks.empty else int(clicks.min())
+        t3 = None
+        if t2 is not None:
+            buys = grp.loc[
+                (grp.event_type == "purchase") & (grp.t > t2), "t"
+            ]
+            t3 = None if buys.empty else int(buys.min())
+        want[(uid,)] = {
+            "stage": 1 + (t2 is not None) + (t3 is not None),
+            "view_us": t1,
+            "click_us": t2,
+            "purchase_us": t3,
+        }
+    assert_keyed(
+        run(spark, "ts_funnel_stages"),
+        want,
+        ["user_id"],
+        ["stage", "view_us", "click_us", "purchase_us"],
+    )
+
+
+def test_cohort_ltv_matches_manual(spark):
+    WEEK = 604_800_000_000
+    ev = _tbl("events")
+    df = pd.DataFrame(
+        {
+            "user_id": ev.user_id,
+            "w": ev.ts.astype("int64") // WEEK,
+            "c": cents(ev.value),
+        }
+    )
+    first = df.groupby("user_id")["w"].min()
+    sized = first.value_counts()
+    cell = (
+        pd.DataFrame(
+            {
+                "cohort_w": first[df.user_id].to_numpy(),
+                "w_off": df.w.to_numpy() - first[df.user_id].to_numpy(),
+                "c": df.c.to_numpy(),
+            }
+        )
+        .groupby(["cohort_w", "w_off"])["c"]
+        .sum()
+    )
+    want = {}
+    for cw, grp in cell.groupby(level=0):
+        cum = 0
+        for (_, off), rev in grp.sort_index().items():
+            cum += int(rev)
+            want[(cw, off)] = {
+                "cohort_users": int(sized[cw]),
+                "ltv_per_user": cum / 100.0 / sized[cw],
+            }
+    assert_keyed(
+        run(spark, "ts_cohort_ltv"),
+        want,
+        ["cohort_w", "w_off"],
+        ["cohort_users", "ltv_per_user"],
+    )
+
+
+def test_abc_classification_matches_manual(spark):
+    li = _tbl("lineitem")
+    pc = cents(li.l_extendedprice)
+    dc = cents(li.l_discount)  # discount in hundredths
+    rev_u = pc * (100 - dc)  # exact integer, 1e-4-dollar units
+    per_part = (
+        pd.DataFrame({"part": li.l_partkey, "rev": rev_u})
+        .groupby("part")["rev"]
+        .sum()
+        .sort_index()
+    )
+    total = float(per_part.sum())
+    ranked = sorted(
+        per_part.items(), key=lambda kv: (-kv[1], kv[0])
+    )
+    classes = {"A": [0, 0.0], "B": [0, 0.0], "C": [0, 0.0]}
+    cum_before = 0.0
+    for part, rev in ranked:
+        share_before = cum_before / total
+        cls = "A" if share_before < 0.80 else ("B" if share_before < 0.95 else "C")
+        classes[cls][0] += 1
+        classes[cls][1] += rev / total
+        cum_before += rev
+    want = {
+        (cls,): {"n_parts": n, "revenue_share": share}
+        for cls, (n, share) in classes.items()
+        if n
+    }
+    assert_keyed(
+        run(spark, "agg_abc_classification"),
+        want,
+        ["abc"],
+        ["n_parts", "revenue_share"],
+    )
+
+
+def test_langid_matches_manual(spark):
+    tl = _token_lists()
+    profile: dict = {}
+    for lang, toks in zip(tl.lang, tl.toks):
+        for t in toks:
+            profile[(lang, t)] = profile.get((lang, t), 0) + 1
+    langs = sorted(tl.lang.unique())
+    want = {}
+    for doc_id, toks in zip(tl.doc_id, tl.toks):
+        cnt: dict = {}
+        for t in toks:
+            cnt[t] = cnt.get(t, 0) + 1
+        scores = {
+            lang: sum(
+                c * profile.get((lang, t), 0) for t, c in cnt.items()
+            )
+            for lang in langs
+        }
+        scores = {lang: s for lang, s in scores.items() if s > 0}
+        best = min(scores, key=lambda lang: (-scores[lang], lang))
+        want[(doc_id,)] = {"pred_lang": best, "score": scores[best]}
+    assert_keyed(
+        run(spark, "llm_langid_ngram"),
+        want,
+        ["doc_id"],
+        ["pred_lang", "score"],
+    )
+
+
+def test_quality_score_matches_manual(spark):
+    doc = _tbl("documents")
+    stop = {"the", "a", "of", "and", "to"}
+    want = {}
+    for doc_id, text in zip(doc.doc_id, doc.text):
+        if text is None:
+            continue
+        words = text.split(" ")
+        nw = len(words)
+        nc = len(text)
+        ns = sum(1 for w in words if w in stop)
+        ppm = (
+            4000 * min(nw, 100)
+            + (300000 - (ns * 300000) // nw)
+            + min(((nc - (nw - 1)) * 300000) // (8 * nw), 300000)
+        )
+        want[(doc_id,)] = {
+            "n_words": nw,
+            "stop_ratio": ns / nw,
+            "avg_word_len": (nc - (nw - 1)) / nw,
+            "quality_ppm": ppm,
+        }
+    assert_keyed(
+        run(spark, "llm_quality_score"),
+        want,
+        ["doc_id"],
+        ["n_words", "stop_ratio", "avg_word_len", "quality_ppm"],
+    )
