@@ -2099,3 +2099,101 @@ def test_quality_score_matches_manual(spark):
         ["doc_id"],
         ["n_words", "stop_ratio", "avg_word_len", "quality_ppm"],
     )
+
+
+# ------------------------- hash-deterministic ops via hashlib (wave 6)
+# The md5-ranked walk/sampling/minhash operators are deterministic BY
+# md5 — so Python's hashlib (an independent implementation of the same
+# public standard) can recompute the full result, not just invariants.
+
+
+def _md5(s: str) -> str:
+    import hashlib
+
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_random_walks_match_hashlib_replay(spark):
+    edges = _edges()
+    out: dict = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    roots = sorted({s for s, _ in edges if s % 5 == 0})
+    want = {}
+    for root in roots:
+        path = [root]
+        cur = root
+        alive = True
+        for t in range(1, 5):  # _WALK_LEN = 4
+            nbrs = out.get(cur)
+            if not nbrs:
+                alive = False
+                break
+            cur = min(nbrs, key=lambda d: (_md5(f"{root}|{t}|{d}"), d))
+            path.append(cur)
+        if alive:
+            want[(root,)] = {"path": "-".join(str(v) for v in path)}
+    assert_keyed(run(spark, "graph_random_walks"), want, ["root"], ["path"])
+
+
+def test_neighborhood_sampling_matches_hashlib_replay(spark):
+    edges = _edges()
+    out: dict = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    want = {}
+    for root, nbrs in out.items():
+        hop1s = sorted(nbrs, key=lambda d: (_md5(f"{root}_{d}"), d))[:5]
+        for h1 in hop1s:
+            cands = [d for d in out.get(h1, []) if d != root]
+            for h2 in sorted(
+                cands, key=lambda d: (_md5(f"{h1}_{d}"), d)
+            )[:3]:
+                want[(root, h1, h2)] = {}
+    got = run(spark, "graph_neighborhood_sampling")
+    gk = {
+        (int(r.root), int(r.hop1), int(r.hop2)) for _, r in got.iterrows()
+    }
+    assert gk == set(want)
+
+
+def test_minhash_jaccard_estimate_matches_hashlib_replay(spark):
+    doc = _tbl("documents")
+    ssets = {}
+    for doc_id, text in zip(doc.doc_id, doc.text):
+        words = text.split(" ")
+        if len(words) >= 5:
+            ssets[doc_id] = {
+                " ".join(words[i : i + 5]) for i in range(len(words) - 4)
+            }
+    sigs = {
+        d: [min(_md5(f"s{k}|" + s) for s in ss) for k in range(8)]
+        for d, ss in ssets.items()
+    }
+    buckets: dict = {}
+    for d, sg in sigs.items():
+        for band in range(4):
+            bh = _md5(sg[2 * band] + sg[2 * band + 1])
+            buckets.setdefault((band, bh), []).append(d)
+    cand = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i, a in enumerate(ms):
+            for b in ms[i + 1 :]:
+                cand.add((a, b))
+    want = {}
+    for a, b in cand:
+        n_match = sum(1 for k in range(8) if sigs[a][k] == sigs[b][k])
+        inter = len(ssets[a] & ssets[b])
+        union = len(ssets[a] | ssets[b])
+        want[(a, b)] = {
+            "n_sig_match": n_match,
+            "est_jaccard": n_match / 8.0,
+            "exact_jaccard": inter / union,
+        }
+    assert_keyed(
+        run(spark, "llm_minhash_jaccard_estimate"),
+        want,
+        ["id_a", "id_b"],
+        ["n_sig_match", "est_jaccard", "exact_jaccard"],
+    )
