@@ -2197,3 +2197,40 @@ def test_minhash_jaccard_estimate_matches_hashlib_replay(spark):
         ["id_a", "id_b"],
         ["n_sig_match", "est_jaccard", "exact_jaccard"],
     )
+
+
+def test_simhash_matches_hashlib_replay(spark):
+    doc = _tbl("documents")
+    want = {}
+    for doc_id, text in zip(doc.doc_id, doc.text):
+        acc = [0] * 60
+        for tok in set(text.split(" ")):
+            h = _md5(tok)
+            for p in range(1, 16):
+                d = int(h[p - 1], 16)
+                for b in range(4):
+                    acc[(p - 1) * 4 + b] += 1 if (d >> b) & 1 else -1
+        want[(doc_id,)] = {
+            "simhash": "".join("1" if a >= 0 else "0" for a in acc)
+        }
+    assert_keyed(run(spark, "llm_simhash"), want, ["doc_id"], ["simhash"])
+
+
+def test_doc_fingerprint_matches_hashlib_replay(spark):
+    doc = _tbl("documents")
+    want = {}
+    for doc_id, text in zip(doc.doc_id, doc.text):
+        fp = 0
+        for pos, tok in enumerate(text.split(" "), start=1):
+            h = _md5(tok)
+            v = (
+                int(h[0], 16) * 4096
+                + int(h[1], 16) * 256
+                + int(h[2], 16) * 16
+                + int(h[3], 16)
+            )
+            fp += v * ((pos * 2654435761) % 1000003)
+        want[(doc_id,)] = {"fingerprint": fp}
+    assert_keyed(
+        run(spark, "llm_doc_fingerprint"), want, ["doc_id"], ["fingerprint"]
+    )
