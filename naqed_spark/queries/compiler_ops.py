@@ -1055,3 +1055,128 @@ def compiler_q6_full(spark, sf_dir):
             }
         }
     )
+
+
+@query(
+    "compiler_asof_hop",
+    # Round-9 $asof temporal hop through the E1 DSL: each event matched
+    # to the ONE latest order at-or-before its timestamp per user —
+    # the compiler spelling of the registered join_asof key (backward
+    # strategy, o_orderkey tiebreak, rank-1 so the hop never fans out).
+    # Money rides along unchanged (double passthrough, no arithmetic),
+    # so no rounding discipline is needed.
+    oracle="""
+    SELECT event_id, user_id, o_orderkey, o_totalprice FROM (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e JOIN orders o
+        ON o.o_custkey = e.user_id
+       AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)
+    ) WHERE rn = 1
+    """,
+)
+def compiler_asof_hop(spark, sf_dir):
+    """Same plan family as join_asof (user-key equi-join + per-event
+    WindowGroupLimit top-1 — no temporal fan-out materialized; asserted
+    by tests/test_compiler.py::test_asof_plan_uses_window_group_limit)."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "events": {
+                "event_id": True,
+                "user_id": True,
+                "orders": {
+                    "$asof": {
+                        "$left_on": "ts",
+                        "$right_on": "o_orderdate",
+                        "$per": "event_id",
+                        "$tiebreak": "o_orderkey",
+                    },
+                    "o_orderkey": True,
+                    "o_totalprice": True,
+                },
+            }
+        }
+    )
+
+
+@query(
+    "compiler_window_frame",
+    # Round-9 moving-frame windows through the E1 DSL — the last
+    # windows-beyond-rank gap (VERDICT r8 item 8): a running exact-
+    # decimal total ($frame rows unbounded..current, emitted as double
+    # per §7.3), a 3-row moving minimum (exact value pick, no float
+    # arithmetic), and $lag with an explicit $default. All three share
+    # one (o_custkey)-partitioned sort order, so Catalyst evaluates
+    # them in a single Window exchange; o_orderkey makes the order
+    # total and deterministic.
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS DOUBLE) AS run_total,
+           min(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_min3,
+           lag(o_totalprice, 1, CAST(0 AS DOUBLE)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev_price
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    """,
+)
+def compiler_window_frame(spark, sf_dir):
+    """One hash-partitioned Window over (o_custkey) — never a global
+    sort; the decimal running sum stays exact inside the frame and is
+    cast to double only at emission, so both engines agree bitwise."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    order = [["o_orderdate", "asc"], ["o_orderkey", "asc"]]
+    return eng.query(
+        {
+            "orders": {
+                "$filter": {"o_orderstatus": "F"},
+                "o_custkey": True,
+                "o_orderkey": True,
+                "o_totalprice": True,
+                "$window": {
+                    "run_total": {
+                        "$sum": {
+                            "$of": {
+                                "$cast": [
+                                    "o_totalprice",
+                                    {"$lit": "decimal(12,2)"},
+                                ]
+                            },
+                            "$partition": ["o_custkey"],
+                            "$order": order,
+                            "$frame": ["rows", "unbounded", "current"],
+                        }
+                    },
+                    "mov_min3": {
+                        "$min": {
+                            "$of": "o_totalprice",
+                            "$partition": ["o_custkey"],
+                            "$order": order,
+                            "$frame": ["rows", -2, "current"],
+                        }
+                    },
+                    "prev_price": {
+                        "$lag": {
+                            "$of": "o_totalprice",
+                            "$partition": ["o_custkey"],
+                            "$order": order,
+                            "$offset": 1,
+                            "$default": 0.0,
+                        }
+                    },
+                },
+            }
+        }
+    )
