@@ -507,10 +507,10 @@ def test_collocation_pmi_matches_textbook(spark):
 # ----------------------------------------------------------------- graph
 
 
-def _edges() -> set:
+def _edges(sf_dir: str = SF_DIR) -> set:
     """Directed user→user edges from the documented definition: same
     props.k, 0 < Δt ≤ 1h, src ≠ dst, distinct."""
-    ev = _tbl("events")
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
     rows = sorted(
         zip(
             ev.props.map(lambda p: json.loads(p).get("k")),
@@ -2234,3 +2234,251 @@ def test_doc_fingerprint_matches_hashlib_replay(spark):
     assert_keyed(
         run(spark, "llm_doc_fingerprint"), want, ["doc_id"], ["fingerprint"]
     )
+
+
+# ------------------------------------------------- graph core (wave 8)
+
+
+def test_degree_matches_python_edges(spark):
+    edges = _edges()
+    outd: dict = {}
+    ind: dict = {}
+    for s, d in edges:
+        outd[s] = outd.get(s, 0) + 1
+        ind[d] = ind.get(d, 0) + 1
+    want = {
+        (v,): {"out_degree": outd.get(v, 0), "in_degree": ind.get(v, 0)}
+        for v in set(outd) | set(ind)
+    }
+    assert_keyed(
+        run(spark, "graph_degree"), want, ["user_id"],
+        ["out_degree", "in_degree"],
+    )
+
+
+def _adj(edges) -> dict:
+    adj: dict = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+    return adj
+
+
+def test_khop_fixed_matches_python(spark):
+    # at sf0.001 vertex 0's 3-hop set is legitimately empty (0→7 is its
+    # only path and 7 is a sink), so this check runs at sf0.01 where the
+    # graph has ~1.3k edges and the composition is non-trivial.
+    sf = "/root/testdata/sf0.01"
+    adj = _adj(_edges(sf))
+    s = {0}
+    for _ in range(3):
+        s = set().union(*(adj.get(v, set()) for v in s)) if s else set()
+    got = set(QUERIES["graph_khop_fixed"](spark, sf).toPandas().user_id)
+    assert got == s and got
+
+
+def test_reachability_bfs_matches_python(spark):
+    adj = _adj(_edges())
+    dist = {0: 0}
+    frontier = [0]
+    for d in range(1, 11):
+        nxt = []
+        for v in frontier:
+            for w in adj.get(v, set()):
+                if w not in dist:
+                    dist[w] = d
+                    nxt.append(w)
+        if not nxt:
+            break
+        frontier = nxt
+    want = {(v,): {"dist": d} for v, d in dist.items()}
+    assert_keyed(run(spark, "graph_reachability_bfs"), want,
+                 ["user_id"], ["dist"])
+
+
+def test_shortest_path_matches_dijkstra(spark):
+    import heapq
+
+    nat = _tbl("nation")
+    wadj: dict = {}
+    for _, a in nat.iterrows():
+        for _, b in nat.iterrows():
+            if a.n_regionkey == b.n_regionkey and a.n_nationkey != b.n_nationkey:
+                wadj.setdefault(a.n_nationkey, []).append(
+                    (b.n_nationkey, abs(a.n_nationkey - b.n_nationkey))
+                )
+    dist = {0: 0}
+    pq = [(0, 0)]
+    while pq:
+        c, v = heapq.heappop(pq)
+        if c > dist.get(v, float("inf")):
+            continue
+        for w, wt in wadj.get(v, []):
+            nc = c + wt
+            if nc < dist.get(w, float("inf")):
+                dist[w] = nc
+                heapq.heappush(pq, (nc, w))
+    want = {(v,): {"dist": c} for v, c in dist.items()}
+    assert_keyed(run(spark, "graph_shortest_path_weighted"), want,
+                 ["nationkey"], ["dist"])
+
+
+def test_connected_components_matches_union_find(spark):
+    edges = _edges()
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        parent[find(s)] = find(d)
+    verts = {v for e in edges for v in e}
+    comps: dict = {}
+    for v in verts:
+        comps.setdefault(find(v), []).append(v)
+    want = {}
+    for members in comps.values():
+        lab = min(members)
+        for v in members:
+            want[(v,)] = {"component": lab}
+    assert_keyed(run(spark, "graph_connected_components"), want,
+                 ["user_id"], ["component"])
+
+
+def test_scc_matches_tarjan(spark):
+    edges = _edges()
+    adj = _adj(edges)
+    verts = sorted({v for e in edges for v in e})
+    # iterative Tarjan (explicit stack; the fixture graph is small but
+    # recursion depth is O(|V|) in the worst case)
+    index: dict = {}
+    low: dict = {}
+    onstk: set = set()
+    stk: list = []
+    counter = [0]
+    scc_of: dict = {}
+    for root in verts:
+        if root in index:
+            continue
+        work = [(root, iter(sorted(adj.get(root, set()))))]
+        index[root] = low[root] = counter[0]
+        counter[0] += 1
+        stk.append(root)
+        onstk.add(root)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    stk.append(w)
+                    onstk.add(w)
+                    work.append((w, iter(sorted(adj.get(w, set())))))
+                    advanced = True
+                    break
+                if w in onstk:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stk.pop()
+                    onstk.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                lab = min(members)
+                for w in members:
+                    scc_of[w] = lab
+    want = {(v,): {"scc": scc_of[v]} for v in verts}
+    assert_keyed(run(spark, "graph_scc"), want, ["user_id"], ["scc"])
+
+
+def test_triangle_count_matches_python(spark):
+    und: dict = {}
+    for s, d in _edges():
+        und.setdefault(s, set()).add(d)
+        und.setdefault(d, set()).add(s)
+    tri: dict = {}
+    for a in und:
+        for b in und[a]:
+            if b <= a:
+                continue
+            for c in und[a] & und[b]:
+                if c > b:
+                    for v in (a, b, c):
+                        tri[v] = tri.get(v, 0) + 1
+    want = {(v,): {"n_triangles": c} for v, c in tri.items()}
+    assert_keyed(run(spark, "graph_triangle_count"), want,
+                 ["user_id"], ["n_triangles"])
+
+
+def test_aggregate_messages_matches_pandas(spark):
+    ev = _tbl("events")
+    vmap = (
+        pd.DataFrame({"u": ev.user_id, "c": cents(ev.value)})
+        .groupby("u")["c"].sum().to_dict()
+    )
+    n_msgs: dict = {}
+    tot: dict = {}
+    for s, d in _edges():
+        if s in vmap:
+            n_msgs[d] = n_msgs.get(d, 0) + 1
+            tot[d] = tot.get(d, 0) + vmap[s]
+    want = {
+        (v,): {"n_msgs": n_msgs[v], "neighbor_value_sum": tot[v] / 100.0}
+        for v in n_msgs
+    }
+    assert_keyed(run(spark, "graph_aggregate_messages"), want,
+                 ["user_id"], ["n_msgs", "neighbor_value_sum"])
+
+
+def test_copurchase_matches_python(spark):
+    li = _tbl("lineitem")
+    baskets: dict = {}
+    for ok, pk in set(zip(li.l_orderkey, li.l_partkey)):
+        baskets.setdefault(ok, set()).add(pk)
+    pairs: dict = {}
+    for parts in baskets.values():
+        if len(parts) > 15:  # _BASKET_CAP, from the operator's contract
+            continue
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    want = {k: {"n_orders": c} for k, c in pairs.items()}
+    assert_keyed(run(spark, "graph_copurchase"), want,
+                 ["part_a", "part_b"], ["n_orders"])
+
+
+def test_personalized_pagerank_matches_replay(spark):
+    edges = sorted(_edges())
+    verts = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    outdeg = np.zeros(n)
+    for s, _ in edges:
+        outdeg[idx[s]] += 1
+    ind = np.array([1.0 if v % 10 == 0 else 0.0 for v in verts])
+    k = ind.sum()
+    pr = ind / k
+    for _ in range(8):
+        inflow = np.zeros(n)
+        for s, d in edges:
+            inflow[idx[d]] += pr[idx[s]] / outdeg[idx[s]]
+        dangling = pr[outdeg == 0].sum()
+        pr = 0.15 * ind / k + 0.85 * (inflow + dangling * ind / k)
+        pr = np.floor(pr * 1e6 + 0.5) / 1e6  # per-iteration round-half-up
+    want = {
+        (v,): {"ppr": pr[idx[v]]} for v in verts if pr[idx[v]] > 0.0
+    }
+    assert_keyed(run(spark, "graph_personalized_pagerank"), want,
+                 ["v"], ["ppr"], tol=2e-6)
