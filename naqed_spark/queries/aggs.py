@@ -1462,8 +1462,12 @@ def agg_countmin_sketch(spark, sf_dir):
     # BUILDING-segment customer keys, probe with MACHINERY-segment keys,
     # and count true/false positives against the exact answer — the
     # sketch's false-positive behavior measured inside the query, all
-    # in exact integers (a probe is positive iff all 3 of its bits are
-    # set: COUNT of matched DISTINCT bits = 3).
+    # in exact integers. TEXTBOOK membership (round-9 ground-truth
+    # fix): a probe is positive iff EVERY one of its own DISTINCT bits
+    # is set — a key whose 3 hashes collide into 2 bits is positive
+    # when both are set. The earlier count(DISTINCT bit) = 3 spelling
+    # wrongly rejected such keys on BOTH engines (a twin defect,
+    # invisible to oracle parity; 1 probe key diverges at sf0.1).
     oracle="""
     WITH build AS (
       SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -1476,14 +1480,14 @@ def agg_countmin_sketch(spark, sf_dir):
                                   1, 8)) AS BIGINT) % 4096 AS bit
       FROM build CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS i)
     ), pcells AS (
-      SELECT c_custkey,
+      SELECT DISTINCT c_custkey,
              CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || ':'
                                       || CAST(c_custkey AS VARCHAR)),
                                   1, 8)) AS BIGINT) % 4096 AS bit
       FROM probe CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS i)
     ), hits AS (
-      SELECT c_custkey FROM pcells JOIN bits USING (bit)
-      GROUP BY c_custkey HAVING count(DISTINCT bit) = 3
+      SELECT p.c_custkey FROM pcells p LEFT JOIN bits b ON p.bit = b.bit
+      GROUP BY p.c_custkey HAVING count(*) = count(b.bit)
     )
     SELECT (SELECT count(*) FROM build) AS n_build,
            (SELECT count(*) FROM probe) AS n_probe,
@@ -1493,8 +1497,8 @@ def agg_countmin_sketch(spark, sf_dir):
 )
 def agg_bloom_from_scratch(spark, sf_dir):
     """The filter is a 4096-row DISTINCT bit set (constant state,
-    broadcastable); probing is an equi-join on the bit id + an all-bits
-    HAVING — the relational spelling of what
+    broadcastable); probing is a broadcast LEFT join on the bit id + an
+    every-own-bit-matched HAVING — the relational spelling of what
     join_runtime_bloom_filter's engine-injected filter does natively.
     Probe keys are disjoint from build keys by construction (segments
     partition customers), so every positive is a measured false
@@ -1537,10 +1541,14 @@ def agg_bloom_from_scratch(spark, sf_dir):
     bits = cells(build).select("bit").distinct()
     hits = (
         cells(probe)
-        .join(F.broadcast(bits), "bit")
+        .distinct()
+        .join(F.broadcast(bits.withColumn("hit", F.lit(1))), "bit", "left")
         .groupBy("c_custkey")
-        .agg(F.count_distinct("bit").alias("nb"))
-        .filter(F.col("nb") == 3)
+        .agg(
+            F.count(F.lit(1)).alias("n_own"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hit"),
+        )
+        .filter(F.col("n_own") == F.col("n_hit"))
     )
     nb = build.agg(F.count("*").alias("n_build"))
     np_ = probe.agg(F.count("*").alias("n_probe"))

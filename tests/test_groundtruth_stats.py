@@ -2482,3 +2482,85 @@ def test_personalized_pagerank_matches_replay(spark):
     }
     assert_keyed(run(spark, "graph_personalized_pagerank"), want,
                  ["v"], ["ppr"], tol=2e-6)
+
+
+# ------------------------------------------- sketch replays (wave 9)
+
+
+def test_hll_from_scratch_matches_hashlib_replay(spark):
+    ev = _tbl("events")
+    regs: dict = {}
+    exact: dict = {}
+    for et, uid in zip(ev.event_type, ev.user_id):
+        exact.setdefault(et, set()).add(uid)
+        v = int(_md5(str(uid))[:10], 16)
+        bucket, w = v // 2**32, v % 2**32
+        rho = 33 if w == 0 else 33 - w.bit_length()
+        r = regs.setdefault(et, {})
+        r[bucket] = max(r.get(bucket, 0), rho)
+    alpha = 0.7213 / (1.0 + 1.079 / 256)
+    want = {}
+    for et, r in regs.items():
+        zz = sum(2.0 ** -m for m in r.values()) + (256 - len(r))
+        v_empty = 256 - len(r)
+        e = alpha * 256 * 256 / zz
+        if e <= 640.0 and v_empty > 0:
+            e = 256.0 * math.log(256.0 / v_empty)
+        n = len(exact[et])
+        want[(et,)] = {
+            "n_exact": n,
+            "hll_estimate": e,
+            "rel_err": (e - n) / n,
+        }
+    assert_keyed(
+        run(spark, "agg_hll_from_scratch"), want, ["event_type"],
+        ["n_exact", "hll_estimate", "rel_err"], tol=2e-6,
+    )
+
+
+def test_countmin_sketch_matches_hashlib_replay(spark):
+    doc = _tbl("documents")
+    freq: dict = {}
+    for text in doc.text:
+        for tok in text.split(" "):
+            freq[tok] = freq.get(tok, 0) + 1
+    sketch = [dict() for _ in range(4)]
+    cell_of: dict = {}
+    for tok, cnt in freq.items():
+        for i in range(4):
+            cell = int(_md5(f"{i}:{tok}")[:8], 16) % 256
+            cell_of[(i, tok)] = cell
+            sketch[i][cell] = sketch[i].get(cell, 0) + cnt
+    top = sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    want = {}
+    for tok, cnt in top:
+        est = min(sketch[i][cell_of[(i, tok)]] for i in range(4))
+        want[(tok,)] = {
+            "exact_cnt": cnt, "cm_estimate": est, "overcount": est - cnt,
+        }
+    assert_keyed(
+        run(spark, "agg_countmin_sketch"), want, ["tok"],
+        ["exact_cnt", "cm_estimate", "overcount"],
+    )
+
+
+def test_bloom_from_scratch_matches_hashlib_replay(spark):
+    cust = _tbl("customer")
+    build = [k for k, s in zip(cust.c_custkey, cust.c_mktsegment)
+             if s == "BUILDING"]
+    probe = [k for k, s in zip(cust.c_custkey, cust.c_mktsegment)
+             if s == "MACHINERY"]
+
+    def bits3(key):
+        return {int(_md5(f"{i}:{key}")[:8], 16) % 4096 for i in range(3)}
+
+    bits = set().union(*(bits3(k) for k in build)) if build else set()
+    # textbook membership: positive iff EVERY one of the probe key's own
+    # (distinct) bits is set — a key whose 3 hashes collide to 2 bits is
+    # still positive when both are set
+    positives = sum(1 for k in probe if bits3(k) <= bits)
+    got = run(spark, "agg_bloom_from_scratch").iloc[0]
+    assert int(got.n_build) == len(build)
+    assert int(got.n_probe) == len(probe)
+    assert int(got.bits_set) == len(bits)
+    assert int(got.bloom_positives) == positives
