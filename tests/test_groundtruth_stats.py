@@ -2564,3 +2564,221 @@ def test_bloom_from_scratch_matches_hashlib_replay(spark):
     assert int(got.n_probe) == len(probe)
     assert int(got.bits_set) == len(bits)
     assert int(got.bloom_positives) == positives
+
+
+# --------------------------- deterministic md5 ops, wave 10 (hashlib)
+
+
+def test_sample_hash_deterministic_matches_hashlib(spark):
+    o = _tbl("orders")
+    want = {
+        (int(r.o_orderkey),): {
+            "o_custkey": r.o_custkey, "o_totalprice": r.o_totalprice,
+        }
+        for _, r in o.iterrows()
+        if _md5(str(r.o_orderkey))[0] in "0123"
+    }
+    assert_keyed(run(spark, "sample_hash_deterministic"), want,
+                 ["o_orderkey"], ["o_custkey", "o_totalprice"])
+
+
+def test_sample_stratified_hash_matches_hashlib(spark):
+    c = _tbl("customer")
+    by_seg: dict = {}
+    for _, r in c.iterrows():
+        by_seg.setdefault(r.c_mktsegment, []).append(int(r.c_custkey))
+    want = {}
+    for seg, keys in by_seg.items():
+        for k in sorted(keys, key=lambda k: (_md5(str(k)), k))[:20]:
+            want[(k,)] = {"c_mktsegment": seg}
+    assert_keyed(run(spark, "sample_stratified_hash"), want,
+                 ["c_custkey"], ["c_mktsegment"])
+
+
+def test_train_split_matches_hashlib(spark):
+    doc = _tbl("documents")
+    want = {}
+    for d in doc.doc_id:
+        b = int(_md5(str(d))[:2], 16) % 100
+        want[(d,)] = {
+            "bucket": b,
+            "split": "train" if b < 80 else ("val" if b < 90 else "test"),
+        }
+    assert_keyed(run(spark, "llm_train_split"), want,
+                 ["doc_id"], ["bucket", "split"])
+
+
+def test_shuffle_shard_matches_hashlib(spark):
+    doc = _tbl("documents")
+    rows = [(d, _md5(str(d))) for d in doc.doc_id]
+    shards: dict = {}
+    for d, hk in rows:
+        shards.setdefault(int(hk[:2], 16) % 8, []).append((hk, d))
+    want = {}
+    for shard, members in shards.items():
+        for pos, (hk, d) in enumerate(sorted(members), start=1):
+            want[(d,)] = {"shard": shard, "pos": pos}
+    assert_keyed(run(spark, "llm_shuffle_shard"), want,
+                 ["doc_id"], ["shard", "pos"])
+
+
+def test_mixture_sample_matches_hashlib(spark):
+    doc = _tbl("documents")
+    thr = {"en": 102, "zh": 205}
+    want = {}
+    for _, r in doc.iterrows():
+        if int(_md5(str(r.doc_id))[:2], 16) < thr.get(r.lang, 256):
+            want[(r.doc_id,)] = {"lang": r.lang, "source": r.source}
+    assert_keyed(run(spark, "llm_mixture_sample"), want,
+                 ["doc_id"], ["lang", "source"])
+
+
+def test_feature_hashing_matches_hashlib(spark):
+    ev = _tbl("events")
+    want = {
+        (e,): {
+            "type_idx": int(_md5(t)[:4], 16) % 1024,
+            "cohort_idx": int(_md5(str(u % 50))[:4], 16) % 1024,
+        }
+        for e, t, u in zip(ev.event_id, ev.event_type, ev.user_id)
+    }
+    assert_keyed(run(spark, "llm_feature_hashing"), want,
+                 ["event_id"], ["type_idx", "cohort_idx"])
+
+
+def _shingle_sets_py(texts: dict) -> dict:
+    """doc_id -> distinct 5-word shingle set, for docs with >= 5 words."""
+    out = {}
+    for d, text in texts.items():
+        w = text.split(" ")
+        if len(w) >= 5:
+            out[d] = {" ".join(w[i:i + 5]) for i in range(len(w) - 4)}
+    return out
+
+
+def test_shingle_minhash_matches_hashlib(spark):
+    doc = _tbl("documents")
+    ssets = _shingle_sets_py(dict(zip(doc.doc_id, doc.text)))
+    want = {}
+    for d, ss in ssets.items():
+        row = {"n_shingles": len(ss)}
+        for k in range(8):
+            row[f"sig{k}"] = min(_md5(f"s{k}|" + s) for s in ss)
+        want[(d,)] = row
+    assert_keyed(
+        run(spark, "llm_shingle_minhash"), want, ["doc_id"],
+        ["n_shingles"] + [f"sig{k}" for k in range(8)],
+    )
+
+
+def test_neardup_lsh_matches_hashlib(spark):
+    doc = _tbl("documents")
+    ssets = _shingle_sets_py(dict(zip(doc.doc_id, doc.text)))
+    sigs = {
+        d: [min(_md5(f"s{k}|" + s) for s in ss) for k in range(8)]
+        for d, ss in ssets.items()
+    }
+    buckets: dict = {}
+    for d, sg in sigs.items():
+        for b in range(4):
+            buckets.setdefault((b, _md5(sg[2 * b] + sg[2 * b + 1])),
+                               []).append(d)
+    want = {}
+    for members in buckets.values():
+        ms = sorted(members)
+        for i, a in enumerate(ms):
+            for b in ms[i + 1:]:
+                j = len(ssets[a] & ssets[b]) / len(ssets[a] | ssets[b])
+                if j >= 0.2:
+                    want[(a, b)] = {"jaccard": _rhu6(j)}
+    assert_keyed(run(spark, "llm_neardup_lsh"), want,
+                 ["id_a", "id_b"], ["jaccard"])
+
+
+def _simhash_py(text: str) -> str:
+    acc = [0] * 60
+    for tok in set(text.split(" ")):
+        h = _md5(tok)
+        for p in range(1, 16):
+            d = int(h[p - 1], 16)
+            for b in range(4):
+                acc[(p - 1) * 4 + b] += 1 if (d >> b) & 1 else -1
+    return "".join("1" if a >= 0 else "0" for a in acc)
+
+
+def test_simhash_neardup_matches_hashlib(spark):
+    doc = _tbl("documents")
+    corpus = dict(zip(doc.doc_id, doc.text))
+    for d, text in list(corpus.items()):
+        w = text.split(" ")
+        corpus[d + 1000000] = " ".join(w[:-1])
+    sh = {d: _simhash_py(t) for d, t in corpus.items()}
+    buckets: dict = {}
+    for d, s in sh.items():
+        for b in range(4):
+            buckets.setdefault((b, s[15 * b:15 * b + 15]), []).append(d)
+    want = {}
+    for members in buckets.values():
+        ms = sorted(members)
+        for i, a in enumerate(ms):
+            for b in ms[i + 1:]:
+                ham = sum(1 for x, y in zip(sh[a], sh[b]) if x != y)
+                if ham <= 3:
+                    want[(a, b)] = {"hamming": ham}
+    assert_keyed(run(spark, "llm_simhash_neardup"), want,
+                 ["id_a", "id_b"], ["hamming"])
+
+
+def test_winnowing_fingerprint_matches_hashlib(spark):
+    doc = _tbl("documents")
+    want = {}
+    for d, text in zip(doc.doc_id, doc.text):
+        if text is None:
+            continue
+        np_ = min(len(text), 200) - 8 + 1
+        hs = [_md5(text[p:p + 8])[:8] for p in range(np_)]
+        wmins = {min(hs[p:p + 4]) for p in range(np_ - 3)}
+        want[(d,)] = {
+            "fingerprint": ",".join(sorted(wmins)),
+            "n_marks": len(wmins),
+        }
+    assert_keyed(run(spark, "llm_winnowing_fingerprint"), want,
+                 ["doc_id"], ["fingerprint", "n_marks"])
+
+
+def test_containment_dedup_matches_hashlib(spark):
+    doc = _tbl("documents")
+    corpus = dict(zip(doc.doc_id, doc.text))
+    for d, text in list(corpus.items()):
+        if d % 4 == 0:
+            w = text.split(" ")
+            corpus[d + 100000] = " ".join(w[:(3 * len(w)) // 5])
+    ch: dict = {}  # doc -> set of chunk hashes (distinct)
+    for d, text in corpus.items():
+        w = text.split(" ")
+        hs = set()
+        s = 0
+        while s <= len(w) - 8:
+            hs.add(_md5(" ".join(w[s:s + 8])))
+            s += 4
+        ch[d] = hs
+    df: dict = {}
+    for hs in ch.values():
+        for h in hs:
+            df[h] = df.get(h, 0) + 1
+    hot = {h for h, c in df.items() if c > 20}
+    cf = {d: hs - hot for d, hs in ch.items()}
+    want = {}
+    for a in cf:
+        for b in cf:
+            if a == b or not cf[a]:
+                continue
+            shared = len(cf[a] & cf[b])
+            cont = shared / len(cf[a])
+            if cont >= 0.5:
+                want[(a, b)] = {
+                    "shared": shared, "n_src": len(cf[a]),
+                    "containment": _rhu6(cont),
+                }
+    assert_keyed(run(spark, "llm_containment_dedup"), want,
+                 ["src_doc", "dst_doc"], ["shared", "n_src", "containment"])
