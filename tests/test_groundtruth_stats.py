@@ -2782,3 +2782,171 @@ def test_containment_dedup_matches_hashlib(spark):
                 }
     assert_keyed(run(spark, "llm_containment_dedup"), want,
                  ["src_doc", "dst_doc"], ["shared", "n_src", "containment"])
+
+
+# ----------------------- text / tokenization replays (wave 11)
+
+
+def test_langid_ngram_matches_python(spark):
+    doc = _tbl("documents")
+    profile: dict = {}
+    doc_tok: dict = {}
+    for d, lang, text in zip(doc.doc_id, doc.lang, doc.text):
+        for tok in text.split(" "):
+            profile.setdefault(lang, {})
+            profile[lang][tok] = profile[lang].get(tok, 0) + 1
+            dt = doc_tok.setdefault(d, {})
+            dt[tok] = dt.get(tok, 0) + 1
+    want = {}
+    for d, toks in doc_tok.items():
+        scores = {
+            lang: sum(c * p[tok] for tok, c in toks.items() if tok in p)
+            for lang, p in profile.items()
+        }
+        best = min(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best[1] > 0:
+            want[(d,)] = {"pred_lang": best[0], "score": best[1]}
+        else:
+            # zero-score languages still produce rows via the join only
+            # when a token matches; recompute rows that exist
+            nz = {k: v for k, v in scores.items() if v > 0}
+            b = min(nz.items(), key=lambda kv: (-kv[1], kv[0]))
+            want[(d,)] = {"pred_lang": b[0], "score": b[1]}
+    assert_keyed(run(spark, "llm_langid_ngram"), want,
+                 ["doc_id"], ["pred_lang", "score"])
+
+
+def test_quality_score_matches_python(spark):
+    doc = _tbl("documents")
+    stop = {"the", "a", "of", "and", "to"}
+    want = {}
+    for d, text in zip(doc.doc_id, doc.text):
+        if text is None:
+            continue
+        w = text.split(" ")
+        nw, nc = len(w), len(text)
+        ns = sum(1 for t in w if t in stop)
+        ppm = (
+            4000 * min(nw, 100)
+            + (300000 - ns * 300000 // nw)
+            + min((nc - (nw - 1)) * 300000 // (8 * nw), 300000)
+        )
+        want[(d,)] = {
+            "n_words": nw,
+            "stop_ratio": _rhu6(ns / nw),
+            "avg_word_len": _rhu6((nc - (nw - 1)) / nw),
+            "quality_ppm": ppm,
+        }
+    assert_keyed(
+        run(spark, "llm_quality_score"), want, ["doc_id"],
+        ["n_words", "stop_ratio", "avg_word_len", "quality_ppm"],
+    )
+
+
+def test_tokenize_bpe_regex_matches_python(spark):
+    import re
+
+    pat = re.compile("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]")
+    doc = _tbl("documents")
+    want = {
+        (d,): {"n_pieces": len(pat.findall(t)), "n_chars_m": len(t)}
+        for d, t in zip(doc.doc_id, doc.text) if t is not None
+    }
+    assert_keyed(run(spark, "llm_tokenize_bpe_regex"), want,
+                 ["doc_id"], ["n_pieces", "n_chars_m"])
+
+
+def test_pii_scrub_matches_python(spark):
+    import re
+
+    email = re.compile("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}")
+    num = re.compile("[0-9]{9,}")
+    doc = _tbl("documents")
+    want = {}
+    for d, text in zip(doc.doc_id, doc.text):
+        if text is None:
+            continue
+        t = f"{text} contact-{d}@example.com ph 555123{4000000 + d}"
+        clean = num.sub("[NUM]", email.sub("[EMAIL]", t))
+        want[(d,)] = {
+            "n_emails": len(email.findall(t)),
+            "n_longnums": len(num.findall(t)),
+            "clean_md5": _md5(clean),
+            "clean_len": len(clean),
+        }
+    assert_keyed(
+        run(spark, "llm_pii_scrub"), want, ["doc_id"],
+        ["n_emails", "n_longnums", "clean_md5", "clean_len"],
+    )
+
+
+def test_text_stats_matches_pandas(spark):
+    doc = _tbl("documents")
+    want = {}
+    for (lang, src), g in doc.groupby(["lang", "source"]):
+        texts = [t for t in g.text if t is not None]
+        want[(lang, src)] = {
+            "n_docs": len(g),
+            "total_chars": int(g.n_chars.sum()),
+            "avg_words": sum(len(t.split(" ")) for t in texts) / len(g),
+            "n_bad_nchars": int(
+                sum(1 for nc, t in zip(g.n_chars, g.text)
+                    if t is not None and nc != len(t))
+            ),
+        }
+    assert_keyed(
+        run(spark, "llm_text_stats"), want, ["lang", "source"],
+        ["n_docs", "total_chars", "avg_words", "n_bad_nchars"],
+    )
+
+
+def test_tokenize_wordcount_matches_python(spark):
+    doc = _tbl("documents")
+    tot: dict = {}
+    docs: dict = {}
+    for d, text in zip(doc.doc_id, doc.text):
+        for w in text.split(" "):
+            tot[w] = tot.get(w, 0) + 1
+            docs.setdefault(w, set()).add(d)
+    want = {(w,): {"n_total": c, "n_docs": len(docs[w])}
+            for w, c in tot.items()}
+    assert_keyed(run(spark, "llm_tokenize_wordcount"), want,
+                 ["word"], ["n_total", "n_docs"])
+
+
+def test_exact_dedup_matches_python(spark):
+    doc = _tbl("documents")
+    want: dict = {}
+    for d, text in zip(doc.doc_id, doc.text):
+        cur = want.setdefault((text,), {"keep_id": d, "n_copies": 0})
+        cur["keep_id"] = min(cur["keep_id"], d)
+        cur["n_copies"] += 2  # corpus = documents UNION ALL documents
+    assert_keyed(run(spark, "llm_exact_dedup"), want,
+                 ["text"], ["keep_id", "n_copies"])
+
+
+def test_repetition_score_matches_python(spark):
+    doc = _tbl("documents")
+    want = {}
+    for d, text in zip(doc.doc_id, doc.text):
+        w = text.split(" ")
+        if len(w) < 2:
+            continue
+        cnt: dict = {}
+        for i in range(len(w) - 1):
+            bg = w[i] + " " + w[i + 1]
+            cnt[bg] = cnt.get(bg, 0) + 1
+        top = max(cnt.values())
+        nb = len(w) - 1
+        want[(d,)] = {
+            "top_cnt": top,
+            "n_bigrams": nb,
+            "n_distinct": len(cnt),
+            "rep_ratio": _rhu6(top / nb),
+            "distinct_ratio": _rhu6(len(cnt) / nb),
+        }
+    assert_keyed(
+        run(spark, "llm_repetition_score"), want, ["doc_id"],
+        ["top_cnt", "n_bigrams", "n_distinct", "rep_ratio",
+         "distinct_ratio"],
+    )
