@@ -2950,3 +2950,229 @@ def test_repetition_score_matches_python(spark):
         ["top_cnt", "n_bigrams", "n_distinct", "rep_ratio",
          "distinct_ratio"],
     )
+
+
+# ------------------------- dedup pipeline replays (wave 12)
+
+import re as _re
+
+
+def _norm_hash(text: str) -> str:
+    t = _re.sub(" +", " ", _re.sub("[^a-z0-9 ]", "", text.lower()))
+    return _md5(t.strip(" "))
+
+
+def test_normalized_dedup_matches_python(spark):
+    doc = _tbl("documents")
+    corpus = dict(zip(doc.doc_id, doc.text))
+    for d, t in list(corpus.items()):
+        if d % 5 == 0:
+            corpus[d + 200000] = t.upper() + " !!"
+    want: dict = {}
+    for d, t in corpus.items():
+        k = (_norm_hash(t),)
+        cur = want.setdefault(k, {"keep_id": d, "n_variants": 0})
+        cur["keep_id"] = min(cur["keep_id"], d)
+        cur["n_variants"] += 1
+    assert_keyed(run(spark, "llm_normalized_dedup"), want,
+                 ["nh"], ["keep_id", "n_variants"])
+
+
+def test_dedup_keep_best_matches_python(spark):
+    doc = _tbl("documents")
+    corpus = {d: t for d, t in zip(doc.doc_id, doc.text) if t is not None}
+    for d, t in list(corpus.items()):
+        if d % 5 == 0:
+            corpus[d + 200000] = t.upper() + " !!"
+    groups: dict = {}
+    for d, t in corpus.items():
+        groups.setdefault(_norm_hash(t), []).append((d, len(t)))
+    want = {}
+    for nh, members in groups.items():
+        best = min(members, key=lambda m: (-m[1], m[0]))
+        want[(nh,)] = {
+            "keep_id": best[0], "keep_chars": best[1],
+            "n_variants": len(members),
+        }
+    assert_keyed(run(spark, "llm_dedup_keep_best"), want,
+                 ["nh"], ["keep_id", "keep_chars", "n_variants"])
+
+
+def test_cross_source_overlap_matches_python(spark):
+    doc = _tbl("documents")
+    rows = list(zip(doc.doc_id, doc.text, doc.source))
+    rows += [(d, t, "refresh") for d, t, _ in rows if d % 3 == 0]
+    agg: dict = {}
+    for d, t, s in rows:
+        cur = agg.setdefault(_md5(t), {"n": 0, "srcs": set(), "first": d})
+        cur["n"] += 1
+        cur["srcs"].add(s)
+        cur["first"] = min(cur["first"], d)
+    want = {
+        (h,): {"n_docs": c["n"], "n_sources": len(c["srcs"]),
+               "first_doc": c["first"]}
+        for h, c in agg.items() if len(c["srcs"]) > 1
+    }
+    assert_keyed(run(spark, "llm_cross_source_overlap"), want,
+                 ["text_md5"], ["n_docs", "n_sources", "first_doc"])
+
+
+def test_snapshot_diff_matches_python(spark):
+    doc = _tbl("documents")
+    a = {d: _md5(t) for d, t in zip(doc.doc_id, doc.text)}
+    b = {
+        d: _md5(t + " EDIT") if d % 9 == 0 else _md5(t)
+        for d, t in zip(doc.doc_id, doc.text) if d % 11 != 0
+    }
+    for i in range(1, 51):
+        b[900000 + i] = _md5(f"new doc {i}")
+    want = {}
+    for d in set(a) | set(b):
+        if d not in a:
+            st = "added"
+        elif d not in b:
+            st = "removed"
+        elif a[d] != b[d]:
+            st = "changed"
+        else:
+            st = "unchanged"
+        want[(d,)] = {"status": st}
+    assert_keyed(run(spark, "llm_snapshot_diff"), want,
+                 ["doc_id"], ["status"])
+
+
+def test_chunk_windows_matches_python(spark):
+    doc = _tbl("documents")
+    want = {}
+    for d, t in zip(doc.doc_id, doc.text):
+        if t is None:
+            continue
+        w = t.split(" ")
+        for s in range(0, len(w), 48):
+            chunk = w[s:s + 64]
+            want[(d, s // 48)] = {
+                "n_toks": len(chunk),
+                "chunk_md5": _md5(" ".join(chunk)),
+            }
+    assert_keyed(run(spark, "llm_chunk_windows"), want,
+                 ["doc_id", "chunk_idx"], ["n_toks", "chunk_md5"])
+
+
+def test_pack_sequences_matches_python(spark):
+    doc = _tbl("documents")
+    by_src: dict = {}
+    for d, t, s in zip(doc.doc_id, doc.text, doc.source):
+        if t is not None:
+            by_src.setdefault(s, []).append((d, len(t.split(" "))))
+    want = {}
+    for s, docs in by_src.items():
+        start = 0
+        for d, n in sorted(docs):
+            want[(d,)] = {
+                "source": s, "n_tok": n,
+                "pack_id": start // 512, "pack_offset": start % 512,
+            }
+            start += n
+    assert_keyed(run(spark, "llm_pack_sequences"), want, ["doc_id"],
+                 ["source", "n_tok", "pack_id", "pack_offset"])
+
+
+def _trigram_sets(texts: dict) -> dict:
+    out = {}
+    for d, t in texts.items():
+        w = t.split(" ")
+        if len(w) >= 3:
+            out[d] = {" ".join(w[i:i + 3]) for i in range(len(w) - 2)}
+    return out
+
+
+def test_contamination_ngram_matches_python(spark):
+    doc = _tbl("documents")
+    tri = _trigram_sets(dict(zip(doc.doc_id, doc.text)))
+    ev = set().union(*(s for d, s in tri.items() if d % 97 == 0))
+    want = {}
+    for d, s in tri.items():
+        if d % 97 == 0:
+            continue
+        hit = len(s & ev)
+        if hit:
+            want[(d,)] = {
+                "n_tri": len(s), "n_hit": hit,
+                "contamination": _rhu6(hit / len(s)),
+            }
+    assert_keyed(run(spark, "llm_contamination_ngram"), want,
+                 ["doc_id"], ["n_tri", "n_hit", "contamination"])
+
+
+def test_ngram_jaccard_matches_python(spark):
+    doc = _tbl("documents")
+    corpus = dict(zip(doc.doc_id, doc.text))
+    for d, t in list(corpus.items()):
+        w = t.split(" ")
+        corpus[d + 1000000] = " ".join(w[:-1])
+    ssets = _shingle_sets_py(corpus)
+    df: dict = {}
+    for ss in ssets.values():
+        for s in ss:
+            df[s] = df.get(s, 0) + 1
+    kept = {s for s, c in df.items() if c <= 64}
+    posting: dict = {}
+    for d, ss in ssets.items():
+        for s in ss & kept:
+            posting.setdefault(s, []).append(d)
+    cand = set()
+    for docs in posting.values():
+        ds = sorted(docs)
+        for i, a in enumerate(ds):
+            for b in ds[i + 1:]:
+                cand.add((a, b))
+    want = {}
+    for a, b in cand:
+        inter = len(ssets[a] & ssets[b])
+        jac = inter / (len(ssets[a]) + len(ssets[b]) - inter)
+        if jac >= 0.5:
+            want[(a, b)] = {"jac": _rhu6(jac)}
+    assert_keyed(run(spark, "llm_ngram_jaccard"), want,
+                 ["id_a", "id_b"], ["jac"])
+
+
+def test_dedup_groups_matches_python(spark):
+    doc = _tbl("documents")
+    ssets = _shingle_sets_py(dict(zip(doc.doc_id, doc.text)))
+    sigs = {
+        d: [min(_md5(f"s{k}|" + s) for s in ss) for k in range(8)]
+        for d, ss in ssets.items()
+    }
+    buckets: dict = {}
+    for d, sg in sigs.items():
+        for b in range(4):
+            buckets.setdefault((b, _md5(sg[2 * b] + sg[2 * b + 1])),
+                               []).append(d)
+    pairs = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i, a in enumerate(ms):
+            for b in ms[i + 1:]:
+                j = len(ssets[a] & ssets[b]) / len(ssets[a] | ssets[b])
+                if j >= 0.2:
+                    pairs.add((a, b))
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    comps: dict = {}
+    for v in {v for p in pairs for v in p}:
+        comps.setdefault(find(v), []).append(v)
+    want = {}
+    for members in comps.values():
+        keep = min(members)
+        for v in members:
+            want[(v,)] = {"keep_id": keep, "n_members": len(members)}
+    assert_keyed(run(spark, "llm_dedup_groups"), want,
+                 ["doc_id"], ["keep_id", "n_members"])
