@@ -3176,3 +3176,139 @@ def test_dedup_groups_matches_python(spark):
             want[(v,)] = {"keep_id": keep, "n_members": len(members)}
     assert_keyed(run(spark, "llm_dedup_groups"), want,
                  ["doc_id"], ["keep_id", "n_members"])
+
+
+# ------------------------------ mixing / weighting ops (wave 13)
+
+
+def test_length_filter_percentile_matches_numpy(spark):
+    doc = _tbl("documents")
+    bounds = {}
+    for lang, g in doc.groupby("lang"):
+        v = g.n_chars.to_numpy(dtype=np.float64)
+        bounds[lang] = (
+            math.ceil(_rhu6(float(np.percentile(v, 5, method="linear")))),
+            math.floor(_rhu6(float(np.percentile(v, 95, method="linear")))),
+        )
+    want = {
+        (r.doc_id,): {"lang": r.lang, "n_chars": r.n_chars}
+        for _, r in doc.iterrows()
+        if bounds[r.lang][0] <= r.n_chars <= bounds[r.lang][1]
+    }
+    assert_keyed(run(spark, "llm_length_filter_percentile"), want,
+                 ["doc_id"], ["lang", "n_chars"])
+
+
+def test_vocab_coverage_matches_python(spark):
+    doc = _tbl("documents")
+    cnt: dict = {}
+    for t in doc.text:
+        for w in t.split(" "):
+            cnt[w] = cnt.get(w, 0) + 1
+    vocab = {w for w, _ in
+             sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:100]}
+    want = {}
+    for d, t in zip(doc.doc_id, doc.text):
+        ws = t.split(" ")
+        oov = sum(1 for w in ws if w not in vocab)
+        want[(d,)] = {
+            "n_toks": len(ws), "n_oov": oov,
+            "oov_rate": _rhu6(oov / len(ws)),
+        }
+    assert_keyed(run(spark, "llm_vocab_coverage"), want,
+                 ["doc_id"], ["n_toks", "n_oov", "oov_rate"])
+
+
+def test_bpe_pair_counts_matches_python(spark):
+    doc = _tbl("documents")
+    freq: dict = {}
+    for t in doc.text:
+        for w in t.split(" "):
+            if len(w) >= 2:
+                freq[w] = freq.get(w, 0) + 1
+    pairs: dict = {}
+    for w, f in freq.items():
+        for i in range(len(w) - 1):
+            p = w[i:i + 2]
+            pairs[p] = pairs.get(p, 0) + f
+    top = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    want = {(p,): {"n": n} for p, n in top}
+    assert_keyed(run(spark, "llm_bpe_pair_counts"), want, ["pair"], ["n"])
+
+
+def _unigram_nll_py(doc) -> dict:
+    cnt: dict = {}
+    total = 0
+    for t in doc.text:
+        for w in t.split(" "):
+            cnt[w] = cnt.get(w, 0) + 1
+            total += 1
+    v = len(cnt)
+    out = {}
+    for d, t in zip(doc.doc_id, doc.text):
+        ws = t.split(" ")
+        nll = sum(-math.log((cnt[w] + 1.0) / (total + v)) for w in ws)
+        out[d] = _rhu6(nll / len(ws))
+    return out
+
+
+def test_perplexity_bucket_matches_python(spark):
+    doc = _tbl("documents")
+    nll = _unigram_nll_py(doc)
+    lang_of = dict(zip(doc.doc_id, doc.lang))
+    by_lang: dict = {}
+    for d, s in nll.items():
+        by_lang.setdefault(lang_of[d], []).append(s)
+    cuts = {
+        lang: (
+            _rhu6(float(np.percentile(v, 100 / 3, method="linear"))),
+            _rhu6(float(np.percentile(v, 200 / 3, method="linear"))),
+        )
+        for lang, v in by_lang.items()
+    }
+    want = {}
+    for d, s in nll.items():
+        t1, t2 = cuts[lang_of[d]]
+        b = "head" if s <= t1 else ("middle" if s <= t2 else "tail")
+        want[(d,)] = {"lang": lang_of[d], "mean_nll": s, "bucket": b}
+    assert_keyed(
+        run(spark, "llm_perplexity_bucket"), want, ["doc_id"],
+        ["lang", "mean_nll", "bucket"], tol=2e-6,
+    )
+
+
+def test_importance_resample_matches_python(spark):
+    doc = _tbl("documents")
+    raw: dict = {}
+    tgt: dict = {}
+    total_r = total_t = 0
+    for t, lang in zip(doc.text, doc.lang):
+        for w in t.split(" "):
+            raw[w] = raw.get(w, 0) + 1
+            total_r += 1
+            if lang == "en":
+                tgt[w] = tgt.get(w, 0) + 1
+                total_t += 1
+    v = len(raw)
+    ws = {}
+    for d, t in zip(doc.doc_id, doc.text):
+        toks = t.split(" ")
+        s = sum(
+            math.log((tgt.get(w, 0) + 1.0) / (total_t + v))
+            - math.log((raw[w] + 1.0) / (total_r + v))
+            for w in toks
+        )
+        ws[d] = _rhu6(s / len(toks))
+    vals = np.array(sorted(ws.values()))
+    t7, t8, t9 = (
+        _rhu6(float(np.percentile(vals, q, method="linear")))
+        for q in (70, 80, 90)
+    )
+    want = {}
+    for d, w in ws.items():
+        if w > t7:
+            want[(d,)] = {
+                "w": w, "decile": 8 if w <= t8 else (9 if w <= t9 else 10),
+            }
+    assert_keyed(run(spark, "llm_importance_resample"), want,
+                 ["doc_id"], ["w", "decile"], tol=2e-6)
