@@ -3312,3 +3312,152 @@ def test_importance_resample_matches_python(spark):
             }
     assert_keyed(run(spark, "llm_importance_resample"), want,
                  ["doc_id"], ["w", "decile"], tol=2e-6)
+
+
+# --------------------------------- TPC-H recomputation (wave 14)
+
+
+def test_tpch_q16_matches_pandas(spark):
+    li = _tbl("lineitem")
+    p = _tbl("part")
+    sup = _tbl("supplier")
+    bad = set(sup.s_suppkey[sup.s_acctbal < 1500])
+    pf = p[
+        (p.p_brand != "Brand#1")
+        & ~p.p_type.str.startswith("PROMO")
+        & p.p_size.isin([1, 5, 10, 15, 20, 25])
+    ]
+    attrs = {
+        r.p_partkey: (r.p_brand, r.p_type, r.p_size)
+        for _, r in pf.iterrows()
+    }
+    got_suppliers: dict = {}
+    for pk, sk in zip(li.l_partkey, li.l_suppkey):
+        if pk in attrs and sk not in bad:
+            got_suppliers.setdefault(attrs[pk], set()).add(sk)
+    want = {k: {"supplier_cnt": len(v)} for k, v in got_suppliers.items()}
+    assert_keyed(run(spark, "tpch_q16_supplier_cnt"), want,
+                 ["p_brand", "p_type", "p_size"], ["supplier_cnt"])
+
+
+def test_tpch_q17_matches_pandas(spark):
+    li = _tbl("lineitem")
+    p = _tbl("part")
+    half = {
+        pk: 0.5 * (g.sum() / len(g))
+        for pk, g in li.groupby("l_partkey")["l_quantity"]
+    }
+    brand7 = set(p.p_partkey[p.p_brand == "Brand#7"])
+    tot_cents = sum(
+        int(c) for pk, q, c in
+        zip(li.l_partkey, li.l_quantity, cents(li.l_extendedprice))
+        if pk in brand7 and q < half[pk]
+    )
+    got = run(spark, "tpch_q17_small_qty_revenue").iloc[0]
+    assert close(got.avg_yearly, _rhu6(tot_cents / 100 / 7.0), 1e-6)
+
+
+def test_tpch_q18_matches_pandas(spark):
+    li = _tbl("lineitem")
+    o = _tbl("orders")
+    c = _tbl("customer")
+    qty = li.groupby("l_orderkey")["l_quantity"].sum()
+    big = set(qty[qty > 250].index)
+    names = dict(zip(c.c_custkey, c.c_name))
+    rows = []
+    for _, r in o[o.o_orderkey.isin(big)].iterrows():
+        rows.append((
+            r.o_custkey, names[r.o_custkey], r.o_orderkey,
+            pd.Timestamp(r.o_orderdate).strftime("%Y-%m-%d"),
+            r.o_totalprice, float(qty[r.o_orderkey]),
+        ))
+    rows.sort(key=lambda t: (-t[4], t[2]))
+    want = {
+        (t[2],): {
+            "c_custkey": t[0], "c_name": t[1], "o_orderdate_s": t[3],
+            "o_totalprice": t[4], "total_qty": t[5],
+        }
+        for t in rows[:20]
+    }
+    assert_keyed(
+        run(spark, "tpch_q18_large_orders"), want, ["o_orderkey"],
+        ["c_custkey", "c_name", "o_orderdate_s", "o_totalprice",
+         "total_qty"],
+    )
+
+
+def test_tpch_q20_matches_pandas(spark):
+    li = _tbl("lineitem")
+    p = _tbl("part")
+    sup = _tbl("supplier")
+    widget = set(p.p_partkey[p.p_name.str.contains("widget")])
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
+    q: dict = {}
+    for pk, sk, qt, sd in zip(li.l_partkey, li.l_suppkey,
+                              li.l_quantity, li.l_shipdate):
+        if pk in widget and lo <= sd < hi:
+            q[(pk, sk)] = q.get((pk, sk), 0) + qt
+    per_part: dict = {}
+    for (pk, _), sq in q.items():
+        per_part.setdefault(pk, []).append(sq)
+    hot = {
+        sk for (pk, sk), sq in q.items()
+        if sq > 1.5 * (sum(per_part[pk]) / len(per_part[pk]))
+    }
+    names = dict(zip(sup.s_suppkey, sup.s_name))
+    want = {(sk,): {"s_name": names[sk]} for sk in hot}
+    assert_keyed(run(spark, "tpch_q20_part_promotion"), want,
+                 ["s_suppkey"], ["s_name"])
+
+
+def test_tpch_q21_matches_pandas(spark):
+    li = _tbl("lineitem")
+    o = _tbl("orders")
+    sup = _tbl("supplier")
+    f_orders = set(o.o_orderkey[o.o_orderstatus == "F"])
+    ms: dict = {}
+    for ok, sk, sd in zip(li.l_orderkey, li.l_suppkey, li.l_shipdate):
+        if ok in f_orders:
+            k = (ok, sk)
+            ms[k] = max(ms.get(k, sd), sd)
+    per_order: dict = {}
+    for (ok, sk), d in ms.items():
+        per_order.setdefault(ok, []).append((sk, d))
+    waits: dict = {}
+    names = dict(zip(sup.s_suppkey, sup.s_name))
+    for ok, lst in per_order.items():
+        if len(lst) < 2:
+            continue
+        m = max(d for _, d in lst)
+        last = [sk for sk, d in lst if d == m]
+        if len(last) == 1:
+            nm = names[last[0]]
+            waits[nm] = waits.get(nm, 0) + 1
+    top = sorted(waits.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    want = {(nm,): {"numwait": n} for nm, n in top}
+    assert_keyed(run(spark, "tpch_q21_waiting_supplier"), want,
+                 ["s_name"], ["numwait"])
+
+
+def test_tpch_q22_matches_pandas(spark):
+    c = _tbl("customer")
+    o = _tbl("orders")
+    sel = c[(c.c_nationkey % 7).isin([0, 1, 2, 3])]
+    pos = sel[sel.c_acctbal > 0.0]
+    ab = (int(cents(pos.c_acctbal).sum()) / 100) / len(pos)
+    recent = set(
+        o.o_custkey[o.o_orderdate >= pd.Timestamp("1999-01-01")]
+    )
+    agg: dict = {}
+    for _, r in sel.iterrows():
+        if r.c_acctbal > ab and r.c_custkey not in recent:
+            code = int(r.c_nationkey % 7)
+            cur = agg.setdefault(code, [0, 0])
+            cur[0] += 1
+            cur[1] += int(cents([r.c_acctbal])[0])
+    want = {
+        (code,): {"numcust": n, "totacctbal": tc / 100}
+        for code, (n, tc) in agg.items()
+    }
+    assert_keyed(run(spark, "tpch_q22_prospects"), want,
+                 ["cntrycode"], ["numcust", "totacctbal"])
