@@ -3461,3 +3461,127 @@ def test_tpch_q22_matches_pandas(spark):
     }
     assert_keyed(run(spark, "tpch_q22_prospects"), want,
                  ["cntrycode"], ["numcust", "totacctbal"])
+
+
+# --------------------------- training-prep replays (wave 15)
+
+
+def test_sft_format_matches_python(spark):
+    doc = _tbl("documents")
+    want = {}
+    for d, lang, src, text in zip(doc.doc_id, doc.lang, doc.source,
+                                  doc.text):
+        if len(text) <= 240:
+            body = text
+        else:
+            p = text[:240]
+            idx = p.rfind(" ")
+            body = p[:idx] if idx >= 0 else p
+        want[(d,)] = {
+            "sample": (
+                f"<|system|>summarize<|user|>{lang}:{src}"
+                f"<|assistant|>{body}<|end|>"
+            ),
+            "body_chars": len(body),
+            "truncated": len(text) > 240,
+        }
+    assert_keyed(run(spark, "llm_sft_format"), want, ["doc_id"],
+                 ["sample", "body_chars", "truncated"])
+
+
+def test_span_corruption_matches_python(spark):
+    doc = _tbl("documents")
+    want = {}
+    for d, text in zip(doc.doc_id, doc.text):
+        w = text.split(" ")
+        i = 0
+        while 5 + 10 * i + 2 <= len(w):
+            start = 5 + 10 * i + 1
+            want[(d, i)] = {
+                "start_pos": start,
+                "masked_text": " ".join(w[start - 1:start + 1]),
+            }
+            i += 1
+    assert_keyed(run(spark, "llm_span_corruption"), want,
+                 ["doc_id", "span_idx"], ["start_pos", "masked_text"])
+
+
+def test_sampling_temperature_matches_python(spark):
+    doc = _tbl("documents")
+    n = doc.groupby("lang").size().to_dict()
+    total = float(sum(n.values()))
+    q = {lang: (c / total) ** 0.7 for lang, c in n.items()}
+    zq = sum(q.values())
+    want = {
+        (lang,): {
+            "n_docs": c,
+            "sample_weight": q[lang] / zq,
+            "doc_multiplier": (q[lang] / zq) / (c / total),
+        }
+        for lang, c in n.items()
+    }
+    assert_keyed(run(spark, "llm_sampling_temperature"), want, ["lang"],
+                 ["n_docs", "sample_weight", "doc_multiplier"], tol=2e-6)
+
+
+def test_target_encoding_matches_python(spark):
+    ev = _tbl("events")
+    cs = cents(ev.value)
+    stats: dict = {}
+    for t, c in zip(ev.event_type, cs):
+        cur = stats.setdefault(t, [0, 0])
+        cur[0] += int(c)
+        cur[1] += 1
+    want = {}
+    for e, t, c in zip(ev.event_id, ev.event_type, cs):
+        s, n = stats[t]
+        want[(e,)] = {
+            "event_type": t,
+            "loo_enc": None if n == 1 else (s - int(c)) / (n - 1),
+        }
+    assert_keyed(run(spark, "llm_target_encoding"), want, ["event_id"],
+                 ["event_type", "loo_enc"], tol=2e-6)
+
+
+def test_contribution_bounding_matches_python(spark):
+    ev = _tbl("events")
+    by_user: dict = {}
+    for e, u, t in zip(ev.event_id, ev.user_id, ev.event_type):
+        by_user.setdefault(u, []).append((_md5(str(e)), e, u, t))
+    raw: dict = {}
+    for t in ev.event_type:
+        raw[t] = raw.get(t, 0) + 1
+    agg: dict = {}
+    for u, rows in by_user.items():
+        for _, e, _, t in sorted(rows)[:20]:
+            cur = agg.setdefault(t, [0, set()])
+            cur[0] += 1
+            cur[1].add(u)
+    want = {
+        (t,): {"bounded_count": c, "raw_count": raw[t],
+               "n_users": len(us)}
+        for t, (c, us) in agg.items()
+    }
+    assert_keyed(run(spark, "llm_contribution_bounding"), want,
+                 ["event_type"], ["bounded_count", "raw_count", "n_users"])
+
+
+def test_token_budget_mixture_matches_python(spark):
+    doc = _tbl("documents")
+    toks: dict = {}
+    docs = []
+    for d, lang, text in zip(doc.doc_id, doc.lang, doc.text):
+        if text is None:
+            continue
+        nt = len(text.split(" "))
+        toks[lang] = toks.get(lang, 0) + nt
+        docs.append((d, lang, nt))
+    mn = min(toks.values())
+    thr = {lang: min(256, (256 * mn) // t) for lang, t in toks.items()}
+    want = {
+        (d,): {"lang": lang, "keep_buckets": thr[lang], "n_toks": nt}
+        for d, lang, nt in docs
+        if int(_md5(str(d))[:2], 16) < thr[lang]
+    }
+    assert_keyed(run(spark, "llm_token_budget_mixture"), want,
+                 ["doc_id"], ["lang", "keep_buckets", "n_toks"])
