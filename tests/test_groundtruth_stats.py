@@ -3585,3 +3585,127 @@ def test_token_budget_mixture_matches_python(spark):
     }
     assert_keyed(run(spark, "llm_token_budget_mixture"), want,
                  ["doc_id"], ["lang", "keep_buckets", "n_toks"])
+
+
+# ------------------------------- vector / ANN replays (wave 16)
+
+
+def _emb_f64() -> dict:
+    e = _tbl("embeddings")
+    return {
+        int(v): [float(x) for x in emb]
+        for v, emb in zip(e.vec_id, e.embedding)
+    }
+
+
+def _fold_dot(a, b) -> float:
+    """Sequential left-fold dot product — the exact op order of the
+    engines' aggregate(zip_with(...)) spelling."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def test_semdedup_cluster_matches_python(spark):
+    e = _tbl("embeddings")
+    vecs = _emb_f64()
+    labels = dict(zip((int(v) for v in e.vec_id), e.label))
+    nrm = {v: math.sqrt(_fold_dot(a, a)) for v, a in vecs.items()}
+    by_label: dict = {}
+    for v, lab in labels.items():
+        by_label.setdefault(lab, []).append(v)
+    dup_of: dict = {}
+    for members in by_label.values():
+        ms = sorted(members)
+        for i, a in enumerate(ms):
+            for b in ms[i + 1:]:
+                sim = _fold_dot(vecs[a], vecs[b]) / (nrm[a] * nrm[b])
+                if sim > 0.3:
+                    dup_of[b] = min(dup_of.get(b, a), a)
+    want = {
+        (v,): {
+            "label": labels[v],
+            "is_dup": v in dup_of,
+            "dup_of": dup_of.get(v),
+        }
+        for v in vecs
+    }
+    assert_keyed(run(spark, "llm_semdedup_cluster"), want,
+                 ["vec_id"], ["label", "is_dup", "dup_of"])
+
+
+def test_ann_hyperplane_lsh_matches_python(spark):
+    vecs = _emb_f64()
+    nrm = {v: math.sqrt(_fold_dot(a, a)) for v, a in vecs.items()}
+    planes = [
+        [1.0 if (int(_md5(f"hp:{b}:{i}")[0], 16) & 1) else -1.0
+         for i in range(64)]
+        for b in range(16)
+    ]
+    buckets: dict = {}
+    for v, a in vecs.items():
+        for band in range(4):
+            bv = 0
+            for j in range(4):
+                if _fold_dot(a, planes[4 * band + j]) >= 0:
+                    bv += 1 << (3 - j)
+            buckets.setdefault((band, bv), []).append(v)
+    cand = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i, a in enumerate(ms):
+            for b in ms[i + 1:]:
+                cand.add((a, b))
+    want = {}
+    for a, b in cand:
+        sim = _fold_dot(vecs[a], vecs[b]) / (nrm[a] * nrm[b])
+        if sim > 0.3:
+            want[(a, b)] = {"sim": _rhu6(sim)}
+    assert_keyed(run(spark, "llm_ann_hyperplane_lsh"), want,
+                 ["id_a", "id_b"], ["sim"])
+
+
+def test_knn_ivf_matches_python(spark):
+    vecs = _emb_f64()
+    n = len(vecs)
+    k = math.ceil(math.sqrt(n))
+    seeds = sorted(vecs, key=lambda v: (_md5(str(v)), v))[:k]
+    cells = {cell: vecs[v] for cell, v in enumerate(seeds, start=1)}
+
+    def d2(a, c):
+        return _rhu6(sum((x - y) * (x - y) for x, y in zip(a, c)))
+
+    assign0 = {
+        v: min(cells, key=lambda cell: (d2(a, cells[cell]), cell))
+        for v, a in vecs.items()
+    }
+    cent: dict = {}
+    for cell in cells:
+        members = [vecs[v] for v, c in assign0.items() if c == cell]
+        cent[cell] = [
+            _rhu6(sum(col) / len(members)) for col in zip(*members)
+        ]
+    ranked = {
+        v: sorted(cent, key=lambda cell: (d2(a, cent[cell]), cell))
+        for v, a in vecs.items()
+    }
+    assigned: dict = {}
+    for v, order in ranked.items():
+        assigned.setdefault(order[0], []).append(v)
+    nrm = {v: math.sqrt(_fold_dot(a, a)) for v, a in vecs.items()}
+    want = {}
+    for src, order in ranked.items():
+        cand = {
+            nbr for cell in order[:2] for nbr in assigned.get(cell, [])
+            if nbr != src
+        }
+        sims = sorted(
+            ((_rhu6(_fold_dot(vecs[src], vecs[nbr])
+                    / (nrm[src] * nrm[nbr])), nbr) for nbr in cand),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for rnk, (sim, nbr) in enumerate(sims[:3], start=1):
+            want[(src, rnk)] = {"nbr": nbr, "sim": sim}
+    assert_keyed(run(spark, "llm_knn_ivf"), want,
+                 ["src", "rnk"], ["nbr", "sim"])
