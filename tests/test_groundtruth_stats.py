@@ -3709,3 +3709,96 @@ def test_knn_ivf_matches_python(spark):
             want[(src, rnk)] = {"nbr": nbr, "sim": sim}
     assert_keyed(run(spark, "llm_knn_ivf"), want,
                  ["src", "rnk"], ["nbr", "sim"])
+
+
+# ---------------------------- streaming semantics (wave 17)
+
+
+def test_stream_tumbling_window_matches_pandas(spark):
+    ev = _tbl("events")
+    agg: dict = {}
+    for ts, et, c in zip(ev.ts.astype("int64"), ev.event_type,
+                         cents(ev.value)):
+        k = (ts - ts % HOUR_US, et)
+        cur = agg.setdefault(k, [0, 0])
+        cur[0] += 1
+        cur[1] += int(c)
+    want = {
+        k: {"n_events": n, "sum_value": tc / 100}
+        for k, (n, tc) in agg.items()
+    }
+    assert_keyed(run(spark, "stream_tumbling_window"), want,
+                 ["win_start_us", "event_type"], ["n_events", "sum_value"])
+
+
+def test_stream_sliding_window_matches_pandas(spark):
+    ev = _tbl("events")
+    q = 900_000_000  # 15 min in us
+    agg: dict = {}
+    for ts, c in zip(ev.ts.astype("int64"), cents(ev.value)):
+        for k in range(4):
+            w = (ts // q) * q - k * q
+            cur = agg.setdefault(w, [0, 0])
+            cur[0] += 1
+            cur[1] += int(c)
+    want = {
+        (w,): {"n_events": n, "sum_value": tc / 100}
+        for w, (n, tc) in agg.items()
+    }
+    assert_keyed(run(spark, "stream_sliding_window"), want,
+                 ["win_start_us"], ["n_events", "sum_value"])
+
+
+def test_stream_session_window_matches_python(spark):
+    ev = _tbl("events")
+    by_user: dict = {}
+    for u, ts, e in zip(ev.user_id, ev.ts.astype("int64"), ev.event_id):
+        by_user.setdefault(u, []).append((ts, e))
+    want = {}
+    for u, rows in by_user.items():
+        rows.sort()
+        start, n, prev = rows[0][0], 0, None
+        for ts, _ in rows:
+            if prev is not None and ts - prev >= 1_800_000_000:
+                want[(u, start)] = {"n_events": n}
+                start, n = ts, 0
+            n += 1
+            prev = ts
+        want[(u, start)] = {"n_events": n}
+    assert_keyed(run(spark, "stream_session_window"), want,
+                 ["user_id", "session_start_us"], ["n_events"])
+
+
+def test_stream_dedup_matches_base_table(spark):
+    ev = _tbl("events")
+    want = {
+        (e,): {
+            "ts_us": ts, "user_id": u, "event_type": t,
+            "value": v, "props": p,
+        }
+        for e, ts, u, t, v, p in zip(
+            ev.event_id, ev.ts.astype("int64"), ev.user_id,
+            ev.event_type, ev.value, ev.props,
+        )
+    }
+    assert_keyed(
+        run(spark, "stream_dedup"), want, ["event_id"],
+        ["ts_us", "user_id", "event_type", "value", "props"],
+    )
+
+
+def test_stream_stateful_count_matches_pandas(spark):
+    ev = _tbl("events")
+    agg: dict = {}
+    for u, v in zip(ev.user_id, ev.value):
+        cur = agg.setdefault(u, [0, 0, 0])
+        cur[0] += 1
+        if not (v is None or (isinstance(v, float) and math.isnan(v))):
+            cur[1] += 1
+            cur[2] += int(cents([v])[0])
+    want = {
+        (u,): {"n_events": n, "total_cents": tc if nv else None}
+        for u, (n, nv, tc) in agg.items()
+    }
+    assert_keyed(run(spark, "stream_stateful_count"), want,
+                 ["user_id"], ["n_events", "total_cents"])
