@@ -3802,3 +3802,126 @@ def test_stream_stateful_count_matches_pandas(spark):
     }
     assert_keyed(run(spark, "stream_stateful_count"), want,
                  ["user_id"], ["n_events", "total_cents"])
+
+
+# --------------------------- LSH audits / novelty (wave 18)
+
+
+def test_lsh_bucket_audit_matches_python(spark):
+    doc = _tbl("documents")
+    ssets = _shingle_sets_py(dict(zip(doc.doc_id, doc.text)))
+    sigs = {
+        d: [min(_md5(f"s{k}|" + s) for s in ss) for k in range(8)]
+        for d, ss in ssets.items()
+    }
+    buckets: dict = {}
+    for d, sg in sigs.items():
+        for band in range(4):
+            bh = _md5(sg[2 * band] + sg[2 * band + 1])
+            buckets.setdefault((band, bh), []).append(d)
+    per_band: dict = {}
+    for (band, _), members in buckets.items():
+        per_band.setdefault(band, []).append(len(members))
+    want = {}
+    for band, cs in per_band.items():
+        mx = max(cs)
+        pairs = sum(c * (c - 1) // 2 for c in cs)
+        want[(band,)] = {
+            "n_buckets": len(cs),
+            "max_bucket": mx,
+            "cand_pairs": pairs,
+            "top_pair_share": _rhu6(mx * (mx - 1) / 2 / max(pairs, 1)),
+        }
+    assert_keyed(
+        run(spark, "llm_lsh_bucket_audit"), want, ["band"],
+        ["n_buckets", "max_bucket", "cand_pairs", "top_pair_share"],
+    )
+
+
+def test_lsh_precision_recall_matches_python(spark):
+    doc = _tbl("documents")
+    corpus = {d: t.split(" ") for d, t in zip(doc.doc_id, doc.text)}
+    for d, w in list(corpus.items()):
+        if d % 5 == 0:
+            corpus[d + 300000] = [
+                x for i, x in enumerate(w, start=1) if i % 7 != 0
+            ]
+    ssets = {
+        d: {" ".join(w[i:i + 5]) for i in range(len(w) - 4)}
+        for d, w in corpus.items() if len(w) >= 5
+    }
+    sigs = {
+        d: [min(_md5(f"s{k}|" + s) for s in ss) for k in range(8)]
+        for d, ss in ssets.items()
+    }
+    buckets: dict = {}
+    for d, sg in sigs.items():
+        for band in range(4):
+            buckets.setdefault((band, _md5(sg[2 * band] + sg[2 * band + 1])),
+                               []).append(d)
+    cand = set()
+    for members in buckets.values():
+        ms = sorted(members)
+        for i, a in enumerate(ms):
+            for b in ms[i + 1:]:
+                cand.add((a, b))
+    planted = {(d, d + 300000) for d in ssets if d + 300000 in ssets
+               and d < 300000}
+    n_recalled = len(planted & cand)
+    n_precise = sum(
+        1 for a, b in cand
+        if len(ssets[a] & ssets[b]) * 1.0 / len(ssets[a] | ssets[b]) >= 0.5
+    )
+    got = run(spark, "llm_lsh_precision_recall").iloc[0]
+    assert int(got.n_planted) == len(planted)
+    assert int(got.n_recalled) == n_recalled
+    assert close(got.recall, _rhu6(n_recalled / len(planted)), 1e-6)
+    assert int(got.n_candidates) == len(cand)
+    assert int(got.n_precise) == n_precise
+    assert close(got.precision, _rhu6(n_precise / max(len(cand), 1)), 1e-6)
+
+
+def test_ngram_novelty_matches_python(spark):
+    doc = _tbl("documents")
+    tri: dict = {}
+    for d, t in zip(doc.doc_id, doc.text):
+        w = t.split(" ")
+        if len(w) >= 3:
+            tri[d] = {_md5(" ".join(w[i:i + 3])) for i in range(len(w) - 2)}
+    first: dict = {}
+    for d in sorted(tri):
+        for h in tri[d]:
+            first.setdefault(h, d)
+    want = {}
+    for d, hs in tri.items():
+        novel = sum(1 for h in hs if first[h] == d)
+        want[(d,)] = {
+            "n_ngrams": len(hs), "n_novel": novel,
+            "novelty": _rhu6(novel / len(hs)),
+        }
+    assert_keyed(run(spark, "llm_ngram_novelty"), want,
+                 ["doc_id"], ["n_ngrams", "n_novel", "novelty"])
+
+
+def test_quality_ensemble_matches_python(spark):
+    doc = _tbl("documents")
+    want = {}
+    for d, nc, t in zip(doc.doc_id, doc.n_chars, doc.text):
+        cnt: dict = {}
+        for w in t.split(" "):
+            cnt[w] = cnt.get(w, 0) + 1
+        n = sum(cnt.values())
+        ttr = _rhu6(len(cnt) / n)
+        top = _rhu6(max(cnt.values()) / n)
+        ent = _rhu6(
+            math.log(n) - sum(c * math.log(c) for c in cnt.values()) / n
+        )
+        want[(d,)] = {
+            "n_toks": n, "ttr": ttr, "top_share": top, "entropy": ent,
+            "keep": (100 <= nc <= 500 and ttr >= 0.35
+                     and top <= 0.12 and ent >= 2.5),
+        }
+    assert_keyed(
+        run(spark, "llm_quality_ensemble"), want, ["doc_id"],
+        ["n_toks", "ttr", "top_share", "entropy", "keep"], tol=2e-6,
+    )
