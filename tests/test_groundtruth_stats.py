@@ -3925,3 +3925,141 @@ def test_quality_ensemble_matches_python(spark):
         run(spark, "llm_quality_ensemble"), want, ["doc_id"],
         ["n_toks", "ttr", "top_share", "entropy", "keep"], tol=2e-6,
     )
+
+
+# ------------------------- two-phase window rewrites (wave 19)
+
+
+def test_win_rank_dense_matches_python(spark):
+    # fixture lineitem carries fully duplicate (flag, orderkey,
+    # linenumber) rows, so compare the row MULTISET, not a keyed dict
+    li = _tbl("lineitem")
+    li = li[li.l_quantity >= 48]
+    by_flag: dict = {}
+    for f, q in zip(li.l_returnflag, li.l_quantity):
+        by_flag.setdefault(f, []).append(q)
+    want = []
+    for _, r in li.iterrows():
+        qs = by_flag[r.l_returnflag]
+        want.append((
+            r.l_returnflag, r.l_orderkey, r.l_linenumber, r.l_quantity,
+            1 + sum(1 for q in qs if q > r.l_quantity),
+            1 + len({q for q in qs if q > r.l_quantity}),
+        ))
+    got = sorted(
+        (r.l_returnflag, r.l_orderkey, r.l_linenumber, r.l_quantity,
+         r.rnk, r.drnk)
+        for _, r in run(spark, "win_rank_dense").iterrows()
+    )
+    assert got == sorted(want)
+
+
+def test_win_ntile_matches_python(spark):
+    # duplicate sort keys make per-row tile assignment ambiguous between
+    # engines; the row MULTISET (including tiles) is the invariant
+    li = _tbl("lineitem")
+    li = li[li.l_quantity >= 48]
+    by_flag: dict = {}
+    for _, r in li.iterrows():
+        by_flag.setdefault(r.l_returnflag, []).append(
+            (r.l_quantity, r.l_orderkey, r.l_linenumber)
+        )
+    want = []
+    for f, rows in by_flag.items():
+        rows.sort()
+        n, k = len(rows), 4
+        q, rm = n // k, n % k
+        for pos, (qty, ok, ln) in enumerate(rows, start=1):
+            if pos <= rm * (q + 1):
+                tile = 1 + (pos - 1) // (q + 1)
+            else:
+                tile = rm + 1 + (pos - rm * (q + 1) - 1) // max(q, 1)
+            want.append((f, ok, ln, qty, tile))
+    got = sorted(
+        (r.l_returnflag, r.l_orderkey, r.l_linenumber, r.l_quantity,
+         r.quartile)
+        for _, r in run(spark, "win_ntile").iterrows()
+    )
+    assert got == sorted(want)
+
+
+def test_win_percent_cume_matches_python(spark):
+    c = _tbl("customer")
+    c = c[c.c_acctbal.notna()]
+    by_nat: dict = {}
+    for n, b in zip(c.c_nationkey, c.c_acctbal):
+        by_nat.setdefault(n, []).append(b)
+    want = {}
+    for _, r in c.iterrows():
+        bals = by_nat[r.c_nationkey]
+        n = len(bals)
+        less = sum(1 for b in bals if b < r.c_acctbal)
+        at_or_below = sum(1 for b in bals if b <= r.c_acctbal)
+        want[(r.c_custkey,)] = {
+            "c_nationkey": r.c_nationkey, "c_acctbal": r.c_acctbal,
+            "pr": 0.0 if n == 1 else less / (n - 1),
+            "cd": at_or_below / n,
+        }
+    assert_keyed(
+        run(spark, "win_percent_cume"), want, ["c_custkey"],
+        ["c_nationkey", "c_acctbal", "pr", "cd"], tol=1e-12,
+    )
+
+
+def test_win_median_over_matches_numpy(spark):
+    ev = _tbl("events")
+    med = {
+        t: _rhu6(float(np.percentile(
+            g.dropna().to_numpy(dtype=np.float64), 50, method="linear")))
+        for t, g in ev.groupby("event_type", dropna=False)["value"]
+    }
+    want = {}
+    for e, t, v in zip(ev.event_id, ev.event_type, ev.value):
+        m = med[t]
+        want[(e,)] = {
+            "event_type": t, "value": v, "type_median": m,
+            "dev": None if v is None or (isinstance(v, float)
+                                         and math.isnan(v))
+            else _rhu6(v - m),
+        }
+    assert_keyed(
+        run(spark, "win_median_over"), want, ["event_id"],
+        ["event_type", "value", "type_median", "dev"], tol=2e-6,
+    )
+
+
+def test_win_count_distinct_over_matches_python(spark):
+    o = _tbl("orders")
+    nd = {
+        ck: len(set(g))
+        for ck, g in o.groupby("o_custkey")["o_orderpriority"]
+    }
+    want = {
+        (ok,): {"o_custkey": ck, "o_orderpriority": p,
+                "n_distinct_prio": nd[ck]}
+        for ok, ck, p in zip(o.o_orderkey, o.o_custkey, o.o_orderpriority)
+    }
+    assert_keyed(
+        run(spark, "win_count_distinct_over"), want, ["o_orderkey"],
+        ["o_custkey", "o_orderpriority", "n_distinct_prio"],
+    )
+
+
+def test_win_cumulative_distinct_matches_python(spark):
+    ev = _tbl("events")
+    by_user: dict = {}
+    for e, u, t, ts in zip(ev.event_id, ev.user_id, ev.event_type,
+                           ev.ts.astype("int64")):
+        by_user.setdefault(u, []).append((ts, e, t))
+    want = {}
+    for u, rows in by_user.items():
+        rows.sort()
+        seen: set = set()
+        for ts, e, t in rows:
+            seen.add(t)
+            want[(e,)] = {"user_id": u, "ts_us": ts,
+                          "n_types_seen": len(seen)}
+    assert_keyed(
+        run(spark, "win_cumulative_distinct"), want, ["event_id"],
+        ["user_id", "ts_us", "n_types_seen"],
+    )
