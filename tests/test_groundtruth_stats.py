@@ -4063,3 +4063,112 @@ def test_win_cumulative_distinct_matches_python(spark):
         run(spark, "win_cumulative_distinct"), want, ["event_id"],
         ["user_id", "ts_us", "n_types_seen"],
     )
+
+
+# ------------------------------ multimodal plumbing (wave 20)
+
+
+def test_multimodal_binary_matches_python(spark):
+    doc = _tbl("documents")
+    want = {}
+    for d, t in zip(doc.doc_id, doc.text):
+        b = t.encode("utf-8")
+        want[(d,)] = {
+            "n_bytes": len(b),
+            "first_byte": b[0] if b else -1,
+            "n_frames": 1 + len(b) // 256,
+            "feat_hash": (len(b) * 2654435761) % 1000003,
+        }
+    assert_keyed(
+        run(spark, "llm_multimodal_binary"), want, ["doc_id"],
+        ["n_bytes", "first_byte", "n_frames", "feat_hash"],
+    )
+
+
+def test_multimodal_resize_spec_matches_python(spark):
+    doc = _tbl("documents")
+    want = {}
+    for d in doc.doc_id:
+        w = 320 + (d * 7) % 1280
+        h = 240 + (d * 13) % 720
+        mx = max(w, h)
+        ow, oh = w * 224 // mx, h * 224 // mx
+        want[(d,)] = {
+            "w": w, "h": h, "out_w": ow, "out_h": oh,
+            "pad_x": (224 - ow) // 2, "pad_y": (224 - oh) // 2,
+        }
+    assert_keyed(
+        run(spark, "llm_multimodal_resize_spec"), want, ["doc_id"],
+        ["w", "h", "out_w", "out_h", "pad_x", "pad_y"],
+    )
+
+
+def test_multimodal_audio_chunks_matches_python(spark):
+    doc = _tbl("documents")
+    want = {}
+    for d, nc in zip(doc.doc_id, doc.n_chars):
+        dur = (nc * 160 * 1000) // 16000
+        if dur <= 0:
+            continue
+        for i in range((dur + 999) // 1000):
+            end = min((i + 1) * 1000, dur)
+            want[(d, i)] = {
+                "start_ms": i * 1000, "end_ms": end,
+                "chunk_samples": (end - i * 1000) * 16,
+            }
+    assert_keyed(
+        run(spark, "llm_multimodal_audio_chunks"), want,
+        ["doc_id", "chunk_idx"], ["start_ms", "end_ms", "chunk_samples"],
+    )
+
+
+def test_multimodal_struct_matches_python(spark):
+    doc = _tbl("documents")
+    emb = _tbl("embeddings")
+    dim = {int(v): len(e) for v, e in zip(emb.vec_id, emb.embedding)}
+    want = {
+        (d,): {"s_lang": lang, "s_chars": nc, "s_dim": dim[d]}
+        for d, lang, nc in zip(doc.doc_id, doc.lang, doc.n_chars)
+        if d in dim
+    }
+    assert_keyed(run(spark, "llm_multimodal_struct"), want,
+                 ["doc_id"], ["s_lang", "s_chars", "s_dim"])
+
+
+def test_multimodal_dedup_matches_python(spark):
+    doc = _tbl("documents")
+    corpus = {d: t.encode("utf-8") for d, t in zip(doc.doc_id, doc.text)}
+    for d, b in list(corpus.items()):
+        if d % 6 == 0:
+            corpus[d + 400000] = b
+    want: dict = {}
+    for d, b in corpus.items():
+        hx = b.hex()
+        pm = _md5(hx)
+        tail_start = max(len(hx) - 64, 0)
+        sketch = _md5(
+            hx[:64] + hx[tail_start:tail_start + 64] + str(len(hx) // 128)
+        )
+        cur = want.setdefault(
+            (pm,), {"edge_sketch": sketch, "keep_id": d, "n_copies": 0}
+        )
+        cur["keep_id"] = min(cur["keep_id"], d)
+        cur["n_copies"] += 1
+    assert_keyed(run(spark, "llm_multimodal_dedup"), want,
+                 ["payload_md5"], ["edge_sketch", "keep_id", "n_copies"])
+
+
+def test_multimodal_frame_sample_matches_python(spark):
+    doc = _tbl("documents")
+    want = {}
+    for d, t in zip(doc.doc_id, doc.text):
+        if len(t.encode("utf-8")) != len(t):
+            continue
+        for i in range(4):
+            if i * 64 + 32 <= len(t):
+                want[(d, i)] = {
+                    "frame_off": i * 64,
+                    "frame_md5": _md5(t[i * 64:i * 64 + 32]),
+                }
+    assert_keyed(run(spark, "llm_multimodal_frame_sample"), want,
+                 ["doc_id", "frame_idx"], ["frame_off", "frame_md5"])
