@@ -4172,3 +4172,132 @@ def test_multimodal_frame_sample_matches_python(spark):
                 }
     assert_keyed(run(spark, "llm_multimodal_frame_sample"), want,
                  ["doc_id", "frame_idx"], ["frame_off", "frame_md5"])
+
+
+# ---------------------------- k-NN eval family (wave 21)
+
+
+def _knn_top5_py():
+    """(src -> [(sim_r6, nbr), ...top5]) by (rounded sim desc, id asc)."""
+    vecs = _emb_f64()
+    nrm = {v: math.sqrt(_fold_dot(a, a)) for v, a in vecs.items()}
+    out = {}
+    for src in vecs:
+        sims = sorted(
+            ((_rhu6(_fold_dot(vecs[src], vecs[n]) / (nrm[src] * nrm[n])), n)
+             for n in vecs if n != src),
+            key=lambda t: (-t[0], t[1]),
+        )
+        out[src] = sims[:5]
+    return out
+
+
+def test_knn_label_eval_matches_python(spark):
+    e = _tbl("embeddings")
+    labels = dict(zip((int(v) for v in e.vec_id), e.label))
+    top5 = _knn_top5_py()
+    per_label: dict = {}
+    for src, nbrs in top5.items():
+        votes: dict = {}
+        for _, n in nbrs:
+            votes[labels[n]] = votes.get(labels[n], 0) + 1
+        pred = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        cur = per_label.setdefault(labels[src], [0, 0])
+        cur[0] += 1
+        cur[1] += pred == labels[src]
+    want = {
+        (lab,): {"n_queries": n, "n_correct": c,
+                 "accuracy": _rhu6(c / n)}
+        for lab, (n, c) in per_label.items()
+    }
+    assert_keyed(run(spark, "llm_knn_label_eval"), want, ["label"],
+                 ["n_queries", "n_correct", "accuracy"])
+
+
+def test_ivf_recall_at_k_matches_python(spark):
+    vecs = _emb_f64()
+    n = len(vecs)
+    k = math.ceil(math.sqrt(n))
+    seeds = sorted(vecs, key=lambda v: (_md5(str(v)), v))[:k]
+    cells = {cell: vecs[v] for cell, v in enumerate(seeds, start=1)}
+
+    def d2(a, c):
+        return _rhu6(sum((x - y) * (x - y) for x, y in zip(a, c)))
+
+    assign0 = {
+        v: min(cells, key=lambda cell: (d2(a, cells[cell]), cell))
+        for v, a in vecs.items()
+    }
+    cent: dict = {}
+    for cell in cells:
+        members = [vecs[v] for v, c in assign0.items() if c == cell]
+        cent[cell] = [_rhu6(sum(col) / len(members))
+                      for col in zip(*members)]
+    ranked = {
+        v: sorted(cent, key=lambda cell: (d2(a, cent[cell]), cell))
+        for v, a in vecs.items()
+    }
+    assigned: dict = {}
+    for v, order in ranked.items():
+        assigned.setdefault(order[0], []).append(v)
+    nrm = {v: math.sqrt(_fold_dot(a, a)) for v, a in vecs.items()}
+
+    def topk(src, cand, kk):
+        sims = sorted(
+            ((_rhu6(_fold_dot(vecs[src], vecs[c]) / (nrm[src] * nrm[c])),
+              c) for c in cand),
+            key=lambda t: (-t[0], t[1]),
+        )
+        return {c for _, c in sims[:kk]}
+
+    total_hits = 0
+    for src, order in ranked.items():
+        cand = {c for cell in order[:2] for c in assigned.get(cell, [])
+                if c != src}
+        ivf3 = topk(src, cand, 3)
+        bf3 = topk(src, set(vecs) - {src}, 3)
+        total_hits += len(ivf3 & bf3)
+    got = run(spark, "llm_ivf_recall_at_k").iloc[0]
+    assert int(got.n_queries) == n
+    assert int(got.total_hits) == total_hits
+    assert close(got.recall_at_3, _rhu6(total_hits / (3.0 * n)), 1e-6)
+
+
+def test_hard_negatives_matches_python(spark):
+    e = _tbl("embeddings")
+    labels = dict(zip((int(v) for v in e.vec_id), e.label))
+    top5 = _knn_top5_py()
+    want = {}
+    for src, nbrs in top5.items():
+        for rnk, (sim, nbr) in enumerate(nbrs, start=1):
+            if labels[nbr] != labels[src]:
+                want[(src,)] = {
+                    "src_label": labels[src], "hard_negative": nbr,
+                    "nbr_label": labels[nbr], "sim": sim, "rnk": rnk,
+                }
+                break
+    assert_keyed(
+        run(spark, "llm_hard_negatives"), want, ["src"],
+        ["src_label", "hard_negative", "nbr_label", "sim", "rnk"],
+    )
+
+
+def test_prototype_selection_matches_python(spark):
+    e = _tbl("embeddings")
+    vecs = _emb_f64()
+    labels = dict(zip((int(v) for v in e.vec_id), e.label))
+    by_label: dict = {}
+    for v, lab in labels.items():
+        by_label.setdefault(lab, []).append(v)
+    want = {}
+    for lab, members in by_label.items():
+        cent = [_rhu6(sum(vecs[v][p] for v in members) / len(members))
+                for p in range(64)]
+        d2s = sorted(
+            (_rhu6(sum((vecs[v][p] - cent[p]) ** 2 for p in range(64))), v)
+            for v in members
+        )
+        for rank, (d2, v) in enumerate(d2s[:3], start=1):
+            want[(lab, rank)] = {"vec_id": v, "d2": d2}
+    assert_keyed(run(spark, "llm_prototype_selection"), want,
+                 ["label", "rank"], ["vec_id", "d2"])
