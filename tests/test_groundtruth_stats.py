@@ -4301,3 +4301,139 @@ def test_prototype_selection_matches_python(spark):
             want[(lab, rank)] = {"vec_id": v, "d2": d2}
     assert_keyed(run(spark, "llm_prototype_selection"), want,
                  ["label", "rank"], ["vec_id", "d2"])
+
+
+# ----------------------- preference / corpus reports (wave 22)
+
+
+def test_preference_pairs_matches_python(spark):
+    doc = _tbl("documents")
+    groups: dict = {}
+    for d, lang, src, nc, t in zip(doc.doc_id, doc.lang, doc.source,
+                                   doc.n_chars, doc.text):
+        if t is None:
+            continue
+        q = _rhu6(math.log(1 + nc) * 0.5 + len(t.split(" ")) * 0.01)
+        groups.setdefault((lang, src), []).append((q, d))
+    want = {}
+    for (lang, src), rows in groups.items():
+        if len(rows) < 2:
+            continue
+        best = min(rows, key=lambda r: (-r[0], r[1]))
+        worst = min(rows, key=lambda r: (r[0], r[1]))
+        if best[1] == worst[1]:
+            continue
+        want[(lang, src)] = {
+            "chosen_doc": best[1], "rejected_doc": worst[1],
+            "margin": _rhu6(best[0] - worst[0]),
+        }
+    assert_keyed(run(spark, "llm_preference_pairs"), want,
+                 ["lang", "source"],
+                 ["chosen_doc", "rejected_doc", "margin"])
+
+
+def test_prefix_clusters_matches_python(spark):
+    doc = _tbl("documents")
+    groups: dict = {}
+    for d, src, t in zip(doc.doc_id, doc.source, doc.text):
+        w = t.split(" ")
+        if len(w) >= 8:
+            key = _md5(" ".join(w[:8]))
+            groups.setdefault(key, []).append((d, src))
+    want = {}
+    for key, rows in groups.items():
+        if len(rows) < 2:
+            continue
+        srcs = {s for _, s in rows}
+        want[(key,)] = {
+            "n_docs": len(rows),
+            "keep_doc": min(d for d, _ in rows),
+            "n_sources": len(srcs),
+            "cross_source": len(srcs) > 1,
+        }
+    assert_keyed(run(spark, "llm_prefix_clusters"), want, ["prefix_key"],
+                 ["n_docs", "keep_doc", "n_sources", "cross_source"])
+
+
+def test_dataset_card_stats_matches_pandas(spark):
+    doc = _tbl("documents")
+    want = {}
+    for (src, lang), g in doc.groupby(["source", "lang"]):
+        nc = g.n_chars.to_numpy(dtype=np.float64)
+        toks = sum(len(t.split(" ")) for t in g.text if t is not None)
+        want[(src, lang)] = {
+            "n_docs": len(g),
+            "total_chars": int(g.n_chars.sum()),
+            "median_chars": _rhu6(
+                float(np.percentile(nc, 50, method="linear"))),
+            "total_toks": toks,
+            "short_share": _rhu6(float((nc < 200).sum()) / len(g)),
+        }
+    assert_keyed(
+        run(spark, "llm_dataset_card_stats"), want, ["source", "lang"],
+        ["n_docs", "total_chars", "median_chars", "total_toks",
+         "short_share"], tol=2e-6,
+    )
+
+
+def test_corpus_health_report_matches_python(spark):
+    doc = _tbl("documents")
+    per_lang: dict = {}
+    for lang, nc, t in zip(doc.lang, doc.n_chars, doc.text):
+        cnt: dict = {}
+        for w in t.split(" "):
+            cnt[w] = cnt.get(w, 0) + 1
+        n = sum(cnt.values())
+        ttr = _rhu6(len(cnt) / n)
+        top = _rhu6(max(cnt.values()) / n)
+        ent = _rhu6(
+            math.log(n) - sum(c * math.log(c) for c in cnt.values()) / n
+        )
+        keep = (100 <= nc <= 500 and ttr >= 0.35
+                and top <= 0.12 and ent >= 2.5)
+        cur = per_lang.setdefault(lang, [0, 0, 0.0])
+        cur[0] += 1
+        cur[1] += keep
+        cur[2] += ent
+    want = {
+        (lang,): {
+            "n_docs": n, "n_keep": k,
+            "keep_share": _rhu6(k / n),
+            "mean_entropy": _rhu6(tot_ent / n),
+        }
+        for lang, (n, k, tot_ent) in per_lang.items()
+    }
+    assert_keyed(
+        run(spark, "llm_corpus_health_report"), want, ["lang"],
+        ["n_docs", "n_keep", "keep_share", "mean_entropy"], tol=2e-6,
+    )
+
+
+def test_corpus_prep_pipeline_matches_python(spark):
+    doc = _tbl("documents")
+    stop = {"the", "a", "of", "and", "to"}
+    kept = []
+    for d, lang, t in zip(doc.doc_id, doc.lang, doc.text):
+        w = t.split(" ")
+        nw, nc = len(w), len(t)
+        ns = sum(1 for x in w if x in stop)
+        ppm = (4000 * min(nw, 100)
+               + (300000 - ns * 300000 // nw)
+               + min((nc - (nw - 1)) * 300000 // (8 * nw), 300000))
+        if ppm >= 550000:
+            kept.append((d, lang, nw, t))
+    seen_text: dict = {}
+    for d, lang, nw, t in sorted(kept):
+        seen_text.setdefault(t, (d, lang, nw))
+    agg: dict = {}
+    for d, lang, nw in seen_text.values():
+        b = int(_md5(str(d))[:2], 16) % 100
+        split = "train" if b < 80 else ("val" if b < 90 else "test")
+        cur = agg.setdefault((split, lang), [0, 0])
+        cur[0] += 1
+        cur[1] += nw
+    want = {
+        k: {"n_docs": n, "n_tokens": tt} for k, (n, tt) in agg.items()
+    }
+    assert_keyed(run(spark, "llm_corpus_prep_pipeline"), want,
+                 ["split", "lang"], ["n_docs", "n_tokens"])
