@@ -4437,3 +4437,172 @@ def test_corpus_prep_pipeline_matches_python(spark):
     }
     assert_keyed(run(spark, "llm_corpus_prep_pipeline"), want,
                  ["split", "lang"], ["n_docs", "n_tokens"])
+
+
+# ------------------------------ last logic-heavy ops (wave 23)
+
+
+def test_skyline_pareto_matches_python(spark):
+    o = _tbl("orders")
+    pts: dict = {}
+    for p, d in zip(o.o_totalprice, o.o_orderdate.astype("int64")):
+        pts[(p, d)] = pts.get((p, d), 0) + 1
+    front = {}
+    prev_max = None
+    for (p, d), n in sorted(pts.items(), key=lambda kv: (-kv[0][0],
+                                                         -kv[0][1])):
+        if prev_max is None or d > prev_max:
+            front[(p, d)] = {"n_orders": n}
+        prev_max = d if prev_max is None else max(prev_max, d)
+    assert_keyed(run(spark, "agg_skyline_pareto"), front,
+                 ["price", "order_date_us"], ["n_orders"])
+
+
+def test_product_rewrite_matches_python(spark):
+    li = _tbl("lineitem")
+    ln10 = 2.302585092994046
+    groups: dict = {}
+    for f, disc in zip(li.l_returnflag, li.l_discount):
+        # decimal(4,2) cast = exact 2-dec value; 1 + d exact in double
+        d2 = int(cents([disc])[0]) / 100
+        groups.setdefault(f, []).append(math.log(1.0 + d2))
+    want = {}
+    for f, lns in groups.items():
+        rs = _rhu6(sum(lns))
+        ra = _rhu6(sum(lns) / len(lns))
+        want[(f,)] = {
+            "n": len(lns),
+            "product_mantissa": _rhu6(
+                10 ** (rs / ln10 - math.floor(rs / ln10))),
+            "product_exp10": math.floor(rs / ln10),
+            "geo_mean_factor": _rhu6(math.exp(ra)),
+        }
+    assert_keyed(
+        run(spark, "agg_product_rewrite"), want, ["l_returnflag"],
+        ["n", "product_mantissa", "product_exp10", "geo_mean_factor"],
+        tol=2e-6,
+    )
+
+
+def test_association_rules_matches_python(spark):
+    li = _tbl("lineitem")
+    baskets: dict = {}
+    for ok, pk in set(zip(li.l_orderkey, li.l_partkey)):
+        baskets.setdefault(ok, set()).add(pk)
+    kept = {ok: ps for ok, ps in baskets.items() if len(ps) <= 15}
+    nb = float(len(kept))
+    item_n: dict = {}
+    pairs: dict = {}
+    for ps in kept.values():
+        s = sorted(ps)
+        for p in s:
+            item_n[p] = item_n.get(p, 0) + 1
+        for i, a in enumerate(s):
+            for b in s[i + 1:]:
+                pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    want = {}
+    for (a, b), c in pairs.items():
+        if c < 5:
+            continue
+        want[(a, b)] = {
+            "c_ab": c,
+            "support": _rhu6(c / nb),
+            "conf_a_to_b": _rhu6(c / item_n[a]),
+            "conf_b_to_a": _rhu6(c / item_n[b]),
+            "lift": _rhu6((c / nb) / ((item_n[a] / nb) * (item_n[b] / nb))),
+        }
+    assert_keyed(
+        run(spark, "agg_association_rules"), want, ["part_a", "part_b"],
+        ["c_ab", "support", "conf_a_to_b", "conf_b_to_a", "lift"],
+        tol=2e-6,
+    )
+
+
+def test_seasonal_anomaly_matches_python(spark):
+    ev = _tbl("events")
+    dow = (ev.ts.dt.dayofweek + 1).to_numpy()
+    hod = ev.ts.dt.hour.to_numpy()
+    cs = cents(ev.value)
+    cells: dict = {}
+    for d, h, c in zip(dow, hod, cs):
+        cur = cells.setdefault((int(d), int(h)), [0, 0, 0])
+        cur[0] += 1
+        cur[1] += int(c)
+        cur[2] += int(c) * int(c)
+    model = {}
+    for k, (n, sc, scc) in cells.items():
+        if n < 10:
+            continue
+        sx = sc / 100
+        sxx = scc / 1e4
+        if (sxx - sx * sx / n) > 0:
+            mean = sx / n
+            sd = math.sqrt((sxx - sx * sx / n) / (n - 1))
+            model[k] = (mean, sd)
+    want = {}
+    for e, v, d, h in zip(ev.event_id, ev.value, dow, hod):
+        k = (int(d), int(h))
+        if k not in model or v is None:
+            continue
+        mean, sd = model[k]
+        if abs(v - mean) > 2 * sd:
+            want[(e,)] = {
+                "value": v, "dow": k[0], "hod": k[1],
+                "cell_mean": _rhu6(mean), "z": _rhu6((v - mean) / sd),
+            }
+    assert_keyed(
+        run(spark, "ts_seasonal_anomaly"), want, ["event_id"],
+        ["value", "dow", "hod", "cell_mean", "z"], tol=2e-6,
+    )
+
+
+def test_rollup_incremental_merge_matches_pandas(spark):
+    ev = _tbl("events")
+    agg: dict = {}
+    for u, ts, c in zip(ev.user_id, ev.ts.astype("int64"), cents(ev.value)):
+        k = (u, ts - ts % HOUR_US)
+        cur = agg.setdefault(k, [0, 0])
+        cur[0] += 1
+        cur[1] += int(c)
+    want = {k: {"n_events": n, "cents": tc} for k, (n, tc) in agg.items()}
+    assert_keyed(run(spark, "ts_rollup_incremental_merge"), want,
+                 ["user_id", "hour_us"], ["n_events", "cents"])
+
+
+def test_lsh_banding_sweep_matches_python(spark):
+    doc = _tbl("documents")
+    corpus = {d: t.split(" ") for d, t in zip(doc.doc_id, doc.text)}
+    for d, w in list(corpus.items()):
+        if d % 5 == 0:
+            corpus[d + 300000] = [
+                x for i, x in enumerate(w, start=1) if i % 7 != 0
+            ]
+    ssets = {
+        d: {" ".join(w[i:i + 5]) for i in range(len(w) - 4)}
+        for d, w in corpus.items() if len(w) >= 5
+    }
+    sigs = {
+        d: [min(_md5(f"s{k}|" + s) for s in ss) for k in range(8)]
+        for d, ss in ssets.items()
+    }
+    planted = {(d, d + 300000) for d in ssets
+               if d < 300000 and d + 300000 in ssets}
+    want = {}
+    for bands, rows in ((8, 1), (4, 2), (2, 4)):
+        buckets: dict = {}
+        for d, sg in sigs.items():
+            for b in range(bands):
+                bh = _md5("".join(sg[b * rows:(b + 1) * rows]))
+                buckets.setdefault((b, bh), []).append(d)
+        cand = set()
+        for members in buckets.values():
+            ms = sorted(members)
+            for i, a in enumerate(ms):
+                for b2 in ms[i + 1:]:
+                    cand.add((a, b2))
+        want[(bands, rows)] = {
+            "n_candidates": len(cand),
+            "recall": _rhu6(len(planted & cand) / len(planted)),
+        }
+    assert_keyed(run(spark, "llm_lsh_banding_sweep"), want,
+                 ["bands", "rows_per_band"], ["n_candidates", "recall"])
