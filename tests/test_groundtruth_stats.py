@@ -4606,3 +4606,119 @@ def test_lsh_banding_sweep_matches_python(spark):
         }
     assert_keyed(run(spark, "llm_lsh_banding_sweep"), want,
                  ["bands", "rows_per_band"], ["n_candidates", "recall"])
+
+
+# ------------------------------ TPC-H replays, part 2 (wave 24)
+
+
+def _rev_units(ext, disc):
+    """Revenue in exact 1e-4 units: cents(ext) * (100 - cents(disc))."""
+    return int(cents([ext])[0]) * (100 - int(cents([disc])[0]))
+
+
+def test_tpch_q8_matches_pandas(spark):
+    li = _tbl("lineitem")
+    p = _tbl("part")
+    sup = _tbl("supplier")
+    o = _tbl("orders")
+    c = _tbl("customer")
+    nat = _tbl("nation")
+    reg = _tbl("region")
+    econ = set(p.p_partkey[p.p_type == "ECONOMY"])
+    sup_nat = dict(zip(sup.s_suppkey, sup.s_nationkey))
+    nat_name = dict(zip(nat.n_nationkey, nat.n_name))
+    asia = set(reg.r_regionkey[reg.r_name == "ASIA"])
+    asia_nations = set(nat.n_nationkey[nat.n_regionkey.isin(asia)])
+    cust_nat = dict(zip(c.c_custkey, c.c_nationkey))
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
+    ord_info = {
+        r.o_orderkey: (r.o_custkey, pd.Timestamp(r.o_orderdate).year)
+        for _, r in o.iterrows() if lo <= r.o_orderdate < hi
+    }
+    agg: dict = {}
+    for ok, pk, sk, ext, disc in zip(li.l_orderkey, li.l_partkey,
+                                     li.l_suppkey, li.l_extendedprice,
+                                     li.l_discount):
+        if pk not in econ or ok not in ord_info:
+            continue
+        ck, yr = ord_info[ok]
+        if cust_nat[ck] not in asia_nations:
+            continue
+        vol = _rev_units(ext, disc)
+        cur = agg.setdefault(yr, [0, 0, False])
+        cur[1] += vol
+        if nat_name[sup_nat[sk]] == "NATION_5":
+            cur[0] += vol
+            cur[2] = True  # sum(CASE WHEN ...) is NULL when no row matches
+    want = {
+        (yr,): {"mkt_share": _rhu6((num / 1e4) / (tot / 1e4)) if seen
+                else None}
+        for yr, (num, tot, seen) in agg.items()
+    }
+    assert_keyed(run(spark, "tpch_q8_market_share"), want,
+                 ["o_year"], ["mkt_share"], tol=2e-6)
+
+
+def test_tpch_q11_matches_pandas(spark):
+    li = _tbl("lineitem")
+    sup = _tbl("supplier")
+    nat = _tbl("nation")
+    n3 = set(nat.n_nationkey[nat.n_name == "NATION_3"])
+    sks = set(sup.s_suppkey[sup.s_nationkey.isin(n3)])
+    per_part: dict = {}
+    for pk, sk, ext, disc in zip(li.l_partkey, li.l_suppkey,
+                                 li.l_extendedprice, li.l_discount):
+        if sk in sks:
+            per_part[pk] = per_part.get(pk, 0) + _rev_units(ext, disc)
+    thr = (sum(per_part.values()) / 1e4) * 0.001
+    want = {
+        (pk,): {"value": v / 1e4}
+        for pk, v in per_part.items() if v / 1e4 > thr
+    }
+    assert_keyed(run(spark, "tpch_q11_important_values"), want,
+                 ["p_partkey"], ["value"], tol=1e-6)
+
+
+def test_tpch_q2_matches_pandas(spark):
+    li = _tbl("lineitem")
+    sup = _tbl("supplier")
+    nat = _tbl("nation")
+    reg = _tbl("region")
+    p = _tbl("part")
+    europe = set(reg.r_regionkey[reg.r_name == "EUROPE"])
+    eur_nations = {
+        r.n_nationkey: r.n_name for _, r in nat.iterrows()
+        if r.n_regionkey in europe
+    }
+    eur_sup = {
+        r.s_suppkey: (r.s_name, r.s_acctbal, eur_nations[r.s_nationkey])
+        for _, r in sup.iterrows() if r.s_nationkey in eur_nations
+    }
+    qual = set(p.p_partkey[(p.p_type == "STANDARD") & (p.p_size < 10)])
+    pc: dict = {}
+    for pk, sk, ext, qty in zip(li.l_partkey, li.l_suppkey,
+                                li.l_extendedprice, li.l_quantity):
+        if pk in qual:
+            k = (pk, sk)
+            u = ext / qty
+            pc[k] = min(pc.get(k, u), u)
+    pce = [(pk, u, sk) for (pk, sk), u in pc.items() if sk in eur_sup]
+    mc: dict = {}
+    for pk, u, _ in pce:
+        mc[pk] = min(mc.get(pk, u), u)
+    rows = []
+    for pk, u, sk in pce:
+        if u == mc[pk]:
+            nm, bal, nn = eur_sup[sk]
+            rows.append((bal, nm, nn, pk, _rhu6(u)))
+    rows.sort(key=lambda t: (-t[0], t[2], t[1], t[3]))
+    rows = rows[:100]
+    want = {
+        (t[3], t[1]): {"s_acctbal": t[0], "n_name": t[2],
+                       "unit_cost": t[4]}
+        for t in rows
+    }
+    assert_keyed(
+        run(spark, "tpch_q2_min_cost_supplier"), want,
+        ["p_partkey", "s_name"], ["s_acctbal", "n_name", "unit_cost"],
+    )
