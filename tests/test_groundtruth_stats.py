@@ -4722,3 +4722,102 @@ def test_tpch_q2_matches_pandas(spark):
         run(spark, "tpch_q2_min_cost_supplier"), want,
         ["p_partkey", "s_name"], ["s_acctbal", "n_name", "unit_cost"],
     )
+
+
+# --------------------------------- final completeness (wave 25)
+
+
+def test_fn_hash_matches_hashlib(spark):
+    import hashlib
+
+    c = _tbl("customer")
+    want = {}
+    for ck, nm, seg in zip(c.c_custkey, c.c_name, c.c_mktsegment):
+        sha = hashlib.sha256(nm.encode()).hexdigest()
+        want[(ck,)] = {
+            "name_md5": _md5(nm),
+            "name_sha256": sha,
+            "seg_bucket": _md5(seg)[:8],
+            "sha_len": len(sha),
+        }
+    assert_keyed(
+        run(spark, "fn_hash"), want, ["c_custkey"],
+        ["name_md5", "name_sha256", "seg_bucket", "sha_len"],
+    )
+
+
+def test_ts_ohlc_hourly_matches_python(spark):
+    ev = _tbl("events")
+    groups: dict = {}
+    for e, ts, t, v in zip(ev.event_id, ev.ts.astype("int64"),
+                           ev.event_type, ev.value):
+        groups.setdefault((ts - ts % HOUR_US, t), []).append((ts, e, v))
+    want = {}
+    for k, rows in groups.items():
+        rows.sort()
+        vals = [v for _, _, v in rows]
+        want[k] = {
+            "open_cents": int(cents([rows[0][2]])[0]),
+            "high_cents": int(cents([max(vals)])[0]),
+            "low_cents": int(cents([min(vals)])[0]),
+            "close_cents": int(cents([rows[-1][2]])[0]),
+            "n_trades": len(rows),
+        }
+    assert_keyed(
+        run(spark, "ts_ohlc_hourly"), want, ["hour_us", "event_type"],
+        ["open_cents", "high_cents", "low_cents", "close_cents",
+         "n_trades"],
+    )
+
+
+def test_ts_scd2_ranges_matches_python(spark):
+    o = _tbl("orders")
+    by_cust: dict = {}
+    for ck, pr, dt, ok in zip(o.o_custkey, o.o_orderpriority,
+                              o.o_orderdate.astype("int64"), o.o_orderkey):
+        by_cust.setdefault(ck, []).append((dt, ok, pr))
+    want = {}
+    for ck, rows in by_cust.items():
+        rows.sort()
+        ranges = []  # (vf, prio, n)
+        for dt, ok, pr in rows:
+            if ranges and ranges[-1][1] == pr:
+                ranges[-1][2] += 1
+            else:
+                ranges.append([dt, pr, 1])
+        for i, (vf, pr, n) in enumerate(ranges):
+            nxt = ranges[i + 1][0] if i + 1 < len(ranges) else None
+            want[(ck, i)] = {
+                "o_orderpriority": pr, "valid_from_us": vf,
+                "valid_to_us": nxt, "n_orders": n,
+                "is_current": 1 if nxt is None else 0,
+            }
+    got = run(spark, "ts_scd2_ranges")
+    got = got.sort_values(["o_custkey", "valid_from_us"])
+    gk = {}
+    idx: dict = {}
+    for _, r in got.iterrows():
+        i = idx.get(r.o_custkey, 0)
+        idx[r.o_custkey] = i + 1
+        gk[(r.o_custkey, i)] = r
+    assert set(gk) == set(want)
+    for k, exp in want.items():
+        r = gk[k]
+        assert r.o_orderpriority == exp["o_orderpriority"], k
+        assert r.valid_from_us == exp["valid_from_us"], k
+        assert (None if pd.isna(r.valid_to_us) else int(r.valid_to_us)) \
+            == exp["valid_to_us"], k
+        assert r.n_orders == exp["n_orders"], k
+        assert r.is_current == exp["is_current"], k
+
+
+def test_tpch_q6_matches_pandas(spark):
+    li = _tbl("lineitem")
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
+    units = 0
+    for sd, disc, qty, ext in zip(li.l_shipdate, li.l_discount,
+                                  li.l_quantity, li.l_extendedprice):
+        if (lo <= sd < hi and 0.05 <= disc <= 0.07 and qty < 24):
+            units += int(cents([ext])[0]) * int(cents([disc])[0])
+    got = run(spark, "tpch_q6_revenue_change").iloc[0]
+    assert close(got.revenue, units / 1e4, 1e-9)
