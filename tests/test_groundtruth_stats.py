@@ -4821,3 +4821,189 @@ def test_tpch_q6_matches_pandas(spark):
             units += int(cents([ext])[0]) * int(cents([disc])[0])
     got = run(spark, "tpch_q6_revenue_change").iloc[0]
     assert close(got.revenue, units / 1e4, 1e-9)
+
+
+# --------------------- TPC-H replays, suite completion (wave 26)
+
+
+def test_tpch_q4_matches_pandas(spark):
+    o = _tbl("orders")
+    li = _tbl("lineitem")
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1997-04-01")
+    max_ship = li.groupby("l_orderkey")["l_shipdate"].max()
+    agg: dict = {}
+    for _, r in o.iterrows():
+        if not (lo <= r.o_orderdate < hi):
+            continue
+        ms = max_ship.get(r.o_orderkey)
+        if ms is not None and ms > r.o_orderdate + pd.Timedelta(days=90):
+            agg[r.o_orderpriority] = agg.get(r.o_orderpriority, 0) + 1
+    want = {(p,): {"order_count": n} for p, n in agg.items()}
+    assert_keyed(run(spark, "tpch_q4_order_priority"), want,
+                 ["o_orderpriority"], ["order_count"])
+
+
+def test_tpch_q7_matches_pandas(spark):
+    li = _tbl("lineitem")
+    sup = _tbl("supplier")
+    o = _tbl("orders")
+    c = _tbl("customer")
+    nat = _tbl("nation")
+    nn = dict(zip(nat.n_nationkey, nat.n_name))
+    sup_n = {k: nn[v] for k, v in zip(sup.s_suppkey, sup.s_nationkey)}
+    cust_n = {k: nn[v] for k, v in zip(c.c_custkey, c.c_nationkey)}
+    ord_c = dict(zip(o.o_orderkey, o.o_custkey))
+    lo, hi = pd.Timestamp("1996-01-01"), pd.Timestamp("1998-01-01")
+    agg: dict = {}
+    for ok, sk, sd, ext, disc in zip(li.l_orderkey, li.l_suppkey,
+                                     li.l_shipdate, li.l_extendedprice,
+                                     li.l_discount):
+        if not (lo <= sd < hi):
+            continue
+        sn, cn = sup_n[sk], cust_n[ord_c[ok]]
+        if {sn, cn} != {"NATION_1", "NATION_2"}:
+            continue
+        k = (sn, cn, sd.year)
+        agg[k] = agg.get(k, 0) + _rev_units(ext, disc)
+    want = {k: {"revenue": u / 1e4} for k, u in agg.items()}
+    assert_keyed(run(spark, "tpch_q7_volume_shipping"), want,
+                 ["supp_nation", "cust_nation", "l_year"], ["revenue"],
+                 tol=1e-9)
+
+
+def test_tpch_q9_matches_pandas(spark):
+    li = _tbl("lineitem")
+    p = _tbl("part")
+    sup = _tbl("supplier")
+    nat = _tbl("nation")
+    nn = dict(zip(nat.n_nationkey, nat.n_name))
+    sup_n = {k: nn[v] for k, v in zip(sup.s_suppkey, sup.s_nationkey)}
+    retail = {
+        r.p_partkey: int(cents([r.p_retailprice])[0])
+        for _, r in p.iterrows() if "widget" in r.p_name
+    }
+    agg: dict = {}
+    for pk, sk, sd, ext, disc, qty in zip(
+            li.l_partkey, li.l_suppkey, li.l_shipdate,
+            li.l_extendedprice, li.l_discount, li.l_quantity):
+        if pk not in retail:
+            continue
+        # profit in exact 1e-6 decimal units: rev scale 4 → ×100; cost
+        # = retail(s2) × qty(s2) × 0.10(s2) → scale 6 directly
+        units = (_rev_units(ext, disc) * 100
+                 - retail[pk] * int(cents([qty])[0]) * 10)
+        k = (sup_n[sk], sd.year)
+        agg[k] = agg.get(k, 0) + units
+    want = {k: {"sum_profit": u / 1e6} for k, u in agg.items()}
+    assert_keyed(run(spark, "tpch_q9_product_profit"), want,
+                 ["nation", "o_year"], ["sum_profit"], tol=1e-9)
+
+
+def test_tpch_q10_matches_pandas(spark):
+    c = _tbl("customer")
+    o = _tbl("orders")
+    li = _tbl("lineitem")
+    nat = _tbl("nation")
+    nn = dict(zip(nat.n_nationkey, nat.n_name))
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1997-04-01")
+    ord_c = {
+        r.o_orderkey: r.o_custkey for _, r in o.iterrows()
+        if lo <= r.o_orderdate < hi
+    }
+    rev: dict = {}
+    for ok, rf, ext, disc in zip(li.l_orderkey, li.l_returnflag,
+                                 li.l_extendedprice, li.l_discount):
+        if rf == "R" and ok in ord_c:
+            ck = ord_c[ok]
+            rev[ck] = rev.get(ck, 0) + _rev_units(ext, disc)
+    info = {r.c_custkey: (r.c_name, r.c_acctbal, nn[r.c_nationkey])
+            for _, r in c.iterrows()}
+    rows = sorted(((u / 1e4, ck) for ck, u in rev.items()),
+                  key=lambda t: (-t[0], t[1]))[:20]
+    want = {}
+    for r, ck in rows:
+        nm, bal, natname = info[ck]
+        want[(ck,)] = {"c_name": nm, "revenue": r, "c_acctbal": bal,
+                       "n_name": natname}
+    assert_keyed(run(spark, "tpch_q10_returned_items"), want,
+                 ["c_custkey"], ["c_name", "revenue", "c_acctbal",
+                                 "n_name"], tol=1e-9)
+
+
+def test_tpch_q12_matches_pandas(spark):
+    o = _tbl("orders")
+    li = _tbl("lineitem")
+    prio = dict(zip(o.o_orderkey, o.o_orderpriority))
+    odate = dict(zip(o.o_orderkey, o.o_orderdate))
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1998-01-01")
+    agg: dict = {}
+    for ok, ls, sd in zip(li.l_orderkey, li.l_linestatus, li.l_shipdate):
+        if not (lo <= sd < hi):
+            continue
+        if sd <= odate[ok] + pd.Timedelta(days=30):
+            continue
+        hi_p = prio[ok] in ("1-URGENT", "2-HIGH")
+        cur = agg.setdefault(ls, [0, 0])
+        cur[0 if hi_p else 1] += 1
+    want = {(ls,): {"high_line_count": h, "low_line_count": l}
+            for ls, (h, l) in agg.items()}
+    assert_keyed(run(spark, "tpch_q12_priority_class"), want,
+                 ["l_linestatus"], ["high_line_count", "low_line_count"])
+
+
+def test_tpch_q14_matches_pandas(spark):
+    li = _tbl("lineitem")
+    p = _tbl("part")
+    ptype = dict(zip(p.p_partkey, p.p_type))
+    lo, hi = pd.Timestamp("1997-09-01"), pd.Timestamp("1997-10-01")
+    promo = total = 0
+    seen_promo = False
+    for pk, sd, ext, disc in zip(li.l_partkey, li.l_shipdate,
+                                 li.l_extendedprice, li.l_discount):
+        if not (lo <= sd < hi):
+            continue
+        u = _rev_units(ext, disc)
+        total += u
+        if ptype[pk] == "PROMO":
+            promo += u
+            seen_promo = True
+    got = run(spark, "tpch_q14_promo_effect").iloc[0]
+    want = (_rhu6(100.0 * (promo / 1e4) / (total / 1e4))
+            if seen_promo else None)
+    assert close(got.promo_revenue, want, 1e-6)
+
+
+def test_tpch_q15_matches_pandas(spark):
+    li = _tbl("lineitem")
+    sup = _tbl("supplier")
+    lo, hi = pd.Timestamp("1997-01-01"), pd.Timestamp("1997-04-01")
+    rev: dict = {}
+    for sk, sd, ext, disc in zip(li.l_suppkey, li.l_shipdate,
+                                 li.l_extendedprice, li.l_discount):
+        if lo <= sd < hi:
+            rev[sk] = rev.get(sk, 0) + _rev_units(ext, disc)
+    mx = max(u / 1e4 for u in rev.values())
+    names = dict(zip(sup.s_suppkey, sup.s_name))
+    want = {
+        (sk,): {"s_name": names[sk], "total_revenue": u / 1e4}
+        for sk, u in rev.items() if u / 1e4 == mx
+    }
+    assert_keyed(run(spark, "tpch_q15_top_supplier"), want,
+                 ["s_suppkey"], ["s_name", "total_revenue"], tol=1e-9)
+
+
+def test_tpch_q19_matches_pandas(spark):
+    li = _tbl("lineitem")
+    p = _tbl("part")
+    attrs = {r.p_partkey: (r.p_brand, r.p_size) for _, r in p.iterrows()}
+    arms = (("Brand#5", 15, 1, 11), ("Brand#13", 25, 10, 20),
+            ("Brand#20", 35, 20, 30))
+    units = 0
+    for pk, qty, ext, disc in zip(li.l_partkey, li.l_quantity,
+                                  li.l_extendedprice, li.l_discount):
+        brand, size = attrs[pk]
+        if any(brand == b and 1 <= size <= smax and qlo <= qty <= qhi
+               for b, smax, qlo, qhi in arms):
+            units += _rev_units(ext, disc)
+    got = run(spark, "tpch_q19_disjunctive_pred").iloc[0]
+    assert close(got.revenue, units / 1e4, 1e-9)
