@@ -5007,3 +5007,193 @@ def test_tpch_q19_matches_pandas(spark):
             units += _rev_units(ext, disc)
     got = run(spark, "tpch_q19_disjunctive_pred").iloc[0]
     assert close(got.revenue, units / 1e4, 1e-9)
+
+
+# ----------------- subqueries / audit joins replays (wave 27)
+
+
+def test_sub_any_all_matches_ansi(spark):
+    s = _tbl("supplier")
+    c = _tbl("customer")
+    by_nat: dict = {}
+    for nk, bal in zip(c.c_nationkey, c.c_acctbal):
+        by_nat.setdefault(nk, []).append(bal)
+    want = {}
+    for sk, nk, bal in zip(s.s_suppkey, s.s_nationkey, s.s_acctbal):
+        vals = by_nat.get(nk, [])
+        nn = [v for v in vals if not pd.isna(v)]
+        has_null = len(nn) < len(vals)
+        x = None if pd.isna(bal) else bal
+        if not vals:
+            any_, all_ = False, True
+        elif x is None:
+            any_ = all_ = None
+        else:
+            # ANSI three-valued quantifiers
+            any_ = (True if any(x > v for v in nn)
+                    else (None if has_null else False))
+            all_ = (False if any(x <= v for v in nn)
+                    else (None if has_null else True))
+        want[(sk,)] = {"beats_any": any_, "beats_all": all_}
+    assert_keyed(run(spark, "sub_any_all"), want, ["s_suppkey"],
+                 ["beats_any", "beats_all"])
+
+
+def test_sub_division_forall_matches_python(spark):
+    o = _tbl("orders")
+    per: dict = {}
+    for ck, p in zip(o.o_custkey, o.o_orderpriority):
+        per.setdefault(ck, set()).add(p)
+    k = len(set(o.o_orderpriority))
+    want = {(ck,): {"n_prio": len(ps)} for ck, ps in per.items()
+            if len(ps) == k}
+    assert_keyed(run(spark, "sub_division_forall"), want,
+                 ["o_custkey"], ["n_prio"])
+
+
+def test_sub_exists_aggregated_matches_python(spark):
+    o = _tbl("orders")
+    c = _tbl("customer")
+    n_urgent: dict = {}
+    for ck, p in zip(o.o_custkey, o.o_orderpriority):
+        if p == "1-URGENT":
+            n_urgent[ck] = n_urgent.get(ck, 0) + 1
+    heavy = {ck for ck, n in n_urgent.items() if n > 5}
+    want = {
+        (ck,): {"c_mktsegment": seg}
+        for ck, seg in zip(c.c_custkey, c.c_mktsegment) if ck in heavy
+    }
+    assert_keyed(run(spark, "sub_exists_aggregated"), want,
+                 ["c_custkey"], ["c_mktsegment"])
+
+
+def test_sub_in_tuple_matches_python(spark):
+    o = _tbl("orders")
+    od = o.o_orderdate.astype("int64")
+    urgent = {
+        (ck, d) for ck, d, p in zip(o.o_custkey, od, o.o_orderpriority)
+        if p == "1-URGENT"
+    }
+    want = {
+        (ok,): {"o_custkey": ck, "od_us": d}
+        for ok, ck, d, p in zip(o.o_orderkey, o.o_custkey, od,
+                                o.o_orderpriority)
+        if p != "1-URGENT" and (ck, d) in urgent
+    }
+    assert_keyed(run(spark, "sub_in_tuple"), want, ["o_orderkey"],
+                 ["o_custkey", "od_us"])
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, start=1):
+        cur = [i]
+        for j, cb in enumerate(b, start=1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_fuzzy_entity_resolution_matches_python(spark):
+    c = _tbl("customer")
+    names = dict(zip(c.c_custkey, c.c_name))
+    want = {}
+    for pk, nm in names.items():
+        if pk % 50 != 0:
+            continue
+        p_name = nm[:10] + "X" + nm[11:]
+        cand = sorted(
+            (d, mk) for mk, mn in names.items()
+            if (d := _lev(p_name, mn)) <= 2
+        )
+        if cand:
+            d, mk = cand[0]
+            want[(pk,)] = {"p_name": p_name, "matched_key": mk, "dist": d}
+    assert_keyed(run(spark, "join_fuzzy_entity_resolution"), want,
+                 ["p_key"], ["p_name", "matched_key", "dist"])
+
+
+def test_scd2_point_in_time_matches_python(spark):
+    o = _tbl("orders")
+    ev = _tbl("events")
+    by_cust: dict = {}
+    for ck, pr, dt, ok in zip(o.o_custkey, o.o_orderpriority,
+                              o.o_orderdate.astype("int64"), o.o_orderkey):
+        by_cust.setdefault(ck, []).append((dt, ok, pr))
+    ranges: dict = {}  # cust -> [(vf, run_id, prio)]
+    for ck, rows in by_cust.items():
+        rows.sort()
+        rs = []
+        for dt, ok, pr in rows:
+            if not rs or rs[-1][2] != pr:
+                rs.append((dt, len(rs), pr))
+        ranges[ck] = rs
+    want = {}
+    for e, u, ts in zip(ev.event_id, ev.user_id, ev.ts.astype("int64")):
+        cand = [(vf, rid, pr) for vf, rid, pr in ranges.get(u, [])
+                if vf <= ts]
+        if cand:
+            vf, _, pr = max(cand)
+            want[(e,)] = {"user_id": u, "ev_us": ts,
+                          "prio_at_event": pr, "vf": vf}
+    assert_keyed(run(spark, "join_scd2_point_in_time"), want,
+                 ["event_id"], ["user_id", "ev_us", "prio_at_event", "vf"])
+
+
+def test_fk_orphan_audit_matches_python(spark):
+    li = _tbl("lineitem")
+    o = _tbl("orders")
+    c = _tbl("customer")
+    p = _tbl("part")
+    s = _tbl("supplier")
+    n = _tbl("nation")
+    edges = {
+        "lineitem->orders": (li.l_orderkey, set(o.o_orderkey)),
+        "orders->customer": (o.o_custkey, set(c.c_custkey)),
+        "lineitem->part": (li.l_partkey, set(p.p_partkey)),
+        "lineitem->supplier": (li.l_suppkey, set(s.s_suppkey)),
+        "customer->nation": (c.c_nationkey, set(n.n_nationkey)),
+    }
+    want = {
+        (fk,): {
+            "n_child": len(child),
+            "n_orphans": int(sum(1 for v in child if v not in parents)),
+        }
+        for fk, (child, parents) in edges.items()
+    }
+    assert_keyed(run(spark, "join_fk_orphan_audit"), want,
+                 ["fk"], ["n_child", "n_orphans"])
+
+
+def test_lateral_topn_matches_python(spark):
+    c = _tbl("customer")
+    o = _tbl("orders")
+    seg = dict(zip(c.c_custkey, c.c_mktsegment))
+    per: dict = {}
+    for ck, ok, tp in zip(o.o_custkey, o.o_orderkey, o.o_totalprice):
+        if seg.get(ck) == "BUILDING":
+            per.setdefault(ck, []).append((-tp, ok, tp))
+    want = {}
+    for ck, rows in per.items():
+        for _, ok, tp in sorted(rows)[:2]:
+            want[(ck, ok)] = {"c_mktsegment": "BUILDING",
+                              "o_totalprice": tp}
+    assert_keyed(run(spark, "join_lateral_topn"), want,
+                 ["c_custkey", "o_orderkey"],
+                 ["c_mktsegment", "o_totalprice"])
+
+
+def test_existence_mark_matches_python(spark):
+    c = _tbl("customer")
+    o = _tbl("orders")
+    urgent = {ck for ck, p in zip(o.o_custkey, o.o_orderpriority)
+              if p == "1-URGENT"}
+    want = {
+        (ck,): {"c_mktsegment": seg, "has_urgent_order": ck in urgent}
+        for ck, seg in zip(c.c_custkey, c.c_mktsegment)
+    }
+    assert_keyed(run(spark, "join_existence_mark"), want,
+                 ["c_custkey"], ["c_mktsegment", "has_urgent_order"])
