@@ -5197,3 +5197,123 @@ def test_existence_mark_matches_python(spark):
     }
     assert_keyed(run(spark, "join_existence_mark"), want,
                  ["c_custkey"], ["c_mktsegment", "has_urgent_order"])
+
+
+# ---------------------- grouping sets / basics closeout (wave 28)
+
+
+def test_agg_rollup_matches_python(spark):
+    li = _tbl("lineitem")
+    agg: dict = {}
+    for f, ls, q in zip(li.l_returnflag, li.l_linestatus, li.l_quantity):
+        for key in ((f, ls), (f, None), (None, None)):
+            cur = agg.setdefault(key, [0.0, 0])
+            cur[0] += q
+            cur[1] += 1
+    want = {k: {"sum_qty": s, "n": n} for k, (s, n) in agg.items()}
+    assert_keyed(run(spark, "agg_rollup"), want,
+                 ["l_returnflag", "l_linestatus"], ["sum_qty", "n"],
+                 tol=1e-6)
+
+
+def test_agg_cube_matches_python(spark):
+    o = _tbl("orders")
+    agg: dict = {}
+    for st, pr, c in zip(o.o_orderstatus, o.o_orderpriority,
+                         cents(o.o_totalprice)):
+        for key in ((st, pr), (st, None), (None, pr), (None, None)):
+            cur = agg.setdefault(key, [0, 0])
+            cur[0] += 1
+            cur[1] += int(c)
+    want = {k: {"n": n, "total": tc / 100} for k, (n, tc) in agg.items()}
+    assert_keyed(run(spark, "agg_cube"), want,
+                 ["o_orderstatus", "o_orderpriority"], ["n", "total"])
+
+
+def test_agg_grouping_sets_matches_python(spark):
+    li = _tbl("lineitem")
+    agg: dict = {}
+    for f, ls, q in zip(li.l_returnflag, li.l_linestatus, li.l_quantity):
+        for key, gf, gs in (((f, None), 0, 1), ((None, ls), 1, 0),
+                            ((None, None), 1, 1)):
+            cur = agg.setdefault((key, gf, gs), 0.0)
+            agg[(key, gf, gs)] = cur + q
+    want = {
+        (k[0], k[1], gf, gs): {"sum_qty": s}
+        for (k, gf, gs), s in agg.items()
+    }
+    assert_keyed(run(spark, "agg_grouping_sets"), want,
+                 ["l_returnflag", "l_linestatus", "g_flag", "g_status"],
+                 ["sum_qty"], tol=1e-6)
+
+
+def test_agg_mode_matches_python(spark):
+    c = _tbl("customer")
+    counts: dict = {}
+    for seg, nk in zip(c.c_mktsegment, c.c_nationkey):
+        counts[(seg, nk)] = counts.get((seg, nk), 0) + 1
+    best: dict = {}
+    for (seg, nk), n in counts.items():
+        cur = best.get(seg)
+        if cur is None or (-n, nk) < (-cur[1], cur[0]):
+            best[seg] = (nk, n)
+    want = {(seg,): {"mode_nation": nk, "n": n}
+            for seg, (nk, n) in best.items()}
+    assert_keyed(run(spark, "agg_mode"), want, ["c_mktsegment"],
+                 ["mode_nation", "n"])
+
+
+def test_agg_percentile_exact_matches_numpy(spark):
+    li = _tbl("lineitem")
+    want = {}
+    for f, g in li.groupby("l_returnflag")["l_quantity"]:
+        v = g.to_numpy(dtype=np.float64)
+        want[(f,)] = {
+            "median_qty": float(np.percentile(v, 50, method="linear")),
+            "p90_qty": float(np.percentile(v, 90, method="linear")),
+        }
+    assert_keyed(run(spark, "agg_percentile_exact"), want,
+                 ["l_returnflag"], ["median_qty", "p90_qty"], tol=1e-4)
+
+
+def test_agg_string_concat_ordered_matches_python(spark):
+    c = _tbl("customer")
+    groups: dict = {}
+    for ck, nk, nm in zip(c.c_custkey, c.c_nationkey, c.c_name):
+        if ck <= 200:
+            groups.setdefault(nk, []).append((ck, nm))
+    want = {
+        (nk,): {"names": ",".join(nm for _, nm in sorted(rows))}
+        for nk, rows in groups.items()
+    }
+    assert_keyed(run(spark, "agg_string_concat_ordered"), want,
+                 ["c_nationkey"], ["names"])
+
+
+def test_limit_topk_global_matches_python(spark):
+    o = _tbl("orders")
+    rows = sorted(
+        zip(o.o_totalprice, o.o_orderkey, o.o_custkey),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    want = {(ok,): {"o_custkey": ck, "o_totalprice": tp}
+            for tp, ok, ck in rows}
+    assert_keyed(run(spark, "limit_topk_global"), want,
+                 ["o_orderkey"], ["o_custkey", "o_totalprice"])
+
+
+def test_win_row_number_topk_matches_python(spark):
+    got = run(spark, "win_row_number_topk")
+    o = _tbl("orders")
+    per: dict = {}
+    for ck, ok, tp in zip(o.o_custkey, o.o_orderkey, o.o_totalprice):
+        per.setdefault(ck, []).append((-tp, ok, tp))
+    want = {}
+    for ck, rows in per.items():
+        for rn, (_, ok, tp) in enumerate(sorted(rows)[:3], start=1):
+            want[(ck, ok)] = {"o_totalprice": tp, "rn": rn}
+    gk = {(r.o_custkey, r.o_orderkey): r for _, r in got.iterrows()}
+    assert set(gk) == set(want)
+    for k, exp in want.items():
+        assert gk[k].o_totalprice == exp["o_totalprice"], k
+        assert gk[k].rn == exp["rn"], k
