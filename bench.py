@@ -17,6 +17,16 @@ dominates sub-100 ms queries at this scale factor (BASELINE.md caveat):
 
 - ``queries_marginal``: best of two further timed runs of the same query —
   the steady-state per-query cost with everything warm.
+- ``queries_compile`` / ``queries_exec``: the constant-bound proof carried
+  in the artifact itself (round 10): ``compile`` is the cost of building the
+  DataFrame and forcing analysis + Catalyst + physical planning (no job;
+  for eagerly-checkpointing kernels like the blocked k-NN it includes their
+  construction-time jobs), ``exec`` is the best re-collect of ONE prebuilt
+  plan — pure execution + action overhead. ``marginal - exec`` is therefore
+  the per-fresh-plan constant (planning + codegen + AQE stage re-planning —
+  ``compile`` is the planning share of it), and a query whose ``exec`` sits
+  at/below ``floor.action`` is constant-bound by inspection of this JSON
+  alone.
 - ``floor``: the irreducible per-action constants at this SF — ``action``
   (a 2-stage shuffle job over 1 row: pure scheduling + py4j round trip) and
   ``scan_lineitem`` (count() over the biggest input: the fixtures are
@@ -98,6 +108,8 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     marginal: dict[str, float] = {}
+    compile_t: dict[str, float] = {}
+    exec_t: dict[str, float] = {}
     for key in HEADLINE:
         try:
             fn = QUERIES[key]
@@ -106,9 +118,30 @@ def main() -> None:
             marginal[key] = min(
                 timed(lambda: fn(spark, sf_dir).collect()) for _ in range(2)
             )
+            # Compile/execute decomposition (round 10, VERDICT r9 item 4):
+            # every timed run above REBUILDS the DataFrame, so it pays
+            # analysis + Catalyst + physical planning afresh each time.
+            # ``compile`` forces exactly that pipeline without running a
+            # job; ``exec`` re-collects ONE prebuilt plan (QueryExecution
+            # cached on the DataFrame), i.e. pure execution + action
+            # overhead. marginal - exec is the per-fresh-plan constant
+            # (compile is its planning share; the rest is codegen + AQE
+            # stage re-planning, forced only by a real run). A query with
+            # exec at/below floor.action is constant-bound — provable
+            # from this artifact alone.
+            compile_t[key] = min(
+                timed(
+                    lambda: fn(spark, sf_dir)._jdf.queryExecution().executedPlan()
+                )
+                for _ in range(2)
+            )
+            df = fn(spark, sf_dir)
+            df.collect()
+            exec_t[key] = min(timed(df.collect) for _ in range(2))
             print(
                 f"# {key}: {per_query[key]:.3f}s"
-                f" (marginal {marginal[key]:.3f}s)",
+                f" (marginal {marginal[key]:.3f}s,"
+                f" compile {compile_t[key]:.3f}s, exec {exec_t[key]:.3f}s)",
                 file=sys.stderr,
             )
         except Exception as ex:  # one broken query must not lose the run
@@ -145,6 +178,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "queries_marginal": marginal,
+                "queries_compile": compile_t,
+                "queries_exec": exec_t,
                 "value_marginal": total_marginal,
                 "value_minus_floor": minus_floor,
                 "floor": {"action": floor_action, "scan_lineitem": floor_scan},

@@ -1570,8 +1570,10 @@ def agg_bloom_from_scratch(spark, sf_dir):
     # per-bucket local cumsums — no partition-less window ever sees the
     # support itself.
     oracle="""
-    WITH a AS (SELECT value FROM events WHERE event_type = 'click'),
-    b AS (SELECT value FROM events WHERE event_type = 'purchase'),
+    WITH a AS (SELECT value FROM events
+               WHERE event_type = 'click' AND value IS NOT NULL),
+    b AS (SELECT value FROM events
+          WHERE event_type = 'purchase' AND value IS NOT NULL),
     pts AS (
       SELECT value,
              CAST(count(CASE WHEN src = 'a' THEN 1 END) AS BIGINT) AS ca,
@@ -1604,7 +1606,15 @@ def agg_ks_statistic(spark, sf_dir):
     bit and the oracle's plain window spelling is unchanged."""
     from pyspark.sql import Window
 
-    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    # An ECDF is defined over OBSERVED values: a NULL measurement is not
+    # a support point (round-10 ADVICE — a NULL would land in the top
+    # _range_bucketed bucket with engine-divergent null sort order and
+    # inflate every cumulative count above it).
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
     a = ev.filter(F.col("event_type") == "click")
     b = ev.filter(F.col("event_type") == "purchase")
     merged = a.select("value", F.lit("a").alias("src")).unionAll(

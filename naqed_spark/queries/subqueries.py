@@ -174,11 +174,15 @@ def sub_any_all(spark, sf_dir):
         .select(
             "s_suppkey",
             F.when(~matched, F.lit(False))  # ANY over empty set → FALSE
+            # NULL outer operand vs a non-empty set: every comparison is
+            # UNKNOWN, so the quantifier is UNKNOWN (never FALSE).
+            .when(F.col("s_acctbal").isNull(), unknown)
             .when(F.col("s_acctbal") > F.col("mn"), F.lit(True))
             .when(F.col("hasnull") == 1, unknown)
             .otherwise(F.lit(False))
             .alias("beats_any"),
             F.when(~matched, F.lit(True))  # ALL over empty set → TRUE
+            .when(F.col("s_acctbal").isNull(), unknown)
             .when(F.col("s_acctbal") <= F.col("mx"), F.lit(False))
             .when(F.col("hasnull") == 1, unknown)
             .otherwise(F.lit(True))

@@ -78,12 +78,50 @@ def _driver_signal_rounds() -> dict[str, int]:
     return latest
 
 
+# Rewrite epochs (round 10, VERDICT r9 item 2): a green driver signal
+# describes the code that existed WHEN it was taken. When a key's
+# implementation is semantically rewritten afterwards, that signal is
+# void — the key is effectively unverified again, so it must requeue
+# ahead of checked-and-untouched peers instead of rotting behind its own
+# stale green mark. The builder bumps ``key -> round`` here on any
+# semantic rewrite (plan change, null-semantics change, two-phase
+# restructure — NOT comment/alias-only edits); a test in
+# tests/test_entry.py pins the resulting order property.
+TOUCHED: dict[str, int] = {
+    # round-9 two-phase / value-grid rewrites whose last signals predate
+    # the rewrite (enumerated in VERDICT r9 "What's wrong" item 2):
+    "win_rank_dense": 9,
+    "win_ntile": 9,
+    "win_percent_cume": 9,
+    "llm_importance_resample": 9,
+    "llm_perplexity_bucket": 9,
+    "agg_weighted_median": 9,
+    "ts_anomaly_zscore": 9,
+    "llm_pack_sequences": 9,
+    "agg_skyline_pareto": 9,
+    "agg_gini_concentration": 9,
+    "agg_tukey_fences": 9,
+    "agg_abc_classification": 9,
+    # round-10 null-semantics fixes (ADVICE r9): NULL outer operand for
+    # the quantifiers; NULL support point excluded from the ECDF.
+    "sub_any_all": 10,
+    "agg_ks_statistic": 10,
+}
+
+
 def ordered_keys() -> list[str]:
     """All registered keys: never-driver-checked first (registration
-    order), then stalest-signal-first (CORRECTNESS_r*.json artifacts)."""
+    order), then checked-but-rewritten-since (their signals are void),
+    then stalest-valid-signal-first (CORRECTNESS_r*.json artifacts)."""
     signal = _driver_signal_rounds()
     reg_index = {k: i for i, k in enumerate(QUERIES)}
-    return sorted(QUERIES, key=lambda k: (signal.get(k, -1), reg_index[k]))
+
+    def sort_key(k: str):
+        sig = signal.get(k, -1)
+        bucket = 0 if sig < 0 else (1 if sig < TOUCHED.get(k, -1) else 2)
+        return (bucket, sig, reg_index[k])
+
+    return sorted(QUERIES, key=sort_key)
 
 
 # Retained for compatibility with older tests/docs; the computed rotation

@@ -45,6 +45,19 @@ def test_survey_s2_matches_registry_exactly():
     )
 
 
+def test_survey_count_line_matches_registry():
+    """SURVEY.md's prose headline count must equal the registry size —
+    the tables are pinned mechanically above, but the prose number is
+    what a human reads first (VERDICT r9 'What's wrong' item 1)."""
+    from naqed_spark import registry
+
+    registry.load_all()
+    text = (REPO / "SURVEY.md").read_text()
+    m = re.search(r"\*\*Count: (\d+) registered keys\*\*", text)
+    assert m, "SURVEY.md count line missing"
+    assert int(m.group(1)) == len(registry.QUERIES)
+
+
 def test_entry_module_exposes_registry():
     import __spark_entry__ as entry
     from naqed_spark import registry
@@ -75,3 +88,38 @@ def test_priority_keys_all_registered():
     never = [k for k in registry.QUERIES if k not in signal]
     front = ordered[: len(never)]
     assert set(front) == set(never)
+
+
+def test_rotation_is_rewrite_aware():
+    """VERDICT r9 item 2: a key rewritten AFTER its last driver signal
+    carries a void signal and must requeue ahead of every checked-and-
+    untouched key, behind only the never-checked block."""
+    from naqed_spark import registry
+
+    registry.load_all()
+    signal = registry._driver_signal_rounds()
+    ordered = registry.ordered_keys()
+    pos = {k: i for i, k in enumerate(ordered)}
+
+    stale = [
+        k for k, rnd in registry.TOUCHED.items()
+        if k in signal and signal[k] < rnd
+    ]
+    assert stale, "TOUCHED should list at least the round-9/10 rewrites"
+    untouched_checked = [
+        k for k in registry.QUERIES
+        if k in signal and signal[k] >= registry.TOUCHED.get(k, -1)
+    ]
+    never = [k for k in registry.QUERIES if k not in signal]
+    # every void-signal key sorts ahead of every untouched checked key…
+    worst_stale = max(pos[k] for k in stale)
+    best_untouched = min(pos[k] for k in untouched_checked)
+    assert worst_stale < best_untouched
+    # …and behind the whole never-checked block.
+    if never:
+        assert min(pos[k] for k in stale) > max(pos[k] for k in never)
+    # a TOUCHED entry older than (or equal to) the key's signal is inert:
+    # the driver re-checked after the rewrite, so the signal is valid.
+    for k, rnd in registry.TOUCHED.items():
+        if k in signal and signal[k] >= rnd:
+            assert pos[k] >= best_untouched

@@ -5317,3 +5317,69 @@ def test_win_row_number_topk_matches_python(spark):
     for k, exp in want.items():
         assert gk[k].o_totalprice == exp["o_totalprice"], k
         assert gk[k].rn == exp["rn"], k
+
+
+# ----------------- round-10 E1 DSL surface replays (wave 29)
+# VERDICT r9 item 6: the two round-9 compiler keys ($asof, $window)
+# rested on oracle + property tests only — a twin bug in the DSL
+# lowering would hash-match the hand-written oracle. These replays
+# recompute the same results via pandas.merge_asof and a pure-Python
+# rolling sweep, sharing nothing with the compiler or either engine.
+
+
+def test_compiler_asof_hop_matches_merge_asof(spark):
+    ev = _tbl("events")[["event_id", "user_id", "ts"]].copy()
+    od = _tbl("orders")[
+        ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]
+    ].copy()
+    ev["t"] = pd.to_datetime(ev.ts)
+    od["t"] = pd.to_datetime(od.o_orderdate)
+    ev = ev.sort_values("t", kind="mergesort")
+    # merge_asof takes the LAST qualifying right row in sort order, so
+    # sorting by (t, o_orderkey) realizes the documented max-o_orderkey
+    # tiebreak independently of the engine's row_number spelling.
+    od = od.sort_values(["t", "o_orderkey"], kind="mergesort")
+    m = pd.merge_asof(
+        ev, od, on="t",
+        left_by="user_id", right_by="o_custkey",
+        direction="backward", allow_exact_matches=True,
+    ).dropna(subset=["o_orderkey"])
+    want = {
+        (r.event_id,): {
+            "user_id": r.user_id,
+            "o_orderkey": int(r.o_orderkey),
+            "o_totalprice": r.o_totalprice,
+        }
+        for _, r in m.iterrows()
+    }
+    assert_keyed(
+        run(spark, "compiler_asof_hop"), want,
+        ["event_id"], ["user_id", "o_orderkey", "o_totalprice"],
+    )
+
+
+def test_compiler_window_frame_matches_rolling_sweep(spark):
+    o = _tbl("orders")
+    f = o[o.o_orderstatus == "F"].sort_values(
+        ["o_custkey", "o_orderdate", "o_orderkey"], kind="mergesort"
+    )
+    want = {}
+    for ck, g in f.groupby("o_custkey"):
+        prices = list(g.o_totalprice)
+        keys = list(g.o_orderkey)
+        run_cents = 0
+        for i, (ok, p) in enumerate(zip(keys, prices)):
+            # the running total is DECIMAL(12,2)-exact inside the frame
+            # (docstring contract): integer cents, divided at emission
+            run_cents += int(cents(p))
+            want[(ck, ok)] = {
+                "o_totalprice": p,
+                "run_total": run_cents / 100.0,
+                "mov_min3": min(prices[max(0, i - 2): i + 1]),
+                "prev_price": prices[i - 1] if i else 0.0,
+            }
+    assert_keyed(
+        run(spark, "compiler_window_frame"), want,
+        ["o_custkey", "o_orderkey"],
+        ["o_totalprice", "run_total", "mov_min3", "prev_price"],
+    )

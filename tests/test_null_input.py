@@ -43,6 +43,11 @@ NULL_SPEC = {
     "documents": {"text": 7, "lang": 5, "source": 6},
     "events": {"props": 5, "value": 3, "event_type": 8},
     "customer": {"c_mktsegment": 4, "c_acctbal": 5},
+    # NULL outer operand for the ANY/ALL quantifiers (round-10 ADVICE):
+    # sub_any_all compares s_acctbal against a per-nation set — a NULL
+    # outer value must yield UNKNOWN for both quantifiers, not the
+    # empty-set defaults.
+    "supplier": {"s_acctbal": 5},
     "orders": {"o_orderpriority": 6},
     # category/flag columns: the second null wave (round 9) — these feed
     # GROUP BY / PARTITION BY keys, so they flush out null-group drops
