@@ -52,7 +52,16 @@ NULL_SPEC = {
     # category/flag columns: the second null wave (round 9) — these feed
     # GROUP BY / PARTITION BY keys, so they flush out null-group drops
     # at join-backs and null-sort-order divergence
-    "lineitem": {"l_returnflag": 9, "l_linestatus": 11},
+    "lineitem": {
+        "l_returnflag": 9,
+        "l_linestatus": 11,
+        # measure columns feeding the two-phase value grids (round-10
+        # probe after the agg_ks_statistic NULL-support-point fix: a
+        # NULL measure must never become a _range_bucketed support
+        # point or a divergently-sorted rank row) — swept 358/358 green
+        "l_quantity": 13,
+        "l_extendedprice": 17,
+    },
 }
 # measure column -> (negate every nk-th, zero every zk-th) on rows the
 # null spec left alone — the extreme-value class (log/sqrt domains,
