@@ -5383,3 +5383,274 @@ def test_compiler_window_frame_matches_rolling_sweep(spark):
         ["o_custkey", "o_orderkey"],
         ["o_totalprice", "run_total", "mov_min3", "prev_price"],
     )
+
+
+# -------- order/window/ratio/compiler-TPC-H replays (wave 30)
+# Round-10 closing sweep over the highest-twin-risk keys that still
+# rested on oracle parity alone. Two checks here are ORDER-sensitive —
+# the driver's value hash is order-insensitive, so a globally-ordered
+# result could silently come back unsorted and still hash-green; these
+# assert the emitted row SEQUENCE.
+
+
+def test_sort_global_range_partitioned_emits_sorted_sequence(spark):
+    got = QUERIES["sort_global_range_partitioned"](spark, SF_DIR).toPandas()
+    o = _tbl("orders")
+    f = o[o.o_orderstatus == "F"]
+    want = sorted(
+        zip(f.o_orderkey, f.o_custkey, f.o_totalprice),
+        key=lambda t: (-t[2], t[0]),
+    )
+    got_rows = list(zip(got.o_orderkey, got.o_custkey, got.o_totalprice))
+    assert got_rows == want  # exact sequence, not just the multiset
+
+
+def test_sort_multikey_rank_matches_python(spark):
+    li = _tbl("lineitem")
+    f = li[li.l_quantity >= 49]
+    rows = sorted(
+        zip(f.l_orderkey, f.l_linenumber, f.l_returnflag,
+            f.l_linestatus, f.l_quantity),
+        key=lambda t: (
+            # l_returnflag DESC (no nulls in the base fixture), rest ASC
+            tuple(-ord(c) for c in t[2]), t[3], t[0], t[1], t[4],
+        ),
+    )
+    want = [r + (i,) for i, r in enumerate(rows, start=1)]
+    got = QUERIES["sort_multikey"](spark, SF_DIR).toPandas()
+    got_rows = sorted(
+        zip(got.l_orderkey, got.l_linenumber, got.l_returnflag,
+            got.l_linestatus, got.l_quantity, got.rnk),
+        key=lambda t: t[5],
+    )
+    assert got_rows == want
+
+
+def test_win_lag_lead_matches_python(spark):
+    ev = _tbl("events")
+    ev = ev.assign(ts_us=ev.ts.astype("int64"))  # datetime64[us] -> us
+    want = {}
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
+        vals = list(g.value)
+        for i, (_, r) in enumerate(g.iterrows()):
+            want[(r.event_id,)] = {
+                "user_id": r.user_id,
+                "value": r.value,
+                "prev_value": vals[i - 1] if i else None,
+                "next_value": vals[i + 1] if i + 1 < len(vals) else None,
+            }
+    assert_keyed(run(spark, "win_lag_lead"), want, ["event_id"],
+                 ["user_id", "value", "prev_value", "next_value"])
+
+
+def _daily_cents():
+    o = _tbl("orders")
+    day = o.o_orderdate.dt.strftime("%Y-%m-%d")
+    return (
+        pd.DataFrame({"d": day, "c": cents(o.o_totalprice)})
+        .groupby("d")["c"].sum().sort_index()
+    )
+
+
+def test_win_running_sum_matches_python(spark):
+    daily = _daily_cents()
+    cum = daily.cumsum()
+    want = {
+        (d,): {"daily_revenue": daily[d] / 100.0, "cum_revenue": cum[d] / 100.0}
+        for d in daily.index
+    }
+    assert_keyed(run(spark, "win_running_sum"), want, ["order_date"],
+                 ["daily_revenue", "cum_revenue"])
+
+
+def test_win_moving_avg_matches_python(spark):
+    daily = _daily_cents()
+    vals = list(daily)
+    want = {}
+    for i, d in enumerate(daily.index):
+        window = vals[max(0, i - 6): i + 1]
+        want[(d,)] = {"ma7_revenue": (sum(window) / 100.0) / len(window)}
+    assert_keyed(run(spark, "win_moving_avg"), want, ["order_date"],
+                 ["ma7_revenue"])
+
+
+def test_win_range_frame_matches_python(spark):
+    o = _tbl("orders")
+    day_s = o.o_orderdate.astype("int64") // 1_000_000  # us -> s (UTC)
+    daily = (
+        pd.DataFrame({"s": day_s, "c": cents(o.o_totalprice)})
+        .groupby("s")["c"].sum().sort_index()
+    )
+    want = {}
+    for s in daily.index:
+        win = daily[(daily.index >= s - 518400) & (daily.index <= s)]
+        want[(s,)] = {"trailing_7d": win.sum() / 100.0}
+    assert_keyed(run(spark, "win_range_frame"), want, ["day_s"],
+                 ["trailing_7d"])
+
+
+def test_win_first_last_nth_matches_python(spark):
+    o = _tbl("orders")
+    want = {}
+    for ck, g in o.groupby("o_custkey"):
+        ordered = sorted(zip(g.o_totalprice, g.o_orderkey),
+                         key=lambda t: (-t[0], t[1]))
+        keys = [ok for _, ok in ordered]
+        for ok in keys:
+            want[(ck, ok)] = {
+                "first_ok": keys[0],
+                "last_ok": keys[-1],
+                "second_ok": keys[1] if len(keys) > 1 else None,
+            }
+    assert_keyed(run(spark, "win_first_last_nth"), want,
+                 ["o_custkey", "o_orderkey"],
+                 ["first_ok", "last_ok", "second_ok"])
+
+
+def test_join_interval_overlap_matches_python(spark):
+    ev = _tbl("events")
+    us = ev.ts.astype("int64")
+    a = [(u, e, t, t + HOUR_US) for u, e, t, k in
+         zip(ev.user_id, ev.event_id, us, ev.event_type) if k == "click"]
+    b = [(u, e, t, t + HOUR_US) for u, e, t, k in
+         zip(ev.user_id, ev.event_id, us, ev.event_type) if k == "purchase"]
+    by_user: dict = {}
+    for u, e, s, t in b:
+        by_user.setdefault(u, []).append((e, s, t))
+    want = set()
+    for u, ae, as_, aend in a:
+        for be, bs, bend in by_user.get(u, []):
+            if as_ < bend and bs < aend:  # docstring: half-open overlap
+                want.add((u, ae, be))
+    got = run(spark, "join_interval_overlap")
+    got_set = set(zip(got.user_id, got.a_id, got.b_id))
+    assert got_set == want and len(got) == len(want)
+
+
+def test_agg_hist_orders_per_cust_matches_python(spark):
+    c = _tbl("customer")
+    o = _tbl("orders")
+    per = o.groupby("o_custkey").size()
+    n_orders = [int(per.get(ck, 0)) for ck in c.c_custkey]
+    hist = pd.Series(n_orders).value_counts()
+    want = {(int(k),): {"n_customers": int(v)} for k, v in hist.items()}
+    assert_keyed(run(spark, "agg_hist_orders_per_cust"), want,
+                 ["n_orders"], ["n_customers"])
+
+
+def test_agg_conditional_ratio_matches_python(spark):
+    li = _tbl("lineitem")
+    want = {}
+    for flag, g in li.groupby("l_returnflag"):
+        n = len(g)
+        disc = g.l_discount > 0.05
+        nd = int(disc.sum())
+        rev = cents(g.l_extendedprice).sum()
+        rev_d = cents(g.l_extendedprice[disc]).sum()
+        want[(flag,)] = {
+            "n_rows": n, "n_disc": nd,
+            "disc_row_share": round(nd / n, 6),
+            "rev_total": rev / 100.0, "rev_disc": rev_d / 100.0,
+            "disc_rev_share": round((rev_d / 100.0) / (rev / 100.0), 6),
+        }
+    assert_keyed(run(spark, "agg_conditional_ratio"), want,
+                 ["l_returnflag"],
+                 ["n_rows", "n_disc", "disc_row_share",
+                  "rev_total", "rev_disc", "disc_rev_share"])
+
+
+def test_agg_percent_of_total_matches_python(spark):
+    li = _tbl("lineitem")
+    cell = {}
+    for (f_, s_), g in li.groupby(["l_returnflag", "l_linestatus"]):
+        cell[(f_, s_)] = cents(g.l_extendedprice).sum() / 100.0
+    flag_rev = {}
+    for (f_, _), v in cell.items():
+        flag_rev[f_] = flag_rev.get(f_, 0.0) + v
+    total = sum(flag_rev.values())
+    want = {
+        k: {
+            "rev": round(v, 4),
+            "pct_of_flag": round(v / flag_rev[k[0]], 6),
+            "pct_of_total": round(v / total, 6),
+        }
+        for k, v in cell.items()
+    }
+    assert_keyed(run(spark, "agg_percent_of_total"), want,
+                 ["l_returnflag", "l_linestatus"],
+                 ["rev", "pct_of_flag", "pct_of_total"])
+
+
+def _q1_frames():
+    li = _tbl("lineitem")
+    f = li[li.l_shipdate <= pd.Timestamp("1998-09-01")]
+    pc = cents(f.l_extendedprice)
+    dc = cents(f.l_discount)   # 2-dec discounts -> integer cents
+    tc = cents(f.l_tax)
+    return f, pc, dc, tc
+
+
+def test_compiler_q1_full_matches_pandas(spark):
+    f, pc, dc, tc = _q1_frames()
+    df = pd.DataFrame({
+        "flag": f.l_returnflag.to_numpy(), "st": f.l_linestatus.to_numpy(),
+        "qty": f.l_quantity.to_numpy(), "pc": pc,
+        "disc_e4": pc * (100 - dc), "charge_e6": pc * (100 - dc) * (100 + tc),
+    })
+    want = {}
+    for (flag, st), g in df.groupby(["flag", "st"]):
+        n = len(g)
+        want[(flag, st)] = {
+            "sum_qty": g.qty.sum(),
+            "sum_base_price": g.pc.sum() / 1e2,
+            "sum_disc_price": g.disc_e4.sum() / 1e4,
+            "sum_charge": g.charge_e6.sum() / 1e6,
+            "avg_qty": g.qty.sum() / n,
+            "avg_price": (g.pc.sum() / 1e2) / n,
+            "count_order": n,
+        }
+    assert_keyed(run(spark, "compiler_q1_full"), want,
+                 ["l_returnflag", "l_linestatus"],
+                 ["sum_qty", "sum_base_price", "sum_disc_price",
+                  "sum_charge", "avg_qty", "avg_price", "count_order"])
+
+
+def test_compiler_q3_full_matches_pandas(spark):
+    c = _tbl("customer")
+    o = _tbl("orders")
+    li = _tbl("lineitem")
+    cut = pd.Timestamp("1996-07-01")
+    cks = set(c.loc[c.c_mktsegment == "BUILDING", "c_custkey"])
+    od = o[(o.o_orderdate < cut) & o.o_custkey.isin(cks)]
+    ls = li[li.l_shipdate > cut]
+    m = ls.merge(
+        od[["o_orderkey", "o_orderpriority"]],
+        left_on="l_orderkey", right_on="o_orderkey",
+    )
+    rev_e4 = cents(m.l_extendedprice) * (100 - cents(m.l_discount))
+    agg = (
+        pd.DataFrame({"ok": m.o_orderkey, "pr": m.o_orderpriority,
+                      "r": rev_e4})
+        .groupby(["ok", "pr"])["r"].sum()
+    )
+    top = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0][0]))[:10]
+    want = {
+        (int(ok),): {"o_orderpriority": pr, "revenue": r / 1e4}
+        for (ok, pr), r in top
+    }
+    assert_keyed(run(spark, "compiler_q3_full"), want,
+                 ["o_orderkey"], ["o_orderpriority", "revenue"])
+
+
+def test_compiler_q6_full_matches_pandas(spark):
+    li = _tbl("lineitem")
+    f = li[
+        (li.l_shipdate >= pd.Timestamp("1997-01-01"))
+        & (li.l_shipdate < pd.Timestamp("1998-01-01"))
+        & (li.l_discount >= 0.05) & (li.l_discount <= 0.07)
+        & (li.l_quantity < 24)
+    ]
+    rev = (cents(f.l_extendedprice) * cents(f.l_discount)).sum() / 1e4
+    got = run(spark, "compiler_q6_full").iloc[0]
+    assert close(got.revenue, rev)

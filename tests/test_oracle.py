@@ -154,20 +154,34 @@ def test_no_oracle_emits_hugeint(duck):
 
 
 def test_priority_rotation_covers_all_keys():
-    """ordered_keys() (round-8 computed rotation): every registered key
-    exactly once; keys with NO driver signal in any committed
-    CORRECTNESS_r*.json strictly precede keys with one; signalled keys
-    are stalest-round-first; and the driver-facing dicts in
-    __spark_entry__ follow that order."""
+    """ordered_keys() (round-8 computed rotation, round-10 rewrite-aware
+    buckets): every registered key exactly once; never-driver-checked
+    keys strictly precede all signalled keys; signalled keys whose
+    implementation was rewritten AFTER their signal (registry.TOUCHED)
+    precede untouched ones (their old signals describe deleted code);
+    within each bucket stalest-round-first; and the driver-facing dicts
+    in __spark_entry__ follow that order."""
     import __spark_entry__ as entry
-    from naqed_spark.registry import _driver_signal_rounds, ordered_keys
+    from naqed_spark.registry import (
+        TOUCHED,
+        _driver_signal_rounds,
+        ordered_keys,
+    )
 
     keys = ordered_keys()
     assert sorted(keys) == sorted(QUERIES)
     assert len(keys) == len(set(keys))
     signal = _driver_signal_rounds()
-    rounds = [signal.get(k, -1) for k in keys]
-    assert rounds == sorted(rounds), "rotation must be oldest-signal-first"
+
+    def bucket(k):
+        sig = signal.get(k, -1)
+        return 0 if sig < 0 else (1 if sig < TOUCHED.get(k, -1) else 2)
+
+    order = [(bucket(k), signal.get(k, -1)) for k in keys]
+    assert order == sorted(order), (
+        "rotation must be (never-checked, rewritten-since-signal, "
+        "valid-signal) bucketed, stalest-first within each"
+    )
     assert list(entry.queries()) == keys
 
 
