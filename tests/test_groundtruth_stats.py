@@ -5654,3 +5654,224 @@ def test_compiler_q6_full_matches_pandas(spark):
     rev = (cents(f.l_extendedprice) * cents(f.l_discount)).sum() / 1e4
     got = run(spark, "compiler_q6_full").iloc[0]
     assert close(got.revenue, rev)
+
+
+# -------- multiset / null-semantics / salting replays (wave 31)
+# The ANSI corners where a twin bug is most plausible: bag-algebra
+# multiplicities, NOT-IN/null-safe matching, argmin/argmax tiebreaks,
+# skew-salting as a provable no-op. Each recomputed from first
+# principles (collections.Counter bag math, explicit None matching).
+
+
+def _bag(df_or_rows):
+    from collections import Counter
+
+    if isinstance(df_or_rows, pd.DataFrame):
+        return Counter(tuple(r) for r in df_or_rows.itertuples(index=False))
+    return Counter(tuple(r) for r in df_or_rows)
+
+
+def _orders_ab():
+    o = _tbl("orders")
+    a = list(zip(o.o_custkey, o.o_orderstatus))
+    hv = o[o.o_totalprice > 250000]
+    b = list(zip(hv.o_custkey, hv.o_orderstatus))
+    return a, b
+
+
+def test_set_intersect_all_bag_multiplicity(spark):
+    a, b = _orders_ab()
+    ca, cb = _bag(a), _bag(b)
+    want = {k: min(ca[k], cb[k]) for k in ca if k in cb}
+    got = _bag(run(spark, "set_intersect_all"))
+    assert got == {k: v for k, v in want.items() if v > 0}
+
+
+def test_set_except_all_bag_multiplicity(spark):
+    a, b = _orders_ab()
+    ca, cb = _bag(a), _bag(b)
+    want = {k: ca[k] - cb.get(k, 0) for k in ca}
+    got = _bag(run(spark, "set_except_all"))
+    assert got == {k: v for k, v in want.items() if v > 0}
+
+
+def test_set_intersect_except_are_distinct(spark):
+    a, b = _orders_ab()
+    sa, sb = set(a), set(b)
+    assert _bag(run(spark, "set_intersect")) == {k: 1 for k in sa & sb}
+    assert _bag(run(spark, "set_except")) == {k: 1 for k in sa - sb}
+
+
+def test_set_symmetric_diff_matches_python(spark):
+    c = _tbl("customer")
+    building = set(c.loc[c.c_mktsegment == "BUILDING", "c_custkey"])
+    rich = set(c.loc[c.c_acctbal > 5000, "c_custkey"])
+    want = {(k,): {} for k in building ^ rich}
+    got = run(spark, "set_symmetric_diff")
+    assert set((k,) for k in got.c_custkey) == set(want)
+    assert len(got) == len(want)
+
+
+def test_sub_in_and_not_in_match_python(spark):
+    c = _tbl("customer")
+    o = _tbl("orders")
+    n = _tbl("nation")
+    s = _tbl("supplier")
+    inset = set(o.loc[o.o_totalprice > 300000, "o_custkey"])
+    want_in = {
+        (r.c_custkey,): {"c_name": r.c_name, "c_mktsegment": r.c_mktsegment}
+        for _, r in c.iterrows() if r.c_custkey in inset
+    }
+    assert_keyed(run(spark, "sub_in"), want_in, ["c_custkey"],
+                 ["c_name", "c_mktsegment"])
+    have_supp = set(s.s_nationkey)
+    want_ni = {
+        (r.n_nationkey,): {"n_name": r.n_name}
+        for _, r in n.iterrows() if r.n_nationkey not in have_supp
+    }
+    assert_keyed(run(spark, "sub_not_in"), want_ni, ["n_nationkey"],
+                 ["n_name"])
+
+
+def test_sub_correlated_scalar_matches_python(spark):
+    li = _tbl("lineitem")
+    avg = {}
+    for pk, g in li.groupby("l_partkey"):
+        avg[pk] = (cents(g.l_quantity).sum() / 100.0) / len(g)
+    keep = [
+        (ok, pk, q)
+        for ok, pk, q in zip(li.l_orderkey, li.l_partkey, li.l_quantity)
+        if q < 0.4 * avg[pk]
+    ]
+    got = run(spark, "sub_correlated_scalar")
+    assert _bag(got) == _bag(keep)
+
+
+def test_join_null_safe_matches_python(spark):
+    c = _tbl("customer")
+    s = _tbl("supplier")
+    ck = [
+        (r.c_custkey,
+         None if r.c_mktsegment == "AUTOMOBILE" else r.c_nationkey)
+        for _, r in c.iterrows()
+    ]
+    sk = [
+        (r.s_suppkey, None if r.s_acctbal < 0 else r.s_nationkey)
+        for _, r in s.iterrows()
+    ]
+    want = [
+        (ckey, skey, nk)
+        for ckey, nk in ck
+        for skey, snk in sk
+        if nk == snk or (nk is None and snk is None)
+    ]
+    got = run(spark, "join_null_safe")
+    got_rows = [
+        (a, b, None if pd.isna(v) else v)
+        for a, b, v in zip(got.c_custkey, got.s_suppkey, got.nk)
+    ]
+    assert _bag(got_rows) == _bag(want)
+
+
+def test_join_existence_mark_matches_python(spark):
+    c = _tbl("customer")
+    o = _tbl("orders")
+    urgent = set(o.loc[o.o_orderpriority == "1-URGENT", "o_custkey"])
+    want = {
+        (r.c_custkey,): {
+            "c_mktsegment": r.c_mktsegment,
+            "has_urgent_order": r.c_custkey in urgent,
+        }
+        for _, r in c.iterrows()
+    }
+    assert_keyed(run(spark, "join_existence_mark"), want, ["c_custkey"],
+                 ["c_mktsegment", "has_urgent_order"])
+
+
+def test_join_skew_salted_equals_plain_join(spark):
+    ev = _tbl("events")
+    c = _tbl("customer")
+    seg = dict(zip(c.c_custkey, c.c_mktsegment))
+    want = [
+        (e, u, seg[u])
+        for e, u in zip(ev.event_id, ev.user_id) if u in seg
+    ]
+    got = run(spark, "join_skew_salted")
+    assert _bag(got) == _bag(want)  # salting must be a bag-exact no-op
+
+
+def test_join_runtime_bloom_filter_matches_python(spark):
+    li = _tbl("lineitem")
+    o = _tbl("orders")
+    pkeys = set(o.loc[o.o_orderstatus == "P", "o_orderkey"])
+    m = li[li.l_orderkey.isin(pkeys)]
+    want = {
+        (int(ok),): {
+            "n_lines": len(g),
+            "qty": cents(g.l_quantity).sum() / 100.0,
+        }
+        for ok, g in m.groupby("l_orderkey")
+    }
+    assert_keyed(run(spark, "join_runtime_bloom_filter"), want,
+                 ["l_orderkey"], ["n_lines", "qty"])
+
+
+def test_agg_min_max_by_tiebreak_matches_python(spark):
+    o = _tbl("orders")
+    want = {}
+    for pr, g in o.groupby("o_orderpriority"):
+        by = [(tp * 100000 + ok, ok, tp)
+              for ok, tp in zip(g.o_orderkey, g.o_totalprice)]
+        want[(pr,)] = {
+            "biggest_order": max(by)[1],
+            "smallest_order": min(by)[1],
+            "max_price": g.o_totalprice.max(),
+            "min_price": g.o_totalprice.min(),
+        }
+    assert_keyed(run(spark, "agg_min_max_by"), want, ["o_orderpriority"],
+                 ["biggest_order", "smallest_order",
+                  "max_price", "min_price"])
+
+
+def test_agg_listagg_and_collect_set_matches_python(spark):
+    o = _tbl("orders")
+    want = {}
+    for ck, g in o.groupby("o_custkey"):
+        ps = sorted(set(g.o_orderpriority))
+        want[(ck,)] = {"prios": "|".join(ps), "n_prios": len(ps)}
+    assert_keyed(run(spark, "agg_listagg_distinct"), want, ["o_custkey"],
+                 ["prios", "n_prios"])
+    c = _tbl("customer")
+    want2 = {
+        (nk,): {"segments": ",".join(sorted(set(g.c_mktsegment)))}
+        for nk, g in c.groupby("c_nationkey")
+    }
+    assert_keyed(run(spark, "agg_collect_set"), want2, ["c_nationkey"],
+                 ["segments"])
+
+
+def test_agg_profile_columns_matches_python(spark):
+    li = _tbl("lineitem")
+    got = run(spark, "agg_profile_columns").iloc[0]
+    assert int(got.n_rows) == len(li)
+    assert int(got.rf_non_null) == int(li.l_returnflag.notna().sum())
+    assert int(got.rf_distinct) == li.l_returnflag.nunique()
+    assert int(got.status_distinct) == li.l_linestatus.nunique()
+    assert close(got.qty_min, li.l_quantity.min())
+    assert close(got.qty_max, li.l_quantity.max())
+    assert int(got.key_distinct) == li.l_orderkey.nunique()
+    assert int(got.qty_nulls) == int(li.l_quantity.isna().sum())
+
+
+def test_filter_null_semantics_matches_python(spark):
+    ev = _tbl("events")
+    want = {}
+    for eid, et in zip(ev.event_id, ev.event_type):
+        v = None if et == "error" else et
+        want[(eid,)] = {
+            "et_or_null": v,
+            "is_err": v is None,
+            "nse_click": v == "click",  # null-safe: None == 'click' is False
+        }
+    assert_keyed(run(spark, "filter_null_semantics"), want, ["event_id"],
+                 ["et_or_null", "is_err", "nse_click"])
