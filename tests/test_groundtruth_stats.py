@@ -5875,3 +5875,238 @@ def test_filter_null_semantics_matches_python(spark):
         }
     assert_keyed(run(spark, "filter_null_semantics"), want, ["event_id"],
                  ["et_or_null", "is_err", "nse_click"])
+
+
+# -------- scalar-function family stdlib replays (wave 32)
+# Every check recomputes a fn_* family with the Python standard library
+# (hashlib, re, urllib.parse, calendar/datetime, math, int bit ops) —
+# a third implementation that shares nothing with either engine, so a
+# shared misreading of a function contract (parse_url components, ISO
+# week/dow, mask classes, regex token splitting) cannot hash-match
+# its way through.
+
+
+def test_fn_bitwise_matches_python_ints(spark):
+    o = _tbl("orders")
+    f = o[o.o_orderkey <= 20000]
+    want = {
+        (int(k),): {
+            "k_and": int(k) & 255,
+            "k_or": int(k) | 4096,
+            "k_xor": int(k) ^ int(c),
+            "k_shl": int(k) << 3,
+            "k_shr": int(k) >> 2,
+            "k_pop": bin(int(k)).count("1"),
+        }
+        for k, c in zip(f.o_orderkey, f.o_custkey)
+    }
+    assert_keyed(run(spark, "fn_bitwise"), want, ["o_orderkey"],
+                 ["k_and", "k_or", "k_xor", "k_shl", "k_shr", "k_pop"])
+
+
+def test_fn_hash_matches_hashlib(spark):
+    import hashlib
+
+    c = _tbl("customer")
+    want = {}
+    for ck, name, seg in zip(c.c_custkey, c.c_name, c.c_mktsegment):
+        md5 = hashlib.md5(name.encode()).hexdigest()
+        sha = hashlib.sha256(name.encode()).hexdigest()
+        want[(ck,)] = {
+            "name_md5": md5,
+            "name_sha256": sha,
+            "seg_bucket": hashlib.md5(seg.encode()).hexdigest()[:8],
+            "sha_len": len(sha),
+        }
+    assert_keyed(run(spark, "fn_hash"), want, ["c_custkey"],
+                 ["name_md5", "name_sha256", "seg_bucket", "sha_len"])
+
+
+def test_fn_url_matches_urllib(spark):
+    from urllib.parse import parse_qs, urlparse
+
+    d = _tbl("documents")
+    want = {}
+    for did, src, lang, n in zip(d.doc_id, d.source, d.lang, d.n_chars):
+        u = urlparse(f"https://{src}.example.com/docs/{did}?lang={lang}&n={n}")
+        q = parse_qs(u.query)
+        want[(did,)] = {
+            "host": u.hostname,
+            "path": u.path,
+            "query": u.query,
+            "q_lang": q["lang"][0],
+            "q_n": q["n"][0],
+        }
+    assert_keyed(run(spark, "fn_url"), want, ["doc_id"],
+                 ["host", "path", "query", "q_lang", "q_n"])
+
+
+def test_fn_regex_matches_python_re(spark):
+    import re
+
+    d = _tbl("documents")
+    want = {}
+    for did, text in zip(d.doc_id, d.text):
+        m = re.match(r"^(\w+)", text)
+        want[(did,)] = {
+            "first_word": m.group(1) if m else "",
+            "n_vowel_words": len(
+                re.findall(r"(?<![A-Za-z0-9_])[aeiou][a-z]*", text)
+            ),
+            "masked_len": len(re.sub("[aeiou]", "*", text)),
+            "n_tokens": len(re.split(r"\s+", text)),
+            "has_aggscan": 1 if re.search("agg.*scan", text) else 0,
+        }
+    assert_keyed(run(spark, "fn_regex"), want, ["doc_id"],
+                 ["first_word", "n_vowel_words", "masked_len",
+                  "n_tokens", "has_aggscan"])
+
+
+def test_fn_try_safe_matches_python(spark):
+    ev = _tbl("events")
+    want = {}
+    for eid, props, v in zip(ev.event_id, ev.props, ev.value):
+        k = json.loads(props).get("k")
+        m = int(math.floor(v * 100 + 0.5)) % 7  # round-half-up cents
+        want[(eid,)] = {
+            "k_int": k if isinstance(k, int) else None,
+            "bogus_int": None,  # words never cast to int
+            "div7": round(v / m, 6) if m else None,
+            "first_char_int": None,
+        }
+    assert_keyed(run(spark, "fn_try_safe"), want, ["event_id"],
+                 ["k_int", "bogus_int", "div7", "first_char_int"])
+
+
+def test_fn_date_arith_matches_python_calendar(spark):
+    import calendar
+    import datetime as dt
+
+    o = _tbl("orders")
+    horizon = dt.date(2025, 1, 1)
+
+    def add_months(d, n):
+        y, m = divmod(d.month - 1 + n, 12)
+        y, m = d.year + y, m + 1
+        return dt.date(y, m, min(d.day, calendar.monthrange(y, m)[1]))
+
+    want = {}
+    for ok, ts in zip(o.o_orderkey, o.o_orderdate):
+        d = ts.date()
+        last = dt.date(d.year, d.month,
+                       calendar.monthrange(d.year, d.month)[1])
+        want[(ok,)] = {
+            "month_end": last.strftime("%Y-%m-%d"),
+            "plus3m": add_months(d, 3).strftime("%Y-%m-%d"),
+            "qtr": (d.month - 1) // 3 + 1,
+            "iso_week": d.isocalendar()[1],
+            "iso_dow": d.isoweekday(),
+            "days_to_2025": (horizon - d).days,
+        }
+    assert_keyed(run(spark, "fn_date_arith"), want, ["o_orderkey"],
+                 ["month_end", "plus3m", "qtr", "iso_week", "iso_dow",
+                  "days_to_2025"])
+
+
+def test_fn_struct_matches_python(spark):
+    o = _tbl("orders")
+    want = {}
+    for ck, g in o.groupby("o_custkey"):
+        rows = sorted(
+            (d.strftime("%Y-%m-%d"), int(k))
+            for d, k in zip(g.o_orderdate, g.o_orderkey)
+        )
+        want[(ck,)] = {
+            "n_orders": len(rows),
+            "first_date": rows[0][0], "first_key": rows[0][1],
+            "last_date": rows[-1][0], "last_key": rows[-1][1],
+        }
+    assert_keyed(run(spark, "fn_struct"), want, ["o_custkey"],
+                 ["n_orders", "first_date", "first_key",
+                  "last_date", "last_key"])
+
+
+def test_fn_string_extra_matches_python(spark):
+    c = _tbl("customer")
+    want = {}
+    for ck, name, seg in zip(c.c_custkey, c.c_name, c.c_mktsegment):
+        want[(ck,)] = {
+            "padded_id": str(ck).rjust(12, "0"),
+            "padded_seg": seg.ljust(12, "."),
+            "translated": name.translate(str.maketrans("#0", "_X")),
+            "replaced": name.replace("Customer", "Acct"),
+            "rev_seg": seg[::-1],
+            "stars": "*" * (ck % 5),
+            "l8": name[:8],
+            "r4": name[-4:] if len(name) >= 4 else name,
+        }
+    assert_keyed(run(spark, "fn_string_extra"), want, ["c_custkey"],
+                 ["padded_id", "padded_seg", "translated", "replaced",
+                  "rev_seg", "stars", "l8", "r4"])
+
+
+def test_fn_json_roundtrip_matches_python(spark):
+    o = _tbl("orders")
+    want = {
+        (ok,): {
+            "status": st,
+            "prio_len": len(pr),
+            "key2": 2 * int(ok),
+        }
+        for ok, st, pr in zip(o.o_orderkey, o.o_orderstatus,
+                              o.o_orderpriority)
+    }
+    assert_keyed(run(spark, "fn_json_roundtrip"), want, ["o_orderkey"],
+                 ["status", "prio_len", "key2"])
+
+
+def test_fn_mask_redact_matches_python(spark):
+    import re
+
+    c = _tbl("customer")
+    want = {}
+    for ck, name in zip(c.c_custkey, c.c_name):
+        masked = re.sub("[0-9]", "n",
+                        re.sub("[a-z]", "x", re.sub("[A-Z]", "X", name)))
+        want[(ck,)] = {
+            "masked_name": masked,
+            "digits_starred": re.sub("[0-9]", "*", name),
+        }
+    assert_keyed(run(spark, "fn_mask_redact"), want, ["c_custkey"],
+                 ["masked_name", "digits_starred"])
+
+
+def test_fn_trig_matches_math(spark):
+    want = {}
+    for ck in _tbl("customer").c_custkey:
+        deg = (ck % 360) + 0.5
+        r = math.radians(deg)
+        want[(ck,)] = {
+            "rad": r, "s": math.sin(r), "c": math.cos(r),
+            "t": math.tan(r),
+            "theta": math.atan2(math.sin(r), math.cos(r)),
+            "unit": 1.0,
+        }
+    assert_keyed(run(spark, "fn_trig"), want, ["c_custkey"],
+                 ["rad", "s", "c", "t", "theta", "unit"], tol=2e-6)
+
+
+def test_fn_higher_order_lambdas_matches_python(spark):
+    e = _tbl("embeddings")
+    want = {}
+    for vid, emb in zip(e.vec_id, e.embedding):
+        v = [float(x) for x in emb]  # float32 -> exact double
+        acc = 0.0
+        for x in v:
+            acc += x * x  # sequential left-to-right fold, like aggregate()
+        dot = 0.0
+        for a, b in zip(v, v[::-1]):
+            dot += a * b
+        want[(vid,)] = {
+            "sum_sq": acc,
+            "n_positive": sum(1 for x in v if x > 0.0),
+            "any_large": any(abs(x) > 0.9 for x in v),
+            "dot_reversed": dot,
+        }
+    assert_keyed(run(spark, "fn_higher_order_lambdas"), want, ["vec_id"],
+                 ["sum_sq", "n_positive", "any_large", "dot_reversed"])
