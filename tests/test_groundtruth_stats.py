@@ -6110,3 +6110,265 @@ def test_fn_higher_order_lambdas_matches_python(spark):
         }
     assert_keyed(run(spark, "fn_higher_order_lambdas"), want, ["vec_id"],
                  ["sum_sq", "n_positive", "any_large", "dot_reversed"])
+
+
+# -------- §2-A/B basics + relationship hops closeout (wave 33)
+# The foundational aggregate/filter/hop keys carried driver-green
+# signals but no independent recomputation; this wave replays them in
+# pandas/numpy so even the basics cannot hide a shared spelling
+# mistake (FILTER-clause aggregates, grouping flags, pivot defaults,
+# the Q17/Q18 decorrelations, the banded user-edge construction).
+
+
+def test_agg_global_matches_pandas(spark):
+    li = _tbl("lineitem")
+    got = run(spark, "agg_global").iloc[0]
+    sp = cents(li.l_extendedprice).sum() / 100.0
+    assert int(got.n) == len(li)
+    assert close(got.sum_qty, li.l_quantity.sum())
+    assert close(got.avg_qty, li.l_quantity.mean())
+    assert close(got.min_price, li.l_extendedprice.min())
+    assert close(got.max_price, li.l_extendedprice.max())
+    assert close(got.sum_price, sp)
+    assert close(got.avg_price, sp / len(li))
+
+
+def test_agg_groupby_hash_matches_pandas(spark):
+    li = _tbl("lineitem")
+    f = li[li.l_shipdate <= pd.Timestamp("1998-09-01")]
+    want = {}
+    for (flag, st), g in f.groupby(["l_returnflag", "l_linestatus"]):
+        pc, dc, tc = cents(g.l_extendedprice), cents(g.l_discount), cents(g.l_tax)
+        n = len(g)
+        want[(flag, st)] = {
+            "sum_qty": g.l_quantity.sum(),
+            "sum_base_price": pc.sum() / 1e2,
+            "sum_disc_price": (pc * (100 - dc)).sum() / 1e4,
+            "sum_charge": (pc * (100 - dc) * (100 + tc)).sum() / 1e6,
+            "avg_qty": g.l_quantity.mean(),
+            "avg_price": pc.sum() / 1e2 / n,
+            "avg_disc": dc.sum() / 1e2 / n,
+            "count_order": n,
+        }
+    assert_keyed(run(spark, "agg_groupby_hash"), want,
+                 ["l_returnflag", "l_linestatus"],
+                 ["sum_qty", "sum_base_price", "sum_disc_price",
+                  "sum_charge", "avg_qty", "avg_price", "avg_disc",
+                  "count_order"])
+
+
+def test_agg_count_distinct_and_having_matches_pandas(spark):
+    ev = _tbl("events")
+    want = {
+        (t,): {"n_users": g.user_id.nunique(), "n_events": len(g)}
+        for t, g in ev.groupby("event_type")
+    }
+    assert_keyed(run(spark, "agg_count_distinct"), want, ["event_type"],
+                 ["n_users", "n_events"])
+    c = _tbl("customer")
+    want2 = {
+        (nk,): {"n_cust": len(g),
+                "total_bal": cents(g.c_acctbal).sum() / 100.0}
+        for nk, g in c.groupby("c_nationkey") if len(g) > 50
+    }
+    assert_keyed(run(spark, "agg_having"), want2, ["c_nationkey"],
+                 ["n_cust", "total_bal"])
+
+
+def test_agg_filtered_matches_pandas(spark):
+    li = _tbl("lineitem")
+    want = {}
+    for flag, g in li.groupby("l_returnflag"):
+        qf = g.loc[g.l_linestatus == "F", "l_quantity"].sum()
+        qo = g.loc[g.l_linestatus == "O", "l_quantity"].sum()
+        want[(flag,)] = {
+            # FILTER over an empty set is NULL, not 0
+            "qty_f": qf if (g.l_linestatus == "F").any() else None,
+            "qty_o": qo if (g.l_linestatus == "O").any() else None,
+            "n_high_disc": int((g.l_discount > 0.05).sum()),
+            "n": len(g),
+        }
+    assert_keyed(run(spark, "agg_filtered"), want, ["l_returnflag"],
+                 ["qty_f", "qty_o", "n_high_disc", "n"])
+
+
+def test_agg_stats_matches_numpy(spark):
+    li = _tbl("lineitem")
+    want = {}
+    for flag, g in li.groupby("l_returnflag"):
+        q = g.l_quantity.to_numpy(dtype=np.float64)
+        d = g.l_discount.to_numpy(dtype=np.float64)
+        t = g.l_tax.to_numpy(dtype=np.float64)
+        want[(flag,)] = {
+            "sd_qty": q.std(ddof=1),
+            "var_qty": q.var(ddof=1),
+            "corr_disc_tax": np.corrcoef(d, t)[0, 1],
+            "cov_qty_disc": np.cov(q, d, ddof=1)[0, 1],
+        }
+    assert_keyed(run(spark, "agg_stats"), want, ["l_returnflag"],
+                 ["sd_qty", "var_qty", "corr_disc_tax", "cov_qty_disc"],
+                 tol=1e-4)
+
+
+def test_agg_bool_matches_pandas(spark):
+    o = _tbl("orders")
+    want = {
+        (st,): {
+            "all_over_1k": bool((g.o_totalprice > 1000).all()),
+            "any_over_400k": bool((g.o_totalprice > 400000).any()),
+            "n_urgent": int((g.o_orderpriority == "1-URGENT").sum()),
+        }
+        for st, g in o.groupby("o_orderstatus")
+    }
+    assert_keyed(run(spark, "agg_bool"), want, ["o_orderstatus"],
+                 ["all_over_1k", "any_over_400k", "n_urgent"])
+
+
+def test_agg_grouping_id_matches_pandas(spark):
+    li = _tbl("lineitem")
+    want = {}
+    for (flag, st), g in li.groupby(["l_returnflag", "l_linestatus"]):
+        want[(flag, st, 0, 0)] = {
+            "n": len(g), "qty": cents(g.l_quantity).sum() / 100.0}
+    for flag, g in li.groupby("l_returnflag"):
+        want[(flag, None, 0, 1)] = {
+            "n": len(g), "qty": cents(g.l_quantity).sum() / 100.0}
+    want[(None, None, 1, 1)] = {
+        "n": len(li), "qty": cents(li.l_quantity).sum() / 100.0}
+    assert_keyed(run(spark, "agg_grouping_id"), want,
+                 ["l_returnflag", "l_linestatus", "g_flag", "g_status"],
+                 ["n", "qty"])
+
+
+def test_agg_pivot_and_unpivot_match_pandas(spark):
+    ev = _tbl("events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    want = {}
+    for u, g in ev.groupby("user_id"):
+        vc = g.event_type.value_counts()
+        want[(u,)] = {t: int(vc.get(t, 0)) for t in types}
+    assert_keyed(run(spark, "agg_pivot"), want, ["user_id"], types)
+
+    o = _tbl("orders")
+    rows = [(ok, "totalprice", tp) for ok, tp in
+            zip(o.o_orderkey, o.o_totalprice)]
+    rows += [(ok, "custkey", float(ck)) for ok, ck in
+             zip(o.o_orderkey, o.o_custkey)]
+    assert _bag(run(spark, "agg_unpivot")) == _bag(rows)
+
+
+def test_project_and_filters_match_pandas(spark):
+    li = _tbl("lineitem")
+    # net price = exact integer ten-thousandths (2-dec price x 2-dec disc)
+    net = cents(li.l_extendedprice) * (100 - cents(li.l_discount))
+    rows = [(ok, ln, q, ne / 1e4) for ok, ln, q, ne in
+            zip(li.l_orderkey, li.l_linenumber, li.l_quantity, net)]
+    assert _bag(run(spark, "project_select_alias")) == _bag(rows)
+
+    f = li[
+        (li.l_shipdate <= pd.Timestamp("1998-09-01"))
+        & (li.l_quantity > 45) & (li.l_returnflag != "A")
+        & (li.l_discount >= 0.05)
+    ]
+    rows2 = [(ok, ln, d.strftime("%Y-%m-%d")) for ok, ln, d in
+             zip(f.l_orderkey, f.l_linenumber, f.l_shipdate)]
+    assert _bag(run(spark, "filter_comparison")) == _bag(rows2)
+
+    o = _tbl("orders")
+    m = o[
+        ((o.o_orderstatus == "F") & (o.o_totalprice > 150000))
+        | ((o.o_orderpriority != "5-LOW") & (o.o_totalprice <= 25000))
+    ]
+    rows3 = list(zip(m.o_orderkey, m.o_orderstatus, m.o_orderpriority))
+    assert _bag(run(spark, "filter_boolean_logic")) == _bag(rows3)
+
+    p = _tbl("part")
+    pf = p[
+        p.p_type.isin(["PROMO", "ECONOMY", "STANDARD"])
+        & (p.p_size >= 10) & (p.p_size <= 30)
+        & p.p_brand.str.startswith("Brand#1")
+    ]
+    rows4 = list(zip(pf.p_partkey, pf.p_brand, pf.p_type, pf.p_size))
+    assert _bag(run(spark, "filter_in_between_like")) == _bag(rows4)
+
+    c = _tbl("customer")
+    cf = c[
+        (c.c_mktsegment == "BUILDING") & (c.c_acctbal > 1000.0)
+        & c.c_nationkey.isin([1, 2, 3, 4, 5])
+    ]
+    rows5 = list(zip(cf.c_custkey, cf.c_name, cf.c_acctbal))
+    assert _bag(run(spark, "filter_dynamic_args")) == _bag(rows5)
+
+
+def test_graph_hops_match_pandas(spark):
+    c = _tbl("customer")
+    o = _tbl("orders")
+    n1 = c[c.c_nationkey == 1]
+    m = n1.merge(o, left_on="c_custkey", right_on="o_custkey")
+    rows = list(zip(m.c_custkey, m.c_name, m.o_orderkey, m.o_totalprice))
+    assert _bag(run(spark, "graph_1hop")) == _bag(rows)
+
+    r = _tbl("region")
+    n = _tbl("nation")
+    j = (r.merge(n, left_on="r_regionkey", right_on="n_regionkey")
+          .merge(c, left_on="n_nationkey", right_on="c_nationkey"))
+    want = {
+        (rn,): {"n_customers": len(g),
+                "total_bal": cents(g.c_acctbal).sum() / 100.0}
+        for rn, g in j.groupby("r_name")
+    }
+    assert_keyed(run(spark, "graph_2hop"), want, ["r_name"],
+                 ["n_customers", "total_bal"])
+
+
+def test_graph_degree_matches_banded_edge_construction(spark):
+    ev = _tbl("events")
+    ks = [json.loads(p).get("k") for p in ev.props]
+    us = ev.ts.astype("int64")
+    by_k: dict = {}
+    for u, k, t in zip(ev.user_id, ks, us):
+        by_k.setdefault(k, []).append((u, t))
+    edges = set()
+    for rows in by_k.values():
+        for ua, ta in rows:
+            for ub, tb in rows:
+                if ua != ub and ta < tb <= ta + HOUR_US:
+                    edges.add((ua, ub))
+    verts = {v for e in edges for v in e}
+    want = {
+        (v,): {
+            "out_degree": sum(1 for s, _ in edges if s == v),
+            "in_degree": sum(1 for _, d in edges if d == v),
+        }
+        for v in verts
+    }
+    assert_keyed(run(spark, "graph_degree"), want, ["user_id"],
+                 ["out_degree", "in_degree"])
+
+
+def test_sub_exists_and_in_grouped_having_match_pandas(spark):
+    s = _tbl("supplier")
+    li = _tbl("lineitem")
+    big = set(li.loc[li.l_quantity > 49, "l_suppkey"])
+    want = {
+        (r.s_suppkey,): {"s_name": r.s_name}
+        for _, r in s.iterrows() if r.s_suppkey in big
+    }
+    assert_keyed(run(spark, "sub_exists_correlated"), want,
+                 ["s_suppkey"], ["s_name"])
+
+    o = _tbl("orders")
+    per_ok = {
+        ok: cents(g.l_quantity).sum() / 100.0
+        for ok, g in li.groupby("l_orderkey")
+    }
+    heavy = {ok for ok, q in per_ok.items() if q > 150}
+    want2 = {}
+    for _, r in o[o.o_orderkey.isin(heavy)].iterrows():
+        want2[(r.o_orderkey,)] = {
+            "o_custkey": r.o_custkey,
+            "o_totalprice": r.o_totalprice,
+            "total_qty": per_ok[r.o_orderkey],
+        }
+    assert_keyed(run(spark, "sub_in_grouped_having"), want2,
+                 ["o_orderkey"], ["o_custkey", "o_totalprice", "total_qty"])
