@@ -87,6 +87,15 @@ HEADLINE = [
     "agg_ks_statistic",
     "agg_abc_classification",
     "agg_weighted_median",
+    # round-10 completions: the remaining two-phase rewrites (two-level
+    # ntile, per-source packing prefix sums, the range-partitioned global
+    # rank) and the quantifier decorrelation fixed this round — probed so
+    # every member of the two-phase family has growth evidence, not just
+    # the r9 batch.
+    "win_ntile",
+    "llm_pack_sequences",
+    "sort_multikey",
+    "sub_any_all",
 ]
 
 # The adapted TPC-H suite rides the same probe (round 9): its sf0.1
