@@ -6372,3 +6372,263 @@ def test_sub_exists_and_in_grouped_having_match_pandas(spark):
         }
     assert_keyed(run(spark, "sub_in_grouped_having"), want2,
                  ["o_orderkey"], ["o_custkey", "o_totalprice", "total_qty"])
+
+
+# -------- E1 compiler-surface replays (wave 34)
+# Every remaining compiler_* key recomputed in pandas/pure Python from
+# the QuerySpec's documented semantics — a third opinion fully outside
+# both the DSL lowering and the hand-written SQL oracles, completing
+# independent coverage of the E1 surface (q1/q3/q6/$asof/$window were
+# waves 29-30).
+
+
+def test_compiler_select_computed_matches_python(spark):
+    o = _tbl("orders")
+    f = o[o.o_orderstatus == "F"]
+    want = {
+        (ok,): {
+            "prio_tag": pr.lower() + "/" + st,
+            "prio_len": len(pr),
+            "order_year": d.year,
+            "double_price": tp * 2,
+        }
+        for ok, pr, st, d, tp in zip(f.o_orderkey, f.o_orderpriority,
+                                     f.o_orderstatus, f.o_orderdate,
+                                     f.o_totalprice)
+    }
+    assert_keyed(run(spark, "compiler_select_computed"), want,
+                 ["o_orderkey"],
+                 ["prio_tag", "prio_len", "order_year", "double_price"])
+
+
+def test_compiler_window_rank_matches_python(spark):
+    o = _tbl("orders")
+    f = o[o.o_orderstatus == "F"]
+    want = {}
+    for ck, g in f.groupby("o_custkey"):
+        total = cents(g.o_totalprice).sum() / 100.0
+        ordered = sorted(zip(g.o_totalprice, g.o_orderkey),
+                         key=lambda t: (-t[0], t[1]))
+        for rk, (tp, ok) in enumerate(ordered[:3], start=1):
+            want[(ck, ok)] = {"o_totalprice": tp, "rk": rk,
+                              "cust_total": total}
+    assert_keyed(run(spark, "compiler_window_rank"), want,
+                 ["o_custkey", "o_orderkey"],
+                 ["o_totalprice", "rk", "cust_total"])
+
+
+def test_compiler_collect_nested_matches_python(spark):
+    c = _tbl("customer")
+    o = _tbl("orders")
+    per = {}
+    for ck, g in o[o.o_orderstatus != "P"].groupby("o_custkey"):
+        per[ck] = sorted(int(k) for k in g.o_orderkey)
+    want = {}
+    for _, r in c[c.c_mktsegment == "BUILDING"].iterrows():
+        ks = per.get(r.c_custkey, [])
+        want[(r.c_custkey,)] = {
+            "c_name": r.c_name,
+            "orders": ",".join(str(k) for k in ks),
+            "n_orders": len(ks),
+        }
+    assert_keyed(run(spark, "compiler_collect_nested"), want,
+                 ["c_custkey"], ["c_name", "orders", "n_orders"])
+
+
+def test_compiler_pagination_and_params_match_python(spark):
+    o = _tbl("orders")
+    ordered = sorted(zip(o.o_totalprice, o.o_orderkey, o.o_custkey),
+                     key=lambda t: (-t[0], t[1]))
+    page = ordered[40:60]
+    want = {(ok,): {"o_custkey": ck, "o_totalprice": tp}
+            for tp, ok, ck in page}
+    assert_keyed(run(spark, "compiler_pagination"), want,
+                 ["o_orderkey"], ["o_custkey", "o_totalprice"])
+
+    f = o[o.o_orderstatus.isin(["F", "O"]) & (o.o_totalprice > 250000.0)]
+    top = sorted(zip(f.o_totalprice, f.o_orderkey, f.o_custkey),
+                 key=lambda t: (-t[0], t[1]))[:25]
+    want2 = {(ok,): {"o_custkey": ck, "o_totalprice": tp}
+             for tp, ok, ck in top}
+    assert_keyed(run(spark, "compiler_params"), want2,
+                 ["o_orderkey"], ["o_custkey", "o_totalprice"])
+
+
+def test_compiler_composite_topk_matches_python(spark):
+    c = _tbl("customer")
+    o = _tbl("orders")
+    m = (c[c.c_acctbal > 0]
+         .merge(o[o.o_orderstatus == "F"],
+                left_on="c_custkey", right_on="o_custkey"))
+    counts = m.groupby(["c_nationkey", "c_custkey"]).size()
+    want = {}
+    for nk in counts.index.get_level_values(0).unique():
+        g = counts[nk]
+        ordered = sorted(g.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rk, (ck, n) in enumerate(ordered[:2], start=1):
+            want[(nk, ck)] = {"n_orders": n, "rk": rk}
+    assert_keyed(run(spark, "compiler_composite_topk"), want,
+                 ["c_nationkey", "c_custkey"], ["n_orders", "rk"])
+
+
+def test_compiler_set_ops_and_exists_child_match_python(spark):
+    c = _tbl("customer")
+    building = set(zip(c.loc[c.c_mktsegment == "BUILDING", "c_custkey"],
+                       c.loc[c.c_mktsegment == "BUILDING", "c_name"]))
+    rich = set(zip(c.loc[c.c_acctbal > 9000.0, "c_custkey"],
+                   c.loc[c.c_acctbal > 9000.0, "c_name"]))
+    low = set(zip(c.loc[c.c_nationkey.isin([1, 2, 3]), "c_custkey"],
+                  c.loc[c.c_nationkey.isin([1, 2, 3]), "c_name"]))
+    want = (building | rich) - low
+    assert _bag(run(spark, "compiler_set_ops")) == {k: 1 for k in want}
+
+    o = _tbl("orders")
+    big = set(o.loc[o.o_totalprice > 200000.0, "o_custkey"])
+    want2 = {
+        (r.c_custkey,): {"c_name": r.c_name}
+        for _, r in c[c.c_mktsegment == "BUILDING"].iterrows()
+        if r.c_custkey in big
+    }
+    assert_keyed(run(spark, "compiler_exists_child"), want2,
+                 ["c_custkey"], ["c_name"])
+
+
+def test_compiler_agg_having_and_minmax_by_match_python(spark):
+    o = _tbl("orders")
+    want = {}
+    for ck, g in o[o.o_orderstatus == "F"].groupby("o_custkey"):
+        if len(g) >= 8:
+            want[(ck,)] = {"n_orders": len(g),
+                           "max_price": g.o_totalprice.max()}
+    assert_keyed(run(spark, "compiler_agg_having"), want,
+                 ["o_custkey"], ["n_orders", "max_price"])
+
+    c = _tbl("customer")
+    name_by_key = dict(zip(c.c_custkey, c.c_name))
+    want2 = {}
+    for nk, g in c.groupby("c_nationkey"):
+        want2[(nk,)] = {
+            "n_cust": len(g),
+            "newest_cust": name_by_key[g.c_custkey.max()],
+            "oldest_cust": name_by_key[g.c_custkey.min()],
+        }
+    assert_keyed(run(spark, "compiler_agg_minmax_by"), want2,
+                 ["c_nationkey"], ["n_cust", "newest_cust", "oldest_cust"])
+
+
+def test_compiler_sample_matches_hashlib(spark):
+    import hashlib
+
+    o = _tbl("orders")
+    c = _tbl("customer")
+    seg = dict(zip(c.c_custkey, c.c_mktsegment))
+    want = {}
+    for _, r in o[o.o_orderstatus == "O"].iterrows():
+        h = hashlib.md5(str(r.o_orderkey).encode()).hexdigest()
+        if int(h[:2], 16) % 10 < 3:
+            want[(r.o_orderkey,)] = {
+                "o_totalprice": r.o_totalprice,
+                "c_mktsegment": seg[r.o_custkey],
+            }
+    assert_keyed(run(spark, "compiler_sample"), want,
+                 ["o_orderkey"], ["o_totalprice", "c_mktsegment"])
+
+
+def test_compiler_distinct_conditional_filter_or_match_python(spark):
+    c = _tbl("customer")
+    want = {(s, nk % 5) for s, nk in zip(c.c_mktsegment, c.c_nationkey)}
+    assert _bag(run(spark, "compiler_distinct_values")) == {
+        k: 1 for k in want}
+
+    o = _tbl("orders")
+    f = o[o.o_orderstatus == "F"]
+    want2 = {
+        (ok,): {
+            "o_totalprice": tp,
+            "band": ("high" if tp > 250000.0
+                     else "mid" if tp > 100000.0 else "low"),
+        }
+        for ok, tp in zip(f.o_orderkey, f.o_totalprice)
+    }
+    assert_keyed(run(spark, "compiler_conditional"), want2,
+                 ["o_orderkey"], ["o_totalprice", "band"])
+
+    m = o[(o.o_orderstatus == "P")
+          | ((o.o_totalprice > 300000.0)
+             & (o.o_orderpriority == "1-URGENT"))]
+    rows = list(zip(m.o_orderkey, m.o_orderstatus, m.o_totalprice))
+    assert _bag(run(spark, "compiler_filter_or")) == _bag(rows)
+
+
+def test_compiler_child_rollup_matches_python(spark):
+    o = _tbl("orders")
+    c = _tbl("customer")
+    m = o[o.o_orderstatus == "O"].merge(
+        c, left_on="o_custkey", right_on="c_custkey")
+    want = {
+        (s,): {"n_orders": len(g),
+               "total_cents": int(cents(g.o_totalprice).sum())}
+        for s, g in m.groupby("c_mktsegment")
+    }
+    assert_keyed(run(spark, "compiler_child_rollup"), want,
+                 ["c_mktsegment"], ["n_orders", "total_cents"])
+
+
+def test_compiler_deep_traversal_matches_python(spark):
+    r = _tbl("region")
+    n = _tbl("nation")
+    c = _tbl("customer")
+    j = (r[r.r_name.isin(["ASIA", "EUROPE"])]
+         .merge(n, left_on="r_regionkey", right_on="n_regionkey")
+         .merge(c[c.c_acctbal > 9000.0],
+                left_on="n_nationkey", right_on="c_nationkey"))
+    rows = list(zip(j.r_name, j.n_name, j.c_name, j.c_acctbal))
+    assert _bag(run(spark, "compiler_deep_traversal")) == _bag(rows)
+
+
+def test_compiler_orderby_computed_matches_hashlib(spark):
+    import hashlib
+
+    o = _tbl("orders")
+    f = o[o.o_orderstatus == "P"]
+    rows = sorted(
+        ((hashlib.md5(str(ok).encode()).hexdigest(), int(ok))
+         for ok in f.o_orderkey),
+        key=lambda t: (t[0], t[1]),
+    )[:50]
+    want = {(ok,): {"shuffle_key": h} for h, ok in rows}
+    assert_keyed(run(spark, "compiler_orderby_computed"), want,
+                 ["o_orderkey"], ["shuffle_key"])
+
+
+def test_compiler_multi_child_matches_python(spark):
+    o = _tbl("orders")
+    c = _tbl("customer")
+    li = _tbl("lineitem")
+    seg = dict(zip(c.c_custkey, c.c_mktsegment))
+    per = {ok: sorted(g.l_linestatus.dropna())
+           for ok, g in li.groupby("l_orderkey")}
+    want = {}
+    for _, r in o[o.o_orderstatus == "P"].iterrows():
+        sts = per.get(r.o_orderkey, [])
+        want[(r.o_orderkey,)] = {
+            "c_mktsegment": seg[r.o_custkey],
+            "n_items": len(sts),
+            "lineitems": ",".join(sts),
+        }
+    assert_keyed(run(spark, "compiler_multi_child"), want,
+                 ["o_orderkey"], ["c_mktsegment", "n_items", "lineitems"])
+
+
+def test_compiler_json_field_matches_python(spark):
+    ev = _tbl("events")
+    f = ev[ev.event_type == "click"]
+    per: dict = {}
+    for p, u in zip(f.props, f.user_id):
+        k = json.loads(p).get("k")
+        ks = None if k is None else str(k)
+        per.setdefault(ks, []).append(u)
+    want = {(k,): {"n": len(us), "users": len(set(us))}
+            for k, us in per.items()}
+    assert_keyed(run(spark, "compiler_json_field"), want,
+                 ["k"], ["n", "users"])
