@@ -6632,3 +6632,193 @@ def test_compiler_json_field_matches_python(spark):
             for k, us in per.items()}
     assert_keyed(run(spark, "compiler_json_field"), want,
                  ["k"], ["n", "users"])
+
+
+# -------- join-algebra + core function closeout (wave 35)
+# Inner/outer/semi/anti/cross/theta/self/star joins and the
+# set-union pair recomputed as explicit Python set/bag constructions
+# (including the NULL-padded outer sides), plus the core string/math
+# function families — finishing independent coverage of §2-C/G.
+
+
+def test_join_inner_left_semi_anti_match_python(spark):
+    o = _tbl("orders")
+    c = _tbl("customer")
+    cust = {r.c_custkey: r for _, r in c.iterrows()}
+    rows = [
+        (r.o_orderkey, r.o_totalprice, r.o_custkey,
+         cust[r.o_custkey].c_name, cust[r.o_custkey].c_mktsegment)
+        for _, r in o.iterrows() if r.o_custkey in cust
+    ]
+    assert _bag(run(spark, "join_inner_equi")) == _bag(rows)
+
+    urgent = set(o.loc[o.o_orderpriority == "1-URGENT", "o_custkey"])
+    rows2 = [(ck, r.c_name) for ck, r in cust.items() if ck in urgent]
+    assert _bag(run(spark, "join_left_semi")) == _bag(rows2)
+
+    big = set(o.loc[o.o_totalprice > 200000, "o_custkey"])
+    rows3 = [(ck, r.c_mktsegment) for ck, r in cust.items()
+             if ck not in big]
+    assert _bag(run(spark, "join_left_anti")) == _bag(rows3)
+
+
+def test_join_outer_sides_match_python(spark):
+    o = _tbl("orders")
+    c = _tbl("customer")
+    hi = o[o.o_totalprice > 400000]
+    per: dict = {}
+    for _, r in hi.iterrows():
+        per.setdefault(r.o_custkey, []).append((r.o_orderkey,
+                                                r.o_totalprice))
+    rows = []
+    for _, r in c.iterrows():
+        for ok, tp in per.get(r.c_custkey, [(None, None)]):
+            rows.append((r.c_custkey, r.c_mktsegment, ok, tp))
+    got = run(spark, "join_left_outer")
+    got_rows = [
+        (a, b, None if pd.isna(k) else int(k), None if pd.isna(t) else t)
+        for a, b, k, t in zip(got.c_custkey, got.c_mktsegment,
+                              got.o_orderkey, got.o_totalprice)
+    ]
+    assert _bag(got_rows) == _bag(rows)
+
+    cf = c[c.c_acctbal > 9000]
+    of = o[o.o_totalprice > 350000]
+    per2: dict = {}
+    for _, r in of.iterrows():
+        per2.setdefault(r.o_custkey, []).append(r)
+    want = []
+    matched_orders = set()
+    for _, r in cf.iterrows():
+        hits = per2.get(r.c_custkey, [])
+        if not hits:
+            want.append((r.c_custkey, r.c_acctbal, None, None, None))
+        for h in hits:
+            want.append((r.c_custkey, r.c_acctbal, h.o_orderkey,
+                         h.o_custkey, h.o_totalprice))
+            matched_orders.add(h.o_orderkey)
+    ckeys = set(cf.c_custkey)
+    for _, r in of.iterrows():
+        if r.o_custkey not in ckeys:
+            want.append((None, None, r.o_orderkey, r.o_custkey,
+                         r.o_totalprice))
+    got2 = run(spark, "join_full_outer")
+    got2_rows = [
+        tuple(None if pd.isna(v) else v for v in t)
+        for t in zip(got2.c_custkey, got2.c_acctbal, got2.o_orderkey,
+                     got2.o_custkey, got2.o_totalprice)
+    ]
+    want_f = [tuple(None if v is None else float(v) if isinstance(v, (int, np.integer)) else v for v in t) for t in want]
+    got2_f = [tuple(None if v is None else float(v) if isinstance(v, (int, np.integer)) else v for v in t) for t in got2_rows]
+    assert _bag(got2_f) == _bag(want_f)
+
+
+def test_join_cross_theta_self_match_python(spark):
+    r = _tbl("region")
+    n = _tbl("nation")
+    rows = [(a, b) for a in r.r_name for b in n.n_name]
+    assert _bag(run(spark, "join_cross")) == _bag(rows)
+
+    o = _tbl("orders")
+    want = {}
+    for band in r.r_regionkey:
+        lo, hi = band * 100000.0, band * 100000.0 + 50000.0
+        g = o[(o.o_totalprice >= lo) & (o.o_totalprice < hi)]
+        if len(g):
+            want[(band,)] = {"n_orders": len(g),
+                             "band_total": cents(g.o_totalprice).sum() / 100.0}
+    assert_keyed(run(spark, "join_theta_range"), want, ["band"],
+                 ["n_orders", "band_total"])
+
+    li = _tbl("lineitem")
+    f = li[li.l_quantity > 40]
+    per: dict = {}
+    for _, x in f.iterrows():
+        per.setdefault(x.l_orderkey, []).append((x.l_linenumber,
+                                                 x.l_partkey))
+    rows3 = []
+    for ok, items in per.items():
+        for la, pa in items:
+            for lb, pb in items:
+                if la < lb:
+                    rows3.append((ok, la, lb, pa, pb))
+    assert _bag(run(spark, "join_self")) == _bag(rows3)
+
+
+def test_join_multiway_star_matches_pandas(spark):
+    li = _tbl("lineitem")
+    o = _tbl("orders")
+    c = _tbl("customer")
+    s = _tbl("supplier")
+    n = _tbl("nation")
+    r = _tbl("region")
+    of = o[(o.o_orderdate >= pd.Timestamp("1996-01-01"))
+           & (o.o_orderdate < pd.Timestamp("1997-01-01"))]
+    asia = r[r.r_name == "ASIA"]
+    j = (li.merge(of, left_on="l_orderkey", right_on="o_orderkey")
+           .merge(c, left_on="o_custkey", right_on="c_custkey")
+           .merge(s, left_on=["l_suppkey", "c_nationkey"],
+                  right_on=["s_suppkey", "s_nationkey"])
+           .merge(n, left_on="s_nationkey", right_on="n_nationkey")
+           .merge(asia, left_on="n_regionkey", right_on="r_regionkey"))
+    rev = cents(j.l_extendedprice) * (100 - cents(j.l_discount))
+    agg = pd.DataFrame({"n_name": j.n_name.to_numpy(), "r": rev}).groupby(
+        "n_name")["r"].sum()
+    want = {(k,): {"revenue": v / 1e4} for k, v in agg.items()}
+    assert_keyed(run(spark, "join_multiway_star"), want, ["n_name"],
+                 ["revenue"])
+
+
+def test_set_union_all_and_distinct_match_python(spark):
+    a, b = _orders_ab()
+    assert _bag(run(spark, "set_union_all")) == _bag(a + b)
+    assert _bag(run(spark, "set_union_distinct")) == {
+        k: 1 for k in set(a) | set(b)}
+
+
+def test_fn_string_matches_python(spark):
+    import re
+
+    c = _tbl("customer")
+    want = {}
+    for ck, name, seg in zip(c.c_custkey, c.c_name, c.c_mktsegment):
+        m = re.search("([0-9]+)", name)
+        want[(ck,)] = {
+            "lname": name.lower(),
+            "useg": seg.upper(),
+            "prefix": name[:8],
+            "trimmed": name,
+            "joined": name + "/" + seg,
+            "name_len": len(name),
+            "first_part": name.split("#")[0],
+            "digits": m.group(1) if m else "",
+            "masked": re.sub("[0-9]", "#", name),
+        }
+    assert_keyed(run(spark, "fn_string"), want, ["c_custkey"],
+                 ["lname", "useg", "prefix", "trimmed", "joined",
+                  "name_len", "first_part", "digits", "masked"])
+
+
+def test_fn_math_matches_python(spark):
+    li = _tbl("lineitem")
+    want = {}
+    for ok, ln, q, pr, dc in zip(li.l_orderkey, li.l_linenumber,
+                                 li.l_quantity, li.l_extendedprice,
+                                 li.l_discount):
+        want[(ok, ln)] = {
+            "l_quantity": q,
+            "qty_r1": math.floor(q * 10 + 0.5) / 10,  # round-half-up .1
+            "qty_dev": abs(q - 25),
+            "qty_ceil7": math.ceil(q / 7),
+            "qty_floor7": math.floor(q / 7),
+            "qty_sqrt": math.sqrt(q),
+            "price_ln": math.log(pr),
+            "disc_exp": math.exp(dc),
+            "disc_pow2": (1 + dc) ** 2,
+            "key_mod7": int(ok) % 7,
+            "qty_sign": (q > 25) - (q < 25),
+        }
+    assert_keyed(run(spark, "fn_math"), want, ["l_orderkey", "l_linenumber"],
+                 ["l_quantity", "qty_r1", "qty_dev", "qty_ceil7",
+                  "qty_floor7", "qty_sqrt", "price_ln", "disc_exp",
+                  "disc_pow2", "key_mod7", "qty_sign"], tol=2e-6)
