@@ -6822,3 +6822,183 @@ def test_fn_math_matches_python(spark):
                  ["l_quantity", "qty_r1", "qty_dev", "qty_ceil7",
                   "qty_floor7", "qty_sqrt", "price_ln", "disc_exp",
                   "disc_pow2", "key_mod7", "qty_sign"], tol=2e-6)
+
+
+# -------- collection/date/cast families + Python-UDF surface (wave 36)
+# The last fn_* families and the UDF demo keys, recomputed with Python
+# datetime/json/str primitives and numpy.polyfit — the UDAF trend in
+# particular gets a genuinely different estimator implementation
+# (least-squares fit vs the closed-form slope both engines use).
+
+
+def test_fn_date_matches_python(spark):
+    import datetime as dt
+
+    o = _tbl("orders")
+    y2k = dt.date(2000, 1, 1)
+    want = {}
+    for ok, ts in zip(o.o_orderkey, o.o_orderdate):
+        d = ts.date()
+        import calendar
+        last = dt.date(d.year, d.month,
+                       calendar.monthrange(d.year, d.month)[1])
+        want[(ok,)] = {
+            "yr": d.year, "mo": d.month, "dy": d.day,
+            "month_start": d.replace(day=1).strftime("%Y-%m-%d"),
+            "days_to_y2k": (y2k - d).days,
+            "plus_30d": (d + dt.timedelta(days=30)).strftime("%Y-%m-%d"),
+            "month_end": last.strftime("%Y-%m-%d"),
+            # Timestamp.value is ALWAYS epoch-ns (unlike Series.astype,
+            # which is unit-scaled) -> ns // 1000 = microseconds
+            "order_us": int(ts.value) // 1000,
+        }
+    assert_keyed(run(spark, "fn_date"), want, ["o_orderkey"],
+                 ["yr", "mo", "dy", "month_start", "days_to_y2k",
+                  "plus_30d", "month_end", "order_us"])
+
+
+def test_fn_conditional_matches_python(spark):
+    o = _tbl("orders")
+    want = {}
+    for ok, st, tp in zip(o.o_orderkey, o.o_orderstatus, o.o_totalprice):
+        want[(ok,)] = {
+            "status_word": {"F": "finished", "O": "open"}.get(st, "other"),
+            "size_band": ("big" if tp > 300000
+                          else "mid" if tp > 100000 else "small"),
+            "status_or_pending": "PENDING" if st == "P" else st,
+            "at_least_200k": max(tp, 200000.0),
+            "at_most_200k": min(tp, 200000.0),
+        }
+    assert_keyed(run(spark, "fn_conditional"), want, ["o_orderkey"],
+                 ["status_word", "size_band", "status_or_pending",
+                  "at_least_200k", "at_most_200k"])
+
+
+def test_fn_array_and_explode_match_python(spark):
+    d = _tbl("documents")
+    e = _tbl("embeddings")
+    emb = dict(zip(e.vec_id, e.embedding))
+    want = {}
+    for did, text in zip(d.doc_id, d.text):
+        if did not in emb:
+            continue
+        words = text.split(" ")
+        v = [float(x) for x in emb[did]]
+        s2 = 0.0
+        for x in v:
+            s2 += x * 2
+        want[(did,)] = {
+            "n_words": len(words),
+            "n_distinct_words": len(set(words)),
+            "first3_sorted": " ".join(sorted(words)[:3]),
+            "has_scan": "scan" in words,
+            "n_words_x2": 2 * len(words),
+            "dim": len(v),
+            "sum2": s2,
+            "n_pos": sum(1 for x in v if x > 0),
+        }
+    assert_keyed(run(spark, "fn_array"), want, ["doc_id"],
+                 ["n_words", "n_distinct_words", "first3_sorted",
+                  "has_scan", "n_words_x2", "dim", "sum2", "n_pos"])
+
+    rows = [
+        (did, i + 1, w)
+        for did, text in zip(d.doc_id, d.text)
+        for i, w in enumerate(text.split(" "))
+    ]
+    assert _bag(run(spark, "fn_explode")) == _bag(rows)
+
+
+def test_fn_map_json_cast_match_python(spark):
+    import re
+
+    ev = _tbl("events")
+    want = {}
+    for eid, props, et in zip(ev.event_id, ev.props, ev.event_type):
+        obj = json.loads(props)
+        k = obj.get("k")
+        want[(eid,)] = {
+            "prop_keys": ",".join(obj.keys()),
+            "k_val": k, "has_k": k is not None, "has_missing": False,
+        }
+    assert_keyed(run(spark, "fn_map"), want, ["event_id"],
+                 ["prop_keys", "k_val", "has_k", "has_missing"])
+
+    want2 = {}
+    for eid, props, et in zip(ev.event_id, ev.props, ev.event_type):
+        k = json.loads(props).get("k")
+        want2[(eid,)] = {
+            "k": k,
+            "nested_k": None if k is None else str(k),
+            "nested_tag": None if k is None else et,
+        }
+    assert_keyed(run(spark, "fn_json"), want2, ["event_id"],
+                 ["k", "nested_k", "nested_tag"])
+
+    o = _tbl("orders")
+    want3 = {}
+    for ok, pr, tp in zip(o.o_orderkey, o.o_orderpriority, o.o_totalprice):
+        m = re.search("([0-9]+)", pr)
+        want3[(ok,)] = {
+            "key_str": str(ok),
+            "prio_num": int(m.group(1)) if m else None,
+            "bad_int": None,
+            "overflow_int": None,
+            "price_trunc": math.floor(tp),
+            "never_true": False,
+            "date_roundtrip": True,
+        }
+    assert_keyed(run(spark, "fn_cast"), want3, ["o_orderkey"],
+                 ["key_str", "prio_num", "bad_int", "overflow_int",
+                  "price_trunc", "never_true", "date_roundtrip"])
+
+
+def test_fn_variant_json_matches_python(spark):
+    ev = _tbl("events")
+    want = {}
+    for eid, props in zip(ev.event_id, ev.props):
+        k = json.loads(props).get("k")
+        want[(eid,)] = {
+            "k_int": k,
+            "k_str": None if k is None else str(k),
+            "has_k": 0 if k is None else 1,
+        }
+    assert_keyed(run(spark, "fn_variant_json"), want, ["event_id"],
+                 ["k_int", "k_str", "has_k"])
+
+
+def test_udf_scalar_and_vectorized_match_python(spark):
+    import re
+
+    c = _tbl("customer")
+    want = {
+        (ck,): {"slug": re.sub(r"[^a-z0-9]+", "-", n.lower()).strip("-")}
+        for ck, n in zip(c.c_custkey, c.c_name)
+    }
+    assert_keyed(run(spark, "udf_python_scalar"), want,
+                 ["c_custkey"], ["slug"])
+
+    d = _tbl("documents")
+    want2 = {
+        (did,): {"quality": math.log1p(n) * 0.5
+                 + len(t.split(" ")) * 0.01}
+        for did, n, t in zip(d.doc_id, d.n_chars, d.text)
+    }
+    assert_keyed(run(spark, "udf_pandas_vectorized"), want2,
+                 ["doc_id"], ["quality"], tol=2e-6)
+
+
+def test_udaf_trend_matches_numpy_polyfit(spark):
+    ev = _tbl("events")
+    ev = ev.assign(ts_us=ev.ts.astype("int64"))
+    want = {}
+    for u, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
+        y = g.value.to_numpy(dtype=np.float64)
+        x = np.arange(len(y), dtype=np.float64)
+        m = ~np.isnan(y)
+        slope = (float(np.polyfit(x[m], y[m], 1)[0])
+                 if m.sum() >= 2 and np.ptp(x[m]) > 0 else None)
+        want[(u,)] = {"n_events": len(g), "trend": slope}
+    assert_keyed(run(spark, "udaf_applyinpandas"), want, ["user_id"],
+                 ["n_events", "trend"], tol=1e-3)
