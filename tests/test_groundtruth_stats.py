@@ -7002,3 +7002,147 @@ def test_udaf_trend_matches_numpy_polyfit(spark):
         want[(u,)] = {"n_events": len(g), "trend": slope}
     assert_keyed(run(spark, "udaf_applyinpandas"), want, ["user_id"],
                  ["n_events", "trend"], tol=1e-3)
+
+
+# -------- storage-variant joins, UDF tail, scan reports (wave 37)
+# The storage-layout joins (bucketed, dynamic-partition-pruned,
+# hour-bucketed range) must be RESULT-identical to their naive
+# spellings — the layout is a physical optimization, never a semantic
+# one — so each is recomputed as the plain Python join it optimizes.
+# Plus the UDTF chunker, the Arrow/iterator UDFs, and the scan-level
+# count/expectation reports.
+
+
+def test_agg_bitmap_and_multi_distinct_match_pandas(spark):
+    li = _tbl("lineitem")
+    want = {
+        (f_,): {"n_distinct_orders": g.l_orderkey.nunique()}
+        for f_, g in li.groupby("l_returnflag")
+    }
+    assert_keyed(run(spark, "agg_bitmap_distinct"), want,
+                 ["l_returnflag"], ["n_distinct_orders"])
+
+    o = _tbl("orders")
+    want2 = {}
+    for st, g in o.groupby("o_orderstatus"):
+        want2[(st,)] = {
+            "cust_date_combos": len(set(zip(g.o_custkey, g.o_orderdate))),
+            "n_custs": g.o_custkey.nunique(),
+            "n_dates": g.o_orderdate.nunique(),
+            "n_rows": len(g),
+        }
+    assert_keyed(run(spark, "agg_count_distinct_multi"), want2,
+                 ["o_orderstatus"],
+                 ["cust_date_combos", "n_custs", "n_dates", "n_rows"])
+
+
+def test_join_bucketed_colocated_matches_plain_join(spark):
+    o = _tbl("orders")
+    li = _tbl("lineitem")
+    f = o[o.o_orderstatus == "F"]
+    m = f.merge(li, left_on="o_orderkey", right_on="l_orderkey")
+    want = {
+        (ok,): {"o_custkey": g.o_custkey.iloc[0],
+                "qty": cents(g.l_quantity).sum() / 100.0}
+        for ok, g in m.groupby("o_orderkey")
+    }
+    assert_keyed(run(spark, "join_bucketed_colocated"), want,
+                 ["o_orderkey"], ["o_custkey", "qty"])
+
+
+def test_join_dpp_matches_plain_join(spark):
+    ev = _tbl("events")
+    stage = {"view": 1, "click": 2, "purchase": 3, "signup": 0, "error": 0}
+    rows = [
+        (r.event_id, r.user_id, r.value, r.event_type,
+         stage[r.event_type])
+        for _, r in ev.iterrows() if stage.get(r.event_type, 0) > 0
+    ]
+    assert _bag(run(spark, "join_dpp_partition_pruned")) == _bag(rows)
+
+
+def test_join_range_bucketed_matches_sweep(spark):
+    ev = _tbl("events")
+    us = ev.ts.astype("int64")
+    HOUR = HOUR_US
+    hours = sorted({(t // HOUR) * HOUR for t in us})
+    windows = [(h, h + 600_000_000, h + 1_800_000_000) for h in hours]
+    want = set()
+    for eid, t in zip(ev.event_id, us):
+        for wid, lo, hi in windows:
+            if lo <= t < hi:
+                want.add((wid, eid))
+    got = run(spark, "join_range_bucketed")
+    assert set(zip(got.w_id, got.event_id)) == want
+    assert len(got) == len(want)
+
+
+def test_udtf_chunker_matches_python(spark):
+    d = _tbl("documents")
+    rows = []
+    for did, text in zip(d.doc_id, d.text):
+        words = text.split(" ")
+        for i in range(0, (len(words) + 4) // 5):
+            rows.append((did, i, " ".join(words[i * 5: i * 5 + 5])))
+    assert _bag(run(spark, "udtf_python")) == _bag(rows)
+
+
+def test_udf_arrow_and_iterator_match_python(spark):
+    import re
+
+    s = _tbl("supplier")
+    want = {
+        (sk,): {"slug": re.sub(r"[^a-z0-9]+", "-", n.lower()).strip("-")}
+        for sk, n in zip(s.s_suppkey, s.s_name)
+    }
+    assert_keyed(run(spark, "udf_arrow_optimized"), want,
+                 ["s_suppkey"], ["slug"])
+
+    d = _tbl("documents")
+    weights = {"de": 0.25, "en": 0.5, "es": 0.75, "fr": 1.0, "zh": 1.25}
+    want2 = {
+        (did,): {"model_score": n * weights.get(lang, 0.0)}
+        for did, n, lang in zip(d.doc_id, d.n_chars, d.lang)
+    }
+    assert_keyed(run(spark, "udf_pandas_iterator_model"), want2,
+                 ["doc_id"], ["model_score"], tol=1e-4)
+
+
+def test_scan_counts_and_expectations_match_pandas(spark):
+    from naqed_spark.catalog import TABLES
+
+    sizes = {t: len(_tbl(t)) for t in TABLES}
+    want = {(t,): {"n": n} for t, n in sizes.items()}
+    assert_keyed(run(spark, "scan_all_entities"), want, ["entity"], ["n"])
+
+    want2 = {(t,): {"n": sizes[t]} for t in ("lineitem", "orders", "customer")}
+    assert_keyed(run(spark, "scan_count_star_metadata"), want2,
+                 ["tbl"], ["n"])
+
+    li = _tbl("lineitem")
+    got = run(spark, "scan_parquet").iloc[0]
+    assert int(got.n_rows) == len(li)
+    assert int(got.n_orders) == li.l_orderkey.nunique()
+
+    o = _tbl("orders")
+    viol = {
+        "custkey_not_null": int(o.o_custkey.isna().sum()),
+        "totalprice_positive": int((o.o_totalprice <= 0).sum()),
+        "status_in_domain": int((~o.o_orderstatus.isin(
+            ["O", "F", "P"])).sum()),
+        "orderdate_in_range": int(
+            ((o.o_orderdate < pd.Timestamp("1990-01-01"))
+             | (o.o_orderdate >= pd.Timestamp("2005-01-01"))).sum()),
+    }
+    want3 = {
+        (rule,): {"n_violations": v, "passed": v == 0, "n_rows": len(o)}
+        for rule, v in viol.items()
+    }
+    assert_keyed(run(spark, "scan_expectations_check"), want3,
+                 ["rule"], ["n_violations", "passed", "n_rows"])
+
+    ev = _tbl("events")
+    want4 = {(eid,): {"k": json.loads(p).get("k")}
+             for eid, p in zip(ev.event_id, ev.props)}
+    assert_keyed(run(spark, "scan_json_props"), want4,
+                 ["event_id"], ["k"])
