@@ -25,8 +25,10 @@ from naqed_spark.compiler.spec import (
     AggSpec,
     Expr,
     Node,
+    PivotSpec,
     Predicate,
     QuerySpec,
+    SampleSpec,
     SetSpec,
     SpecError,
     WindowFn,
@@ -231,7 +233,7 @@ class Engine:
 
     # -- compilation -------------------------------------------------------
     def _load_filtered(
-        self, node: Node, sample: "tuple[str, int, int] | None" = None
+        self, node: Node, sample: "SampleSpec | None" = None
     ) -> DataFrame:
         df = self.catalog.entity(node.entity)
         for pred in node.filters:
@@ -246,22 +248,48 @@ class Engine:
             # reproducible nor key-consistent). Pure Column construction —
             # the key was identifier-checked at parse time and is
             # column-resolved here, so spec data can never inject SQL.
-            key, keep, buckets = sample
-            if key not in df.columns:
+            if sample.key not in df.columns:
                 raise SpecError(
-                    f"$sample.$key {key!r} is not a column of"
+                    f"$sample.$key {sample.key!r} is not a column of"
                     f" {node.entity!r} (have {df.columns})"
                 )
-            bucket = (
-                F.conv(
-                    F.substring(F.md5(F.col(key).cast("string")), 1, 2), 16, 10
-                ).cast("int") % buckets
-            )
-            df = df.filter(bucket < keep)
+            if sample.per is not None:
+                # stratified mode (round 10): the $keep md5-ranked rows
+                # PER stratum — equal counts regardless of stratum skew
+                # (the sample_stratified_hash discipline). rn <= k over a
+                # partitioned rank compiles to WindowGroupLimit: each
+                # input partition keeps its local top-k per stratum
+                # BEFORE the shuffle, so the exchange carries
+                # O(k x strata x partitions) rows, not the table.
+                from pyspark.sql.window import Window
+
+                if sample.per not in df.columns:
+                    raise SpecError(
+                        f"$sample.$per {sample.per!r} is not a column of"
+                        f" {node.entity!r} (have {df.columns})"
+                    )
+                w = Window.partitionBy(F.col(sample.per)).orderBy(
+                    F.md5(F.col(sample.key).cast("string")),
+                    F.col(sample.key),
+                )
+                df = (
+                    df.withColumn("__sample_rn", F.row_number().over(w))
+                    .filter(F.col("__sample_rn") <= sample.keep)
+                    .drop("__sample_rn")
+                )
+            else:
+                bucket = (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.col(sample.key).cast("string")), 1, 2
+                        ), 16, 10
+                    ).cast("int") % sample.buckets
+                )
+                df = df.filter(bucket < sample.keep)
         return df
 
     def _compile_node(
-        self, node: Node, sample: "tuple[str, int, int] | None" = None
+        self, node: Node, sample: "SampleSpec | None" = None
     ) -> tuple[DataFrame, list[str]]:
         """Compile a traversal subtree to (DataFrame, requested columns)."""
         df = self._load_filtered(node, sample)
@@ -541,6 +569,67 @@ class Engine:
         for alias, ex in qs.select:
             df = df.withColumn(alias, self._compile_expr(df, ex))
             cols.append(alias)
+        if qs.unpivot is not None:
+            # $unpivot (round 10): stack() the listed wide columns into
+            # (name, value) long form — a zero-shuffle codegen Generate;
+            # kept columns = every other requested/computed column.
+            # Measures cast to DOUBLE so the value column has one type
+            # (the agg_unpivot discipline). Column names were
+            # identifier-checked at parse time, so the inline expr text
+            # cannot be injected through.
+            u = qs.unpivot
+            for c in u.cols:
+                if c not in df.columns:
+                    raise SpecError(
+                        f"$unpivot.$cols: no such column {c!r}"
+                        f" (have {sorted(df.columns)})"
+                    )
+            keep = [c for c in dict.fromkeys(cols) if c not in set(u.cols)]
+            stack_args = ", ".join(
+                f"'{c}', cast(`{c}` as double)" for c in u.cols
+            )
+            df = df.select(
+                *[F.col(c) for c in keep],
+                F.expr(
+                    f"stack({len(u.cols)}, {stack_args})"
+                    f" AS (`{u.name}`, `{u.value}`)"
+                ),
+            )
+            cols = keep + [u.name, u.value]
+        if qs.pivot is not None:
+            # $pivot (round 10): wide conditional aggregation with the
+            # EXPLICIT value list (groupBy().pivot(col, values) — Spark
+            # skips the extra distinct pass over the data only when the
+            # values are enumerated, which the parser requires). One
+            # expand+aggregate plan, same as $agg. $count cells coalesce
+            # to 0 (a group saw zero rows of that value — matching the
+            # conditional FILTER-count twin); other aggs keep SQL
+            # NULL-over-empty semantics.
+            p = qs.pivot
+            for c in [p.on] + ([p.column] if p.column else []):
+                if c not in df.columns:
+                    raise SpecError(
+                        f"$pivot: no such column {c!r}"
+                        f" (have {sorted(df.columns)})"
+                    )
+            agg_e = self._pivot_agg_expr(df, p)
+            df = (
+                df.groupBy(*[F.col(c) for c in qs.groupby])
+                .pivot(p.on, p.values)
+                .agg(agg_e)
+            )
+            if p.op == "$count":
+                df = df.select(
+                    *[F.col(c) for c in qs.groupby],
+                    *[
+                        F.coalesce(df[str(v)], F.lit(0))
+                        .cast("long")
+                        .alias(str(v))
+                        for v in p.values
+                    ],
+                )
+            # the pivot defines the projection: row keys + value columns
+            cols = []
         if qs.aggs:
             exprs = [self._agg_expr(a) for a in qs.aggs]
             if qs.groupby:
@@ -587,6 +676,22 @@ class Engine:
         if qs.limit is not None:
             df = df.limit(qs.limit)
         return df
+
+    @staticmethod
+    def _pivot_agg_expr(df: DataFrame, p: PivotSpec):
+        if p.op == "$count":
+            return F.count(F.lit(1))
+        fn = {"$sum": F.sum, "$avg": F.avg, "$min": F.min, "$max": F.max}[
+            p.op
+        ]
+        e = fn(F.col(p.column))
+        # §7.3 discipline: an exact-decimal measure (cast in $select)
+        # aggregates in decimal but must emit double — a raw decimal
+        # would surprise API users and trip the driver's HUGEINT guard
+        dt = df.schema[p.column].dataType.simpleString()
+        if p.op in ("$sum", "$avg") and dt.startswith("decimal"):
+            e = e.cast("double")
+        return e
 
     @staticmethod
     def _agg_expr(a: AggSpec):

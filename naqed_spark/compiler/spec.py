@@ -146,6 +146,44 @@ Round-8 extensions:
                                       # accept engine-dependent ties (the
                                       # SQL arg_max contract)
 
+Round-10 extensions (VERDICT r9 item 7's compiler capability, landed
+ahead of the r11 key registrations — the §2 contract stays frozen at
+358 keys this round; driver keys + ground-truth replays follow when the
+verification backlog drains):
+
+    "$pivot": {"$on": col,            # wide conditional aggregation:
+               "$values": [v, ...],   # one output column per EXPLICIT
+               "$agg": {op: col?}}    # value (at 100 TB an implicit
+                                      # pivot pays an extra distinct
+                                      # pass to discover columns — the
+                                      # parser REQUIRES the value list).
+                                      # Requires $groupby; one agg op
+                                      # ($count/$sum/$avg/$min/$max);
+                                      # $count cells coalesce to 0
+                                      # (matching FILTER-count twins),
+                                      # other aggs keep SQL NULL-on-
+                                      # empty. Exclusive with $agg /
+                                      # $window / $unpivot / $distinct.
+    "$unpivot": {"$cols": [c, ...],   # long form back out of wide
+                 "$name": "measure",  # columns via stack(): one row per
+                 "$value": "val"}     # (kept-cols, measure) pair, the
+                                      # measure values cast to DOUBLE
+                                      # (one typed value column). Kept
+                                      # columns = the other requested/
+                                      # computed columns. Exclusive
+                                      # with $agg/$groupby/$window/
+                                      # $pivot/$distinct.
+    "$sample": {..., "$per": col}     # stratified mode: keep the $keep
+                                      # rows per $per stratum ranked by
+                                      # md5($key) with the $key tiebreak
+                                      # (every stratum contributes the
+                                      # same count regardless of skew —
+                                      # the sample_stratified_hash
+                                      # discipline; plans with
+                                      # WindowGroupLimit). $buckets is
+                                      # bucket-mode only and rejected
+                                      # with $per.
+
 ``$``-keys are arguments (the reference passes resolver args the same way);
 everything else is either a requested field (``True``) or a relationship
 traversal (nested dict). Relationship fan-out is relational: one output row
@@ -360,6 +398,37 @@ class Node:
 
 
 @dataclass
+class SampleSpec:
+    """$sample: md5-bucket mode (``per`` is None: keep rows hashing into
+    the first ``keep`` of ``buckets``) or stratified mode (``per`` set:
+    keep the ``keep`` md5-ranked rows per stratum)."""
+
+    key: str
+    keep: int
+    buckets: int = 256
+    per: str | None = None
+
+
+@dataclass
+class PivotSpec:
+    """$pivot: wide conditional aggregation — one column per value."""
+
+    on: str
+    values: list
+    op: str  # $count / $sum / $avg / $min / $max
+    column: str | None  # None only for $count
+
+
+@dataclass
+class UnpivotSpec:
+    """$unpivot: wide columns back to (name, value) long form."""
+
+    cols: list[str]
+    name: str
+    value: str
+
+
+@dataclass
 class QuerySpec:
     root: Node
     groupby: list[str] = field(default_factory=list)
@@ -373,7 +442,9 @@ class QuerySpec:
     derive: list[tuple[str, Expr]] = field(default_factory=list)  # post-agg cols
     windows: list[WindowFn] = field(default_factory=list)  # $window entries
     qualify: list[Predicate] = field(default_factory=list)  # post-window filter
-    sample: "tuple[str, int, int] | None" = None  # ($key, $keep, $buckets)
+    sample: "SampleSpec | None" = None
+    pivot: "PivotSpec | None" = None
+    unpivot: "UnpivotSpec | None" = None
 
 
 def _validate_filter_value(col: str, op: str, val: object) -> None:
@@ -680,7 +751,7 @@ def _parse_node(entity: str, body: dict) -> tuple[Node, dict]:
             node.theta = _parse_theta(entity, val)
         elif key in ("$agg", "$groupby", "$having", "$orderby", "$limit",
                      "$offset", "$distinct", "$select", "$derive", "$window",
-                     "$qualify", "$sample"):
+                     "$qualify", "$sample", "$pivot", "$unpivot"):
             top[key] = val
         elif key.startswith("$"):
             raise SpecError(f"unknown argument {key!r} on entity {entity!r}")
@@ -805,31 +876,52 @@ def _parse_asof(entity: str, val: object) -> AsofSpec:
     )
 
 
-def _parse_sample(obj: object) -> tuple[str, int, int]:
+def _ident(v: object, ctx: str) -> str:
+    if (not isinstance(v, str)
+            or not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", v)):
+        raise SpecError(f"{ctx} must be a column name, got {v!r}")
+    return v
+
+
+def _parse_sample(obj: object) -> SampleSpec:
     """``$sample: {"$key": col, "$keep": k, "$buckets": b?}`` — the
     deterministic md5-bucket sample (keep rows whose key hashes into the
-    first ``k`` of ``b`` buckets). Reproducible, key-consistent, and
-    engine-mirrorable — the E1 spelling of the repo-wide sampling
-    discipline (sample_hash_deterministic); rand()-based sampling is
-    deliberately not offered. All shape violations are typed SpecErrors
-    (the r6/r7 parser-contract audit)."""
+    first ``k`` of ``b`` buckets) — or, with ``"$per": stratum`` (round
+    10), the stratified form: the ``k`` md5-ranked rows PER stratum
+    (equal counts regardless of stratum skew — the
+    sample_stratified_hash discipline). Reproducible, key-consistent,
+    and engine-mirrorable; rand()-based sampling is deliberately not
+    offered. All shape violations are typed SpecErrors (the r6/r7
+    parser-contract audit)."""
     if not isinstance(obj, dict):
         raise SpecError(
-            f"$sample must be a dict with $key/$keep[/$buckets],"
+            f"$sample must be a dict with $key/$keep[/$buckets|$per],"
             f" got {type(obj).__name__}"
         )
-    extra = set(obj) - {"$key", "$keep", "$buckets"}
+    extra = set(obj) - {"$key", "$keep", "$buckets", "$per"}
     if extra:
         raise SpecError(f"$sample: unknown argument(s) {sorted(extra)}")
     if "$key" not in obj or "$keep" not in obj:
         raise SpecError("$sample requires both $key and $keep")
-    key = obj["$key"]
-    if (not isinstance(key, str)
-            or not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", key)):
-        raise SpecError(f"$sample.$key must be a column name, got {key!r}")
+    key = _ident(obj["$key"], "$sample.$key")
     keep = obj["$keep"]
     if not isinstance(keep, int) or isinstance(keep, bool) or keep <= 0:
         raise SpecError(f"$sample.$keep must be a positive int, got {keep!r}")
+    if "$per" in obj:
+        # stratified mode: $keep is a per-stratum ROW count, buckets are
+        # bucket-mode machinery — mixing the two would be ambiguous
+        if "$buckets" in obj:
+            raise SpecError(
+                "$sample: $per (stratified) and $buckets (bucket mode)"
+                " are mutually exclusive"
+            )
+        per = _ident(obj["$per"], "$sample.$per")
+        if per == key:
+            raise SpecError(
+                "$sample: $per must differ from $key (ranking a stratum"
+                " by its own stratum column keeps everything)"
+            )
+        return SampleSpec(key=key, keep=keep, per=per)
     buckets = obj.get("$buckets", 256)
     if (not isinstance(buckets, int) or isinstance(buckets, bool)
             or not 2 <= buckets <= 256):
@@ -841,7 +933,88 @@ def _parse_sample(obj: object) -> tuple[str, int, int]:
             f"$sample: $keep ({keep}) must be < $buckets ({buckets}) —"
             f" keeping every bucket is not a sample"
         )
-    return key, keep, buckets
+    return SampleSpec(key=key, keep=keep, buckets=buckets)
+
+
+_PIVOT_AGGS = {"$count", "$sum", "$avg", "$min", "$max"}
+
+
+def _parse_pivot(obj: object) -> PivotSpec:
+    """``$pivot: {"$on": col, "$values": [...], "$agg": {op: col?}}`` —
+    the explicit-value-list contract is mandatory: an implicit pivot
+    runs an extra distinct pass over the data to discover columns."""
+    if not isinstance(obj, dict):
+        raise SpecError(
+            f"$pivot must be a dict with $on/$values/$agg,"
+            f" got {type(obj).__name__}"
+        )
+    extra = set(obj) - {"$on", "$values", "$agg"}
+    if extra:
+        raise SpecError(f"$pivot: unknown argument(s) {sorted(extra)}")
+    missing = {"$on", "$values", "$agg"} - set(obj)
+    if missing:
+        raise SpecError(f"$pivot requires {sorted(missing)}")
+    on = _ident(obj["$on"], "$pivot.$on")
+    values = obj["$values"]
+    if (not isinstance(values, list) or not values
+            or any(isinstance(v, (dict, list, tuple, bool)) or v is None
+                   for v in values)):
+        raise SpecError(
+            "$pivot.$values must be a non-empty list of scalar values"
+            " (the explicit column list — implicit pivots cost a distinct"
+            " pass at scale)"
+        )
+    if len(set(values)) != len(values):
+        raise SpecError("$pivot.$values must not contain duplicates")
+    agg = obj["$agg"]
+    if not isinstance(agg, dict) or len(agg) != 1:
+        raise SpecError("$pivot.$agg must be a dict with exactly one op")
+    ((op, col),) = agg.items()
+    if op not in _PIVOT_AGGS:
+        raise SpecError(
+            f"$pivot.$agg op must be one of {sorted(_PIVOT_AGGS)},"
+            f" got {op!r}"
+        )
+    if op == "$count":
+        if col is not True:
+            raise SpecError("$pivot.$agg: {\"$count\": true} is the only"
+                            " $count form")
+        return PivotSpec(on=on, values=values, op=op, column=None)
+    return PivotSpec(
+        on=on, values=values, op=op,
+        column=_ident(col, f"$pivot.$agg.{op}"),
+    )
+
+
+def _parse_unpivot(obj: object) -> UnpivotSpec:
+    """``$unpivot: {"$cols": [...], "$name": n, "$value": v}`` — stack()
+    the listed columns into (name, value) long form; measures are cast
+    to DOUBLE so the value column has one type."""
+    if not isinstance(obj, dict):
+        raise SpecError(
+            f"$unpivot must be a dict with $cols/$name/$value,"
+            f" got {type(obj).__name__}"
+        )
+    extra = set(obj) - {"$cols", "$name", "$value"}
+    if extra:
+        raise SpecError(f"$unpivot: unknown argument(s) {sorted(extra)}")
+    missing = {"$cols", "$name", "$value"} - set(obj)
+    if missing:
+        raise SpecError(f"$unpivot requires {sorted(missing)}")
+    cols = obj["$cols"]
+    if not isinstance(cols, list) or len(cols) < 2:
+        raise SpecError("$unpivot.$cols must list >= 2 columns")
+    cols = [_ident(c, "$unpivot.$cols entry") for c in cols]
+    if len(set(cols)) != len(cols):
+        raise SpecError("$unpivot.$cols must not contain duplicates")
+    name = _ident(obj["$name"], "$unpivot.$name")
+    value = _ident(obj["$value"], "$unpivot.$value")
+    if name == value or name in cols or value in cols:
+        raise SpecError(
+            "$unpivot: $name/$value must be distinct from each other and"
+            " from $cols"
+        )
+    return UnpivotSpec(cols=cols, name=name, value=value)
 
 
 def parse_spec(spec: dict) -> QuerySpec:
@@ -900,6 +1073,25 @@ def parse_spec(spec: dict) -> QuerySpec:
         qs.distinct = bool(top["$distinct"])
     if "$sample" in top:
         qs.sample = _parse_sample(top["$sample"])
+    if "$pivot" in top:
+        conflicts = {"$agg", "$having", "$window", "$qualify",
+                     "$unpivot", "$distinct"} & set(top)
+        if conflicts:
+            raise SpecError(
+                f"$pivot is exclusive with {sorted(conflicts)} — it IS the"
+                f" aggregation stage"
+            )
+        if not qs.groupby:
+            raise SpecError("$pivot requires $groupby (the row-key columns)")
+        qs.pivot = _parse_pivot(top["$pivot"])
+        if qs.pivot.on in qs.groupby:
+            raise SpecError("$pivot.$on must not also be a $groupby column")
+    if "$unpivot" in top:
+        conflicts = {"$agg", "$groupby", "$having", "$window", "$qualify",
+                     "$distinct"} & set(top)
+        if conflicts:
+            raise SpecError(f"$unpivot is exclusive with {sorted(conflicts)}")
+        qs.unpivot = _parse_unpivot(top["$unpivot"])
     if qs.aggs and not qs.groupby:
         # global aggregation is fine; groupby optional
         pass

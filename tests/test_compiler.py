@@ -1748,3 +1748,215 @@ def test_theta_unknown_columns_and_bad_combos_fail_typed(eng):
             "$asof": {"$left_on": "ts", "$right_on": "o_orderdate",
                       "$per": "event_id", "$tiebreak": "o_orderkey"},
             "o_orderkey": True}}})
+
+
+# ---------------- round-10 compiler capability: $pivot / $unpivot /
+# stratified $sample (VERDICT r9 item 7's surface, landed ahead of the
+# r11 key registrations — the §2 contract stays frozen; these tests pin
+# the semantics against hand-built DataFrame twins until the driver
+# keys + ground-truth replays register next round)
+
+
+def test_pivot_count_matches_conditional_agg_twin(eng):
+    from pyspark.sql import functions as F
+
+    types = ["click", "error", "purchase", "signup", "view"]
+    got = eng.query(
+        {
+            "events": {
+                "user_id": True,
+                "$groupby": ["user_id"],
+                "$pivot": {
+                    "$on": "event_type",
+                    "$values": types,
+                    "$agg": {"$count": True},
+                },
+            }
+        }
+    )
+    ev = eng.entity("events")
+    want = ev.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, 1)).alias(t)
+            for t in types
+        ]
+    )
+    assert sorted(got.columns) == sorted(want.columns)
+    g = {r["user_id"]: r.asDict() for r in got.collect()}
+    w = {r["user_id"]: r.asDict() for r in want.collect()}
+    assert g == w
+
+
+def test_pivot_sum_decimal_emits_double_and_matches_twin(eng):
+    from pyspark.sql import functions as F
+
+    prios = ["1-URGENT", "5-LOW"]
+    got = eng.query(
+        {
+            "orders": {
+                "o_orderstatus": True,
+                "$select": {
+                    "cents_dec": {
+                        "$cast": ["o_totalprice", {"$lit": "decimal(12,2)"}]
+                    }
+                },
+                "$groupby": ["o_orderstatus"],
+                "$pivot": {
+                    "$on": "o_orderpriority",
+                    "$values": prios,
+                    "$agg": {"$sum": "cents_dec"},
+                },
+            }
+        }
+    )
+    # decimal measure must emit DOUBLE (§7.3), never a decimal column
+    for p in prios:
+        assert dict(got.dtypes)[p] == "double"
+    o = eng.entity("orders")
+    want = o.groupBy("o_orderstatus").agg(
+        *[
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority") == p,
+                    F.col("o_totalprice").cast("decimal(12,2)"),
+                )
+            ).cast("double").alias(p)
+            for p in prios
+        ]
+    )
+    g = {r["o_orderstatus"]: r.asDict() for r in got.collect()}
+    w = {r["o_orderstatus"]: r.asDict() for r in want.collect()}
+    assert g == w
+
+
+def test_unpivot_matches_stack_twin(eng):
+    got = eng.query(
+        {
+            "orders": {
+                "o_orderkey": True,
+                "o_totalprice": True,
+                "o_custkey": True,
+                "$unpivot": {
+                    "$cols": ["o_totalprice", "o_custkey"],
+                    "$name": "measure",
+                    "$value": "val",
+                },
+            }
+        }
+    )
+    assert got.columns == ["o_orderkey", "measure", "val"]
+    o = eng.entity("orders")
+    want = o.selectExpr(
+        "o_orderkey",
+        "stack(2, 'o_totalprice', cast(o_totalprice as double),"
+        " 'o_custkey', cast(o_custkey as double)) AS (measure, val)",
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_stratified_sample_matches_window_spelling(eng):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    got = eng.query(
+        {
+            "customer": {
+                "$sample": {
+                    "$key": "c_custkey",
+                    "$keep": 5,
+                    "$per": "c_mktsegment",
+                },
+                "c_custkey": True,
+                "c_mktsegment": True,
+            }
+        }
+    )
+    c = eng.entity("customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.md5(F.col("c_custkey").cast("string")), F.col("c_custkey")
+    )
+    want = (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("c_custkey", "c_mktsegment")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # equal counts per stratum regardless of skew
+    per = {r[0]: r[1] for r in got.groupBy("c_mktsegment").count().collect()}
+    assert all(v == 5 for v in per.values())
+    # the rank-filter must plan as WindowGroupLimit (partial top-k per
+    # stratum before the exchange — the 100 TB shape)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+@pytest.mark.parametrize(
+    "spec",
+    [
+        # $pivot without $groupby
+        {"events": {"$pivot": {"$on": "event_type", "$values": ["click"],
+                               "$agg": {"$count": True}}}},
+        # $pivot alongside $agg
+        {"events": {"user_id": True, "$groupby": ["user_id"],
+                    "$agg": {"n": {"$count": True}},
+                    "$pivot": {"$on": "event_type", "$values": ["click"],
+                               "$agg": {"$count": True}}}},
+        # implicit values are rejected
+        {"events": {"user_id": True, "$groupby": ["user_id"],
+                    "$pivot": {"$on": "event_type",
+                               "$agg": {"$count": True}}}},
+        # duplicate values
+        {"events": {"user_id": True, "$groupby": ["user_id"],
+                    "$pivot": {"$on": "event_type",
+                               "$values": ["click", "click"],
+                               "$agg": {"$count": True}}}},
+        # $on must not be a groupby column
+        {"events": {"user_id": True, "$groupby": ["event_type"],
+                    "$pivot": {"$on": "event_type", "$values": ["click"],
+                               "$agg": {"$count": True}}}},
+        # bad agg op
+        {"events": {"user_id": True, "$groupby": ["user_id"],
+                    "$pivot": {"$on": "event_type", "$values": ["click"],
+                               "$agg": {"$median": "value"}}}},
+        # unknown pivot column (compile-time)
+        {"events": {"user_id": True, "$groupby": ["user_id"],
+                    "$pivot": {"$on": "no_such", "$values": ["x"],
+                               "$agg": {"$count": True}}}},
+        # $unpivot with $groupby
+        {"orders": {"o_orderkey": True, "$groupby": ["o_orderstatus"],
+                    "$unpivot": {"$cols": ["o_totalprice", "o_custkey"],
+                                 "$name": "m", "$value": "v"}}},
+        # $unpivot duplicate cols
+        {"orders": {"o_orderkey": True,
+                    "$unpivot": {"$cols": ["o_custkey", "o_custkey"],
+                                 "$name": "m", "$value": "v"}}},
+        # $unpivot name collides with value
+        {"orders": {"o_orderkey": True,
+                    "$unpivot": {"$cols": ["o_totalprice", "o_custkey"],
+                                 "$name": "v", "$value": "v"}}},
+        # $unpivot unknown column (compile-time)
+        {"orders": {"o_orderkey": True,
+                    "$unpivot": {"$cols": ["o_totalprice", "no_such"],
+                                 "$name": "m", "$value": "v"}}},
+        # stratified sample: $per + $buckets are exclusive
+        {"customer": {"c_custkey": True,
+                      "$sample": {"$key": "c_custkey", "$keep": 5,
+                                  "$per": "c_mktsegment",
+                                  "$buckets": 10}}},
+        # stratified sample: $per must differ from $key
+        {"customer": {"c_custkey": True,
+                      "$sample": {"$key": "c_custkey", "$keep": 5,
+                                  "$per": "c_custkey"}}},
+        # stratified sample: unknown stratum column (compile-time)
+        {"customer": {"c_custkey": True,
+                      "$sample": {"$key": "c_custkey", "$keep": 5,
+                                  "$per": "no_such"}}},
+    ],
+)
+def test_pivot_unpivot_stratified_bad_shapes_fail_typed(eng, spec):
+    with pytest.raises(SpecError):
+        eng.query(spec)
