@@ -261,6 +261,15 @@ class Engine:
                 # input partition keeps its local top-k per stratum
                 # BEFORE the shuffle, so the exchange carries
                 # O(k x strata x partitions) rows, not the table.
+                #
+                # NULL semantics (round 11, ADVICE r10): md5(NULL) is
+                # NULL, and Spark's default ASC order is nulls-FIRST —
+                # which would preferentially keep every NULL-$key row in
+                # every stratum. Rank with nulls LAST on both the hash
+                # and the tiebreak so NULL keys are sampled only when a
+                # stratum has fewer than $keep non-NULL keys. A NULL
+                # $per value forms its own stratum (GROUP BY semantics:
+                # NULL is one group) — deliberate and documented.
                 from pyspark.sql.window import Window
 
                 if sample.per not in df.columns:
@@ -269,8 +278,8 @@ class Engine:
                         f" {node.entity!r} (have {df.columns})"
                     )
                 w = Window.partitionBy(F.col(sample.per)).orderBy(
-                    F.md5(F.col(sample.key).cast("string")),
-                    F.col(sample.key),
+                    F.md5(F.col(sample.key).cast("string")).asc_nulls_last(),
+                    F.col(sample.key).asc_nulls_last(),
                 )
                 df = (
                     df.withColumn("__sample_rn", F.row_number().over(w))
@@ -618,16 +627,24 @@ class Engine:
                 .pivot(p.on, p.values)
                 .agg(agg_e)
             )
-            if p.op == "$count":
-                df = df.select(
-                    *[F.col(c) for c in qs.groupby],
-                    *[
-                        F.coalesce(df[str(v)], F.lit(0))
-                        .cast("long")
-                        .alias(str(v))
-                        for v in p.values
-                    ],
-                )
+            # Resolve the pivoted value columns POSITIONALLY (everything
+            # after the groupby keys, in $values order — Spark emits
+            # explicit-value pivots in list order), never by name: a
+            # str(v) containing a dot would be parsed as a nested-field
+            # path by name lookup (ADVICE r10). Backtick-quote the
+            # positional name so Catalyst treats it verbatim, and alias
+            # every value column to str(v) so the output naming is
+            # engine-independent (str(v) collisions are rejected at
+            # parse time, so the aliases are unique). $count cells
+            # coalesce to 0; other aggs keep SQL NULL-over-empty.
+            vcols = df.columns[len(qs.groupby):]
+            vexprs = []
+            for c, v in zip(vcols, p.values):
+                e = F.col("`" + c.replace("`", "``") + "`")
+                if p.op == "$count":
+                    e = F.coalesce(e, F.lit(0)).cast("long")
+                vexprs.append(e.alias(str(v)))
+            df = df.select(*[F.col(c) for c in qs.groupby], *vexprs)
             # the pivot defines the projection: row keys + value columns
             cols = []
         if qs.aggs:
@@ -658,7 +675,12 @@ class Engine:
             # $qualify sees the post-window frame (SQL QUALIFY scope)
             _check_pred_columns(pred, df, "$qualify")
             df = _apply_predicate(df, pred)
-        if not qs.aggs and cols:
+        # $pivot, like $agg, defines its own projection (row keys +
+        # value columns [+ derives via withColumn above]) — the trailing
+        # cols-based select must not run or a $derive alias repopulating
+        # ``cols`` would project ONLY the derived columns, silently
+        # dropping the keys and pivoted values (ADVICE r10, medium).
+        if not qs.aggs and qs.pivot is None and cols:
             df = df.select(*[F.col(c) for c in dict.fromkeys(cols)])
         if qs.distinct:
             df = df.distinct()

@@ -163,7 +163,14 @@ verification backlog drains):
                                       # (matching FILTER-count twins),
                                       # other aggs keep SQL NULL-on-
                                       # empty. Exclusive with $agg /
-                                      # $window / $unpivot / $distinct.
+                                      # $window / $unpivot / $distinct;
+                                      # $derive composes (post-pivot,
+                                      # seeing keys + value columns).
+                                      # Value columns are resolved
+                                      # positionally and aliased to
+                                      # str(value); str() collisions
+                                      # (5 vs "5") and collisions with
+                                      # $groupby names are parse errors.
     "$unpivot": {"$cols": [c, ...],   # long form back out of wide
                  "$name": "measure",  # columns via stack(): one row per
                  "$value": "val"}     # (kept-cols, measure) pair, the
@@ -182,7 +189,12 @@ verification backlog drains):
                                       # discipline; plans with
                                       # WindowGroupLimit). $buckets is
                                       # bucket-mode only and rejected
-                                      # with $per.
+                                      # with $per. NULL $key rows rank
+                                      # LAST (md5(NULL) is NULL; default
+                                      # nulls-first would preferentially
+                                      # keep them); a NULL $per value is
+                                      # its own stratum (GROUP BY
+                                      # semantics).
 
 ``$``-keys are arguments (the reference passes resolver args the same way);
 everything else is either a requested field (``True``) or a relationship
@@ -966,6 +978,13 @@ def _parse_pivot(obj: object) -> PivotSpec:
         )
     if len(set(values)) != len(values):
         raise SpecError("$pivot.$values must not contain duplicates")
+    if len({str(v) for v in values}) != len(values):
+        # 5 and "5" are distinct values but identical OUTPUT COLUMN
+        # names — the frame would carry duplicate columns (ADVICE r10)
+        raise SpecError(
+            "$pivot.$values must be distinct as output column names"
+            ' (str() forms collide, e.g. 5 vs "5")'
+        )
     agg = obj["$agg"]
     if not isinstance(agg, dict) or len(agg) != 1:
         raise SpecError("$pivot.$agg must be a dict with exactly one op")
@@ -1086,6 +1105,12 @@ def parse_spec(spec: dict) -> QuerySpec:
         qs.pivot = _parse_pivot(top["$pivot"])
         if qs.pivot.on in qs.groupby:
             raise SpecError("$pivot.$on must not also be a $groupby column")
+        clash = [v for v in qs.pivot.values if str(v) in qs.groupby]
+        if clash:
+            raise SpecError(
+                f"$pivot.$values {clash!r} collide with $groupby column"
+                f" names — the output frame would carry duplicate columns"
+            )
     if "$unpivot" in top:
         conflicts = {"$agg", "$groupby", "$having", "$window", "$qualify",
                      "$distinct"} & set(top)

@@ -1180,3 +1180,139 @@ def compiler_window_frame(spark, sf_dir):
             }
         }
     )
+
+
+# ---------------- round 11: the round-10 compiler capability registered
+# as driver keys (VERDICT r10 item 3). All three were landed engine-level
+# in round 10 with twin-pinned tests; registration waited for the
+# verification backlog per the backlog-freeze discipline, and they enter
+# the rotation via registry.DEFERRED so they queue BEHIND the r10
+# backlog + TOUCHED re-checks instead of jumping the window front.
+
+
+@query(
+    "compiler_pivot",
+    # $pivot as wide conditional aggregation: one $count column per
+    # EXPLICIT event_type value (the parser requires the value list — an
+    # implicit pivot costs a distinct discovery pass at 100 TB), cells
+    # coalesced to 0 so childless (user, value) pairs match the SQL
+    # FILTER-count twin. $derive composes post-pivot (ADVICE r10 medium
+    # fix: the derive must ADD a column, not replace the projection) —
+    # "engaged" sums two pivoted counts, exact integer arithmetic both
+    # engines agree on bitwise. Scale: one expand+partial-agg pass, the
+    # shuffle carries 5 longs per user_id, same exchange as $agg.
+    oracle="""
+    SELECT user_id,
+           CAST(count(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS click,
+           CAST(count(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS error,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(count(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS signup,
+           CAST(count(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS "view",
+           CAST(count(*) FILTER (WHERE event_type = 'click')
+                + count(*) FILTER (WHERE event_type = 'view')   AS BIGINT) AS engaged
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def compiler_pivot(spark, sf_dir):
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "events": {
+                "user_id": True,
+                "$groupby": ["user_id"],
+                "$pivot": {
+                    "$on": "event_type",
+                    "$values": ["click", "error", "purchase", "signup", "view"],
+                    "$agg": {"$count": True},
+                },
+                "$derive": {"engaged": {"$add": ["click", "view"]}},
+            }
+        }
+    )
+
+
+@query(
+    "compiler_unpivot",
+    # $unpivot back to long form: stack() is a zero-shuffle codegen
+    # Generate — each input row emits one (measure, val) row per listed
+    # column, measures cast to DOUBLE so the value column has a single
+    # type (the agg_unpivot discipline). The status filter reaches the
+    # parquet scan as a pushed predicate before the Generate. The UNION
+    # ALL oracle is the relational spelling of the same long form.
+    oracle="""
+    SELECT o_orderkey, 'o_totalprice' AS measure,
+           CAST(o_totalprice AS DOUBLE) AS val
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT o_orderkey, 'o_custkey' AS measure,
+           CAST(o_custkey AS DOUBLE) AS val
+    FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def compiler_unpivot(spark, sf_dir):
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "orders": {
+                "$filter": {"o_orderstatus": "F"},
+                "o_orderkey": True,
+                "o_totalprice": True,
+                "o_custkey": True,
+                "$unpivot": {
+                    "$cols": ["o_totalprice", "o_custkey"],
+                    "$name": "measure",
+                    "$value": "val",
+                },
+            }
+        }
+    )
+
+
+@query(
+    "compiler_sample_stratified",
+    # Stratified $sample: the $keep md5-ranked rows PER c_mktsegment
+    # stratum — equal counts regardless of stratum skew (the
+    # sample_stratified_hash discipline), deterministic across engines
+    # because both rank by md5(cast(key as string)) with the key
+    # tiebreak. NULL keys rank LAST in both spellings (ADVICE r10:
+    # md5(NULL) is NULL and Spark's default asc is nulls-FIRST, which
+    # would preferentially keep NULL-key rows — the compiled window
+    # pins asc_nulls_last, the oracle pins NULLS LAST). Scale: rn <= k
+    # over a partitioned rank plans as WindowGroupLimit — each input
+    # partition keeps its local top-k per stratum BEFORE the exchange,
+    # so the shuffle carries O(k x strata x partitions) rows.
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_nationkey
+    FROM (
+      SELECT c_custkey, c_mktsegment, c_nationkey,
+             row_number() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY md5(CAST(c_custkey AS VARCHAR)) ASC NULLS LAST,
+                        c_custkey ASC NULLS LAST) AS rn
+      FROM customer) t
+    WHERE rn <= 7
+    """,
+)
+def compiler_sample_stratified(spark, sf_dir):
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "customer": {
+                "$sample": {
+                    "$key": "c_custkey",
+                    "$keep": 7,
+                    "$per": "c_mktsegment",
+                },
+                "c_custkey": True,
+                "c_mktsegment": True,
+                "c_nationkey": True,
+            }
+        }
+    )

@@ -108,17 +108,41 @@ TOUCHED: dict[str, int] = {
     "agg_ks_statistic": 10,
 }
 
+# Keys registered WHILE a verification backlog is outstanding (VERDICT
+# r10 item 1: "do not register keys into the front of this window").
+# A brand-new key has no driver signal, so the plain rotation would
+# queue it in the never-checked front block — and because module import
+# order fixes registration order, a new compiler_ops key would jump
+# AHEAD of the 46-key round-10 backlog. Keys listed here instead queue
+# BEHIND the void-signal (TOUCHED) re-checks until their own first
+# driver signal lands, after which the normal staleness order applies
+# and the entry here is inert. Remove entries once their first
+# CORRECTNESS_r*.json signal exists (or leave them: inert either way).
+DEFERRED: set[str] = {
+    # round-11 registrations of the round-10 compiler capability
+    "compiler_pivot",
+    "compiler_unpivot",
+    "compiler_sample_stratified",
+}
+
 
 def ordered_keys() -> list[str]:
     """All registered keys: never-driver-checked first (registration
     order), then checked-but-rewritten-since (their signals are void),
-    then stalest-valid-signal-first (CORRECTNESS_r*.json artifacts)."""
+    then never-checked-but-DEFERRED registrations (they must not jump
+    an outstanding backlog), then stalest-valid-signal-first
+    (CORRECTNESS_r*.json artifacts)."""
     signal = _driver_signal_rounds()
     reg_index = {k: i for i, k in enumerate(QUERIES)}
 
     def sort_key(k: str):
         sig = signal.get(k, -1)
-        bucket = 0 if sig < 0 else (1 if sig < TOUCHED.get(k, -1) else 2)
+        if sig < 0:
+            bucket = 2 if k in DEFERRED else 0
+        elif sig < TOUCHED.get(k, -1):
+            bucket = 1
+        else:
+            bucket = 3
         return (bucket, sig, reg_index[k])
 
     return sorted(QUERIES, key=sort_key)

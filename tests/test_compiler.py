@@ -1875,7 +1875,8 @@ def test_stratified_sample_matches_window_spelling(eng):
     )
     c = eng.entity("customer")
     w = Window.partitionBy("c_mktsegment").orderBy(
-        F.md5(F.col("c_custkey").cast("string")), F.col("c_custkey")
+        F.md5(F.col("c_custkey").cast("string")).asc_nulls_last(),
+        F.col("c_custkey").asc_nulls_last(),
     )
     want = (
         c.withColumn("rn", F.row_number().over(w))
@@ -1955,8 +1956,155 @@ def test_stratified_sample_matches_window_spelling(eng):
         {"customer": {"c_custkey": True,
                       "$sample": {"$key": "c_custkey", "$keep": 5,
                                   "$per": "no_such"}}},
+        # pivot values whose str() forms collide would produce duplicate
+        # output column names (ADVICE r10): 5 and "5"
+        {"events": {"user_id": True, "$groupby": ["user_id"],
+                    "$pivot": {"$on": "event_type", "$values": [5, "5"],
+                               "$agg": {"$count": True}}}},
+        # pivot value colliding with a $groupby column name (ADVICE r10)
+        {"events": {"user_id": True, "$groupby": ["user_id"],
+                    "$pivot": {"$on": "event_type",
+                               "$values": ["click", "user_id"],
+                               "$agg": {"$count": True}}}},
     ],
 )
 def test_pivot_unpivot_stratified_bad_shapes_fail_typed(eng, spec):
     with pytest.raises(SpecError):
         eng.query(spec)
+
+
+# ---------------- round-11 ADVICE r10 fixes: $derive composes with
+# $pivot; pivot value columns resolve positionally (dotted str(v) names
+# can't be mis-parsed as nested paths); stratified $sample ranks NULL
+# keys LAST and keeps a NULL stratum as its own partition.
+
+
+def test_pivot_with_derive_keeps_keys_and_values(eng):
+    """ADVICE r10 (medium): a $derive after $pivot must ADD a column —
+    before the fix the trailing cols-select projected ONLY the derive,
+    silently dropping the groupby keys and every pivoted column."""
+    got = eng.query(
+        {
+            "events": {
+                "user_id": True,
+                "$groupby": ["user_id"],
+                "$pivot": {
+                    "$on": "event_type",
+                    "$values": ["click", "view"],
+                    "$agg": {"$count": True},
+                },
+                "$derive": {"engaged": {"$add": ["click", "view"]}},
+            }
+        }
+    )
+    assert got.columns == ["user_id", "click", "view", "engaged"]
+    for r in got.collect():
+        assert r["engaged"] == r["click"] + r["view"]
+
+
+def test_pivot_dotted_value_resolves_positionally(eng):
+    """ADVICE r10 (low): a pivot value containing a dot must become a
+    verbatim output column, not a nested-field path lookup. The dotted
+    values are derived via $select so the fixture needs no new data."""
+    from pyspark.sql import functions as F
+
+    got = eng.query(
+        {
+            "events": {
+                "user_id": True,
+                "$select": {
+                    "tagged": {
+                        "$concat": [{"$lit": "v."}, "event_type"]
+                    }
+                },
+                "$groupby": ["user_id"],
+                "$pivot": {
+                    "$on": "tagged",
+                    "$values": ["v.click", "v.view"],
+                    "$agg": {"$count": True},
+                },
+            }
+        }
+    )
+    assert got.columns == ["user_id", "v.click", "v.view"]
+    ev = eng.entity("events")
+    want = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("c"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("v"),
+    )
+    g = {r["user_id"]: (r["v.click"], r["v.view"]) for r in got.collect()}
+    w = {r["user_id"]: (r["c"], r["v"]) for r in want.collect()}
+    assert g == w
+
+
+def test_pivot_sum_aliases_value_columns_to_str(eng):
+    """Non-$count pivots also emit str(value)-named columns via the
+    positional re-alias (previously they kept whatever name Spark
+    generated, which happens to match for strings but is positional
+    law now for every scalar type)."""
+    got = eng.query(
+        {
+            "events": {
+                "user_id": True,
+                "$groupby": ["user_id"],
+                "$pivot": {
+                    "$on": "event_type",
+                    "$values": ["click", "view"],
+                    "$agg": {"$sum": "value"},
+                },
+            }
+        }
+    )
+    assert got.columns == ["user_id", "click", "view"]
+
+
+def test_stratified_sample_null_keys_rank_last(eng, tmp_path):
+    """ADVICE r10 (low): md5(NULL) is NULL and default ASC order is
+    nulls-first — NULL-$key rows would win every stratum. After the fix
+    they rank LAST: sampled only when a stratum runs out of non-NULL
+    keys. A NULL stratum is its own partition (GROUP BY semantics)."""
+    import pandas as pd
+
+    from naqed_spark.compiler.engine import Engine
+
+    df = pd.DataFrame(
+        {
+            # segment A: 4 non-null keys + 2 null keys; keep=3 must pick
+            # only non-null keys. segment B: 2 non-null + 2 null; keep=3
+            # must pick both non-null and exactly one null-key row.
+            # NULL segment: its own stratum.
+            # nullable Int64: a plain list with None would coerce to
+            # float64 NaN, which parquet stores as a VALUE, not NULL
+            "c_custkey": pd.array(
+                [1, 2, 3, 4, None, None, 10, 11, None, None, 20, 21],
+                dtype="Int64",
+            ),
+            "c_mktsegment": ["A"] * 6 + ["B"] * 4 + [None, None],
+            "c_nationkey": list(range(12)),
+        }
+    )
+    df.to_parquet(tmp_path / "customer.parquet", index=False)
+    e2 = Engine(eng.spark, str(tmp_path))
+    got = e2.query(
+        {
+            "customer": {
+                "$sample": {
+                    "$key": "c_custkey",
+                    "$keep": 3,
+                    "$per": "c_mktsegment",
+                },
+                "c_custkey": True,
+                "c_mktsegment": True,
+                "c_nationkey": True,
+            }
+        }
+    ).collect()
+    by_seg: dict = {}
+    for r in got:
+        by_seg.setdefault(r["c_mktsegment"], []).append(r)
+    assert len(by_seg["A"]) == 3
+    assert all(r["c_custkey"] is not None for r in by_seg["A"])
+    assert len(by_seg["B"]) == 3
+    assert sum(r["c_custkey"] is None for r in by_seg["B"]) == 1
+    # the NULL segment is one stratum of its own
+    assert len(by_seg[None]) == 2

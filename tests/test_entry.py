@@ -83,9 +83,15 @@ def test_priority_keys_all_registered():
     assert sorted(ordered) == sorted(registry.QUERIES)
     # the driver checks a fixed front window (~50): it must be filled
     # with never-driver-checked keys while any exist, so every key gets
-    # first contact as promptly as the window allows
+    # first contact as promptly as the window allows. DEFERRED
+    # registrations are the one exception: new keys must not jump an
+    # outstanding backlog (VERDICT r10 item 1), so they queue behind
+    # the void-signal re-checks instead of the front block.
     signal = registry._driver_signal_rounds()
-    never = [k for k in registry.QUERIES if k not in signal]
+    never = [
+        k for k in registry.QUERIES
+        if k not in signal and k not in registry.DEFERRED
+    ]
     front = ordered[: len(never)]
     assert set(front) == set(never)
 
@@ -110,7 +116,10 @@ def test_rotation_is_rewrite_aware():
         k for k in registry.QUERIES
         if k in signal and signal[k] >= registry.TOUCHED.get(k, -1)
     ]
-    never = [k for k in registry.QUERIES if k not in signal]
+    never = [
+        k for k in registry.QUERIES
+        if k not in signal and k not in registry.DEFERRED
+    ]
     # every void-signal key sorts ahead of every untouched checked key…
     worst_stale = max(pos[k] for k in stale)
     best_untouched = min(pos[k] for k in untouched_checked)
@@ -118,6 +127,16 @@ def test_rotation_is_rewrite_aware():
     # …and behind the whole never-checked block.
     if never:
         assert min(pos[k] for k in stale) > max(pos[k] for k in never)
+    # DEFERRED registrations without a signal queue BEHIND the void
+    # re-checks (they must not jump an outstanding backlog) and ahead
+    # of valid-signal keys; once a key has a signal, DEFERRED is inert.
+    deferred_unchecked = [
+        k for k in registry.DEFERRED if k in registry.QUERIES
+        and k not in signal
+    ]
+    for k in deferred_unchecked:
+        assert pos[k] > worst_stale
+        assert pos[k] < best_untouched
     # a TOUCHED entry older than (or equal to) the key's signal is inert:
     # the driver re-checked after the rewrite, so the signal is valid.
     for k, rnd in registry.TOUCHED.items():

@@ -48,7 +48,11 @@ NULL_SPEC = {
     # outer value must yield UNKNOWN for both quantifiers, not the
     # empty-set defaults.
     "supplier": {"s_acctbal": 5},
-    "orders": {"o_orderpriority": 6},
+    # o_totalprice nulls (round 11): compiler_unpivot stacks it into a
+    # typed value column — NULL measures must survive the cast in both
+    # engines (and every other orders-measure oracle must already hold
+    # under SQL null-skipping aggregation semantics)
+    "orders": {"o_orderpriority": 6, "o_totalprice": 19},
     # category/flag columns: the second null wave (round 9) — these feed
     # GROUP BY / PARTITION BY keys, so they flush out null-group drops
     # at join-backs and null-sort-order divergence
