@@ -150,12 +150,21 @@ def main() -> None:
     # TPC-H suite diagnostic (round 8): one warmed timing per adapted
     # query — not part of the headline metric (no BASELINE rows exist),
     # but recorded so plan regressions in the suite are driver-visible.
+    # Round 11 (VERDICT r10 item 4): the suite carries the same
+    # compile/exec decomposition as the headline block, so the 2x-vs-
+    # DuckDB comparison closes from the artifact alone — tpch_exec_total
+    # is the pure-execution suite time directly comparable to DuckDB's
+    # raw suite seconds, with the per-fresh-plan constant separated out.
     tpch: dict[str, float] = {}
+    tpch_exec: dict[str, float] = {}
     for key in sorted(k for k in QUERIES if k.startswith("tpch_")):
         try:
             fn = QUERIES[key]
             fn(spark, sf_dir).collect()
             tpch[key] = timed(lambda: fn(spark, sf_dir).collect())
+            df = fn(spark, sf_dir)
+            df.collect()
+            tpch_exec[key] = min(timed(df.collect) for _ in range(2))
         except Exception as ex:
             print(f"# {key}: FAILED {ex}", file=sys.stderr)
 
@@ -185,7 +194,9 @@ def main() -> None:
                 "floor": {"action": floor_action, "scan_lineitem": floor_scan},
                 "contended": floor_action > 0.35 or floor_scan > 0.6,
                 "queries_tpch": tpch,
+                "queries_tpch_exec": tpch_exec,
                 "tpch_total": round(sum(tpch.values()), 3),
+                "tpch_exec_total": round(sum(tpch_exec.values()), 3),
                 "sf": sf,
             }
         )

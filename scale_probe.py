@@ -115,6 +115,17 @@ HEADLINE += [
     "tpch_q21_waiting_supplier", "tpch_q22_prospects",
 ]
 
+# Round-11 registrations: the compiler $pivot (events exchange carrying
+# 5 longs/user), $unpivot (zero-shuffle Generate), and the stratified
+# $sample (WindowGroupLimit partial top-k per stratum) — probed from
+# first registration so their growth evidence lands with their first
+# driver signal.
+HEADLINE += [
+    "compiler_pivot",
+    "compiler_unpivot",
+    "compiler_sample_stratified",
+]
+
 
 def build(spark, src_dir: str, out_dir: str, k: int) -> None:
     from functools import reduce

@@ -7146,3 +7146,52 @@ def test_scan_counts_and_expectations_match_pandas(spark):
              for eid, p in zip(ev.event_id, ev.props)}
     assert_keyed(run(spark, "scan_json_props"), want4,
                  ["event_id"], ["k"])
+
+
+# -------- round-11 compiler registrations: $pivot / $unpivot /
+# stratified $sample (wave 38) — the mandatory twin-bug replays for the
+# new DSL surface (VERDICT r10 item 3): conditional-count recomputation
+# in pandas for the pivot, a pure-python stack for the unpivot, and a
+# hashlib md5 rank replay for the stratified sample. None of these share
+# a line of SQL or Column code with either engine spelling.
+
+
+def test_compiler_pivot_matches_conditional_counts(spark):
+    ev = _tbl("events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    want = {}
+    for uid, grp in ev.groupby("user_id"):
+        counts = {t: int((grp.event_type == t).sum()) for t in types}
+        counts["engaged"] = counts["click"] + counts["view"]
+        want[(uid,)] = counts
+    assert_keyed(run(spark, "compiler_pivot"), want,
+                 ["user_id"], types + ["engaged"])
+
+
+def test_compiler_unpivot_matches_python_stack(spark):
+    o = _tbl("orders")
+    f = o[o.o_orderstatus == "F"]
+    rows = []
+    for ok, tp, ck in zip(f.o_orderkey, f.o_totalprice, f.o_custkey):
+        rows.append((ok, "o_totalprice", float(tp)))
+        rows.append((ok, "o_custkey", float(ck)))
+    assert _bag(run(spark, "compiler_unpivot")) == _bag(rows)
+
+
+def test_compiler_sample_stratified_matches_hashlib_rank(spark):
+    import hashlib
+
+    c = _tbl("customer")
+    want = {}
+    for seg, grp in c.groupby("c_mktsegment", dropna=False):
+        ranked = sorted(
+            zip(grp.c_custkey, grp.c_nationkey),
+            key=lambda r: (
+                hashlib.md5(str(r[0]).encode()).hexdigest(),
+                r[0],
+            ),
+        )
+        for ck, nk in ranked[:7]:
+            want[(ck,)] = {"c_mktsegment": seg, "c_nationkey": nk}
+    assert_keyed(run(spark, "compiler_sample_stratified"), want,
+                 ["c_custkey"], ["c_mktsegment", "c_nationkey"])
