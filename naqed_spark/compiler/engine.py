@@ -606,13 +606,19 @@ class Engine:
             )
             cols = keep + [u.name, u.value]
         if qs.pivot is not None:
-            # $pivot (round 10): wide conditional aggregation with the
-            # EXPLICIT value list (groupBy().pivot(col, values) — Spark
-            # skips the extra distinct pass over the data only when the
-            # values are enumerated, which the parser requires). One
-            # expand+aggregate plan, same as $agg. $count cells coalesce
-            # to 0 (a group saw zero rows of that value — matching the
-            # conditional FILTER-count twin); other aggs keep SQL
+            # $pivot (round 10; recompiled round 11): wide conditional
+            # aggregation over the EXPLICIT value list. Spelled as ONE
+            # groupBy with a conditional aggregate per value — the exact
+            # FILTER-clause twin of the oracle — rather than Spark's
+            # relational .pivot(col, values), which plans as TWO
+            # aggregate phases with TWO exchanges ((keys, on) partial →
+            # re-shuffle by keys → PivotFirst). The conditional spelling
+            # shuffles once, carrying |values| pre-combined cells per
+            # key, and the value columns are ALIASED at the aggregate
+            # (str(value) — uniqueness enforced at parse time), so no
+            # post-hoc name resolution exists to mis-parse dotted values
+            # as nested paths (ADVICE r10). $count cells are 0 over
+            # empty (count never yields NULL); other aggs keep SQL
             # NULL-over-empty semantics.
             p = qs.pivot
             for c in [p.on] + ([p.column] if p.column else []):
@@ -621,30 +627,8 @@ class Engine:
                         f"$pivot: no such column {c!r}"
                         f" (have {sorted(df.columns)})"
                     )
-            agg_e = self._pivot_agg_expr(df, p)
-            df = (
-                df.groupBy(*[F.col(c) for c in qs.groupby])
-                .pivot(p.on, p.values)
-                .agg(agg_e)
-            )
-            # Resolve the pivoted value columns POSITIONALLY (everything
-            # after the groupby keys, in $values order — Spark emits
-            # explicit-value pivots in list order), never by name: a
-            # str(v) containing a dot would be parsed as a nested-field
-            # path by name lookup (ADVICE r10). Backtick-quote the
-            # positional name so Catalyst treats it verbatim, and alias
-            # every value column to str(v) so the output naming is
-            # engine-independent (str(v) collisions are rejected at
-            # parse time, so the aliases are unique). $count cells
-            # coalesce to 0; other aggs keep SQL NULL-over-empty.
-            vcols = df.columns[len(qs.groupby):]
-            vexprs = []
-            for c, v in zip(vcols, p.values):
-                e = F.col("`" + c.replace("`", "``") + "`")
-                if p.op == "$count":
-                    e = F.coalesce(e, F.lit(0)).cast("long")
-                vexprs.append(e.alias(str(v)))
-            df = df.select(*[F.col(c) for c in qs.groupby], *vexprs)
+            exprs = [self._pivot_value_expr(df, p, v) for v in p.values]
+            df = df.groupBy(*[F.col(c) for c in qs.groupby]).agg(*exprs)
             # the pivot defines the projection: row keys + value columns
             cols = []
         if qs.aggs:
@@ -700,20 +684,25 @@ class Engine:
         return df
 
     @staticmethod
-    def _pivot_agg_expr(df: DataFrame, p: PivotSpec):
+    def _pivot_value_expr(df: DataFrame, p: PivotSpec, v):
+        """One conditional aggregate column for pivot value ``v`` —
+        ``agg(CASE WHEN on = v THEN measure END) AS str(v)``, the
+        FILTER-clause twin. count() is 0 over an empty cell; the other
+        ops yield SQL NULL."""
+        cond = F.col(p.on) == F.lit(v)
         if p.op == "$count":
-            return F.count(F.lit(1))
+            return F.count(F.when(cond, F.lit(1))).alias(str(v))
         fn = {"$sum": F.sum, "$avg": F.avg, "$min": F.min, "$max": F.max}[
             p.op
         ]
-        e = fn(F.col(p.column))
+        e = fn(F.when(cond, F.col(p.column)))
         # §7.3 discipline: an exact-decimal measure (cast in $select)
         # aggregates in decimal but must emit double — a raw decimal
         # would surprise API users and trip the driver's HUGEINT guard
         dt = df.schema[p.column].dataType.simpleString()
         if p.op in ("$sum", "$avg") and dt.startswith("decimal"):
             e = e.cast("double")
-        return e
+        return e.alias(str(v))
 
     @staticmethod
     def _agg_expr(a: AggSpec):

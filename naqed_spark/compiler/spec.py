@@ -166,11 +166,14 @@ verification backlog drains):
                                       # $window / $unpivot / $distinct;
                                       # $derive composes (post-pivot,
                                       # seeing keys + value columns).
-                                      # Value columns are resolved
-                                      # positionally and aliased to
-                                      # str(value); str() collisions
-                                      # (5 vs "5") and collisions with
-                                      # $groupby names are parse errors.
+                                      # Compiles to ONE conditional-
+                                      # aggregate pass (single shuffle,
+                                      # not Spark's two-phase .pivot);
+                                      # value columns are aliased to
+                                      # str(value) at the aggregate —
+                                      # str() collisions (5 vs "5") and
+                                      # collisions with $groupby names
+                                      # are parse errors.
     "$unpivot": {"$cols": [c, ...],   # long form back out of wide
                  "$name": "measure",  # columns via stack(): one row per
                  "$value": "val"}     # (kept-cols, measure) pair, the

@@ -1332,3 +1332,35 @@ def test_ntile_two_level_two_phase(spark):
     assert re.search(
         r"hashpartitioning\(l_returnflag[^)]*l_quantity[^)]*bkt", plan
     )
+
+
+def test_compiler_pivot_single_exchange_conditional_agg(spark):
+    """The E1 $pivot compiles to ONE conditional-aggregate pass (round
+    11): a single partial+final HashAggregate pair around a single
+    keys-exchange — never Spark's two-phase .pivot() plan, which pays a
+    second shuffle for PivotFirst. The derive lands post-agg as a
+    projection, no extra exchange."""
+    tree = tree_of(plan_of(spark, "compiler_pivot"))
+    assert tree.count("Exchange") == 1
+    assert tree.count("HashAggregate") == 2
+    assert "Window" not in tree
+
+
+def test_compiler_unpivot_zero_shuffle_generate(spark):
+    """$unpivot is a codegen Generate under the pushed status filter —
+    zero exchanges, and the filter reaches the parquet scan."""
+    plan = plan_of(spark, "compiler_unpivot")
+    tree = tree_of(plan)
+    assert "Generate" in tree
+    assert "Exchange" not in tree
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]" in plan
+
+
+def test_compiler_sample_stratified_partial_topk(spark):
+    """The stratified $sample's rank filter must plan as
+    WindowGroupLimit on BOTH sides of the exchange (partial per-stratum
+    top-k before the shuffle, final after): the exchange then carries
+    O(keep x strata x input partitions) rows, not the table."""
+    tree = tree_of(plan_of(spark, "compiler_sample_stratified"))
+    assert tree.count("WindowGroupLimit") == 2
+    assert tree.count("Exchange") == 1
