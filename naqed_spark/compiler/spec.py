@@ -146,10 +146,11 @@ Round-8 extensions:
                                       # accept engine-dependent ties (the
                                       # SQL arg_max contract)
 
-Round-10 extensions (VERDICT r9 item 7's compiler capability, landed
-ahead of the r11 key registrations — the §2 contract stays frozen at
-358 keys this round; driver keys + ground-truth replays follow when the
-verification backlog drains):
+Round-10 extensions (VERDICT r9 item 7's compiler capability; registered
+as driver keys in round 11 — `compiler_pivot`, `compiler_unpivot`,
+`compiler_sample_stratified`, each with a DuckDB oracle and a
+ground-truth battery replay, queued behind the verification backlog via
+registry.DEFERRED):
 
     "$pivot": {"$on": col,            # wide conditional aggregation:
                "$values": [v, ...],   # one output column per EXPLICIT

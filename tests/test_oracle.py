@@ -163,6 +163,7 @@ def test_priority_rotation_covers_all_keys():
     in __spark_entry__ follow that order."""
     import __spark_entry__ as entry
     from naqed_spark.registry import (
+        DEFERRED,
         TOUCHED,
         _driver_signal_rounds,
         ordered_keys,
@@ -174,8 +175,13 @@ def test_priority_rotation_covers_all_keys():
     signal = _driver_signal_rounds()
 
     def bucket(k):
+        # round 11: DEFERRED registrations without a signal queue
+        # BEHIND the void re-checks (bucket 2) so new keys never jump
+        # an outstanding backlog; valid signals are bucket 3.
         sig = signal.get(k, -1)
-        return 0 if sig < 0 else (1 if sig < TOUCHED.get(k, -1) else 2)
+        if sig < 0:
+            return 2 if k in DEFERRED else 0
+        return 1 if sig < TOUCHED.get(k, -1) else 3
 
     order = [(bucket(k), signal.get(k, -1)) for k in keys]
     assert order == sorted(order), (
