@@ -374,16 +374,52 @@ class Engine:
                             f" {col!r} on {side!r}"
                         )
                 left, right = df[a.left_on], child_df[a.right_on]
+                # numeric views of the ordering columns for distance
+                # arithmetic (nearest ranking, tolerance bounds):
+                # timestamps lower to unix_micros — a timestamp minus a
+                # timestamp is an INTERVAL, which neither abs() nor a
+                # numeric $tolerance composes with. $tolerance is
+                # therefore in µs for timestamps, column units otherwise.
+                def _num(frame, name, col):
+                    dt = frame.schema[name].dataType.simpleString()
+                    # NTZ casts to TIMESTAMP first (unix_micros rejects
+                    # it); session TZ is pinned UTC so the instant is
+                    # preserved — the epoch_us discipline in _util.py
+                    if "timestamp" in dt:
+                        return F.unix_micros(col.cast("timestamp"))
+                    return col
+
+                lnum = _num(df, a.left_on, left)
+                rnum = _num(child_df, a.right_on, right)
                 cond = df[rel.src_key] == child_df[rel.dst_key]
                 if a.strategy == "backward":
                     cond = cond & (right <= left)
+                    if a.tolerance is not None:
+                        # staleness bound — also a join fan-out prune
+                        cond = cond & (rnum >= lnum - F.lit(a.tolerance))
                     order = [
                         child_df[a.right_on].desc(),
                         child_df[a.tiebreak].desc(),
                     ]
-                else:  # forward
+                elif a.strategy == "forward":
                     cond = cond & (right >= left)
+                    if a.tolerance is not None:
+                        cond = cond & (rnum <= lnum + F.lit(a.tolerance))
                     order = [
+                        child_df[a.right_on].asc(),
+                        child_df[a.tiebreak].asc(),
+                    ]
+                else:  # nearest (round 11): closest in either direction
+                    if a.tolerance is not None:
+                        cond = (
+                            cond
+                            & (rnum >= lnum - F.lit(a.tolerance))
+                            & (rnum <= lnum + F.lit(a.tolerance))
+                        )
+                    # the join_asof_nearest contract: rank by |Δt|, then
+                    # earlier child time, then the unique tiebreak
+                    order = [
+                        F.abs(rnum - lnum).asc(),
                         child_df[a.right_on].asc(),
                         child_df[a.tiebreak].asc(),
                     ]

@@ -112,10 +112,24 @@ remain the driver-checked contract and the compiler tests pin parity):
                                       # key), $tiebreak (unique child
                                       # column), $strategy backward
                                       # (latest at-or-before, default) |
-                                      # forward (earliest at-or-after).
-                                      # Compiles to equi-join + residual
-                                      # + WindowGroupLimit top-1 — never
-                                      # the full temporal fan-out.
+                                      # forward (earliest at-or-after) |
+                                      # nearest (round 11: closest in
+                                      # EITHER direction — |Δt| rank,
+                                      # then earlier child time, then
+                                      # tiebreak; the join_asof_nearest
+                                      # contract). Optional $tolerance
+                                      # (round 11): positive staleness
+                                      # bound in ordering-column units
+                                      # (µs for timestamps) — matches
+                                      # farther away drop (INNER hop:
+                                      # parents with only stale matches
+                                      # fall out), and the bound rides
+                                      # the join condition as a fan-out
+                                      # prune (the join_asof_tolerance
+                                      # contract). Compiles to equi-join
+                                      # + residual + WindowGroupLimit
+                                      # top-1 — never the full temporal
+                                      # fan-out.
     "orders": {"$theta": [[l, op, r], ...]}  # residual non-equi join
                                       # conditions (op ∈ $eq/$ne/$lt/
                                       # $lte/$gt/$gte; l on the parent, r
@@ -393,6 +407,10 @@ class AsofSpec:
     per: str
     tiebreak: str
     strategy: str = "backward"
+    # round 11 (registered r12): staleness bound in the units of the
+    # ordering columns (MICROSECONDS when they are timestamps — the
+    # engine lowers both sides through unix_micros); None = unbounded.
+    tolerance: "int | float | None" = None
 
 
 @dataclass
@@ -857,13 +875,21 @@ def _parse_theta(entity: str, val: object) -> list:
 
 def _parse_asof(entity: str, val: object) -> AsofSpec:
     """``$asof: {"$left_on": c, "$right_on": c, "$per": c, "$tiebreak": c,
-    "$strategy"?: "backward"|"forward"}`` — all shape violations are
-    typed SpecErrors per the parser contract."""
+    "$strategy"?: "backward"|"forward"|"nearest",
+    "$tolerance"?: positive number}`` — all shape violations are typed
+    SpecErrors per the parser contract. ``nearest`` (round 11) matches
+    the child CLOSEST in either direction (the join_asof_nearest
+    contract: rank by |Δt|, then earlier child time, then tiebreak);
+    ``$tolerance`` bounds the match distance (the join_asof_tolerance
+    freshness contract) in the ordering columns' units — MICROSECONDS
+    for timestamps — and doubles as a fan-out prune in the join
+    condition."""
     if not isinstance(val, dict):
         raise SpecError(
             f"$asof on {entity!r} must be a dict, got {type(val).__name__}"
         )
-    allowed = {"$left_on", "$right_on", "$per", "$tiebreak", "$strategy"}
+    allowed = {"$left_on", "$right_on", "$per", "$tiebreak", "$strategy",
+               "$tolerance"}
     unknown = set(val) - allowed
     if unknown:
         raise SpecError(f"$asof on {entity!r}: unknown keys {sorted(unknown)}")
@@ -878,10 +904,21 @@ def _parse_asof(entity: str, val: object) -> AsofSpec:
                 f" got {val[k]!r}"
             )
     strategy = val.get("$strategy", "backward")
-    if strategy not in ("backward", "forward"):
+    if strategy not in ("backward", "forward", "nearest"):
         raise SpecError(
-            f"$asof on {entity!r}: $strategy must be 'backward' or"
-            f" 'forward', got {strategy!r}"
+            f"$asof on {entity!r}: $strategy must be 'backward',"
+            f" 'forward' or 'nearest', got {strategy!r}"
+        )
+    tolerance = val.get("$tolerance")
+    if tolerance is not None and (
+        isinstance(tolerance, bool)
+        or not isinstance(tolerance, (int, float))
+        or tolerance <= 0
+    ):
+        raise SpecError(
+            f"$asof on {entity!r}: $tolerance must be a positive number"
+            f" (ordering-column units; µs for timestamps),"
+            f" got {tolerance!r}"
         )
     return AsofSpec(
         left_on=val["$left_on"],
@@ -889,6 +926,7 @@ def _parse_asof(entity: str, val: object) -> AsofSpec:
         per=val["$per"],
         tiebreak=val["$tiebreak"],
         strategy=strategy,
+        tolerance=tolerance,
     )
 
 

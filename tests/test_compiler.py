@@ -1575,6 +1575,169 @@ def test_asof_forward_is_earliest_at_or_after(eng):
         assert r["ts"] == first_event[r["o_custkey"]], r
 
 
+def test_asof_nearest_matches_registered_key(eng):
+    """$strategy nearest (round 11, registered r12): the E1 spelling
+    must reproduce the registered join_asof_nearest key exactly —
+    closest order in EITHER direction per event, |Δt| rank with
+    (earlier order, lower key) tiebreaks."""
+    from naqed_spark.queries.joins import join_asof_nearest
+
+    got = {
+        (r["event_id"], r["user_id"], r["o_orderkey"])
+        for r in eng.query(
+            {
+                "events": {
+                    "event_id": True,
+                    "user_id": True,
+                    "orders": {
+                        "$asof": {
+                            "$left_on": "ts",
+                            "$right_on": "o_orderdate",
+                            "$per": "event_id",
+                            "$tiebreak": "o_orderkey",
+                            "$strategy": "nearest",
+                        },
+                        "o_orderkey": True,
+                    },
+                }
+            }
+        ).collect()
+    }
+    want = {
+        (r["event_id"], r["user_id"], r["o_orderkey"])
+        for r in join_asof_nearest(eng.spark, SF_DIR).collect()
+    }
+    assert got == want and got
+
+
+def test_asof_tolerance_bounds_staleness(eng):
+    """$tolerance (round 11, registered r12): backward matches older
+    than the bound drop — the E1 hop keeps INNER semantics (a parent
+    with only stale matches falls out). The fixture's events sit 22-29
+    YEARS after its orders, so a 25-year bound splits the match set
+    (the registered join_asof_tolerance key's 30-day bound matches
+    nothing at this SF — its all-NULL left join is its own oracle's
+    business); the twin here is the handbuilt bounded-backward
+    window."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    tol_us = int(25 * 365.25 * 86_400_000_000)  # 25 years in µs
+    got = {
+        (r["event_id"], r["o_orderkey"])
+        for r in eng.query(
+            {
+                "events": {
+                    "event_id": True,
+                    "orders": {
+                        "$asof": {
+                            "$left_on": "ts",
+                            "$right_on": "o_orderdate",
+                            "$per": "event_id",
+                            "$tiebreak": "o_orderkey",
+                            "$tolerance": tol_us,
+                        },
+                        "o_orderkey": True,
+                    },
+                }
+            }
+        ).collect()
+    }
+    e = eng.entity("events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ev_us")
+    )
+    o = eng.entity("orders").select(
+        "o_custkey", "o_orderkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ord_us"),
+    )
+    j = e.join(
+        o,
+        (o.o_custkey == e.user_id)
+        & (F.col("ord_us") <= F.col("ev_us"))
+        & (F.col("ord_us") >= F.col("ev_us") - tol_us),
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("ord_us").desc(), F.col("o_orderkey").desc()
+    )
+    want = {
+        (r["event_id"], r["o_orderkey"])
+        for r in j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == want and got
+    # and the bound actually bites: the unbounded backward hop matches
+    # strictly more events than the 30-day-bounded one
+    unbounded = eng.query(
+        {
+            "events": {
+                "event_id": True,
+                "orders": {
+                    "$asof": {
+                        "$left_on": "ts",
+                        "$right_on": "o_orderdate",
+                        "$per": "event_id",
+                        "$tiebreak": "o_orderkey",
+                    },
+                    "o_orderkey": True,
+                },
+            }
+        }
+    ).count()
+    assert unbounded > len(got)
+
+
+def test_asof_nearest_with_tolerance_window(eng):
+    """nearest + $tolerance: every match sits within the bound in
+    EITHER direction, and equals the brute-force |Δt|-min over the
+    bounded candidate set."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    tol_us = int(25 * 365.25 * 86_400_000_000)  # 25 years in µs
+    got = {
+        (r["event_id"], r["o_orderkey"])
+        for r in eng.query(
+            {
+                "events": {
+                    "event_id": True,
+                    "orders": {
+                        "$asof": {
+                            "$left_on": "ts",
+                            "$right_on": "o_orderdate",
+                            "$per": "event_id",
+                            "$tiebreak": "o_orderkey",
+                            "$strategy": "nearest",
+                            "$tolerance": tol_us,
+                        },
+                        "o_orderkey": True,
+                    },
+                }
+            }
+        ).collect()
+    }
+    e = eng.entity("events").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("ev_us")
+    )
+    o = eng.entity("orders").select(
+        "o_custkey", "o_orderkey",
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ord_us"),
+    )
+    j = e.join(o, o.o_custkey == e.user_id).withColumn(
+        "dt", F.abs(F.col("ord_us") - F.col("ev_us"))
+    ).filter(F.col("dt") <= tol_us)
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("dt").asc(), F.col("ord_us").asc(), F.col("o_orderkey").asc()
+    )
+    want = {
+        (r["event_id"], r["o_orderkey"])
+        for r in j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == want and got
+
+
 @pytest.mark.parametrize(
     "asof",
     [
@@ -1586,6 +1749,15 @@ def test_asof_forward_is_earliest_at_or_after(eng):
          "$tiebreak": "o_orderkey", "$bogus": 1},
         {"$left_on": 7, "$right_on": "o_orderdate", "$per": "event_id",
          "$tiebreak": "o_orderkey"},
+        # $tolerance must be a positive number (round 11)
+        {"$left_on": "ts", "$right_on": "o_orderdate", "$per": "event_id",
+         "$tiebreak": "o_orderkey", "$tolerance": 0},
+        {"$left_on": "ts", "$right_on": "o_orderdate", "$per": "event_id",
+         "$tiebreak": "o_orderkey", "$tolerance": -5},
+        {"$left_on": "ts", "$right_on": "o_orderdate", "$per": "event_id",
+         "$tiebreak": "o_orderkey", "$tolerance": "30d"},
+        {"$left_on": "ts", "$right_on": "o_orderdate", "$per": "event_id",
+         "$tiebreak": "o_orderkey", "$tolerance": True},
     ],
 )
 def test_asof_bad_shapes_fail_typed(eng, asof):
