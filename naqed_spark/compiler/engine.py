@@ -417,11 +417,18 @@ class Engine:
                             & (rnum <= lnum + F.lit(a.tolerance))
                         )
                     # the join_asof_nearest contract: rank by |Δt|, then
-                    # earlier child time, then the unique tiebreak
+                    # earlier child time, then the unique tiebreak.
+                    # nulls LAST throughout: unlike backward/forward,
+                    # nearest's join condition (bare FK equality when
+                    # unbounded) lets a NULL-ordering child row survive
+                    # to ranking with a NULL distance — under Spark's
+                    # default nulls-first ASC it would BEAT every real
+                    # match (the same defect class ADVICE r10 found in
+                    # the stratified sample's md5(NULL) ordering).
                     order = [
-                        F.abs(rnum - lnum).asc(),
-                        child_df[a.right_on].asc(),
-                        child_df[a.tiebreak].asc(),
+                        F.abs(rnum - lnum).asc_nulls_last(),
+                        child_df[a.right_on].asc_nulls_last(),
+                        child_df[a.tiebreak].asc_nulls_last(),
                     ]
                 w = Window.partitionBy(df[a.per]).orderBy(*order)
                 df = (

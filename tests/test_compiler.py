@@ -1738,6 +1738,102 @@ def test_asof_nearest_with_tolerance_window(eng):
     assert got == want and got
 
 
+def test_asof_nearest_null_ordering_child_ranks_last(eng, tmp_path):
+    """A child row with a NULL ordering value survives nearest's bare
+    FK join (no residual when unbounded) and gets a NULL distance —
+    under default nulls-first ASC it would BEAT every real match. The
+    engine pins nulls LAST: NULL-ordering children are picked only when
+    a parent has no real candidate."""
+    import pandas as pd
+
+    from naqed_spark.compiler.engine import Engine
+
+    pd.DataFrame(
+        {
+            "event_id": pd.array([1, 2], dtype="Int64"),
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-02"]),
+            "user_id": pd.array([10, 20], dtype="Int64"),
+            "value": [100.0, 100.0],
+        }
+    ).to_parquet(tmp_path / "events.parquet", index=False)
+    pd.DataFrame(
+        {
+            # user 10: a NULL-price order (key 7) and a real one (key 8)
+            # — nearest must pick 8. user 20: ONLY the NULL-price order
+            # — it is the only candidate and is picked (documented).
+            "o_orderkey": pd.array([7, 8, 9], dtype="Int64"),
+            "o_custkey": pd.array([10, 10, 20], dtype="Int64"),
+            "o_totalprice": [None, 250.0, None],
+        }
+    ).to_parquet(tmp_path / "orders.parquet", index=False)
+    e2 = Engine(eng.spark, str(tmp_path))
+    got = {
+        (r["event_id"], r["o_orderkey"])
+        for r in e2.query(
+            {
+                "events": {
+                    "event_id": True,
+                    "orders": {
+                        "$asof": {
+                            "$left_on": "value",
+                            "$right_on": "o_totalprice",
+                            "$per": "event_id",
+                            "$tiebreak": "o_orderkey",
+                            "$strategy": "nearest",
+                        },
+                        "o_orderkey": True,
+                    },
+                }
+            }
+        ).collect()
+    }
+    assert got == {(1, 8), (2, 9)}
+
+
+def test_asof_nearest_numeric_ordering_columns(eng):
+    """The non-timestamp branch: nearest over NUMERIC ordering columns
+    (event value vs order total price) ranks by raw |difference| in
+    column units — no unix lowering, $tolerance in the same units."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    got = {
+        (r["event_id"], r["o_orderkey"])
+        for r in eng.query(
+            {
+                "events": {
+                    "event_id": True,
+                    "orders": {
+                        "$asof": {
+                            "$left_on": "value",
+                            "$right_on": "o_totalprice",
+                            "$per": "event_id",
+                            "$tiebreak": "o_orderkey",
+                            "$strategy": "nearest",
+                        },
+                        "o_orderkey": True,
+                    },
+                }
+            }
+        ).collect()
+    }
+    e = eng.entity("events").select("event_id", "user_id", "value")
+    o = eng.entity("orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    j = e.join(o, o.o_custkey == e.user_id).withColumn(
+        "d", F.abs(F.col("o_totalprice") - F.col("value"))
+    )
+    w = Window.partitionBy("event_id").orderBy(
+        F.col("d").asc(), F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    want = {
+        (r["event_id"], r["o_orderkey"])
+        for r in j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+    assert got == want and got
+
+
 @pytest.mark.parametrize(
     "asof",
     [
