@@ -1790,6 +1790,54 @@ def test_asof_nearest_null_ordering_child_ranks_last(eng, tmp_path):
     assert got == {(1, 8), (2, 9)}
 
 
+def test_asof_nearest_matches_pure_python_recompute(eng):
+    """Twin-bug defense ahead of the r12 registration: the two Spark
+    spellings (E1 hop, registered key) could share one mistake — this
+    replays nearest per event in plain python off the parquet: argmin
+    over that user's orders of (|Δt|, order time, order key)."""
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    od = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    by_user: dict = {}
+    # both fixture columns are datetime64[us] → astype int64 is µs
+    for ck, ok, ous in zip(
+        od.o_custkey, od.o_orderkey, od.o_orderdate.astype("int64")
+    ):
+        by_user.setdefault(ck, []).append((ok, ous))
+    want = set()
+    for eid, uid, ts in zip(
+        ev.event_id, ev.user_id, ev.ts.astype("int64")
+    ):
+        cands = by_user.get(uid)
+        if not cands:
+            continue
+        best = min(cands, key=lambda c: (abs(c[1] - ts), c[1], c[0]))
+        want.add((eid, uid, best[0]))
+    got = {
+        (r["event_id"], r["user_id"], r["o_orderkey"])
+        for r in eng.query(
+            {
+                "events": {
+                    "event_id": True,
+                    "user_id": True,
+                    "orders": {
+                        "$asof": {
+                            "$left_on": "ts",
+                            "$right_on": "o_orderdate",
+                            "$per": "event_id",
+                            "$tiebreak": "o_orderkey",
+                            "$strategy": "nearest",
+                        },
+                        "o_orderkey": True,
+                    },
+                }
+            }
+        ).collect()
+    }
+    assert got == want and got
+
+
 def test_asof_nearest_numeric_ordering_columns(eng):
     """The non-timestamp branch: nearest over NUMERIC ordering columns
     (event value vs order total price) ranks by raw |difference| in
