@@ -21,6 +21,14 @@ Query shape (naqed-style, SURVEY.md §1.1/§3.2):
       }
     }
 
+NULL ordering contract: ``$orderby`` and window ``$order`` inherit
+Spark's defaults — NULLS FIRST ascending, NULLS LAST descending
+(DuckDB's default is the opposite on ASC; SQL twins over nullable sort
+columns must pin NULLS FIRST/LAST explicitly, §7.3). The DSL spellings
+that RANK rows internally pin their own null order instead of the
+default wherever a NULL could spuriously win: stratified ``$sample``
+and ``$asof`` nearest rank NULLs LAST (round 11).
+
 Round-4 extensions (VERDICT r3 item 7):
 
     "$select": {"alias": <expr>}      # computed columns; <expr> is a column
