@@ -161,10 +161,15 @@ def main() -> None:
         try:
             fn = QUERIES[key]
             fn(spark, sf_dir).collect()
-            tpch[key] = timed(lambda: fn(spark, sf_dir).collect())
+            t_full = timed(lambda: fn(spark, sf_dir).collect())
             df = fn(spark, sf_dir)
             df.collect()
-            tpch_exec[key] = min(timed(df.collect) for _ in range(2))
+            t_exec = min(timed(df.collect) for _ in range(2))
+            # assign both only after both measurements succeed, so
+            # tpch_total and tpch_exec_total always sum the SAME key
+            # set — a late failure must not skew the comparison
+            tpch[key] = t_full
+            tpch_exec[key] = t_exec
         except Exception as ex:
             print(f"# {key}: FAILED {ex}", file=sys.stderr)
 

@@ -265,11 +265,15 @@ class Engine:
                 # NULL semantics (round 11, ADVICE r10): md5(NULL) is
                 # NULL, and Spark's default ASC order is nulls-FIRST —
                 # which would preferentially keep every NULL-$key row in
-                # every stratum. Rank with nulls LAST on both the hash
-                # and the tiebreak so NULL keys are sampled only when a
-                # stratum has fewer than $keep non-NULL keys. A NULL
-                # $per value forms its own stratum (GROUP BY semantics:
-                # NULL is one group) — deliberate and documented.
+                # every stratum. NULL-$key rows are EXCLUDED outright:
+                # ranking them last instead would leave multiple NULL
+                # keys fully tied on (md5, key), making WHICH of them
+                # survives a partition-luck pick that diverges between
+                # engines and even between Spark runs. The sample
+                # contract is md5-of-key-deterministic; rows without a
+                # key have no place in it. A NULL $per value still
+                # forms its own stratum (GROUP BY semantics: NULL is
+                # one group) — deliberate and documented.
                 from pyspark.sql.window import Window
 
                 if sample.per not in df.columns:
@@ -278,11 +282,12 @@ class Engine:
                         f" {node.entity!r} (have {df.columns})"
                     )
                 w = Window.partitionBy(F.col(sample.per)).orderBy(
-                    F.md5(F.col(sample.key).cast("string")).asc_nulls_last(),
-                    F.col(sample.key).asc_nulls_last(),
+                    F.md5(F.col(sample.key).cast("string")),
+                    F.col(sample.key),
                 )
                 df = (
-                    df.withColumn("__sample_rn", F.row_number().over(w))
+                    df.filter(F.col(sample.key).isNotNull())
+                    .withColumn("__sample_rn", F.row_number().over(w))
                     .filter(F.col("__sample_rn") <= sample.keep)
                     .drop("__sample_rn")
                 )
@@ -380,14 +385,17 @@ class Engine:
                 # timestamp is an INTERVAL, which neither abs() nor a
                 # numeric $tolerance composes with. $tolerance is
                 # therefore in µs for timestamps, column units otherwise.
+                # the shared epoch lowering (NTZ-safe unix_micros) —
+                # ONE spelling for the E1 hop and the registered
+                # join_asof_* keys it is pinned against, so the µs
+                # discipline can never drift between the two layers.
+                # Lazy import: queries._util is pyspark-only (no cycle
+                # back into the compiler).
+                from naqed_spark.queries._util import epoch_us
+
                 def _num(frame, name, col):
                     dt = frame.schema[name].dataType.simpleString()
-                    # NTZ casts to TIMESTAMP first (unix_micros rejects
-                    # it); session TZ is pinned UTC so the instant is
-                    # preserved — the epoch_us discipline in _util.py
-                    if "timestamp" in dt:
-                        return F.unix_micros(col.cast("timestamp"))
-                    return col
+                    return epoch_us(col) if "timestamp" in dt else col
 
                 lnum = _num(df, a.left_on, left)
                 rnum = _num(child_df, a.right_on, right)
@@ -410,6 +418,18 @@ class Engine:
                         child_df[a.tiebreak].asc(),
                     ]
                 else:  # nearest (round 11): closest in either direction
+                    # backward/forward drop NULL-ordering rows through
+                    # their residual (NULL comparison → UNKNOWN → no
+                    # match, SQL three-valued logic). Unbounded nearest
+                    # has no residual — joining on bare FK equality
+                    # would match a NULL-left_on parent to its EARLIEST
+                    # child (all distances NULL → tie → time order) and
+                    # let NULL-right_on children reach ranking. Require
+                    # both ordering values explicitly so the three
+                    # strategies share one null contract: a NULL on
+                    # either side never produces a match. Also a
+                    # fan-out prune, like the residuals.
+                    cond = cond & lnum.isNotNull() & rnum.isNotNull()
                     if a.tolerance is not None:
                         cond = (
                             cond
@@ -418,13 +438,7 @@ class Engine:
                         )
                     # the join_asof_nearest contract: rank by |Δt|, then
                     # earlier child time, then the unique tiebreak.
-                    # nulls LAST throughout: unlike backward/forward,
-                    # nearest's join condition (bare FK equality when
-                    # unbounded) lets a NULL-ordering child row survive
-                    # to ranking with a NULL distance — under Spark's
-                    # default nulls-first ASC it would BEAT every real
-                    # match (the same defect class ADVICE r10 found in
-                    # the stratified sample's md5(NULL) ordering).
+                    # nulls-LAST ordering kept as defense in depth.
                     order = [
                         F.abs(rnum - lnum).asc_nulls_last(),
                         child_df[a.right_on].asc_nulls_last(),
@@ -500,7 +514,13 @@ class Engine:
                 raise SpecError(
                     f"$select: no such column {name!r} (have {sorted(df.columns)})"
                 )
-            return F.col(name)
+            # backtick-quote: the existence check above is against the
+            # VERBATIM frame column name, so resolution must be verbatim
+            # too — a bare F.col would parse a dot (e.g. a $pivot value
+            # column "us.east") as nested-field access and crash with an
+            # engine AnalysisException instead of resolving (round 11,
+            # completing the ADVICE r10 dotted-name fix).
+            return F.col("`" + name.replace("`", "``") + "`")
         if op == "$lit":
             return F.lit(ex.args[0])
         sub = [self._compile_expr(df, a) for a in ex.args]

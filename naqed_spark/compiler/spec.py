@@ -25,9 +25,13 @@ NULL ordering contract: ``$orderby`` and window ``$order`` inherit
 Spark's defaults — NULLS FIRST ascending, NULLS LAST descending
 (DuckDB's default is the opposite on ASC; SQL twins over nullable sort
 columns must pin NULLS FIRST/LAST explicitly, §7.3). The DSL spellings
-that RANK rows internally pin their own null order instead of the
-default wherever a NULL could spuriously win: stratified ``$sample``
-and ``$asof`` nearest rank NULLs LAST (round 11).
+that RANK rows internally define NULL out of the ranking entirely
+(round 11): stratified ``$sample`` excludes NULL-``$key`` rows (a
+keyless row has no place in an md5-of-key-deterministic sample, and
+tied NULLs would be a nondeterministic pick), and ``$asof`` never
+matches through a NULL ordering value on either side (backward/forward
+via their residuals' three-valued logic, nearest via explicit
+isNotNull conjuncts).
 
 Round-4 extensions (VERDICT r3 item 7):
 
@@ -215,12 +219,15 @@ registry.DEFERRED):
                                       # discipline; plans with
                                       # WindowGroupLimit). $buckets is
                                       # bucket-mode only and rejected
-                                      # with $per. NULL $key rows rank
-                                      # LAST (md5(NULL) is NULL; default
-                                      # nulls-first would preferentially
-                                      # keep them); a NULL $per value is
-                                      # its own stratum (GROUP BY
-                                      # semantics).
+                                      # with $per. NULL $key rows are
+                                      # EXCLUDED (md5(NULL) is NULL: a
+                                      # keyless row would either win
+                                      # every stratum nulls-first or be
+                                      # a nondeterministic fully-tied
+                                      # pick nulls-last; bucket mode
+                                      # drops them identically); a NULL
+                                      # $per value is its own stratum
+                                      # (GROUP BY semantics).
 
 ``$``-keys are arguments (the reference passes resolver args the same way);
 everything else is either a requested field (``True``) or a relationship

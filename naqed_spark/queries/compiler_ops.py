@@ -1279,22 +1279,24 @@ def compiler_unpivot(spark, sf_dir):
     # stratum — equal counts regardless of stratum skew (the
     # sample_stratified_hash discipline), deterministic across engines
     # because both rank by md5(cast(key as string)) with the key
-    # tiebreak. NULL keys rank LAST in both spellings (ADVICE r10:
-    # md5(NULL) is NULL and Spark's default asc is nulls-FIRST, which
-    # would preferentially keep NULL-key rows — the compiled window
-    # pins asc_nulls_last, the oracle pins NULLS LAST). Scale: rn <= k
-    # over a partitioned rank plans as WindowGroupLimit — each input
-    # partition keeps its local top-k per stratum BEFORE the exchange,
-    # so the shuffle carries O(k x strata x partitions) rows.
+    # tiebreak. NULL-$key rows are EXCLUDED in both spellings (ADVICE
+    # r10 + round-11 review: md5(NULL) is NULL, so NULL keys would
+    # either win every stratum under nulls-first order or sit fully
+    # TIED under nulls-last — which of them survives would be a
+    # partition-luck pick; a keyless row has no place in an
+    # md5-of-key-deterministic sample; bucket mode drops them the same
+    # way). Scale: rn <= k over a partitioned rank plans as
+    # WindowGroupLimit — each input partition keeps its local top-k
+    # per stratum BEFORE the exchange, so the shuffle carries
+    # O(k x strata x partitions) rows.
     oracle="""
     SELECT c_custkey, c_mktsegment, c_nationkey
     FROM (
       SELECT c_custkey, c_mktsegment, c_nationkey,
              row_number() OVER (
                PARTITION BY c_mktsegment
-               ORDER BY md5(CAST(c_custkey AS VARCHAR)) ASC NULLS LAST,
-                        c_custkey ASC NULLS LAST) AS rn
-      FROM customer) t
+               ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rn
+      FROM customer WHERE c_custkey IS NOT NULL) t
     WHERE rn <= 7
     """,
 )

@@ -1738,29 +1738,33 @@ def test_asof_nearest_with_tolerance_window(eng):
     assert got == want and got
 
 
-def test_asof_nearest_null_ordering_child_ranks_last(eng, tmp_path):
-    """A child row with a NULL ordering value survives nearest's bare
-    FK join (no residual when unbounded) and gets a NULL distance —
-    under default nulls-first ASC it would BEAT every real match. The
-    engine pins nulls LAST: NULL-ordering children are picked only when
-    a parent has no real candidate."""
+def test_asof_nearest_null_ordering_never_matches(eng, tmp_path):
+    """One null contract across all three strategies: a NULL ordering
+    value on EITHER side never produces a match (backward/forward get
+    this from their residual's three-valued logic; unbounded nearest
+    joins on bare FK equality, so the engine adds explicit isNotNull
+    conjuncts — without them a NULL-left_on parent would 'match' its
+    EARLIEST child through an all-NULL distance tie, and a NULL-right_on
+    child would reach ranking)."""
     import pandas as pd
 
     from naqed_spark.compiler.engine import Engine
 
     pd.DataFrame(
         {
-            "event_id": pd.array([1, 2], dtype="Int64"),
-            "ts": pd.to_datetime(["2024-01-01", "2024-01-02"]),
-            "user_id": pd.array([10, 20], dtype="Int64"),
-            "value": [100.0, 100.0],
+            # event 3 has a NULL left_on value: it must drop, not match
+            # user 10's earliest order through the NULL-distance tie.
+            "event_id": pd.array([1, 2, 3], dtype="Int64"),
+            "ts": pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-03"]),
+            "user_id": pd.array([10, 20, 10], dtype="Int64"),
+            "value": [100.0, 100.0, None],
         }
     ).to_parquet(tmp_path / "events.parquet", index=False)
     pd.DataFrame(
         {
             # user 10: a NULL-price order (key 7) and a real one (key 8)
             # — nearest must pick 8. user 20: ONLY the NULL-price order
-            # — it is the only candidate and is picked (documented).
+            # — no match; event 2 drops (INNER hop).
             "o_orderkey": pd.array([7, 8, 9], dtype="Int64"),
             "o_custkey": pd.array([10, 10, 20], dtype="Int64"),
             "o_totalprice": [None, 250.0, None],
@@ -1787,7 +1791,7 @@ def test_asof_nearest_null_ordering_child_ranks_last(eng, tmp_path):
             }
         ).collect()
     }
-    assert got == {(1, 8), (2, 9)}
+    assert got == {(1, 8)}
 
 
 def test_asof_nearest_matches_pure_python_recompute(eng):
@@ -2189,10 +2193,9 @@ def test_stratified_sample_matches_window_spelling(eng):
             }
         }
     )
-    c = eng.entity("customer")
+    c = eng.entity("customer").filter(F.col("c_custkey").isNotNull())
     w = Window.partitionBy("c_mktsegment").orderBy(
-        F.md5(F.col("c_custkey").cast("string")).asc_nulls_last(),
-        F.col("c_custkey").asc_nulls_last(),
+        F.md5(F.col("c_custkey").cast("string")), F.col("c_custkey")
     )
     want = (
         c.withColumn("rn", F.row_number().over(w))
@@ -2353,6 +2356,35 @@ def test_pivot_dotted_value_resolves_positionally(eng):
     assert g == w
 
 
+def test_pivot_dotted_values_work_in_derive(eng):
+    """Round-11 review: $derive expressions referencing DOTTED pivot
+    value columns must resolve verbatim — the $col existence check is
+    against frame column names, so resolution must be backtick-quoted
+    or Spark parses 'v.click' as field 'click' of column 'v' and
+    crashes with an AnalysisException instead of a typed error or a
+    result."""
+    got = eng.query(
+        {
+            "events": {
+                "user_id": True,
+                "$select": {
+                    "tagged": {"$concat": [{"$lit": "v."}, "event_type"]}
+                },
+                "$groupby": ["user_id"],
+                "$pivot": {
+                    "$on": "tagged",
+                    "$values": ["v.click", "v.view"],
+                    "$agg": {"$count": True},
+                },
+                "$derive": {"engaged": {"$add": ["v.click", "v.view"]}},
+            }
+        }
+    )
+    assert got.columns == ["user_id", "v.click", "v.view", "engaged"]
+    for r in got.collect():
+        assert r["engaged"] == r["v.click"] + r["v.view"]
+
+
 def test_pivot_sum_aliases_value_columns_to_str(eng):
     """Non-$count pivots also emit str(value)-named columns via the
     positional re-alias (previously they kept whatever name Spark
@@ -2374,21 +2406,25 @@ def test_pivot_sum_aliases_value_columns_to_str(eng):
     assert got.columns == ["user_id", "click", "view"]
 
 
-def test_stratified_sample_null_keys_rank_last(eng, tmp_path):
-    """ADVICE r10 (low): md5(NULL) is NULL and default ASC order is
-    nulls-first — NULL-$key rows would win every stratum. After the fix
-    they rank LAST: sampled only when a stratum runs out of non-NULL
-    keys. A NULL stratum is its own partition (GROUP BY semantics)."""
+def test_stratified_sample_null_keys_are_excluded(eng, tmp_path):
+    """ADVICE r10 + round-11 review: md5(NULL) is NULL, so NULL-$key
+    rows would either win every stratum (default nulls-first) or sit
+    fully TIED at the bottom (nulls-last) — making WHICH of them
+    survives a nondeterministic partition-luck pick that diverges
+    between engines. The contract excludes them: a keyless row has no
+    place in an md5-of-key-deterministic sample (bucket mode drops them
+    identically). A NULL stratum is still its own partition (GROUP BY
+    semantics)."""
     import pandas as pd
 
     from naqed_spark.compiler.engine import Engine
 
     df = pd.DataFrame(
         {
-            # segment A: 4 non-null keys + 2 null keys; keep=3 must pick
-            # only non-null keys. segment B: 2 non-null + 2 null; keep=3
-            # must pick both non-null and exactly one null-key row.
-            # NULL segment: its own stratum.
+            # segment A: 4 non-null keys + 2 null keys; keep=3 picks 3
+            # non-null. segment B: 2 non-null + 2 null; keep=3 yields
+            # ONLY the 2 non-null rows (never a null-key row). NULL
+            # segment: its own stratum, non-null keys sampled normally.
             # nullable Int64: a plain list with None would coerce to
             # float64 NaN, which parquet stores as a VALUE, not NULL
             "c_custkey": pd.array(
@@ -2415,12 +2451,12 @@ def test_stratified_sample_null_keys_rank_last(eng, tmp_path):
             }
         }
     ).collect()
+    assert all(r["c_custkey"] is not None for r in got)
     by_seg: dict = {}
     for r in got:
         by_seg.setdefault(r["c_mktsegment"], []).append(r)
     assert len(by_seg["A"]) == 3
-    assert all(r["c_custkey"] is not None for r in by_seg["A"])
-    assert len(by_seg["B"]) == 3
-    assert sum(r["c_custkey"] is None for r in by_seg["B"]) == 1
+    # B has only 2 eligible (non-null-key) rows — both kept, nothing else
+    assert {r["c_custkey"] for r in by_seg["B"]} == {10, 11}
     # the NULL segment is one stratum of its own
-    assert len(by_seg[None]) == 2
+    assert {r["c_custkey"] for r in by_seg[None]} == {20, 21}
