@@ -229,6 +229,36 @@ registry.DEFERRED):
                                       # $per value is its own stratum
                                       # (GROUP BY semantics).
 
+Round-12 extensions (VERDICT r11 items 2-3 + ADVICE r11):
+
+    "$rollup": true                   # subtotal grids over the $groupby
+    "$cube": true                     # columns (SQL ROLLUP/CUBE): the
+    "$grouping_sets": [[c...], ...]   # grid rows add per-prefix / per-
+                                      # subset / per-listed-set subtotal
+                                      # rows, rolled-up key columns NULL.
+                                      # All three require $groupby + $agg,
+                                      # one mode per query, exclusive with
+                                      # $pivot/$unpivot/$distinct. Inside
+                                      # $grouping_sets, [] is the grand
+                                      # total and every set column must be
+                                      # a $groupby column.
+    {alias: {"$grouping": col}} in $agg  # 1 on subtotal rows where col is
+                                      # rolled up, 0 where grouped — the
+                                      # NULL-data disambiguator (SQL
+                                      # GROUPING()); col must be a
+                                      # $groupby column and a grouping
+                                      # mode must be active.
+    "$asof": {..., "$how": "left"}    # keep parents with no (in-
+                                      # tolerance) match, child columns
+                                      # NULL — the join_asof_tolerance
+                                      # key's freshness contract; the
+                                      # default "inner" drops them.
+                                      # DATE ordering columns now lower
+                                      # to epoch µs like timestamps, so
+                                      # $tolerance is µs across temporal
+                                      # types and mixed date/timestamp
+                                      # pairs compare µs to µs.
+
 ``$``-keys are arguments (the reference passes resolver args the same way);
 everything else is either a requested field (``True``) or a relationship
 traversal (nested dict). Relationship fan-out is relational: one output row
@@ -250,7 +280,7 @@ class SpecError(ValueError):
 FILTER_OPS = {"$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$in", "$between",
               "$like", "$isnull", "$notnull"}
 AGG_OPS = {"$count", "$sum", "$avg", "$min", "$max", "$count_distinct",
-           "$min_by", "$max_by"}
+           "$min_by", "$max_by", "$grouping"}
 # $select expression DSL (round 4): arity-checked at parse time.
 # A bare string is a column reference; numbers are literals; string
 # literals must be spelled {"$lit": "..."} to stay unambiguous.
@@ -423,9 +453,14 @@ class AsofSpec:
     tiebreak: str
     strategy: str = "backward"
     # round 11 (registered r12): staleness bound in the units of the
-    # ordering columns (MICROSECONDS when they are timestamps — the
-    # engine lowers both sides through unix_micros); None = unbounded.
+    # ordering columns (MICROSECONDS when they are dates/timestamps —
+    # the engine lowers both sides to epoch µs); None = unbounded.
     tolerance: "int | float | None" = None
+    # round 12 (ADVICE r11): join semantics for parents with no
+    # (in-tolerance) match — "inner" drops them (default), "left"
+    # keeps them with NULL child columns (the registered
+    # join_asof_tolerance key's feature-store freshness contract).
+    how: str = "inner"
 
 
 @dataclass
@@ -494,6 +529,9 @@ class QuerySpec:
     sample: "SampleSpec | None" = None
     pivot: "PivotSpec | None" = None
     unpivot: "UnpivotSpec | None" = None
+    # round 12: subtotal grids — "rollup" | "cube" | list of grouping
+    # sets (each a list of $groupby columns; [] = grand total)
+    grouping: "str | list[list[str]] | None" = None
 
 
 def _validate_filter_value(col: str, op: str, val: object) -> None:
@@ -564,6 +602,18 @@ def _parse_aggs(obj: object) -> list[AggSpec]:
         ((op, col),) = body.items()
         if op not in AGG_OPS:
             raise SpecError(f"unknown agg op {op!r} in {alias!r}")
+        if op == "$grouping":
+            # subtotal-row indicator (SQL GROUPING()): only meaningful
+            # under $rollup/$cube/$grouping_sets and only over a
+            # $groupby column — both enforced in parse_spec where the
+            # sibling keys are visible.
+            if not isinstance(col, str) or isinstance(col, bool) or not col:
+                raise SpecError(
+                    f"$agg entry {alias!r}: $grouping takes a $groupby"
+                    f" column name, got {col!r}"
+                )
+            aggs.append(AggSpec(alias, op, col))
+            continue
         if op in ("$min_by", "$max_by"):
             # argmin/argmax: [value-column, ordering-column]. The caller
             # must order by a UNIQUE column (or accept engine-dependent
@@ -800,7 +850,8 @@ def _parse_node(entity: str, body: dict) -> tuple[Node, dict]:
             node.theta = _parse_theta(entity, val)
         elif key in ("$agg", "$groupby", "$having", "$orderby", "$limit",
                      "$offset", "$distinct", "$select", "$derive", "$window",
-                     "$qualify", "$sample", "$pivot", "$unpivot"):
+                     "$qualify", "$sample", "$pivot", "$unpivot",
+                     "$rollup", "$cube", "$grouping_sets"):
             top[key] = val
         elif key.startswith("$"):
             raise SpecError(f"unknown argument {key!r} on entity {entity!r}")
@@ -891,20 +942,23 @@ def _parse_theta(entity: str, val: object) -> list:
 def _parse_asof(entity: str, val: object) -> AsofSpec:
     """``$asof: {"$left_on": c, "$right_on": c, "$per": c, "$tiebreak": c,
     "$strategy"?: "backward"|"forward"|"nearest",
-    "$tolerance"?: positive number}`` — all shape violations are typed
-    SpecErrors per the parser contract. ``nearest`` (round 11) matches
-    the child CLOSEST in either direction (the join_asof_nearest
-    contract: rank by |Δt|, then earlier child time, then tiebreak);
-    ``$tolerance`` bounds the match distance (the join_asof_tolerance
-    freshness contract) in the ordering columns' units — MICROSECONDS
-    for timestamps — and doubles as a fan-out prune in the join
-    condition."""
+    "$tolerance"?: positive number, "$how"?: "inner"|"left"}`` — all
+    shape violations are typed SpecErrors per the parser contract.
+    ``nearest`` (round 11) matches the child CLOSEST in either
+    direction (the join_asof_nearest contract: rank by |Δt|, then
+    earlier child time, then tiebreak); ``$tolerance`` bounds the match
+    distance in the ordering columns' units — MICROSECONDS for dates
+    and timestamps (both lower to epoch µs) — and doubles as a fan-out
+    prune in the join condition. ``$how`` (round 12, ADVICE r11) picks
+    what happens to parents with no (in-tolerance) match: ``inner``
+    (default) drops them; ``left`` keeps them with NULL child columns —
+    the registered join_asof_tolerance key's freshness contract."""
     if not isinstance(val, dict):
         raise SpecError(
             f"$asof on {entity!r} must be a dict, got {type(val).__name__}"
         )
     allowed = {"$left_on", "$right_on", "$per", "$tiebreak", "$strategy",
-               "$tolerance"}
+               "$tolerance", "$how"}
     unknown = set(val) - allowed
     if unknown:
         raise SpecError(f"$asof on {entity!r}: unknown keys {sorted(unknown)}")
@@ -935,6 +989,14 @@ def _parse_asof(entity: str, val: object) -> AsofSpec:
             f" (ordering-column units; µs for timestamps),"
             f" got {tolerance!r}"
         )
+    how = val.get("$how", "inner")
+    if how not in ("inner", "left"):
+        raise SpecError(
+            f"$asof on {entity!r}: $how must be 'inner' (drop parents"
+            f" with no in-tolerance match) or 'left' (keep them with"
+            f" NULL child columns — the join_asof_tolerance contract),"
+            f" got {how!r}"
+        )
     return AsofSpec(
         left_on=val["$left_on"],
         right_on=val["$right_on"],
@@ -942,6 +1004,7 @@ def _parse_asof(entity: str, val: object) -> AsofSpec:
         tiebreak=val["$tiebreak"],
         strategy=strategy,
         tolerance=tolerance,
+        how=how,
     )
 
 
@@ -1174,6 +1237,78 @@ def parse_spec(spec: dict) -> QuerySpec:
         if conflicts:
             raise SpecError(f"$unpivot is exclusive with {sorted(conflicts)}")
         qs.unpivot = _parse_unpivot(top["$unpivot"])
+    grouping_keys = {"$rollup", "$cube", "$grouping_sets"} & set(top)
+    if grouping_keys:
+        # round 12 (VERDICT r11 item 3): subtotal grids. One mode at a
+        # time; all three need $groupby (the grid columns) + $agg (the
+        # measures), and are exclusive with the other projection-defining
+        # stages ($pivot/$unpivot) and $distinct (subtotal rows are
+        # already distinct per (keys, grouping set); a cross-set distinct
+        # would silently merge a subtotal with an identical NULL-data
+        # row).
+        if len(grouping_keys) > 1:
+            raise SpecError(
+                f"only one of $rollup/$cube/$grouping_sets per query,"
+                f" got {sorted(grouping_keys)}"
+            )
+        mode = next(iter(grouping_keys))
+        conflicts = {"$pivot", "$unpivot", "$distinct"} & set(top)
+        if conflicts:
+            raise SpecError(f"{mode} is exclusive with {sorted(conflicts)}")
+        if not qs.groupby:
+            raise SpecError(f"{mode} requires $groupby (the grid columns)")
+        if not qs.aggs:
+            raise SpecError(f"{mode} requires $agg (the measures)")
+        if mode in ("$rollup", "$cube"):
+            if top[mode] is not True:
+                raise SpecError(f"{mode} takes only true, got {top[mode]!r}")
+            qs.grouping = mode[1:]  # "rollup" | "cube"
+        else:
+            sets = top["$grouping_sets"]
+            if not isinstance(sets, list) or not sets:
+                raise SpecError(
+                    "$grouping_sets must be a non-empty list of column"
+                    " lists (use [] inside for the grand total)"
+                )
+            parsed_sets: list[list[str]] = []
+            for s in sets:
+                if not isinstance(s, list) or not all(
+                    isinstance(c, str) and not isinstance(c, bool)
+                    for c in s
+                ):
+                    raise SpecError(
+                        f"$grouping_sets: each set must be a list of"
+                        f" column names, got {s!r}"
+                    )
+                if len(set(s)) != len(s):
+                    raise SpecError(
+                        f"$grouping_sets: duplicate column in set {s!r}"
+                    )
+                bad = [c for c in s if c not in qs.groupby]
+                if bad:
+                    raise SpecError(
+                        f"$grouping_sets: {bad!r} not in $groupby"
+                        f" {qs.groupby!r} — every set column must be a"
+                        f" grid column"
+                    )
+                parsed_sets.append(list(s))
+            seen = {tuple(s) for s in parsed_sets}
+            if len(seen) != len(parsed_sets):
+                raise SpecError("$grouping_sets must not repeat a set")
+            qs.grouping = parsed_sets
+    for a in qs.aggs:
+        if a.op == "$grouping":
+            if qs.grouping is None:
+                raise SpecError(
+                    f"$agg entry {a.alias!r}: $grouping is only"
+                    f" meaningful under $rollup/$cube/$grouping_sets"
+                )
+            if a.column not in qs.groupby:
+                raise SpecError(
+                    f"$agg entry {a.alias!r}: $grouping column"
+                    f" {a.column!r} must be a $groupby column"
+                    f" (have {qs.groupby!r})"
+                )
     if qs.aggs and not qs.groupby:
         # global aggregation is fine; groupby optional
         pass

@@ -1318,3 +1318,247 @@ def compiler_sample_stratified(spark, sf_dir):
             }
         }
     )
+
+
+# ---------------- round 12: the round-11 $asof extensions and the new
+# subtotal-grid spellings registered as driver keys (VERDICT r11 items
+# 2-3). All five enter the rotation via registry.DEFERRED so they queue
+# BEHIND the scheduled TOUCHED re-checks (the 7-key r11 backlog must
+# get its hard signals first).
+
+
+@query(
+    "compiler_asof_nearest",
+    # $strategy "nearest" through the E1 DSL: each event matched to the
+    # ONE order closest in time in EITHER direction per event — rank by
+    # |Δt|, then earlier order date, then the unique o_orderkey
+    # tiebreak (the join_asof_nearest contract). The ordering columns
+    # are a MIXED temporal pair (events.ts timestamp, orders date):
+    # both lower to epoch MICROSECONDS (unix_micros / unix_date — the
+    # ADVICE r11 date-lowering fix this key exercises end-to-end), so
+    # the distance is integer µs on both engines. NULL ordering values
+    # never match (isNotNull conjuncts in the join condition — the
+    # three-strategy shared null contract).
+    oracle="""
+    SELECT event_id, user_id, o_orderkey, o_orderdate FROM (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY abs(epoch_us(o.o_orderdate) - epoch_us(e.ts)),
+                        o.o_orderdate, o.o_orderkey) AS rn
+      FROM events e JOIN orders o
+        ON o.o_custkey = e.user_id
+       AND e.ts IS NOT NULL AND o.o_orderdate IS NOT NULL
+    ) t WHERE rn = 1
+    """,
+)
+def compiler_asof_nearest(spark, sf_dir):
+    """Same plan family as join_asof_nearest (user-key equi-join +
+    per-event WindowGroupLimit top-1 — the |Δt| rank never materializes
+    the temporal fan-out; pinned by tests/test_compiler.py::
+    test_asof_plan_uses_window_group_limit on the shared hop path)."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "events": {
+                "event_id": True,
+                "user_id": True,
+                "orders": {
+                    "$asof": {
+                        "$left_on": "ts",
+                        "$right_on": "o_orderdate",
+                        "$per": "event_id",
+                        "$tiebreak": "o_orderkey",
+                        "$strategy": "nearest",
+                    },
+                    "o_orderkey": True,
+                    "o_orderdate": True,
+                },
+            }
+        }
+    )
+
+
+# 8400 days in µs: the fixtures put events in 2024 and orders in
+# 1995-2001, so the per-event backward staleness sits around 8200-9100
+# days — this bound lands mid-distribution, leaving a real mix of
+# fresh (matched) and stale (NULL) events at every test SF.
+_ASOF_TOL_US = 8400 * 86_400_000_000
+
+
+@query(
+    "compiler_asof_tolerance",
+    # $tolerance + $how "left" through the E1 DSL — the registered
+    # join_asof_tolerance key's feature-store freshness contract: the
+    # latest order at-or-before each event counts only if it is within
+    # the staleness bound; events whose only matches are stale KEEP
+    # their row with a NULL order key (LEFT semantics — the ADVICE r11
+    # $how fix this key exercises; the default INNER would drop them).
+    # The bound is in MICROSECONDS (both temporal types lower to epoch
+    # µs) and rides the join condition as a fan-out prune, not a
+    # post-rank filter. With a LEFT join an unmatched event emits
+    # exactly one all-NULL-order row, so rank-1 keeps it.
+    oracle=f"""
+    SELECT event_id, user_id, o_orderkey FROM (
+      SELECT e.event_id, e.user_id, o.o_orderkey,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM events e LEFT JOIN orders o
+        ON o.o_custkey = e.user_id
+       AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)
+       AND epoch_us(o.o_orderdate) >= epoch_us(e.ts) - {_ASOF_TOL_US}
+    ) t WHERE rn = 1
+    """,
+)
+def compiler_asof_tolerance(spark, sf_dir):
+    """Backward strategy + µs staleness bound + left join: the full
+    join_asof_tolerance contract in one E1 hop. Plan: equi-join with the
+    tolerance residual in the condition + per-event WindowGroupLimit
+    top-1 — stale child rows are pruned at the join, never ranked."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "events": {
+                "event_id": True,
+                "user_id": True,
+                "orders": {
+                    "$asof": {
+                        "$left_on": "ts",
+                        "$right_on": "o_orderdate",
+                        "$per": "event_id",
+                        "$tiebreak": "o_orderkey",
+                        "$tolerance": _ASOF_TOL_US,
+                        "$how": "left",
+                    },
+                    "o_orderkey": True,
+                },
+            }
+        }
+    )
+
+
+@query(
+    "compiler_rollup",
+    # $rollup through the E1 DSL (VERDICT r11 item 3 — the largest
+    # remaining DSL-vs-engine capability gap): per-(flag, status)
+    # totals plus per-flag subtotals plus the grand total in ONE query,
+    # compiling to Spark's native rollup — a single Expand (3 grouping
+    # sets per input row, partial-agg'd map-side) feeding ONE hash
+    # exchange keyed on (keys, grouping_id), the exact plan the
+    # registered agg_rollup key carries. The $grouping agg op
+    # disambiguates subtotal NULLs from NULL data values (SQL
+    # GROUPING()), matching the agg_grouping_sets discipline.
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty, count(*) AS n,
+           grouping(l_returnflag) AS g_flag,
+           grouping(l_linestatus) AS g_status
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def compiler_rollup(spark, sf_dir):
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "lineitem": {
+                "$groupby": ["l_returnflag", "l_linestatus"],
+                "$rollup": True,
+                "$agg": {
+                    "sum_qty": {"$sum": "l_quantity"},
+                    "n": {"$count": True},
+                    "g_flag": {"$grouping": "l_returnflag"},
+                    "g_status": {"$grouping": "l_linestatus"},
+                },
+            }
+        }
+    )
+
+
+@query(
+    "compiler_cube",
+    # $cube: all four grouping sets of (status, priority) in one pass —
+    # same Expand + single-exchange plan as $rollup with 4 sets. Money
+    # follows the §7.3 discipline: exact decimal inside the aggregate,
+    # double at the emission boundary via $derive, so both engines agree
+    # bitwise on every subtotal.
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS total,
+           grouping(o_orderstatus) AS g_status
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def compiler_cube(spark, sf_dir):
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "orders": {
+                "$select": {
+                    "price_dec": {
+                        "$cast": ["o_totalprice", {"$lit": "decimal(12,2)"}]
+                    }
+                },
+                "$groupby": ["o_orderstatus", "o_orderpriority"],
+                "$cube": True,
+                "$agg": {
+                    "n": {"$count": True},
+                    "total": {"$sum": "price_dec"},
+                    "g_status": {"$grouping": "o_orderstatus"},
+                },
+                "$derive": {
+                    "total": {"$cast": ["total", {"$lit": "double"}]}
+                },
+            }
+        }
+    )
+
+
+@query(
+    "compiler_grouping_sets",
+    # Explicit $grouping_sets: per-flag totals, per-status totals, and
+    # the grand total — no cross set — with both grouping flags
+    # disambiguating which grid row is which. The empty set [] is the
+    # grand total. Compiles to groupingSets (one Expand, one exchange);
+    # the oracle is the literal GROUP BY GROUPING SETS twin.
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) AS g_flag,
+           grouping(l_linestatus) AS g_status,
+           sum(l_quantity) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def compiler_grouping_sets(spark, sf_dir):
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "lineitem": {
+                "$groupby": ["l_returnflag", "l_linestatus"],
+                "$grouping_sets": [
+                    ["l_returnflag"],
+                    ["l_linestatus"],
+                    [],
+                ],
+                "$agg": {
+                    "g_flag": {"$grouping": "l_returnflag"},
+                    "g_status": {"$grouping": "l_linestatus"},
+                    "sum_qty": {"$sum": "l_quantity"},
+                },
+            }
+        }
+    )

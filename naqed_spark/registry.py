@@ -120,9 +120,18 @@ TOUCHED: dict[str, int] = {
 # CORRECTNESS_r*.json signal exists (or leave them: inert either way).
 DEFERRED: set[str] = {
     # round-11 registrations of the round-10 compiler capability
+    # (first driver contact scheduled r12; inert once signalled)
     "compiler_pivot",
     "compiler_unpivot",
     "compiler_sample_stratified",
+    # round-12 registrations (VERDICT r11 items 2-3): the r11 $asof
+    # engine extensions and the new subtotal-grid DSL — queued behind
+    # the 7-key r11 backlog (4 TOUCHED voids + 3 DEFERRED above).
+    "compiler_asof_nearest",
+    "compiler_asof_tolerance",
+    "compiler_rollup",
+    "compiler_cube",
+    "compiler_grouping_sets",
 }
 
 

@@ -2460,3 +2460,355 @@ def test_stratified_sample_null_keys_are_excluded(eng, tmp_path):
     assert {r["c_custkey"] for r in by_seg["B"]} == {10, 11}
     # the NULL segment is one stratum of its own
     assert {r["c_custkey"] for r in by_seg[None]} == {20, 21}
+
+
+# ---------------- round 12: ADVICE r11 fixes + subtotal-grid DSL
+
+
+def test_orderby_dotted_pivot_column(eng):
+    """ADVICE r11 (medium): $orderby must resolve a dotted $pivot value
+    column verbatim — bare F.col parsed 'v.click' as nested-field
+    access `v`.`click` and crashed with a raw AnalysisException."""
+    df = eng.query(
+        {
+            "events": {
+                "user_id": True,
+                "$select": {
+                    "et": {"$concat": [{"$lit": "v."}, "event_type"]}
+                },
+                "$groupby": ["user_id"],
+                "$pivot": {
+                    "$on": "et",
+                    "$values": ["v.click", "v.view"],
+                    "$agg": {"$count": True},
+                },
+                "$orderby": [["v.click", "desc"], ["user_id", "asc"]],
+                "$limit": 5,
+            }
+        }
+    )
+    rows = df.collect()
+    assert df.columns == ["user_id", "v.click", "v.view"]
+    clicks = [r["v.click"] for r in rows]
+    assert clicks == sorted(clicks, reverse=True) and rows
+
+
+def test_orderby_unknown_column_fails_typed(eng):
+    """$orderby now existence-checks against the final frame (the same
+    typed-error contract as $having/$qualify) instead of leaking an
+    engine AnalysisException."""
+    with pytest.raises(SpecError):
+        eng.query(
+            {
+                "customer": {
+                    "c_custkey": True,
+                    "$orderby": [["no_such_column", "asc"]],
+                }
+            }
+        ).collect()
+
+
+def test_asof_how_left_keeps_unmatched_parents(eng):
+    """ADVICE r11 (low): $how "left" — an event whose only matches are
+    stale keeps its row with NULL order columns (the registered
+    join_asof_tolerance key's LEFT-join freshness contract), and the
+    matched subset is IDENTICAL to the default INNER hop."""
+    tol_us = 8400 * 86_400_000_000
+    spec = {
+        "events": {
+            "event_id": True,
+            "orders": {
+                "$asof": {
+                    "$left_on": "ts",
+                    "$right_on": "o_orderdate",
+                    "$per": "event_id",
+                    "$tiebreak": "o_orderkey",
+                    "$tolerance": tol_us,
+                    "$how": "left",
+                },
+                "o_orderkey": True,
+            },
+        }
+    }
+    left_rows = {
+        r["event_id"]: r["o_orderkey"] for r in eng.query(spec).collect()
+    }
+    import copy
+
+    inner_spec = copy.deepcopy(spec)
+    del inner_spec["events"]["orders"]["$asof"]["$how"]
+    inner_rows = {
+        r["event_id"]: r["o_orderkey"]
+        for r in eng.query(inner_spec).collect()
+    }
+    n_events = eng.entity("events").count()
+    # left keeps every event exactly once
+    assert len(left_rows) == n_events
+    # matched subset identical to the inner hop; the rest are NULL
+    matched = {k: v for k, v in left_rows.items() if v is not None}
+    assert matched == inner_rows
+    assert 0 < len(matched) < n_events  # the bound bites mid-fixture
+
+
+def test_asof_date_tolerance_is_microseconds(eng, tmp_path):
+    """ADVICE r11 (low): a DATE ordering column lowers to epoch µs like
+    a timestamp — $tolerance is µs across the temporal types, and a
+    MIXED timestamp/date pair compares µs against µs instead of
+    failing in the analyzer. 36-hour bound: the 1-day-away order
+    matches, the 3-days-away order is stale."""
+    import pandas as pd
+
+    from naqed_spark.compiler.engine import Engine
+
+    pd.DataFrame(
+        {
+            "event_id": pd.array([1, 2], dtype="Int64"),
+            "ts": pd.to_datetime(["2024-01-10", "2024-02-10"]),
+            "user_id": pd.array([10, 10], dtype="Int64"),
+        }
+    ).to_parquet(tmp_path / "events.parquet", index=False)
+    pd.DataFrame(
+        {
+            "o_orderkey": pd.array([7, 8], dtype="Int64"),
+            "o_custkey": pd.array([10, 10], dtype="Int64"),
+            # event 1: order 7 is 1 day before (fresh), order 8 is far
+            # future; event 2: nearest order (7) is 30 days back — stale
+            "o_orderdate": [
+                pd.Timestamp("2024-01-09").date(),
+                pd.Timestamp("2024-06-01").date(),
+            ],
+        }
+    ).to_parquet(tmp_path / "orders.parquet", index=False)
+    e2 = Engine(eng.spark, str(tmp_path))
+    assert (
+        dict(e2.entity("orders").dtypes)["o_orderdate"] == "date"
+    ), "fixture must exercise the DATE branch"
+    got = {
+        (r["event_id"], r["o_orderkey"])
+        for r in e2.query(
+            {
+                "events": {
+                    "event_id": True,
+                    "orders": {
+                        "$asof": {
+                            "$left_on": "ts",
+                            "$right_on": "o_orderdate",
+                            "$per": "event_id",
+                            "$tiebreak": "o_orderkey",
+                            "$tolerance": 36 * 3_600_000_000,  # 36h in µs
+                        },
+                        "o_orderkey": True,
+                    },
+                }
+            }
+        ).collect()
+    }
+    assert got == {(1, 7)}
+
+
+def test_asof_distance_on_string_column_fails_typed(eng):
+    """$tolerance/nearest need distance arithmetic: a string ordering
+    column raises a typed SpecError, not an AnalysisException from
+    string subtraction."""
+    for extra in ({"$strategy": "nearest"}, {"$tolerance": 5}):
+        with pytest.raises(SpecError):
+            eng.query(
+                {
+                    "events": {
+                        "event_id": True,
+                        "orders": {
+                            "$asof": {
+                                "$left_on": "event_type",
+                                "$right_on": "o_orderstatus",
+                                "$per": "event_id",
+                                "$tiebreak": "o_orderkey",
+                                **extra,
+                            },
+                            "o_orderkey": True,
+                        },
+                    }
+                }
+            )
+
+
+def test_asof_bad_how_fails_typed(eng):
+    with pytest.raises(SpecError):
+        eng.query(
+            {
+                "events": {
+                    "event_id": True,
+                    "orders": {
+                        "$asof": {
+                            "$left_on": "ts",
+                            "$right_on": "o_orderdate",
+                            "$per": "event_id",
+                            "$tiebreak": "o_orderkey",
+                            "$how": "full",
+                        },
+                        "o_orderkey": True,
+                    },
+                }
+            }
+        )
+
+
+def _rows(df):
+    # multiset compare: subtotal rows carry NULL keys, which Python
+    # can't sort against strings
+    from collections import Counter
+
+    return Counter(tuple(r) for r in df.collect())
+
+
+def test_rollup_matches_sql_twin(eng):
+    """$rollup must be bit-identical to the SQL ROLLUP spelling over the
+    same engine (twin-bug defense is the DuckDB oracle + the wave-40
+    ground-truth replay; this pins the DSL lowering itself)."""
+    dsl = eng.query(
+        {
+            "lineitem": {
+                "$groupby": ["l_returnflag", "l_linestatus"],
+                "$rollup": True,
+                "$agg": {
+                    "sum_qty": {"$sum": "l_quantity"},
+                    "n": {"$count": True},
+                    "g_flag": {"$grouping": "l_returnflag"},
+                },
+            }
+        }
+    )
+    sql = eng.sql(
+        """
+        SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+               count(*) AS n, CAST(grouping(l_returnflag) AS INT) AS g_flag
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """
+    )
+    assert dsl.columns == sql.columns
+    assert _rows(dsl) == _rows(sql)
+
+
+def test_cube_matches_sql_twin(eng):
+    dsl = eng.query(
+        {
+            "orders": {
+                "$groupby": ["o_orderstatus", "o_orderpriority"],
+                "$cube": True,
+                "$agg": {
+                    "n": {"$count": True},
+                    "g_status": {"$grouping": "o_orderstatus"},
+                },
+            }
+        }
+    )
+    sql = eng.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """
+    )
+    assert _rows(dsl) == _rows(sql)
+    # cube of 2 dims = 4 grouping sets; rollup would give 3
+    statuses = eng.entity("orders").select("o_orderstatus").distinct().count()
+    prios = eng.entity("orders").select("o_orderpriority").distinct().count()
+    assert dsl.count() == statuses * prios + statuses + prios + 1
+
+
+def test_grouping_sets_matches_sql_twin(eng):
+    dsl = eng.query(
+        {
+            "lineitem": {
+                "$groupby": ["l_returnflag", "l_linestatus"],
+                "$grouping_sets": [["l_returnflag"], ["l_linestatus"], []],
+                "$agg": {
+                    "sum_qty": {"$sum": "l_quantity"},
+                    "g_flag": {"$grouping": "l_returnflag"},
+                    "g_status": {"$grouping": "l_linestatus"},
+                },
+            }
+        }
+    )
+    sql = eng.sql(
+        """
+        SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+    assert _rows(dsl) == _rows(sql)
+
+
+def test_rollup_plan_is_expand_plus_one_exchange(eng):
+    """The subtotal grid must cost ONE Expand + ONE hash exchange (the
+    agg_rollup plan shape) — never one aggregation per grouping set."""
+    df = eng.query(
+        {
+            "lineitem": {
+                "$groupby": ["l_returnflag", "l_linestatus"],
+                "$rollup": True,
+                "$agg": {"n": {"$count": True}},
+            }
+        }
+    )
+    plan = df._jdf.queryExecution().explainString(
+        eng.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    import re
+
+    assert "Expand" in plan
+    # formatted mode prints each node twice (tree line + numbered
+    # section) — count the numbered sections
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "Union" not in plan
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        # $grouping agg without an active grouping mode
+        {"lineitem": {"$groupby": ["l_returnflag"],
+                      "$agg": {"g": {"$grouping": "l_returnflag"}}}},
+        # $grouping of a non-$groupby column
+        {"lineitem": {"$groupby": ["l_returnflag"], "$rollup": True,
+                      "$agg": {"n": {"$count": True},
+                               "g": {"$grouping": "l_linestatus"}}}},
+        # $rollup needs $groupby
+        {"lineitem": {"$rollup": True, "$agg": {"n": {"$count": True}}}},
+        # ...and $agg
+        {"lineitem": {"$groupby": ["l_returnflag"], "$rollup": True}},
+        # one grouping mode per query
+        {"lineitem": {"$groupby": ["l_returnflag"], "$rollup": True,
+                      "$cube": True, "$agg": {"n": {"$count": True}}}},
+        # $rollup takes only true
+        {"lineitem": {"$groupby": ["l_returnflag"], "$rollup": "yes",
+                      "$agg": {"n": {"$count": True}}}},
+        # grouping sets: set columns must be $groupby columns
+        {"lineitem": {"$groupby": ["l_returnflag"],
+                      "$grouping_sets": [["l_linestatus"]],
+                      "$agg": {"n": {"$count": True}}}},
+        # grouping sets: no duplicate sets
+        {"lineitem": {"$groupby": ["l_returnflag"],
+                      "$grouping_sets": [["l_returnflag"],
+                                          ["l_returnflag"]],
+                      "$agg": {"n": {"$count": True}}}},
+        # grouping sets: shape
+        {"lineitem": {"$groupby": ["l_returnflag"],
+                      "$grouping_sets": "rollup",
+                      "$agg": {"n": {"$count": True}}}},
+        # exclusive with $distinct
+        {"lineitem": {"$groupby": ["l_returnflag"], "$rollup": True,
+                      "$distinct": True,
+                      "$agg": {"n": {"$count": True}}}},
+        # $grouping agg arg must be a column name
+        {"lineitem": {"$groupby": ["l_returnflag"], "$rollup": True,
+                      "$agg": {"g": {"$grouping": True}}}},
+    ],
+)
+def test_grouping_bad_shapes_fail_typed(eng, bad):
+    with pytest.raises(SpecError):
+        eng.query(bad)

@@ -7195,3 +7195,148 @@ def test_compiler_sample_stratified_matches_hashlib_rank(spark):
             want[(ck,)] = {"c_mktsegment": seg, "c_nationkey": nk}
     assert_keyed(run(spark, "compiler_sample_stratified"), want,
                  ["c_custkey"], ["c_mktsegment", "c_nationkey"])
+
+
+# -------- round-12 registrations (wave 39): the $asof nearest /
+# tolerance driver keys replayed per event in pure python — argmin over
+# |Δµs| and a bounded backward max, straight off the parquet, no Spark
+# Columns and no SQL shared with either engine spelling. These promote
+# the r11 engine-level recompute (test_compiler) to the REGISTERED keys.
+
+
+def _orders_by_user():
+    o = _tbl("orders")
+    by_user: dict = {}
+    for ok, ck, od in zip(o.o_orderkey, o.o_custkey, o.o_orderdate):
+        us = pd.Timestamp(od).value // 1000  # ns -> µs (dates are midnight)
+        by_user.setdefault(ck, []).append((int(ok), us, od))
+    return by_user
+
+
+def test_compiler_asof_nearest_matches_python_argmin(spark):
+    ev = _tbl("events")
+    by_user = _orders_by_user()
+    want = {}
+    for eid, uid, ts in zip(ev.event_id, ev.user_id, ev.ts):
+        if pd.isna(ts):
+            continue
+        e_us = pd.Timestamp(ts).value // 1000
+        cands = by_user.get(uid, [])
+        if not cands:
+            continue
+        ok, _, od = min(
+            cands, key=lambda c: (abs(c[1] - e_us), c[1], c[0])
+        )
+        want[(eid,)] = {
+            "user_id": uid,
+            "o_orderkey": ok,
+            # ISO string: close() compares str/num/None, not date objects
+            "o_orderdate": str(pd.Timestamp(od).date()),
+        }
+    got = run(spark, "compiler_asof_nearest")
+    got["o_orderdate"] = [
+        str(pd.Timestamp(v).date()) for v in got["o_orderdate"]
+    ]
+    assert_keyed(got, want, ["event_id"],
+                 ["user_id", "o_orderkey", "o_orderdate"])
+
+
+def test_compiler_asof_tolerance_matches_python_bounded_max(spark):
+    from naqed_spark.queries.compiler_ops import _ASOF_TOL_US
+
+    ev = _tbl("events")
+    by_user = _orders_by_user()
+    want = {}
+    n_stale = 0
+    for eid, uid, ts in zip(ev.event_id, ev.user_id, ev.ts):
+        e_us = pd.Timestamp(ts).value // 1000 if not pd.isna(ts) else None
+        best = None
+        if e_us is not None:
+            fresh = [
+                c for c in by_user.get(uid, [])
+                if c[1] <= e_us and c[1] >= e_us - _ASOF_TOL_US
+            ]
+            if fresh:
+                best = max(fresh, key=lambda c: (c[1], c[0]))[0]
+        if best is None:
+            n_stale += 1
+        # LEFT semantics: every event keeps its row; stale -> NULL key
+        want[(eid,)] = {"user_id": uid, "o_orderkey": best}
+    got = run(spark, "compiler_asof_tolerance")
+    assert_keyed(got, want, ["event_id"], ["user_id", "o_orderkey"])
+    # the bound must actually bite mid-fixture, or this replay is vacuous
+    assert 0 < n_stale < len(want)
+
+
+# -------- round-12 subtotal grids (wave 40): $rollup / $cube /
+# $grouping_sets replayed as explicit per-set pandas groupbys — the grid
+# is constructed set by set from the textbook definition (ROLLUP =
+# prefixes, CUBE = all subsets, GROUPING SETS = the listed sets), never
+# via any engine's rollup primitive. Grouping flags ride in the KEY so a
+# subtotal row can never alias a NULL-data group.
+
+
+def _grid_want(df, cols, sets, stats):
+    want = {}
+    for s in sets:
+        keep = [c for c in cols if c in s]
+        groups = (
+            df.groupby(keep, dropna=False) if keep else [((), df)]
+        )
+        for kv, grp in groups:
+            if keep and not isinstance(kv, tuple):
+                kv = (kv,)
+            kmap = dict(zip(keep, kv))
+            key = tuple(
+                [kmap.get(c) for c in cols]
+                + [0 if c in s else 1 for c in cols]
+            )
+            want[key] = stats(grp)
+    return want
+
+
+def test_compiler_rollup_matches_pandas_grid(spark):
+    li = _tbl("lineitem")
+    cols = ["l_returnflag", "l_linestatus"]
+    sets = [set(cols), {"l_returnflag"}, set()]
+    want = _grid_want(
+        li, cols, sets,
+        lambda g: {"sum_qty": float(g.l_quantity.sum()), "n": len(g)},
+    )
+    got = run(spark, "compiler_rollup")
+    assert_keyed(got, want,
+                 cols + ["g_flag", "g_status"], ["sum_qty", "n"])
+
+
+def test_compiler_cube_matches_pandas_grid(spark):
+    o = _tbl("orders")
+    cols = ["o_orderstatus", "o_orderpriority"]
+    sets = [set(cols), {"o_orderstatus"}, {"o_orderpriority"}, set()]
+    want = {}
+    for key, stats in _grid_want(
+        o, cols, sets,
+        lambda g: {
+            "n": len(g),
+            "total": float(cents(g.o_totalprice).sum()) / 100.0,
+        },
+    ).items():
+        # the key carries ONLY g_status (the registered key emits one
+        # flag); fold g_priority into disambiguation via the priority
+        # value itself — no fixture priority is NULL, asserted below
+        want[key[:2] + (key[2],)] = stats
+    assert o.o_orderpriority.notna().all()
+    got = run(spark, "compiler_cube")
+    assert_keyed(got, want, cols + ["g_status"], ["n", "total"])
+
+
+def test_compiler_grouping_sets_matches_pandas_grid(spark):
+    li = _tbl("lineitem")
+    cols = ["l_returnflag", "l_linestatus"]
+    sets = [{"l_returnflag"}, {"l_linestatus"}, set()]
+    want = _grid_want(
+        li, cols, sets,
+        lambda g: {"sum_qty": float(g.l_quantity.sum())},
+    )
+    got = run(spark, "compiler_grouping_sets")
+    assert_keyed(got, want,
+                 cols + ["g_flag", "g_status"], ["sum_qty"])
