@@ -3,10 +3,16 @@
 
 Runs the BASELINE-comparable headline queries at ``$SPARK_GRAFT_SF_DIR``
 (default ``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints
-ONE JSON line::
+the summary JSON line::
 
     {"metric": "headline_total", "value": N, "unit": "sec",
      "queries": {"agg_groupby_hash": sec, ...}, "sf": 0.1}
+
+Two stdout lines, same shape: the FULL diagnostic payload first, then a
+bounded COMPACT summary as the final line — the driver artifact keeps only
+the last ~2000 chars of stdout and parses the last JSON line in it, so the
+final line must always fit (VERDICT r11 item 7: BENCH_r11's oversized
+single line lost its headline block to that cap).
 
 Method mirrors BASELINE.md exactly: one warm SparkSession, each query is
 executed once untimed (warm-up: plans compiled, code-gen'd, files footer-read),
@@ -184,28 +190,49 @@ def main() -> None:
     minus_floor = round(
         sum(max(0.0, m - floor_action) for m in marginal.values()), 3
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "queries_marginal": marginal,
-                "queries_compile": compile_t,
-                "queries_exec": exec_t,
-                "value_marginal": total_marginal,
-                "value_minus_floor": minus_floor,
-                "floor": {"action": floor_action, "scan_lineitem": floor_scan},
-                "contended": floor_action > 0.35 or floor_scan > 0.6,
-                "queries_tpch": tpch,
-                "queries_tpch_exec": tpch_exec,
-                "tpch_total": round(sum(tpch.values()), 3),
-                "tpch_exec_total": round(sum(tpch_exec.values()), 3),
-                "sf": sf,
-            }
+    # Artifact discipline (VERDICT r11 item 7): the driver keeps only the
+    # LAST ~2000 chars of stdout and parses the last JSON line it finds
+    # there — BENCH_r11's single ever-growing line blew that budget and
+    # the artifact lost its headline `queries` block (parsed: null). So:
+    # the FULL diagnostic payload goes out first (complete in the raw
+    # stream and in any tail that still covers it), and a bounded COMPACT
+    # summary — headline metric + per-query walls + pure-exec + floors +
+    # TPC-H totals — is always the final line, guaranteed to fit the tail.
+    full = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "queries_marginal": marginal,
+        "queries_compile": compile_t,
+        "queries_exec": exec_t,
+        "value_marginal": total_marginal,
+        "value_minus_floor": minus_floor,
+        "floor": {"action": floor_action, "scan_lineitem": floor_scan},
+        "contended": floor_action > 0.35 or floor_scan > 0.6,
+        "queries_tpch": tpch,
+        "queries_tpch_exec": tpch_exec,
+        "tpch_total": round(sum(tpch.values()), 3),
+        "tpch_exec_total": round(sum(tpch_exec.values()), 3),
+        "sf": sf,
+    }
+    print(json.dumps(full))
+    compact = {
+        k: full[k]
+        for k in (
+            "metric", "value", "unit", "queries", "queries_exec",
+            "value_marginal", "value_minus_floor", "floor", "contended",
+            "tpch_total", "tpch_exec_total", "sf",
         )
-    )
+    }
+    line = json.dumps(compact)
+    if len(line) > 1900:  # never regress the tail budget again
+        for drop in ("queries_exec", "queries"):
+            compact.pop(drop, None)
+            line = json.dumps(compact)
+            if len(line) <= 1900:
+                break
+    print(line)
     spark.stop()
 
 

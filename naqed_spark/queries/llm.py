@@ -89,16 +89,23 @@ def _minhash_sigs(spark, sf_dir):
     "llm_exact_dedup",
     # the fixture corpus has no duplicate texts, so dedup runs over a
     # corpus WITH duplicates (documents replayed twice) and collapses it.
+    # Round 12 (VERDICT r11 item 8): the group key is md5(text), not the
+    # text itself — at 100 TB the dedup exchange carries 32-byte digests
+    # instead of document bodies (keep_id points at the retained doc;
+    # emitting bodies in a dedup RESULT is itself an anti-pattern at
+    # scale). min-doc_id keep rule and copy counts unchanged; md5(NULL)
+    # is NULL in both engines, so NULL texts still form one group.
     oracle="""
     WITH corpus AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
-    SELECT text, min(doc_id) AS keep_id, count(*) AS n_copies
-    FROM corpus GROUP BY text
+    SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM corpus GROUP BY md5(text)
     """,
 )
 def llm_exact_dedup(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     corpus = d.unionAll(d)
-    return corpus.groupBy("text").agg(
+    return corpus.groupBy(F.md5("text").alias("text_md5")).agg(
         F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
     )
 

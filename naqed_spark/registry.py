@@ -106,6 +106,15 @@ TOUCHED: dict[str, int] = {
     # the quantifiers; NULL support point excluded from the ECDF.
     "sub_any_all": 10,
     "agg_ks_statistic": 10,
+    # round-12 plan rewrite (VERDICT r11 item 4): the winnowing
+    # fingerprint fused into a zero-shuffle higher-order projection pass
+    # (same output row-for-row, but the r8 signal describes the deleted
+    # explode+window plan).
+    "llm_winnowing_fingerprint": 12,
+    # round-12 schema change (VERDICT r11 item 8): exact dedup groups on
+    # and emits md5(text) — the 100 TB shuffle carries 32-byte digests,
+    # not document bodies; keep/count semantics unchanged.
+    "llm_exact_dedup": 12,
 }
 
 # Keys registered WHILE a verification backlog is outstanding (VERDICT

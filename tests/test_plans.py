@@ -728,14 +728,24 @@ def test_shuffle_shard_single_exchange_no_global_sort(spark):
     assert "rangepartitioning" not in plan
 
 
-def test_winnowing_single_doc_exchange(spark):
-    """llm_winnowing_fingerprint: the rolling-min window and the final
-    collect share the doc_id partitioning — exactly ONE exchange, and no
-    Python in the plan (hashes are JVM md5/substring)."""
-    tree = tree_of(plan_of(spark, "llm_winnowing_fingerprint"))
-    assert tree.count("Exchange") == 1
+def test_winnowing_zero_shuffle_fused_pass(spark):
+    """llm_winnowing_fingerprint (round 12 rewrite): the whole
+    fingerprint — k-gram hashing, rolling minimum, distinct-sort-join —
+    is fused into projection-only higher-order passes: ZERO exchanges,
+    no Window, no Generate (the r7 spelling exploded ~193 rows/doc
+    through one exchange + sort), and no Python. The hash array must
+    stay in its own Project (Catalyst must not inline the expensive
+    multi-referenced `hs` into the zip_with consumers, which would
+    recompute every md5 per shifted view)."""
+    plan = plan_of(spark, "llm_winnowing_fingerprint")
+    tree = tree_of(plan)
+    assert "Exchange" not in tree
+    assert "Window" not in tree
+    assert "Generate" not in tree
     assert "Python" not in tree
     assert "CartesianProduct" not in tree
+    # one Project computes hs, a separate one consumes it
+    assert plan.count("md5") == 1
 
 
 def test_common_neighbors_equi_join_no_cartesian(spark):
