@@ -454,8 +454,17 @@ class Engine:
                 lnum = _num(df, a.left_on, left)
                 rnum = _num(child_df, a.right_on, right)
                 cond = df[rel.src_key] == child_df[rel.dst_key]
+                # ALL temporal comparisons go through the lowered
+                # lnum/rnum views, residuals included (round-12
+                # self-review): for same-type pairs the lowering is a
+                # monotonic bijection (identical matches), but a MIXED
+                # date/timestamp pair compared raw would cast the date
+                # at SESSION-LOCAL midnight while the tolerance bound
+                # uses UTC epoch µs — under a non-UTC session timezone
+                # the two halves of one match predicate would disagree.
+                # One lowering, one clock.
                 if a.strategy == "backward":
-                    cond = cond & (right <= left)
+                    cond = cond & (rnum <= lnum)
                     if a.tolerance is not None:
                         # staleness bound — also a join fan-out prune
                         cond = cond & (rnum >= lnum - F.lit(a.tolerance))
@@ -464,7 +473,7 @@ class Engine:
                         child_df[a.tiebreak].desc(),
                     ]
                 elif a.strategy == "forward":
-                    cond = cond & (right >= left)
+                    cond = cond & (rnum >= lnum)
                     if a.tolerance is not None:
                         cond = cond & (rnum <= lnum + F.lit(a.tolerance))
                     order = [
@@ -580,9 +589,9 @@ class Engine:
             # VERBATIM frame column name, so resolution must be verbatim
             # too — a bare F.col would parse a dot (e.g. a $pivot value
             # column "us.east") as nested-field access and crash with an
-            # engine AnalysisException instead of resolving (round 11,
-            # completing the ADVICE r10 dotted-name fix).
-            return F.col("`" + name.replace("`", "``") + "`")
+            # engine AnalysisException instead of resolving (round 11;
+            # round 12 extracted the shared _qcol helper).
+            return _qcol(name)
         if op == "$lit":
             return F.lit(ex.args[0])
         sub = [self._compile_expr(df, a) for a in ex.args]
@@ -871,22 +880,28 @@ class Engine:
 
     @staticmethod
     def _agg_expr(a: AggSpec):
+        # every column reference resolves via _qcol (round-12 self-
+        # review): a $select alias may be any string, so e.g. summing a
+        # dotted computed column must resolve verbatim like every other
+        # cols-by-name path, not parse as nested-field access
         if a.op == "$count":
-            e = F.count(F.lit(1)) if a.column is None else F.count(a.column)
+            e = F.count(F.lit(1)) if a.column is None else F.count(
+                _qcol(a.column)
+            )
         elif a.op == "$count_distinct":
-            e = F.countDistinct(a.column)
+            e = F.countDistinct(_qcol(a.column))
         elif a.op == "$sum":
-            e = F.sum(a.column)
+            e = F.sum(_qcol(a.column))
         elif a.op == "$avg":
-            e = F.avg(a.column)
+            e = F.avg(_qcol(a.column))
         elif a.op == "$min":
-            e = F.min(a.column)
+            e = F.min(_qcol(a.column))
         elif a.op == "$max":
-            e = F.max(a.column)
+            e = F.max(_qcol(a.column))
         elif a.op == "$min_by":
-            e = F.min_by(F.col(a.column), F.col(a.order_col))
+            e = F.min_by(_qcol(a.column), _qcol(a.order_col))
         elif a.op == "$max_by":
-            e = F.max_by(F.col(a.column), F.col(a.order_col))
+            e = F.max_by(_qcol(a.column), _qcol(a.order_col))
         elif a.op == "$grouping":
             # 1 when the column is rolled up in this output row, 0 when
             # grouped — the subtotal/NULL-data disambiguator (SQL

@@ -115,16 +115,22 @@ def encode_ppm(width: int, height: int, raster: bytes) -> bytes:
 
 def decode_image(payload: bytes):
     """Real decode path. Binary PPM decodes pure-stdlib (the format the
-    in-container tests exercise end-to-end); anything else needs PIL and
-    raises NotImplementedError here — the seam a real codec plugs into."""
+    in-container tests exercise end-to-end); anything else — including
+    PPM variants the stdlib decoder rejects, e.g. 16-bit samples — falls
+    through to PIL when present, else raises NotImplementedError (the
+    seam a real codec plugs into)."""
     if payload[:2] == b"P6":
-        return decode_ppm(payload)
+        try:
+            return decode_ppm(payload)
+        except ValueError:
+            if not HAVE_PIL:
+                raise  # malformed/unsupported PPM and no codec to defer to
     if not HAVE_PIL:
         raise NotImplementedError(
             "non-PPM image decode requires PIL; use decode_ppm/"
             "fake_features for the in-container paths"
         )
-    import io
+    import io  # pragma: no cover - PIL absent in this container
 
     from PIL import Image
 

@@ -89,23 +89,29 @@ def _minhash_sigs(spark, sf_dir):
     "llm_exact_dedup",
     # the fixture corpus has no duplicate texts, so dedup runs over a
     # corpus WITH duplicates (documents replayed twice) and collapses it.
-    # Round 12 (VERDICT r11 item 8): the group key is md5(text), not the
-    # text itself — at 100 TB the dedup exchange carries 32-byte digests
-    # instead of document bodies (keep_id points at the retained doc;
-    # emitting bodies in a dedup RESULT is itself an anti-pattern at
-    # scale). min-doc_id keep rule and copy counts unchanged; md5(NULL)
-    # is NULL in both engines, so NULL texts still form one group.
+    # Round 12 (VERDICT r11 item 8): the group key is a DIGEST of the
+    # text, not the text itself — at 100 TB the dedup exchange carries
+    # 32-byte keys instead of document bodies (keep_id points at the
+    # retained doc; emitting bodies in a dedup RESULT is itself an
+    # anti-pattern at scale). sha-256, not md5 (round-12 self-review):
+    # "exact" dedup must not silently merge distinct texts, and md5
+    # collisions are practically constructible — an adversarial web
+    # corpus can contain planted colliding documents. min-doc_id keep
+    # rule and copy counts unchanged; sha256(NULL) is NULL in both
+    # engines, so NULL texts still form one group.
     oracle="""
     WITH corpus AS (SELECT * FROM documents UNION ALL SELECT * FROM documents)
-    SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+    SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id,
            count(*) AS n_copies
-    FROM corpus GROUP BY md5(text)
+    FROM corpus GROUP BY sha256(text)
     """,
 )
 def llm_exact_dedup(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     corpus = d.unionAll(d)
-    return corpus.groupBy(F.md5("text").alias("text_md5")).agg(
+    return corpus.groupBy(
+        F.sha2(F.col("text"), 256).alias("text_sha")
+    ).agg(
         F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
     )
 

@@ -26,7 +26,7 @@ No reference file:line possible — ``/root/reference`` is empty (SURVEY.md
 
 from __future__ import annotations
 
-from pyspark.sql import Window, functions as F
+from pyspark.sql import functions as F
 
 from naqed_spark.queries._util import load, r6
 from naqed_spark.registry import query

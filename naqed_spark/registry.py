@@ -112,8 +112,9 @@ TOUCHED: dict[str, int] = {
     # explode+window plan).
     "llm_winnowing_fingerprint": 12,
     # round-12 schema change (VERDICT r11 item 8): exact dedup groups on
-    # and emits md5(text) — the 100 TB shuffle carries 32-byte digests,
-    # not document bodies; keep/count semantics unchanged.
+    # and emits sha256(text) — the 100 TB shuffle carries 32-byte
+    # collision-resistant digests, not document bodies; keep/count
+    # semantics unchanged.
     "llm_exact_dedup": 12,
 }
 

@@ -126,6 +126,21 @@ HEADLINE += [
     "compiler_sample_stratified",
 ]
 
+# Round-12 registrations: the $asof nearest/tolerance hops (equi-join +
+# WindowGroupLimit top-1 — the rank-1 prune is the scale claim) and the
+# subtotal grids (one Expand + one exchange, |sets| pre-combined cells
+# per key) — probed from first registration, with llm_exact_dedup
+# re-probed under its new 32-byte digest shuffle key and the winnowing
+# fingerprint under its fused zero-shuffle rewrite (both TOUCHED r12).
+HEADLINE += [
+    "compiler_asof_nearest",
+    "compiler_asof_tolerance",
+    "compiler_rollup",
+    "compiler_cube",
+    "compiler_grouping_sets",
+    "llm_exact_dedup",
+]
+
 
 def build(spark, src_dir: str, out_dir: str, k: int) -> None:
     from functools import reduce

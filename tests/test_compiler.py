@@ -2812,3 +2812,81 @@ def test_rollup_plan_is_expand_plus_one_exchange(eng):
 def test_grouping_bad_shapes_fail_typed(eng, bad):
     with pytest.raises(SpecError):
         eng.query(bad)
+
+
+def test_asof_tolerance_consistent_under_non_utc_timezone(eng, tmp_path):
+    """Round-12 self-review: the backward residual and the tolerance
+    bound must share ONE clock. Comparing the raw date/timestamp pair
+    casts the DATE at session-LOCAL midnight while the lowered bound
+    uses UTC epoch µs — under a non-UTC session timezone the two halves
+    of one match predicate would disagree and silently drop matches.
+    Both residuals now go through the shared epoch-µs lowering; this
+    pins the match set as timezone-invariant."""
+    import pandas as pd
+
+    from naqed_spark.compiler.engine import Engine
+
+    pd.DataFrame(
+        {
+            # 02:00 UTC on the 10th: the same-day order is "future" at
+            # local midnight in New York (05:00 UTC) but at-or-before
+            # in UTC — the raw/lowered disagreement window
+            "event_id": pd.array([1], dtype="Int64"),
+            "ts": pd.to_datetime(["2024-01-10 02:00:00"]),
+            "user_id": pd.array([10], dtype="Int64"),
+        }
+    ).to_parquet(tmp_path / "events.parquet", index=False)
+    pd.DataFrame(
+        {
+            "o_orderkey": pd.array([7], dtype="Int64"),
+            "o_custkey": pd.array([10], dtype="Int64"),
+            "o_orderdate": [pd.Timestamp("2024-01-10").date()],
+        }
+    ).to_parquet(tmp_path / "orders.parquet", index=False)
+    spec = {
+        "events": {
+            "event_id": True,
+            "orders": {
+                "$asof": {
+                    "$left_on": "ts",
+                    "$right_on": "o_orderdate",
+                    "$per": "event_id",
+                    "$tiebreak": "o_orderkey",
+                    "$tolerance": 86_400_000_000,
+                },
+                "o_orderkey": True,
+            },
+        }
+    }
+    e2 = Engine(eng.spark, str(tmp_path))
+    tz = eng.spark.conf.get("spark.sql.session.timeZone")
+    try:
+        results = {}
+        for zone in ("UTC", "America/New_York"):
+            eng.spark.conf.set("spark.sql.session.timeZone", zone)
+            results[zone] = {
+                (r["event_id"], r["o_orderkey"])
+                for r in e2.query(spec).collect()
+            }
+    finally:
+        eng.spark.conf.set("spark.sql.session.timeZone", tz)
+    assert results["UTC"] == results["America/New_York"] == {(1, 7)}
+
+
+def test_agg_over_dotted_computed_column(eng):
+    """Round-12 self-review: $agg column references resolve verbatim
+    like every other cols-by-name path — a dotted $select alias must
+    aggregate, not parse as nested-field access."""
+    rows = eng.query(
+        {
+            "orders": {
+                "$select": {"price.usd": "o_totalprice"},
+                "$groupby": ["o_orderstatus"],
+                "$agg": {
+                    "n": {"$count": "price.usd"},
+                    "hi": {"$max": "price.usd"},
+                },
+            }
+        }
+    ).collect()
+    assert rows and all(r["hi"] is not None for r in rows)

@@ -17,11 +17,13 @@ class shut.
 Documented engine divergences (asserted, not ignored):
 
 - ``agg_cube`` / ``agg_rollup`` / ``agg_grouping_sets`` /
-  ``agg_grouping_id``: ANSI GROUP BY CUBE/ROLLUP includes the global
-  ``()`` grouping set, which over zero input rows yields ONE row
-  (count=0) in DuckDB/PostgreSQL, while Spark's native cube/rollup
-  operators yield ZERO rows. These keys exist to exercise Spark's
-  native multi-grouping operators, so we pin Spark's behavior (empty,
+  ``agg_grouping_id`` (and, round 12, their E1 DSL twins
+  ``compiler_rollup`` / ``compiler_cube`` / ``compiler_grouping_sets``):
+  ANSI GROUP BY CUBE/ROLLUP includes the global ``()`` grouping set,
+  which over zero input rows yields ONE row (count=0) in
+  DuckDB/PostgreSQL, while Spark's native cube/rollup operators yield
+  ZERO rows. These keys exist to exercise Spark's native
+  multi-grouping operators, so we pin Spark's behavior (empty,
   no crash) rather than simulate the ANSI row with an extra job.
 - the three pre-declared rows-only sketch keys: their ≥1-row driver
   contract is meaningful only on non-empty fixtures; here we just
@@ -50,6 +52,12 @@ ANSI_GROUPING_SET_DIVERGENCE = {
     "agg_rollup",
     "agg_grouping_sets",
     "agg_grouping_id",
+    # round 12: the E1 DSL spellings compile to the same native Spark
+    # rollup/cube/groupingSets operators, so they inherit the same
+    # documented divergence.
+    "compiler_rollup",
+    "compiler_cube",
+    "compiler_grouping_sets",
 }
 # rows-only sketch keys: no SQL oracle by design; ≥1-row floor does not
 # apply to a zero-row fixture.

@@ -2915,17 +2915,23 @@ def test_tokenize_wordcount_matches_python(spark):
 
 
 def test_exact_dedup_matches_python(spark):
-    # round 12: the key is md5(text) (32-byte shuffle keys at 100 TB);
-    # the replay hashes with hashlib — independent of both engines' md5
+    # round 12: the key is sha256(text) (32-byte collision-resistant
+    # shuffle keys at 100 TB — md5 collisions are constructible); the
+    # replay hashes with hashlib, independent of both engines
+    import hashlib
+
     doc = _tbl("documents")
     want: dict = {}
     for d, text in zip(doc.doc_id, doc.text):
-        key = _md5(text) if text is not None else None
+        key = (
+            hashlib.sha256(text.encode()).hexdigest()
+            if text is not None else None
+        )
         cur = want.setdefault((key,), {"keep_id": d, "n_copies": 0})
         cur["keep_id"] = min(cur["keep_id"], d)
         cur["n_copies"] += 2  # corpus = documents UNION ALL documents
     assert_keyed(run(spark, "llm_exact_dedup"), want,
-                 ["text_md5"], ["keep_id", "n_copies"])
+                 ["text_sha"], ["keep_id", "n_copies"])
 
 
 def test_repetition_score_matches_python(spark):

@@ -114,3 +114,16 @@ def test_decoded_features_through_spark_seam():
             got[bad_id][c] is None
             for c in ("width", "height", "n_px", "mean_r", "mean_g", "mean_b")
         )
+
+
+def test_decode_image_unsupported_ppm_contract():
+    """Round-12 self-review: a P6 payload the stdlib decoder rejects
+    (16-bit samples) defers to PIL when present; without PIL it must
+    surface the decoder's ValueError, never garbage pixels."""
+    payload = b"P6\n1 1\n65535\n" + b"\x00" * 6
+    if HAVE_PIL:  # pragma: no cover - PIL absent in this container
+        img = decode_image(payload)
+        assert img.size == (1, 1)
+    else:
+        with pytest.raises(ValueError):
+            decode_image(payload)
