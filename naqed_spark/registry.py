@@ -142,6 +142,7 @@ DEFERRED: set[str] = {
     "compiler_rollup",
     "compiler_cube",
     "compiler_grouping_sets",
+    "llm_multimodal_decode",
 }
 
 

@@ -139,6 +139,7 @@ HEADLINE += [
     "compiler_cube",
     "compiler_grouping_sets",
     "llm_exact_dedup",
+    "llm_multimodal_decode",
 ]
 
 

@@ -7349,3 +7349,42 @@ def test_compiler_grouping_sets_matches_pandas_grid(spark):
     got = run(spark, "compiler_grouping_sets")
     assert_keyed(got, want,
                  cols + ["g_flag", "g_status"], ["sum_qty"])
+
+
+# -------- round-12 decode seam (wave 41): llm_multimodal_decode
+# replayed by ENCODING each doc's PPM in pure python (the same generating
+# formula), DECODING it with functions/multimodal.decode_ppm directly
+# (no Spark, no Arrow, no SQL), and recomputing the channel means from
+# the decoded raster bytes — so the registered key's oracle (closed-form
+# sums) and this replay (actual decode) triangulate the decoder from two
+# independent directions.
+
+
+def test_llm_multimodal_decode_matches_python_decode(spark):
+    from naqed_spark.functions.multimodal import decode_ppm, encode_ppm
+
+    doc = _tbl("documents")
+    want = {}
+    for did in doc.doc_id:
+        if pd.isna(did):
+            continue
+        did = int(did)
+        k = abs(did)
+        w, h = 4 + k % 5, 3 + k % 3
+        raster = bytes((k * 31 + i) % 256 for i in range(3 * w * h))
+        img = decode_ppm(encode_ppm(w, h, raster))
+        n = w * h
+        sums = [sum(img.raster[c::3]) for c in range(3)]
+        want[(did,)] = {
+            "width": img.width,
+            "height": img.height,
+            "n_px": n,
+            "mean_r": sums[0] / n,
+            "mean_g": sums[1] / n,
+            "mean_b": sums[2] / n,
+        }
+    assert_keyed(
+        run(spark, "llm_multimodal_decode"), want, ["doc_id"],
+        ["width", "height", "n_px", "mean_r", "mean_g", "mean_b"],
+        tol=0,
+    )
