@@ -1092,6 +1092,9 @@ ARROW_PYTHON_BUDGET = {
     "llm_knn_bruteforce": 1,
     "llm_knn_label_eval": 1,
     "llm_multimodal_binary": 1,
+    # round 12: the real-decode seam — PPM bytes must cross into Python
+    # for the stdlib decoder; one Arrow-batched MapInPandas by design
+    "llm_multimodal_decode": 1,
     "llm_multimodal_frame_sample": 1,
     "llm_similarity_threshold_join": 1,
     "udaf_applyinpandas": 1,
