@@ -126,9 +126,11 @@ def llm_multimodal_audio_chunks(spark, sf_dir):
     )
 
 
-# (abs(doc_id): the adversarial battery plants negative ids; both
-# engines' % is C-style sign-of-dividend, so abs keeps every byte and
-# dimension non-negative and identical across engines.)
+# (abs(doc_id): defensive totality — no current fixture plants negative
+# ids, but both engines' % is C-style sign-of-dividend, so abs keeps the
+# construction well-defined and engine-identical for ANY bigint id
+# rather than relying on a fixture invariant; verified equal on negative
+# ids directly.)
 _MM_W = "(4 + abs(doc_id) % 5)"
 _MM_H = "(3 + abs(doc_id) % 3)"
 
@@ -152,25 +154,38 @@ _MM_H = "(3 + abs(doc_id) % 3)"
     # parallel map work; payload bytes never widen into JVM rows after
     # the UDF boundary, and at 100 TB the real corpus would read the
     # payload column straight off parquet with the identical seam.
+    # The per-distinct-id statistics are computed in a CTE and joined
+    # back onto the documents rows, so the oracle — like the Spark
+    # mapInPandas side — emits ONE row per INPUT row and stays correct
+    # even if a corpus carries duplicate doc_ids (a GROUP BY over the
+    # lateral fan-out would sum duplicates into inflated means;
+    # round-12 self-review pass 2).
     oracle=f"""
-    SELECT d.doc_id,
-           CAST({_MM_W} AS INT) AS width,
-           CAST({_MM_H} AS INT) AS height,
-           CAST({_MM_W} * {_MM_H} AS BIGINT) AS n_px,
-           CAST(sum(CASE WHEN i % 3 = 0
-                         THEN (abs(d.doc_id)*31 + i) % 256 END) AS DOUBLE)
-             / ({_MM_W} * {_MM_H}) AS mean_r,
-           CAST(sum(CASE WHEN i % 3 = 1
-                         THEN (abs(d.doc_id)*31 + i) % 256 END) AS DOUBLE)
-             / ({_MM_W} * {_MM_H}) AS mean_g,
-           CAST(sum(CASE WHEN i % 3 = 2
-                         THEN (abs(d.doc_id)*31 + i) % 256 END) AS DOUBLE)
-             / ({_MM_W} * {_MM_H}) AS mean_b
-    FROM documents d,
-         LATERAL unnest(generate_series(0,
-             3 * {_MM_W} * {_MM_H} - 1)) AS t(i)
-    WHERE d.doc_id IS NOT NULL
-    GROUP BY d.doc_id
+    WITH ids AS (
+      SELECT DISTINCT doc_id FROM documents WHERE doc_id IS NOT NULL
+    ),
+    per AS (
+      SELECT d.doc_id,
+             CAST({_MM_W} AS INT) AS width,
+             CAST({_MM_H} AS INT) AS height,
+             CAST({_MM_W} * {_MM_H} AS BIGINT) AS n_px,
+             CAST(sum(CASE WHEN i % 3 = 0
+                           THEN (abs(d.doc_id)*31 + i) % 256 END) AS DOUBLE)
+               / ({_MM_W} * {_MM_H}) AS mean_r,
+             CAST(sum(CASE WHEN i % 3 = 1
+                           THEN (abs(d.doc_id)*31 + i) % 256 END) AS DOUBLE)
+               / ({_MM_W} * {_MM_H}) AS mean_g,
+             CAST(sum(CASE WHEN i % 3 = 2
+                           THEN (abs(d.doc_id)*31 + i) % 256 END) AS DOUBLE)
+               / ({_MM_W} * {_MM_H}) AS mean_b
+      FROM ids d,
+           LATERAL unnest(generate_series(0,
+               3 * {_MM_W} * {_MM_H} - 1)) AS t(i)
+      GROUP BY d.doc_id
+    )
+    SELECT doc.doc_id, per.width, per.height, per.n_px,
+           per.mean_r, per.mean_g, per.mean_b
+    FROM documents doc JOIN per ON doc.doc_id = per.doc_id
     """,
 )
 def llm_multimodal_decode(spark, sf_dir):

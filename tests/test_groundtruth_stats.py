@@ -7372,12 +7372,18 @@ def test_llm_multimodal_decode_matches_python_decode(spark):
         k = abs(did)
         w, h = 4 + k % 5, 3 + k % 3
         raster = bytes((k * 31 + i) % 256 for i in range(3 * w * h))
+        # independence (round-12 self-review pass 2): expected values
+        # come from the GENERATING FORMULA (w, h, raster) directly —
+        # never through decode_ppm, which the Spark path under test
+        # runs, so a symmetric encode/decode twin bug cannot satisfy
+        # this test. The decoder round-trip is asserted SEPARATELY.
         img = decode_ppm(encode_ppm(w, h, raster))
+        assert (img.width, img.height, img.raster) == (w, h, raster)
         n = w * h
-        sums = [sum(img.raster[c::3]) for c in range(3)]
+        sums = [sum(raster[c::3]) for c in range(3)]
         want[(did,)] = {
-            "width": img.width,
-            "height": img.height,
+            "width": w,
+            "height": h,
             "n_px": n,
             "mean_r": sums[0] / n,
             "mean_g": sums[1] / n,
