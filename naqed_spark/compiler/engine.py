@@ -902,6 +902,19 @@ class Engine:
             e = F.min_by(_qcol(a.column), _qcol(a.order_col))
         elif a.op == "$max_by":
             e = F.max_by(_qcol(a.column), _qcol(a.order_col))
+        elif a.op == "$stddev":
+            e = F.stddev_samp(_qcol(a.column))
+        elif a.op == "$stddev_pop":
+            e = F.stddev_pop(_qcol(a.column))
+        elif a.op == "$var":
+            e = F.var_samp(_qcol(a.column))
+        elif a.op == "$var_pop":
+            e = F.var_pop(_qcol(a.column))
+        elif a.op == "$median":
+            # interpolated (quantile_cont semantics — DuckDB median twin)
+            e = F.median(_qcol(a.column))
+        elif a.op == "$percentile":
+            e = F.percentile(_qcol(a.column), F.lit(a.param))
         elif a.op == "$grouping":
             # 1 when the column is rolled up in this output row, 0 when
             # grouped — the subtotal/NULL-data disambiguator (SQL

@@ -258,6 +258,11 @@ Round-12 extensions (VERDICT r11 items 2-3 + ADVICE r11):
                                       # $tolerance is µs across temporal
                                       # types and mixed date/timestamp
                                       # pairs compare µs to µs.
+    {alias: {"$stddev": col}} in $agg # statistical aggregates (driver
+      (also $stddev_pop/$var/$var_pop # keys r13): sample/population
+       /$median and                   # spread, interpolated median, and
+       {"$percentile": [col, p]})     # quantile_cont-style percentile
+                                      # at literal fraction p in [0, 1].
 
 ``$``-keys are arguments (the reference passes resolver args the same way);
 everything else is either a requested field (``True``) or a relationship
@@ -280,7 +285,15 @@ class SpecError(ValueError):
 FILTER_OPS = {"$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$in", "$between",
               "$like", "$isnull", "$notnull"}
 AGG_OPS = {"$count", "$sum", "$avg", "$min", "$max", "$count_distinct",
-           "$min_by", "$max_by", "$grouping"}
+           "$min_by", "$max_by", "$grouping",
+           # round 12 (statistical aggregates; driver keys queue r13 per
+           # the backlog-freeze discipline): sample/population spread,
+           # interpolated median/percentile. Determinism note (§7.3):
+           # emissions are raw doubles — oracle-facing specs compose
+           # $derive + $round per the agg_stats/agg_percentile_exact
+           # disciplines (round(4) on small-magnitude columns).
+           "$stddev", "$stddev_pop", "$var", "$var_pop",
+           "$median", "$percentile"}
 # $select expression DSL (round 4): arity-checked at parse time.
 # A bare string is a column reference; numbers are literals; string
 # literals must be spelled {"$lit": "..."} to stay unambiguous.
@@ -412,6 +425,7 @@ class AggSpec:
     op: str  # one of AGG_OPS
     column: str | None  # None for $count
     order_col: str | None = None  # $min_by/$max_by ordering column
+    param: float | None = None  # $percentile fraction
 
 
 @dataclass
@@ -614,6 +628,25 @@ def _parse_aggs(obj: object) -> list[AggSpec]:
                 )
             aggs.append(AggSpec(alias, op, col))
             continue
+        if op == "$percentile":
+            # {alias: {"$percentile": [col, p]}} — p a literal fraction
+            # in [0, 1] (interpolated, quantile_cont semantics)
+            if (
+                not isinstance(col, list)
+                or len(col) != 2
+                or not isinstance(col[0], str)
+                or isinstance(col[0], bool)
+                or isinstance(col[1], bool)
+                or not isinstance(col[1], (int, float))
+                or not 0 <= col[1] <= 1
+            ):
+                raise SpecError(
+                    f"$agg entry {alias!r}: $percentile takes"
+                    f" [column, fraction in [0, 1]] — got {col!r}"
+                )
+            aggs.append(AggSpec(alias, op, col[0], order_col=None,
+                                param=float(col[1])))
+            continue
         if op in ("$min_by", "$max_by"):
             # argmin/argmax: [value-column, ordering-column]. The caller
             # must order by a UNIQUE column (or accept engine-dependent
@@ -636,6 +669,11 @@ def _parse_aggs(obj: object) -> list[AggSpec]:
             raise SpecError(
                 f"$agg entry {alias!r}: column must be a name or True (count-star)"
                 f" — got {col!r}"
+            )
+        if col is True and op != "$count":
+            raise SpecError(
+                f"$agg entry {alias!r}: {op} needs a column name"
+                f" (True is count-star only)"
             )
         aggs.append(AggSpec(alias, op, None if col is True else col))
     return aggs

@@ -2890,3 +2890,56 @@ def test_agg_over_dotted_computed_column(eng):
         }
     ).collect()
     assert rows and all(r["hi"] is not None for r in rows)
+
+
+def test_statistical_aggs_match_sql_twins(eng):
+    """Round-12 engine-level statistical aggregates (driver keys queue
+    r13 per the backlog discipline): spread + interpolated quantiles
+    must be bit-identical to the Spark SQL spellings, and the
+    interpolated percentile must match DuckDB quantile_cont semantics
+    (pinned transitively by the agg_percentile_exact key's oracle)."""
+    dsl = eng.query(
+        {
+            "lineitem": {
+                "$groupby": ["l_returnflag"],
+                "$agg": {
+                    "sd": {"$stddev": "l_quantity"},
+                    "sd_pop": {"$stddev_pop": "l_quantity"},
+                    "v": {"$var": "l_quantity"},
+                    "v_pop": {"$var_pop": "l_quantity"},
+                    "med": {"$median": "l_quantity"},
+                    "p90": {"$percentile": ["l_quantity", 0.9]},
+                },
+            }
+        }
+    )
+    sql = eng.sql(
+        """
+        SELECT l_returnflag,
+               stddev_samp(l_quantity) AS sd,
+               stddev_pop(l_quantity) AS sd_pop,
+               var_samp(l_quantity) AS v,
+               var_pop(l_quantity) AS v_pop,
+               median(l_quantity) AS med,
+               percentile(l_quantity, 0.9) AS p90
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+    assert dsl.columns == sql.columns
+    assert _rows(dsl) == _rows(sql)
+
+
+@pytest.mark.parametrize(
+    "agg",
+    [
+        {"s": {"$stddev": True}},            # True is count-star only
+        {"s": {"$median": True}},
+        {"s": {"$percentile": "l_quantity"}},  # needs [col, p]
+        {"s": {"$percentile": ["l_quantity", 1.5]}},  # p outside [0,1]
+        {"s": {"$percentile": ["l_quantity", "0.5"]}},  # p not numeric
+        {"s": {"$percentile": [True, 0.5]}},
+    ],
+)
+def test_statistical_agg_bad_shapes_fail_typed(eng, agg):
+    with pytest.raises(SpecError):
+        eng.query({"lineitem": {"$groupby": ["l_returnflag"], "$agg": agg}})
