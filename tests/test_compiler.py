@@ -2943,3 +2943,23 @@ def test_statistical_aggs_match_sql_twins(eng):
 def test_statistical_agg_bad_shapes_fail_typed(eng, agg):
     with pytest.raises(SpecError):
         eng.query({"lineitem": {"$groupby": ["l_returnflag"], "$agg": agg}})
+
+
+def test_asof_tolerance_left_plan_keeps_window_group_limit(eng):
+    """The $how:left variant must keep the rank-1 WindowGroupLimit prune
+    (partial top-1 on both sides of the exchange) with the tolerance
+    residual riding the LeftOuter join condition — never a post-join
+    filter, never the full temporal fan-out."""
+    from naqed_spark.queries.compiler_ops import compiler_asof_tolerance
+
+    df = compiler_asof_tolerance(eng.spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        eng.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "WindowGroupLimit" in plan
+    assert "LeftOuter" in plan
+    # the staleness bound is IN the join condition (fan-out prune)
+    assert plan.count("unix_micros") >= 2
+    assert "CartesianProduct" not in plan
