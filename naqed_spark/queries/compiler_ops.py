@@ -1562,3 +1562,142 @@ def compiler_grouping_sets(spark, sf_dir):
             }
         }
     )
+
+
+@query(
+    "compiler_agg_stats",
+    # Round-13 registration of the round-12 engine-level statistical
+    # aggregates (SURVEY roadmap M11; VERDICT r12 item 2). Spread on a
+    # small-magnitude column only (l_quantity, 1..50 in 0.25 steps):
+    # accumulation error ~1e-10 sits far below the round(4) grain, so
+    # the rounded values are deterministic on both engines — the exact
+    # agg_stats discipline (§7.3). The $derive + $round(4) pass lands
+    # AFTER the aggregate, mirroring the oracle's round(..., 4) at the
+    # emission boundary. Plan: one partial+final hash aggregate pair
+    # around a single exchange on l_returnflag — all four moments are
+    # merge-able accumulators, so the map-side combine carries
+    # (n, Σx, Σx²) triples, never rows (plan-pinned in test_compiler).
+    oracle="""
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(stddev_pop(l_quantity), 4) AS sd_pop_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(var_pop(l_quantity), 4) AS var_pop_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def compiler_agg_stats(spark, sf_dir):
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "lineitem": {
+                "$groupby": ["l_returnflag"],
+                "$agg": {
+                    "sd_qty": {"$stddev": "l_quantity"},
+                    "sd_pop_qty": {"$stddev_pop": "l_quantity"},
+                    "var_qty": {"$var": "l_quantity"},
+                    "var_pop_qty": {"$var_pop": "l_quantity"},
+                },
+                "$derive": {
+                    "sd_qty": {"$round": ["sd_qty", 4]},
+                    "sd_pop_qty": {"$round": ["sd_pop_qty", 4]},
+                    "var_qty": {"$round": ["var_qty", 4]},
+                    "var_pop_qty": {"$round": ["var_pop_qty", 4]},
+                },
+            }
+        }
+    )
+
+
+@query(
+    "compiler_percentile",
+    # $median / $percentile through the E1 DSL (M11, second key):
+    # interpolated quantile_cont semantics on the 0.25-step l_quantity
+    # column — interpolation between adjacent 0.25 steps lands on
+    # binary-exact 0.125 grids, so round(4) is boundary-free on both
+    # engines (the agg_percentile_exact discipline). Scale note: Spark's
+    # percentile is an exact aggregate that collects per-group value
+    # counts on the reducer; it is the correct choice here because the
+    # VALUE DOMAIN is tiny (200 distinct quantities regardless of row
+    # count) — for unbounded domains at 100 TB the registered
+    # approx-sketch keys (agg_approx_percentile_sketch) are the path.
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+           round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def compiler_percentile(spark, sf_dir):
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "lineitem": {
+                "$groupby": ["l_returnflag"],
+                "$agg": {
+                    "median_qty": {"$median": "l_quantity"},
+                    "p90_qty": {"$percentile": ["l_quantity", 0.9]},
+                },
+                "$derive": {
+                    "median_qty": {"$round": ["median_qty", 4]},
+                    "p90_qty": {"$round": ["p90_qty", 4]},
+                },
+            }
+        }
+    )
+
+
+@query(
+    "compiler_asof_forward",
+    # $strategy "forward" through the E1 DSL (VERDICT r12 item 8 — the
+    # one $asof strategy with engine tests but no driver key; zero new
+    # engine code). Orders → events: for each order, the EARLIEST event
+    # at-or-after the order date for that customer (ts ASC, event_id
+    # ASC tiebreak). Mixed date/timestamp ordering pair lowers to epoch
+    # µs on both engines; NULL ordering values never match; INNER
+    # semantics drop orders whose customer has no event at-or-after.
+    # Output avoids raw timestamps (event_id identifies the match), so
+    # the value hash is timezone-proof by construction.
+    oracle="""
+    SELECT o_orderkey, o_custkey, event_id FROM (
+      SELECT o.o_orderkey, o.o_custkey, e.event_id,
+             row_number() OVER (
+               PARTITION BY o.o_orderkey
+               ORDER BY e.ts, e.event_id) AS rn
+      FROM orders o JOIN events e
+        ON e.user_id = o.o_custkey
+       AND o.o_orderdate IS NOT NULL AND e.ts IS NOT NULL
+       AND epoch_us(e.ts) >= epoch_us(o.o_orderdate)
+    ) t WHERE rn = 1
+    """,
+)
+def compiler_asof_forward(spark, sf_dir):
+    """Same plan family as the other $asof keys: user-key equi-join with
+    the direction predicate riding the join condition + per-order
+    WindowGroupLimit top-1 (partial on both sides of the exchange) — the
+    temporal fan-out is pruned at the join, never materialized."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "orders": {
+                "o_orderkey": True,
+                "o_custkey": True,
+                "events": {
+                    "$asof": {
+                        "$left_on": "o_orderdate",
+                        "$right_on": "ts",
+                        "$per": "o_orderkey",
+                        "$tiebreak": "event_id",
+                        "$strategy": "forward",
+                    },
+                    "event_id": True,
+                },
+            }
+        }
+    )

@@ -143,6 +143,14 @@ DEFERRED: set[str] = {
     "compiler_cube",
     "compiler_grouping_sets",
     "llm_multimodal_decode",
+    # round-13 registrations (VERDICT r12 items 2 and 8): the r12
+    # engine-level statistical aggregates (SURVEY roadmap M11) and the
+    # $asof forward strategy (engine-tested since r11, zero new engine
+    # code) — queued behind the stale-signal rotation front per the
+    # standing discipline.
+    "compiler_agg_stats",
+    "compiler_percentile",
+    "compiler_asof_forward",
 }
 
 

@@ -99,7 +99,13 @@ def test_priority_keys_all_registered():
 def test_rotation_is_rewrite_aware():
     """VERDICT r9 item 2: a key rewritten AFTER its last driver signal
     carries a void signal and must requeue ahead of every checked-and-
-    untouched key, behind only the never-checked block."""
+    untouched key, behind only the never-checked block.
+
+    VERDICT r12 item 1: the void set being EMPTY is the goal state
+    (every signal post-dates its key's last rewrite), not a failure —
+    all ordering checks below are conditional on debt actually
+    existing, so this test stays green at zero verification debt.
+    """
     from naqed_spark import registry
 
     registry.load_all()
@@ -111,7 +117,6 @@ def test_rotation_is_rewrite_aware():
         k for k, rnd in registry.TOUCHED.items()
         if k in signal and signal[k] < rnd
     ]
-    assert stale, "TOUCHED should list at least the round-9/10 rewrites"
     untouched_checked = [
         k for k in registry.QUERIES
         if k in signal and signal[k] >= registry.TOUCHED.get(k, -1)
@@ -120,13 +125,22 @@ def test_rotation_is_rewrite_aware():
         k for k in registry.QUERIES
         if k not in signal and k not in registry.DEFERRED
     ]
-    # every void-signal key sorts ahead of every untouched checked key…
-    worst_stale = max(pos[k] for k in stale)
-    best_untouched = min(pos[k] for k in untouched_checked)
-    assert worst_stale < best_untouched
-    # …and behind the whole never-checked block.
-    if never:
-        assert min(pos[k] for k in stale) > max(pos[k] for k in never)
+    best_untouched = (
+        min(pos[k] for k in untouched_checked) if untouched_checked
+        else len(ordered)
+    )
+    if stale:
+        # every void-signal key sorts ahead of every untouched checked
+        # key…
+        worst_stale = max(pos[k] for k in stale)
+        assert worst_stale < best_untouched
+        # …and behind the whole never-checked block.
+        if never:
+            assert min(pos[k] for k in stale) > max(pos[k] for k in never)
+    else:
+        # zero-debt state: nothing to order; the front of the rotation
+        # is the never-checked block (if any), covered below.
+        worst_stale = max(pos[k] for k in never) if never else -1
     # DEFERRED registrations without a signal queue BEHIND the void
     # re-checks (they must not jump an outstanding backlog) and ahead
     # of valid-signal keys; once a key has a signal, DEFERRED is inert.

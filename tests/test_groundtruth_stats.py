@@ -7394,3 +7394,96 @@ def test_llm_multimodal_decode_matches_python_decode(spark):
         ["width", "height", "n_px", "mean_r", "mean_g", "mean_b"],
         tol=0,
     )
+
+
+# -------- round-13 registrations (wave 42): the M11 statistical-agg
+# driver keys and the $asof forward strategy, each recomputed from the
+# textbook definition in pure python — explicit Σ(x-x̄)² moments (never
+# numpy's var), a hand-rolled (n-1)p linear-interpolation quantile
+# (never np.quantile), and a per-order argmin scan over the at-or-after
+# candidate set. None shares code or SQL with either engine spelling,
+# so a twin bug in the DSL lowering and its DuckDB oracle cannot
+# satisfy these.
+
+
+def _moments(x: np.ndarray) -> dict:
+    n = len(x)
+    mean = float(x.sum()) / n
+    ss = float(((x - mean) ** 2).sum())
+    var_samp = ss / (n - 1)
+    var_pop = ss / n
+    return {
+        "sd_qty": math.sqrt(var_samp),
+        "sd_pop_qty": math.sqrt(var_pop),
+        "var_qty": var_samp,
+        "var_pop_qty": var_pop,
+    }
+
+
+def test_compiler_agg_stats_matches_textbook_moments(spark):
+    li = _tbl("lineitem")
+    want = {
+        (flag,): _moments(grp.l_quantity.to_numpy(dtype=np.float64))
+        for flag, grp in li.groupby("l_returnflag")
+    }
+    got = run(spark, "compiler_agg_stats")
+    # the key emits round(4); the textbook values are unrounded, so the
+    # tolerance sits just above the 0.5e-4 rounding grain
+    assert_keyed(got, want, ["l_returnflag"],
+                 ["sd_qty", "sd_pop_qty", "var_qty", "var_pop_qty"],
+                 tol=1e-4)
+
+
+def _quantile_cont(sorted_vals: np.ndarray, p: float) -> float:
+    """The textbook (n-1)p linear interpolation — quantile_cont /
+    type-7, written out rather than delegated to np.quantile."""
+    h = (len(sorted_vals) - 1) * p
+    lo = math.floor(h)
+    hi = math.ceil(h)
+    return float(
+        sorted_vals[lo] + (h - lo) * (sorted_vals[hi] - sorted_vals[lo])
+    )
+
+
+def test_compiler_percentile_matches_textbook_interpolation(spark):
+    li = _tbl("lineitem")
+    want = {}
+    for flag, grp in li.groupby("l_returnflag"):
+        v = np.sort(grp.l_quantity.to_numpy(dtype=np.float64))
+        want[(flag,)] = {
+            "median_qty": _quantile_cont(v, 0.5),
+            "p90_qty": _quantile_cont(v, 0.9),
+        }
+    got = run(spark, "compiler_percentile")
+    # 0.25-step values → interpolants on exact 0.125 grids; round(4) is
+    # an identity there, so the default tolerance suffices
+    assert_keyed(got, want, ["l_returnflag"], ["median_qty", "p90_qty"])
+
+
+def test_compiler_asof_forward_matches_python_argmin(spark):
+    ev = _tbl("events")
+    by_user: dict = {}
+    for eid, uid, ts in zip(ev.event_id, ev.user_id, ev.ts):
+        if pd.isna(ts):
+            continue
+        by_user.setdefault(uid, []).append(
+            (pd.Timestamp(ts).value // 1000, int(eid))
+        )
+    o = _tbl("orders")
+    want = {}
+    n_dropped = 0
+    for ok, ck, od in zip(o.o_orderkey, o.o_custkey, o.o_orderdate):
+        o_us = pd.Timestamp(od).value // 1000
+        cands = [c for c in by_user.get(ck, []) if c[0] >= o_us]
+        if not cands:
+            n_dropped += 1  # INNER semantics: no at-or-after match
+            continue
+        want[(int(ok),)] = {
+            "o_custkey": ck,
+            "event_id": min(cands)[1],  # (ts ASC, event_id ASC)
+        }
+    got = run(spark, "compiler_asof_forward")
+    assert_keyed(got, want, ["o_orderkey"], ["o_custkey", "event_id"])
+    # fixture sanity: matched and dropped orders BOTH occur, or the
+    # inner-join semantics assertion is vacuous
+    assert want and n_dropped > 0

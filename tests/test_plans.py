@@ -1377,3 +1377,48 @@ def test_compiler_sample_stratified_partial_topk(spark):
     tree = tree_of(plan_of(spark, "compiler_sample_stratified"))
     assert tree.count("WindowGroupLimit") == 2
     assert tree.count("Exchange") == 1
+
+
+def test_compiler_agg_stats_single_exchange_partial_agg(spark):
+    """The M11 statistical aggregates (round 13): all four moments are
+    merge-able accumulators, so the plan must be ONE partial+final
+    hash-aggregate pair around a single exchange on the group key —
+    map-side combine ships (n, Σx, Σx²) triples, never rows. A second
+    exchange (or a sort-aggregate fallback) here would shuffle the full
+    lineitem table at 100 TB."""
+    plan = plan_of(spark, "compiler_agg_stats")
+    tree = tree_of(plan)
+    assert tree.count("HashAggregate") == 2
+    assert tree.count("Exchange") == 1
+    # column pruning: only the group key + measured column are read
+    assert "l_comment" not in plan and "l_extendedprice" not in plan
+
+
+def test_compiler_percentile_single_exchange(spark):
+    """$median/$percentile: Spark's exact percentile is an ObjectHashAgg
+    (buffered per-group value counts), still one partial+final pair and
+    one exchange — correct here because the value domain is 200 distinct
+    quantities; unbounded domains route to the approx-sketch keys."""
+    plan = plan_of(spark, "compiler_percentile")
+    tree = tree_of(plan)
+    assert tree.count("Exchange") == 1
+    assert ("ObjectHashAggregate" in tree) or ("HashAggregate" in tree)
+    assert "SortAggregate" not in tree
+
+
+def test_compiler_asof_forward_window_group_limit(spark):
+    """$strategy forward shares the asof plan family: equi-join with the
+    direction predicate IN the join condition (at-or-after rows pruned at
+    the join, never materialized) + per-order WindowGroupLimit top-1
+    partials on both sides of the rank exchange."""
+    plan = plan_of(spark, "compiler_asof_forward")
+    tree = tree_of(plan)
+    assert tree.count("WindowGroupLimit") == 2
+    # the at-or-after bound rides the equi-join's residual condition,
+    # not a post-join Filter: the details section must show the µs
+    # comparison inside a "Join condition" line
+    assert any(
+        "Join condition:" in ln and "unix_micros" in ln and ">=" in ln
+        for ln in plan.splitlines()
+    )
+    assert "CartesianProduct" not in tree and "BroadcastNestedLoop" not in tree
