@@ -232,6 +232,15 @@ def main() -> None:
             line = json.dumps(compact)
             if len(line) <= 1900:
                 break
+    if len(line) > 1900:
+        # last-ditch guard (ADVICE r12): if future scalar blocks inflate
+        # the line past the tail budget even with both maps dropped,
+        # emit the minimal parseable artifact rather than an oversized
+        # line the driver's ~2000-char tail would truncate mid-JSON.
+        line = json.dumps(
+            {"metric": "headline_total", "value": total, "unit": "sec",
+             "sf": sf}
+        )
     print(line)
     spark.stop()
 

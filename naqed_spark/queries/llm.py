@@ -91,7 +91,9 @@ def _minhash_sigs(spark, sf_dir):
     # corpus WITH duplicates (documents replayed twice) and collapses it.
     # Round 12 (VERDICT r11 item 8): the group key is a DIGEST of the
     # text, not the text itself — at 100 TB the dedup exchange carries
-    # 32-byte keys instead of document bodies (keep_id points at the
+    # fixed-size 64-char hex digests (sha2 emits hex STRINGS — 64 bytes
+    # on the wire carrying 32 bytes of entropy; ADVICE r12 sizing
+    # correction) instead of document bodies (keep_id points at the
     # retained doc; emitting bodies in a dedup RESULT is itself an
     # anti-pattern at scale). sha-256, not md5 (round-12 self-review):
     # "exact" dedup must not silently merge distinct texts, and md5

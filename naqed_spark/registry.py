@@ -112,7 +112,7 @@ TOUCHED: dict[str, int] = {
     # explode+window plan).
     "llm_winnowing_fingerprint": 12,
     # round-12 schema change (VERDICT r11 item 8): exact dedup groups on
-    # and emits sha256(text) — the 100 TB shuffle carries 32-byte
+    # and emits sha256(text) — the 100 TB shuffle carries 64-char-hex
     # collision-resistant digests, not document bodies; keep/count
     # semantics unchanged.
     "llm_exact_dedup": 12,

@@ -130,7 +130,7 @@ HEADLINE += [
 # WindowGroupLimit top-1 — the rank-1 prune is the scale claim) and the
 # subtotal grids (one Expand + one exchange, |sets| pre-combined cells
 # per key) — probed from first registration, with llm_exact_dedup
-# re-probed under its new 32-byte digest shuffle key and the winnowing
+# re-probed under its new hex-digest shuffle key and the winnowing
 # fingerprint under its fused zero-shuffle rewrite (both TOUCHED r12).
 HEADLINE += [
     "compiler_asof_nearest",
