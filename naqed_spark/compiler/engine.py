@@ -610,6 +610,41 @@ class Engine:
             return sub[0] % sub[1]
         if op == "$abs":
             return F.abs(sub[0])
+        if op in ("$dot", "$cosine", "$euclidean"):
+            # Vector similarity (round 13, M12): pure Column HOFs —
+            # zip_with pairs elements, aggregate folds the sum LEFT-TO-
+            # RIGHT in array order (a deterministic IEEE754 sequence,
+            # the same order numpy/DuckDB walk the list). Zero shuffle,
+            # zero Python: the whole expression is one JVM-side
+            # projection, exactly the pattern the llm_knn_* keys carry.
+            # Semantics pinned by tests: NULL operand → NULL; length
+            # mismatch → NULL (zip_with pads with NULL, the fold
+            # absorbs it); zero-norm cosine → NULL (Spark x/0.0).
+            a = sub[0].cast("array<double>")
+            b = sub[1].cast("array<double>")
+
+            def _vdot(x, y):
+                return F.aggregate(
+                    F.zip_with(x, y, lambda p, q: p * q),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+
+            if op == "$dot":
+                return _vdot(a, b)
+            if op == "$cosine":
+                # norm-product form (‖a‖·‖b‖), matching the registered
+                # brute-force kernel's nrm_a * nrm_b denominator
+                return _vdot(a, b) / (
+                    F.sqrt(_vdot(a, a)) * F.sqrt(_vdot(b, b))
+                )
+            return F.sqrt(
+                F.aggregate(
+                    F.zip_with(a, b, lambda p, q: (p - q) * (p - q)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            )
         if op == "$round":
             return F.round(sub[0], ex.args[1].args[0])
         if op == "$concat":

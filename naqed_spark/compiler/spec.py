@@ -264,6 +264,17 @@ Round-12 extensions (VERDICT r11 items 2-3 + ADVICE r11):
        {"$percentile": [col, p]})     # quantile_cont-style percentile
                                       # at literal fraction p in [0, 1].
 
+Round-13 extensions (SURVEY roadmap M12; driver keys queue r14):
+
+    {"$dot": [a, b]} in $select       # vector similarity over embedding
+      (also $cosine / $euclidean)     # columns: each operand is an array
+                                      # column name or a {"$lit": [nums]}
+                                      # query vector; lowered to
+                                      # zero-shuffle zip_with+aggregate
+                                      # HOFs (no Python, no exchange).
+                                      # NULL operand / length mismatch /
+                                      # zero-norm cosine all emit NULL.
+
 ``$``-keys are arguments (the reference passes resolver args the same way);
 everything else is either a requested field (``True``) or a relationship
 traversal (nested dict). Relationship fan-out is relational: one output row
@@ -318,7 +329,16 @@ SELECT_OPS = {
     "$cast": 2,        # [expr, {"$lit": type-name}] — CAST_TYPES only
     "$if": 3,          # [cond ($filter syntax), then-expr, else-expr]
     "$json": 2,        # [expr, {"$lit": "$.path"}] — JSON field accessor
+    # vector similarity (round 13, SURVEY roadmap M12 — driver keys
+    # queue r14): each argument is an array column name or a
+    # {"$lit": [numbers]} query vector. Lowered to zero-shuffle
+    # zip_with + aggregate HOFs — JVM-side, no Python, no exchange.
+    "$dot": 2,         # Σ aᵢ·bᵢ
+    "$cosine": 2,      # dot / (‖a‖·‖b‖); zero-norm → NULL
+    "$euclidean": 2,   # √Σ (aᵢ-bᵢ)²
 }
+
+VECTOR_OPS = {"$dot", "$cosine", "$euclidean"}
 
 # $cast target types. decimal(p,s) is the determinism workhorse (§7.3:
 # money sums go through exact decimal, cast back to double at the end).
@@ -679,6 +699,34 @@ def _parse_aggs(obj: object) -> list[AggSpec]:
     return aggs
 
 
+def _parse_vector_arg(op: str, a: object) -> Expr:
+    """One operand of a VECTOR_OPS node: an array column name, or a
+    {"$lit": [numbers]} query vector (non-empty, no bools — True would
+    silently coerce to 1.0). Literal elements are normalized to float
+    at parse time so the engine always lits an array<double>."""
+    if isinstance(a, str):
+        return Expr("$col", [a])
+    if isinstance(a, dict) and set(a) == {"$lit"}:
+        v = a["$lit"]
+        if (
+            isinstance(v, list)
+            and v
+            and all(
+                isinstance(x, (int, float)) and not isinstance(x, bool)
+                for x in v
+            )
+        ):
+            return Expr("$lit", [[float(x) for x in v]])
+        raise SpecError(
+            f"{op}: $lit vector must be a non-empty list of numbers"
+            f" — got {v!r}"
+        )
+    raise SpecError(
+        f"{op} arguments must be array column names or"
+        f" {{'$lit': [numbers]}} query vectors — got {a!r}"
+    )
+
+
 def _parse_expr(obj: object) -> Expr:
     """Parse one $select expression. Bare strings are column references,
     bare numbers/bools literals; operator nodes are single-key dicts."""
@@ -701,6 +749,12 @@ def _parse_expr(obj: object) -> Expr:
             raise SpecError(f"{op} needs at least 2 arguments, got {len(args)}")
     elif len(args) != arity:
         raise SpecError(f"{op} needs exactly {arity} argument(s), got {len(args)}")
+    if op in VECTOR_OPS:
+        # vector args are deliberately NOT general expressions: an
+        # array operand is either a column reference or a literal query
+        # vector — scalar sub-expressions can never type-check against
+        # zip_with, so the shape error surfaces at parse time, typed.
+        return Expr(op, [_parse_vector_arg(op, a) for a in args])
     if op == "$round":
         nd = args[1]
         if not isinstance(nd, int) or isinstance(nd, bool):

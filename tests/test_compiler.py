@@ -2963,3 +2963,177 @@ def test_asof_tolerance_left_plan_keeps_window_group_limit(eng):
     # the staleness bound is IN the join condition (fan-out prune)
     assert plan.count("unix_micros") >= 2
     assert "CartesianProduct" not in plan
+
+
+# -------- round-13 vector similarity (M12 engine-half; driver keys
+# queue r14): $dot / $cosine / $euclidean over array columns and
+# literal query vectors, lowered to zero-shuffle zip_with + aggregate
+# HOF projections.
+
+
+_QVEC = [0.1 * (i % 7) - 0.3 for i in range(64)]  # fixture dim = 64
+
+
+def test_vector_ops_match_sql_twins(eng):
+    """The DSL lowering must be bit-identical to the canonical Spark SQL
+    HOF spelling (same fold order, same norm-product cosine form —
+    numeric twin-bug defense is the numpy test below)."""
+    lit = "array(" + ",".join(f"{x!r}D" for x in _QVEC) + ")"
+    dsl = eng.query(
+        {
+            "embeddings": {
+                "vec_id": True,
+                "$select": {
+                    "dot_q": {"$dot": ["embedding", {"$lit": _QVEC}]},
+                    "cos_q": {"$cosine": ["embedding", {"$lit": _QVEC}]},
+                    "dist_q": {
+                        "$euclidean": ["embedding", {"$lit": _QVEC}]
+                    },
+                },
+            }
+        }
+    )
+    sql = eng.sql(f"""
+        SELECT vec_id,
+          aggregate(zip_with(e, q, (p, x) -> p * x), 0D,
+                    (acc, v) -> acc + v) AS dot_q,
+          aggregate(zip_with(e, q, (p, x) -> p * x), 0D,
+                    (acc, v) -> acc + v)
+            / (sqrt(aggregate(zip_with(e, e, (p, x) -> p * x), 0D,
+                              (acc, v) -> acc + v))
+               * sqrt(aggregate(zip_with(q, q, (p, x) -> p * x), 0D,
+                                (acc, v) -> acc + v))) AS cos_q,
+          sqrt(aggregate(zip_with(e, q, (p, x) -> (p - x) * (p - x)), 0D,
+                         (acc, v) -> acc + v)) AS dist_q
+        FROM (SELECT vec_id, cast(embedding AS array<double>) AS e,
+                     {lit} AS q
+              FROM embeddings)
+    """)
+    assert dsl.columns == sql.columns
+    assert _rows(dsl) == _rows(sql)
+
+
+def test_vector_ops_match_numpy(eng):
+    """Twin-bug defense: the same three metrics recomputed from their
+    textbook formulas in numpy off the parquet fixture — no HOFs, no
+    SQL, no shared spelling."""
+    import numpy as np
+    import pandas as pd
+
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    q = np.asarray(_QVEC, dtype=np.float64)
+    got = {
+        r["vec_id"]: r
+        for r in eng.query(
+            {
+                "embeddings": {
+                    "vec_id": True,
+                    "$select": {
+                        "dot_q": {"$dot": ["embedding", {"$lit": _QVEC}]},
+                        "cos_q": {
+                            "$cosine": ["embedding", {"$lit": _QVEC}]
+                        },
+                        "dist_q": {
+                            "$euclidean": ["embedding", {"$lit": _QVEC}]
+                        },
+                    },
+                }
+            }
+        ).collect()
+    }
+    assert len(got) == len(emb)
+    for vid, vec in zip(emb.vec_id, emb.embedding):
+        a = np.asarray(list(vec), dtype=np.float64)
+        dot = float((a * q).sum())
+        r = got[vid]
+        assert abs(r["dot_q"] - dot) < 1e-9
+        assert abs(
+            r["cos_q"]
+            - dot / (np.sqrt((a * a).sum()) * np.sqrt((q * q).sum()))
+        ) < 1e-9
+        assert abs(
+            r["dist_q"] - float(np.sqrt(((a - q) ** 2).sum()))
+        ) < 1e-9
+
+
+def test_vector_ops_null_semantics(eng):
+    """Pinned degenerate behavior: length mismatch → NULL (zip_with pads
+    with NULL and the fold absorbs it), zero-norm cosine → NULL (double
+    division by zero is NULL in Spark). Both spelled with literal-vector
+    operands so no special fixture is needed."""
+    rows = eng.query(
+        {
+            "embeddings": {
+                "vec_id": True,
+                "$select": {
+                    # 8-dim literal against the 64-dim column: mismatch
+                    "mis": {"$dot": ["embedding", {"$lit": [1.0] * 8}]},
+                    # zero query vector: ‖q‖ = 0 → NULL cosine
+                    "zc": {"$cosine": ["embedding", {"$lit": [0.0] * 64}]},
+                    # sanity: euclidean to the zero vector is ‖a‖ > 0
+                    "nrm": {
+                        "$euclidean": ["embedding", {"$lit": [0.0] * 64}]
+                    },
+                },
+                "$limit": 5,
+            }
+        }
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["mis"] is None
+        assert r["zc"] is None
+        assert r["nrm"] is not None and r["nrm"] > 0
+
+
+@pytest.mark.parametrize(
+    "expr",
+    [
+        {"$dot": ["embedding"]},                       # arity 1
+        {"$cosine": ["embedding", "embedding", "embedding"]},  # arity 3
+        {"$dot": ["embedding", 3]},                    # scalar operand
+        {"$euclidean": ["embedding", {"$lit": []}]},   # empty vector
+        {"$dot": ["embedding", {"$lit": [1.0, True]}]},  # bool element
+        {"$cosine": ["embedding", {"$lit": "abc"}]},   # non-list $lit
+        {"$dot": ["embedding", {"$add": [1, 2]}]},     # nested scalar expr
+    ],
+)
+def test_vector_ops_bad_shapes_fail_typed(eng, expr):
+    with pytest.raises(SpecError):
+        eng.query(
+            {"embeddings": {"vec_id": True, "$select": {"x": expr}}}
+        )
+
+
+def test_vector_ops_unknown_column_fails_typed(eng):
+    with pytest.raises(SpecError):
+        eng.query(
+            {
+                "embeddings": {
+                    "vec_id": True,
+                    "$select": {"x": {"$dot": ["no_such", "embedding"]}},
+                }
+            }
+        )
+
+
+def test_vector_ops_zero_shuffle_no_python(eng):
+    """The scale claim, asserted on the plan: a single-table similarity
+    projection is exchange-free and never leaves the JVM (no Python
+    eval node — a row-at-a-time UDF here would be the 10-100x slow path
+    at 100 TB)."""
+    plan = eng.explain(
+        {
+            "embeddings": {
+                "vec_id": True,
+                "$select": {
+                    "cos_q": {"$cosine": ["embedding", {"$lit": _QVEC}]}
+                },
+            }
+        }
+    )
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # only the two needed columns are read
+    assert "label" not in plan
