@@ -611,6 +611,21 @@ class Engine:
         if op == "$abs":
             return F.abs(sub[0])
         if op in ("$dot", "$cosine", "$euclidean"):
+            # Operand TYPE check (round-13 self-review): a scalar column
+            # here would die in Catalyst analysis as a cast error —
+            # surface it as the DSL's typed SpecError instead, naming
+            # the column. Only $col operands can be mistyped; literal
+            # vectors are shape-checked at parse time.
+            from pyspark.sql.types import ArrayType
+
+            for arg in ex.args:
+                if arg.op == "$col":
+                    f = df.schema[arg.args[0]]
+                    if not isinstance(f.dataType, ArrayType):
+                        raise SpecError(
+                            f"{op}: column {arg.args[0]!r} is"
+                            f" {f.dataType.simpleString()}, not an array"
+                        )
             # Vector similarity (round 13, M12): pure Column HOFs —
             # zip_with pairs elements, aggregate folds the sum LEFT-TO-
             # RIGHT in array order (a deterministic IEEE754 sequence,

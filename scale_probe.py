@@ -142,6 +142,16 @@ HEADLINE += [
     "llm_multimodal_decode",
 ]
 
+# Round-13 registrations (probed from first registration, same
+# discipline): the M11 statistical-aggregate keys (one partial+final
+# hash-agg pair, accumulator-width shuffle) and the $asof forward hop
+# (the same WindowGroupLimit rank-1 prune as backward/nearest).
+HEADLINE += [
+    "compiler_agg_stats",
+    "compiler_percentile",
+    "compiler_asof_forward",
+]
+
 
 def build(spark, src_dir: str, out_dir: str, k: int) -> None:
     from functools import reduce

@@ -3137,3 +3137,18 @@ def test_vector_ops_zero_shuffle_no_python(eng):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # only the two needed columns are read
     assert "label" not in plan
+
+
+def test_vector_ops_scalar_column_fails_typed(eng):
+    """Round-13 self-review: a scalar column operand must raise the
+    DSL's typed SpecError naming the column, not leak a Catalyst
+    cast/analysis error."""
+    with pytest.raises(SpecError, match="vec_id.*not an array"):
+        eng.query(
+            {
+                "embeddings": {
+                    "vec_id": True,
+                    "$select": {"x": {"$dot": ["vec_id", "embedding"]}},
+                }
+            }
+        )
