@@ -3152,3 +3152,32 @@ def test_vector_ops_scalar_column_fails_typed(eng):
                 }
             }
         )
+
+
+def test_vector_ops_empty_input(eng, tmp_path):
+    """Zero-row embeddings: the similarity projection emits an empty
+    frame with the declared schema — no HOF edge case on empty arrays
+    vs empty TABLES (the former is a sum over nothing = 0.0, the latter
+    no rows at all)."""
+    import pyarrow.parquet as pq
+
+    src = str(tmp_path / "sf_empty")
+    (tmp_path / "sf_empty").mkdir()
+    # slice the ARROW table (an empty pandas round-trip degrades the
+    # array column to a null/int type and the engine's array-type check
+    # would — correctly — reject it)
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    pq.write_table(t.slice(0, 0), f"{src}/embeddings.parquet")
+    e2 = Engine(eng.spark, src)
+    out = e2.query(
+        {
+            "embeddings": {
+                "vec_id": True,
+                "$select": {
+                    "cos_q": {"$cosine": ["embedding", {"$lit": _QVEC}]}
+                },
+            }
+        }
+    )
+    assert out.columns == ["vec_id", "cos_q"]
+    assert out.count() == 0
