@@ -184,3 +184,56 @@ def test_pagination_chunks_reassemble(eng, seed):
             ).collect()
         )
     assert paged == whole, (seed, a, chunk)
+
+
+# -------- round-13 vector-similarity identities (M12 engine-half).
+# Twin-free algebraic relations any correct $dot/$cosine/$euclidean
+# lowering must satisfy, checked over seeded random query vectors
+# against the real embedding fixture — one engine query per seed, all
+# identities asserted row-by-row on the collected result.
+
+
+def _qvec(rng: random.Random, dim: int = 64) -> list[float]:
+    return [rng.uniform(-1.0, 1.0) for _ in range(dim)]
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47, 89])
+def test_vector_identities(eng, seed):
+    rng = random.Random(seed)
+    b = _qvec(rng)
+    scale = rng.uniform(0.5, 4.0)
+    b_scaled = [scale * x for x in b]
+    rows = eng.query(
+        {
+            "embeddings": {
+                "vec_id": True,
+                "$select": {
+                    "dot_ab": {"$dot": ["embedding", {"$lit": b}]},
+                    "dot_ba": {"$dot": [{"$lit": b}, "embedding"]},
+                    "cos_ab": {"$cosine": ["embedding", {"$lit": b}]},
+                    "cos_a_sb": {
+                        "$cosine": ["embedding", {"$lit": b_scaled}]
+                    },
+                    "dist_ab": {"$euclidean": ["embedding", {"$lit": b}]},
+                    "dot_aa": {"$dot": ["embedding", "embedding"]},
+                    "dot_bb": {"$dot": [{"$lit": b}, {"$lit": b}]},
+                    "cos_self": {"$cosine": ["embedding", "embedding"]},
+                },
+            }
+        }
+    ).collect()
+    assert rows
+    for r in rows:
+        # commutativity: identical HOF fold either way, bit-exact
+        assert r["dot_ab"] == r["dot_ba"]
+        # positive-scale invariance of cosine
+        assert abs(r["cos_ab"] - r["cos_a_sb"]) < 1e-9
+        # law of cosines: ‖a−b‖² = a·a + b·b − 2 a·b
+        assert abs(
+            r["dist_ab"] ** 2
+            - (r["dot_aa"] + r["dot_bb"] - 2 * r["dot_ab"])
+        ) < 1e-6
+        # a vector is parallel to itself (fixture norms are ~1, never 0)
+        assert abs(r["cos_self"] - 1.0) < 1e-9
+        # Cauchy–Schwarz: |a·b| ≤ ‖a‖‖b‖ ⇒ |cos| ≤ 1 (+ fp slack)
+        assert abs(r["cos_ab"]) <= 1.0 + 1e-12
