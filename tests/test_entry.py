@@ -156,3 +156,52 @@ def test_rotation_is_rewrite_aware():
     for k, rnd in registry.TOUCHED.items():
         if k in signal and signal[k] >= rnd:
             assert pos[k] >= best_untouched
+
+
+def test_rotation_ordering_on_synthetic_states(monkeypatch):
+    """VERDICT r12 item 1 ("or better"): the live-state test above can
+    only exercise whichever debt state the repo happens to be in — at
+    zero debt the stale-ordering branch is dead code until the next
+    rewrite. This test fabricates every state class and asserts the
+    full contract deterministically, independent of CORRECTNESS_r*
+    artifacts on disk."""
+    from naqed_spark import registry
+
+    registry.load_all()
+    keys = sorted(registry.QUERIES)[:8]
+    never, stale, deferred, old, fresh, untouched = keys[:6]
+
+    def fake_signals():
+        return {
+            stale: 5,       # rewritten at r7 below -> void
+            old: 3,         # oldest valid signal
+            fresh: 9,       # newest valid signal
+            untouched: 6,   # valid, never rewritten
+            # `never` and `deferred` have NO signal
+        }
+
+    monkeypatch.setattr(registry, "_driver_signal_rounds", fake_signals)
+    monkeypatch.setattr(registry, "TOUCHED", {stale: 7, untouched: 2})
+    monkeypatch.setattr(registry, "DEFERRED", {deferred})
+
+    ordered = registry.ordered_keys()
+    pos = {k: i for i, k in enumerate(ordered)}
+    # bucket order: never-checked < void-signal < deferred-unchecked
+    # < valid signals (stalest first)
+    assert pos[never] < pos[stale] < pos[deferred] < pos[old]
+    # valid signals sort stalest-first; an inert TOUCHED (signal >=
+    # rewrite round) does not demote its key out of the valid bucket
+    assert pos[old] < pos[untouched] < pos[fresh]
+
+    # zero-debt state: no stale, no deferred — never-checked still
+    # fronts, valid signals still stalest-first
+    monkeypatch.setattr(registry, "TOUCHED", {})
+    monkeypatch.setattr(registry, "DEFERRED", set())
+    ordered2 = registry.ordered_keys()
+    pos2 = {k: i for i, k in enumerate(ordered2)}
+    # never-checked still fronts its bucket ahead of every signal-holder
+    assert pos2[never] < pos2[old]
+    # with TOUCHED empty, `stale` holds a VALID r5 signal — newer than
+    # old's r3, older than untouched's r6 — so the stalest-first order
+    # inside the valid bucket is old < stale < untouched < fresh
+    assert pos2[old] < pos2[stale] < pos2[untouched] < pos2[fresh]
