@@ -1701,3 +1701,130 @@ def compiler_asof_forward(spark, sf_dir):
             }
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-13 M12 registration: vector similarity through the E1 DSL.
+# The query vector is a deterministic module literal inlined into BOTH the
+# Spark spec and the DuckDB oracle (the hyperplane-LSH discipline:
+# shared-by-construction constants can never drift apart). dim matches the
+# fixture embeddings (64, FIXTURES.md).
+_QV = [round(0.05 * (i % 9) - 0.2, 2) for i in range(64)]
+_QV_DUCK = "[" + ",".join(f"{x!r}" for x in _QV) + "]"
+
+
+@query(
+    "compiler_vector_similarity",
+    # All three M12 expression ops ($dot/$cosine/$euclidean) in one
+    # projection against the literal query vector. round(6) emission per
+    # the llm_knn discipline: dot magnitudes here are O(1)-O(10) and both
+    # engines fold in array order in float64, so accumulation error
+    # (~1e-14) sits far below the 5e-7 rounding grain. The oracle spells
+    # cosine as dot/(‖a‖·‖b‖) with explicit sqrt — the engine's exact
+    # norm-product form — rather than list_cosine_similarity, so the two
+    # sides share the formula, not just the name. Euclidean uses DuckDB's
+    # list_distance (√Σ(aᵢ-bᵢ)² over the double-cast list — same
+    # textbook form the wave-43 ground-truth replay recomputes in numpy).
+    # NULL embedding → NULL on both engines (zip_with/list_dot_product
+    # both propagate); zero-norm cosine → NULL on both (x/0.0 is NULL in
+    # Spark non-ANSI and DuckDB alike).
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(list_dot_product(e, {_QV_DUCK}), 6) AS dot_q,
+           round(list_dot_product(e, {_QV_DUCK})
+                 / (sqrt(list_dot_product(e, e))
+                    * sqrt(list_dot_product({_QV_DUCK}, {_QV_DUCK}))),
+                 6) AS cos_q,
+           round(list_distance(e, {_QV_DUCK}), 6) AS dist_q
+    FROM v
+    """,
+)
+def compiler_vector_similarity(spark, sf_dir):
+    """Scale shape: ONE exchange-free codegen projection — each metric is
+    a zip_with+aggregate HOF over the embedding array and a literal
+    vector, evaluated JVM-side per row (no Python eval node, no shuffle,
+    scan pruned to vec_id+embedding). At 100 TB this is the map-side
+    scoring kernel the llm_knn_* keys build their top-k on; plan pinned
+    in tests/test_plans.py."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "embeddings": {
+                "vec_id": True,
+                "$select": {
+                    "dot_q": {
+                        "$round": [{"$dot": ["embedding", {"$lit": _QV}]}, 6]
+                    },
+                    "cos_q": {
+                        "$round": [
+                            {"$cosine": ["embedding", {"$lit": _QV}]}, 6
+                        ]
+                    },
+                    "dist_q": {
+                        "$round": [
+                            {"$euclidean": ["embedding", {"$lit": _QV}]}, 6
+                        ]
+                    },
+                },
+            }
+        }
+    )
+
+
+@query(
+    "compiler_vector_topk",
+    # End-to-end similarity search through the DSL: score (rounded
+    # $cosine), rank, cut — the full query a user of the engine writes
+    # for "20 nearest documents to this query embedding". Ordering is on
+    # the ROUNDED value both engines emit (never the raw double), with
+    # vec_id as a unique tiebreak, so the top-20 membership and order
+    # are deterministic cross-engine (§7.3 topk discipline).
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    )
+    SELECT vec_id, label,
+           round(list_dot_product(e, {_QV_DUCK})
+                 / (sqrt(list_dot_product(e, e))
+                    * sqrt(list_dot_product({_QV_DUCK}, {_QV_DUCK}))),
+                 6) AS cos_q
+    FROM v
+    ORDER BY cos_q DESC, vec_id
+    LIMIT 20
+    """,
+)
+def compiler_vector_topk(spark, sf_dir):
+    """Scale shape: the scoring projection is the exchange-free kernel
+    above; the global top-20 plans as TakeOrderedAndProject — per-
+    partition heaps of 20 rows reduced on the driver, NEVER a full sort
+    exchange (the same physical strategy sort_topk pins). At 100 TB the
+    cut ships k rows per partition, not the table."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "embeddings": {
+                "vec_id": True,
+                "label": True,
+                "$select": {
+                    "cos_q": {
+                        "$round": [
+                            {"$cosine": ["embedding", {"$lit": _QV}]}, 6
+                        ]
+                    },
+                },
+                "$orderby": [["cos_q", "desc"], ["vec_id", "asc"]],
+                "$limit": 20,
+            }
+        }
+    )

@@ -151,6 +151,11 @@ DEFERRED: set[str] = {
     "compiler_agg_stats",
     "compiler_percentile",
     "compiler_asof_forward",
+    # round-13 M12 registrations (vector similarity through the DSL,
+    # engine-level since earlier this round): queued behind the stale-
+    # signal rotation front per the standing discipline.
+    "compiler_vector_similarity",
+    "compiler_vector_topk",
 }
 
 

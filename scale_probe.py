@@ -35,7 +35,7 @@ import tempfile
 import time
 
 SHIFT = 10_000_000
-DIMS = ["region", "nation", "supplier", "part", "embeddings"]
+DIMS = ["region", "nation", "supplier", "part"]
 FACT_SHIFTS = {
     "lineitem": ["l_orderkey"],
     "orders": ["o_orderkey", "o_custkey"],
@@ -44,6 +44,13 @@ FACT_SHIFTS = {
     # corpus grows like a fact table; shifted ids give distinct md5
     # buckets, so hash-keyed ops see genuinely new rows, not K collisions
     "documents": ["doc_id"],
+    # round 13: embeddings graduates from DIMS to a shifted fact so the
+    # M12 vector keys see Kx genuinely-new rows (the embedding arrays
+    # repeat across copies, but the per-row HOF work — the thing the
+    # probe measures — is value-independent; shifted vec_ids keep the
+    # topk tiebreak total). No pre-r13 probe key reads embeddings, so
+    # historical ratios are unaffected.
+    "embeddings": ["vec_id"],
 }
 HEADLINE = [
     "agg_groupby_hash",
@@ -150,6 +157,15 @@ HEADLINE += [
     "compiler_agg_stats",
     "compiler_percentile",
     "compiler_asof_forward",
+]
+
+# Round-13 M12 registrations: the vector-similarity projection (one
+# exchange-free codegen pass — growth should be ~linear map work) and
+# the DSL top-k (TakeOrderedAndProject: per-partition 20-row heaps, so
+# Kx rows cost Kx scan and O(1) result movement).
+HEADLINE += [
+    "compiler_vector_similarity",
+    "compiler_vector_topk",
 ]
 
 

@@ -7487,3 +7487,55 @@ def test_compiler_asof_forward_matches_python_argmin(spark):
     # fixture sanity: matched and dropped orders BOTH occur, or the
     # inner-join semantics assertion is vacuous
     assert want and n_dropped > 0
+
+
+# --- wave 43 (round 13): M12 vector similarity through the DSL ----------
+
+
+def test_compiler_vector_similarity_matches_numpy(spark):
+    """Textbook recompute of all three metrics straight off the parquet
+    fixture: dot = Σaᵢbᵢ, cosine = dot/(‖a‖‖b‖), euclidean = √Σ(aᵢ-bᵢ)²
+    — numpy vectorized forms, no HOFs, no SQL, no shared spelling with
+    either engine. The key emits round(6); tolerance sits above that
+    grain."""
+    from naqed_spark.queries.compiler_ops import _QV
+
+    emb = _tbl("embeddings")
+    q = np.asarray(_QV, dtype=np.float64)
+    want = {}
+    for vid, vec in zip(emb.vec_id, emb.embedding):
+        a = np.asarray(list(vec), dtype=np.float64)
+        dot = float(a @ q)
+        want[(int(vid),)] = {
+            "dot_q": dot,
+            "cos_q": dot / (np.linalg.norm(a) * np.linalg.norm(q)),
+            "dist_q": float(np.linalg.norm(a - q)),
+        }
+    got = run(spark, "compiler_vector_similarity")
+    assert len(got) == len(emb)
+    assert_keyed(got, want, ["vec_id"], ["dot_q", "cos_q", "dist_q"],
+                 tol=1e-5)
+
+
+def test_compiler_vector_topk_matches_numpy_argsort(spark):
+    """Independent top-20: score every vector in numpy, rank by
+    (-rounded_cosine, vec_id) — the key's documented deterministic order
+    — and compare membership AND order. Rounded cosine is used for the
+    rank exactly as the key documents (§7.3 topk discipline)."""
+    from naqed_spark.queries.compiler_ops import _QV
+
+    emb = _tbl("embeddings")
+    q = np.asarray(_QV, dtype=np.float64)
+    scored = []
+    for vid, vec, lab in zip(emb.vec_id, emb.embedding, emb.label):
+        a = np.asarray(list(vec), dtype=np.float64)
+        cos = round(float(a @ q) / (np.linalg.norm(a) * np.linalg.norm(q)), 6)
+        scored.append((-cos, int(vid), int(lab)))
+    scored.sort()
+    want = scored[:20]
+    got = run(spark, "compiler_vector_topk")
+    assert len(got) == 20
+    got_rows = list(zip(got.vec_id, got.label, got.cos_q))
+    for (ncos, vid, lab), (gvid, glab, gcos) in zip(want, got_rows):
+        assert int(gvid) == vid and int(glab) == lab
+        assert abs(float(gcos) - (-ncos)) <= 1e-5

@@ -1422,3 +1422,29 @@ def test_compiler_asof_forward_window_group_limit(spark):
         for ln in plan.splitlines()
     )
     assert "CartesianProduct" not in tree and "BroadcastNestedLoop" not in tree
+
+
+def test_compiler_vector_similarity_exchange_free_projection(spark):
+    """The M12 vector ops (round 13): one codegen projection over the
+    pruned scan — zero exchanges, zero Python eval nodes (the HOFs are
+    JVM lambdas, not UDFs). At 100 TB this is the map-side scoring
+    kernel; any Exchange or BatchEvalPython here means the lowering
+    regressed to a shuffle or a Python round-trip."""
+    plan = plan_of(spark, "compiler_vector_similarity")
+    tree = tree_of(plan)
+    assert "Exchange" not in tree
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
+    # column pruning: label is not requested, so the scan must not read it
+    assert "ReadSchema" in plan and "label" not in plan
+
+
+def test_compiler_vector_topk_take_ordered(spark):
+    """The DSL's score→rank→cut similarity search must plan the global
+    top-20 as TakeOrderedAndProject (per-partition k-row heaps reduced
+    once), NEVER a full global sort exchange — the same strategy the
+    sort_topk key pins, now reached through the compiler."""
+    plan = plan_of(spark, "compiler_vector_topk")
+    tree = tree_of(plan)
+    assert "TakeOrderedAndProject" in tree
+    assert "Exchange" not in tree
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
