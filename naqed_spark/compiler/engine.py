@@ -678,6 +678,15 @@ class Engine:
             # separator is a parse-time-validated string literal (spec.py),
             # passed to array_join as a plain str, not a Column
             return F.array_join(sub[0], ex.args[1].args[0])
+        if op == "$split":
+            # PLAIN-string split (round 13, M13): Spark's split takes a
+            # Java regex, so the literal separator is \Q...\E-quoted
+            # (parse time rejects separators containing "\E"). limit -1
+            # keeps trailing empty fields — the exact semantics of
+            # DuckDB's string_split, so the oracle twin needs no
+            # trimming compensation. NULL input → NULL array on both.
+            sep = ex.args[1].args[0]
+            return F.split(sub[0], "\\Q" + sep + "\\E", -1)
         if op == "$json":
             # path is a parse-time-validated "$."-prefixed literal; NULL on
             # missing keys in both engines (DuckDB twin:
@@ -762,6 +771,68 @@ class Engine:
         for alias, ex in qs.select:
             df = df.withColumn(alias, self._compile_expr(df, ex))
             cols.append(alias)
+        if qs.explode is not None:
+            # $explode (round 13, M13): one output row per array
+            # element — a codegen Generate, zero shuffle, evaluated
+            # streaming per input partition (never materializing the
+            # fan-out). Lands after $select so a $split result (or any
+            # computed array) is explodable, and before $agg so
+            # exploded rows feed aggregation — the token-count
+            # pipeline shape. The element column replaces the array
+            # column IN PLACE in the projection ($pos ordinal, when
+            # requested, lands immediately before it).
+            e = qs.explode
+            if e.col not in dict.fromkeys(cols):
+                raise SpecError(
+                    f"$explode: {e.col!r} must be a requested or"
+                    f" $select-computed column (have {sorted(set(cols))})"
+                )
+            from pyspark.sql.types import ArrayType
+
+            dt = df.schema[e.col].dataType
+            if not isinstance(dt, ArrayType):
+                raise SpecError(
+                    f"$explode: column {e.col!r} is"
+                    f" {dt.simpleString()}, not an array"
+                )
+            others = [c for c in dict.fromkeys(cols) if c != e.col]
+            for alias in ([e.pos] if e.pos else []) + (
+                [e.alias] if e.alias != e.col else []
+            ):
+                if alias in others:
+                    raise SpecError(
+                        f"$explode: output column {alias!r} collides"
+                        f" with an existing column"
+                    )
+            if e.pos and e.outer:
+                gen = F.posexplode_outer(_qcol(e.col))
+            elif e.pos:
+                gen = F.posexplode(_qcol(e.col))
+            elif e.outer:
+                gen = F.explode_outer(_qcol(e.col))
+            else:
+                gen = F.explode(_qcol(e.col))
+            gen = gen.alias(*([e.pos, e.alias] if e.pos else [e.alias]))
+            exprs, new_cols = [], []
+            for c in dict.fromkeys(cols):
+                if c == e.col:
+                    exprs.append(gen)
+                    new_cols.extend([e.pos, e.alias] if e.pos else [e.alias])
+                else:
+                    exprs.append(_qcol(c))
+                    new_cols.append(c)
+            df = df.select(*exprs)
+            cols = new_cols
+        for pred in qs.where:
+            # $where (round 13, M14): row filter over the CURRENT frame
+            # — after $select/$explode, so computed and exploded columns
+            # are in scope (plus not-yet-projected scan columns when no
+            # $explode ran). Predicates over scan-only columns are
+            # pushed to the parquet scan by Catalyst exactly like
+            # $filter; predicates over Generate output stay streaming
+            # (filter-inside-codegen after the explode, no shuffle).
+            _check_pred_columns(pred, df, "$where")
+            df = _apply_predicate(df, pred)
         if qs.unpivot is not None:
             # $unpivot (round 10): stack() the listed wide columns into
             # (name, value) long form — a zero-shuffle codegen Generate;
@@ -965,6 +1036,15 @@ class Engine:
             e = F.median(_qcol(a.column))
         elif a.op == "$percentile":
             e = F.percentile(_qcol(a.column), F.lit(a.param))
+        elif a.op == "$collect_list":
+            # SORTED emission (§7.3): collection order after a shuffle
+            # is nondeterministic, so the sorted array is the only
+            # hashable contract. NULLs are skipped (Spark collect_*
+            # semantics; DuckDB twins add FILTER (WHERE x IS NOT NULL)
+            # because DuckDB's list() keeps NULLs).
+            e = F.sort_array(F.collect_list(_qcol(a.column)))
+        elif a.op == "$collect_set":
+            e = F.sort_array(F.collect_set(_qcol(a.column)))
         elif a.op == "$grouping":
             # 1 when the column is rolled up in this output row, 0 when
             # grouped — the subtotal/NULL-data disambiguator (SQL

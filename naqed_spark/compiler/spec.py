@@ -274,6 +274,39 @@ Round-13 extensions (SURVEY roadmap M12; driver keys queue r14):
                                       # HOFs (no Python, no exchange).
                                       # NULL operand / length mismatch /
                                       # zero-norm cosine all emit NULL.
+    {"$split": [s, {"$lit": sep}]}    # PLAIN-string split in $select:
+      in $select                      # NULL in → NULL array; empty
+                                      # trailing fields kept (both
+                                      # engines); sep is a literal, not
+                                      # a regex.
+    "$explode": col |                 # array fan-out verb (M13): one
+      {"$col": c, "$as": a?,          # row per element, the element
+       "$pos": p?, "$how":            # column replacing the array in
+       "inner"|"outer"}               # place ($as renames; $pos adds
+                                      # the 0-based ordinal). inner
+                                      # drops NULL/empty-array parents;
+                                      # outer keeps them as one row with
+                                      # NULL element (and NULL ordinal).
+                                      # Lands after $select (a $split
+                                      # result is explodable), before
+                                      # $agg (exploded rows feed
+                                      # aggregation); exclusive with
+                                      # $pivot/$unpivot. Codegen
+                                      # Generate — zero shuffle.
+    "$where": {...}                   # post-projection row filter
+                                      # (M14): the $filter predicate
+                                      # DSL bound against the post-
+                                      # $select/post-$explode frame —
+                                      # computed and exploded columns
+                                      # are filterable. Over scan-only
+                                      # columns Catalyst pushes it down
+                                      # like $filter.
+    {alias: {"$collect_list": col}}   # collection aggregates (M14):
+      / {"$collect_set": col} in $agg # NULLs skipped (Spark collect_*;
+                                      # oracles add FILTER non-NULL),
+                                      # emission SORTED (§7.3 — the
+                                      # only hashable contract for
+                                      # shuffle-order-dependent lists).
 
 ``$``-keys are arguments (the reference passes resolver args the same way);
 everything else is either a requested field (``True``) or a relationship
@@ -304,7 +337,13 @@ AGG_OPS = {"$count", "$sum", "$avg", "$min", "$max", "$count_distinct",
            # $derive + $round per the agg_stats/agg_percentile_exact
            # disciplines (round(4) on small-magnitude columns).
            "$stddev", "$stddev_pop", "$var", "$var_pop",
-           "$median", "$percentile"}
+           "$median", "$percentile",
+           # round 13 (M14): collection aggregates. NULL values are
+           # SKIPPED (Spark collect_* semantics; oracle twins carry a
+           # FILTER (WHERE x IS NOT NULL)); emission is SORTED —
+           # collections are order-nondeterministic after shuffles, so
+           # the sorted array is the only hashable contract (§7.3).
+           "$collect_list", "$collect_set"}
 # $select expression DSL (round 4): arity-checked at parse time.
 # A bare string is a column reference; numbers are literals; string
 # literals must be spelled {"$lit": "..."} to stay unambiguous.
@@ -336,6 +375,12 @@ SELECT_OPS = {
     "$dot": 2,         # Σ aᵢ·bᵢ
     "$cosine": 2,      # dot / (‖a‖·‖b‖); zero-norm → NULL
     "$euclidean": 2,   # √Σ (aᵢ-bᵢ)²
+    # round 13 (M13): PLAIN-string split — [string-expr, {"$lit": sep}].
+    # The separator is a literal plain string, never a regex (lowered
+    # regex-quoted on the Spark side so both engines split on the exact
+    # byte sequence); empty trailing fields are KEPT (Spark limit=-1 ≡
+    # DuckDB string_split); NULL input → NULL array.
+    "$split": 2,
 }
 
 VECTOR_OPS = {"$dot", "$cosine", "$euclidean"}
@@ -547,6 +592,24 @@ class UnpivotSpec:
 
 
 @dataclass
+class ExplodeSpec:
+    """$explode: array column to one row per element (round 13, M13).
+
+    ``col`` must be a requested or $select-computed array column; the
+    element column ``alias`` replaces it in place (defaults to the same
+    name). ``pos`` optionally emits the 0-based element ordinal just
+    before the element column. ``outer`` keeps parents whose array is
+    NULL or empty as ONE row with a NULL element (and NULL ordinal) —
+    the default inner form drops them (SQL UNNEST / Spark explode
+    semantics, identical in DuckDB)."""
+
+    col: str
+    alias: str
+    pos: "str | None"
+    outer: bool
+
+
+@dataclass
 class QuerySpec:
     root: Node
     groupby: list[str] = field(default_factory=list)
@@ -563,6 +626,13 @@ class QuerySpec:
     sample: "SampleSpec | None" = None
     pivot: "PivotSpec | None" = None
     unpivot: "UnpivotSpec | None" = None
+    explode: "ExplodeSpec | None" = None  # round 13: array fan-out
+    # round 13 (M14): post-projection row filter — same predicate DSL
+    # as $filter, but bound against the post-$select/post-$explode
+    # frame, so computed and exploded columns are filterable. $filter
+    # remains the scan-level form (pushes down by construction); a
+    # $where over scan-only columns is pushed down by Catalyst anyway.
+    where: list[Predicate] = field(default_factory=list)
     # round 12: subtotal grids — "rollup" | "cube" | list of grouping
     # sets (each a list of $groupby columns; [] = grand total)
     grouping: "str | list[list[str]] | None" = None
@@ -760,6 +830,22 @@ def _parse_expr(obj: object) -> Expr:
         if not isinstance(nd, int) or isinstance(nd, bool):
             raise SpecError("$round second argument must be an int literal")
         return Expr("$round", [_parse_expr(args[0]), Expr("$lit", [nd])])
+    if op == "$split":
+        sep = args[1]
+        if not (isinstance(sep, dict) and set(sep) == {"$lit"}
+                and isinstance(sep["$lit"], str) and sep["$lit"]):
+            raise SpecError(
+                "$split second argument must be a non-empty"
+                " {'$lit': str} separator"
+            )
+        if "\\E" in sep["$lit"]:
+            # the Spark lowering wraps the separator in \Q...\E regex
+            # quoting; a literal \E inside would terminate the quote
+            # and silently turn the tail into live regex
+            raise SpecError(
+                "$split separator must not contain the sequence '\\E'"
+            )
+        return Expr("$split", [_parse_expr(args[0]), Expr("$lit", [sep["$lit"]])])
     if op == "$array_join":
         sep = args[1]
         if not (isinstance(sep, dict) and set(sep) == {"$lit"}
@@ -942,8 +1028,8 @@ def _parse_node(entity: str, body: dict) -> tuple[Node, dict]:
             node.theta = _parse_theta(entity, val)
         elif key in ("$agg", "$groupby", "$having", "$orderby", "$limit",
                      "$offset", "$distinct", "$select", "$derive", "$window",
-                     "$qualify", "$sample", "$pivot", "$unpivot",
-                     "$rollup", "$cube", "$grouping_sets"):
+                     "$qualify", "$sample", "$pivot", "$unpivot", "$explode",
+                     "$where", "$rollup", "$cube", "$grouping_sets"):
             top[key] = val
         elif key.startswith("$"):
             raise SpecError(f"unknown argument {key!r} on entity {entity!r}")
@@ -1248,6 +1334,34 @@ def _parse_unpivot(obj: object) -> UnpivotSpec:
     return UnpivotSpec(cols=cols, name=name, value=value)
 
 
+def _parse_explode(obj: object) -> ExplodeSpec:
+    """``$explode: "col"`` or ``{"$col": c, "$as": a?, "$pos": p?,
+    "$how": inner|outer}`` — one row per array element. Lands after
+    $select (so a ``$split`` result is explodable) and before $agg, so
+    exploded rows feed aggregation — the token-count pipeline shape."""
+    if isinstance(obj, str):
+        obj = {"$col": obj}
+    if not isinstance(obj, dict):
+        raise SpecError(
+            "$explode must be a column name or a dict with"
+            " $col [$as/$pos/$how]"
+        )
+    extra = set(obj) - {"$col", "$as", "$pos", "$how"}
+    if extra:
+        raise SpecError(f"$explode: unknown argument(s) {sorted(extra)}")
+    if "$col" not in obj:
+        raise SpecError("$explode requires $col (the array column)")
+    col = _ident(obj["$col"], "$explode.$col")
+    alias = _ident(obj["$as"], "$explode.$as") if "$as" in obj else col
+    pos = _ident(obj["$pos"], "$explode.$pos") if "$pos" in obj else None
+    how = obj.get("$how", "inner")
+    if how not in ("inner", "outer"):
+        raise SpecError(f"$explode.$how must be inner or outer, got {how!r}")
+    if pos is not None and pos == alias:
+        raise SpecError("$explode: $pos and the element column must differ")
+    return ExplodeSpec(col=col, alias=alias, pos=pos, outer=(how == "outer"))
+
+
 def parse_spec(spec: dict) -> QuerySpec:
     if not isinstance(spec, dict) or len(spec) != 1:
         raise SpecError("query spec must be a dict with exactly one root entity")
@@ -1304,9 +1418,20 @@ def parse_spec(spec: dict) -> QuerySpec:
         qs.distinct = bool(top["$distinct"])
     if "$sample" in top:
         qs.sample = _parse_sample(top["$sample"])
+    if "$where" in top:
+        qs.where = _parse_filters(top["$where"])
+    if "$explode" in top:
+        # exclusive with the other projection-defining reshapes — two
+        # reshape stages in one node have no defined order; chain two
+        # queries instead. $agg/$groupby ARE allowed: exploded rows
+        # feeding aggregation is the verb's main use.
+        conflicts = {"$pivot", "$unpivot"} & set(top)
+        if conflicts:
+            raise SpecError(f"$explode is exclusive with {sorted(conflicts)}")
+        qs.explode = _parse_explode(top["$explode"])
     if "$pivot" in top:
         conflicts = {"$agg", "$having", "$window", "$qualify",
-                     "$unpivot", "$distinct"} & set(top)
+                     "$unpivot", "$distinct", "$explode"} & set(top)
         if conflicts:
             raise SpecError(
                 f"$pivot is exclusive with {sorted(conflicts)} — it IS the"
@@ -1325,7 +1450,7 @@ def parse_spec(spec: dict) -> QuerySpec:
             )
     if "$unpivot" in top:
         conflicts = {"$agg", "$groupby", "$having", "$window", "$qualify",
-                     "$distinct"} & set(top)
+                     "$distinct", "$explode"} & set(top)
         if conflicts:
             raise SpecError(f"$unpivot is exclusive with {sorted(conflicts)}")
         qs.unpivot = _parse_unpivot(top["$unpivot"])

@@ -1828,3 +1828,201 @@ def compiler_vector_topk(spark, sf_dir):
             }
         }
     )
+
+
+@query(
+    "compiler_split_explode_wordcount",
+    # Round-13 M13 registration: the token-count pipeline through the
+    # DSL — $split (plain-string, empties kept) → $explode (inner:
+    # NULL-text parents drop on both engines: string_split(NULL) is a
+    # NULL list and unnest(NULL) emits 0 rows, exactly Spark's
+    # explode-of-NULL) → groupBy count → deterministic top-100 on the
+    # (cnt DESC, token ASC) total order. Both engines sort strings in
+    # binary/UTF8_BINARY collation, so boundary ties cut identically.
+    oracle="""
+    SELECT token, count(*) AS cnt
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY cnt DESC, token
+    LIMIT 100
+    """,
+)
+def compiler_split_explode_wordcount(spark, sf_dir):
+    """Scale shape: split+explode is ONE codegen Generate evaluated
+    streaming per input partition (the fan-out is never materialized);
+    the count is a partial+final hash-agg pair around the single token
+    exchange — map-side combine ships (token, n) pairs, never token
+    instances; the top-100 is TakeOrderedAndProject over the agg
+    output. At 100 TB this is the vocabulary-build kernel
+    (llm_vocab_coverage's shape) reached through the compiler."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "documents": {
+                "doc_id": True,
+                "$select": {"tok": {"$split": ["text", {"$lit": " "}]}},
+                "$explode": {"$col": "tok", "$as": "token"},
+                "$groupby": ["token"],
+                "$agg": {"cnt": {"$count": True}},
+                "$orderby": [["cnt", "desc"], ["token", "asc"]],
+                "$limit": 100,
+            }
+        }
+    )
+
+
+@query(
+    "compiler_explode_pos_outer",
+    # Second M13 key: the row-level form with BOTH extensions — $pos
+    # (0-based element ordinal) and $how outer (parents whose array is
+    # NULL or empty survive as ONE row with NULL element AND NULL
+    # ordinal). The oracle manufactures the padded row by substituting
+    # [NULL] for degenerate lists before unnest, and NULLs the ordinal
+    # on exactly those rows — generate_subscripts is 1-based, hence the
+    # -1. A NULL text (the null battery plants them every 7th row)
+    # rides the padded path on both engines by construction.
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, string_split(text, ' ') AS tok
+      FROM documents WHERE doc_id < 50
+    ),
+    p AS (
+      SELECT doc_id,
+             CASE WHEN tok IS NULL OR len(tok) = 0
+                  THEN [CAST(NULL AS VARCHAR)] ELSE tok END AS tok2,
+             (tok IS NULL OR len(tok) = 0) AS padded
+      FROM s
+    )
+    SELECT doc_id,
+           CASE WHEN padded THEN NULL
+                ELSE generate_subscripts(tok2, 1) - 1 END AS idx,
+           unnest(tok2) AS token
+    FROM p
+    """,
+)
+def compiler_explode_pos_outer(spark, sf_dir):
+    """Scale shape: pushed doc_id range filter reaches the parquet scan;
+    posexplode_outer is the same zero-shuffle streaming Generate as the
+    inner form (outer padding is per-row, no join); output is map-only —
+    zero exchanges end to end."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "documents": {
+                "doc_id": True,
+                "$filter": {"doc_id": {"$lt": 50}},
+                "$select": {"tok": {"$split": ["text", {"$lit": " "}]}},
+                "$explode": {
+                    "$col": "tok",
+                    "$as": "token",
+                    "$pos": "idx",
+                    "$how": "outer",
+                },
+            }
+        }
+    )
+
+
+@query(
+    "compiler_where_distinct_docs",
+    # Round-13 M14 registration, key 1: $where binding the post-$explode
+    # frame — the form $filter cannot express (the token column only
+    # exists after the fan-out). Non-empty tokens ranked by how many
+    # DISTINCT documents they appear in, then by total count, token —
+    # a unique total order, so the top-50 cut is deterministic.
+    oracle="""
+    SELECT token,
+           count(DISTINCT doc_id) AS ndocs,
+           count(*) AS cnt
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    )
+    WHERE token <> ''
+    GROUP BY token
+    ORDER BY ndocs DESC, cnt DESC, token
+    LIMIT 50
+    """,
+)
+def compiler_where_distinct_docs(spark, sf_dir):
+    """Scale shape: the $where lands INSIDE the codegen stage right
+    after the Generate (a streaming filter, no materialization); the
+    distinct-doc count is Spark's standard two-phase distinct aggregate
+    (partial (token, doc_id) dedup map-side, then the token exchange);
+    top-50 is TakeOrderedAndProject."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "documents": {
+                "doc_id": True,
+                "$select": {"tok": {"$split": ["text", {"$lit": " "}]}},
+                "$explode": {"$col": "tok", "$as": "token"},
+                "$where": {"token": {"$ne": ""}},
+                "$groupby": ["token"],
+                "$agg": {
+                    "ndocs": {"$count_distinct": "doc_id"},
+                    "cnt": {"$count": True},
+                },
+                "$orderby": [
+                    ["ndocs", "desc"], ["cnt", "desc"], ["token", "asc"]
+                ],
+                "$limit": 50,
+            }
+        }
+    )
+
+
+@query(
+    "compiler_collect_segments",
+    # Round-13 M14 registration, key 2: collection aggregates through
+    # the DSL. NULL skipping is the engine contract (Spark collect_*),
+    # so the oracle FILTERs NULLs out of DuckDB's NULL-keeping list();
+    # both sides sort before emission (shuffle order is meaningless)
+    # and the driver-facing hash is the joined string ($array_join in
+    # $derive ≡ array_to_string, which would silently MASK a NULL
+    # divergence — hence the FILTER must mirror the engine contract,
+    # not rely on the join's null-skip).
+    oracle="""
+    SELECT c_nationkey,
+           array_to_string(
+             list_sort(list(DISTINCT c_mktsegment)
+                       FILTER (WHERE c_mktsegment IS NOT NULL)), ',')
+             AS segs,
+           array_to_string(
+             list_sort(list(c_mktsegment)
+                       FILTER (WHERE c_mktsegment IS NOT NULL)), ',')
+             AS seg_bag
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def compiler_collect_segments(spark, sf_dir):
+    """Scale shape: one partial+final aggregate pair around the nation
+    exchange; collect_set dedups map-side so the shuffle carries the
+    per-partition distinct sets; collect_list ships the values (bounded
+    here by the 5-segment domain x group size — unbounded-cardinality
+    collections at 100 TB belong in re-nested $collect child arrays or
+    explicit top-k, not a group blob)."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "customer": {
+                "$groupby": ["c_nationkey"],
+                "$agg": {
+                    "segs": {"$collect_set": "c_mktsegment"},
+                    "seg_bag": {"$collect_list": "c_mktsegment"},
+                },
+                "$derive": {
+                    "segs": {"$array_join": ["segs", {"$lit": ","}]},
+                    "seg_bag": {"$array_join": ["seg_bag", {"$lit": ","}]},
+                },
+            }
+        }
+    )

@@ -156,6 +156,16 @@ DEFERRED: set[str] = {
     # signal rotation front per the standing discipline.
     "compiler_vector_similarity",
     "compiler_vector_topk",
+    # round-13 M13 registrations ($split/$explode — the array fan-out
+    # verb): same-session registration after hash-exact pre-verification
+    # at sf0.001/0.01/0.1 plus the null/empty battery sweeps.
+    "compiler_split_explode_wordcount",
+    "compiler_explode_pos_outer",
+    # round-13 M14 registrations ($where post-projection filter +
+    # $collect_list/$collect_set aggregates): same pre-verification
+    # discipline as the M12/M13 batches above.
+    "compiler_where_distinct_docs",
+    "compiler_collect_segments",
 }
 
 

@@ -168,6 +168,23 @@ HEADLINE += [
     "compiler_vector_topk",
 ]
 
+# Round-13 M13 registrations: the split+explode wordcount (streaming
+# Generate + one token exchange carrying (token, n) pairs) and the
+# map-only pos+outer row form (zero exchanges; output grows with the
+# pushed-filter window, not the corpus).
+HEADLINE += [
+    "compiler_split_explode_wordcount",
+    "compiler_explode_pos_outer",
+]
+
+# Round-13 M14 registrations: the post-Generate streaming $where +
+# two-phase distinct aggregate, and the sorted-collection aggregates
+# (collect_set dedups map-side; the bag is domain-bounded).
+HEADLINE += [
+    "compiler_where_distinct_docs",
+    "compiler_collect_segments",
+]
+
 
 def build(spark, src_dir: str, out_dir: str, k: int) -> None:
     from functools import reduce

@@ -3181,3 +3181,403 @@ def test_vector_ops_empty_input(eng, tmp_path):
     )
     assert out.columns == ["vec_id", "cos_q"]
     assert out.count() == 0
+
+
+# --- round-13 M13: $split / $explode -------------------------------------
+
+
+def test_split_explode_match_sql_twin(eng):
+    """The wordcount pipeline ($split → $explode → groupBy count) must be
+    row-identical to the canonical Spark SQL LATERAL VIEW spelling."""
+    dsl = eng.query(
+        {
+            "documents": {
+                "doc_id": True,
+                "$select": {"tok": {"$split": ["text", {"$lit": " "}]}},
+                "$explode": {"$col": "tok", "$as": "token"},
+                "$groupby": ["token"],
+                "$agg": {"cnt": {"$count": True}},
+            }
+        }
+    )
+    sql = eng.sql("""
+        SELECT token, count(*) AS cnt
+        FROM documents
+        LATERAL VIEW explode(split(text, '\\\\Q \\\\E', -1)) t AS token
+        GROUP BY token
+    """)
+    assert dsl.columns == sql.columns
+    assert _rows(dsl) == _rows(sql)
+
+
+def test_split_explode_match_python(eng):
+    """Twin-bug defense: plain-python str.split recompute off the parquet
+    fixture — no Spark, no SQL, no regex."""
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    want: dict = {}
+    for text in docs.text:
+        if text is None:
+            continue
+        for t in str(text).split(" "):
+            want[t] = want.get(t, 0) + 1
+    got = eng.query(
+        {
+            "documents": {
+                "doc_id": True,
+                "$select": {"tok": {"$split": ["text", {"$lit": " "}]}},
+                "$explode": {"$col": "tok", "$as": "token"},
+                "$groupby": ["token"],
+                "$agg": {"cnt": {"$count": True}},
+            }
+        }
+    ).collect()
+    assert {r["token"]: r["cnt"] for r in got} == want
+
+
+def test_split_keeps_empty_fields_and_null(eng):
+    """Pinned $split semantics: consecutive separators and a trailing
+    separator yield EMPTY fields (limit=-1), matching DuckDB
+    string_split exactly (NULL-input → NULL array is pinned by the
+    outer-explode test below, which routes a NULL through $split)."""
+    df = eng.query(
+        {
+            "documents": {
+                "doc_id": True,
+                "$filter": {"doc_id": 0},
+                "$select": {
+                    "tok": {"$split": [{"$lit": "x,,y,"}, {"$lit": ","}]}
+                },
+            }
+        }
+    )
+    assert list(df.collect()[0]["tok"]) == ["x", "", "y", ""]
+
+
+def test_split_separator_is_plain_not_regex(eng):
+    """A '.' separator must split on literal dots, not regex-any."""
+    df = eng.query(
+        {
+            "documents": {
+                "doc_id": True,
+                "$filter": {"doc_id": 0},
+                "$select": {
+                    "tok": {"$split": [{"$lit": "a.b.c"}, {"$lit": "."}]}
+                },
+            }
+        }
+    )
+    assert list(df.collect()[0]["tok"]) == ["a", "b", "c"]
+
+
+def test_explode_pos_is_zero_based(eng):
+    df = eng.query(
+        {
+            "documents": {
+                "doc_id": True,
+                "$filter": {"doc_id": {"$lt": 2}},
+                "$select": {"tok": {"$split": ["text", {"$lit": " "}]}},
+                "$explode": {"$col": "tok", "$as": "token", "$pos": "idx"},
+                "$orderby": [["doc_id", "asc"], ["idx", "asc"]],
+            }
+        }
+    )
+    rows = df.collect()
+    assert df.columns == ["doc_id", "idx", "token"]
+    first = [r for r in rows if r["doc_id"] == rows[0]["doc_id"]]
+    assert [r["idx"] for r in first] == list(range(len(first)))
+
+
+def test_explode_inner_drops_outer_keeps(eng):
+    """inner: a NULL array parent vanishes; outer: it survives as one
+    row with NULL element and NULL ordinal. A NULL text under $split
+    yields a NULL array, so the documents fixture exercises this with a
+    computed $if."""
+    base = {
+        "documents": {
+            "doc_id": True,
+            "$filter": {"doc_id": {"$lt": 4}},
+            "$select": {
+                "tok": {
+                    "$if": [
+                        {"doc_id": {"$lt": 2}},
+                        {"$split": ["text", {"$lit": " "}]},
+                        # NULL array branch: $split of a NULL-yielding
+                        # $json miss would do, but a $cast of NULL is
+                        # cleaner — use an impossible $if to force NULL
+                        {"$split": [{"$json": ["text", {"$lit": "$.no"}]},
+                                    {"$lit": " "}]},
+                    ]
+                }
+            },
+        }
+    }
+    inner = dict(base["documents"])
+    inner["$explode"] = {"$col": "tok", "$as": "token", "$pos": "idx"}
+    got_inner = eng.query({"documents": inner}).collect()
+    assert {r["doc_id"] for r in got_inner} == {0, 1}
+    outer = dict(base["documents"])
+    outer["$explode"] = {
+        "$col": "tok", "$as": "token", "$pos": "idx", "$how": "outer"
+    }
+    got_outer = eng.query({"documents": outer}).collect()
+    assert {r["doc_id"] for r in got_outer} == {0, 1, 2, 3}
+    padded = [r for r in got_outer if r["doc_id"] in (2, 3)]
+    assert all(r["token"] is None and r["idx"] is None for r in padded)
+    assert len(padded) == 2  # ONE row per dropped parent
+
+
+def test_explode_element_replaces_array_in_place(eng):
+    df = eng.query(
+        {
+            "documents": {
+                "doc_id": True,
+                "source": True,
+                "$select": {"tok": {"$split": ["text", {"$lit": " "}]}},
+                "$explode": "tok",
+                "$limit": 1,
+            }
+        }
+    )
+    assert df.columns == ["doc_id", "source", "tok"]
+    assert isinstance(df.collect()[0]["tok"], str)
+
+
+def test_explode_plan_is_generate_zero_shuffle(eng):
+    plan = eng.explain(
+        {
+            "documents": {
+                "doc_id": True,
+                "$select": {"tok": {"$split": ["text", {"$lit": " "}]}},
+                "$explode": {"$col": "tok", "$as": "token"},
+            }
+        }
+    )
+    tree = plan.split("\n\n")[0]
+    assert "Generate" in tree
+    assert "Exchange" not in tree
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "spec_err",
+    [
+        # non-array column
+        {"doc_id": True, "$explode": "doc_id"},
+        # unknown / unrequested column
+        {"doc_id": True, "$explode": "text"},
+        {"doc_id": True, "$explode": "nonsuch"},
+        # alias collisions
+        {"doc_id": True, "source": True,
+         "$select": {"tok": {"$split": ["text", {"$lit": " "}]}},
+         "$explode": {"$col": "tok", "$as": "source"}},
+        {"doc_id": True,
+         "$select": {"tok": {"$split": ["text", {"$lit": " "}]}},
+         "$explode": {"$col": "tok", "$pos": "doc_id"}},
+        # $pos == element alias
+        {"doc_id": True,
+         "$select": {"tok": {"$split": ["text", {"$lit": " "}]}},
+         "$explode": {"$col": "tok", "$as": "t", "$pos": "t"}},
+        # bad $how / unknown arg / missing $col
+        {"doc_id": True,
+         "$select": {"tok": {"$split": ["text", {"$lit": " "}]}},
+         "$explode": {"$col": "tok", "$how": "full"}},
+        {"doc_id": True,
+         "$select": {"tok": {"$split": ["text", {"$lit": " "}]}},
+         "$explode": {"$col": "tok", "$flatten": True}},
+        {"doc_id": True,
+         "$select": {"tok": {"$split": ["text", {"$lit": " "}]}},
+         "$explode": {"$as": "t"}},
+    ],
+)
+def test_explode_bad_shapes_fail_typed(eng, spec_err):
+    with pytest.raises(SpecError):
+        eng.query({"documents": spec_err})
+
+
+@pytest.mark.parametrize(
+    "expr",
+    [
+        {"$split": ["text"]},                          # missing separator
+        {"$split": ["text", {"$lit": ""}]},            # empty separator
+        {"$split": ["text", {"$lit": 3}]},             # non-string sep
+        {"$split": ["text", ","]},                     # bare-string sep
+        {"$split": ["text", {"$lit": "a\\Eb"}]},       # \E quote break
+    ],
+)
+def test_split_bad_shapes_fail_typed(eng, expr):
+    with pytest.raises(SpecError):
+        eng.query(
+            {"documents": {"doc_id": True, "$select": {"x": expr}}}
+        )
+
+
+def test_explode_exclusive_with_reshapes(eng):
+    with pytest.raises(SpecError, match="exclusive"):
+        eng.query(
+            {
+                "orders": {
+                    "o_orderkey": True,
+                    "$select": {"tok": {"$split": [{"$lit": "a b"}, {"$lit": " "}]}},
+                    "$explode": "tok",
+                    "$unpivot": {"$cols": ["o_totalprice", "o_orderkey"],
+                                 "$name": "m", "$value": "v"},
+                }
+            }
+        )
+
+
+# --- round-13 M14: $where / $collect_list / $collect_set ------------------
+
+
+def test_where_filters_exploded_tokens(eng):
+    """$where binds the post-$explode frame: drop empty tokens before
+    the count — row-identical to the SQL twin with the same predicate."""
+    dsl = eng.query(
+        {
+            "documents": {
+                "doc_id": True,
+                "$select": {"tok": {"$split": ["text", {"$lit": " "}]}},
+                "$explode": {"$col": "tok", "$as": "token"},
+                "$where": {"token": {"$ne": ""}},
+                "$groupby": ["token"],
+                "$agg": {"cnt": {"$count": True}},
+            }
+        }
+    )
+    sql = eng.sql("""
+        SELECT token, count(*) AS cnt
+        FROM documents
+        LATERAL VIEW explode(split(text, '\\\\Q \\\\E', -1)) t AS token
+        WHERE token <> ''
+        GROUP BY token
+    """)
+    assert _rows(dsl) == _rows(sql)
+
+
+def test_where_filters_computed_column(eng):
+    dsl = eng.query(
+        {
+            "orders": {
+                "o_orderkey": True,
+                "$select": {"dp": {"$mul": ["o_totalprice", 2]}},
+                "$where": {"dp": {"$gt": 300000.0}},
+            }
+        }
+    )
+    sql = eng.sql("""
+        SELECT o_orderkey, o_totalprice * 2 AS dp
+        FROM orders WHERE o_totalprice * 2 > 300000.0
+    """)
+    assert _rows(dsl) == _rows(sql)
+
+
+def test_where_on_scan_column_pushes_down(eng):
+    """A $where over scan-only columns must reach the parquet scan as a
+    pushed filter (Catalyst pushes through the $select projection)."""
+    plan = eng.explain(
+        {
+            "orders": {
+                "o_orderkey": True,
+                "$select": {"dp": {"$mul": ["o_totalprice", 2]}},
+                "$where": {"o_orderstatus": "F"},
+            }
+        }
+    )
+    assert "EqualTo(o_orderstatus,F)" in plan
+
+
+def test_where_unknown_column_fails_typed(eng):
+    with pytest.raises(SpecError, match="\\$where"):
+        eng.query(
+            {
+                "orders": {
+                    "o_orderkey": True,
+                    "$where": {"nonsuch": 1},
+                }
+            }
+        )
+
+
+def test_where_post_explode_array_gone(eng):
+    """After $explode the array column is replaced — a $where on it must
+    fail typed, proving the scope is the post-explode frame."""
+    with pytest.raises(SpecError, match="\\$where"):
+        eng.query(
+            {
+                "documents": {
+                    "doc_id": True,
+                    "$select": {"tok": {"$split": ["text", {"$lit": " "}]}},
+                    "$explode": {"$col": "tok", "$as": "token"},
+                    "$where": {"tok": {"$notnull": True}},
+                }
+            }
+        )
+
+
+def test_collect_list_and_set_match_sql_twins(eng):
+    dsl = eng.query(
+        {
+            "customer": {
+                "$groupby": ["c_nationkey"],
+                "$agg": {
+                    "segs": {"$collect_set": "c_mktsegment"},
+                    "bals": {"$collect_list": "c_mktsegment"},
+                },
+            }
+        }
+    )
+    sql = eng.sql("""
+        SELECT c_nationkey,
+               sort_array(collect_set(c_mktsegment)) AS segs,
+               sort_array(collect_list(c_mktsegment)) AS bals
+        FROM customer GROUP BY c_nationkey
+    """)
+    a = {r["c_nationkey"]: (list(r["segs"]), list(r["bals"])) for r in dsl.collect()}
+    b = {r["c_nationkey"]: (list(r["segs"]), list(r["bals"])) for r in sql.collect()}
+    assert a == b
+    # set ⊆ list, set deduped, both sorted
+    for segs, bals in a.values():
+        assert segs == sorted(set(bals))
+        assert bals == sorted(bals)
+
+
+def test_collect_skips_nulls(eng):
+    """NULL values never enter the collection (Spark collect_*
+    semantics, the DSL's documented contract): route half the rows
+    through a NULL-producing $if and collect — only the non-NULL arm's
+    values appear."""
+    df = eng.query(
+        {
+            "customer": {
+                "$select": {
+                    "seg_or_null": {
+                        "$if": [
+                            {"c_custkey": {"$lt": 8}},
+                            "c_mktsegment",
+                            {"$json": ["c_mktsegment", {"$lit": "$.no"}]},
+                        ]
+                    }
+                },
+                "$groupby": ["c_nationkey"],
+                "$agg": {"segs": {"$collect_list": "seg_or_null"}},
+            }
+        }
+    )
+    rows = df.collect()
+    assert all(None not in list(r["segs"]) for r in rows)
+    assert any(len(r["segs"]) == 0 for r in rows)  # all-NULL groups → []
+    assert any(len(r["segs"]) > 0 for r in rows)
+
+
+def test_collect_bad_shapes_fail_typed(eng):
+    for body in (
+        {"segs": {"$collect_list": True}},
+        {"segs": {"$collect_set": ["a", "b"]}},
+        {"segs": {"$collect_list": 3}},
+    ):
+        with pytest.raises(SpecError):
+            eng.query(
+                {"customer": {"$groupby": ["c_nationkey"], "$agg": body}}
+            )

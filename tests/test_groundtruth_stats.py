@@ -7539,3 +7539,92 @@ def test_compiler_vector_topk_matches_numpy_argsort(spark):
     for (ncos, vid, lab), (gvid, glab, gcos) in zip(want, got_rows):
         assert int(gvid) == vid and int(glab) == lab
         assert abs(float(gcos) - (-ncos)) <= 1e-5
+
+
+# --- wave 44 (round 13): M13 $split / $explode -----------------------
+
+
+def test_compiler_split_explode_wordcount_matches_python(spark):
+    """Plain-python recompute: str.split(' ') token counts off the
+    parquet fixture, ranked by the key's documented (-count, token)
+    total order, top 100 — no Spark, no SQL, no regex."""
+    docs = _tbl("documents")
+    counts: dict = {}
+    for text in docs.text:
+        if text is None or (isinstance(text, float) and pd.isna(text)):
+            continue
+        for t in str(text).split(" "):
+            counts[t] = counts.get(t, 0) + 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:100]
+    got = run(spark, "compiler_split_explode_wordcount")
+    assert list(zip(got.token, got.cnt)) == want
+
+
+def test_compiler_explode_pos_outer_matches_python_enumerate(spark):
+    """Plain-python enumerate replay of the pos+outer semantics: every
+    doc_id < 50 appears; non-NULL text yields (i, token) per element in
+    order; NULL text yields exactly one (None, None) row."""
+    docs = _tbl("documents")
+    want = set()
+    n_padded = 0
+    for did, text in zip(docs.doc_id, docs.text):
+        if did >= 50:
+            continue
+        if text is None or (isinstance(text, float) and pd.isna(text)):
+            want.add((int(did), None, None))
+            n_padded += 1
+        else:
+            for i, t in enumerate(str(text).split(" ")):
+                want.add((int(did), i, t))
+    got = run(spark, "compiler_explode_pos_outer")
+    got_set = {
+        (int(d), None if pd.isna(i) else int(i), t if isinstance(t, str) else None)
+        for d, i, t in zip(got.doc_id, got.idx, got.token)
+    }
+    assert got_set == want
+    # base fixture has no NULL text < 50; the padded path is pinned by
+    # the null battery (text nulled every 7th row), so don't assert
+    # n_padded > 0 here — just that the sets agree exactly
+
+
+# --- wave 45 (round 13): M14 $where / $collect_list / $collect_set ----
+
+
+def test_compiler_where_distinct_docs_matches_python(spark):
+    """Plain-python replay: token → (distinct docs, total count) over
+    non-empty tokens, ranked by the key's documented
+    (-ndocs, -cnt, token) total order, top 50."""
+    docs = _tbl("documents")
+    ndocs: dict = {}
+    cnt: dict = {}
+    for did, text in zip(docs.doc_id, docs.text):
+        if text is None or (isinstance(text, float) and pd.isna(text)):
+            continue
+        toks = [t for t in str(text).split(" ") if t != ""]
+        for t in toks:
+            cnt[t] = cnt.get(t, 0) + 1
+        for t in set(toks):
+            ndocs.setdefault(t, set()).add(int(did))
+    ranked = sorted(
+        ((t, len(ndocs[t]), cnt[t]) for t in cnt),
+        key=lambda x: (-x[1], -x[2], x[0]),
+    )[:50]
+    got = run(spark, "compiler_where_distinct_docs")
+    assert list(zip(got.token, got.ndocs, got.cnt)) == ranked
+
+
+def test_compiler_collect_segments_matches_python(spark):
+    """Plain-python replay of the collection contract: NULLs skipped,
+    sorted, comma-joined — set and bag forms."""
+    cust = _tbl("customer")
+    want: dict = {}
+    for nk, seg in zip(cust.c_nationkey, cust.c_mktsegment):
+        if seg is None or (isinstance(seg, float) and pd.isna(seg)):
+            continue
+        want.setdefault(int(nk), []).append(seg)
+    got = run(spark, "compiler_collect_segments")
+    assert len(got) == cust.c_nationkey.nunique()
+    for _, r in got.iterrows():
+        vals = want.get(int(r["c_nationkey"]), [])
+        assert r["seg_bag"] == ",".join(sorted(vals))
+        assert r["segs"] == ",".join(sorted(set(vals)))

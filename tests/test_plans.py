@@ -1448,3 +1448,54 @@ def test_compiler_vector_topk_take_ordered(spark):
     assert "TakeOrderedAndProject" in tree
     assert "Exchange" not in tree
     assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
+
+
+def test_compiler_split_explode_wordcount_plan(spark):
+    """$split+$explode wordcount (round 13, M13): the fan-out must be a
+    streaming codegen Generate (never a materialized array join), the
+    count a partial+final hash-agg pair around ONE token exchange
+    (map-side combine ships (token, n) pairs), and the top-100 a
+    TakeOrderedAndProject over the agg output."""
+    plan = plan_of(spark, "compiler_split_explode_wordcount")
+    tree = tree_of(plan)
+    assert "Generate" in tree
+    assert tree.count("Exchange") == 1
+    assert tree.count("HashAggregate") == 2
+    assert "TakeOrderedAndProject" in tree
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
+
+
+def test_compiler_explode_pos_outer_plan(spark):
+    """The row-level pos+outer form is map-only: pushed doc_id range
+    filter at the scan, one Generate, zero exchanges."""
+    plan = plan_of(spark, "compiler_explode_pos_outer")
+    tree = tree_of(plan)
+    assert "Generate" in tree
+    assert "Exchange" not in tree
+    assert "PushedFilters: [IsNotNull(doc_id), LessThan(doc_id,50)]" in plan
+
+
+def test_compiler_where_distinct_docs_plan(spark):
+    """$where over the exploded token must stay a streaming Filter in
+    the same codegen stage as the Generate (no materialization, no
+    Python); the distinct-doc count is the standard two-phase distinct
+    aggregate; the cut is TakeOrderedAndProject."""
+    plan = plan_of(spark, "compiler_where_distinct_docs")
+    tree = tree_of(plan)
+    assert "Generate" in tree
+    assert "TakeOrderedAndProject" in tree
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
+    # distinct-agg is allowed a second exchange ((token, doc_id) partial
+    # dedup → token re-shuffle); anything beyond that is a regression
+    assert tree.count("Exchange") <= 2
+
+
+def test_compiler_collect_segments_plan(spark):
+    """Collections: ONE partial+final aggregate pair around the nation
+    exchange — collect_set dedups map-side, so the shuffle carries
+    per-partition distinct sets, not rows."""
+    plan = plan_of(spark, "compiler_collect_segments")
+    tree = tree_of(plan)
+    assert tree.count("Exchange") == 1
+    assert "ObjectHashAggregate" in tree or "HashAggregate" in tree
+    assert "SortAggregate" not in tree
