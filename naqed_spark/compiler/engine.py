@@ -1036,6 +1036,16 @@ class Engine:
             e = F.median(_qcol(a.column))
         elif a.op == "$percentile":
             e = F.percentile(_qcol(a.column), F.lit(a.param))
+        elif a.op == "$corr":
+            # Pearson correlation / covariance (round 13, M15): pair
+            # exclusion (either side NULL → row skipped) matches DuckDB;
+            # merge-able (n, Σx, Σy, Σxy, Σx², Σy²) accumulators keep
+            # the plan a single partial+final hash-agg pair.
+            e = F.corr(_qcol(a.column), _qcol(a.order_col))
+        elif a.op == "$covar":
+            e = F.covar_samp(_qcol(a.column), _qcol(a.order_col))
+        elif a.op == "$covar_pop":
+            e = F.covar_pop(_qcol(a.column), _qcol(a.order_col))
         elif a.op == "$collect_list":
             # SORTED emission (§7.3): collection order after a shuffle
             # is nondeterministic, so the sorted array is the only

@@ -264,7 +264,8 @@ Round-12 extensions (VERDICT r11 items 2-3 + ADVICE r11):
        {"$percentile": [col, p]})     # quantile_cont-style percentile
                                       # at literal fraction p in [0, 1].
 
-Round-13 extensions (SURVEY roadmap M12; driver keys queue r14):
+Round-13 extensions (SURVEY roadmap M12-M14; driver keys registered
+round 13 after tri-SF pre-verification):
 
     {"$dot": [a, b]} in $select       # vector similarity over embedding
       (also $cosine / $euclidean)     # columns: each operand is an array
@@ -338,6 +339,13 @@ AGG_OPS = {"$count", "$sum", "$avg", "$min", "$max", "$count_distinct",
            # disciplines (round(4) on small-magnitude columns).
            "$stddev", "$stddev_pop", "$var", "$var_pop",
            "$median", "$percentile",
+           # round 13 (M15): paired-column statistics — Pearson
+           # correlation and sample/population covariance. Pair
+           # exclusion (a row with EITHER side NULL is skipped) is
+           # identical in Spark and DuckDB (the agg_stats/agg_corr_regr
+           # precedent); oracle-facing specs compose $derive+$round(6)
+           # on small-magnitude columns per §7.3.
+           "$corr", "$covar", "$covar_pop",
            # round 13 (M14): collection aggregates. NULL values are
            # SKIPPED (Spark collect_* semantics; oracle twins carry a
            # FILTER (WHERE x IS NOT NULL)); emission is SORTED —
@@ -737,10 +745,12 @@ def _parse_aggs(obj: object) -> list[AggSpec]:
             aggs.append(AggSpec(alias, op, col[0], order_col=None,
                                 param=float(col[1])))
             continue
-        if op in ("$min_by", "$max_by"):
-            # argmin/argmax: [value-column, ordering-column]. The caller
-            # must order by a UNIQUE column (or accept engine-dependent
-            # tie-breaks) — same determinism contract as SQL arg_max.
+        if op in ("$min_by", "$max_by", "$corr", "$covar", "$covar_pop"):
+            # two-column aggregates. argmin/argmax: [value-column,
+            # ordering-column] — the caller must order by a UNIQUE
+            # column (or accept engine-dependent tie-breaks), same
+            # determinism contract as SQL arg_max. $corr/$covar*:
+            # [x-column, y-column], pair-excluding NULLs.
             if (
                 not isinstance(col, list)
                 or len(col) != 2
@@ -751,7 +761,7 @@ def _parse_aggs(obj: object) -> list[AggSpec]:
             ):
                 raise SpecError(
                     f"$agg entry {alias!r}: {op} takes exactly"
-                    f" [value-column, ordering-column] — got {col!r}"
+                    f" two column names — got {col!r}"
                 )
             aggs.append(AggSpec(alias, op, col[0], col[1]))
             continue

@@ -2026,3 +2026,50 @@ def compiler_collect_segments(spark, sf_dir):
             }
         }
     )
+
+
+@query(
+    "compiler_corr_covar",
+    # Round-13 M15 registration: paired-column statistics through the
+    # DSL, mirroring the raw agg_stats key's column/rounding discipline
+    # EXACTLY (corr on the two small-magnitude rate columns, covariance
+    # on quantity x discount, round(6) — accumulation error ~1e-12 sits
+    # far below the 5e-7 grain; money columns would NOT survive, §7.3).
+    # Pair exclusion (either side NULL → row skipped) is the same in
+    # both engines — pinned by the null battery, which nulls l_quantity
+    # every 13th row.
+    oracle="""
+    SELECT l_returnflag,
+           round(corr(l_discount, l_tax), 6) AS corr_disc_tax,
+           round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc,
+           round(covar_pop(l_quantity, l_discount), 6) AS covp_qty_disc
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def compiler_corr_covar(spark, sf_dir):
+    """Scale shape: all three are merge-able moment accumulators
+    ((n, Σx, Σy, Σxy, Σx², Σy²)), so the plan is ONE partial+final
+    hash-aggregate pair around the single returnflag exchange — the
+    same plan family as compiler_agg_stats (plan pinned)."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "lineitem": {
+                "$groupby": ["l_returnflag"],
+                "$agg": {
+                    "corr_disc_tax": {"$corr": ["l_discount", "l_tax"]},
+                    "cov_qty_disc": {"$covar": ["l_quantity", "l_discount"]},
+                    "covp_qty_disc": {
+                        "$covar_pop": ["l_quantity", "l_discount"]
+                    },
+                },
+                "$derive": {
+                    "corr_disc_tax": {"$round": ["corr_disc_tax", 6]},
+                    "cov_qty_disc": {"$round": ["cov_qty_disc", 6]},
+                    "covp_qty_disc": {"$round": ["covp_qty_disc", 6]},
+                },
+            }
+        }
+    )

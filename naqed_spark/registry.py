@@ -166,6 +166,9 @@ DEFERRED: set[str] = {
     # discipline as the M12/M13 batches above.
     "compiler_where_distinct_docs",
     "compiler_collect_segments",
+    # round-13 M15 registration ($corr/$covar/$covar_pop): same
+    # discipline.
+    "compiler_corr_covar",
 }
 
 

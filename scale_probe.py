@@ -185,6 +185,12 @@ HEADLINE += [
     "compiler_collect_segments",
 ]
 
+# Round-13 M15 registration: paired-column statistics (one
+# accumulator-width exchange, the compiler_agg_stats plan family).
+HEADLINE += [
+    "compiler_corr_covar",
+]
+
 
 def build(spark, src_dir: str, out_dir: str, k: int) -> None:
     from functools import reduce

@@ -3581,3 +3581,43 @@ def test_collect_bad_shapes_fail_typed(eng):
             eng.query(
                 {"customer": {"$groupby": ["c_nationkey"], "$agg": body}}
             )
+
+
+# --- round-13 M15: $corr / $covar / $covar_pop -----------------------------
+
+
+def test_corr_covar_match_sql_twins(eng):
+    dsl = eng.query(
+        {
+            "lineitem": {
+                "$groupby": ["l_returnflag"],
+                "$agg": {
+                    "r": {"$corr": ["l_discount", "l_tax"]},
+                    "cs": {"$covar": ["l_quantity", "l_discount"]},
+                    "cp": {"$covar_pop": ["l_quantity", "l_discount"]},
+                },
+            }
+        }
+    )
+    sql = eng.sql("""
+        SELECT l_returnflag,
+               corr(l_discount, l_tax) AS r,
+               covar_samp(l_quantity, l_discount) AS cs,
+               covar_pop(l_quantity, l_discount) AS cp
+        FROM lineitem GROUP BY l_returnflag
+    """)
+    assert dsl.columns == sql.columns
+    assert _rows(dsl) == _rows(sql)
+
+
+def test_corr_covar_bad_shapes_fail_typed(eng):
+    for body in (
+        {"r": {"$corr": "l_discount"}},
+        {"r": {"$covar": ["l_discount"]}},
+        {"r": {"$covar_pop": ["l_discount", 3]}},
+        {"r": {"$corr": ["l_discount", "l_tax", "l_quantity"]}},
+    ):
+        with pytest.raises(SpecError):
+            eng.query(
+                {"lineitem": {"$groupby": ["l_returnflag"], "$agg": body}}
+            )

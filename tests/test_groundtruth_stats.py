@@ -7628,3 +7628,33 @@ def test_compiler_collect_segments_matches_python(spark):
         vals = want.get(int(r["c_nationkey"]), [])
         assert r["seg_bag"] == ",".join(sorted(vals))
         assert r["segs"] == ",".join(sorted(set(vals)))
+
+
+# --- wave 46 (round 13): M15 $corr / $covar --------------------------
+
+
+def test_compiler_corr_covar_matches_textbook(spark):
+    """Explicit-formula recompute: corr = (E[xy]-E[x]E[y]) /
+    (σₓ·σᵧ) with population σ (the ratio is scale-invariant so
+    sample-vs-population cancels), covariances from Σ(x-x̄)(y-ȳ) over
+    n-1 and n — never numpy's cov/corrcoef."""
+    li = _tbl("lineitem")
+    want = {}
+    for flag, grp in li.groupby("l_returnflag"):
+        d = grp.l_discount.to_numpy(dtype=np.float64)
+        t = grp.l_tax.to_numpy(dtype=np.float64)
+        q = grp.l_quantity.to_numpy(dtype=np.float64)
+        n = len(grp)
+        exy = (d * t).mean() - d.mean() * t.mean()
+        sx = math.sqrt((d * d).mean() - d.mean() ** 2)
+        sy = math.sqrt((t * t).mean() - t.mean() ** 2)
+        sxy = float(((q - q.mean()) * (d - d.mean())).sum())
+        want[(flag,)] = {
+            "corr_disc_tax": exy / (sx * sy),
+            "cov_qty_disc": sxy / (n - 1),
+            "covp_qty_disc": sxy / n,
+        }
+    got = run(spark, "compiler_corr_covar")
+    assert_keyed(got, want, ["l_returnflag"],
+                 ["corr_disc_tax", "cov_qty_disc", "covp_qty_disc"],
+                 tol=1e-5)

@@ -1499,3 +1499,14 @@ def test_compiler_collect_segments_plan(spark):
     assert tree.count("Exchange") == 1
     assert "ObjectHashAggregate" in tree or "HashAggregate" in tree
     assert "SortAggregate" not in tree
+
+
+def test_compiler_corr_covar_single_exchange(spark):
+    """M15 paired statistics: merge-able moment accumulators — ONE
+    partial+final hash-agg pair around the single group exchange, the
+    compiler_agg_stats plan family."""
+    plan = plan_of(spark, "compiler_corr_covar")
+    tree = tree_of(plan)
+    assert tree.count("HashAggregate") == 2
+    assert tree.count("Exchange") == 1
+    assert "SortAggregate" not in tree
