@@ -377,7 +377,7 @@ SELECT_OPS = {
     "$if": 3,          # [cond ($filter syntax), then-expr, else-expr]
     "$json": 2,        # [expr, {"$lit": "$.path"}] — JSON field accessor
     # vector similarity (round 13, SURVEY roadmap M12 — driver keys
-    # queue r14): each argument is an array column name or a
+    # registered r13): each argument is an array column name or a
     # {"$lit": [numbers]} query vector. Lowered to zero-shuffle
     # zip_with + aggregate HOFs — JVM-side, no Python, no exchange.
     "$dot": 2,         # Σ aᵢ·bᵢ

@@ -1988,15 +1988,21 @@ def compiler_where_distinct_docs(spark, sf_dir):
     # $derive ≡ array_to_string, which would silently MASK a NULL
     # divergence — hence the FILTER must mirror the engine contract,
     # not rely on the join's null-skip).
+    # COALESCE guards the all-NULL-group edge (round-13 self-review
+    # pass 2): Spark's collect_* over an all-NULL group is an EMPTY
+    # ARRAY (→ '' after array_join), but DuckDB's FILTERed list() over
+    # zero surviving rows is NULL (→ NULL after array_to_string) — the
+    # fixtures never produce such a group today, but the oracle must
+    # encode the engine contract, not rely on fixture luck.
     oracle="""
     SELECT c_nationkey,
-           array_to_string(
+           coalesce(array_to_string(
              list_sort(list(DISTINCT c_mktsegment)
-                       FILTER (WHERE c_mktsegment IS NOT NULL)), ',')
+                       FILTER (WHERE c_mktsegment IS NOT NULL)), ','), '')
              AS segs,
-           array_to_string(
+           coalesce(array_to_string(
              list_sort(list(c_mktsegment)
-                       FILTER (WHERE c_mktsegment IS NOT NULL)), ',')
+                       FILTER (WHERE c_mktsegment IS NOT NULL)), ','), '')
              AS seg_bag
     FROM customer GROUP BY c_nationkey
     """,

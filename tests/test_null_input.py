@@ -137,3 +137,46 @@ def test_every_key_matches_oracle_on_null_heavy_tables(spark, null_sf_dir):
     assert not failures, (
         f"{len(failures)} null-input failures:\n" + "\n".join(failures)
     )
+
+
+def test_collect_segments_all_null_group(spark, tmp_path):
+    """Round-13 self-review pass 2: an ALL-NULL group is the one spot
+    where Spark's collect_* (empty array → '' after join) and DuckDB's
+    FILTERed list() (NULL over zero surviving rows → NULL after
+    array_to_string) diverge — the key's oracle carries a COALESCE to
+    encode the engine contract. The regular fixtures never produce such
+    a group, so manufacture one (nation 0 all-NULL) and run the full
+    check_key gate over it."""
+    src = SCHEMA_SRC
+    for t in TABLES:
+        tbl = pq.read_table(f"{src}/{t}.parquet")
+        if t == "customer":
+            nk = tbl.column("c_nationkey").combine_chunks()
+            seg = tbl.column("c_mktsegment").combine_chunks()
+            mask = pc.equal(nk, 0)
+            seg = pc.if_else(
+                mask, pa.nulls(tbl.num_rows, type=seg.type), seg
+            )
+            tbl = tbl.set_column(
+                tbl.schema.get_field_index("c_mktsegment"),
+                "c_mktsegment",
+                seg,
+            )
+        pq.write_table(tbl, str(tmp_path / (t + ".parquet")))
+    con = duck_connect(str(tmp_path))
+    try:
+        problems = check_key(
+            spark, con, "compiler_collect_segments", str(tmp_path)
+        )
+    finally:
+        con.close()
+    assert not problems, problems
+    # and the engine side really emits '' (not NULL) for the group
+    row = [
+        r
+        for r in QUERIES["compiler_collect_segments"](
+            spark, str(tmp_path)
+        ).collect()
+        if r["c_nationkey"] == 0
+    ]
+    assert row and row[0]["segs"] == "" and row[0]["seg_bag"] == ""
