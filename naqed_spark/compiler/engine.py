@@ -662,6 +662,17 @@ class Engine:
             )
         if op == "$round":
             return F.round(sub[0], ex.args[1].args[0])
+        if op == "$day":
+            return F.dayofmonth(sub[0])
+        if op == "$date_trunc":
+            # cast to DATE: Spark's date_trunc returns a TIMESTAMP whose
+            # rendering is session-timezone-dependent — a DATE emission
+            # is tz-proof and matches DuckDB's date_trunc-on-DATE type
+            # (unit validated at parse time, _TRUNC_UNITS)
+            return F.date_trunc(ex.args[1].args[0], sub[0]).cast("date")
+        if op == "$datediff":
+            # whole days end - start (Spark argument order)
+            return F.datediff(sub[0], sub[1])
         if op == "$concat":
             return F.concat(*sub)
         if op == "$lower":

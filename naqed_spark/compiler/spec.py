@@ -373,6 +373,18 @@ SELECT_OPS = {
     "$array_join": 2,  # [array-expr, {"$lit": sep}] → serialized string
     "$year": 1,
     "$month": 1,
+    # round 13 (M16 — engine-half; driver key queues r14): calendar
+    # ops with cross-engine-identical semantics (probed: day-of-month,
+    # ISO-Monday weeks, quarter floors, day-count datediff, NULL→NULL).
+    "$day": 1,         # day of month (1-31)
+    "$date_trunc": 2,  # [expr, {"$lit": unit}], unit in year/quarter/
+                       # month/week/day — emits DATE (Spark's timestamp
+                       # result is cast; a raw timestamp emission would
+                       # be session-timezone-dependent, the r12 lesson)
+    "$datediff": 2,    # [end, start] — whole days end-start, DATE
+                       # operands (timestamps must be $cast to date
+                       # explicitly so the day boundary is visible, not
+                       # implicit session-tz behavior)
     "$cast": 2,        # [expr, {"$lit": type-name}] — CAST_TYPES only
     "$if": 3,          # [cond ($filter syntax), then-expr, else-expr]
     "$json": 2,        # [expr, {"$lit": "$.path"}] — JSON field accessor
@@ -392,6 +404,9 @@ SELECT_OPS = {
 }
 
 VECTOR_OPS = {"$dot", "$cosine", "$euclidean"}
+# $date_trunc units with probed-identical floor semantics in Spark and
+# DuckDB (week = ISO Monday on both)
+_TRUNC_UNITS = {"year", "quarter", "month", "week", "day"}
 
 # $cast target types. decimal(p,s) is the determinism workhorse (§7.3:
 # money sums go through exact decimal, cast back to double at the end).
@@ -882,6 +897,17 @@ def _parse_expr(obj: object) -> Expr:
             )
         preds = _parse_filters(cond)
         return Expr("$if", [preds, _parse_expr(args[1]), _parse_expr(args[2])])
+    if op == "$date_trunc":
+        unit = args[1]
+        if not (isinstance(unit, dict) and set(unit) == {"$lit"}
+                and isinstance(unit["$lit"], str)
+                and unit["$lit"] in _TRUNC_UNITS):
+            raise SpecError(
+                f"$date_trunc second argument must be a {{'$lit': unit}}"
+                f" with unit in {sorted(_TRUNC_UNITS)}"
+            )
+        return Expr("$date_trunc",
+                    [_parse_expr(args[0]), Expr("$lit", [unit["$lit"]])])
     if op == "$cast":
         ty = args[1]
         if not (isinstance(ty, dict) and set(ty) == {"$lit"}

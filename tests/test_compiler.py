@@ -3621,3 +3621,119 @@ def test_corr_covar_bad_shapes_fail_typed(eng):
             eng.query(
                 {"lineitem": {"$groupby": ["l_returnflag"], "$agg": body}}
             )
+
+
+# --- round-13 M16 (engine-half; driver key queues r14): calendar ops -------
+
+
+def test_calendar_ops_match_sql_twin(eng):
+    dsl = eng.query(
+        {
+            "orders": {
+                "o_orderkey": True,
+                "$select": {
+                    "od": {"$day": "o_orderdate"},
+                    "om": {"$date_trunc": ["o_orderdate", {"$lit": "month"}]},
+                    "ow": {"$date_trunc": ["o_orderdate", {"$lit": "week"}]},
+                    "oq": {
+                        "$date_trunc": ["o_orderdate", {"$lit": "quarter"}]
+                    },
+                    "age": {
+                        "$datediff": ["o_orderdate", {"$lit": "1995-01-01"}]
+                    },
+                },
+            }
+        }
+    )
+    sql = eng.sql("""
+        SELECT o_orderkey,
+               dayofmonth(o_orderdate) AS od,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS om,
+               CAST(date_trunc('week', o_orderdate) AS DATE) AS ow,
+               CAST(date_trunc('quarter', o_orderdate) AS DATE) AS oq,
+               datediff(o_orderdate, DATE '1995-01-01') AS age
+        FROM orders
+    """)
+    assert dsl.columns == sql.columns
+    assert _rows(dsl) == _rows(sql)
+
+
+def test_calendar_ops_match_python(eng):
+    """Twin-bug defense: datetime.date recompute of all four ops — ISO
+    Monday week floors via weekday(), quarter via (m-1)//3."""
+    import datetime as dt
+
+    import pandas as pd
+
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    got = {
+        r["o_orderkey"]: r
+        for r in eng.query(
+            {
+                "orders": {
+                    "o_orderkey": True,
+                    "$select": {
+                        "od": {"$day": "o_orderdate"},
+                        "om": {
+                            "$date_trunc": ["o_orderdate", {"$lit": "month"}]
+                        },
+                        "ow": {
+                            "$date_trunc": ["o_orderdate", {"$lit": "week"}]
+                        },
+                        "age": {
+                            "$datediff": [
+                                "o_orderdate", {"$lit": "1995-01-01"}
+                            ]
+                        },
+                    },
+                }
+            }
+        ).collect()
+    }
+    assert len(got) == len(orders)
+    epoch = dt.date(1995, 1, 1)
+    for ok, od in zip(orders.o_orderkey, orders.o_orderdate):
+        d = pd.Timestamp(od).date()
+        r = got[ok]
+        assert r["od"] == d.day
+        assert r["om"] == d.replace(day=1)
+        assert r["ow"] == d - dt.timedelta(days=d.weekday())
+        assert r["age"] == (d - epoch).days
+    # NULL propagation through all three op kinds
+    row = eng.query(
+        {
+            "orders": {
+                "o_orderkey": True,
+                "$filter": {"o_orderkey": 1},
+                "$select": {
+                    "nd": {
+                        "$day": {
+                            "$cast": [
+                                {"$json": ["o_orderstatus", {"$lit": "$.x"}]},
+                                {"$lit": "date"},
+                            ]
+                        }
+                    },
+                },
+            }
+        }
+    ).collect()
+    assert row and row[0]["nd"] is None
+
+
+@pytest.mark.parametrize(
+    "expr",
+    [
+        {"$date_trunc": ["o_orderdate", {"$lit": "hour"}]},   # sub-day unit
+        {"$date_trunc": ["o_orderdate", {"$lit": "MONTH"}]},  # case-strict
+        {"$date_trunc": ["o_orderdate", "month"]},            # bare string
+        {"$date_trunc": ["o_orderdate"]},                     # missing unit
+        {"$day": ["o_orderdate", "o_orderdate"]},             # arity
+        {"$datediff": ["o_orderdate"]},                       # arity
+    ],
+)
+def test_calendar_ops_bad_shapes_fail_typed(eng, expr):
+    with pytest.raises(SpecError):
+        eng.query(
+            {"orders": {"o_orderkey": True, "$select": {"x": expr}}}
+        )
