@@ -662,6 +662,26 @@ class Engine:
             )
         if op == "$round":
             return F.round(sub[0], ex.args[1].args[0])
+        if op == "$substring":
+            # 1-based CHARACTER indexing on both engines (multibyte
+            # probed); pos/len are parse-validated int literals
+            return F.substring(
+                sub[0], ex.args[1].args[0], ex.args[2].args[0]
+            )
+        if op == "$trim":
+            return F.trim(sub[0])
+        if op == "$ltrim":
+            return F.ltrim(sub[0])
+        if op == "$rtrim":
+            return F.rtrim(sub[0])
+        if op == "$replace":
+            # plain-string replace (never regex) — parse-validated
+            # literals; empty search is a no-op on both engines
+            return F.replace(
+                sub[0],
+                F.lit(ex.args[1].args[0]),
+                F.lit(ex.args[2].args[0]),
+            )
         if op == "$day":
             return F.dayofmonth(sub[0])
         if op == "$date_trunc":

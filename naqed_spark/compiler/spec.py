@@ -385,6 +385,16 @@ SELECT_OPS = {
                        # operands (timestamps must be $cast to date
                        # explicitly so the day boundary is visible, not
                        # implicit session-tz behavior)
+    # round 13 (M17 — engine-half; driver key queues r14): string ops
+    # with probed-identical semantics (1-based CHARACTER indexing incl.
+    # multibyte, out-of-range substring → '', space-trimming, plain-
+    # string replace with the empty-search no-op identical on both).
+    "$substring": 3,   # [expr, pos>=1, len>=0] — int literals
+    "$trim": 1,        # strip spaces both ends
+    "$ltrim": 1,
+    "$rtrim": 1,
+    "$replace": 3,     # [expr, {"$lit": from}, {"$lit": to}] — PLAIN
+                       # strings, never regex
     "$cast": 2,        # [expr, {"$lit": type-name}] — CAST_TYPES only
     "$if": 3,          # [cond ($filter syntax), then-expr, else-expr]
     "$json": 2,        # [expr, {"$lit": "$.path"}] — JSON field accessor
@@ -897,6 +907,28 @@ def _parse_expr(obj: object) -> Expr:
             )
         preds = _parse_filters(cond)
         return Expr("$if", [preds, _parse_expr(args[1]), _parse_expr(args[2])])
+    if op == "$substring":
+        pos, ln = args[1], args[2]
+        if (not isinstance(pos, int) or isinstance(pos, bool) or pos < 1
+                or not isinstance(ln, int) or isinstance(ln, bool)
+                or ln < 0):
+            raise SpecError(
+                "$substring takes [expr, pos >= 1, len >= 0] with int"
+                " literal pos/len (1-based character indexing)"
+            )
+        return Expr("$substring", [_parse_expr(args[0]),
+                                   Expr("$lit", [pos]), Expr("$lit", [ln])])
+    if op == "$replace":
+        for i, name in ((1, "search"), (2, "replacement")):
+            s = args[i]
+            if not (isinstance(s, dict) and set(s) == {"$lit"}
+                    and isinstance(s["$lit"], str)):
+                raise SpecError(
+                    f"$replace {name} must be a {{'$lit': str}} literal"
+                )
+        return Expr("$replace", [_parse_expr(args[0]),
+                                 Expr("$lit", [args[1]["$lit"]]),
+                                 Expr("$lit", [args[2]["$lit"]])])
     if op == "$date_trunc":
         unit = args[1]
         if not (isinstance(unit, dict) and set(unit) == {"$lit"}

@@ -2079,3 +2079,104 @@ def compiler_corr_covar(spark, sf_dir):
             }
         }
     )
+
+
+@query(
+    "compiler_calendar_rollup",
+    # Round-13 M16 registration: all three calendar ops in the classic
+    # time-series shape — orders rolled up by calendar month. The month
+    # key is a DATE on both engines ($date_trunc emits DATE; Spark's
+    # raw timestamp result would be session-timezone-rendered — the r12
+    # lesson applied at the type level). avg(day-of-month) and
+    # avg(days-since-epoch) are small/medium-magnitude means whose
+    # accumulation error (~1e-13) sits far below the round(4) grain.
+    oracle="""
+    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS omonth,
+           count(*) AS n_orders,
+           round(avg(day(o_orderdate)), 4) AS avg_dom,
+           round(avg(date_diff('day', DATE '1995-01-01', o_orderdate)), 4)
+             AS avg_age
+    FROM orders GROUP BY 1
+    """,
+)
+def compiler_calendar_rollup(spark, sf_dir):
+    """Scale shape: the calendar columns are codegen projections riding
+    the scan; the rollup is one partial+final hash-agg pair around the
+    single month exchange — ~120 month groups regardless of row count,
+    so the shuffle carries accumulators, never rows (plan pinned)."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "orders": {
+                "$select": {
+                    "omonth": {
+                        "$date_trunc": ["o_orderdate", {"$lit": "month"}]
+                    },
+                    "dom": {"$day": "o_orderdate"},
+                    "age": {
+                        "$datediff": ["o_orderdate", {"$lit": "1995-01-01"}]
+                    },
+                },
+                "$groupby": ["omonth"],
+                "$agg": {
+                    "n_orders": {"$count": True},
+                    "avg_dom": {"$avg": "dom"},
+                    "avg_age": {"$avg": "age"},
+                },
+                "$derive": {
+                    "avg_dom": {"$round": ["avg_dom", 4]},
+                    "avg_age": {"$round": ["avg_age", 4]},
+                },
+            }
+        }
+    )
+
+
+@query(
+    "compiler_string_normalize",
+    # Round-13 M17 registration: the string family through the DSL in
+    # the normalize-then-group shape every ingest pipeline runs —
+    # source tags normalized (plain-string replace → trim → upper),
+    # counted, with a distinct-prefix cardinality per tag. NULL source
+    # normalizes to a NULL group on both engines (GROUP BY keeps it);
+    # NULL text drops out of count(DISTINCT) on both.
+    oracle="""
+    SELECT upper(trim(replace(source, '-', ' '))) AS src_norm,
+           count(*) AS n_docs,
+           count(DISTINCT substring(text, 1, 8)) AS n_heads
+    FROM documents GROUP BY 1
+    """,
+)
+def compiler_string_normalize(spark, sf_dir):
+    """Scale shape: the normalization chain is pure codegen on the scan
+    (no Python); the rollup is a partial+final hash-agg pair; the
+    distinct-prefix count is the standard two-phase distinct aggregate
+    — the 8-char substring, not the document body, rides the shuffle."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "documents": {
+                "$select": {
+                    "src_norm": {
+                        "$upper": {
+                            "$trim": {
+                                "$replace": [
+                                    "source", {"$lit": "-"}, {"$lit": " "}
+                                ]
+                            }
+                        }
+                    },
+                    "head": {"$substring": ["text", 1, 8]},
+                },
+                "$groupby": ["src_norm"],
+                "$agg": {
+                    "n_docs": {"$count": True},
+                    "n_heads": {"$count_distinct": "head"},
+                },
+            }
+        }
+    )

@@ -169,6 +169,12 @@ DEFERRED: set[str] = {
     # round-13 M15 registration ($corr/$covar/$covar_pop): same
     # discipline.
     "compiler_corr_covar",
+    # round-13 M16 registration ($day/$date_trunc/$datediff through a
+    # calendar-month rollup): same discipline.
+    "compiler_calendar_rollup",
+    # round-13 M17 registration ($substring/$trim/$ltrim/$rtrim/
+    # $replace through the normalize-then-group shape): same discipline.
+    "compiler_string_normalize",
 }
 
 

@@ -191,6 +191,18 @@ HEADLINE += [
     "compiler_corr_covar",
 ]
 
+# Round-13 M16 registration: calendar-month rollup (codegen calendar
+# projections + one ~120-group exchange of accumulators).
+HEADLINE += [
+    "compiler_calendar_rollup",
+]
+
+# Round-13 M17 registration: normalize-then-group string pipeline
+# (codegen normalization + two-phase distinct over 8-char prefixes).
+HEADLINE += [
+    "compiler_string_normalize",
+]
+
 
 def build(spark, src_dir: str, out_dir: str, k: int) -> None:
     from functools import reduce

@@ -3737,3 +3737,85 @@ def test_calendar_ops_bad_shapes_fail_typed(eng, expr):
         eng.query(
             {"orders": {"o_orderkey": True, "$select": {"x": expr}}}
         )
+
+
+# --- round-13 M17 (engine-half; driver key queues r14): string ops ---------
+
+
+def test_string_ops_match_sql_twin(eng):
+    dsl = eng.query(
+        {
+            "documents": {
+                "doc_id": True,
+                "$select": {
+                    "head": {"$substring": ["text", 1, 20]},
+                    "tail": {"$substring": ["text", 900, 5]},
+                    "t": {"$trim": {"$concat": [{"$lit": "  "}, "source",
+                                                {"$lit": " "}]}},
+                    "lt": {"$ltrim": {"$concat": [{"$lit": " "}, "source"]}},
+                    "rt": {"$rtrim": {"$concat": ["source", {"$lit": " "}]}},
+                    "sub": {"$replace": ["source", {"$lit": "a"},
+                                         {"$lit": "@@"}]},
+                },
+            }
+        }
+    )
+    sql = eng.sql("""
+        SELECT doc_id,
+               substring(text, 1, 20) AS head,
+               substring(text, 900, 5) AS tail,
+               trim(concat('  ', source, ' ')) AS t,
+               ltrim(concat(' ', source)) AS lt,
+               rtrim(concat(source, ' ')) AS rt,
+               replace(source, 'a', '@@') AS sub
+        FROM documents
+    """)
+    assert dsl.columns == sql.columns
+    assert _rows(dsl) == _rows(sql)
+
+
+def test_string_ops_match_python(eng):
+    """Twin-bug defense: python str slicing/strip/replace recompute —
+    1-based substring = s[pos-1:pos-1+n] on CHARACTERS."""
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    got = {
+        r["doc_id"]: r
+        for r in eng.query(
+            {
+                "documents": {
+                    "doc_id": True,
+                    "$select": {
+                        "head": {"$substring": ["text", 3, 7]},
+                        "sub": {"$replace": ["source", {"$lit": "a"},
+                                             {"$lit": "@@"}]},
+                    },
+                }
+            }
+        ).collect()
+    }
+    assert len(got) == len(docs)
+    for did, text, src in zip(docs.doc_id, docs.text, docs.source):
+        r = got[did]
+        assert r["head"] == str(text)[2:9]
+        assert r["sub"] == str(src).replace("a", "@@")
+
+
+@pytest.mark.parametrize(
+    "expr",
+    [
+        {"$substring": ["text", 0, 5]},              # pos < 1
+        {"$substring": ["text", 1, -1]},             # negative len
+        {"$substring": ["text", "1", 5]},            # non-int pos
+        {"$substring": ["text", 1]},                 # arity
+        {"$replace": ["text", "a", {"$lit": "b"}]},  # bare-string search
+        {"$replace": ["text", {"$lit": "a"}, 3]},    # non-string repl
+        {"$trim": ["text", "x"]},                    # arity
+    ],
+)
+def test_string_ops_bad_shapes_fail_typed(eng, expr):
+    with pytest.raises(SpecError):
+        eng.query(
+            {"documents": {"doc_id": True, "$select": {"x": expr}}}
+        )

@@ -7658,3 +7658,60 @@ def test_compiler_corr_covar_matches_textbook(spark):
     assert_keyed(got, want, ["l_returnflag"],
                  ["corr_disc_tax", "cov_qty_disc", "covp_qty_disc"],
                  tol=1e-5)
+
+
+# --- wave 47 (round 13): M16 calendar ops ------------------------------
+
+
+def test_compiler_calendar_rollup_matches_python_datetime(spark):
+    """datetime.date replay: month floors via replace(day=1), day of
+    month, (d - 1995-01-01).days — stdlib calendar arithmetic, no
+    Spark, no SQL, no pandas datetime ops."""
+    import datetime as dt
+
+    orders = _tbl("orders")
+    epoch = dt.date(1995, 1, 1)
+    want: dict = {}
+    for od in orders.o_orderdate:
+        d = pd.Timestamp(od).date()
+        k = (d.replace(day=1),)
+        agg = want.setdefault(k, {"n": 0, "dom": 0, "age": 0})
+        agg["n"] += 1
+        agg["dom"] += d.day
+        agg["age"] += (d - epoch).days
+    want = {
+        k: {
+            "n_orders": v["n"],
+            "avg_dom": v["dom"] / v["n"],
+            "avg_age": v["age"] / v["n"],
+        }
+        for k, v in want.items()
+    }
+    got = run(spark, "compiler_calendar_rollup")
+    assert_keyed(got, want, ["omonth"],
+                 ["n_orders", "avg_dom", "avg_age"], tol=1e-4)
+
+
+# --- wave 48 (round 13): M17 string ops --------------------------------
+
+
+def test_compiler_string_normalize_matches_python(spark):
+    """Python str replay: replace('-',' ').strip().upper() grouping with
+    a distinct 8-char-prefix count — NULL source is its own group, NULL
+    text never contributes a prefix."""
+    docs = _tbl("documents")
+    want: dict = {}
+    for src, text in zip(docs.source, docs.text):
+        null_src = src is None or (isinstance(src, float) and pd.isna(src))
+        key = (None if null_src
+               else str(src).replace("-", " ").strip().upper(),)
+        agg = want.setdefault(key, {"n_docs": 0, "heads": set()})
+        agg["n_docs"] += 1
+        if not (text is None or (isinstance(text, float) and pd.isna(text))):
+            agg["heads"].add(str(text)[:8])
+    want = {
+        k: {"n_docs": v["n_docs"], "n_heads": len(v["heads"])}
+        for k, v in want.items()
+    }
+    got = run(spark, "compiler_string_normalize")
+    assert_keyed(got, want, ["src_norm"], ["n_docs", "n_heads"])

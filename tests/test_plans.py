@@ -1510,3 +1510,26 @@ def test_compiler_corr_covar_single_exchange(spark):
     assert tree.count("HashAggregate") == 2
     assert tree.count("Exchange") == 1
     assert "SortAggregate" not in tree
+
+
+def test_compiler_calendar_rollup_single_exchange(spark):
+    """M16 calendar rollup: the calendar columns are codegen
+    projections on the scan; the month rollup is one partial+final
+    hash-agg pair around a single exchange (accumulators, never
+    rows)."""
+    plan = plan_of(spark, "compiler_calendar_rollup")
+    tree = tree_of(plan)
+    assert tree.count("HashAggregate") == 2
+    assert tree.count("Exchange") == 1
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
+
+
+def test_compiler_string_normalize_plan(spark):
+    """M17: the normalization chain must be pure codegen on the scan
+    (no Python eval), with the standard two-phase distinct aggregate —
+    at most two exchanges, and only the 8-char prefix in the shuffle."""
+    plan = plan_of(spark, "compiler_string_normalize")
+    tree = tree_of(plan)
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
+    assert tree.count("Exchange") <= 2
+    assert "SortAggregate" not in tree
