@@ -373,9 +373,10 @@ SELECT_OPS = {
     "$array_join": 2,  # [array-expr, {"$lit": sep}] → serialized string
     "$year": 1,
     "$month": 1,
-    # round 13 (M16 — engine-half; driver key queues r14): calendar
-    # ops with cross-engine-identical semantics (probed: day-of-month,
-    # ISO-Monday weeks, quarter floors, day-count datediff, NULL→NULL).
+    # round 13 (M16 — driver key compiler_calendar_rollup registered
+    # r13): calendar ops with cross-engine-identical semantics (probed:
+    # day-of-month, ISO-Monday weeks, quarter floors, day-count
+    # datediff, NULL→NULL).
     "$day": 1,         # day of month (1-31)
     "$date_trunc": 2,  # [expr, {"$lit": unit}], unit in year/quarter/
                        # month/week/day — emits DATE (Spark's timestamp
@@ -385,10 +386,11 @@ SELECT_OPS = {
                        # operands (timestamps must be $cast to date
                        # explicitly so the day boundary is visible, not
                        # implicit session-tz behavior)
-    # round 13 (M17 — engine-half; driver key queues r14): string ops
-    # with probed-identical semantics (1-based CHARACTER indexing incl.
-    # multibyte, out-of-range substring → '', space-trimming, plain-
-    # string replace with the empty-search no-op identical on both).
+    # round 13 (M17 — driver key compiler_string_normalize registered
+    # r13): string ops with probed-identical semantics (1-based
+    # CHARACTER indexing incl. multibyte, out-of-range substring → '',
+    # space-trimming, plain-string replace with the empty-search no-op
+    # identical on both).
     "$substring": 3,   # [expr, pos>=1, len>=0] — int literals
     "$trim": 1,        # strip spaces both ends
     "$ltrim": 1,

@@ -2965,8 +2965,8 @@ def test_asof_tolerance_left_plan_keeps_window_group_limit(eng):
     assert "CartesianProduct" not in plan
 
 
-# -------- round-13 vector similarity (M12 engine-half; driver keys
-# queue r14): $dot / $cosine / $euclidean over array columns and
+# -------- round-13 vector similarity (M12; driver keys registered
+# r13): $dot / $cosine / $euclidean over array columns and
 # literal query vectors, lowered to zero-shuffle zip_with + aggregate
 # HOF projections.
 
@@ -3623,7 +3623,7 @@ def test_corr_covar_bad_shapes_fail_typed(eng):
             )
 
 
-# --- round-13 M16 (engine-half; driver key queues r14): calendar ops -------
+# --- round-13 M16 (driver key registered r13): calendar ops ----------------
 
 
 def test_calendar_ops_match_sql_twin(eng):
@@ -3739,7 +3739,7 @@ def test_calendar_ops_bad_shapes_fail_typed(eng, expr):
         )
 
 
-# --- round-13 M17 (engine-half; driver key queues r14): string ops ---------
+# --- round-13 M17 (driver key registered r13): string ops ------------------
 
 
 def test_string_ops_match_sql_twin(eng):
