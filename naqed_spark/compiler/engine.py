@@ -662,6 +662,18 @@ class Engine:
             )
         if op == "$round":
             return F.round(sub[0], ex.args[1].args[0])
+        if op == "$coalesce":
+            # null-handling combinators (round 13, M18): semantics
+            # probed identical in Spark and DuckDB — first non-NULL;
+            # NULL-on-equal; greatest/least skip NULLs (NULL only when
+            # every operand is NULL)
+            return F.coalesce(*sub)
+        if op == "$nullif":
+            return F.nullif(sub[0], sub[1])
+        if op == "$greatest":
+            return F.greatest(*sub)
+        if op == "$least":
+            return F.least(*sub)
         if op == "$substring":
             # 1-based CHARACTER indexing on both engines (multibyte
             # probed); pos/len are parse-validated int literals

@@ -397,6 +397,14 @@ SELECT_OPS = {
     "$rtrim": 1,
     "$replace": 3,     # [expr, {"$lit": from}, {"$lit": to}] — PLAIN
                        # strings, never regex
+    # round 13 (M18 — engine-half; driver key queues r14): null-
+    # handling combinators with probed-identical semantics (first
+    # non-NULL; NULL-on-equal; greatest/least SKIP NULLs and are NULL
+    # only when every operand is).
+    "$coalesce": -1,   # first non-NULL of n >= 2 operands
+    "$nullif": 2,      # NULL when equal, else first operand
+    "$greatest": -1,   # row-wise max, NULLs skipped
+    "$least": -1,      # row-wise min, NULLs skipped
     "$cast": 2,        # [expr, {"$lit": type-name}] — CAST_TYPES only
     "$if": 3,          # [cond ($filter syntax), then-expr, else-expr]
     "$json": 2,        # [expr, {"$lit": "$.path"}] — JSON field accessor

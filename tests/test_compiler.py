@@ -3819,3 +3819,77 @@ def test_string_ops_bad_shapes_fail_typed(eng, expr):
         eng.query(
             {"documents": {"doc_id": True, "$select": {"x": expr}}}
         )
+
+
+# --- round-13 M18 (engine-half; driver key queues r14): null combinators ---
+
+
+def test_null_combinators_match_sql_twin(eng):
+    dsl = eng.query(
+        {
+            "documents": {
+                "doc_id": True,
+                "$select": {
+                    "lang_or": {"$coalesce": ["lang", {"$lit": "und"}]},
+                    "self_null": {"$nullif": ["source", "source"]},
+                    "keep": {"$nullif": ["source", {"$lit": "nonsuch"}]},
+                    "hi": {"$greatest": ["doc_id", {"$lit": 100}]},
+                    "lo": {"$least": ["doc_id", {"$lit": 100}]},
+                },
+            }
+        }
+    )
+    sql = eng.sql("""
+        SELECT doc_id,
+               coalesce(lang, 'und') AS lang_or,
+               nullif(source, source) AS self_null,
+               nullif(source, 'nonsuch') AS keep,
+               greatest(doc_id, 100) AS hi,
+               least(doc_id, 100) AS lo
+        FROM documents
+    """)
+    assert dsl.columns == sql.columns
+    assert _rows(dsl) == _rows(sql)
+
+
+def test_null_combinators_match_python(eng):
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{SF_DIR}/documents.parquet")
+    got = {
+        r["doc_id"]: r
+        for r in eng.query(
+            {
+                "documents": {
+                    "doc_id": True,
+                    "$select": {
+                        "lang_or": {"$coalesce": ["lang", {"$lit": "und"}]},
+                        "hi": {"$greatest": ["doc_id", {"$lit": 100}]},
+                    },
+                }
+            }
+        ).collect()
+    }
+    assert len(got) == len(docs)
+    for did, lang in zip(docs.doc_id, docs.lang):
+        r = got[did]
+        want_lang = "und" if (lang is None or (isinstance(lang, float)
+                                               and pd.isna(lang))) else lang
+        assert r["lang_or"] == want_lang
+        assert r["hi"] == max(int(did), 100)
+
+
+@pytest.mark.parametrize(
+    "expr",
+    [
+        {"$coalesce": ["lang"]},   # n-ary needs >= 2
+        {"$greatest": ["doc_id"]},
+        {"$nullif": ["source"]},   # arity
+        {"$nullif": ["source", "lang", "text"]},
+    ],
+)
+def test_null_combinators_bad_shapes_fail_typed(eng, expr):
+    with pytest.raises(SpecError):
+        eng.query(
+            {"documents": {"doc_id": True, "$select": {"x": expr}}}
+        )
