@@ -874,6 +874,20 @@ class Engine:
             # pushed to the parquet scan by Catalyst exactly like
             # $filter; predicates over Generate output stay streaming
             # (filter-inside-codegen after the explode, no shuffle).
+            # ADVICE r13: $where runs BEFORE $unpivot (it is the post-
+            # $select/post-$explode filter, documented in the spec.py
+            # DSL header), so a predicate naming the $unpivot output
+            # columns can never bind here. Surface that as a targeted
+            # error instead of the generic scope message.
+            if qs.unpivot is not None and pred.op != "$or" and (
+                    pred.column in (qs.unpivot.name, qs.unpivot.value)
+                    and pred.column not in df.columns):
+                raise SpecError(
+                    f"$where: {pred.column!r} is a $unpivot output —"
+                    f" $where filters the pre-$unpivot frame; to filter"
+                    f" the long form, chain a second query over this"
+                    f" result"
+                )
             _check_pred_columns(pred, df, "$where")
             df = _apply_predicate(df, pred)
         if qs.unpivot is not None:

@@ -301,7 +301,12 @@ round 13 after tri-SF pre-verification):
                                       # computed and exploded columns
                                       # are filterable. Over scan-only
                                       # columns Catalyst pushes it down
-                                      # like $filter.
+                                      # like $filter. Runs BEFORE
+                                      # $unpivot: predicates naming the
+                                      # $unpivot name/value outputs are
+                                      # rejected with a typed error —
+                                      # filter the long form by
+                                      # chaining a second query.
     {alias: {"$collect_list": col}}   # collection aggregates (M14):
       / {"$collect_set": col} in $agg # NULLs skipped (Spark collect_*;
                                       # oracles add FILTER non-NULL),
@@ -318,6 +323,7 @@ to join fan-out).
 
 from __future__ import annotations
 
+import datetime as _datetime
 import re
 from dataclasses import dataclass, field
 
@@ -950,6 +956,26 @@ def _parse_expr(obj: object) -> Expr:
             )
         return Expr("$date_trunc",
                     [_parse_expr(args[0]), Expr("$lit", [unit["$lit"]])])
+    if op == "$datediff":
+        # ADVICE r13: a string {'$lit': ...} operand reaches Spark's
+        # datediff as an implicit string→date cast, and in non-ANSI
+        # mode a malformed literal silently yields NULL rows instead of
+        # an error. Mirror $date_trunc's strictness: date-literal
+        # operands must parse as ISO dates AT PARSE TIME.
+        parsed = []
+        for a in args:
+            e = _parse_expr(a)
+            if e.op == "$lit" and isinstance(e.args[0], str):
+                try:
+                    _datetime.date.fromisoformat(e.args[0])
+                except ValueError:
+                    raise SpecError(
+                        f"$datediff string literal {e.args[0]!r} is not an"
+                        f" ISO date (YYYY-MM-DD); a malformed date would"
+                        f" silently NULL every row"
+                    )
+            parsed.append(e)
+        return Expr("$datediff", parsed)
     if op == "$cast":
         ty = args[1]
         if not (isinstance(ty, dict) and set(ty) == {"$lit"}

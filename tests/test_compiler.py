@@ -2176,6 +2176,28 @@ def test_unpivot_matches_stack_twin(eng):
     )
 
 
+def test_where_over_unpivot_output_fails_targeted(eng):
+    """ADVICE r13: $where runs before $unpivot, so a predicate naming
+    the unpivot name/value outputs must fail with a message pointing at
+    chaining a second query — never the generic scope error."""
+    with pytest.raises(SpecError, match=r"\$unpivot output.*chain"):
+        eng.query(
+            {
+                "orders": {
+                    "o_orderkey": True,
+                    "o_totalprice": True,
+                    "o_custkey": True,
+                    "$unpivot": {
+                        "$cols": ["o_totalprice", "o_custkey"],
+                        "$name": "measure",
+                        "$value": "val",
+                    },
+                    "$where": {"val": {"$gt": 0}},
+                }
+            }
+        ).collect()
+
+
 def test_stratified_sample_matches_window_spelling(eng):
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
@@ -3730,6 +3752,10 @@ def test_calendar_ops_match_python(eng):
         {"$date_trunc": ["o_orderdate"]},                     # missing unit
         {"$day": ["o_orderdate", "o_orderdate"]},             # arity
         {"$datediff": ["o_orderdate"]},                       # arity
+        # ADVICE r13: malformed date literals must fail at parse time,
+        # not silently NULL every row through the non-ANSI string cast
+        {"$datediff": ["o_orderdate", {"$lit": "1995-13-40"}]},
+        {"$datediff": [{"$lit": "not-a-date"}, "o_orderdate"]},
     ],
 )
 def test_calendar_ops_bad_shapes_fail_typed(eng, expr):
