@@ -38,6 +38,21 @@ TABLES = [
 SMALL_DIMS = {"region", "nation", "supplier"}
 BROADCAST_CANDIDATES = SMALL_DIMS | {"part", "customer"}
 
+# Single-column dense primary keys (FIXTURES.md). The $traverse verb
+# (round 14, M19) identifies vertices by the root entity's key, so it is
+# only offered on entities listed here — lineitem's key is composite and
+# events has none; a traversal root without a PK is a typed SpecError.
+PRIMARY_KEYS = {
+    "region": "r_regionkey",
+    "nation": "n_nationkey",
+    "customer": "c_custkey",
+    "supplier": "s_suppkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
 
 @dataclass(frozen=True)
 class Relationship:

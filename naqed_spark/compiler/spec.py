@@ -659,6 +659,40 @@ class ExplodeSpec:
 
 
 @dataclass
+class TraverseSpec:
+    """$traverse (round 14, M19): unbounded/fixpoint reachability over a
+    same-entity graph — the last naqed-model gap (resolver-graph
+    traversal to fixpoint) spelled as a query verb.
+
+    ``seeds`` is a $filter-style predicate list selecting the seed rows
+    of the ROOT entity. The edge set comes from exactly one of:
+
+    - ``via``: a relationship-name chain that must return to the root
+      entity type (the naqed resolver-chain spelling — e.g. nation →
+      "region" → "nations" composes the same-region clique);
+    - ``edges``: a full sub-query spec (an edge RESOLVER) whose result
+      carries the two id columns named by ``src``/``dst`` (defaults
+      "src"/"dst") in the root entity's key domain; NULL endpoints are
+      dropped.
+
+    ``max_depth`` bounds the search; absent means run to FIXPOINT with
+    a 100-superstep safety cap (a typed error if still expanding —
+    the depth guard; cycles are handled by the visited anti-join).
+    ``alias`` names the emitted min-hop depth column (default "dist",
+    0 on seeds). The traversal REPLACES the root frame: downstream
+    stages ($filter, field requests, hops, $select, $agg, ...) see the
+    reached entity rows plus the depth column."""
+
+    seeds: list  # list[Predicate]
+    via: "list[str] | None"
+    edges: "QuerySpec | None"
+    src: str
+    dst: str
+    max_depth: "int | None"
+    alias: str
+
+
+@dataclass
 class QuerySpec:
     root: Node
     groupby: list[str] = field(default_factory=list)
@@ -685,6 +719,9 @@ class QuerySpec:
     # round 12: subtotal grids — "rollup" | "cube" | list of grouping
     # sets (each a list of $groupby columns; [] = grand total)
     grouping: "str | list[list[str]] | None" = None
+    # round 14 (M19): unbounded/fixpoint same-entity reachability — the
+    # traversal replaces the root frame with (reached rows + depth)
+    traverse: "TraverseSpec | None" = None
 
 
 def _validate_filter_value(col: str, op: str, val: object) -> None:
@@ -1133,7 +1170,8 @@ def _parse_node(entity: str, body: dict) -> tuple[Node, dict]:
         elif key in ("$agg", "$groupby", "$having", "$orderby", "$limit",
                      "$offset", "$distinct", "$select", "$derive", "$window",
                      "$qualify", "$sample", "$pivot", "$unpivot", "$explode",
-                     "$where", "$rollup", "$cube", "$grouping_sets"):
+                     "$where", "$rollup", "$cube", "$grouping_sets",
+                     "$traverse"):
             top[key] = val
         elif key.startswith("$"):
             raise SpecError(f"unknown argument {key!r} on entity {entity!r}")
@@ -1466,6 +1504,64 @@ def _parse_explode(obj: object) -> ExplodeSpec:
     return ExplodeSpec(col=col, alias=alias, pos=pos, outer=(how == "outer"))
 
 
+def _parse_traverse(obj: object) -> TraverseSpec:
+    """``$traverse``: typed shape checks for the reachability verb —
+    every malformed spelling raises SpecError at parse time."""
+    if not isinstance(obj, dict):
+        raise SpecError("$traverse must be a dict")
+    known = {"$seeds", "$via", "$edges", "$src", "$dst", "$max_depth", "$as"}
+    extra = set(obj) - known
+    if extra:
+        raise SpecError(f"$traverse: unknown keys {sorted(extra)}")
+    if "$seeds" not in obj:
+        raise SpecError("$traverse requires $seeds (a $filter-style"
+                        " predicate selecting the seed rows)")
+    seeds = _parse_filters(obj["$seeds"])
+    if not seeds:
+        raise SpecError("$traverse.$seeds must not be empty — an"
+                        " unseeded traversal reaches nothing")
+    has_via, has_edges = "$via" in obj, "$edges" in obj
+    if has_via == has_edges:
+        raise SpecError("$traverse takes exactly one of $via (a"
+                        " relationship chain) or $edges (an edge"
+                        " sub-query)")
+    via: "list[str] | None" = None
+    edges: "QuerySpec | None" = None
+    if has_via:
+        raw = obj["$via"]
+        if (not isinstance(raw, list) or not raw
+                or not all(isinstance(r, str) and r for r in raw)):
+            raise SpecError("$traverse.$via must be a non-empty list of"
+                            " relationship names")
+        if "$src" in obj or "$dst" in obj:
+            raise SpecError("$traverse.$src/$dst only apply to $edges"
+                            " mode — a $via chain's endpoints are the"
+                            " entity keys")
+        via = list(raw)
+    else:
+        raw = obj["$edges"]
+        if not isinstance(raw, dict):
+            raise SpecError("$traverse.$edges must be a query spec dict")
+        edges = parse_spec(raw)
+        if edges.traverse is not None:
+            raise SpecError("$traverse.$edges must not itself contain"
+                            " $traverse (no nested traversal)")
+    src = _ident(obj.get("$src", "src"), "$traverse.$src")
+    dst = _ident(obj.get("$dst", "dst"), "$traverse.$dst")
+    if has_edges and src == dst:
+        raise SpecError("$traverse.$src and $dst must name two distinct"
+                        " edge columns")
+    max_depth: "int | None" = None
+    if "$max_depth" in obj:
+        md = obj["$max_depth"]
+        if not isinstance(md, int) or isinstance(md, bool) or md < 1:
+            raise SpecError("$traverse.$max_depth must be an int >= 1")
+        max_depth = md
+    alias = _ident(obj.get("$as", "dist"), "$traverse.$as")
+    return TraverseSpec(seeds=seeds, via=via, edges=edges, src=src,
+                        dst=dst, max_depth=max_depth, alias=alias)
+
+
 def parse_spec(spec: dict) -> QuerySpec:
     if not isinstance(spec, dict) or len(spec) != 1:
         raise SpecError("query spec must be a dict with exactly one root entity")
@@ -1477,6 +1573,12 @@ def parse_spec(spec: dict) -> QuerySpec:
         raise SpecError("$how/$exists only apply to relationship hops,"
                         " not the root entity")
     qs = QuerySpec(root=root)
+    if "$traverse" in top:
+        if "$sample" in top:
+            # sample-of-seeds vs sample-of-reached is undefined; the
+            # $edges sub-spec may carry its own $sample if needed
+            raise SpecError("$traverse is exclusive with $sample")
+        qs.traverse = _parse_traverse(top["$traverse"])
     if "$select" in top:
         qs.select = _parse_select(top["$select"])
     if "$derive" in top:

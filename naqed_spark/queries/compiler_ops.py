@@ -2180,3 +2180,78 @@ def compiler_string_normalize(spark, sf_dir):
             }
         }
     )
+
+
+@query(
+    "compiler_null_combinators",
+    # Round-14 M18 registration: the null-handling combinators in the
+    # shape every dirty-data rollup runs — a $nullif/$coalesce-derived
+    # group key (MACHINERY folded into OTHER via NULL-on-equal, NULL
+    # segments recovered the same way) over $greatest/$least-clamped
+    # and $coalesce-filled balances. NULL semantics are the point:
+    # coalesce takes the first non-NULL; greatest/least SKIP NULLs
+    # (NULL only when every operand is — probed identical in both
+    # engines, r13); on the null battery's c_mktsegment/c_acctbal nulls
+    # every op sees real NULLs. Money discipline per §7.3: clamp in
+    # double (comparison only, no arithmetic), cast the 2-dec-exact
+    # result to DECIMAL(12,2), sum exactly, emit as double.
+    oracle="""
+    SELECT coalesce(nullif(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg,
+           count(*) AS n_cust,
+           CAST(sum(CAST(greatest(c_acctbal, 0.0) AS DECIMAL(12,2)))
+                AS DOUBLE) AS sum_hi,
+           CAST(sum(CAST(least(c_acctbal, 1000.0) AS DECIMAL(12,2)))
+                AS DOUBLE) AS sum_lo,
+           CAST(sum(CAST(coalesce(c_acctbal, 0.0) AS DECIMAL(12,2)))
+                AS DOUBLE) AS sum_fill
+    FROM customer GROUP BY 1
+    """,
+)
+def compiler_null_combinators(spark, sf_dir):
+    """Scale shape: the combinator chain is pure codegen on the scan
+    (no Python, no exchange contribution); the rollup is one
+    partial+final hash-agg pair around a single ≤5-group exchange —
+    decimal accumulators ride the shuffle, never rows (plan pinned)."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    dec = {"$lit": "decimal(12,2)"}
+    return eng.query(
+        {
+            "customer": {
+                "$select": {
+                    "seg": {
+                        "$coalesce": [
+                            {"$nullif": ["c_mktsegment",
+                                         {"$lit": "MACHINERY"}]},
+                            {"$lit": "OTHER"},
+                        ]
+                    },
+                    "bal_hi": {
+                        "$cast": [{"$greatest": ["c_acctbal",
+                                                 {"$lit": 0.0}]}, dec]
+                    },
+                    "bal_lo": {
+                        "$cast": [{"$least": ["c_acctbal",
+                                              {"$lit": 1000.0}]}, dec]
+                    },
+                    "bal_fill": {
+                        "$cast": [{"$coalesce": ["c_acctbal",
+                                                 {"$lit": 0.0}]}, dec]
+                    },
+                },
+                "$groupby": ["seg"],
+                "$agg": {
+                    "n_cust": {"$count": True},
+                    "sum_hi": {"$sum": "bal_hi"},
+                    "sum_lo": {"$sum": "bal_lo"},
+                    "sum_fill": {"$sum": "bal_fill"},
+                },
+                "$derive": {
+                    "sum_hi": {"$cast": ["sum_hi", {"$lit": "double"}]},
+                    "sum_lo": {"$cast": ["sum_lo", {"$lit": "double"}]},
+                    "sum_fill": {"$cast": ["sum_fill", {"$lit": "double"}]},
+                },
+            }
+        }
+    )

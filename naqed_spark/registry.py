@@ -175,6 +175,13 @@ DEFERRED: set[str] = {
     # round-13 M17 registration ($substring/$trim/$ltrim/$rtrim/
     # $replace through the normalize-then-group shape): same discipline.
     "compiler_string_normalize",
+    # round-14 M18 registration ($coalesce/$nullif/$greatest/$least —
+    # engine-level since r13 commit 7bfea79): same tri-SF pre-verified
+    # discipline; queues behind the stale round-5 rotation front only
+    # after its first driver signal (DEFERRED = bucket 2, ahead of
+    # valid-signal keys by design — a never-checked key outranks a
+    # checked-and-untouched one).
+    "compiler_null_combinators",
 }
 
 

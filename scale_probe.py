@@ -203,6 +203,12 @@ HEADLINE += [
     "compiler_string_normalize",
 ]
 
+# Round-14 M18 registration: the null-combinator rollup (codegen
+# combinator chain + one ≤5-group exchange of decimal accumulators).
+HEADLINE += [
+    "compiler_null_combinators",
+]
+
 
 def build(spark, src_dir: str, out_dir: str, k: int) -> None:
     from functools import reduce
@@ -295,8 +301,14 @@ def main() -> None:
     # both configurations at Kx so the claim is measured, not asserted:
     # tk uses the 1x partition count, tk_scaled uses partitions × K.
     sink = f"{scratch}/sink_out" if use_sink else None
+    # NAQED_PROBE_KEYS=a,b,c probes a subset — the per-round cadence for
+    # NEW registrations (VERDICT r13 item 5: the marginal evidence is in
+    # first-contact rows; the full table is expensive).
+    only = os.environ.get("NAQED_PROBE_KEYS")
+    keys = ([key for key in HEADLINE if key in set(only.split(","))]
+            if only else HEADLINE)
     out = {}
-    for key in HEADLINE:
+    for key in keys:
         t1 = timed(spark, key, d1, sink)
         tk = timed(spark, key, dk, sink)
         spark.conf.set("spark.sql.shuffle.partitions", str(int(cpus) * k))

@@ -7715,3 +7715,43 @@ def test_compiler_string_normalize_matches_python(spark):
     }
     got = run(spark, "compiler_string_normalize")
     assert_keyed(got, want, ["src_norm"], ["n_docs", "n_heads"])
+
+
+# --- wave 49 (round 14): M18 null combinators --------------------------
+
+
+def test_compiler_null_combinators_matches_python(spark):
+    """Python replay of the combinator semantics FROM THE DOCSTRING:
+    segment key = first non-NULL of (NULL-on-MACHINERY segment, 'OTHER');
+    greatest/least SKIP NULLs (clamp constants win when the balance is
+    NULL); coalesce fills NULL balances with 0. Sums accumulate in
+    integer cents (the DECIMAL(12,2) discipline) so the replay carries
+    no float-order term of its own."""
+    cust = _tbl("customer")
+
+    def _cents(v: float) -> int:
+        return int(math.floor(v * 100 + 0.5))
+
+    want: dict = {}
+    for seg, bal in zip(cust.c_mktsegment, cust.c_acctbal):
+        seg, bal = _norm(seg), _norm(bal)
+        key = ("OTHER" if seg is None or seg == "MACHINERY" else seg,)
+        agg = want.setdefault(
+            key, {"n_cust": 0, "sum_hi": 0, "sum_lo": 0, "sum_fill": 0}
+        )
+        agg["n_cust"] += 1
+        agg["sum_hi"] += _cents(0.0 if bal is None else max(bal, 0.0))
+        agg["sum_lo"] += _cents(1000.0 if bal is None else min(bal, 1000.0))
+        agg["sum_fill"] += _cents(0.0 if bal is None else bal)
+    want = {
+        k: {
+            "n_cust": v["n_cust"],
+            "sum_hi": v["sum_hi"] / 100.0,
+            "sum_lo": v["sum_lo"] / 100.0,
+            "sum_fill": v["sum_fill"] / 100.0,
+        }
+        for k, v in want.items()
+    }
+    got = run(spark, "compiler_null_combinators")
+    assert_keyed(got, want, ["seg"],
+                 ["n_cust", "sum_hi", "sum_lo", "sum_fill"])

@@ -1538,3 +1538,21 @@ def test_compiler_string_normalize_plan(spark):
     assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
     assert tree.count("Exchange") <= 2
     assert "SortAggregate" not in tree
+
+
+def test_compiler_null_combinators_plan(spark):
+    """M18: the combinator chain (nullif/coalesce/greatest/least +
+    decimal casts) must be pure codegen riding the scan — the rollup is
+    one partial+final hash-agg pair around a single ≤5-group exchange
+    carrying decimal accumulators, never rows; no Python eval node."""
+    plan = plan_of(spark, "compiler_null_combinators")
+    tree = tree_of(plan)
+    assert tree.count("HashAggregate") == 2
+    assert tree.count("Exchange") == 1
+    assert "SortAggregate" not in tree
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
+    # column pruning: only the two combinator inputs are read
+    schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schema_lines
+    assert all("c_name" not in ln and "c_custkey" not in ln
+               for ln in schema_lines)
