@@ -20,7 +20,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from naqed_spark.catalog import Catalog, SMALL_DIMS
+from naqed_spark.catalog import Catalog, PRIMARY_KEYS, SMALL_DIMS
 from naqed_spark.compiler.spec import (
     AggSpec,
     Expr,
@@ -31,6 +31,7 @@ from naqed_spark.compiler.spec import (
     SampleSpec,
     SetSpec,
     SpecError,
+    TraverseSpec,
     WindowFn,
     bind_args,
     parse_query,
@@ -315,10 +316,24 @@ class Engine:
         return df
 
     def _compile_node(
-        self, node: Node, sample: "SampleSpec | None" = None
+        self, node: Node, sample: "SampleSpec | None" = None,
+        base: "DataFrame | None" = None,
     ) -> tuple[DataFrame, list[str]]:
-        """Compile a traversal subtree to (DataFrame, requested columns)."""
-        df = self._load_filtered(node, sample)
+        """Compile a traversal subtree to (DataFrame, requested columns).
+
+        ``base`` (round 14, M19) substitutes the root scan with an
+        already-built frame — the $traverse output (reached rows +
+        depth). The node's $filter then applies to THAT frame (a
+        post-traversal filter; the seed predicate lives inside
+        $traverse.$seeds), and everything downstream — field requests,
+        hops, $select, $agg — composes unchanged."""
+        if base is not None:
+            df = base
+            for pred in node.filters:
+                _typecheck(df, pred, node.entity)
+                df = _apply_predicate(df, pred)
+        else:
+            df = self._load_filtered(node, sample)
         cols = list(node.fields)
         for rel_name, child in node.children:
             rel = self.catalog.relationship(node.entity, rel_name)
@@ -735,6 +750,22 @@ class Engine:
             # missing keys in both engines (DuckDB twin:
             # json_extract_string)
             return F.get_json_object(sub[0], ex.args[1].args[0])
+        if op == "$json_keys":
+            # round 14 (M20 engine-half): top-level keys of a JSON
+            # OBJECT in DOCUMENT order (probed identical across
+            # engines on object input). Contract: NULL unless the
+            # input is a valid JSON object — Spark's from_json already
+            # NULLs 'null'/arrays/malformed where DuckDB's json_keys
+            # returns [] or raises, so the DuckDB twin mirrors with
+            # CASE WHEN json_valid(x) AND json_type(x) = 'OBJECT'.
+            # The result is an ordinary array: explodable, sizeable.
+            return F.map_keys(F.from_json(sub[0], "map<string,string>"))
+        if op == "$json_size":
+            # top-level key count under the same object-only contract;
+            # the explicit NULL guard dodges Spark's size(NULL) = -1
+            # legacy (the llm_chunk_windows lesson)
+            m = F.from_json(sub[0], "map<string,string>")
+            return F.when(m.isNotNull(), F.size(F.map_keys(m)))
         if op == "$year":
             return F.year(sub[0])
         if op == "$month":
@@ -806,8 +837,137 @@ class Engine:
                 col = col.cast("double")
         return col
 
+    def _traverse_frame(self, entity: str, tr: TraverseSpec) -> DataFrame:
+        """$traverse (round 14, M19): BFS reachability to max-depth or
+        fixpoint, compiling to the verified DataFrame-Pregel shape the
+        §2-I graph keys carry (graph_reachability_bfs): per superstep
+        ONE equi-join of the frontier against the edge set (shuffled on
+        vertex id; at 100 TB edges are pre-partitioned by src and the
+        tiny frontier broadcasts under AQE) + a distinct + an anti-join
+        against visited, with ``localCheckpoint()`` per superstep to
+        cut lineage (the plan doubles per iteration otherwise) and
+        O(1) retained pinned state via trim_pins. Returns the root
+        entity's rows restricted to the reached set, plus the min-hop
+        depth column ``tr.alias`` (0 on seeds)."""
+        from naqed_spark.queries._util import low_shuffle
+        from naqed_spark.session import persistent_rdd_ids, trim_pins
+
+        pk = PRIMARY_KEYS.get(entity)
+        if pk is None:
+            raise SpecError(
+                f"$traverse: entity {entity!r} has no single-column"
+                f" primary key (traversal roots:"
+                f" {sorted(PRIMARY_KEYS)})"
+            )
+        ent = self.catalog.entity(entity)
+        if tr.alias in ent.columns:
+            raise SpecError(
+                f"$traverse.$as {tr.alias!r} collides with a column of"
+                f" {entity!r}"
+            )
+        seeds_df = ent
+        for pred in tr.seeds:
+            _typecheck(seeds_df, pred, entity)
+            seeds_df = _apply_predicate(seeds_df, pred)
+        seeds = seeds_df.select(F.col(pk).alias("v")).distinct()
+
+        if tr.via is not None:
+            # relationship-chain composition: walk the declared FK edges
+            # and require the chain to land back on the root entity type
+            # — the naqed resolver-chain spelling of a same-type edge.
+            # Each step is a plain equi-join (dimension sides broadcast
+            # under AQE); columns are step-prefixed so an entity that
+            # appears twice in the chain never self-collides.
+            cur_ent, prefix = entity, "__t0_"
+            step = ent.select(
+                F.col(pk).alias("__t_origin"),
+                *[F.col(c).alias(prefix + c) for c in ent.columns],
+            )
+            for i, rname in enumerate(tr.via, 1):
+                try:
+                    rel = self.catalog.relationship(cur_ent, rname)
+                except KeyError:
+                    raise SpecError(
+                        f"$traverse.$via: entity {cur_ent!r} has no"
+                        f" relationship {rname!r}"
+                    )
+                nxt = self.catalog.entity(rel.dst)
+                npre = f"__t{i}_"
+                nxt_r = nxt.select(
+                    *[F.col(c).alias(npre + c) for c in nxt.columns]
+                )
+                step = step.join(
+                    nxt_r,
+                    F.col(prefix + rel.src_key) == F.col(npre + rel.dst_key),
+                ).select("__t_origin", *[npre + c for c in nxt.columns])
+                cur_ent, prefix = rel.dst, npre
+            if cur_ent != entity:
+                raise SpecError(
+                    f"$traverse.$via chain must return to {entity!r} —"
+                    f" it ends at {cur_ent!r}"
+                )
+            edges = step.select(
+                F.col("__t_origin").alias("src"),
+                F.col(prefix + pk).alias("dst"),
+            ).distinct()
+        else:
+            sub = self._compile(tr.edges)
+            for c in (tr.src, tr.dst):
+                if c not in sub.columns:
+                    raise SpecError(
+                        f"$traverse.$edges result has no column {c!r}"
+                        f" (have {sub.columns}) — name the endpoints"
+                        f" with $src/$dst"
+                    )
+            edges = (
+                sub.select(F.col(tr.src).alias("src"),
+                           F.col(tr.dst).alias("dst"))
+                .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+                .distinct()
+            )
+
+        edges = edges.persist()
+        edges.count()  # materialize before base so trim can't sweep it
+        base = persistent_rdd_ids(self.spark)
+        visited = seeds.select("v", F.lit(0).alias("__t_d"))
+        frontier = visited
+        cap = tr.max_depth if tr.max_depth is not None else 100
+        converged = tr.max_depth is not None
+        with low_shuffle(self.spark):
+            for depth in range(1, cap + 1):
+                nxt = (
+                    frontier.join(edges, frontier.v == edges.src)
+                    .select(F.col("dst").alias("v"))
+                    .distinct()
+                    .join(visited.select("v"), "v", "left_anti")
+                    .select("v", F.lit(depth).alias("__t_d"))
+                    .localCheckpoint()  # cut lineage per superstep
+                )
+                if nxt.isEmpty():
+                    converged = True
+                    break
+                visited = visited.unionAll(nxt).localCheckpoint()
+                frontier = nxt
+                trim_pins(self.spark, base, keep=2)
+        edges.unpersist()
+        if not converged:
+            raise SpecError(
+                f"$traverse did not reach fixpoint within {cap}"
+                f" supersteps — the graph's diameter exceeds the safety"
+                f" cap; set $max_depth to bound the search explicitly"
+            )
+        reached = visited.withColumnRenamed("v", "__t_v")
+        return (
+            ent.join(reached, ent[pk] == reached["__t_v"])
+            .drop("__t_v")
+            .withColumnRenamed("__t_d", tr.alias)
+        )
+
     def _compile(self, qs: QuerySpec) -> DataFrame:
-        df, cols = self._compile_node(qs.root, qs.sample)
+        base_frame = None
+        if qs.traverse is not None:
+            base_frame = self._traverse_frame(qs.root.entity, qs.traverse)
+        df, cols = self._compile_node(qs.root, qs.sample, base=base_frame)
         # $select computed columns land before aggregation, so $groupby/
         # $agg/$orderby can reference them like any field; without an agg
         # they join the projection after the requested fields.

@@ -314,6 +314,56 @@ round 13 after tri-SF pre-verification):
                                       # only hashable contract for
                                       # shuffle-order-dependent lists).
 
+Round-14 extension (M19 — the last naqed-model gap: resolver-graph
+traversal to fixpoint as a query verb):
+
+    "$traverse": {                    # unbounded/fixpoint reachability
+      "$seeds": {pred...},            # $filter-style seed predicate
+                                      # over the ROOT entity (required)
+      "$via": [rel, rel, ...] |       # edge set: a relationship chain
+      "$edges": {entity: {...}},      # returning to the root entity
+                                      # type (resolver-chain spelling),
+                                      # XOR a full sub-query spec (an
+                                      # edge RESOLVER) emitting the two
+                                      # id columns named by $src/$dst
+                                      # (defaults "src"/"dst"; NULL
+                                      # endpoints drop; no nested
+                                      # $traverse)
+      "$max_depth": n,                # optional hop bound; absent =
+                                      # run to FIXPOINT (100-superstep
+                                      # safety cap -> typed error with
+                                      # a $max_depth hint; cycles are
+                                      # handled by the visited
+                                      # anti-join)
+      "$as": "dist",                  # min-hop depth column (0 on
+    }                                 # seeds; default "dist")
+                                      # The traversal REPLACES the root
+                                      # frame: $filter becomes a POST-
+                                      # traversal filter and fields /
+                                      # hops / $select / $agg see the
+                                      # reached rows + depth column.
+                                      # Root entity must have a single-
+                                      # column PK (catalog); exclusive
+                                      # with $sample. Compiles to the
+                                      # §2-I DataFrame-Pregel loop:
+                                      # per superstep one frontier ⋈
+                                      # edges equi-join + distinct +
+                                      # anti-join, localCheckpoint per
+                                      # iter, O(1) pinned state.
+
+Round-14 M20 engine-half (driver key queues r15): JSON map
+introspection in $select —
+
+    {"$json_keys": col}               # array of top-level object keys,
+                                      # DOCUMENT order; NULL unless the
+                                      # input is a valid JSON object
+                                      # (from_json semantics; DuckDB
+                                      # twins guard with json_valid +
+                                      # json_type='OBJECT'); composes
+                                      # with $explode / $size
+    {"$json_size": col}               # top-level key count, same
+                                      # object-only NULL contract
+
 ``$``-keys are arguments (the reference passes resolver args the same way);
 everything else is either a requested field (``True``) or a relationship
 traversal (nested dict). Relationship fan-out is relational: one output row
@@ -411,6 +461,12 @@ SELECT_OPS = {
     "$nullif": 2,      # NULL when equal, else first operand
     "$greatest": -1,   # row-wise max, NULLs skipped
     "$least": -1,      # row-wise min, NULLs skipped
+    # round 14 (M20 — engine-half; driver key queues r15): JSON map
+    # introspection. Contract: NULL unless the input is a VALID JSON
+    # OBJECT (Spark from_json semantics; DuckDB twins guard with
+    # json_valid + json_type = 'OBJECT'); keys in document order.
+    "$json_keys": 1,   # array of top-level object keys (explodable)
+    "$json_size": 1,   # top-level key count
     "$cast": 2,        # [expr, {"$lit": type-name}] — CAST_TYPES only
     "$if": 3,          # [cond ($filter syntax), then-expr, else-expr]
     "$json": 2,        # [expr, {"$lit": "$.path"}] — JSON field accessor

@@ -2255,3 +2255,113 @@ def compiler_null_combinators(spark, sf_dir):
             }
         }
     )
+
+
+@query(
+    "compiler_traverse_reachable",
+    # Round-14 M19 registration (fixpoint mode): the reachable set as a
+    # query verb — naqed's resolver-graph traversal to fixpoint, the
+    # last model gap without a DSL spelling. Seeds {0, 14}; edges = the
+    # $via relationship chain nation → "region" → "nations" (the
+    # same-region clique); NO depth bound — the engine iterates the
+    # DataFrame-Pregel loop until the frontier empties (the visited
+    # anti-join handles the clique's cycles; the 100-superstep safety
+    # cap raises typed if a graph outruns it). DuckDB twin: WITH
+    # RECURSIVE bounded at 3 hops ≥ the clique diameter (1), min(d)
+    # recovering the BFS depth — the graph_reachability_bfs oracle
+    # discipline.
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+      FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey
+    ), r AS (
+      SELECT n_nationkey AS v, 0 AS d FROM nation
+      WHERE n_nationkey IN (0, 14)
+      UNION
+      SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.v WHERE r.d < 3
+    )
+    SELECT n.n_nationkey, n.n_name, min(r.d) AS dist
+    FROM r JOIN nation n ON n.n_nationkey = r.v
+    GROUP BY n.n_nationkey, n.n_name
+    """,
+)
+def compiler_traverse_reachable(spark, sf_dir):
+    """Scale shape: each superstep is ONE frontier ⋈ edges equi-join
+    (shuffled on vertex id — at 100 TB edges are pre-partitioned by src
+    and the tiny frontier broadcasts under AQE) + distinct + anti-join
+    vs visited, with localCheckpoint per superstep cutting lineage and
+    trim_pins holding retained state at O(1). State per vertex is O(1);
+    no cartesian anywhere (plan-linted)."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "nation": {
+                "$traverse": {
+                    "$seeds": {"n_nationkey": {"$in": [0, 14]}},
+                    "$via": ["region", "nations"],
+                },
+                "n_nationkey": True,
+                "n_name": True,
+                "dist": True,
+            }
+        }
+    )
+
+
+@query(
+    "compiler_traverse_edges",
+    # Round-14 M19 registration (edge-resolver mode, bounded depth):
+    # $edges is a full sub-query — here the binary-tree parent edge
+    # src = (k - k%2)/2 (the §7.3 integer-geometry idiom, cast bigint),
+    # dst = k — walked 6 hops from seed 0. Depths are real (1, 2, 4, 8,
+    # 16, 32 nodes at hops 1-6; 64 rows total at every SF — custkeys
+    # 0-63 exist from sf0.001 up), so the loop demonstrably iterates.
+    # DuckDB twin: WITH RECURSIVE over the same integer-division edge
+    # (// — exact integer semantics on both engines), min(d) per vertex.
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT (c_custkey - c_custkey % 2) // 2 AS src, c_custkey AS dst
+      FROM customer
+    ), r AS (
+      SELECT c_custkey AS v, 0 AS d FROM customer WHERE c_custkey = 0
+      UNION
+      SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.v WHERE r.d < 6
+    )
+    SELECT c.c_custkey, c.c_mktsegment, min(r.d) AS dist
+    FROM r JOIN customer c ON c.c_custkey = r.v
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def compiler_traverse_edges(spark, sf_dir):
+    """Scale shape: identical Pregel loop as compiler_traverse_reachable
+    (one equi-join + distinct + anti-join per superstep, checkpointed);
+    $max_depth bounds the supersteps so the cost is depth × one-join,
+    never a transitive-closure materialization. The edge sub-query is
+    itself a compiled DSL plan (codegen projection on the scan)."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "customer": {
+                "$traverse": {
+                    "$seeds": {"c_custkey": 0},
+                    "$edges": {"customer": {"$select": {
+                        "src": {"$cast": [
+                            {"$div": [{"$sub": ["c_custkey",
+                                                {"$mod": ["c_custkey", 2]}]},
+                                      2]},
+                            {"$lit": "bigint"},
+                        ]},
+                        "dst": "c_custkey",
+                    }}},
+                    "$max_depth": 6,
+                },
+                "c_custkey": True,
+                "c_mktsegment": True,
+                "dist": True,
+            }
+        }
+    )

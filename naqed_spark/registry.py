@@ -182,6 +182,11 @@ DEFERRED: set[str] = {
     # valid-signal keys by design — a never-checked key outranks a
     # checked-and-untouched one).
     "compiler_null_combinators",
+    # round-14 M19 registrations ($traverse — unbounded/fixpoint
+    # reachability through the E1 DSL, compiling to the verified
+    # DataFrame-Pregel loop): same tri-SF pre-verified discipline.
+    "compiler_traverse_reachable",
+    "compiler_traverse_edges",
 }
 
 

@@ -209,6 +209,18 @@ HEADLINE += [
     "compiler_null_combinators",
 ]
 
+# Round-14 M19 registrations: the $traverse Pregel loop. The probe
+# measures the per-superstep join cost against a Kx edge build
+# (traverse_edges: customer is a shifted fact, so the edge-derivation
+# scan grows Kx while the reached set stays the depth-6 subtree — the
+# scale claim IS that reachability cost tracks frontier x edges, not
+# table size). traverse_reachable walks nation (a DIM) — flat by
+# construction, probed for the superstep-constant evidence only.
+HEADLINE += [
+    "compiler_traverse_reachable",
+    "compiler_traverse_edges",
+]
+
 
 def build(spark, src_dir: str, out_dir: str, k: int) -> None:
     from functools import reduce

@@ -3919,3 +3919,362 @@ def test_null_combinators_bad_shapes_fail_typed(eng, expr):
         eng.query(
             {"documents": {"doc_id": True, "$select": {"x": expr}}}
         )
+
+
+# --- round-14 M19: $traverse — unbounded/fixpoint reachability -------------
+
+
+_TREE_EDGES = {"customer": {"$select": {
+    # binary-tree parent edge spelled with the §7.3 integer-geometry
+    # idiom ((k - k%2)/2 — never a float floor): src = parent, dst = k
+    "src": {"$cast": [{"$div": [{"$sub": ["c_custkey",
+                                          {"$mod": ["c_custkey", 2]}]}, 2]},
+                      {"$lit": "bigint"}]},
+    "dst": "c_custkey",
+}}}
+
+
+def test_traverse_via_matches_recursive_cte_twin(eng):
+    """$via relationship-chain mode (nation → region → nations = the
+    same-region clique) against Spark's own WITH RECURSIVE spelling —
+    an in-engine twin sharing no code with the Pregel loop."""
+    got = eng.query(
+        {
+            "nation": {
+                "$traverse": {
+                    "$seeds": {"n_nationkey": {"$in": [0, 14]}},
+                    "$via": ["region", "nations"],
+                },
+                "n_nationkey": True,
+                "n_name": True,
+                "dist": True,
+            }
+        }
+    )
+    twin = eng.sql("""
+        WITH RECURSIVE e AS (
+          SELECT a.n_nationkey AS src, b.n_nationkey AS dst
+          FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey
+        ), r(v, d) AS (
+          SELECT n_nationkey, 0 FROM nation WHERE n_nationkey IN (0, 14)
+          UNION ALL
+          SELECT e.dst, r.d + 1 FROM r JOIN e ON e.src = r.v WHERE r.d < 3
+        )
+        SELECT n.n_nationkey, n.n_name, min(r.d) AS dist
+        FROM r JOIN nation n ON n.n_nationkey = r.v
+        GROUP BY n.n_nationkey, n.n_name
+    """)
+    assert got.columns == twin.columns
+    assert _rows(got) == _rows(twin)
+
+
+def test_traverse_edges_matches_python_bfs(eng):
+    """$edges sub-spec mode on the customer binary tree, capped at
+    depth 6: exact BFS depths recomputed in python from the same edge
+    formula (d(0)=0, d(k)=floor(log2 k)+1)."""
+    got = {
+        r["c_custkey"]: r["dist"]
+        for r in eng.query(
+            {
+                "customer": {
+                    "$traverse": {
+                        "$seeds": {"c_custkey": 0},
+                        "$edges": _TREE_EDGES,
+                        "$max_depth": 6,
+                    },
+                    "c_custkey": True,
+                    "dist": True,
+                }
+            }
+        ).collect()
+    }
+    want = {0: 0}
+    for k in range(1, 64):
+        want[k] = want[k // 2] + 1
+    assert got == want
+
+
+def test_traverse_fixpoint_terminates_on_cycle(eng):
+    """A 5-node ring (dst = (k+1) % 5 over c_custkey < 5) must converge
+    at fixpoint — the visited anti-join is the cycle guard — with BFS
+    depths 0..4 from seed 0."""
+    got = {
+        r["c_custkey"]: r["hops"]
+        for r in eng.query(
+            {
+                "customer": {
+                    "$traverse": {
+                        "$seeds": {"c_custkey": 0},
+                        "$edges": {"customer": {
+                            "$filter": {"c_custkey": {"$lt": 5}},
+                            "$select": {
+                                "src": "c_custkey",
+                                "dst": {"$mod": [{"$add": ["c_custkey", 1]},
+                                                 5]},
+                            },
+                        }},
+                        "$as": "hops",
+                    },
+                    "c_custkey": True,
+                    "hops": True,
+                }
+            }
+        ).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_traverse_composes_with_filter_and_agg(eng):
+    """The traversal replaces the root frame: a root $filter is a
+    POST-traversal filter (seeds live in $seeds) and $groupby/$agg see
+    the depth column like any field."""
+    rows = {
+        (r["dist"],): r["n"]
+        for r in eng.query(
+            {
+                "customer": {
+                    "$traverse": {
+                        "$seeds": {"c_custkey": 0},
+                        "$edges": _TREE_EDGES,
+                        "$max_depth": 5,
+                    },
+                    "$filter": {"dist": {"$gte": 1}},
+                    "$groupby": ["dist"],
+                    "$agg": {"n": {"$count": True}},
+                }
+            }
+        ).collect()
+    }
+    # depths 1..5 of the binary tree hold 1, 2, 4, 8, 16 nodes; the
+    # seed row (dist 0) is filtered out post-traversal
+    assert rows == {(1,): 1, (2,): 2, (3,): 4, (4,): 8, (5,): 16}
+
+
+def test_traverse_fixpoint_cap_raises_typed(eng):
+    """Depth guard: a 150-node line (dst = k+1) has diameter 149 > the
+    100-superstep fixpoint safety cap — the engine must raise the typed
+    SpecError telling the user to set $max_depth, never loop on."""
+    with pytest.raises(SpecError, match=r"fixpoint.*\$max_depth"):
+        eng.query(
+            {
+                "customer": {
+                    "$traverse": {
+                        "$seeds": {"c_custkey": 0},
+                        "$edges": {"customer": {"$select": {
+                            "src": "c_custkey",
+                            "dst": {"$add": ["c_custkey", 1]},
+                        }}},
+                    },
+                    "c_custkey": True,
+                }
+            }
+        )
+
+
+@pytest.mark.parametrize(
+    "tr",
+    [
+        {"$via": ["region", "nations"]},                      # no $seeds
+        {"$seeds": {}},                                       # empty seeds
+        {"$seeds": {"n_nationkey": 0}},                       # no edge mode
+        {"$seeds": {"n_nationkey": 0}, "$via": ["region", "nations"],
+         "$edges": {"nation": {"$select": {"src": "n_nationkey",
+                                           "dst": "n_nationkey"}}}},  # both
+        {"$seeds": {"n_nationkey": 0}, "$via": []},           # empty chain
+        {"$seeds": {"n_nationkey": 0}, "$via": ["region", "nations"],
+         "$src": "a"},                                        # $src with $via
+        {"$seeds": {"n_nationkey": 0}, "$via": ["region", "nations"],
+         "$max_depth": 0},                                    # bad depth
+        {"$seeds": {"n_nationkey": 0}, "$via": ["region", "nations"],
+         "$max_depth": True},                                 # bool depth
+        {"$seeds": {"n_nationkey": 0}, "$via": ["region", "nations"],
+         "$bogus": 1},                                        # unknown key
+        {"$seeds": {"n_nationkey": 0}, "$via": ["nonsuch"]},  # bad rel
+        {"$seeds": {"n_nationkey": 0}, "$via": ["region"]},   # wrong end
+        {"$seeds": {"n_nationkey": 0}, "$via": ["region", "nations"],
+         "$as": "n_name"},                                    # alias clash
+        {"$seeds": {"n_nationkey": 0},
+         "$edges": {"nation": {"$select": {"a": "n_nationkey",
+                                           "b": "n_nationkey"}}}},  # no src col
+        {"$seeds": {"n_nationkey": 0},
+         "$edges": {"nation": {
+             "$traverse": {"$seeds": {"n_nationkey": 0},
+                           "$via": ["region", "nations"]},
+             "$select": {"src": "n_nationkey",
+                         "dst": "n_nationkey"}}}},            # nested traverse
+    ],
+)
+def test_traverse_bad_shapes_fail_typed(eng, tr):
+    with pytest.raises(SpecError):
+        eng.query({"nation": {"n_nationkey": True, "$traverse": tr}})
+
+
+def test_traverse_on_entity_without_pk_fails_typed(eng):
+    with pytest.raises(SpecError, match="primary key"):
+        eng.query(
+            {
+                "lineitem": {
+                    "l_quantity": True,
+                    "$traverse": {
+                        "$seeds": {"l_linenumber": 1},
+                        "$edges": {"nation": {"$select": {
+                            "src": "n_nationkey", "dst": "n_nationkey"}}},
+                    },
+                }
+            }
+        )
+
+
+def test_traverse_excludes_sample_typed(eng):
+    with pytest.raises(SpecError, match=r"\$sample"):
+        eng.query(
+            {
+                "nation": {
+                    "n_nationkey": True,
+                    "$traverse": {"$seeds": {"n_nationkey": 0},
+                                  "$via": ["region", "nations"]},
+                    "$sample": {"$key": "n_nationkey", "$keep": 8},
+                }
+            }
+        )
+
+
+# --- round-14 M20 (engine-half; driver key queues r15): $json_keys/$json_size
+
+
+def test_json_map_ops_match_sql_twin(eng):
+    dsl = eng.query(
+        {
+            "events": {
+                "event_id": True,
+                "$select": {
+                    "ks": {"$json_keys": "props"},
+                    "nk": {"$json_size": "props"},
+                },
+            }
+        }
+    )
+    sql = eng.sql("""
+        SELECT event_id,
+               map_keys(from_json(props, 'map<string,string>')) AS ks,
+               CASE WHEN from_json(props, 'map<string,string>') IS NOT NULL
+                    THEN size(map_keys(from_json(props, 'map<string,string>')))
+               END AS nk
+        FROM events
+    """)
+    assert dsl.columns == sql.columns
+    got = {r["event_id"]: (tuple(r["ks"] or ()), r["nk"])
+           for r in dsl.collect()}
+    want = {r["event_id"]: (tuple(r["ks"] or ()), r["nk"])
+            for r in sql.collect()}
+    assert got == want
+
+
+def test_json_map_ops_match_python(eng):
+    import json as _json
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    got = {
+        r["event_id"]: (r["ks"], r["nk"])
+        for r in eng.query(
+            {
+                "events": {
+                    "event_id": True,
+                    "$select": {
+                        "ks": {"$json_keys": "props"},
+                        "nk": {"$json_size": "props"},
+                    },
+                }
+            }
+        ).collect()
+    }
+    assert len(got) == len(ev)
+    for eid, props in zip(ev.event_id, ev.props):
+        ks, nk = got[eid]
+        if props is None:
+            assert ks is None and nk is None
+        else:
+            obj = _json.loads(props)
+            assert isinstance(obj, dict)  # fixture contract
+            assert list(ks) == list(obj.keys())  # document order
+            assert nk == len(obj)
+
+
+def test_json_map_ops_edge_semantics_cross_engine(eng):
+    """The object-only NULL contract pinned CROSS-engine on the exact
+    edge inputs where raw json_keys diverges ('null'/'[...]' → [] in
+    DuckDB, error on malformed) — the guarded DuckDB template the r15
+    oracle twin will use must land byte-identical to Spark."""
+    import duckdb
+
+    cases = ['{"b":1,"a":2}', "{}", "null", "[1,2]", "notjson", None,
+             '{"k":{"x":1}}']
+    spark = eng.spark
+    df = spark.createDataFrame([(c,) for c in cases], "j string")
+    df.createOrReplaceTempView("__m20_probe")
+    srows = spark.sql("""
+        SELECT j, map_keys(from_json(j, 'map<string,string>')) AS ks,
+               CASE WHEN from_json(j, 'map<string,string>') IS NOT NULL
+                    THEN size(map_keys(from_json(j, 'map<string,string>')))
+               END AS nk
+        FROM __m20_probe
+    """).collect()
+    con = duckdb.connect()
+    want = {}
+    for c in cases:
+        row = con.execute(
+            """
+            SELECT CASE WHEN json_valid($j) AND json_type(json($j)) = 'OBJECT'
+                        THEN json_keys($j) END,
+                   CASE WHEN json_valid($j) AND json_type(json($j)) = 'OBJECT'
+                        THEN array_length(json_keys($j)) END
+            """,
+            {"j": c},
+        ).fetchone()
+        want[c] = (None if row[0] is None else list(row[0]), row[1])
+    for r in srows:
+        ks = None if r["ks"] is None else list(r["ks"])
+        assert (ks, r["nk"]) == want[r["j"]], r["j"]
+
+
+def test_json_keys_composes_with_explode(eng):
+    """The keys array is an ordinary DSL array: exploding it gives the
+    per-property histogram — the shape the r15 driver key will carry."""
+    rows = {
+        r["k"]: r["n"]
+        for r in eng.query(
+            {
+                "events": {
+                    "$select": {"k": {"$json_keys": "props"}},
+                    "$explode": "k",
+                    "$groupby": ["k"],
+                    "$agg": {"n": {"$count": True}},
+                }
+            }
+        ).collect()
+    }
+    import json as _json
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet")
+    want: dict = {}
+    for props in ev.props:
+        if props is not None:
+            for k in _json.loads(props):
+                want[k] = want.get(k, 0) + 1
+    assert rows == want
+
+
+@pytest.mark.parametrize(
+    "expr",
+    [
+        {"$json_keys": ["props", "props"]},   # arity
+        {"$json_size": ["props", "props"]},   # arity
+    ],
+)
+def test_json_map_ops_bad_shapes_fail_typed(eng, expr):
+    with pytest.raises(SpecError):
+        eng.query({"events": {"event_id": True, "$select": {"x": expr}}})

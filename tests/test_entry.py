@@ -13,6 +13,12 @@ from __future__ import annotations
 import re
 from pathlib import Path
 
+import pytest
+
+# quick tier (VERDICT r13 item 6): the registry/SURVEY pins belong in
+# the fast iteration gate — `pytest -m quick`.
+pytestmark = pytest.mark.quick
+
 REPO = Path(__file__).resolve().parent.parent
 
 

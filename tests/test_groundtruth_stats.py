@@ -7755,3 +7755,50 @@ def test_compiler_null_combinators_matches_python(spark):
     got = run(spark, "compiler_null_combinators")
     assert_keyed(got, want, ["seg"],
                  ["n_cust", "sum_hi", "sum_lo", "sum_fill"])
+
+
+# --- wave 50 (round 14): M19 $traverse reachability --------------------
+
+
+def test_compiler_traverse_reachable_matches_python(spark):
+    """Python BFS replay of the fixpoint traversal: adjacency from the
+    same-region pairs recomputed with dict/set scans off the parquet
+    fixture — no join, no CTE, no shared code with either engine."""
+    import collections
+
+    nat = _tbl("nation")
+    by_region = collections.defaultdict(list)
+    for nk, rk in zip(nat.n_nationkey, nat.n_regionkey):
+        by_region[int(rk)].append(int(nk))
+    adj = {int(nk): by_region[int(rk)]
+           for nk, rk in zip(nat.n_nationkey, nat.n_regionkey)}
+    names = {int(nk): nm for nk, nm in zip(nat.n_nationkey, nat.n_name)}
+    dist = {0: 0, 14: 0}
+    frontier = [0, 14]
+    while frontier:
+        nxt = []
+        for v in frontier:
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    nxt.append(w)
+        frontier = nxt
+    want = {(v, names[v]): {"dist": d} for v, d in dist.items()}
+    got = run(spark, "compiler_traverse_reachable")
+    assert_keyed(got, want, ["n_nationkey", "n_name"], ["dist"])
+
+
+def test_compiler_traverse_edges_matches_python(spark):
+    """Python BFS replay of the depth-bounded tree walk: the edge
+    formula (parent (k - k%2)//2 → k) re-derived in pure integer
+    python; depths must be exactly d(0)=0, d(k)=d(k//2)+1, cut at 6."""
+    cust = _tbl("customer")
+    seg = {int(k): s for k, s in zip(cust.c_custkey, cust.c_mktsegment)}
+    depth = {0: 0}
+    for k in sorted(int(k) for k in cust.c_custkey if int(k) > 0):
+        p = (k - k % 2) // 2
+        if p in depth and depth[p] < 6:
+            depth[k] = depth[p] + 1
+    want = {(k, seg[k]): {"dist": d} for k, d in depth.items()}
+    got = run(spark, "compiler_traverse_edges")
+    assert_keyed(got, want, ["c_custkey", "c_mktsegment"], ["dist"])

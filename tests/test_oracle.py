@@ -19,6 +19,10 @@ SF_DIR = os.environ.get("NAQED_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 load_all()
 
+# quick tier (VERDICT r13 item 6): this file is part of the fast
+# iteration gate — `pytest -m quick` runs entry pins + this sweep/lint.
+pytestmark = pytest.mark.quick
+
 
 @pytest.fixture(scope="session")
 def spark():

@@ -17,6 +17,10 @@ SF_DIR = os.environ.get("NAQED_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 load_all()
 
+# quick tier (VERDICT r13 item 6): this file is part of the fast
+# iteration gate — `pytest -m quick` runs entry pins + this sweep/lint.
+pytestmark = pytest.mark.quick
+
 
 @pytest.fixture(scope="session")
 def spark():
@@ -1556,3 +1560,27 @@ def test_compiler_null_combinators_plan(spark):
     assert schema_lines
     assert all("c_name" not in ln and "c_custkey" not in ln
                for ln in schema_lines)
+
+
+def test_compiler_traverse_plans_no_cartesian_no_python(spark):
+    """M19: the $traverse output plan is the reached-set join back onto
+    the entity scan (the BFS ran eagerly over checkpointed frontiers —
+    each superstep one equi-join, asserted by the loop's construction).
+    The FINAL plan must stay hash/broadcast-joined, with no cartesian
+    and no Python eval; the visited side is a checkpoint scan, so the
+    entity side still prunes its ReadSchema to the requested fields."""
+    for key in ("compiler_traverse_reachable", "compiler_traverse_edges"):
+        plan = plan_of(spark, key)
+        tree = tree_of(plan)
+        assert "CartesianProduct" not in tree, key
+        assert "BroadcastNestedLoopJoin" not in tree, key
+        assert "BatchEvalPython" not in tree, key
+        assert "ArrowEvalPython" not in tree, key
+        assert "Scan ExistingRDD" in tree, key  # the checkpointed visited set
+    # pruning: the nation traversal requests key+name only — n_comment
+    # (if present) or any unrequested column must not be read from the
+    # entity scan that feeds the final join
+    plan = plan_of(spark, "compiler_traverse_reachable")
+    schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schema_lines
+    assert all("n_comment" not in ln for ln in schema_lines)
