@@ -751,7 +751,7 @@ class Engine:
             # json_extract_string)
             return F.get_json_object(sub[0], ex.args[1].args[0])
         if op == "$json_keys":
-            # round 14 (M20 engine-half): top-level keys of a JSON
+            # round 14 (M20): top-level keys of a JSON
             # OBJECT in DOCUMENT order (probed identical across
             # engines on object input). Contract: NULL unless the
             # input is a valid JSON object — Spark's from_json already

@@ -351,8 +351,8 @@ traversal to fixpoint as a query verb):
                                       # anti-join, localCheckpoint per
                                       # iter, O(1) pinned state.
 
-Round-14 M20 engine-half (driver key queues r15): JSON map
-introspection in $select —
+Round-14 M20 extension (driver key compiler_json_keys_histogram
+registered r14): JSON map introspection in $select —
 
     {"$json_keys": col}               # array of top-level object keys,
                                       # DOCUMENT order; NULL unless the
@@ -461,7 +461,8 @@ SELECT_OPS = {
     "$nullif": 2,      # NULL when equal, else first operand
     "$greatest": -1,   # row-wise max, NULLs skipped
     "$least": -1,      # row-wise min, NULLs skipped
-    # round 14 (M20 — engine-half; driver key queues r15): JSON map
+    # round 14 (M20 — driver key compiler_json_keys_histogram
+    # registered r14): JSON map
     # introspection. Contract: NULL unless the input is a VALID JSON
     # OBJECT (Spark from_json semantics; DuckDB twins guard with
     # json_valid + json_type = 'OBJECT'); keys in document order.
@@ -1059,9 +1060,17 @@ def _parse_expr(obj: object) -> Expr:
         for a in args:
             e = _parse_expr(a)
             if e.op == "$lit" and isinstance(e.args[0], str):
-                try:
-                    _datetime.date.fromisoformat(e.args[0])
-                except ValueError:
+                # the shape regex guards Python 3.11+'s fromisoformat
+                # leniency (it accepts compact '20250101', which Spark's
+                # string→date cast does NOT) — only the strict
+                # YYYY-MM-DD spelling both engines parse passes
+                ok = bool(re.fullmatch(r"\d{4}-\d{2}-\d{2}", e.args[0]))
+                if ok:
+                    try:
+                        _datetime.date.fromisoformat(e.args[0])
+                    except ValueError:
+                        ok = False
+                if not ok:
                     raise SpecError(
                         f"$datediff string literal {e.args[0]!r} is not an"
                         f" ISO date (YYYY-MM-DD); a malformed date would"

@@ -2365,3 +2365,57 @@ def compiler_traverse_edges(spark, sf_dir):
             }
         }
     )
+
+
+@query(
+    "compiler_json_keys_histogram",
+    # Round-14 M20 registration: JSON map introspection through the DSL
+    # — the per-property histogram every semi-structured ingest runs.
+    # $json_keys(props) explodes to one row per top-level key; per key:
+    # event count + the mean property-count of the events carrying it.
+    # Contract (probed cross-engine BEFORE implementation): NULL unless
+    # props is a VALID JSON OBJECT — the DuckDB twin guards with
+    # json_valid + json_type because raw json_keys returns [] on
+    # 'null'/arrays and RAISES on malformed where Spark's from_json
+    # NULLs all three; NULL/invalid/empty-object rows drop identically
+    # on both sides (inner explode ≡ unnest over the guarded subquery).
+    # avg at round(4) per the calendar_rollup small-magnitude
+    # discipline.
+    oracle="""
+    SELECT k,
+           count(*) AS n_events,
+           round(avg(nk), 4) AS avg_props
+    FROM (
+      SELECT unnest(json_keys(props)) AS k,
+             array_length(json_keys(props)) AS nk
+      FROM events
+      WHERE json_valid(props) AND json_type(json(props)) = 'OBJECT'
+    ) GROUP BY k
+    """,
+)
+def compiler_json_keys_histogram(spark, sf_dir):
+    """Scale shape: one codegen projection (from_json/map_keys — no
+    Python) + a streaming Generate (the fan-out is never materialized)
+    + one partial+final hash-agg pair around the single key exchange;
+    the shuffle carries (key, count, sum, n) accumulators over a
+    bounded key domain, never event rows (plan pinned)."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "events": {
+                "$select": {
+                    "k": {"$json_keys": "props"},
+                    "nk": {"$json_size": "props"},
+                },
+                "$explode": "k",
+                "$groupby": ["k"],
+                "$agg": {
+                    "n_events": {"$count": True},
+                    "avg_props": {"$avg": "nk"},
+                },
+                "$derive": {"avg_props": {"$round": ["avg_props", 4]}},
+            }
+        }
+    )

@@ -187,6 +187,10 @@ DEFERRED: set[str] = {
     # DataFrame-Pregel loop): same tri-SF pre-verified discipline.
     "compiler_traverse_reachable",
     "compiler_traverse_edges",
+    # round-14 M20 registration ($json_keys/$json_size — JSON map
+    # introspection with the cross-engine-pinned object-only NULL
+    # contract): same tri-SF pre-verified discipline.
+    "compiler_json_keys_histogram",
 }
 
 

@@ -221,6 +221,13 @@ HEADLINE += [
     "compiler_traverse_edges",
 ]
 
+# Round-14 M20 registration: the JSON-keys histogram (codegen
+# from_json/map_keys + streaming Generate + one bounded-key exchange
+# of accumulators — growth should be the linear scan term).
+HEADLINE += [
+    "compiler_json_keys_histogram",
+]
+
 
 def build(spark, src_dir: str, out_dir: str, k: int) -> None:
     from functools import reduce

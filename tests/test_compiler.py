@@ -3756,6 +3756,9 @@ def test_calendar_ops_match_python(eng):
         # not silently NULL every row through the non-ANSI string cast
         {"$datediff": ["o_orderdate", {"$lit": "1995-13-40"}]},
         {"$datediff": [{"$lit": "not-a-date"}, "o_orderdate"]},
+        # compact ISO form: python 3.11 fromisoformat accepts it but
+        # Spark's string→date cast does not — must fail typed too
+        {"$datediff": ["o_orderdate", {"$lit": "19950101"}]},
     ],
 )
 def test_calendar_ops_bad_shapes_fail_typed(eng, expr):

@@ -7802,3 +7802,29 @@ def test_compiler_traverse_edges_matches_python(spark):
     want = {(k, seg[k]): {"dist": d} for k, d in depth.items()}
     got = run(spark, "compiler_traverse_edges")
     assert_keyed(got, want, ["c_custkey", "c_mktsegment"], ["dist"])
+
+
+# --- wave 51 (round 14): M20 JSON map introspection ---------------------
+
+
+def test_compiler_json_keys_histogram_matches_python(spark):
+    """Python json.loads replay: per top-level property key, the event
+    count and the mean property-count of carrying events — recomputed
+    with dict scans, no SQL, no map type, NULL props skipped."""
+    ev = _tbl("events")
+    cnt: dict = {}
+    tot: dict = {}
+    for props in ev.props:
+        if props is None or (isinstance(props, float) and pd.isna(props)):
+            continue
+        obj = json.loads(props)
+        for k in obj:
+            cnt[k] = cnt.get(k, 0) + 1
+            tot[k] = tot.get(k, 0) + len(obj)
+    want = {
+        (k,): {"n_events": cnt[k],
+               "avg_props": round(tot[k] / cnt[k], 4)}
+        for k in cnt
+    }
+    got = run(spark, "compiler_json_keys_histogram")
+    assert_keyed(got, want, ["k"], ["n_events", "avg_props"], tol=1e-4)

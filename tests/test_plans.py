@@ -1584,3 +1584,22 @@ def test_compiler_traverse_plans_no_cartesian_no_python(spark):
     schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert schema_lines
     assert all("n_comment" not in ln for ln in schema_lines)
+
+
+def test_compiler_json_keys_histogram_plan(spark):
+    """M20: from_json/map_keys are codegen (no Python eval), the
+    fan-out is a streaming Generate (never materialized), and the
+    histogram is one partial+final hash-agg pair around a single
+    bounded-key exchange carrying accumulators, never event rows."""
+    plan = plan_of(spark, "compiler_json_keys_histogram")
+    tree = tree_of(plan)
+    assert "Generate" in tree
+    assert tree.count("HashAggregate") == 2
+    assert tree.count("Exchange") == 1
+    assert "SortAggregate" not in tree
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
+    # pruning: only props is read from the scan
+    schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schema_lines
+    assert all("event_type" not in ln and "user_id" not in ln
+               for ln in schema_lines)
