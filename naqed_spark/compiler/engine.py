@@ -31,6 +31,7 @@ from naqed_spark.compiler.spec import (
     SampleSpec,
     SetSpec,
     SpecError,
+    StreamSpec,
     TraverseSpec,
     WindowFn,
     bind_args,
@@ -196,7 +197,80 @@ class Engine:
         qs = parse_query(spec)
         if isinstance(qs, SetSpec):
             return self._compile_set(qs)
+        if isinstance(qs, StreamSpec):
+            return self._compile_stream(qs)
         return self._compile(qs)
+
+    def _compile_stream(self, ss: StreamSpec) -> DataFrame:
+        """$stream (round 14, M21 engine-half): compile the declarative
+        window/watermark/agg spec to the SAME Structured-Streaming
+        transformation graph the registered §2-J keys run — file-source
+        availableNow replay into a memory sink (test plumbing; in
+        production the source is Kafka/file-drops and only the
+        transformation graph matters). Scale shape: windowed state is
+        per (window × keys) in the state store, bounded by the
+        watermark when given; sums run in exact DECIMAL inside the
+        state and emit as double (§7.3); the window start is emitted
+        as epoch µs — the stream_tumbling_window discipline."""
+        import os as _os
+
+        from naqed_spark.queries._util import dec, dsum
+        from naqed_spark.queries.streaming import (
+            _read_stream,
+            _run_to_memory,
+            _stage,
+        )
+
+        if ss.source != "events":
+            raise SpecError(
+                f"$stream.$source {ss.source!r}: 'events' is the"
+                f" streaming entity (the only one with an event-time"
+                f" column)"
+            )
+        base = _stage(self.spark, self.catalog.sf_dir)
+        s = _read_stream(self.spark, _os.path.join(base, "all"))
+        for c in ss.groupby:
+            if c not in s.columns:
+                raise SpecError(
+                    f"$stream.$groupby: no such column {c!r}"
+                    f" (have {s.columns})"
+                )
+        if ss.watermark is not None:
+            s = s.withWatermark("ts", ss.watermark)
+        if ss.session_gap is not None:
+            win = F.session_window("ts", ss.session_gap)
+        elif ss.slide is not None:
+            win = F.window("ts", ss.window_size, ss.slide)
+        else:
+            win = F.window("ts", ss.window_size)
+        exprs = []
+        for a in ss.aggs:
+            if a.op == "$count":
+                exprs.append(F.count(F.lit(1)).alias(a.alias))
+                continue
+            if a.column not in s.columns:
+                raise SpecError(
+                    f"$stream.$agg {a.alias!r}: no such column"
+                    f" {a.column!r} (have {s.columns})"
+                )
+            if a.op == "$sum":
+                # exact decimal accumulation, double at the boundary
+                exprs.append(dsum(dec(a.column)).alias(a.alias))
+            elif a.op == "$avg":
+                exprs.append(F.avg(_qcol(a.column)).alias(a.alias))
+            elif a.op == "$min":
+                exprs.append(F.min(_qcol(a.column)).alias(a.alias))
+            else:  # $max
+                exprs.append(F.max(_qcol(a.column)).alias(a.alias))
+        agg = s.groupBy(win, *[_qcol(c) for c in ss.groupby]).agg(*exprs)
+        win_col = "session_window" if ss.session_gap is not None else "window"
+        out = agg.select(
+            F.unix_micros(F.col(f"{win_col}.start")).alias("win_start_us"),
+            *[_qcol(c) for c in ss.groupby],
+            *[_qcol(a.alias) for a in ss.aggs],
+        )
+        mode = "append" if ss.watermark is not None else "complete"
+        return _run_to_memory(out, self.spark, mode)
 
     def _compile_set(self, ss: SetSpec) -> DataFrame:
         """Set-operation combine (round 7). Scale shape: the union itself is

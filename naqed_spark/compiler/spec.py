@@ -364,6 +364,30 @@ registered r14): JSON map introspection in $select —
     {"$json_size": col}               # top-level key count, same
                                       # object-only NULL contract
 
+Round-14 M21 engine-half (driver keys queue r15): the §2-J streaming
+family through E1 —
+
+    {"$stream": {                     # TOP-level verb, self-contained
+       "$source": "events",           # the streaming entity (the only
+                                      # one with an event-time column)
+       "$window": {"$size": d,        # tumbling (or sliding with
+                   "$slide": d?} |    # $slide) event-time windows, XOR
+       "$session_gap": d,             # session windows (gap-merged)
+       "$groupby": [col, ...],        # extra state keys
+       "$agg": {alias: {op: col}},    # streaming-safe subset only:
+                                      # $count/$sum/$avg/$min/$max
+                                      # ($sum in exact DECIMAL, double
+                                      # at the boundary — §7.3)
+       "$watermark": d,               # optional: complete → append
+    }}                                # mode with state eviction.
+                                      # Durations are "N unit" strings.
+                                      # Compiles to the SAME Structured
+                                      # Streaming graph the registered
+                                      # stream_* keys run (availableNow
+                                      # replay; batch-twin oracle
+                                      # story); emits win_start_us
+                                      # epoch µs + keys + agg aliases.
+
 ``$``-keys are arguments (the reference passes resolver args the same way);
 everything else is either a requested field (``True``) or a relationship
 traversal (nested dict). Relationship fan-out is relational: one output row
@@ -747,6 +771,27 @@ class TraverseSpec:
     dst: str
     max_depth: "int | None"
     alias: str
+
+
+@dataclass
+class StreamSpec:
+    """$stream (round 14, M21 engine-half): the §2-J streaming family
+    through E1 — a declarative source/window/watermark/agg spec that
+    compiles to the SAME Structured-Streaming transformation graph the
+    registered stream_* keys run under availableNow replay (batch-twin
+    oracle story, SURVEY §2-J). ``window_size``/``slide`` spell
+    tumbling/sliding event-time windows; ``session_gap`` (XOR) spells
+    session windows; ``watermark`` switches complete → append mode
+    with state eviction. Output: win_start_us (epoch µs) + group keys
+    + agg aliases — the stream_tumbling_window emission discipline."""
+
+    source: str
+    window_size: "str | None"
+    slide: "str | None"
+    session_gap: "str | None"
+    groupby: list[str]
+    aggs: list  # list[AggSpec], restricted to streaming-safe ops
+    watermark: "str | None"
 
 
 @dataclass
@@ -1822,11 +1867,89 @@ def _nonneg_int(v: object, ctx: str) -> int:
     return v
 
 
-def parse_query(spec: dict) -> "QuerySpec | SetSpec":
-    """Parse either a plain single-root query or a set-operation query
-    ({"$union": [specA, specB], "$orderby": ..., "$limit": ...})."""
+_DURATION_RE = re.compile(r"^\d+ (?:second|minute|hour|day)s?$")
+
+# streaming-safe aggregate subset: merge-able accumulators the state
+# store supports in every output mode (no collect/percentile/median —
+# those are batch-only shapes)
+_STREAM_AGG_OPS = {"$count", "$sum", "$avg", "$min", "$max"}
+
+
+def _stream_duration(v: object, ctx: str) -> str:
+    if not isinstance(v, str) or not _DURATION_RE.match(v):
+        raise SpecError(
+            f"{ctx} must be a duration string like '1 hour' /"
+            f" '15 minutes' — got {v!r}"
+        )
+    return v
+
+
+def _parse_stream(obj: object) -> StreamSpec:
+    """``{"$stream": {...}}`` — typed shape checks for the streaming
+    surface (round 14, M21 engine-half)."""
+    if not isinstance(obj, dict):
+        raise SpecError("$stream must be a dict")
+    known = {"$source", "$window", "$session_gap", "$groupby", "$agg",
+             "$watermark"}
+    extra = set(obj) - known
+    if extra:
+        raise SpecError(f"$stream: unknown keys {sorted(extra)}")
+    source = obj.get("$source")
+    if not isinstance(source, str) or not source:
+        raise SpecError("$stream requires $source (the streaming entity)")
+    has_win, has_sess = "$window" in obj, "$session_gap" in obj
+    if has_win == has_sess:
+        raise SpecError("$stream takes exactly one of $window (tumbling/"
+                        "sliding) or $session_gap (session windows)")
+    window_size = slide = session_gap = None
+    if has_win:
+        w = obj["$window"]
+        if not isinstance(w, dict) or "$size" not in w or (
+                set(w) - {"$size", "$slide"}):
+            raise SpecError("$stream.$window must be {'$size': duration,"
+                            " optional '$slide': duration}")
+        window_size = _stream_duration(w["$size"], "$stream.$window.$size")
+        if "$slide" in w:
+            slide = _stream_duration(w["$slide"], "$stream.$window.$slide")
+    else:
+        session_gap = _stream_duration(obj["$session_gap"],
+                                       "$stream.$session_gap")
+    gb = obj.get("$groupby", [])
+    if not isinstance(gb, list) or not all(
+            isinstance(c, str) and c for c in gb):
+        raise SpecError("$stream.$groupby must be a list of column names")
+    if "$agg" not in obj:
+        raise SpecError("$stream requires $agg (a windowless pass-through"
+                        " is the batch scan — use the entity query)")
+    aggs = _parse_aggs(obj["$agg"])
+    for a in aggs:
+        if a.op not in _STREAM_AGG_OPS:
+            raise SpecError(
+                f"$stream.$agg {a.alias!r}: {a.op} is not streaming-safe"
+                f" (supported: {sorted(_STREAM_AGG_OPS)})"
+            )
+    watermark = None
+    if "$watermark" in obj:
+        watermark = _stream_duration(obj["$watermark"], "$stream.$watermark")
+    return StreamSpec(source=source, window_size=window_size, slide=slide,
+                      session_gap=session_gap, groupby=gb, aggs=aggs,
+                      watermark=watermark)
+
+
+def parse_query(spec: dict) -> "QuerySpec | SetSpec | StreamSpec":
+    """Parse a plain single-root query, a set-operation query
+    ({"$union": [specA, specB], ...}), or a streaming query
+    ({"$stream": {...}})."""
     if not isinstance(spec, dict):
         raise SpecError("query spec must be a dict")
+    if "$stream" in spec:
+        extra = set(spec) - {"$stream"}
+        if extra:
+            raise SpecError(
+                f"$stream: unknown sibling keys {sorted(extra)} — the"
+                f" streaming spec is self-contained"
+            )
+        return _parse_stream(spec["$stream"])
     ops = SET_OPS & set(spec)
     if not ops:
         return parse_spec(spec)

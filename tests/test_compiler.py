@@ -4281,3 +4281,145 @@ def test_json_keys_composes_with_explode(eng):
 def test_json_map_ops_bad_shapes_fail_typed(eng, expr):
     with pytest.raises(SpecError):
         eng.query({"events": {"event_id": True, "$select": {"x": expr}}})
+
+
+# --- round-14 M21 (engine-half; driver keys queue r15): $stream ------------
+
+
+def _batch_rows(df):
+    from collections import Counter
+
+    return Counter(tuple(r) for r in df.collect())
+
+
+def test_stream_tumbling_matches_batch_twin(eng):
+    """The §2-J contract through the DSL: the availableNow replay of a
+    tumbling-window aggregation equals the batch computation over the
+    same rows (batch F.window on the loaded entity — a different
+    execution path, no state store)."""
+    from pyspark.sql import functions as F
+
+    from naqed_spark.queries._util import dec, dsum
+
+    got = eng.query({"$stream": {
+        "$source": "events",
+        "$window": {"$size": "1 hour"},
+        "$groupby": ["event_type"],
+        "$agg": {"n_events": {"$count": True},
+                 "sum_value": {"$sum": "value"}},
+    }})
+    ev = eng.entity("events")
+    want = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum(dec("value")).alias("sum_value"))
+        .select(F.unix_micros(F.col("window.start")).alias("win_start_us"),
+                "event_type", "n_events", "sum_value")
+    )
+    assert got.columns == want.columns
+    assert _batch_rows(got) == _batch_rows(want)
+
+
+def test_stream_sliding_matches_batch_twin(eng):
+    from pyspark.sql import functions as F
+
+    got = eng.query({"$stream": {
+        "$source": "events",
+        "$window": {"$size": "1 hour", "$slide": "15 minutes"},
+        "$agg": {"n_events": {"$count": True}},
+    }})
+    ev = eng.entity("events")
+    want = (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.unix_micros(F.col("window.start")).alias("win_start_us"),
+                "n_events")
+    )
+    assert _batch_rows(got) == _batch_rows(want)
+
+
+def test_stream_session_matches_batch_twin(eng):
+    from pyspark.sql import functions as F
+
+    got = eng.query({"$stream": {
+        "$source": "events",
+        "$session_gap": "30 minutes",
+        "$groupby": ["user_id"],
+        "$agg": {"n": {"$count": True}, "max_value": {"$max": "value"}},
+    }})
+    ev = eng.entity("events")
+    want = (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.max("value").alias("max_value"))
+        .select(
+            F.unix_micros(F.col("session_window.start")).alias(
+                "win_start_us"),
+            "user_id", "n", "max_value")
+    )
+    assert _batch_rows(got) == _batch_rows(want)
+
+
+def test_stream_watermark_append_is_complete_prefix(eng):
+    """Append mode with a watermark emits only FINALIZED windows: the
+    result must be a subset of the complete-mode result (same replay,
+    no late data), strictly smaller by exactly the unfinalized tail."""
+    spec = {
+        "$source": "events",
+        "$window": {"$size": "1 hour"},
+        "$groupby": ["event_type"],
+        "$agg": {"n_events": {"$count": True}},
+    }
+    complete = _batch_rows(eng.query({"$stream": spec}))
+    appended = _batch_rows(
+        eng.query({"$stream": {**spec, "$watermark": "2 hours"}})
+    )
+    assert sum(appended.values()) > 0
+    assert sum(appended.values()) < sum(complete.values())
+    assert all(complete[k] >= v for k, v in appended.items())
+    # every appended row is byte-identical to its complete twin
+    assert not (appended - complete)
+
+
+@pytest.mark.parametrize(
+    "spec",
+    [
+        {"$window": {"$size": "1 hour"}, "$agg": {"n": {"$count": True}}},
+        # ^ no $source
+        {"$source": "events", "$agg": {"n": {"$count": True}}},  # no window
+        {"$source": "events", "$window": {"$size": "1 hour"},
+         "$session_gap": "30 minutes",
+         "$agg": {"n": {"$count": True}}},                       # both modes
+        {"$source": "events", "$window": {"$size": "1 hourx"},
+         "$agg": {"n": {"$count": True}}},                       # bad duration
+        {"$source": "events", "$window": {"$size": "1 hour",
+                                          "$bogus": 1},
+         "$agg": {"n": {"$count": True}}},                       # unknown win key
+        {"$source": "events", "$window": {"$size": "1 hour"}},   # no $agg
+        {"$source": "events", "$window": {"$size": "1 hour"},
+         "$agg": {"xs": {"$collect_list": "value"}}},            # unsafe agg
+        {"$source": "events", "$window": {"$size": "1 hour"},
+         "$agg": {"n": {"$count": True}}, "$bogus": 1},          # unknown key
+        {"$source": "orders", "$window": {"$size": "1 hour"},
+         "$agg": {"n": {"$count": True}}},                       # not streaming
+        {"$source": "events", "$window": {"$size": "1 hour"},
+         "$groupby": ["nonsuch"],
+         "$agg": {"n": {"$count": True}}},                       # bad group col
+        {"$source": "events", "$window": {"$size": "1 hour"},
+         "$agg": {"s": {"$sum": "nonsuch"}}},                    # bad agg col
+        {"$source": "events", "$window": {"$size": "1 hour"},
+         "$watermark": "soon",
+         "$agg": {"n": {"$count": True}}},                       # bad watermark
+    ],
+)
+def test_stream_bad_shapes_fail_typed(eng, spec):
+    with pytest.raises(SpecError):
+        eng.query({"$stream": spec})
+
+
+def test_stream_rejects_sibling_keys_typed(eng):
+    with pytest.raises(SpecError, match="self-contained"):
+        eng.query({"$stream": {"$source": "events",
+                               "$window": {"$size": "1 hour"},
+                               "$agg": {"n": {"$count": True}}},
+                   "$limit": 5})
