@@ -1867,7 +1867,9 @@ def _nonneg_int(v: object, ctx: str) -> int:
     return v
 
 
-_DURATION_RE = re.compile(r"^\d+ (?:second|minute|hour|day)s?$")
+# leading digit 1-9: a zero-length window/gap/watermark would surface
+# as a raw AnalysisException instead of the DSL's typed SpecError
+_DURATION_RE = re.compile(r"^[1-9]\d* (?:second|minute|hour|day)s?$")
 
 # streaming-safe aggregate subset: merge-able accumulators the state
 # store supports in every output mode (no collect/percentile/median —

@@ -4392,6 +4392,8 @@ def test_stream_watermark_append_is_complete_prefix(eng):
          "$agg": {"n": {"$count": True}}},                       # both modes
         {"$source": "events", "$window": {"$size": "1 hourx"},
          "$agg": {"n": {"$count": True}}},                       # bad duration
+        {"$source": "events", "$window": {"$size": "0 hours"},
+         "$agg": {"n": {"$count": True}}},                       # zero duration
         {"$source": "events", "$window": {"$size": "1 hour",
                                           "$bogus": 1},
          "$agg": {"n": {"$count": True}}},                       # unknown win key
