@@ -335,6 +335,19 @@ traversal to fixpoint as a query verb):
                                       # a $max_depth hint; cycles are
                                       # handled by the visited
                                       # anti-join)
+      "$weight": col,                 # M22 (round 14, engine-half):
+                                      # edge-weight column in the
+                                      # $edges result -> CHEAPEST-PATH
+                                      # mode (frontier Bellman-Ford,
+                                      # min total weight from any
+                                      # seed, seeds cost 0; integer
+                                      # weights in exact BIGINT;
+                                      # NULL-weight edges drop;
+                                      # parallel edges keep the
+                                      # cheapest; non-negative weights
+                                      # assumed -- a negative cycle
+                                      # trips the superstep cap).
+                                      # $edges mode only.
       "$as": "dist",                  # min-hop depth column (0 on
     }                                 # seeds; default "dist")
                                       # The traversal REPLACES the root
@@ -771,6 +784,15 @@ class TraverseSpec:
     dst: str
     max_depth: "int | None"
     alias: str
+    # round 14 (M22 engine-half): optional edge-weight column name in
+    # the $edges result — switches BFS hop-count to CHEAPEST-PATH
+    # (frontier Bellman-Ford: relax from improved vertices only, min
+    # total weight from any seed, seeds cost 0). $edges mode only
+    # (a $via chain has no weight column); NULL-weight edges drop
+    # like NULL endpoints; weights must be non-negative for the
+    # min-relaxation fixpoint to be the true optimum (negative-cycle
+    # graphs never converge — caught by the superstep cap).
+    weight: "str | None" = None
 
 
 @dataclass
@@ -1619,7 +1641,8 @@ def _parse_traverse(obj: object) -> TraverseSpec:
     every malformed spelling raises SpecError at parse time."""
     if not isinstance(obj, dict):
         raise SpecError("$traverse must be a dict")
-    known = {"$seeds", "$via", "$edges", "$src", "$dst", "$max_depth", "$as"}
+    known = {"$seeds", "$via", "$edges", "$src", "$dst", "$max_depth",
+             "$as", "$weight"}
     extra = set(obj) - known
     if extra:
         raise SpecError(f"$traverse: unknown keys {sorted(extra)}")
@@ -1661,6 +1684,19 @@ def _parse_traverse(obj: object) -> TraverseSpec:
     if has_edges and src == dst:
         raise SpecError("$traverse.$src and $dst must name two distinct"
                         " edge columns")
+    weight: "str | None" = None
+    if "$weight" in obj:
+        if has_via:
+            raise SpecError(
+                "$traverse.$weight only applies to $edges mode — a $via"
+                " relationship chain has no weight column"
+            )
+        weight = _ident(obj["$weight"], "$traverse.$weight")
+        if weight in (src, dst):
+            raise SpecError(
+                "$traverse.$weight must name a third edge column,"
+                " distinct from $src/$dst"
+            )
     max_depth: "int | None" = None
     if "$max_depth" in obj:
         md = obj["$max_depth"]
@@ -1669,7 +1705,8 @@ def _parse_traverse(obj: object) -> TraverseSpec:
         max_depth = md
     alias = _ident(obj.get("$as", "dist"), "$traverse.$as")
     return TraverseSpec(seeds=seeds, via=via, edges=edges, src=src,
-                        dst=dst, max_depth=max_depth, alias=alias)
+                        dst=dst, max_depth=max_depth, alias=alias,
+                        weight=weight)
 
 
 def parse_spec(spec: dict) -> QuerySpec:

@@ -4425,3 +4425,162 @@ def test_stream_rejects_sibling_keys_typed(eng):
                                "$window": {"$size": "1 hour"},
                                "$agg": {"n": {"$count": True}}},
                    "$limit": 5})
+
+
+# --- round-14 M22 (engine-half; driver key queues r15): weighted $traverse -
+
+
+def test_traverse_weighted_matches_python_bellman_ford(eng):
+    """$weight mode on a multi-edge line graph: orders give ~100 rows
+    per custkey, so each hop (k → k+1) carries MANY parallel edges with
+    different weights ((o_orderkey % 10) + 1) — the min relaxation must
+    pick the cheapest per hop. Python Bellman-Ford recompute shares no
+    code with either the engine loop or any SQL."""
+    import pandas as pd
+
+    got = {
+        r["c_custkey"]: r["cost"]
+        for r in eng.query(
+            {
+                "customer": {
+                    "$traverse": {
+                        "$seeds": {"c_custkey": 0},
+                        "$edges": {"orders": {"$select": {
+                            "src": "o_custkey",
+                            "dst": {"$add": ["o_custkey", 1]},
+                            "w": {"$add": [{"$mod": ["o_orderkey", 10]},
+                                           1]},
+                        }}},
+                        "$weight": "w",
+                        "$max_depth": 12,
+                        "$as": "cost",
+                    },
+                    "c_custkey": True,
+                    "cost": True,
+                }
+            }
+        ).collect()
+    }
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet")
+    cheapest: dict = {}
+    for ck, ok in zip(orders.o_custkey, orders.o_orderkey):
+        w = int(ok) % 10 + 1
+        k = int(ck)
+        cheapest[k] = min(cheapest.get(k, 99), w)
+    want = {0: 0}
+    k = 0
+    for hop in range(12):
+        if k not in cheapest or (k + 1) not in set(
+                int(c) for c in orders.o_custkey) | {int(orders.o_custkey.max()) + 1}:
+            pass
+        if k in cheapest:
+            want[k + 1] = want[k] + cheapest[k]
+            k += 1
+        else:
+            break
+    # only customers that exist as rows can appear in the output
+    cust = set(int(c) for c in pd.read_parquet(
+        f"{SF_DIR}/customer.parquet").c_custkey)
+    want = {k: v for k, v in want.items() if k in cust}
+    assert got == want
+
+
+def test_traverse_weighted_fixpoint_converges(eng):
+    """Fixpoint mode on a weighted 5-ring: min cost from seed 0 must be
+    the ring prefix sums, and the relaxation must terminate on the
+    cycle (a lap adds positive weight, so nothing improves)."""
+    got = {
+        r["c_custkey"]: r["cost"]
+        for r in eng.query(
+            {
+                "customer": {
+                    "$traverse": {
+                        "$seeds": {"c_custkey": 0},
+                        "$edges": {"customer": {
+                            "$filter": {"c_custkey": {"$lt": 5}},
+                            "$select": {
+                                "src": "c_custkey",
+                                "dst": {"$mod": [{"$add": ["c_custkey", 1]},
+                                                 5]},
+                                "w": {"$add": ["c_custkey", 1]},
+                            },
+                        }},
+                        "$weight": "w",
+                        "$as": "cost",
+                    },
+                    "c_custkey": True,
+                    "cost": True,
+                }
+            }
+        ).collect()
+    }
+    # edge k -> (k+1)%5 with weight k+1: costs 0, 1, 3, 6, 10
+    assert got == {0: 0, 1: 1, 2: 3, 3: 6, 4: 10}
+
+
+def test_traverse_weighted_matches_recursive_cte_twin(eng):
+    """The weighted mode against Spark's own WITH RECURSIVE + min()
+    spelling over the same multi-edge frame — an in-engine twin with
+    no Pregel code."""
+    got = eng.query(
+        {
+            "customer": {
+                "$traverse": {
+                    "$seeds": {"c_custkey": 0},
+                    "$edges": {"orders": {"$select": {
+                        "src": "o_custkey",
+                        "dst": {"$add": ["o_custkey", 1]},
+                        "w": {"$add": [{"$mod": ["o_orderkey", 10]}, 1]},
+                    }}},
+                    "$weight": "w",
+                    "$max_depth": 6,
+                    "$as": "cost",
+                },
+                "c_custkey": True,
+                "cost": True,
+            }
+        }
+    )
+    twin = eng.sql("""
+        WITH RECURSIVE e AS (
+          -- parallel edges pre-reduced to the cheapest per (src, dst):
+          -- always optimal for min-cost paths, and it keeps the
+          -- UNION ALL recursion bounded (Spark's recursive CTE does
+          -- not support distinct UNION)
+          SELECT src, dst, min(w) AS w FROM (
+            SELECT o_custkey AS src, o_custkey + 1 AS dst,
+                   o_orderkey % 10 + 1 AS w
+            FROM orders
+          ) GROUP BY src, dst
+        ), r(v, cost, hops) AS (
+          SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), 0
+          UNION ALL
+          SELECT e.dst, r.cost + e.w, r.hops + 1
+          FROM r JOIN e ON e.src = r.v WHERE r.hops < 6
+        )
+        SELECT c.c_custkey, min(r.cost) AS cost
+        FROM r JOIN customer c ON c.c_custkey = r.v
+        GROUP BY c.c_custkey
+    """)
+    assert got.columns == twin.columns
+    assert _rows(got) == _rows(twin)
+
+
+@pytest.mark.parametrize(
+    "tr",
+    [
+        {"$seeds": {"n_nationkey": 0}, "$via": ["region", "nations"],
+         "$weight": "w"},                                  # weight with via
+        {"$seeds": {"n_nationkey": 0}, "$weight": "src",
+         "$edges": {"nation": {"$select": {"src": "n_nationkey",
+                                           "dst": "n_nationkey"}}}},
+        # ^ weight collides with $src
+        {"$seeds": {"n_nationkey": 0}, "$weight": "w",
+         "$edges": {"nation": {"$select": {"src": "n_nationkey",
+                                           "dst": "n_nationkey"}}}},
+        # ^ weight column absent from the edge result
+    ],
+)
+def test_traverse_weighted_bad_shapes_fail_typed(eng, tr):
+    with pytest.raises(SpecError):
+        eng.query({"nation": {"n_nationkey": True, "$traverse": tr}})
