@@ -2419,3 +2419,150 @@ def compiler_json_keys_histogram(spark, sf_dir):
             }
         }
     )
+
+
+@query(
+    "compiler_stream_tumbling",
+    # Round-14 M21 registration: the §2-J streaming family through E1 —
+    # the $stream verb's tumbling-window aggregation, compiling to the
+    # SAME Structured-Streaming graph stream_tumbling_window runs
+    # (availableNow file replay → memory sink). Oracle = the batch twin
+    # (SURVEY §2-J: a bounded replay must equal the batch computation —
+    # Structured Streaming's own correctness contract), money under the
+    # exact-DECIMAL discipline.
+    oracle="""
+    SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def compiler_stream_tumbling(spark, sf_dir):
+    """Scale shape: state is per (window × event_type) in the state
+    store — bounded; at production scale the same spec carries a
+    $watermark for append-mode eviction (engine-tested). The DSL adds
+    zero execution surface: it emits the identical transformation
+    graph the registered stream key runs."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query({"$stream": {
+        "$source": "events",
+        "$window": {"$size": "1 hour"},
+        "$groupby": ["event_type"],
+        "$agg": {"n_events": {"$count": True},
+                 "sum_value": {"$sum": "value"}},
+    }})
+
+
+@query(
+    "compiler_stream_session",
+    # Round-14 M21 registration (session windows): $session_gap merges
+    # events within 30 min per user into one session — Spark's
+    # session_window ≡ the lag-gap sessionization (the win_sessionize
+    # oracle spelling: a session breaks when the gap from the PREVIOUS
+    # event exceeds 30 min; ties at the same ts give gap 0 and can
+    # never split a session, so the window spelling is
+    # tie-deterministic). win_start_us = the session's first event.
+    oracle="""
+    WITH t AS (
+      SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+    ), m AS (
+      SELECT *,
+             CASE WHEN lag(ts_us) OVER w IS NULL
+                    OR ts_us - lag(ts_us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+    ), s AS (
+      SELECT *,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    )
+    SELECT min(ts_us) AS win_start_us,
+           user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def compiler_stream_session(spark, sf_dir):
+    """Scale shape: session state is per (user, open session) and
+    merges incrementally in the state store — the streaming form of
+    the win_sessionize single-exchange batch shape; a $watermark
+    bounds open-session state at production scale (engine-tested)."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query({"$stream": {
+        "$source": "events",
+        "$session_gap": "30 minutes",
+        "$groupby": ["user_id"],
+        "$agg": {"n_events": {"$count": True},
+                 "sum_value": {"$sum": "value"}},
+    }})
+
+
+@query(
+    "compiler_traverse_cheapest",
+    # Round-14 M22 registration: weighted $traverse — cheapest path on
+    # the multi-edge customer line graph (orders give ~100 parallel
+    # edges per hop k → k+1 with weight o_orderkey % 10 + 1; the min
+    # relaxation must pick the cheapest of each bundle). $max_depth 12
+    # = cheapest path using ≤ 12 edges, mirrored by the CTE's hop cap.
+    # DuckDB twin pre-mins parallel edges per (src, dst) — always
+    # optimal for min-cost paths and it keeps the recursion bounded —
+    # then takes min(cost) per vertex. Integer weights: exact BIGINT
+    # end to end, no float path.
+    oracle="""
+    WITH RECURSIVE e AS (
+      SELECT src, dst, min(w) AS w FROM (
+        SELECT o_custkey AS src, o_custkey + 1 AS dst,
+               o_orderkey % 10 + 1 AS w
+        FROM orders
+      ) GROUP BY src, dst
+    ), r AS (
+      SELECT CAST(c_custkey AS BIGINT) AS v, CAST(0 AS BIGINT) AS cost,
+             0 AS hops
+      FROM customer WHERE c_custkey = 0
+      UNION
+      SELECT e.dst, r.cost + e.w, r.hops + 1
+      FROM r JOIN e ON e.src = r.v WHERE r.hops < 12
+    )
+    SELECT c.c_custkey, min(r.cost) AS cost
+    FROM r JOIN customer c ON c.c_custkey = r.v
+    GROUP BY c.c_custkey
+    """,
+)
+def compiler_traverse_cheapest(spark, sf_dir):
+    """Scale shape: frontier Bellman-Ford — per round ONE equi-join of
+    the improved-vertex frontier against the edge set + a per-vertex
+    min + an improvement anti-check, localCheckpoint per round,
+    trim_pins O(1) pinned state; converged regions stop costing
+    joins. The edge sub-query is a compiled DSL codegen projection
+    (the parallel-edge bundles ride the relaxation, never a
+    pre-aggregation shuffle)."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "customer": {
+                "$traverse": {
+                    "$seeds": {"c_custkey": 0},
+                    "$edges": {"orders": {"$select": {
+                        "src": "o_custkey",
+                        "dst": {"$add": ["o_custkey", 1]},
+                        "w": {"$add": [{"$mod": ["o_orderkey", 10]}, 1]},
+                    }}},
+                    "$weight": "w",
+                    "$max_depth": 12,
+                    "$as": "cost",
+                },
+                "c_custkey": True,
+                "cost": True,
+            }
+        }
+    )

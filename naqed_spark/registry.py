@@ -191,6 +191,11 @@ DEFERRED: set[str] = {
     # introspection with the cross-engine-pinned object-only NULL
     # contract): same tri-SF pre-verified discipline.
     "compiler_json_keys_histogram",
+    # round-14 M21/M22 registrations (the $stream batch-twin surface
+    # and weighted $traverse): same tri-SF pre-verified discipline.
+    "compiler_stream_tumbling",
+    "compiler_stream_session",
+    "compiler_traverse_cheapest",
 }
 
 

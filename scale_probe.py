@@ -228,6 +228,15 @@ HEADLINE += [
     "compiler_json_keys_histogram",
 ]
 
+# Round-14 M22 registration: weighted $traverse (frontier Bellman-Ford
+# over a Kx multi-edge build; like the BFS keys, the loop cost tracks
+# frontier × edges, and the Kx term is the edge-derivation scan). The
+# M21 $stream keys follow the §2-J family's precedent: not probed —
+# their wall is availableNow replay plumbing, not plan shape.
+HEADLINE += [
+    "compiler_traverse_cheapest",
+]
+
 
 def build(spark, src_dir: str, out_dir: str, k: int) -> None:
     from functools import reduce

@@ -7828,3 +7828,94 @@ def test_compiler_json_keys_histogram_matches_python(spark):
     }
     got = run(spark, "compiler_json_keys_histogram")
     assert_keyed(got, want, ["k"], ["n_events", "avg_props"], tol=1e-4)
+
+
+# --- waves 52-54 (round 14): M21 $stream + M22 weighted $traverse -------
+
+
+def test_compiler_stream_tumbling_matches_python(spark):
+    """Python replay of the streamed tumbling window: hour-floored
+    event time (pandas datetime arithmetic — no Spark window, no SQL),
+    counts + integer-cents sums; NULL values skipped, NULL event_type
+    a kept group."""
+    ev = _tbl("events")
+    want: dict = {}
+    for ts, et, val in zip(ev.ts, ev.event_type, ev.value):
+        t = pd.Timestamp(ts)
+        us = (t.value // 1000 // 3_600_000_000) * 3_600_000_000
+        key = (us, _norm(et))
+        agg = want.setdefault(key, {"n_events": 0, "cents": 0,
+                                    "has": False})
+        agg["n_events"] += 1
+        v = _norm(val)
+        if v is not None:
+            agg["cents"] += int(math.floor(v * 100 + 0.5))
+            agg["has"] = True
+    want = {
+        k: {"n_events": v["n_events"],
+            "sum_value": v["cents"] / 100.0 if v["has"] else None}
+        for k, v in want.items()
+    }
+    got = run(spark, "compiler_stream_tumbling")
+    assert_keyed(got, want, ["win_start_us", "event_type"],
+                 ["n_events", "sum_value"])
+
+
+def test_compiler_stream_session_matches_python(spark):
+    """Python sessionization replay: per user, sort by event time and
+    split at >30-min gaps — plain list scans, no window function, no
+    state store."""
+    ev = _tbl("events")
+    gap_us = 30 * 60 * 1_000_000
+    per_user: dict = {}
+    for ts, uid, val in zip(ev.ts, ev.user_id, ev.value):
+        per_user.setdefault(int(uid), []).append(
+            (pd.Timestamp(ts).value // 1000, _norm(val)))
+    want: dict = {}
+    for uid, rows in per_user.items():
+        rows.sort(key=lambda r: r[0])
+        start, n, cents, has, prev = None, 0, 0, False, None
+        for ts_us, val in rows + [(None, None)]:
+            if ts_us is None or (prev is not None
+                                 and ts_us - prev > gap_us):
+                if start is not None:
+                    want[(start, uid)] = {
+                        "n_events": n,
+                        "sum_value": cents / 100.0 if has else None,
+                    }
+                if ts_us is None:
+                    break
+                start, n, cents, has = ts_us, 0, 0, False
+            if start is None:
+                start = ts_us
+            n += 1
+            if val is not None:
+                cents += int(math.floor(val * 100 + 0.5))
+                has = True
+            prev = ts_us
+    got = run(spark, "compiler_stream_session")
+    assert_keyed(got, want, ["win_start_us", "user_id"],
+                 ["n_events", "sum_value"])
+
+
+def test_compiler_traverse_cheapest_matches_python(spark):
+    """Python Bellman-Ford replay over the multi-edge line graph: the
+    cheapest of ~100 parallel edges per hop, walked from custkey 0,
+    ≤ 12 edges."""
+    orders = _tbl("orders")
+    cust = set(int(c) for c in _tbl("customer").c_custkey)
+    cheapest: dict = {}
+    for ck, ok in zip(orders.o_custkey, orders.o_orderkey):
+        k, w = int(ck), int(ok) % 10 + 1
+        if k not in cheapest or w < cheapest[k]:
+            cheapest[k] = w
+    want = {(0,): {"cost": 0}}
+    cost, k = 0, 0
+    for _ in range(12):
+        if k not in cheapest or (k + 1) not in cust:
+            break
+        cost += cheapest[k]
+        k += 1
+        want[(k,)] = {"cost": cost}
+    got = run(spark, "compiler_traverse_cheapest")
+    assert_keyed(got, want, ["c_custkey"], ["cost"])

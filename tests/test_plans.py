@@ -1603,3 +1603,20 @@ def test_compiler_json_keys_histogram_plan(spark):
     assert schema_lines
     assert all("event_type" not in ln and "user_id" not in ln
                for ln in schema_lines)
+
+
+def test_compiler_traverse_cheapest_plan(spark):
+    """M22: the weighted traversal's final plan is the reached-set
+    join on the pruned customer scan (the Bellman-Ford rounds ran over
+    checkpointed frontiers) — hash/broadcast joins only, no cartesian,
+    no Python eval."""
+    plan = plan_of(spark, "compiler_traverse_cheapest")
+    tree = tree_of(plan)
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
+    assert "Scan ExistingRDD" in tree  # the checkpointed cost frame
+    schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schema_lines
+    assert all("c_name" not in ln and "c_acctbal" not in ln
+               for ln in schema_lines)
