@@ -194,12 +194,76 @@ class Engine:
         parquet scan as an ordinary pushed filter — a parameterized
         query costs exactly what its literal twin costs."""
         spec = bind_args(spec, params if params is not None else {})
+        spec = self._resolve_scalars(spec)
         qs = parse_query(spec)
         if isinstance(qs, SetSpec):
             return self._compile_set(qs)
         if isinstance(qs, StreamSpec):
             return self._compile_stream(qs)
         return self._compile(qs)
+
+    def _resolve_scalars(self, obj: object) -> object:
+        """$scalar (round 14, M23 engine-half): ``{"$scalar": <spec>}``
+        anywhere a literal is legal — filter/where/having operands,
+        $limit, $if branches — runs the inner query and substitutes its
+        single value BEFORE parsing (the bind_args pattern), so the
+        resolved literal flows through the same shape/type validation
+        as any literal AND reaches the parquet scan as an ordinary
+        pushed filter. This is the E1 spelling of the uncorrelated
+        scalar subquery (the sub_scalar_uncorrelated family): at scale
+        the inner aggregate is a one-row action whose result broadcasts
+        as a plan literal — pushdown-eligible, never a join.
+
+        Typed-error contract: the inner result must be exactly ONE row
+        and ONE column; a NULL scalar raises (naqed's fail-fast $error
+        model — coalesce inside the inner query to default it); Decimal
+        narrows to float and date/timestamp render ISO so the resolved
+        literal matches the filter DSL's scalar types. Nested $scalar
+        inside the inner spec resolves first (finite data — no cycles
+        possible)."""
+        import datetime as _dt
+        import decimal as _decimal
+
+        if isinstance(obj, dict):
+            if set(obj) == {"$scalar"}:
+                inner = obj["$scalar"]
+                if not isinstance(inner, dict):
+                    raise SpecError("$scalar takes a query spec dict")
+                inner = self._resolve_scalars(inner)
+                iqs = parse_query(inner)
+                if isinstance(iqs, StreamSpec):
+                    raise SpecError(
+                        "$scalar cannot wrap a $stream query"
+                    )
+                idf = (self._compile_set(iqs)
+                       if isinstance(iqs, SetSpec) else self._compile(iqs))
+                if len(idf.columns) != 1:
+                    raise SpecError(
+                        f"$scalar subquery must produce exactly one"
+                        f" column, got {idf.columns}"
+                    )
+                rows = idf.limit(2).collect()
+                if len(rows) != 1:
+                    raise SpecError(
+                        f"$scalar subquery must produce exactly one row,"
+                        f" got {'none' if not rows else 'more than one'}"
+                    )
+                v = rows[0][0]
+                if v is None:
+                    raise SpecError(
+                        "$scalar subquery returned NULL — a NULL operand"
+                        " would silently drop every row; $coalesce a"
+                        " default inside the inner query"
+                    )
+                if isinstance(v, _decimal.Decimal):
+                    v = float(v)
+                elif isinstance(v, (_dt.date, _dt.datetime)):
+                    v = v.isoformat()
+                return v
+            return {k: self._resolve_scalars(x) for k, x in obj.items()}
+        if isinstance(obj, list):
+            return [self._resolve_scalars(x) for x in obj]
+        return obj
 
     def _compile_stream(self, ss: StreamSpec) -> DataFrame:
         """$stream (round 14, M21 engine-half): compile the declarative

@@ -401,6 +401,24 @@ family through E1 —
                                       # story); emits win_start_us
                                       # epoch µs + keys + agg aliases.
 
+Round-14 M23 engine-half (driver key queues r15): the uncorrelated
+scalar subquery —
+
+    {"$scalar": {<query spec>}}       # anywhere a literal is legal
+                                      # (filter/where/having operands,
+                                      # $limit, $if branches): the
+                                      # inner query runs first and its
+                                      # SINGLE value substitutes as a
+                                      # plain literal BEFORE parsing
+                                      # (the bind_args pattern), so it
+                                      # type-checks like any literal
+                                      # and reaches the parquet scan
+                                      # as a pushed filter. Inner
+                                      # result must be exactly 1 row ×
+                                      # 1 column; NULL raises typed
+                                      # ($coalesce a default inside);
+                                      # nested $scalar resolves first.
+
 ``$``-keys are arguments (the reference passes resolver args the same way);
 everything else is either a requested field (``True``) or a relationship
 traversal (nested dict). Relationship fan-out is relational: one output row

@@ -4584,3 +4584,134 @@ def test_traverse_weighted_matches_recursive_cte_twin(eng):
 def test_traverse_weighted_bad_shapes_fail_typed(eng, tr):
     with pytest.raises(SpecError):
         eng.query({"nation": {"n_nationkey": True, "$traverse": tr}})
+
+
+# --- round-14 M23 (engine-half; driver key queues r15): $scalar ------------
+
+
+def test_scalar_subquery_filter_matches_sql_twin(eng):
+    """WHERE o_totalprice > (SELECT avg(o_totalprice) ...) through the
+    DSL: the scalar resolves pre-parse and lands as a pushed literal."""
+    got = eng.query(
+        {
+            "orders": {
+                "o_orderkey": True,
+                "o_totalprice": True,
+                "$filter": {
+                    "o_totalprice": {"$gt": {"$scalar": {
+                        "orders": {"$agg": {"a": {"$avg": "o_totalprice"}}}
+                    }}}
+                },
+            }
+        }
+    )
+    twin = eng.sql("""
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    """)
+    assert _rows(got) == _rows(twin)
+
+
+def test_scalar_subquery_dynamic_limit(eng):
+    """$limit from a scalar: the resolved value is an ordinary int
+    literal, so the existing non-negative-int validation applies."""
+    got = eng.query(
+        {
+            "nation": {
+                "n_nationkey": True,
+                "$orderby": [["n_nationkey", "asc"]],
+                "$limit": {"$scalar": {
+                    "region": {"$agg": {"n": {"$count": True}}}
+                }},
+            }
+        }
+    ).collect()
+    assert [r["n_nationkey"] for r in got] == [0, 1, 2, 3, 4]
+
+
+def test_scalar_subquery_nested_resolves_inner_first(eng):
+    """A $scalar inside the inner spec's own filter resolves first:
+    customers above the average balance of the top-(count of regions)
+    nations' customers... kept simple — inner-inner = count(regions)."""
+    got = eng.query(
+        {
+            "customer": {
+                "c_custkey": True,
+                "$filter": {
+                    "c_nationkey": {"$lt": {"$scalar": {
+                        "nation": {
+                            "$filter": {"n_nationkey": {"$lt": {"$scalar": {
+                                "region": {"$agg": {"n": {"$count": True}}}
+                            }}}},
+                            "$agg": {"m": {"$max": "n_nationkey"}},
+                        }
+                    }}}
+                },
+            }
+        }
+    )
+    twin = eng.sql("""
+        SELECT c_custkey FROM customer
+        WHERE c_nationkey < (
+          SELECT max(n_nationkey) FROM nation
+          WHERE n_nationkey < (SELECT count(*) FROM region))
+    """)
+    assert _rows(got) == _rows(twin)
+
+
+def test_scalar_subquery_pushes_down(eng):
+    plan = eng.explain(
+        {
+            "orders": {
+                "o_orderkey": True,
+                "$filter": {
+                    "o_totalprice": {"$gt": {"$scalar": {
+                        "orders": {"$agg": {"a": {"$avg": "o_totalprice"}}}
+                    }}}
+                },
+            }
+        }
+    )
+    assert "PushedFilters:" in plan and "GreaterThan(o_totalprice" in plan
+
+
+@pytest.mark.parametrize(
+    "sub,msg",
+    [
+        ({"orders": {"$filter": {"o_orderkey": -1},
+                     "o_orderkey": True}}, "one row"),        # zero rows
+        ({"orders": {"o_orderkey": True, "$limit": 2}}, "one row"),
+        ({"orders": {"o_orderkey": True, "o_custkey": True,
+                     "$limit": 1}}, "one column"),            # two cols
+        ("not-a-spec", "query spec dict"),                    # shape
+    ],
+)
+def test_scalar_subquery_bad_shapes_fail_typed(eng, sub, msg):
+    with pytest.raises(SpecError, match=msg):
+        eng.query(
+            {
+                "orders": {
+                    "o_orderkey": True,
+                    "$filter": {"o_orderkey": {"$gt": {"$scalar": sub}}},
+                }
+            }
+        )
+
+
+def test_scalar_subquery_null_raises_typed(eng):
+    with pytest.raises(SpecError, match="NULL"):
+        eng.query(
+            {
+                "orders": {
+                    "o_orderkey": True,
+                    "$filter": {
+                        "o_totalprice": {"$gt": {"$scalar": {
+                            "orders": {
+                                "$filter": {"o_orderkey": -1},
+                                "$agg": {"a": {"$avg": "o_totalprice"}},
+                            }
+                        }}}
+                    },
+                }
+            }
+        )
