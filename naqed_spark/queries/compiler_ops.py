@@ -2566,3 +2566,71 @@ def compiler_traverse_cheapest(spark, sf_dir):
             }
         }
     )
+
+
+@query(
+    "compiler_scalar_threshold",
+    # Round-14 M23 registration: the uncorrelated scalar subquery
+    # through the DSL — orders of the lower half of the customer-key
+    # space, rolled up per priority. The scalar is EXACT INTEGER math
+    # end to end ((max - max%2)/2, the §7.3 integer-geometry idiom,
+    # identical in both engines); a float scalar (e.g. avg of a money
+    # column) would make the row SET ulp-sensitive at the boundary —
+    # the engine-half tests cover that shape against an in-Spark twin,
+    # and the cross-engine driver key deliberately keeps the scalar in
+    # integers (the sub_scalar_uncorrelated precedent computes its
+    # float threshold as exact-decimal sum / count for the same
+    # reason). Money discipline on the emission per §7.3.
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_price
+    FROM orders
+    WHERE o_custkey <= (
+      SELECT (max(c_custkey) - max(c_custkey) % 2) // 2 FROM customer)
+    GROUP BY 1
+    """,
+)
+def compiler_scalar_threshold(spark, sf_dir):
+    """Scale shape: the inner aggregate is a one-row action whose value
+    broadcasts as a PLAN LITERAL — the resolved predicate is pushed to
+    the parquet scan (PushedFilters, plan pinned), so the outer query
+    scans only the qualifying key range; the rollup is one
+    partial+final hash-agg pair around a ≤5-group exchange of decimal
+    accumulators. No join materializes the scalar."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    half = {
+        "$cast": [
+            {"$div": [{"$sub": ["m", {"$mod": ["m", 2]}]}, 2]},
+            {"$lit": "bigint"},
+        ]
+    }
+    return eng.query(
+        {
+            "orders": {
+                "$filter": {
+                    "o_custkey": {"$lte": {"$scalar": {
+                        "customer": {
+                            "$agg": {"m": {"$max": "c_custkey"}},
+                            "$derive": {"m": half},
+                        }
+                    }}}
+                },
+                "$select": {
+                    "tp": {"$cast": ["o_totalprice",
+                                     {"$lit": "decimal(12,2)"}]}
+                },
+                "$groupby": ["o_orderpriority"],
+                "$agg": {
+                    "n_orders": {"$count": True},
+                    "sum_price": {"$sum": "tp"},
+                },
+                "$derive": {
+                    "sum_price": {"$cast": ["sum_price", {"$lit": "double"}]}
+                },
+            }
+        }
+    )

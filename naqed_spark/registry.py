@@ -196,6 +196,9 @@ DEFERRED: set[str] = {
     "compiler_stream_tumbling",
     "compiler_stream_session",
     "compiler_traverse_cheapest",
+    # round-14 M23 registration ($scalar uncorrelated scalar subquery —
+    # exact-integer scalar, pushed-literal plan): same discipline.
+    "compiler_scalar_threshold",
 }
 
 

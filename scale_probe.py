@@ -237,6 +237,13 @@ HEADLINE += [
     "compiler_traverse_cheapest",
 ]
 
+# Round-14 M23 registration: the scalar-threshold rollup (inner 1-row
+# action + pushed-literal scan + one accumulator exchange — growth is
+# the pruned scan term).
+HEADLINE += [
+    "compiler_scalar_threshold",
+]
+
 
 def build(spark, src_dir: str, out_dir: str, k: int) -> None:
     from functools import reduce

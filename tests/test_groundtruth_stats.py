@@ -7919,3 +7919,31 @@ def test_compiler_traverse_cheapest_matches_python(spark):
         want[(k,)] = {"cost": cost}
     got = run(spark, "compiler_traverse_cheapest")
     assert_keyed(got, want, ["c_custkey"], ["cost"])
+
+
+# --- wave 55 (round 14): M23 $scalar threshold --------------------------
+
+
+def test_compiler_scalar_threshold_matches_python(spark):
+    """Python replay: the integer half-threshold recomputed with plain
+    // arithmetic, the rollup with dict scans and integer-cents sums —
+    no SQL, no subquery machinery."""
+    cust = _tbl("customer")
+    orders = _tbl("orders")
+    m = int(cust.c_custkey.max())
+    half = (m - m % 2) // 2
+    want: dict = {}
+    for ck, pri, tp in zip(orders.o_custkey, orders.o_orderpriority,
+                           orders.o_totalprice):
+        if int(ck) > half:
+            continue
+        key = (_norm(pri),)
+        agg = want.setdefault(key, {"n_orders": 0, "cents": 0})
+        agg["n_orders"] += 1
+        agg["cents"] += int(math.floor(float(tp) * 100 + 0.5))
+    want = {
+        k: {"n_orders": v["n_orders"], "sum_price": v["cents"] / 100.0}
+        for k, v in want.items()
+    }
+    got = run(spark, "compiler_scalar_threshold")
+    assert_keyed(got, want, ["o_orderpriority"], ["n_orders", "sum_price"])

@@ -1620,3 +1620,17 @@ def test_compiler_traverse_cheapest_plan(spark):
     assert schema_lines
     assert all("c_name" not in ln and "c_acctbal" not in ln
                for ln in schema_lines)
+
+
+def test_compiler_scalar_threshold_pushdown_plan(spark):
+    """M23: the resolved scalar must land as a PUSHED literal on the
+    orders scan (never a join against the 1-row aggregate), and the
+    rollup is one partial+final hash-agg pair around a single
+    exchange."""
+    plan = plan_of(spark, "compiler_scalar_threshold")
+    tree = tree_of(plan)
+    assert "PushedFilters:" in plan and "LessThanOrEqual(o_custkey" in plan
+    assert tree.count("HashAggregate") == 2
+    assert tree.count("Exchange") == 1
+    assert "Join" not in tree
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
