@@ -2602,10 +2602,17 @@ def compiler_scalar_threshold(spark, sf_dir):
     from naqed_spark.compiler.engine import Engine
 
     eng = Engine(spark, sf_dir)
+    # $coalesce(-1) makes the key empty-input-safe: max over zero
+    # customers is NULL, which $scalar rejects typed by design — the
+    # -1 default yields an empty outer result, exactly the oracle's
+    # `o_custkey <= NULL` three-valued empty (keys are >= 0).
     half = {
-        "$cast": [
-            {"$div": [{"$sub": ["m", {"$mod": ["m", 2]}]}, 2]},
-            {"$lit": "bigint"},
+        "$coalesce": [
+            {"$cast": [
+                {"$div": [{"$sub": ["m", {"$mod": ["m", 2]}]}, 2]},
+                {"$lit": "bigint"},
+            ]},
+            {"$lit": -1},
         ]
     }
     return eng.query(
