@@ -1071,80 +1071,85 @@ class Engine:
             edges = sub.select(*sel).where(cond).distinct()
 
         edges = edges.persist()
-        edges.count()  # materialize before base so trim can't sweep it
-        base = persistent_rdd_ids(self.spark)
-        cap = tr.max_depth if tr.max_depth is not None else 100
-        converged = tr.max_depth is not None
-        if tr.weight is not None:
-            # M22 (round 14, engine-half): cheapest-path mode — frontier
-            # Bellman-Ford, the verified graph_shortest_path_weighted
-            # shape with the frontier optimization: each round relaxes
-            # ONLY from vertices whose best cost improved last round
-            # (one equi-join + per-vertex min + an improvement
-            # anti-check), so a converged region stops costing joins.
-            # Integer weights stay in exact BIGINT; fractional weights
-            # run in double (per-path accumulation is left-to-right in
-            # both engines — deterministic per path; min across paths
-            # is order-free).
-            wt = dict(
-                (f.name, f.dataType.simpleString()) for f in edges.schema
-            )["w"]
-            cost_t = ("bigint" if wt in ("tinyint", "smallint", "int",
-                                         "bigint") else "double")
-            best = seeds.select("v", F.lit(0).cast(cost_t).alias("__t_d"))
-            frontier = best
-            with low_shuffle(self.spark):
-                for _ in range(1, cap + 1):
-                    cand = (
-                        frontier.join(edges, frontier.v == edges.src)
-                        .select(
-                            F.col("dst").alias("v"),
-                            (F.col("__t_d")
-                             + F.col("w").cast(cost_t)).alias("__t_d"),
+        try:
+            edges.count()  # materialize before base so trim can't sweep it
+            base = persistent_rdd_ids(self.spark)
+            cap = tr.max_depth if tr.max_depth is not None else 100
+            converged = tr.max_depth is not None
+            if tr.weight is not None:
+                # M22 (round 14, engine-half): cheapest-path mode — frontier
+                # Bellman-Ford, the verified graph_shortest_path_weighted
+                # shape with the frontier optimization: each round relaxes
+                # ONLY from vertices whose best cost improved last round
+                # (one equi-join + per-vertex min + an improvement
+                # anti-check), so a converged region stops costing joins.
+                # Integer weights stay in exact BIGINT; fractional weights
+                # run in double (per-path accumulation is left-to-right in
+                # both engines — deterministic per path; min across paths
+                # is order-free).
+                wt = dict(
+                    (f.name, f.dataType.simpleString()) for f in edges.schema
+                )["w"]
+                cost_t = ("bigint" if wt in ("tinyint", "smallint", "int",
+                                             "bigint") else "double")
+                best = seeds.select("v", F.lit(0).cast(cost_t).alias("__t_d"))
+                frontier = best
+                with low_shuffle(self.spark):
+                    for _ in range(1, cap + 1):
+                        cand = (
+                            frontier.join(edges, frontier.v == edges.src)
+                            .select(
+                                F.col("dst").alias("v"),
+                                (F.col("__t_d")
+                                 + F.col("w").cast(cost_t)).alias("__t_d"),
+                            )
+                            .groupBy("v")
+                            .agg(F.min("__t_d").alias("__t_d"))
                         )
-                        .groupBy("v")
-                        .agg(F.min("__t_d").alias("__t_d"))
-                    )
-                    old = best.select("v", F.col("__t_d").alias("__t_old"))
-                    improved = (
-                        cand.join(old, "v", "left")
-                        .where(F.col("__t_old").isNull()
-                               | (F.col("__t_d") < F.col("__t_old")))
-                        .select("v", "__t_d")
-                        .localCheckpoint()  # cut lineage per round
-                    )
-                    if improved.isEmpty():
-                        converged = True
-                        break
-                    best = (
-                        best.unionAll(improved)
-                        .groupBy("v")
-                        .agg(F.min("__t_d").alias("__t_d"))
-                        .localCheckpoint()
-                    )
-                    frontier = improved
-                    trim_pins(self.spark, base, keep=2)
-            visited = best
-        else:
-            visited = seeds.select("v", F.lit(0).alias("__t_d"))
-            frontier = visited
-            with low_shuffle(self.spark):
-                for depth in range(1, cap + 1):
-                    nxt = (
-                        frontier.join(edges, frontier.v == edges.src)
-                        .select(F.col("dst").alias("v"))
-                        .distinct()
-                        .join(visited.select("v"), "v", "left_anti")
-                        .select("v", F.lit(depth).alias("__t_d"))
-                        .localCheckpoint()  # cut lineage per superstep
-                    )
-                    if nxt.isEmpty():
-                        converged = True
-                        break
-                    visited = visited.unionAll(nxt).localCheckpoint()
-                    frontier = nxt
-                    trim_pins(self.spark, base, keep=2)
-        edges.unpersist()
+                        old = best.select("v", F.col("__t_d").alias("__t_old"))
+                        improved = (
+                            cand.join(old, "v", "left")
+                            .where(F.col("__t_old").isNull()
+                                   | (F.col("__t_d") < F.col("__t_old")))
+                            .select("v", "__t_d")
+                            .localCheckpoint()  # cut lineage per round
+                        )
+                        if improved.isEmpty():
+                            converged = True
+                            break
+                        best = (
+                            best.unionAll(improved)
+                            .groupBy("v")
+                            .agg(F.min("__t_d").alias("__t_d"))
+                            .localCheckpoint()
+                        )
+                        frontier = improved
+                        trim_pins(self.spark, base, keep=2)
+                visited = best
+            else:
+                visited = seeds.select("v", F.lit(0).alias("__t_d"))
+                frontier = visited
+                with low_shuffle(self.spark):
+                    for depth in range(1, cap + 1):
+                        nxt = (
+                            frontier.join(edges, frontier.v == edges.src)
+                            .select(F.col("dst").alias("v"))
+                            .distinct()
+                            .join(visited.select("v"), "v", "left_anti")
+                            .select("v", F.lit(depth).alias("__t_d"))
+                            .localCheckpoint()  # cut lineage per superstep
+                        )
+                        if nxt.isEmpty():
+                            converged = True
+                            break
+                        visited = visited.unionAll(nxt).localCheckpoint()
+                        frontier = nxt
+                        trim_pins(self.spark, base, keep=2)
+        finally:
+            # unpersist even when a Spark error escapes the
+            # superstep loop — a leaked pinned edge set would
+            # otherwise live for the session lifetime
+            edges.unpersist()
         if not converged:
             raise SpecError(
                 f"$traverse did not reach fixpoint within {cap}"

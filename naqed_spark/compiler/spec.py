@@ -1975,6 +1975,13 @@ def _parse_stream(obj: object) -> StreamSpec:
     if not isinstance(gb, list) or not all(
             isinstance(c, str) and c for c in gb):
         raise SpecError("$stream.$groupby must be a list of column names")
+    if session_gap is not None and not gb:
+        # Spark's streaming session windows require at least one
+        # grouping column besides session_window; surface the typed
+        # error at parse time instead of a raw AnalysisException.
+        raise SpecError("$stream.$session_gap requires a non-empty"
+                        " $groupby (streaming session windows need at"
+                        " least one grouping key besides the window)")
     if "$agg" not in obj:
         raise SpecError("$stream requires $agg (a windowless pass-through"
                         " is the batch scan — use the entity query)")

@@ -2461,18 +2461,21 @@ def compiler_stream_tumbling(spark, sf_dir):
     "compiler_stream_session",
     # Round-14 M21 registration (session windows): $session_gap merges
     # events within 30 min per user into one session — Spark's
-    # session_window ≡ the lag-gap sessionization (the win_sessionize
-    # oracle spelling: a session breaks when the gap from the PREVIOUS
-    # event exceeds 30 min; ties at the same ts give gap 0 and can
-    # never split a session, so the window spelling is
-    # tie-deterministic). win_start_us = the session's first event.
+    # session_window ≡ the lag-gap sessionization. Spark session
+    # windows are [start, last+gap) END-EXCLUSIVE, so an event exactly
+    # gap after the previous starts a NEW session: the break condition
+    # is gap >= 30 min, the same '>=' the verified
+    # stream_session_window oracle pins (streaming.py). Ties at the
+    # same ts give gap 0 and can never split a session, so the window
+    # spelling is tie-deterministic. win_start_us = the session's
+    # first event.
     oracle="""
     WITH t AS (
       SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
     ), m AS (
       SELECT *,
              CASE WHEN lag(ts_us) OVER w IS NULL
-                    OR ts_us - lag(ts_us) OVER w > 1800000000
+                    OR ts_us - lag(ts_us) OVER w >= 1800000000
                   THEN 1 ELSE 0 END AS new_s
       FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
     ), s AS (
@@ -2500,6 +2503,48 @@ def compiler_stream_session(spark, sf_dir):
         "$source": "events",
         "$session_gap": "30 minutes",
         "$groupby": ["user_id"],
+        "$agg": {"n_events": {"$count": True},
+                 "sum_value": {"$sum": "value"}},
+    }})
+
+
+@query(
+    "compiler_stream_sliding",
+    # Round-15 M21 completion (VERDICT r14 item 1): the $stream verb's
+    # third window mode — $window.$slide. 1-h windows sliding every
+    # 15 min × event_type (the raw stream_sliding_window key proves the
+    # twin spelling; this registration adds the $groupby dimension the
+    # raw key doesn't exercise). Batch twin: every event belongs to
+    # exactly window/slide = 4 sliding windows whose starts are its
+    # 15-min epoch bucket minus k*15 min, k ∈ 0..3 — Spark's window()
+    # is epoch-aligned, so the integer-division spelling is exact.
+    # Money under the exact-DECIMAL discipline (§7.3).
+    oracle="""
+    WITH offs AS (SELECT CAST(unnest([0, 1, 2, 3]) AS BIGINT) AS k)
+    SELECT (epoch_us(ts) // 900000000) * 900000000 - k * 900000000
+             AS win_start_us,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+    FROM events CROSS JOIN offs
+    GROUP BY 1, 2
+    """,
+)
+def compiler_stream_sliding(spark, sf_dir):
+    """Scale shape: state is per (window × event_type) with a fixed
+    window/slide = 4× amplification bound — the slide ratio, not the
+    stream volume, caps state; at production scale a $watermark
+    (engine-tested) evicts closed windows in append mode. The DSL adds
+    zero execution surface: it emits the identical transformation
+    graph the hash-green stream_sliding_window key runs, plus the
+    grouping key."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query({"$stream": {
+        "$source": "events",
+        "$window": {"$size": "1 hour", "$slide": "15 minutes"},
+        "$groupby": ["event_type"],
         "$agg": {"n_events": {"$count": True},
                  "sum_value": {"$sum": "value"}},
     }})

@@ -199,6 +199,10 @@ DEFERRED: set[str] = {
     # round-14 M23 registration ($scalar uncorrelated scalar subquery —
     # exact-integer scalar, pushed-literal plan): same discipline.
     "compiler_scalar_threshold",
+    # round-15 M21 completion ($stream sliding mode — VERDICT r14
+    # item 1): same tri-SF pre-verified discipline; queues behind the
+    # r6-signal rotation front and the DEFERRED r14 octet.
+    "compiler_stream_sliding",
 }
 
 

@@ -340,8 +340,19 @@ def main() -> None:
     # NEW registrations (VERDICT r13 item 5: the marginal evidence is in
     # first-contact rows; the full table is expensive).
     only = os.environ.get("NAQED_PROBE_KEYS")
-    keys = ([key for key in HEADLINE if key in set(only.split(","))]
-            if only else HEADLINE)
+    if only:
+        wanted = set(only.split(","))
+        unknown = sorted(wanted - set(HEADLINE))
+        if unknown:
+            # A typo must fail loudly, not probe nothing and print a
+            # legitimate-looking empty table.
+            raise SystemExit(
+                f"NAQED_PROBE_KEYS: unknown keys {unknown}"
+                f" (known: {sorted(HEADLINE)})"
+            )
+        keys = [key for key in HEADLINE if key in wanted]
+    else:
+        keys = HEADLINE
     out = {}
     for key in keys:
         t1 = timed(spark, key, d1, sink)

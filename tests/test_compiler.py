@@ -4412,6 +4412,8 @@ def test_stream_watermark_append_is_complete_prefix(eng):
         {"$source": "events", "$window": {"$size": "1 hour"},
          "$watermark": "soon",
          "$agg": {"n": {"$count": True}}},                       # bad watermark
+        {"$source": "events", "$session_gap": "30 minutes",
+         "$agg": {"n": {"$count": True}}},  # session windows need $groupby
     ],
 )
 def test_stream_bad_shapes_fail_typed(eng, spec):

@@ -7863,7 +7863,9 @@ def test_compiler_stream_tumbling_matches_python(spark):
 
 def test_compiler_stream_session_matches_python(spark):
     """Python sessionization replay: per user, sort by event time and
-    split at >30-min gaps — plain list scans, no window function, no
+    split at >=30-min gaps (Spark session windows are [start,
+    last+gap) end-exclusive: an event exactly gap after the previous
+    starts a new session) — plain list scans, no window function, no
     state store."""
     ev = _tbl("events")
     gap_us = 30 * 60 * 1_000_000
@@ -7877,7 +7879,7 @@ def test_compiler_stream_session_matches_python(spark):
         start, n, cents, has, prev = None, 0, 0, False, None
         for ts_us, val in rows + [(None, None)]:
             if ts_us is None or (prev is not None
-                                 and ts_us - prev > gap_us):
+                                 and ts_us - prev >= gap_us):
                 if start is not None:
                     want[(start, uid)] = {
                         "n_events": n,
@@ -7947,3 +7949,38 @@ def test_compiler_scalar_threshold_matches_python(spark):
     }
     got = run(spark, "compiler_scalar_threshold")
     assert_keyed(got, want, ["o_orderpriority"], ["n_orders", "sum_price"])
+
+
+# --- wave 56 (round 15): M21 completion — $stream sliding windows -------
+
+
+def test_compiler_stream_sliding_matches_python(spark):
+    """Python replay of the streamed sliding window: each event lands
+    in exactly window/slide = 4 windows whose epoch-aligned starts are
+    its 15-min bucket minus k*15 min (k in 0..3) — pandas timestamp
+    arithmetic, no Spark window, no SQL. Counts + integer-cents sums
+    per (window, event_type); NULL values skipped, NULL event_type a
+    kept group."""
+    ev = _tbl("events")
+    slide_us = 15 * 60 * 1_000_000
+    want: dict = {}
+    for ts, et, val in zip(ev.ts, ev.event_type, ev.value):
+        us = pd.Timestamp(ts).value // 1000
+        bucket = (us // slide_us) * slide_us
+        v = _norm(val)
+        for k in range(4):
+            key = (bucket - k * slide_us, _norm(et))
+            agg = want.setdefault(key, {"n_events": 0, "cents": 0,
+                                        "has": False})
+            agg["n_events"] += 1
+            if v is not None:
+                agg["cents"] += int(math.floor(v * 100 + 0.5))
+                agg["has"] = True
+    want = {
+        k: {"n_events": v["n_events"],
+            "sum_value": v["cents"] / 100.0 if v["has"] else None}
+        for k, v in want.items()
+    }
+    got = run(spark, "compiler_stream_sliding")
+    assert_keyed(got, want, ["win_start_us", "event_type"],
+                 ["n_events", "sum_value"])

@@ -223,11 +223,17 @@ def test_ivf_candidates_subquadratic(spark):
 
 def test_ivf_no_label_column(spark):
     # the quantizer must be label-free: the physical plan's parquet reads
-    # prune down to vec_id + embedding — no label column anywhere.
+    # prune down to vec_id + embedding — no label column in any scan.
+    # Assert against ReadSchema lines only (ADVICE r13 / VERDICT r14
+    # item 6): a whole-plan substring match would trip on an unrelated
+    # 'label' in a file path or expression name.
     from naqed_spark.queries.llm_ext import _ivf_candidates
 
     qe = _ivf_candidates(spark, SF_DIR)._jdf.queryExecution()
-    assert "label" not in qe.executedPlan().toString()
+    plan = qe.executedPlan().toString()
+    schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert schema_lines
+    assert all("label" not in ln for ln in schema_lines)
 
 
 def test_ngram_df_cap_bounds_skewed_candidates(spark):
