@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from naqed_spark.catalog import Catalog, PRIMARY_KEYS, SMALL_DIMS
 from naqed_spark.compiler.spec import (
     AggSpec,
+    CorrelatedScalar,
     Expr,
     Node,
     PivotSpec,
@@ -229,6 +230,13 @@ class Engine:
                 inner = obj["$scalar"]
                 if not isinstance(inner, dict):
                     raise SpecError("$scalar takes a query spec dict")
+                if "$on" in inner:
+                    # M25 (round 15): the CORRELATED form — not a
+                    # literal; left for the parser, which lowers it to
+                    # the decorrelated aggregate + equi-join. Nested
+                    # uncorrelated $scalar inside it still resolves
+                    # when the engine compiles the inner spec.
+                    return obj
                 inner = self._resolve_scalars(inner)
                 iqs = parse_query(inner)
                 if isinstance(iqs, StreamSpec):
@@ -320,6 +328,16 @@ class Engine:
             if a.op == "$sum":
                 # exact decimal accumulation, double at the boundary
                 exprs.append(dsum(dec(a.column)).alias(a.alias))
+            elif a.op == "$approx_count_distinct":
+                # M26 (round 15): the streaming count-distinct — HLL++
+                # registers merge across micro-batches in the state
+                # store (register max is commutative, so the estimate
+                # is batch-boundary-invariant and replay-deterministic)
+                exprs.append(
+                    (F.approx_count_distinct(_qcol(a.column), a.param)
+                     if a.param is not None
+                     else F.approx_count_distinct(_qcol(a.column)))
+                    .alias(a.alias))
             elif a.op == "$avg":
                 exprs.append(F.avg(_qcol(a.column)).alias(a.alias))
             elif a.op == "$min":
@@ -382,14 +400,82 @@ class Engine:
             df = df.limit(ss.limit)
         return df
 
+    def _apply_correlated_scalar(
+        self, df: DataFrame, pred: Predicate, entity: str
+    ) -> DataFrame:
+        """M25 (round 15): lower a correlated scalar comparison to the
+        classic decorrelation. Scale shape: the inner spec is a grouped
+        aggregate whose $groupby equals the correlation keys (parse-
+        enforced), so it compiles to ONE partial+final hash-agg pair;
+        the comparison then rides ONE equi-join on those keys — AQE
+        sizes the exchange (broadcast when the group count is small) —
+        and the plan never contains a per-row subquery or nested loop.
+        Missing-group and NULL-key semantics match SQL's NULL-scalar-
+        fails-comparison: the inner equi-join drops exactly those rows
+        (group keys are unique post-aggregate, so the join can never
+        fan out)."""
+        cs = pred.value
+        if pred.column not in df.columns:
+            raise SpecError(
+                f"$filter: no such column {pred.column!r} on {entity!r}"
+                f" (have {sorted(df.columns)})"
+            )
+        for ic, oc in cs.on.items():
+            if oc not in df.columns:
+                raise SpecError(
+                    f"$scalar.$on: no such outer column {oc!r} on"
+                    f" {entity!r} (have {sorted(df.columns)})"
+                )
+        inner = self._resolve_scalars(cs.inner)
+        iqs = parse_query(inner)
+        idf = self._compile(iqs)
+        keys = list(cs.on)
+        missing = [ic for ic in keys if ic not in idf.columns]
+        if missing:
+            raise SpecError(
+                f"$scalar.$on: inner query result has no column(s)"
+                f" {missing} (have {idf.columns})"
+            )
+        val_cols = [c for c in idf.columns if c not in set(keys)]
+        if len(val_cols) != 1:
+            raise SpecError(
+                f"correlated $scalar inner query must emit exactly one"
+                f" value column beyond the $on keys — got {val_cols}"
+            )
+        ren = idf.select(
+            *[F.col(ic).alias(f"__t_cs_{ic}") for ic in keys],
+            F.col(val_cols[0]).alias("__t_cs_v"),
+        )
+        cond = reduce(
+            operator.and_,
+            (df[oc] == ren[f"__t_cs_{ic}"] for ic, oc in cs.on.items()),
+        )
+        cmp = {"$eq": operator.eq, "$ne": operator.ne,
+               "$lt": operator.lt, "$lte": operator.le,
+               "$gt": operator.gt, "$gte": operator.ge}[pred.op]
+        return (
+            df.join(ren, cond, "inner")
+            .where(cmp(_qcol(pred.column), F.col("__t_cs_v")))
+            .drop("__t_cs_v", *[f"__t_cs_{ic}" for ic in keys])
+        )
+
     # -- compilation -------------------------------------------------------
     def _load_filtered(
         self, node: Node, sample: "SampleSpec | None" = None
     ) -> DataFrame:
         df = self.catalog.entity(node.entity)
+        # plain predicates first — they push to the parquet scan; the
+        # correlated-scalar predicates (M25) then join against the
+        # already-pruned outer frame
+        corr = [p for p in node.filters
+                if isinstance(p.value, CorrelatedScalar)]
         for pred in node.filters:
+            if isinstance(pred.value, CorrelatedScalar):
+                continue
             _typecheck(df, pred, node.entity)
             df = _apply_predicate(df, pred)
+        for pred in corr:
+            df = self._apply_correlated_scalar(df, pred, node.entity)
         if sample is not None:
             # $sample (round 7): deterministic md5-bucket sample of the
             # ROOT entity, applied at the scan — before any join — so the
@@ -467,9 +553,18 @@ class Engine:
         hops, $select, $agg — composes unchanged."""
         if base is not None:
             df = base
+            # same plain/correlated split as _load_filtered: a
+            # correlated $scalar in a post-$traverse $filter joins
+            # against the traversed frame (M25)
             for pred in node.filters:
+                if isinstance(pred.value, CorrelatedScalar):
+                    continue
                 _typecheck(df, pred, node.entity)
                 df = _apply_predicate(df, pred)
+            for pred in node.filters:
+                if isinstance(pred.value, CorrelatedScalar):
+                    df = self._apply_correlated_scalar(
+                        df, pred, node.entity)
         else:
             df = self._load_filtered(node, sample)
         cols = list(node.fields)
@@ -763,6 +858,15 @@ class Engine:
             return sub[0] % sub[1]
         if op == "$abs":
             return F.abs(sub[0])
+        if op in ("$eq", "$ne", "$lt", "$lte", "$gt", "$gte"):
+            # M24 (round 15): boolean-valued comparisons over two
+            # sub-expressions (column-vs-column — $if's predicate
+            # syntax only spells column-vs-literal). SQL three-valued
+            # logic on both engines: NULL operand → NULL result.
+            cmp = {"$eq": operator.eq, "$ne": operator.ne,
+                   "$lt": operator.lt, "$lte": operator.le,
+                   "$gt": operator.gt, "$gte": operator.ge}[op]
+            return cmp(sub[0], sub[1])
         if op in ("$dot", "$cosine", "$euclidean"):
             # Operand TYPE check (round-13 self-review): a scalar column
             # here would die in Catalyst analysis as a cast error —
@@ -1455,6 +1559,22 @@ class Engine:
             e = F.median(_qcol(a.column))
         elif a.op == "$percentile":
             e = F.percentile(_qcol(a.column), F.lit(a.param))
+        elif a.op == "$approx_count_distinct":
+            # M24 (round 15): native HLL++ — constant register state
+            # per group regardless of input size, map-side combined,
+            # shard merge = register max (the 100 TB count-distinct
+            # path; agg_hll_from_scratch spells the same algorithm
+            # relationally). rsd knob optional.
+            e = (F.approx_count_distinct(_qcol(a.column), a.param)
+                 if a.param is not None
+                 else F.approx_count_distinct(_qcol(a.column)))
+        elif a.op == "$approx_percentile":
+            # M24: native quantile sketch — bounded state (O(accuracy)
+            # per group), merge-able partials, rank error ≤ n/accuracy.
+            # accuracy ≥ n is the exact discrete-quantile regime,
+            # probed ≡ DuckDB quantile_disc on ties/NULL/all-NULL.
+            p, acc = a.param
+            e = F.percentile_approx(_qcol(a.column), F.lit(p), F.lit(acc))
         elif a.op == "$corr":
             # Pearson correlation / covariance (round 13, M15): pair
             # exclusion (either side NULL → row skipped) matches DuckDB;

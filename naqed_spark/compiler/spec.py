@@ -388,7 +388,10 @@ family through E1 —
        "$session_gap": d,             # session windows (gap-merged)
        "$groupby": [col, ...],        # extra state keys
        "$agg": {alias: {op: col}},    # streaming-safe subset only:
-                                      # $count/$sum/$avg/$min/$max
+                                      # $count/$sum/$avg/$min/$max/
+                                      # $approx_count_distinct (M26 —
+                                      # the HLL++ sketch is the
+                                      # streaming count-distinct)
                                       # ($sum in exact DECIMAL, double
                                       # at the boundary — §7.3)
        "$watermark": d,               # optional: complete → append
@@ -418,6 +421,27 @@ scalar subquery —
                                       # 1 column; NULL raises typed
                                       # ($coalesce a default inside);
                                       # nested $scalar resolves first.
+
+Round-15 M25: the CORRELATED scalar subquery (a comparison operand in
+an entity's ``$filter`` only) —
+
+    {col: {cmp: {"$scalar": {          # cmp ∈ $eq/$ne/$lt/$lte/$gt/$gte
+        <entity>: {"$groupby": [...],  # MUST equal the $on keys (the
+                   "$agg": {...}},     # scalar-per-group contract)
+        "$on": {inner_col: outer_col}  # equi-correlation map
+    }}}}                               # lowered to the decorrelated
+                                       # aggregate + ONE equi-join;
+                                       # missing group ≡ NULL scalar ≡
+                                       # row dropped (SQL semantics)
+
+Round-15 M24: approximate-sketch aggregates in ``$agg`` —
+
+    {alias: {"$approx_count_distinct": col | [col, rsd]}}
+    {alias: {"$approx_percentile": [col, p] | [col, p, accuracy]}}
+
+and boolean comparison EXPRESSIONS in ``$select``/``$derive``
+($eq/$ne/$lt/$lte/$gt/$gte over two sub-expressions, SQL three-valued:
+NULL operand → NULL result) — the sketch-contract spelling.
 
 ``$``-keys are arguments (the reference passes resolver args the same way);
 everything else is either a requested field (``True``) or a relationship
@@ -450,6 +474,16 @@ AGG_OPS = {"$count", "$sum", "$avg", "$min", "$max", "$count_distinct",
            # disciplines (round(4) on small-magnitude columns).
            "$stddev", "$stddev_pop", "$var", "$var_pop",
            "$median", "$percentile",
+           # round 15 (M24): the approximate-sketch surface. At 100 TB
+           # the sketch, not the exact aggregate, is what a user
+           # reaches for first — $approx_count_distinct lowers to the
+           # native HLL++ (merge-able register state, map-side
+           # combined; optional rsd knob), $approx_percentile to the
+           # native quantile sketch (optional accuracy knob; rank
+           # error ≤ n/accuracy, so accuracy ≥ n is the exact
+           # discrete-quantile regime — probed ≡ DuckDB quantile_disc
+           # including ties/NULL/all-NULL edges).
+           "$approx_count_distinct", "$approx_percentile",
            # round 13 (M15): paired-column statistics — Pearson
            # correlation and sample/population covariance. Pair
            # exclusion (a row with EITHER side NULL is skipped) is
@@ -539,6 +573,19 @@ SELECT_OPS = {
     # byte sequence); empty trailing fields are KEPT (Spark limit=-1 ≡
     # DuckDB string_split); NULL input → NULL array.
     "$split": 2,
+    # round 15 (M24): boolean-valued comparison expressions — computed
+    # boolean columns over two sub-expressions (column-vs-column, which
+    # $if's predicate syntax cannot spell). SQL three-valued semantics
+    # on BOTH engines: NULL operand → NULL result. The motivating use
+    # is the sketch-contract emission (|approx − exact| ≤ tol·exact as
+    # a hash-exact boolean), but they compose anywhere $select/$derive
+    # expressions do.
+    "$eq": 2,
+    "$ne": 2,
+    "$lt": 2,
+    "$lte": 2,
+    "$gt": 2,
+    "$gte": 2,
 }
 
 VECTOR_OPS = {"$dot", "$cosine", "$euclidean"}
@@ -646,12 +693,31 @@ class Predicate:
 
 
 @dataclass
+class CorrelatedScalar:
+    """Round 15 (M25): a correlated scalar subquery as a comparison
+    operand in ``$filter`` — ``{"$scalar": {<inner spec>, "$on":
+    {inner_col: outer_col}}}``. The TPC-H Q17 shape: each outer row
+    compares against the aggregate of ITS correlation group. The
+    engine lowers it to the classic decorrelation — the inner grouped
+    aggregate (its $groupby must equal the $on keys, enforced at
+    parse, so the key is unique = the scalar-per-group contract) plus
+    ONE equi-join — never a per-row subquery. Missing-group semantics
+    match SQL: a NULL scalar fails every comparison, which is exactly
+    the inner equi-join dropping the row."""
+
+    inner: dict  # raw single-entity query spec (compiled by the engine)
+    on: dict  # inner column -> outer column equi-correlation map
+
+
+@dataclass
 class AggSpec:
     alias: str
     op: str  # one of AGG_OPS
     column: str | None  # None for $count
     order_col: str | None = None  # $min_by/$max_by ordering column
-    param: float | None = None  # $percentile fraction
+    # $percentile fraction; $approx_count_distinct rsd;
+    # $approx_percentile (fraction, accuracy) tuple
+    param: "float | tuple | None" = None
 
 
 @dataclass
@@ -891,6 +957,89 @@ def _validate_filter_value(col: str, op: str, val: object) -> None:
             )
 
 
+_CORR_SCALAR_OPS = {"$eq", "$ne", "$lt", "$lte", "$gt", "$gte"}
+
+
+def _parse_correlated_scalar(col: str, op: str, val: dict) -> CorrelatedScalar:
+    """Round 15 (M25): shape-check ``{"$scalar": {<spec>, "$on": ...}}``
+    as a filter comparison operand. Uncorrelated $scalar (no $on) is
+    resolved to a literal BEFORE parsing by the engine, so a bare
+    $scalar reaching here means the caller bypassed Engine.query —
+    both forms get typed errors."""
+    if set(val) != {"$scalar"} or not isinstance(val["$scalar"], dict):
+        raise SpecError(
+            f"{col!r}: filter value must be a scalar literal or a"
+            f" {{'$scalar': ...}} subquery — got {val!r}"
+        )
+    inner = dict(val["$scalar"])
+    if "$on" not in inner:
+        raise SpecError(
+            f"{col!r}: $scalar without $on is the uncorrelated form,"
+            f" resolved before parsing — run the spec through"
+            f" Engine.query, or add $on {{inner_col: outer_col}} for"
+            f" the correlated form"
+        )
+    if op not in _CORR_SCALAR_OPS:
+        raise SpecError(
+            f"{col!r}: correlated $scalar is a comparison operand —"
+            f" {op} is not a comparison (use one of"
+            f" {sorted(_CORR_SCALAR_OPS)})"
+        )
+    on = inner.pop("$on")
+    if (not isinstance(on, dict) or not on or not all(
+            isinstance(k, str) and k and isinstance(v, str) and v
+            for k, v in on.items())):
+        raise SpecError(
+            f"{col!r}: $scalar.$on must be a non-empty dict of"
+            f" inner-column -> outer-column names"
+        )
+    if len(inner) != 1:
+        raise SpecError(
+            f"{col!r}: correlated $scalar takes exactly one inner query"
+            f" spec entry plus $on — got keys {sorted(inner)}"
+        )
+    ((ent, ebody),) = inner.items()
+    if not isinstance(ent, str) or ent.startswith("$"):
+        raise SpecError(
+            f"{col!r}: correlated $scalar inner query must be a plain"
+            f" entity query — got {ent!r}"
+        )
+    if not isinstance(ebody, dict):
+        raise SpecError(
+            f"{col!r}: correlated $scalar inner entity body must be a"
+            f" dict"
+        )
+    gb = ebody.get("$groupby")
+    if not isinstance(gb, list) or sorted(gb) != sorted(on):
+        raise SpecError(
+            f"{col!r}: correlated $scalar inner $groupby ({gb!r}) must"
+            f" equal the $on correlation keys ({sorted(on)}) — the"
+            f" per-group aggregate IS the scalar-per-outer-row contract"
+        )
+    return CorrelatedScalar(inner={ent: ebody}, on=dict(on))
+
+
+def _has_correlated(preds: "list[Predicate]") -> bool:
+    for p in preds:
+        if p.op == "$or":
+            if any(_has_correlated(b) for b in p.value):
+                return True
+        elif isinstance(p.value, CorrelatedScalar):
+            return True
+    return False
+
+
+def _reject_correlated(preds: "list[Predicate]", ctx: str) -> None:
+    """Correlated $scalar is an entity-$filter feature (it compiles to
+    a scan-time decorrelation join); every other predicate context
+    gets the typed refusal instead of a compile-time crash."""
+    if _has_correlated(preds):
+        raise SpecError(
+            f"{ctx}: correlated $scalar is only supported in an"
+            f" entity's $filter"
+        )
+
+
 def _parse_filters(obj: object) -> list[Predicate]:
     if not isinstance(obj, dict):
         raise SpecError(f"$filter must be a dict, got {type(obj).__name__}")
@@ -905,14 +1054,25 @@ def _parse_filters(obj: object) -> list[Predicate]:
                 raise SpecError(
                     "$or takes a list of >= 2 non-empty $filter dicts"
                 )
-            preds.append(
-                Predicate("$or", "$or", [_parse_filters(b) for b in cond])
-            )
+            branches = [_parse_filters(b) for b in cond]
+            for b in branches:
+                # a correlated scalar inside a disjunction would need a
+                # left-join + three-valued OR rewrite — out of scope,
+                # refused typed (M25)
+                _reject_correlated(b, "$or")
+            preds.append(Predicate("$or", "$or", branches))
             continue
         if isinstance(cond, dict):
             for op, val in cond.items():
                 if op not in FILTER_OPS:
                     raise SpecError(f"unknown filter op {op!r} on {col!r}")
+                if isinstance(val, dict):
+                    # M25: the only dict-shaped filter value is the
+                    # correlated scalar subquery; anything else is the
+                    # typed shape error (previously a downstream crash)
+                    preds.append(Predicate(
+                        col, op, _parse_correlated_scalar(col, op, val)))
+                    continue
                 _validate_filter_value(col, op, val)
                 preds.append(Predicate(col, op, val))
         else:
@@ -945,6 +1105,58 @@ def _parse_aggs(obj: object) -> list[AggSpec]:
                     f" column name, got {col!r}"
                 )
             aggs.append(AggSpec(alias, op, col))
+            continue
+        if op == "$approx_count_distinct":
+            # {alias: {"$approx_count_distinct": col}} or [col, rsd] —
+            # rsd the target relative standard deviation of the HLL++
+            # estimate (engine default 0.05 when omitted)
+            if isinstance(col, str) and not isinstance(col, bool) and col:
+                aggs.append(AggSpec(alias, op, col))
+                continue
+            if (
+                isinstance(col, list)
+                and len(col) == 2
+                and isinstance(col[0], str)
+                and not isinstance(col[0], bool)
+                and not isinstance(col[1], bool)
+                and isinstance(col[1], (int, float))
+                and 0 < col[1] < 1
+            ):
+                aggs.append(AggSpec(alias, op, col[0],
+                                    param=float(col[1])))
+                continue
+            raise SpecError(
+                f"$agg entry {alias!r}: $approx_count_distinct takes a"
+                f" column name or [column, rsd in (0, 1)] — got {col!r}"
+            )
+        if op == "$approx_percentile":
+            # {alias: {"$approx_percentile": [col, p]}} or
+            # [col, p, accuracy] — p a literal fraction in [0, 1];
+            # accuracy a positive int (rank error ≤ n/accuracy; engine
+            # default 10000)
+            ok = (
+                isinstance(col, list)
+                and len(col) in (2, 3)
+                and isinstance(col[0], str)
+                and not isinstance(col[0], bool)
+                and not isinstance(col[1], bool)
+                and isinstance(col[1], (int, float))
+                and 0 <= col[1] <= 1
+            )
+            acc = 10000
+            if ok and len(col) == 3:
+                ok = (not isinstance(col[2], bool)
+                      and isinstance(col[2], int) and col[2] > 0)
+                if ok:
+                    acc = col[2]
+            if not ok:
+                raise SpecError(
+                    f"$agg entry {alias!r}: $approx_percentile takes"
+                    f" [column, fraction in [0, 1], optional positive"
+                    f" int accuracy] — got {col!r}"
+                )
+            aggs.append(AggSpec(alias, op, col[0],
+                                param=(float(col[1]), acc)))
             continue
         if op == "$percentile":
             # {alias: {"$percentile": [col, p]}} — p a literal fraction
@@ -1101,6 +1313,7 @@ def _parse_expr(obj: object) -> Expr:
                 "$if condition must be a non-empty $filter-style dict"
             )
         preds = _parse_filters(cond)
+        _reject_correlated(preds, "$if")
         return Expr("$if", [preds, _parse_expr(args[1]), _parse_expr(args[2])])
     if op == "$substring":
         pos, ln = args[1], args[2]
@@ -1668,6 +1881,7 @@ def _parse_traverse(obj: object) -> TraverseSpec:
         raise SpecError("$traverse requires $seeds (a $filter-style"
                         " predicate selecting the seed rows)")
     seeds = _parse_filters(obj["$seeds"])
+    _reject_correlated(seeds, "$traverse.$seeds")
     if not seeds:
         raise SpecError("$traverse.$seeds must not be empty — an"
                         " unseeded traversal reaches nothing")
@@ -1764,12 +1978,14 @@ def parse_spec(spec: dict) -> QuerySpec:
         if "$agg" not in top:
             raise SpecError("$having requires $agg")
         qs.having = _parse_filters(top["$having"])
+        _reject_correlated(qs.having, "$having")
     if "$window" in top:
         qs.windows = _parse_window(top["$window"])
     if "$qualify" in top:
         if "$window" not in top:
             raise SpecError("$qualify requires $window")
         qs.qualify = _parse_filters(top["$qualify"])
+        _reject_correlated(qs.qualify, "$qualify")
     if "$orderby" in top:
         qs.orderby = _parse_orderlist(top["$orderby"], "$orderby")
     if "$limit" in top:
@@ -1791,6 +2007,7 @@ def parse_spec(spec: dict) -> QuerySpec:
         qs.sample = _parse_sample(top["$sample"])
     if "$where" in top:
         qs.where = _parse_filters(top["$where"])
+        _reject_correlated(qs.where, "$where")
     if "$explode" in top:
         # exclusive with the other projection-defining reshapes — two
         # reshape stages in one node have no defined order; chain two
@@ -1928,8 +2145,12 @@ _DURATION_RE = re.compile(r"^[1-9]\d* (?:second|minute|hour|day)s?$")
 
 # streaming-safe aggregate subset: merge-able accumulators the state
 # store supports in every output mode (no collect/percentile/median —
-# those are batch-only shapes)
-_STREAM_AGG_OPS = {"$count", "$sum", "$avg", "$min", "$max"}
+# those are batch-only shapes). $approx_count_distinct joins in round
+# 15 (M26): HLL++ registers are exactly the merge-able-state contract —
+# exact count_distinct stays refused (distinct aggregates are
+# unsupported in streaming; the sketch IS the streaming spelling).
+_STREAM_AGG_OPS = {"$count", "$sum", "$avg", "$min", "$max",
+                   "$approx_count_distinct"}
 
 
 def _stream_duration(v: object, ctx: str) -> str:

@@ -2686,3 +2686,246 @@ def compiler_scalar_threshold(spark, sf_dir):
             }
         }
     )
+
+
+@query(
+    "compiler_approx_count_distinct",
+    # Round-15 M24 registration: the approximate-sketch surface in the
+    # DSL. The estimate itself cannot be cross-engine hash-exact (Spark
+    # HLL++ vs DuckDB HLL produce different numbers), so the key's
+    # emission is the CONTRACT, not the estimate: per event_type the
+    # exact distinct-user count plus a boolean pinning |approx − exact|
+    # ≤ 5%·exact — each engine checks its OWN sketch against its OWN
+    # exact count (Spark rsd 0.01 → expected error well inside the 5%
+    # band; DuckDB's default HLL likewise, probed ≤1.7% on every
+    # fixture group at all three SFs). The boolean spelling needs the
+    # M24 comparison expressions ($lte over column-vs-column, which
+    # $if's predicate syntax cannot spell). Tolerance uses abs-gap ≤
+    # 0.05·exact rather than a ratio so the 0-distinct group (all-NULL
+    # users in a group: 0 ≤ 0) never divides by zero. The estimate's
+    # tightness + run-to-run determinism are pinned locally in
+    # tests/test_sketches.py.
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_exact,
+           abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+             <= 0.05 * count(DISTINCT user_id) AS sketch_ok
+    FROM events
+    GROUP BY 1
+    """,
+)
+def compiler_approx_count_distinct(spark, sf_dir):
+    """Scale shape: HLL++ register state is CONSTANT per group (2^p
+    registers) regardless of input size, combines map-side, and merges
+    across shards by register max — at 100 TB the exchange carries
+    sketches, never rows, which is why the sketch is what a user
+    reaches for first. One partial+final hash-agg pair; the exact
+    count_distinct rides the same aggregate (expand) for the contract
+    column."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "events": {
+                "$groupby": ["event_type"],
+                "$agg": {
+                    "n_exact": {"$count_distinct": "user_id"},
+                    "sketch_ok": {
+                        "$approx_count_distinct": ["user_id", 0.01]
+                    },
+                },
+                "$derive": {
+                    "sketch_ok": {"$lte": [
+                        {"$abs": {"$sub": ["sketch_ok", "n_exact"]}},
+                        {"$mul": [0.05, "n_exact"]},
+                    ]}
+                },
+            }
+        }
+    )
+
+
+@query(
+    "compiler_approx_percentile",
+    # Round-15 M24 registration (quantile sketch): $approx_percentile
+    # at accuracy 10^7 ≥ n at every SF — the sketch's EXACT regime
+    # (rank error ≤ n/accuracy < 1), where Spark's percentile_approx
+    # is probed bit-identical to DuckDB's quantile_disc including
+    # even/odd counts, ties, single-row, NULL-skipping and all-NULL →
+    # NULL. The production knob is the same code path: at 100 TB a
+    # user dials accuracy down and the state stays O(accuracy) per
+    # group while this key's oracle discipline pins the semantics.
+    # o_totalprice is DECIMAL(12,2): the discrete quantile is an
+    # element of the column, so the double emission is exact (§7.3).
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(quantile_disc(o_totalprice, 0.5) AS DOUBLE) AS p50_price,
+           CAST(quantile_disc(o_totalprice, 0.9) AS DOUBLE) AS p90_price,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def compiler_approx_percentile(spark, sf_dir):
+    """Scale shape: the quantile sketch holds O(accuracy) values per
+    group, merges across partitions, and never sorts the input — one
+    partial+final aggregate pair vs the full-sort exact quantile. Two
+    fractions ride ONE sketch build per group."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "orders": {
+                "$groupby": ["o_orderpriority"],
+                "$agg": {
+                    "p50_price": {
+                        "$approx_percentile":
+                            ["o_totalprice", 0.5, 10000000]
+                    },
+                    "p90_price": {
+                        "$approx_percentile":
+                            ["o_totalprice", 0.9, 10000000]
+                    },
+                    "n_orders": {"$count": True},
+                },
+                "$derive": {
+                    "p50_price": {"$cast": ["p50_price",
+                                            {"$lit": "double"}]},
+                    "p90_price": {"$cast": ["p90_price",
+                                            {"$lit": "double"}]},
+                },
+            }
+        }
+    )
+
+
+@query(
+    "compiler_scalar_correlated",
+    # Round-15 M25 registration: the CORRELATED $scalar form (VERDICT
+    # r14 item 5 resolved by implementation) — the TPC-H Q17 shape:
+    # lineitems below HALF THEIR OWN PART's mean quantity, rolled up
+    # per return flag. Determinism at the comparison boundary (§7.3):
+    # l_quantity is integer-valued double, so sum is EXACT in double in
+    # any order, avg = one IEEE division (identical both engines), and
+    # ×0.5 is a power-of-two scale (exact) — the per-group threshold is
+    # bit-identical cross-engine, so the qualifying row SET is stable
+    # (the scalar_threshold precedent, extended to per-group floats).
+    # Money under the exact-DECIMAL discipline.
+    oracle="""
+    SELECT l.l_returnflag,
+           count(*) AS n_items,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS sum_price
+    FROM lineitem l
+    WHERE l.l_quantity < (SELECT 0.5 * avg(li.l_quantity)
+                          FROM lineitem li
+                          WHERE li.l_partkey = l.l_partkey)
+    GROUP BY 1
+    """,
+)
+def compiler_scalar_correlated(spark, sf_dir):
+    """Scale shape: the classic decorrelation — the inner per-part mean
+    is ONE partial+final hash-agg pair, the comparison rides ONE
+    equi-join on l_partkey (AQE-broadcastable; group keys unique post-
+    aggregate so the join can never fan out), then the rollup re-uses
+    the partial-agg machinery. The plan never contains a per-row
+    subquery, a nested loop, or Python (plan pinned)."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query(
+        {
+            "lineitem": {
+                "$filter": {"l_quantity": {"$lt": {"$scalar": {
+                    "lineitem": {
+                        "$groupby": ["l_partkey"],
+                        "$agg": {"t": {"$avg": "l_quantity"}},
+                        "$derive": {"t": {"$mul": [0.5, "t"]}},
+                    },
+                    "$on": {"l_partkey": "l_partkey"},
+                }}}},
+                "$select": {
+                    "l_returnflag": "l_returnflag",
+                    "ep": {"$cast": ["l_extendedprice",
+                                     {"$lit": "decimal(12,2)"}]},
+                },
+                "$groupby": ["l_returnflag"],
+                "$agg": {
+                    "n_items": {"$count": True},
+                    "sum_price": {"$sum": "ep"},
+                },
+                "$derive": {
+                    "sum_price": {"$cast": ["sum_price",
+                                            {"$lit": "double"}]}
+                },
+            }
+        }
+    )
+
+
+@query(
+    "compiler_stream_approx_distinct",
+    # Round-15 M26 registration: the streaming count-distinct. Exact
+    # distinct aggregates are unsupported in Structured Streaming —
+    # the HLL++ sketch IS the streaming spelling ($approx_count_distinct
+    # joins the $stream agg subset): registers merge across
+    # micro-batches in the state store, and because register max is
+    # commutative the estimate is batch-boundary-invariant (replay-
+    # deterministic). Emission is the M24 contract shape: the
+    # streamed estimate is verified per (hour-window × event_type)
+    # against the BATCH exact count (null-safe on the type key so NULL
+    # groups survive the verification join). Unlike the global-group
+    # M24 key, per-window groups are TINY (exact 16-40 at sf0.1) where
+    # HLL quantization is O(1) ABSOLUTE (measured: Spark ≤1, DuckDB ≤2
+    # on every fixture group) — a pure 5%-relative band is the wrong
+    # statistic there, so the contract is |approx − exact| ≤
+    # greatest(5%·exact, 5): relative governs large groups, the
+    # absolute floor covers the quantization regime. Hash-exact
+    # driver signal despite the approximate op.
+    oracle="""
+    SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us,
+           event_type,
+           count(DISTINCT user_id) AS n_exact,
+           abs(approx_count_distinct(user_id)
+               - count(DISTINCT user_id))
+             <= greatest(0.05 * count(DISTINCT user_id), 5) AS sketch_ok
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def compiler_stream_approx_distinct(spark, sf_dir):
+    """Scale shape: per-(window × type) state is a CONSTANT HLL
+    register set — the streaming distinct-user rollup at 100 TB/day
+    carries sketches through the state store, never user sets; the
+    batch verification join is fixture-side evidence, not part of the
+    production stream (which emits the estimate directly)."""
+    from pyspark.sql import functions as F
+
+    from naqed_spark.compiler.engine import Engine
+    from naqed_spark.queries._util import load
+
+    eng = Engine(spark, sf_dir)
+    s = eng.query({"$stream": {
+        "$source": "events",
+        "$window": {"$size": "1 hour"},
+        "$groupby": ["event_type"],
+        "$agg": {"n_approx": {"$approx_count_distinct":
+                              ["user_id", 0.01]}},
+    }})
+    ev = load(spark, sf_dir, "events")
+    exact = ev.groupBy(
+        F.unix_micros(F.date_trunc("hour", "ts")).alias("w"),
+        F.col("event_type").alias("et"),
+    ).agg(F.countDistinct("user_id").alias("n_exact"))
+    return (
+        s.join(exact, (s.win_start_us == exact.w)
+               & s.event_type.eqNullSafe(exact.et), "inner")
+        .select(
+            "win_start_us", "event_type", "n_exact",
+            (F.abs(F.col("n_approx") - F.col("n_exact"))
+             <= F.greatest(0.05 * F.col("n_exact"), F.lit(5.0)))
+            .alias("sketch_ok"),
+        )
+    )

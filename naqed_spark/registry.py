@@ -203,6 +203,22 @@ DEFERRED: set[str] = {
     # item 1): same tri-SF pre-verified discipline; queues behind the
     # r6-signal rotation front and the DEFERRED r14 octet.
     "compiler_stream_sliding",
+    # round-15 M24 registrations (the approximate-sketch DSL surface —
+    # VERDICT r14 item 4): $approx_count_distinct via the hash-exact
+    # contract-boolean emission, $approx_percentile in the sketch's
+    # exact regime (≡ quantile_disc, probed). Same tri-SF pre-verified
+    # discipline.
+    "compiler_approx_count_distinct",
+    "compiler_approx_percentile",
+    # round-15 M25 registration (correlated $scalar — VERDICT r14
+    # item 5 resolved by implementation): the Q17 shape lowered to the
+    # decorrelated aggregate + equi-join. Same discipline.
+    "compiler_scalar_correlated",
+    # round-15 M26 registration (streaming count-distinct: the HLL++
+    # sketch in the $stream agg subset, verified per window against
+    # the batch exact via the M24 contract-boolean shape). Same
+    # discipline.
+    "compiler_stream_approx_distinct",
 }
 
 

@@ -244,6 +244,24 @@ HEADLINE += [
     "compiler_scalar_threshold",
 ]
 
+# Round-15 M24 registrations: the approximate-sketch DSL surface. The
+# scale claim IS the sketch contract — per-group state is constant
+# (HLL registers) / O(accuracy) (quantile sketch) regardless of input
+# size, so Kx growth should be the scan + partial-agg term only. Note
+# compiler_approx_count_distinct also carries an exact count_distinct
+# for its contract column (an Expand, 2x the scan rows map-side).
+HEADLINE += [
+    "compiler_approx_count_distinct",
+    "compiler_approx_percentile",
+]
+
+# Round-15 M25 registration: the correlated-$scalar decorrelation
+# (per-part mean hash-agg + one equi-join + rollup — growth should be
+# the two lineitem scan terms plus the l_partkey exchange).
+HEADLINE += [
+    "compiler_scalar_correlated",
+]
+
 
 def build(spark, src_dir: str, out_dir: str, k: int) -> None:
     from functools import reduce

@@ -4717,3 +4717,359 @@ def test_scalar_subquery_null_raises_typed(eng):
                 }
             }
         )
+
+
+# --- round 15 (M24): approximate-sketch aggs + comparison exprs --------
+
+
+def test_approx_aggs_match_sql_twins(eng):
+    """$approx_count_distinct/$approx_percentile must be bit-identical
+    to the Spark SQL spellings of the same sketches (same rsd /
+    accuracy knobs — determinism, not tolerance: HLL++ and the
+    quantile sketch have no RNG)."""
+    dsl = eng.query(
+        {
+            "orders": {
+                "$groupby": ["o_orderpriority"],
+                "$agg": {
+                    "ad": {"$approx_count_distinct": ["o_custkey", 0.01]},
+                    "ad_default": {"$approx_count_distinct": "o_custkey"},
+                    "p50": {"$approx_percentile":
+                            ["o_totalprice", 0.5, 1000]},
+                    "p50_default": {"$approx_percentile":
+                                    ["o_totalprice", 0.5]},
+                },
+            }
+        }
+    )
+    sql = eng.sql(
+        """
+        SELECT o_orderpriority,
+               approx_count_distinct(o_custkey, 0.01) AS ad,
+               approx_count_distinct(o_custkey) AS ad_default,
+               percentile_approx(o_totalprice, 0.5, 1000) AS p50,
+               percentile_approx(o_totalprice, 0.5, 10000) AS p50_default
+        FROM orders GROUP BY o_orderpriority
+        """
+    )
+    assert dsl.columns == sql.columns
+    assert _rows(dsl) == _rows(sql)
+
+
+@pytest.mark.parametrize(
+    "agg",
+    [
+        {"s": {"$approx_count_distinct": True}},
+        {"s": {"$approx_count_distinct": ["o_custkey", 0.0]}},  # rsd=0
+        {"s": {"$approx_count_distinct": ["o_custkey", 1.0]}},  # rsd=1
+        {"s": {"$approx_count_distinct": ["o_custkey", "0.05"]}},
+        {"s": {"$approx_count_distinct": [True, 0.05]}},
+        {"s": {"$approx_percentile": "o_totalprice"}},  # needs [col, p]
+        {"s": {"$approx_percentile": ["o_totalprice", 1.5]}},
+        {"s": {"$approx_percentile": ["o_totalprice", 0.5, 0]}},
+        {"s": {"$approx_percentile": ["o_totalprice", 0.5, 2.5]}},
+        {"s": {"$approx_percentile": ["o_totalprice", 0.5, True]}},
+        {"s": {"$approx_percentile": ["o_totalprice", True]}},
+    ],
+)
+def test_approx_agg_bad_shapes_fail_typed(eng, agg):
+    with pytest.raises(SpecError):
+        eng.query({"orders": {"$groupby": ["o_orderstatus"], "$agg": agg}})
+
+
+def test_comparison_exprs_three_valued_semantics(eng):
+    """M24 comparison expressions: column-vs-column booleans with SQL
+    three-valued logic — NULL operand → NULL result (both engines),
+    checked against the Spark SQL spelling."""
+    dsl = eng.query(
+        {
+            "events": {
+                "$select": {
+                    "event_id": "event_id",
+                    "big": {"$gt": ["value", 50]},
+                    # nullif(x, x) manufactures a NULL operand on every
+                    # row (the fixture's value column is dense), so the
+                    # three-valued contract is exercised unconditionally
+                    "same": {"$eq": [{"$nullif": ["value", "value"]},
+                                     "value"]},
+                    "lohi": {"$lte": [{"$abs": {"$sub": ["value", 50]}},
+                                      {"$mul": [0.5, "value"]}]},
+                },
+            }
+        }
+    )
+    sql = eng.sql(
+        """
+        SELECT event_id, value > 50 AS big,
+               nullif(value, value) = value AS same,
+               abs(value - 50) <= 0.5 * value AS lohi
+        FROM events
+        """
+    )
+    assert dsl.columns == sql.columns
+    assert _rows(dsl) == _rows(sql)
+    # a NULL operand must surface as a NULL boolean, never false
+    rows = dsl.collect()
+    assert rows and all(r["same"] is None for r in rows)
+
+
+def test_comparison_expr_bad_arity_fails_typed(eng):
+    with pytest.raises(SpecError):
+        eng.query({"events": {"$select": {
+            "x": {"$lt": ["value"]}}}})
+    with pytest.raises(SpecError):
+        eng.query({"events": {"$select": {
+            "x": {"$eq": ["value", "value", "value"]}}}})
+
+
+# --- round 15 (M25): correlated $scalar -------------------------------
+
+
+def test_correlated_scalar_matches_raw_twin(eng):
+    """Q17 shape through the DSL: lineitems below half their part's
+    mean quantity. Must equal the hand-built decorrelated Spark twin
+    row-for-row, for every comparison op."""
+    import operator as _op
+
+    from pyspark.sql import functions as F
+
+    li = eng.entity("lineitem")
+    t = (li.groupBy("l_partkey")
+         .agg((F.avg("l_quantity") * 0.5).alias("t"))
+         .withColumnRenamed("l_partkey", "pk"))
+    j = li.join(t, li.l_partkey == t.pk)
+    for op, fn in (("$lt", _op.lt), ("$gte", _op.ge), ("$eq", _op.eq)):
+        got = eng.query({
+            "lineitem": {
+                "$filter": {"l_quantity": {op: {"$scalar": {
+                    "lineitem": {
+                        "$groupby": ["l_partkey"],
+                        "$agg": {"t": {"$avg": "l_quantity"}},
+                        "$derive": {"t": {"$mul": [0.5, "t"]}},
+                    },
+                    "$on": {"l_partkey": "l_partkey"},
+                }}}},
+                "$agg": {"n": {"$count": True}},
+            }
+        }).collect()[0]["n"]
+        want = j.where(fn(F.col("l_quantity"), F.col("t"))).count()
+        assert got == want, (op, got, want)
+
+
+def test_correlated_scalar_missing_group_drops_row(eng):
+    """SQL semantics: an outer row whose correlation group is absent
+    from the inner (here: inner pre-filtered to a disjoint key range)
+    compares against a NULL scalar and is dropped — the decorrelated
+    inner join must reproduce that, not null-pad."""
+    rows = eng.query({
+        "orders": {
+            "$filter": {"o_totalprice": {"$gt": {"$scalar": {
+                "orders": {
+                    "$filter": {"o_custkey": {"$lt": 0}},  # empty inner
+                    "$groupby": ["o_custkey"],
+                    "$agg": {"t": {"$avg": "o_totalprice"}},
+                },
+                "$on": {"o_custkey": "o_custkey"},
+            }}}},
+            "$agg": {"n": {"$count": True}},
+        }
+    }).collect()
+    assert rows[0]["n"] == 0
+
+
+def test_correlated_scalar_composes_with_plain_filters(eng):
+    """Plain predicates still push to the scan when a correlated
+    scalar rides the same $filter; the correlated join applies to the
+    pre-pruned frame."""
+    from pyspark.sql import functions as F
+
+    got = eng.query({
+        "lineitem": {
+            "$filter": {
+                "l_returnflag": "A",
+                "l_quantity": {"$lt": {"$scalar": {
+                    "lineitem": {
+                        "$groupby": ["l_partkey"],
+                        "$agg": {"t": {"$avg": "l_quantity"}},
+                    },
+                    "$on": {"l_partkey": "l_partkey"},
+                }}},
+            },
+            "$agg": {"n": {"$count": True}},
+        }
+    }).collect()[0]["n"]
+    li = eng.entity("lineitem")
+    t = (li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("t"))
+         .withColumnRenamed("l_partkey", "pk"))
+    want = (li.where(F.col("l_returnflag") == "A")
+            .join(t, li.l_partkey == t.pk)
+            .where(F.col("l_quantity") < F.col("t")).count())
+    assert got == want
+
+
+@pytest.mark.parametrize(
+    "flt",
+    [
+        # non-comparison op
+        {"l_quantity": {"$in": {"$scalar": {
+            "lineitem": {"$groupby": ["l_partkey"],
+                         "$agg": {"t": {"$avg": "l_quantity"}}},
+            "$on": {"l_partkey": "l_partkey"}}}}},
+        # $on not a dict
+        {"l_quantity": {"$lt": {"$scalar": {
+            "lineitem": {"$groupby": ["l_partkey"],
+                         "$agg": {"t": {"$avg": "l_quantity"}}},
+            "$on": ["l_partkey"]}}}},
+        # inner $groupby != $on keys
+        {"l_quantity": {"$lt": {"$scalar": {
+            "lineitem": {"$groupby": ["l_suppkey"],
+                         "$agg": {"t": {"$avg": "l_quantity"}}},
+            "$on": {"l_partkey": "l_partkey"}}}}},
+        # inner missing $groupby entirely
+        {"l_quantity": {"$lt": {"$scalar": {
+            "lineitem": {"$agg": {"t": {"$avg": "l_quantity"}}},
+            "$on": {"l_partkey": "l_partkey"}}}}},
+        # a non-$scalar dict value is the typed shape error
+        {"l_quantity": {"$lt": {"$bogus": 1}}},
+        # inner is a $stream / dollar-key
+        {"l_quantity": {"$lt": {"$scalar": {
+            "$stream": {"$source": "events"},
+            "$on": {"x": "l_partkey"}}}}},
+    ],
+)
+def test_correlated_scalar_bad_shapes_fail_typed(eng, flt):
+    with pytest.raises(SpecError):
+        eng.query({"lineitem": {"$filter": flt,
+                                "$agg": {"n": {"$count": True}}}})
+
+
+def test_bare_scalar_without_engine_resolution_fails_typed():
+    """parse_query called directly (bypassing Engine.query's $scalar
+    resolution) on an UNCORRELATED $scalar filter value must raise the
+    typed pointer to the engine path, never an untyped crash."""
+    from naqed_spark.compiler.spec import parse_query
+
+    with pytest.raises(SpecError):
+        parse_query({"lineitem": {
+            "$filter": {"l_quantity": {"$lt": {"$scalar": {
+                "lineitem": {"$agg": {"t": {"$avg": "l_quantity"}}}}}}},
+            "$agg": {"n": {"$count": True}}}})
+
+
+def test_correlated_scalar_rejected_outside_filter(eng):
+    """$where/$having/$qualify/$or/$if/$seeds refuse the correlated
+    form typed (it compiles to a scan-time decorrelation join, which
+    those contexts cannot host)."""
+    corr = {"$scalar": {
+        "lineitem": {"$groupby": ["l_partkey"],
+                     "$agg": {"t": {"$avg": "l_quantity"}}},
+        "$on": {"l_partkey": "l_partkey"},
+    }}
+    with pytest.raises(SpecError):
+        eng.query({"lineitem": {
+            "$groupby": ["l_returnflag"],
+            "$agg": {"q": {"$avg": "l_quantity"}},
+            "$having": {"q": {"$lt": corr}}}})
+    with pytest.raises(SpecError):
+        eng.query({"lineitem": {
+            "$select": {"q": "l_quantity"},
+            "$where": {"q": {"$lt": corr}}}})
+    with pytest.raises(SpecError):
+        eng.query({"lineitem": {
+            "$filter": {"$or": [{"l_quantity": {"$lt": corr}},
+                                {"l_quantity": {"$lt": 5}}]},
+            "$agg": {"n": {"$count": True}}}})
+
+
+def test_correlated_scalar_plan_is_one_agg_one_join(eng):
+    """The decorrelated plan: ONE partial+final hash-agg pair for the
+    inner, ONE equi-join (hash-based, AQE-broadcastable), pruned
+    scans, no nested loop, no Python."""
+    df = eng.query({
+        "lineitem": {
+            "$filter": {"l_quantity": {"$lt": {"$scalar": {
+                "lineitem": {"$groupby": ["l_partkey"],
+                             "$agg": {"t": {"$avg": "l_quantity"}}},
+                "$on": {"l_partkey": "l_partkey"},
+            }}}},
+            "$groupby": ["l_returnflag"],
+            "$agg": {"n": {"$count": True}},
+        }
+    })
+    plan = df._jdf.queryExecution().explainString(
+        eng.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_correlated_scalar_on_child_hop_filter(eng):
+    """A correlated $scalar inside a RELATIONSHIP CHILD's $filter
+    routes through the same scan-time decorrelation (the child node
+    compiles via _load_filtered): customers joined to only their
+    above-own-mean-value orders."""
+    from pyspark.sql import functions as F
+
+    got = eng.query({
+        "customer": {
+            "c_custkey": True,
+            "orders": {
+                "$filter": {"o_totalprice": {"$gt": {"$scalar": {
+                    "orders": {
+                        "$groupby": ["o_custkey"],
+                        "$agg": {"t": {"$avg": "o_totalprice"}},
+                    },
+                    "$on": {"o_custkey": "o_custkey"},
+                }}}},
+                "o_orderkey": True,
+            },
+        }
+    })
+    o = eng.entity("orders")
+    t = (o.groupBy("o_custkey").agg(F.avg("o_totalprice").alias("t"))
+         .withColumnRenamed("o_custkey", "ck"))
+    kept = o.join(t, o.o_custkey == t.ck).where(
+        F.col("o_totalprice") > F.col("t"))
+    c = eng.entity("customer")
+    want = c.join(kept, c.c_custkey == kept.o_custkey).count()
+    assert got.count() == want
+    assert set(got.columns) == {"c_custkey", "o_orderkey"}
+
+
+# --- round 15 (M26): streaming approx-distinct -------------------------
+
+
+def test_stream_approx_distinct_matches_batch_twin(eng):
+    """$approx_count_distinct through $stream must equal the BATCH
+    approx_count_distinct with the same rsd bit-for-bit: HLL register
+    max is commutative, so micro-batch merge order cannot move the
+    estimate (the replay-determinism contract)."""
+    from pyspark.sql import functions as F
+
+    got = eng.query({"$stream": {
+        "$source": "events",
+        "$window": {"$size": "1 hour"},
+        "$groupby": ["event_type"],
+        "$agg": {"nu": {"$approx_count_distinct": ["user_id", 0.01]}},
+    }})
+    ev = eng.entity("events")
+    want = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("nu"))
+        .select(F.unix_micros(F.col("window.start")).alias("win_start_us"),
+                "event_type", "nu")
+    )
+    assert _batch_rows(got) == _batch_rows(want)
+
+
+def test_stream_exact_count_distinct_still_refused(eng):
+    """$count_distinct stays OUT of the streaming subset (unsupported
+    by the state store) — the typed refusal must name the sketch
+    path's availability implicitly via the supported list."""
+    with pytest.raises(SpecError):
+        eng.query({"$stream": {
+            "$source": "events",
+            "$window": {"$size": "1 hour"},
+            "$agg": {"nu": {"$count_distinct": "user_id"}},
+        }})

@@ -7984,3 +7984,114 @@ def test_compiler_stream_sliding_matches_python(spark):
     got = run(spark, "compiler_stream_sliding")
     assert_keyed(got, want, ["win_start_us", "event_type"],
                  ["n_events", "sum_value"])
+
+
+# --- wave 57 (round 15): M24 approximate-sketch DSL surface -------------
+
+
+def test_compiler_approx_count_distinct_matches_python(spark):
+    """Python replay of the CONTRACT emission: n_exact = plain Python
+    set cardinality of non-null users per event_type; sketch_ok must
+    be True for every group — the claim under test is that a
+    calibrated HLL++ (rsd 0.01) sits within the 5% contract band on
+    real groups, which plain Python asserts WITHOUT trusting either
+    engine's sketch."""
+    ev = _tbl("events")
+    want: dict = {}
+    for et, uid in zip(ev.event_type, ev.user_id):
+        key = (_norm(et),)
+        s = want.setdefault(key, set())
+        u = _norm(uid)
+        if u is not None:
+            s.add(int(u))
+    want = {k: {"n_exact": len(s), "sketch_ok": True}
+            for k, s in want.items()}
+    got = run(spark, "compiler_approx_count_distinct")
+    assert_keyed(got, want, ["event_type"], ["n_exact", "sketch_ok"])
+
+
+def test_compiler_approx_percentile_matches_python(spark):
+    """Python replay of the exact-regime discrete quantile: per
+    priority, sort the prices and take sorted[max(0, ceil(p*n)-1)] —
+    the quantile_disc rank rule derived from first principles on tiny
+    lists (even/odd/ties/single), no SQL, no sketch."""
+    orders = _tbl("orders")
+    per: dict = {}
+    for pri, tp in zip(orders.o_orderpriority, orders.o_totalprice):
+        per.setdefault(_norm(pri), []).append(float(tp))
+    want: dict = {}
+    for pri, vals in per.items():
+        vals.sort()
+        n = len(vals)
+
+        def q(p):
+            return vals[max(0, math.ceil(p * n) - 1)]
+
+        want[(pri,)] = {"p50_price": q(0.5), "p90_price": q(0.9),
+                        "n_orders": n}
+    got = run(spark, "compiler_approx_percentile")
+    assert_keyed(got, want, ["o_orderpriority"],
+                 ["p50_price", "p90_price", "n_orders"])
+
+
+# --- wave 58 (round 15): M25 correlated $scalar --------------------------
+
+
+def test_compiler_scalar_correlated_matches_python(spark):
+    """Python replay of the Q17 shape: per-part mean quantity from a
+    plain dict scan (integer-exact sums), then per return flag count
+    the lineitems strictly below half their part's mean + integer-cents
+    price sums — no SQL, no join machinery."""
+    li = _tbl("lineitem")
+    sums: dict = {}
+    for pk, q in zip(li.l_partkey, li.l_quantity):
+        qn = _norm(q)
+        if _norm(pk) is None or qn is None:
+            continue
+        s = sums.setdefault(int(pk), [0.0, 0])
+        s[0] += qn
+        s[1] += 1
+    thr = {pk: 0.5 * (s / n) for pk, (s, n) in sums.items()}
+    want: dict = {}
+    for pk, q, rf, ep in zip(li.l_partkey, li.l_quantity,
+                             li.l_returnflag, li.l_extendedprice):
+        qn = _norm(q)
+        if (_norm(pk) is None or qn is None
+                or int(pk) not in thr or not qn < thr[int(pk)]):
+            continue
+        key = (_norm(rf),)
+        agg = want.setdefault(key, {"n_items": 0, "cents": 0})
+        agg["n_items"] += 1
+        agg["cents"] += int(math.floor(float(ep) * 100 + 0.5))
+    want = {
+        k: {"n_items": v["n_items"], "sum_price": v["cents"] / 100.0}
+        for k, v in want.items()
+    }
+    got = run(spark, "compiler_scalar_correlated")
+    assert_keyed(got, want, ["l_returnflag"], ["n_items", "sum_price"])
+
+
+# --- wave 59 (round 15): M26 streaming approx-distinct -------------------
+
+
+def test_compiler_stream_approx_distinct_matches_python(spark):
+    """Python replay of the contract emission: hour-floored windows ×
+    event_type from pandas arithmetic, n_exact = plain set cardinality
+    of non-null users, sketch_ok asserted True (a calibrated rsd-0.01
+    sketch within the 5% band on real groups) — no Spark window, no
+    state store, no sketch."""
+    ev = _tbl("events")
+    want: dict = {}
+    for ts, et, uid in zip(ev.ts, ev.event_type, ev.user_id):
+        us = (pd.Timestamp(ts).value // 1000
+              // 3_600_000_000) * 3_600_000_000
+        key = (us, _norm(et))
+        s = want.setdefault(key, set())
+        u = _norm(uid)
+        if u is not None:
+            s.add(int(u))
+    want = {k: {"n_exact": len(s), "sketch_ok": True}
+            for k, s in want.items()}
+    got = run(spark, "compiler_stream_approx_distinct")
+    assert_keyed(got, want, ["win_start_us", "event_type"],
+                 ["n_exact", "sketch_ok"])

@@ -165,3 +165,61 @@ def test_ks_distance_of_identical_samples_is_zero(spark):
         .collect()[0].ks
     )
     assert d == 0.0
+
+
+def test_approx_count_distinct_dsl_estimate_calibrated(spark):
+    """M24 (round 15): the driver key's hash-exact emission is the
+    ≤5% CONTRACT boolean; this pins the underlying Spark estimate
+    tighter (rsd 0.01 → require every group within 5σ = 5%) and
+    deterministic across two runs (HLL++ has no RNG: same input, same
+    registers, same estimate)."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, SF_DIR)
+    spec = {
+        "events": {
+            "$groupby": ["event_type"],
+            "$agg": {
+                "n_exact": {"$count_distinct": "user_id"},
+                "n_approx": {"$approx_count_distinct": ["user_id", 0.01]},
+            },
+        }
+    }
+    rows = eng.query(spec).collect()
+    assert rows
+    for r in rows:
+        if r.n_exact:
+            assert abs(r.n_approx - r.n_exact) <= 0.05 * r.n_exact, (
+                r.event_type, r.n_approx, r.n_exact)
+        else:
+            assert r.n_approx == 0
+    again = {r.event_type: r.n_approx for r in eng.query(spec).collect()}
+    assert again == {r.event_type: r.n_approx for r in rows}
+
+
+def test_approx_percentile_dsl_rank_error_bound(spark):
+    """M24: at accuracy A the sketch's rank error is ≤ n/A. Run the
+    DSL op at a LOW accuracy (A=10, coarse sketch) and assert every
+    group's estimate sits between the exact (p−1/A) and (p+1/A)
+    quantiles — the algorithm's published guarantee, checked on live
+    frames."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, SF_DIR)
+    got = eng.query({
+        "orders": {
+            "$groupby": ["o_orderpriority"],
+            "$agg": {"p50": {"$approx_percentile":
+                             ["o_totalprice", 0.5, 10]}},
+            "$derive": {"p50": {"$cast": ["p50", {"$lit": "double"}]}},
+        }
+    }).collect()
+    assert got
+    exact = load(spark, SF_DIR, "orders").groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.4)").alias("lo"),
+        F.expr("percentile(o_totalprice, 0.6)").alias("hi"),
+    ).collect()
+    bounds = {r.o_orderpriority: (float(r.lo), float(r.hi)) for r in exact}
+    for r in got:
+        lo, hi = bounds[r.o_orderpriority]
+        assert lo <= r.p50 <= hi, (r.o_orderpriority, r.p50, lo, hi)
