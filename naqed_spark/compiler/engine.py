@@ -338,6 +338,15 @@ class Engine:
                      if a.param is not None
                      else F.approx_count_distinct(_qcol(a.column)))
                     .alias(a.alias))
+            elif a.op == "$approx_percentile":
+                # M27 (round 15): the streaming quantile — the sketch's
+                # merge-able summaries are the state; in the exact
+                # regime (accuracy ≥ per-group n) the merged sketch
+                # stores every sample, so stream ≡ batch bit-for-bit
+                p, acc = a.param
+                exprs.append(
+                    F.percentile_approx(_qcol(a.column), F.lit(p),
+                                        F.lit(acc)).alias(a.alias))
             elif a.op == "$avg":
                 exprs.append(F.avg(_qcol(a.column)).alias(a.alias))
             elif a.op == "$min":

@@ -2149,8 +2149,11 @@ _DURATION_RE = re.compile(r"^[1-9]\d* (?:second|minute|hour|day)s?$")
 # 15 (M26): HLL++ registers are exactly the merge-able-state contract —
 # exact count_distinct stays refused (distinct aggregates are
 # unsupported in streaming; the sketch IS the streaming spelling).
+# $approx_percentile joins the same round (M27): the quantile sketch
+# merges across micro-batches ($median/$percentile stay batch-only —
+# exact quantiles need the full sorted set).
 _STREAM_AGG_OPS = {"$count", "$sum", "$avg", "$min", "$max",
-                   "$approx_count_distinct"}
+                   "$approx_count_distinct", "$approx_percentile"}
 
 
 def _stream_duration(v: object, ctx: str) -> str:

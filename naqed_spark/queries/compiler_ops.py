@@ -2929,3 +2929,45 @@ def compiler_stream_approx_distinct(spark, sf_dir):
             .alias("sketch_ok"),
         )
     )
+
+
+@query(
+    "compiler_stream_approx_percentile",
+    # Round-15 M27 registration: the streaming quantile —
+    # $approx_percentile joins the $stream agg subset (exact
+    # $median/$percentile stay batch-only: exact quantiles need the
+    # full sorted set, where the sketch's merge-able summaries are
+    # state-store material). At accuracy 10^7 ≥ any per-group n the
+    # merged sketch is in its EXACT regime, so the streamed median per
+    # (hour-window × event_type) is bit-identical to DuckDB's
+    # quantile_disc batch twin (the M24 exact-regime discipline —
+    # element-of-the-set emission, stored doubles pass through
+    # bit-safe, no float path).
+    oracle="""
+    SELECT epoch_us(date_trunc('hour', ts)) AS win_start_us,
+           event_type,
+           CAST(quantile_disc(value, 0.5) AS DOUBLE) AS p50_value,
+           count(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def compiler_stream_approx_percentile(spark, sf_dir):
+    """Scale shape: per-(window × type) state is the quantile sketch's
+    O(accuracy) summary — merge-able across micro-batches, never the
+    raw value set; at production scale the accuracy knob trades state
+    for rank error (≤ n/accuracy) while this key's exact-regime oracle
+    pins the semantics."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query({"$stream": {
+        "$source": "events",
+        "$window": {"$size": "1 hour"},
+        "$groupby": ["event_type"],
+        "$agg": {
+            "p50_value": {"$approx_percentile":
+                          ["value", 0.5, 10000000]},
+            "n_events": {"$count": True},
+        },
+    }})

@@ -219,6 +219,10 @@ DEFERRED: set[str] = {
     # the batch exact via the M24 contract-boolean shape). Same
     # discipline.
     "compiler_stream_approx_distinct",
+    # round-15 M27 registration (streaming quantile: $approx_percentile
+    # in the $stream agg subset, exact-regime ≡ quantile_disc batch
+    # twin). Same discipline.
+    "compiler_stream_approx_percentile",
 }
 
 

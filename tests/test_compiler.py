@@ -5073,3 +5073,41 @@ def test_stream_exact_count_distinct_still_refused(eng):
             "$window": {"$size": "1 hour"},
             "$agg": {"nu": {"$count_distinct": "user_id"}},
         }})
+
+
+def test_stream_approx_percentile_matches_batch_twin(eng):
+    """M27: $approx_percentile through $stream equals the BATCH
+    percentile_approx with the same (p, accuracy) bit-for-bit — the
+    sketch's merge across micro-batches cannot move the exact-regime
+    result."""
+    from pyspark.sql import functions as F
+
+    got = eng.query({"$stream": {
+        "$source": "events",
+        "$window": {"$size": "1 hour"},
+        "$groupby": ["event_type"],
+        "$agg": {"p50": {"$approx_percentile": ["value", 0.5, 1000]}},
+    }})
+    ev = eng.entity("events")
+    want = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.percentile_approx("value", F.lit(0.5),
+                                 F.lit(1000)).alias("p50"))
+        .select(F.unix_micros(F.col("window.start")).alias("win_start_us"),
+                "event_type", "p50")
+    )
+    assert _batch_rows(got) == _batch_rows(want)
+
+
+def test_stream_exact_percentile_still_refused(eng):
+    """$median/$percentile stay OUT of the streaming subset — exact
+    quantiles need the full sorted set; the sketch is the streaming
+    spelling."""
+    for agg in ({"m": {"$median": "value"}},
+                {"p": {"$percentile": ["value", 0.5]}}):
+        with pytest.raises(SpecError):
+            eng.query({"$stream": {
+                "$source": "events",
+                "$window": {"$size": "1 hour"},
+                "$agg": agg,
+            }})

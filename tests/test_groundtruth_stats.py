@@ -8095,3 +8095,33 @@ def test_compiler_stream_approx_distinct_matches_python(spark):
     got = run(spark, "compiler_stream_approx_distinct")
     assert_keyed(got, want, ["win_start_us", "event_type"],
                  ["n_exact", "sketch_ok"])
+
+
+# --- wave 60 (round 15): M27 streaming quantile ---------------------------
+
+
+def test_compiler_stream_approx_percentile_matches_python(spark):
+    """Python replay: hour-floored windows x event_type from pandas
+    arithmetic, the median as the discrete-quantile rank rule
+    sorted[max(0, ceil(p*n)-1)] over plain lists (NULL values skipped,
+    all-NULL group -> None) — no Spark window, no sketch, no SQL."""
+    ev = _tbl("events")
+    per: dict = {}
+    for ts, et, val in zip(ev.ts, ev.event_type, ev.value):
+        us = (pd.Timestamp(ts).value // 1000
+              // 3_600_000_000) * 3_600_000_000
+        key = (us, _norm(et))
+        agg = per.setdefault(key, {"vals": [], "n": 0})
+        agg["n"] += 1
+        v = _norm(val)
+        if v is not None:
+            agg["vals"].append(v)
+    want: dict = {}
+    for k, agg in per.items():
+        vals = sorted(agg["vals"])
+        p50 = (vals[max(0, math.ceil(0.5 * len(vals)) - 1)]
+               if vals else None)
+        want[k] = {"p50_value": p50, "n_events": agg["n"]}
+    got = run(spark, "compiler_stream_approx_percentile")
+    assert_keyed(got, want, ["win_start_us", "event_type"],
+                 ["p50_value", "n_events"])
