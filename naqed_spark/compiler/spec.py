@@ -1109,7 +1109,10 @@ def _parse_aggs(obj: object) -> list[AggSpec]:
         if op == "$approx_count_distinct":
             # {alias: {"$approx_count_distinct": col}} or [col, rsd] —
             # rsd the target relative standard deviation of the HLL++
-            # estimate (engine default 0.05 when omitted)
+            # estimate (engine default 0.05 when omitted). Upper bound
+            # 0.4 probed: Spark's HLL++ register-width derivation
+            # rejects rsd ≥ 0.4 with a raw FAILED_FUNCTION_CALL — the
+            # typed bound here keeps that inside the SpecError contract.
             if isinstance(col, str) and not isinstance(col, bool) and col:
                 aggs.append(AggSpec(alias, op, col))
                 continue
@@ -1120,14 +1123,14 @@ def _parse_aggs(obj: object) -> list[AggSpec]:
                 and not isinstance(col[0], bool)
                 and not isinstance(col[1], bool)
                 and isinstance(col[1], (int, float))
-                and 0 < col[1] < 1
+                and 0 < col[1] < 0.4
             ):
                 aggs.append(AggSpec(alias, op, col[0],
                                     param=float(col[1])))
                 continue
             raise SpecError(
                 f"$agg entry {alias!r}: $approx_count_distinct takes a"
-                f" column name or [column, rsd in (0, 1)] — got {col!r}"
+                f" column name or [column, rsd in (0, 0.4)] — got {col!r}"
             )
         if op == "$approx_percentile":
             # {alias: {"$approx_percentile": [col, p]}} or
@@ -1145,15 +1148,18 @@ def _parse_aggs(obj: object) -> list[AggSpec]:
             )
             acc = 10000
             if ok and len(col) == 3:
+                # int32 cap probed: Spark's percentile_approx rejects
+                # accuracy > 2^31−1 with a raw VALUE_OUT_OF_RANGE
                 ok = (not isinstance(col[2], bool)
-                      and isinstance(col[2], int) and col[2] > 0)
+                      and isinstance(col[2], int)
+                      and 0 < col[2] <= 2147483647)
                 if ok:
                     acc = col[2]
             if not ok:
                 raise SpecError(
                     f"$agg entry {alias!r}: $approx_percentile takes"
-                    f" [column, fraction in [0, 1], optional positive"
-                    f" int accuracy] — got {col!r}"
+                    f" [column, fraction in [0, 1], optional int"
+                    f" accuracy in [1, 2147483647]] — got {col!r}"
                 )
             aggs.append(AggSpec(alias, op, col[0],
                                 param=(float(col[1]), acc)))

@@ -4762,12 +4762,16 @@ def test_approx_aggs_match_sql_twins(eng):
         {"s": {"$approx_count_distinct": True}},
         {"s": {"$approx_count_distinct": ["o_custkey", 0.0]}},  # rsd=0
         {"s": {"$approx_count_distinct": ["o_custkey", 1.0]}},  # rsd=1
+        # rsd=0.4: Spark's probed HLL++ bound — typed, not raw
+        {"s": {"$approx_count_distinct": ["o_custkey", 0.4]}},
         {"s": {"$approx_count_distinct": ["o_custkey", "0.05"]}},
         {"s": {"$approx_count_distinct": [True, 0.05]}},
         {"s": {"$approx_percentile": "o_totalprice"}},  # needs [col, p]
         {"s": {"$approx_percentile": ["o_totalprice", 1.5]}},
         {"s": {"$approx_percentile": ["o_totalprice", 0.5, 0]}},
         {"s": {"$approx_percentile": ["o_totalprice", 0.5, 2.5]}},
+        # accuracy > int32 max: probed raw VALUE_OUT_OF_RANGE — typed
+        {"s": {"$approx_percentile": ["o_totalprice", 0.5, 2147483648]}},
         {"s": {"$approx_percentile": ["o_totalprice", 0.5, True]}},
         {"s": {"$approx_percentile": ["o_totalprice", True]}},
     ],
