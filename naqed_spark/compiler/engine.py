@@ -342,10 +342,13 @@ class Engine:
                 # M27 (round 15): the streaming quantile — the sketch's
                 # merge-able summaries are the state; in the exact
                 # regime (accuracy ≥ per-group n) the merged sketch
-                # stores every sample, so stream ≡ batch bit-for-bit
+                # stores every sample, so stream ≡ batch bit-for-bit.
+                # M28 fraction lists ride the same sketch (array out).
                 p, acc = a.param
+                pcol = (F.array(*[F.lit(v) for v in p])
+                        if isinstance(p, tuple) else F.lit(p))
                 exprs.append(
-                    F.percentile_approx(_qcol(a.column), F.lit(p),
+                    F.percentile_approx(_qcol(a.column), pcol,
                                         F.lit(acc)).alias(a.alias))
             elif a.op == "$avg":
                 exprs.append(F.avg(_qcol(a.column)).alias(a.alias))
@@ -1582,8 +1585,12 @@ class Engine:
             # per group), merge-able partials, rank error ≤ n/accuracy.
             # accuracy ≥ n is the exact discrete-quantile regime,
             # probed ≡ DuckDB quantile_disc on ties/NULL/all-NULL.
+            # M28: a fraction LIST builds the sketch once and reads
+            # every quantile from it — array emission in fraction order.
             p, acc = a.param
-            e = F.percentile_approx(_qcol(a.column), F.lit(p), F.lit(acc))
+            pcol = (F.array(*[F.lit(v) for v in p])
+                    if isinstance(p, tuple) else F.lit(p))
+            e = F.percentile_approx(_qcol(a.column), pcol, F.lit(acc))
         elif a.op == "$corr":
             # Pearson correlation / covariance (round 13, M15): pair
             # exclusion (either side NULL → row skipped) matches DuckDB;

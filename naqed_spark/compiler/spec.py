@@ -437,7 +437,9 @@ an entity's ``$filter`` only) —
 Round-15 M24: approximate-sketch aggregates in ``$agg`` —
 
     {alias: {"$approx_count_distinct": col | [col, rsd]}}
-    {alias: {"$approx_percentile": [col, p] | [col, p, accuracy]}}
+    {alias: {"$approx_percentile": [col, p | [p, ...], accuracy?]}}
+      # a fraction LIST (M28) builds ONE sketch and reads every
+      # quantile from it — array emission in fraction order
 
 and boolean comparison EXPRESSIONS in ``$select``/``$derive``
 ($eq/$ne/$lt/$lte/$gt/$gte over two sub-expressions, SQL three-valued:
@@ -1134,17 +1136,23 @@ def _parse_aggs(obj: object) -> list[AggSpec]:
             )
         if op == "$approx_percentile":
             # {alias: {"$approx_percentile": [col, p]}} or
-            # [col, p, accuracy] — p a literal fraction in [0, 1];
-            # accuracy a positive int (rank error ≤ n/accuracy; engine
-            # default 10000)
+            # [col, p, accuracy] — p a literal fraction in [0, 1] OR a
+            # non-empty list of fractions (M28: ONE sketch build serves
+            # every requested quantile; emission is array<double> in
+            # fraction order); accuracy a positive int (rank error ≤
+            # n/accuracy; engine default 10000)
+            def _frac_ok(v: object) -> bool:
+                return (not isinstance(v, bool)
+                        and isinstance(v, (int, float)) and 0 <= v <= 1)
+
             ok = (
                 isinstance(col, list)
                 and len(col) in (2, 3)
                 and isinstance(col[0], str)
                 and not isinstance(col[0], bool)
-                and not isinstance(col[1], bool)
-                and isinstance(col[1], (int, float))
-                and 0 <= col[1] <= 1
+                and (_frac_ok(col[1])
+                     or (isinstance(col[1], list) and col[1]
+                         and all(_frac_ok(v) for v in col[1])))
             )
             acc = 10000
             if ok and len(col) == 3:
@@ -1158,11 +1166,13 @@ def _parse_aggs(obj: object) -> list[AggSpec]:
             if not ok:
                 raise SpecError(
                     f"$agg entry {alias!r}: $approx_percentile takes"
-                    f" [column, fraction in [0, 1], optional int"
-                    f" accuracy in [1, 2147483647]] — got {col!r}"
+                    f" [column, fraction in [0, 1] (or a non-empty"
+                    f" list of fractions), optional int accuracy in"
+                    f" [1, 2147483647]] — got {col!r}"
                 )
-            aggs.append(AggSpec(alias, op, col[0],
-                                param=(float(col[1]), acc)))
+            p = (tuple(float(v) for v in col[1])
+                 if isinstance(col[1], list) else float(col[1]))
+            aggs.append(AggSpec(alias, op, col[0], param=(p, acc)))
             continue
         if op == "$percentile":
             # {alias: {"$percentile": [col, p]}} — p a literal fraction

@@ -2971,3 +2971,70 @@ def compiler_stream_approx_percentile(spark, sf_dir):
             "n_events": {"$count": True},
         },
     }})
+
+
+
+@query(
+    "compiler_approx_percentile_multi",
+    # Round-15 M28 registration: multi-fraction $approx_percentile —
+    # the typical production ask (quartiles + tail) reads EVERY
+    # quantile from ONE sketch build instead of one sketch per
+    # fraction; emission is an array in fraction order. Exact-regime
+    # discipline (M24): accuracy 10^7 ≥ n at every SF, each element ≡
+    # DuckDB quantile_disc at that fraction. The driver's pandas
+    # canonicalizer cannot sort collection columns (the registry-wide
+    # no-collection rule), so the key serializes per the established
+    # discipline — integer CENTS (floor(q·100 + 0.5), the repo's
+    # half-up money quantizer: identical on both engines, no float
+    # rendering in the hash path) joined with ','.
+    oracle="""
+    SELECT o_orderstatus,
+           array_to_string(
+             list_transform(
+               quantile_disc(o_totalprice, [0.25, 0.5, 0.75, 0.99]),
+               q -> CAST(CAST(floor(q * 100 + 0.5) AS BIGINT)
+                         AS VARCHAR)),
+             ',') AS quartile_cents,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def compiler_approx_percentile_multi(spark, sf_dir):
+    """Scale shape: one O(accuracy)-state sketch per group serves all
+    four fractions — one partial+final aggregate pair, no per-fraction
+    re-aggregation, never a sort. The cents serialization is a
+    zero-shuffle post-projection (the stream_approx_distinct precedent:
+    raw-PySpark post-processing AROUND the DSL frame is fixture-side
+    emission discipline, not engine surface)."""
+    from pyspark.sql import functions as F
+
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    df = eng.query(
+        {
+            "orders": {
+                "$groupby": ["o_orderstatus"],
+                "$agg": {
+                    "price_quartiles": {"$approx_percentile": [
+                        "o_totalprice", [0.25, 0.5, 0.75, 0.99],
+                        10000000,
+                    ]},
+                    "n_orders": {"$count": True},
+                },
+            }
+        }
+    )
+    return df.select(
+        "o_orderstatus",
+        F.array_join(
+            F.transform(
+                "price_quartiles",
+                lambda q: F.floor(q * 100 + F.lit(0.5))
+                .cast("bigint").cast("string"),
+            ),
+            ",",
+        ).alias("quartile_cents"),
+        "n_orders",
+    )

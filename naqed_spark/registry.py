@@ -223,6 +223,10 @@ DEFERRED: set[str] = {
     # in the $stream agg subset, exact-regime ≡ quantile_disc batch
     # twin). Same discipline.
     "compiler_stream_approx_percentile",
+    # round-15 M28 registration (multi-fraction $approx_percentile —
+    # one sketch serves every requested quantile; integer-cents
+    # serialization per the no-collection rule). Same discipline.
+    "compiler_approx_percentile_multi",
 }
 
 

@@ -262,6 +262,14 @@ HEADLINE += [
     "compiler_scalar_correlated",
 ]
 
+# Round-15 M28 registration: multi-fraction quantiles from one sketch
+# (the exact-regime sketch stores every sample at accuracy >= n, so
+# growth mirrors compiler_approx_percentile's — the accuracy knob is
+# what caps it at production scale).
+HEADLINE += [
+    "compiler_approx_percentile_multi",
+]
+
 
 def build(spark, src_dir: str, out_dir: str, k: int) -> None:
     from functools import reduce

@@ -5115,3 +5115,63 @@ def test_stream_exact_percentile_still_refused(eng):
                 "$window": {"$size": "1 hour"},
                 "$agg": agg,
             }})
+
+
+def test_approx_percentile_multi_matches_sql_twin(eng):
+    """M28: a fraction LIST reads every quantile from one sketch —
+    bit-identical to the Spark SQL array spelling, in fraction order,
+    in batch AND in $stream."""
+    from pyspark.sql import functions as F
+
+    dsl = eng.query({
+        "orders": {
+            "$groupby": ["o_orderstatus"],
+            "$agg": {"qs": {"$approx_percentile":
+                            ["o_totalprice", [0.25, 0.5, 0.75], 1000]}},
+        }
+    })
+    sql = eng.sql(
+        """
+        SELECT o_orderstatus,
+               percentile_approx(o_totalprice,
+                                 array(0.25, 0.5, 0.75), 1000) AS qs
+        FROM orders GROUP BY o_orderstatus
+        """
+    )
+    def _arr_rows(df):
+        # array columns are unhashable for the Counter helper — tuple-ify
+        return sorted(
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in df.collect()
+        )
+
+    assert dsl.columns == sql.columns
+    assert _arr_rows(dsl) == _arr_rows(sql)
+    got = eng.query({"$stream": {
+        "$source": "events",
+        "$window": {"$size": "1 hour"},
+        "$groupby": ["event_type"],
+        "$agg": {"qs": {"$approx_percentile":
+                        ["value", [0.5, 0.9], 1000]}},
+    }})
+    ev = eng.entity("events")
+    want = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.9)),
+                                 F.lit(1000)).alias("qs"))
+        .select(F.unix_micros(F.col("window.start")).alias("win_start_us"),
+                "event_type", "qs")
+    )
+    assert _arr_rows(got) == _arr_rows(want)
+
+
+@pytest.mark.parametrize(
+    "frs",
+    [[], [0.5, 1.5], [0.5, "x"], [0.5, True], "0.5"],
+)
+def test_approx_percentile_multi_bad_fractions_fail_typed(eng, frs):
+    with pytest.raises(SpecError):
+        eng.query({"orders": {
+            "$groupby": ["o_orderstatus"],
+            "$agg": {"qs": {"$approx_percentile":
+                            ["o_totalprice", frs, 1000]}}}})

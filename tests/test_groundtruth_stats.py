@@ -8125,3 +8125,28 @@ def test_compiler_stream_approx_percentile_matches_python(spark):
     got = run(spark, "compiler_stream_approx_percentile")
     assert_keyed(got, want, ["win_start_us", "event_type"],
                  ["p50_value", "n_events"])
+
+
+# --- wave 61 (round 15): M28 multi-fraction quantiles ---------------------
+
+
+def test_compiler_approx_percentile_multi_matches_python(spark):
+    """Python replay: per status, sort prices once and read all four
+    discrete quantiles by the derived rank rule, quantize to cents
+    with the half-up floor and join with ',' — plain lists, no sketch,
+    no SQL."""
+    orders = _tbl("orders")
+    per: dict = {}
+    for st, tp in zip(orders.o_orderstatus, orders.o_totalprice):
+        per.setdefault(_norm(st), []).append(float(tp))
+    want: dict = {}
+    for st, vals in per.items():
+        vals.sort()
+        n = len(vals)
+        cents = [str(int(math.floor(
+            vals[max(0, math.ceil(p * n) - 1)] * 100 + 0.5)))
+            for p in (0.25, 0.5, 0.75, 0.99)]
+        want[(st,)] = {"quartile_cents": ",".join(cents), "n_orders": n}
+    got = run(spark, "compiler_approx_percentile_multi")
+    assert_keyed(got, want, ["o_orderstatus"],
+                 ["quartile_cents", "n_orders"])
