@@ -237,3 +237,91 @@ def test_vector_identities(eng, seed):
         assert abs(r["cos_self"] - 1.0) < 1e-9
         # Cauchy–Schwarz: |a·b| ≤ ‖a‖‖b‖ ⇒ |cos| ≤ 1 (+ fp slack)
         assert abs(r["cos_ab"]) <= 1.0 + 1e-12
+
+
+# --- round 15: comparison exprs / correlated $scalar / sketch lists -----
+
+
+@pytest.mark.parametrize("seed", [11, 23, 37, 59])
+def test_comparison_trichotomy(eng, seed):
+    """For any threshold t, each non-NULL operand satisfies exactly one
+    of lt/eq/gt, and $lte ≡ $lt ∨ $eq — counted over the engine's own
+    boolean emissions (no SQL twin involved)."""
+    rng = random.Random(seed)
+    t = rng.choice([25.0, 30.5, 40.0, 47.0])
+    df = eng.query({
+        "lineitem": {
+            "$select": {
+                "lt": {"$lt": ["l_quantity", {"$lit": t}]},
+                "eq": {"$eq": ["l_quantity", {"$lit": t}]},
+                "gt": {"$gt": ["l_quantity", {"$lit": t}]},
+                "lte": {"$lte": ["l_quantity", {"$lit": t}]},
+                # self-comparison: true when non-NULL, NULL when NULL —
+                # the NULL-operand detector without leaving the DSL
+                "nn": {"$eq": ["l_quantity", "l_quantity"]},
+            },
+        }
+    })
+    rows = df.collect()
+    for r in rows:
+        vals = (r["lt"], r["eq"], r["gt"])
+        if r["nn"] is None:  # NULL operand: every comparison is NULL
+            assert vals == (None, None, None) and r["lte"] is None
+        else:
+            assert sum(bool(v) for v in vals) == 1, r
+            assert r["lte"] == (r["lt"] or r["eq"])
+
+
+@pytest.mark.parametrize("seed", [13, 29, 41])
+def test_correlated_scalar_partition_identity(eng, seed):
+    """σ(x < s) + σ(x >= s) == |rows| when the correlated scalar s
+    exists for every row's group (inner = ungated same-table rollup,
+    keys dense, operand non-NULL at this fixture) — the partition
+    identity through the decorrelation join."""
+    rng = random.Random(seed)
+    mult = rng.choice([0.25, 0.5, 0.75, 1.0])
+
+    def n(op):
+        return eng.query({
+            "lineitem": {
+                "$filter": {"l_quantity": {op: {"$scalar": {
+                    "lineitem": {
+                        "$groupby": ["l_partkey"],
+                        "$agg": {"t": {"$avg": "l_quantity"}},
+                        "$derive": {"t": {"$mul": [mult, "t"]}},
+                    },
+                    "$on": {"l_partkey": "l_partkey"},
+                }}}},
+                "$agg": {"n": {"$count": True}},
+            }
+        }).collect()[0]["n"]
+
+    total = eng.entity("lineitem").count()
+    assert n("$lt") + n("$gte") == total
+
+
+@pytest.mark.parametrize("seed", [7, 17, 31])
+def test_multi_fraction_percentile_equals_singles(eng, seed):
+    """Each element of a fraction-LIST $approx_percentile equals the
+    single-fraction result at that fraction with the same accuracy —
+    one sketch read n ways must agree with n separate reads."""
+    rng = random.Random(seed)
+    fracs = sorted(rng.sample([0.1, 0.25, 0.5, 0.75, 0.9, 0.99], 3))
+    acc = rng.choice([100, 10000, 10000000])
+    multi = {r["o_orderstatus"]: list(r["qs"]) for r in eng.query({
+        "orders": {
+            "$groupby": ["o_orderstatus"],
+            "$agg": {"qs": {"$approx_percentile":
+                            ["o_totalprice", fracs, acc]}},
+        }
+    }).collect()}
+    for i, p in enumerate(fracs):
+        single = {r["o_orderstatus"]: r["q"] for r in eng.query({
+            "orders": {
+                "$groupby": ["o_orderstatus"],
+                "$agg": {"q": {"$approx_percentile":
+                               ["o_totalprice", p, acc]}},
+            }
+        }).collect()}
+        for k, v in single.items():
+            assert multi[k][i] == v, (k, p, acc, multi[k][i], v)
