@@ -40,6 +40,15 @@ from naqed_spark.compiler.spec import (
     parse_spec,
 )
 
+# the six comparison operators as Column builders — shared by $theta
+# residuals, the M24 comparison expressions, and the M25 correlated-
+# scalar predicate (one map, three sites: they must never drift)
+_CMP_OPS = {
+    "$eq": operator.eq, "$ne": operator.ne,
+    "$lt": operator.lt, "$lte": operator.le,
+    "$gt": operator.gt, "$gte": operator.ge,
+}
+
 _PY_TYPES = {
     "string": (str,),
     "boolean": (bool,),
@@ -462,41 +471,48 @@ class Engine:
             operator.and_,
             (df[oc] == ren[f"__t_cs_{ic}"] for ic, oc in cs.on.items()),
         )
-        cmp = {"$eq": operator.eq, "$ne": operator.ne,
-               "$lt": operator.lt, "$lte": operator.le,
-               "$gt": operator.gt, "$gte": operator.ge}[pred.op]
         return (
             df.join(ren, cond, "inner")
-            .where(cmp(_qcol(pred.column), F.col("__t_cs_v")))
+            .where(_CMP_OPS[pred.op](_qcol(pred.column),
+                                     F.col("__t_cs_v")))
             .drop("__t_cs_v", *[f"__t_cs_{ic}" for ic in keys])
         )
+
+    def _apply_node_filters(self, df: DataFrame, node: Node) -> DataFrame:
+        """One spelling of the $filter split, shared by the scan path
+        and the post-$traverse path: plain predicates first (they push
+        to the scan / prune the traversed frame), then the correlated-
+        scalar predicates (M25) join against the pruned frame."""
+        for pred in node.filters:
+            if isinstance(pred.value, CorrelatedScalar):
+                continue
+            _typecheck(df, pred, node.entity)
+            df = _apply_predicate(df, pred)
+        for pred in node.filters:
+            if isinstance(pred.value, CorrelatedScalar):
+                df = self._apply_correlated_scalar(df, pred, node.entity)
+        return df
 
     # -- compilation -------------------------------------------------------
     def _load_filtered(
         self, node: Node, sample: "SampleSpec | None" = None
     ) -> DataFrame:
         df = self.catalog.entity(node.entity)
-        # plain predicates first — they push to the parquet scan; the
-        # correlated-scalar predicates (M25) then join against the
-        # already-pruned outer frame
-        corr = [p for p in node.filters
-                if isinstance(p.value, CorrelatedScalar)]
-        for pred in node.filters:
-            if isinstance(pred.value, CorrelatedScalar):
-                continue
-            _typecheck(df, pred, node.entity)
-            df = _apply_predicate(df, pred)
-        for pred in corr:
-            df = self._apply_correlated_scalar(df, pred, node.entity)
+        df = self._apply_node_filters(df, node)
         if sample is not None:
             # $sample (round 7): deterministic md5-bucket sample of the
-            # ROOT entity, applied at the scan — before any join — so the
-            # whole downstream plan runs on the reduced row set and the
-            # sample of a join is the join of the samples (the
-            # sample_hash_deterministic discipline; rand() is neither
-            # reproducible nor key-consistent). Pure Column construction —
-            # the key was identifier-checked at parse time and is
-            # column-resolved here, so spec data can never inject SQL.
+            # ROOT entity, applied at the scan — after ALL of $filter
+            # (including an M25 correlated-scalar decorrelation join,
+            # by design: stratified mode ranks within the FILTERED
+            # population, so the whole $filter must precede the sample
+            # for the documented filter-then-sample semantics) but
+            # before any relationship join — so the downstream plan
+            # runs on the reduced row set and the sample of a join is
+            # the join of the samples (the sample_hash_deterministic
+            # discipline; rand() is neither reproducible nor
+            # key-consistent). Pure Column construction — the key was
+            # identifier-checked at parse time and is column-resolved
+            # here, so spec data can never inject SQL.
             if sample.key not in df.columns:
                 raise SpecError(
                     f"$sample.$key {sample.key!r} is not a column of"
@@ -564,19 +580,9 @@ class Engine:
         $traverse.$seeds), and everything downstream — field requests,
         hops, $select, $agg — composes unchanged."""
         if base is not None:
-            df = base
-            # same plain/correlated split as _load_filtered: a
-            # correlated $scalar in a post-$traverse $filter joins
-            # against the traversed frame (M25)
-            for pred in node.filters:
-                if isinstance(pred.value, CorrelatedScalar):
-                    continue
-                _typecheck(df, pred, node.entity)
-                df = _apply_predicate(df, pred)
-            for pred in node.filters:
-                if isinstance(pred.value, CorrelatedScalar):
-                    df = self._apply_correlated_scalar(
-                        df, pred, node.entity)
+            # post-$traverse: the shared $filter split applies to the
+            # traversed frame (a correlated $scalar joins against it)
+            df = self._apply_node_filters(base, node)
         else:
             df = self._load_filtered(node, sample)
         cols = list(node.fields)
@@ -795,11 +801,6 @@ class Engine:
             # every $how including the $exists semi/anti forms) — the
             # equi key keeps the join hash-based, so the plan never
             # degrades to a nested loop.
-            _theta_ops = {
-                "$eq": operator.eq, "$ne": operator.ne,
-                "$lt": operator.lt, "$lte": operator.le,
-                "$gt": operator.gt, "$gte": operator.ge,
-            }
             for lc, top_op, rc in child.theta:
                 if lc not in df.columns:
                     raise SpecError(
@@ -811,7 +812,7 @@ class Engine:
                         f"$theta on {rel_name!r}: unknown column {rc!r}"
                         f" on {child.entity!r}"
                     )
-                cond = cond & _theta_ops[top_op](df[lc], child_df[rc])
+                cond = cond & _CMP_OPS[top_op](df[lc], child_df[rc])
             joined = df.join(child_df, cond, child.how)
             if child.how in ("left_semi", "left_anti"):
                 df = joined  # child columns are not visible after semi/anti
@@ -870,15 +871,12 @@ class Engine:
             return sub[0] % sub[1]
         if op == "$abs":
             return F.abs(sub[0])
-        if op in ("$eq", "$ne", "$lt", "$lte", "$gt", "$gte"):
+        if op in _CMP_OPS:
             # M24 (round 15): boolean-valued comparisons over two
             # sub-expressions (column-vs-column — $if's predicate
             # syntax only spells column-vs-literal). SQL three-valued
             # logic on both engines: NULL operand → NULL result.
-            cmp = {"$eq": operator.eq, "$ne": operator.ne,
-                   "$lt": operator.lt, "$lte": operator.le,
-                   "$gt": operator.gt, "$gte": operator.ge}[op]
-            return cmp(sub[0], sub[1])
+            return _CMP_OPS[op](sub[0], sub[1])
         if op in ("$dot", "$cosine", "$euclidean"):
             # Operand TYPE check (round-13 self-review): a scalar column
             # here would die in Catalyst analysis as a cast error —

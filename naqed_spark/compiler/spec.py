@@ -1012,11 +1012,24 @@ def _parse_correlated_scalar(col: str, op: str, val: dict) -> CorrelatedScalar:
             f" dict"
         )
     gb = ebody.get("$groupby")
-    if not isinstance(gb, list) or sorted(gb) != sorted(on):
+    if (not isinstance(gb, list)
+            or not all(isinstance(c, str) and not isinstance(c, bool)
+                       and c for c in gb)
+            or sorted(gb) != sorted(on)):
         raise SpecError(
             f"{col!r}: correlated $scalar inner $groupby ({gb!r}) must"
             f" equal the $on correlation keys ({sorted(on)}) — the"
             f" per-group aggregate IS the scalar-per-outer-row contract"
+        )
+    if not isinstance(ebody.get("$agg"), dict) or not ebody["$agg"]:
+        # without the aggregate the inner is a raw projection with
+        # duplicate keys and the decorrelation join FANS OUT, silently
+        # inflating results — the grouped aggregate is what makes the
+        # join key unique (code-review r15 finding)
+        raise SpecError(
+            f"{col!r}: correlated $scalar inner query must aggregate"
+            f" (a non-empty $agg) — a bare $groupby projection has"
+            f" duplicate keys and the decorrelation join would fan out"
         )
     return CorrelatedScalar(inner={ent: ebody}, on=dict(on))
 
@@ -1111,10 +1124,12 @@ def _parse_aggs(obj: object) -> list[AggSpec]:
         if op == "$approx_count_distinct":
             # {alias: {"$approx_count_distinct": col}} or [col, rsd] —
             # rsd the target relative standard deviation of the HLL++
-            # estimate (engine default 0.05 when omitted). Upper bound
-            # 0.4 probed: Spark's HLL++ register-width derivation
-            # rejects rsd ≥ 0.4 with a raw FAILED_FUNCTION_CALL — the
-            # typed bound here keeps that inside the SpecError contract.
+            # estimate (engine default 0.05 when omitted). Upper bound:
+            # Spark's HLL++ needs p = ceil(2·log2(1.106/rsd)) ≥ 4, so
+            # any rsd > 1.106/2^1.5 ≈ 0.3911 dies raw — the typed cap
+            # at 0.39 keeps the whole legal range inside the SpecError
+            # contract (code-review r15: 0.4 left a (0.3911, 0.4) raw
+            # crash window).
             if isinstance(col, str) and not isinstance(col, bool) and col:
                 aggs.append(AggSpec(alias, op, col))
                 continue
@@ -1125,14 +1140,15 @@ def _parse_aggs(obj: object) -> list[AggSpec]:
                 and not isinstance(col[0], bool)
                 and not isinstance(col[1], bool)
                 and isinstance(col[1], (int, float))
-                and 0 < col[1] < 0.4
+                and 0 < col[1] <= 0.39
             ):
                 aggs.append(AggSpec(alias, op, col[0],
                                     param=float(col[1])))
                 continue
             raise SpecError(
                 f"$agg entry {alias!r}: $approx_count_distinct takes a"
-                f" column name or [column, rsd in (0, 0.4)] — got {col!r}"
+                f" column name or [column, rsd in (0, 0.39]] — got"
+                f" {col!r}"
             )
         if op == "$approx_percentile":
             # {alias: {"$approx_percentile": [col, p]}} or

@@ -4764,6 +4764,10 @@ def test_approx_aggs_match_sql_twins(eng):
         {"s": {"$approx_count_distinct": ["o_custkey", 1.0]}},  # rsd=1
         # rsd=0.4: Spark's probed HLL++ bound — typed, not raw
         {"s": {"$approx_count_distinct": ["o_custkey", 0.4]}},
+        # rsd=0.395: inside the old (0, 0.4) bound but HLL++ needs
+        # p = ceil(2*log2(1.106/rsd)) >= 4, i.e. rsd <= ~0.3911 —
+        # typed cap at 0.39 (code-review r15 finding 2)
+        {"s": {"$approx_count_distinct": ["o_custkey", 0.395]}},
         {"s": {"$approx_count_distinct": ["o_custkey", "0.05"]}},
         {"s": {"$approx_count_distinct": [True, 0.05]}},
         {"s": {"$approx_percentile": "o_totalprice"}},  # needs [col, p]
@@ -4932,6 +4936,19 @@ def test_correlated_scalar_composes_with_plain_filters(eng):
         # inner missing $groupby entirely
         {"l_quantity": {"$lt": {"$scalar": {
             "lineitem": {"$agg": {"t": {"$avg": "l_quantity"}}},
+            "$on": {"l_partkey": "l_partkey"}}}}},
+        # inner missing $agg: a bare $groupby projection has DUPLICATE
+        # keys and the decorrelation join would fan out, silently
+        # inflating results (code-review r15 finding 1)
+        {"l_quantity": {"$lt": {"$scalar": {
+            "lineitem": {"$groupby": ["l_partkey"],
+                         "l_partkey": True, "l_quantity": True},
+            "$on": {"l_partkey": "l_partkey"}}}}},
+        # mixed-type inner $groupby: typed, never a raw sorted()
+        # TypeError (code-review r15 finding 3)
+        {"l_quantity": {"$lt": {"$scalar": {
+            "lineitem": {"$groupby": ["l_partkey", 3],
+                         "$agg": {"t": {"$avg": "l_quantity"}}},
             "$on": {"l_partkey": "l_partkey"}}}}},
         # a non-$scalar dict value is the typed shape error
         {"l_quantity": {"$lt": {"$bogus": 1}}},
