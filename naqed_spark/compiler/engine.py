@@ -441,6 +441,17 @@ class Engine:
                 f"$filter: no such column {pred.column!r} on {entity!r}"
                 f" (have {sorted(df.columns)})"
             )
+        # ADVICE r15: the decorrelation's temp names are fixed
+        # (__t_cs_v / __t_cs_<key>); an outer frame already carrying the
+        # prefix (e.g. a $select alias) would collide and surface as a
+        # raw Catalyst ambiguity instead of the DSL's typed error.
+        clash = [c for c in df.columns if c.startswith("__t_cs_")]
+        if clash:
+            raise SpecError(
+                f"correlated $scalar: outer columns {clash} use the"
+                f" reserved __t_cs_ prefix (the decorrelation's"
+                f" temporary namespace) — rename them"
+            )
         for ic, oc in cs.on.items():
             if oc not in df.columns:
                 raise SpecError(
@@ -462,6 +473,34 @@ class Engine:
             raise SpecError(
                 f"correlated $scalar inner query must emit exactly one"
                 f" value column beyond the $on keys — got {val_cols}"
+            )
+        # ADVICE r15: a type-incompatible comparison (string column vs
+        # the inner numeric aggregate) would die in Catalyst analysis —
+        # surface it as the DSL's typed error. Family check only
+        # (numeric widths inter-compare fine); complex/unknown types
+        # fall through to Spark's analyzer like _typecheck does.
+        _FAMILIES = {
+            "string": "string", "boolean": "boolean",
+            "int": "numeric", "bigint": "numeric", "smallint": "numeric",
+            "tinyint": "numeric", "double": "numeric", "float": "numeric",
+            "date": "datetime", "timestamp": "datetime",
+            "timestamp_ntz": "datetime",
+        }
+
+        def _family(frame: DataFrame, col: str) -> "str | None":
+            dt = dict(
+                (f.name, f.dataType.simpleString()) for f in frame.schema
+            )[col]
+            if dt.startswith("decimal"):
+                return "numeric"
+            return _FAMILIES.get(dt)
+
+        fo, fi = _family(df, pred.column), _family(idf, val_cols[0])
+        if fo is not None and fi is not None and fo != fi:
+            raise SpecError(
+                f"correlated $scalar: cannot compare {entity}."
+                f"{pred.column} ({fo}) against inner value column"
+                f" {val_cols[0]!r} ({fi})"
             )
         ren = idf.select(
             *[F.col(ic).alias(f"__t_cs_{ic}") for ic in keys],

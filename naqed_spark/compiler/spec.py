@@ -1127,9 +1127,14 @@ def _parse_aggs(obj: object) -> list[AggSpec]:
             # estimate (engine default 0.05 when omitted). Upper bound:
             # Spark's HLL++ needs p = ceil(2·log2(1.106/rsd)) ≥ 4, so
             # any rsd > 1.106/2^1.5 ≈ 0.3911 dies raw — the typed cap
-            # at 0.39 keeps the whole legal range inside the SpecError
+            # at 0.39 keeps the legal range inside the SpecError
             # contract (code-review r15: 0.4 left a (0.3911, 0.4) raw
-            # crash window).
+            # crash window). Lower bound (ADVICE r15): tiny rsd needs
+            # huge precision p and Spark rejects it raw — probed
+            # rsd=1e-4 raises FAILED_FUNCTION_CALL and rsd=0.0015
+            # crashed the local JVM — so the typed floor is 0.002
+            # (p = ceil(2·log2(1.106/0.002)) = 19, comfortably inside
+            # Spark's supported register range).
             if isinstance(col, str) and not isinstance(col, bool) and col:
                 aggs.append(AggSpec(alias, op, col))
                 continue
@@ -1140,14 +1145,14 @@ def _parse_aggs(obj: object) -> list[AggSpec]:
                 and not isinstance(col[0], bool)
                 and not isinstance(col[1], bool)
                 and isinstance(col[1], (int, float))
-                and 0 < col[1] <= 0.39
+                and 0.002 <= col[1] <= 0.39
             ):
                 aggs.append(AggSpec(alias, op, col[0],
                                     param=float(col[1])))
                 continue
             raise SpecError(
                 f"$agg entry {alias!r}: $approx_count_distinct takes a"
-                f" column name or [column, rsd in (0, 0.39]] — got"
+                f" column name or [column, rsd in [0.002, 0.39]] — got"
                 f" {col!r}"
             )
         if op == "$approx_percentile":

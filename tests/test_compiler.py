@@ -4768,6 +4768,11 @@ def test_approx_aggs_match_sql_twins(eng):
         # p = ceil(2*log2(1.106/rsd)) >= 4, i.e. rsd <= ~0.3911 —
         # typed cap at 0.39 (code-review r15 finding 2)
         {"s": {"$approx_count_distinct": ["o_custkey", 0.395]}},
+        # tiny rsd (ADVICE r15): Spark rejects small rsd raw (probed
+        # 1e-4 → FAILED_FUNCTION_CALL; 0.0015 crashed the local JVM) —
+        # the typed floor is 0.002
+        {"s": {"$approx_count_distinct": ["o_custkey", 0.0001]}},
+        {"s": {"$approx_count_distinct": ["o_custkey", 0.0015]}},
         {"s": {"$approx_count_distinct": ["o_custkey", "0.05"]}},
         {"s": {"$approx_count_distinct": [True, 0.05]}},
         {"s": {"$approx_percentile": "o_totalprice"}},  # needs [col, p]
@@ -4962,6 +4967,37 @@ def test_correlated_scalar_bad_shapes_fail_typed(eng, flt):
     with pytest.raises(SpecError):
         eng.query({"lineitem": {"$filter": flt,
                                 "$agg": {"n": {"$count": True}}}})
+
+
+def test_correlated_scalar_reserved_prefix_collision_typed(eng):
+    """ADVICE r15: an outer frame already carrying a __t_cs_* column
+    (the decorrelation's fixed temp namespace) must raise the typed
+    reserved-prefix error, never a raw Catalyst ambiguity."""
+    from naqed_spark.compiler.spec import CorrelatedScalar, Predicate
+
+    df = eng.catalog.entity("orders").withColumnRenamed(
+        "o_orderdate", "__t_cs_v"
+    )
+    pred = Predicate("o_totalprice", "$lt", CorrelatedScalar(
+        inner={"orders": {"$groupby": ["o_custkey"],
+                          "$agg": {"t": {"$avg": "o_totalprice"}}}},
+        on={"o_custkey": "o_custkey"},
+    ))
+    with pytest.raises(SpecError, match="__t_cs_"):
+        eng._apply_correlated_scalar(df, pred, "orders")
+
+
+def test_correlated_scalar_type_mismatch_fails_typed(eng):
+    """ADVICE r15: a string outer column compared against the inner
+    numeric aggregate is a typed family mismatch at compile time, not a
+    raw Catalyst analysis error."""
+    with pytest.raises(SpecError, match="cannot compare"):
+        eng.query({"orders": {
+            "$filter": {"o_orderstatus": {"$lt": {"$scalar": {
+                "orders": {"$groupby": ["o_custkey"],
+                           "$agg": {"t": {"$avg": "o_totalprice"}}},
+                "$on": {"o_custkey": "o_custkey"}}}}},
+            "$agg": {"n": {"$count": True}}}})
 
 
 def test_bare_scalar_without_engine_resolution_fails_typed():
