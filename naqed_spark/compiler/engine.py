@@ -309,15 +309,106 @@ class Engine:
                 f" column)"
             )
         base = _stage(self.spark, self.catalog.sf_dir)
-        s = _read_stream(self.spark, _os.path.join(base, "all"))
+        # M30 (round 16): a $distinct spec replays the at-least-once
+        # staging (`dup/` — every chunk delivered twice) instead of the
+        # exactly-once `all/`: dedup's contract is only observable under
+        # redelivery, and the batch-twin oracle story is precisely
+        # "dedup of the doubled delivery ≡ the exact batch rows" (the
+        # stream_dedup raw-key harness discipline).
+        chunk = "all" if ss.distinct is None else "dup"
+        s = _read_stream(self.spark, _os.path.join(base, chunk))
+        stream_cols = list(s.columns)
+        if ss.watermark is not None:
+            s = s.withWatermark("ts", ss.watermark)
+        if ss.distinct is not None:
+            for c in ss.distinct:
+                if c not in stream_cols:
+                    raise SpecError(
+                        f"$stream.$distinct: no such column {c!r}"
+                        f" (have {stream_cols})"
+                    )
+            # dropDuplicatesWithinWatermark: dedup state keyed on the
+            # user's columns alone (no event-time column required in
+            # the key — a content/event id is the normal ingest key)
+            # and EVICTED once the watermark passes an entry's expiry —
+            # the bounded-state spelling ($watermark is parse-required).
+            # First occurrence emits immediately; redeliveries within
+            # the watermark delay drop. Replay-deterministic here:
+            # redelivered rows are byte-identical, so survivor identity
+            # can never diverge.
+            s = s.dropDuplicatesWithinWatermark(ss.distinct)
+        if ss.join is not None:
+            # M29 (round 16): stream ⋈ static dimension enrich. The dim
+            # side is a bounded batch frame broadcast per micro-batch
+            # (explicit hint — dimensions are dim-sized by definition);
+            # the stream side NEVER shuffles for this join, which is
+            # the whole point at 100 TB. Stateless: each micro-batch
+            # joins against the dim snapshot independently, so this
+            # composes freely before the windowed aggregation.
+            from naqed_spark.catalog import TABLES
+
+            j = ss.join
+            if j.entity not in TABLES or j.entity == "events":
+                raise SpecError(
+                    f"$stream.$join.$entity {j.entity!r}: not a static"
+                    f" entity (have"
+                    f" {sorted(t for t in TABLES if t != 'events')})"
+                )
+            dim = self.catalog.entity(j.entity)
+            for sc, dc in j.on.items():
+                if sc not in stream_cols:
+                    raise SpecError(
+                        f"$stream.$join.$on: no such stream column"
+                        f" {sc!r} (have {stream_cols})"
+                    )
+                if dc not in dim.columns:
+                    raise SpecError(
+                        f"$stream.$join.$on: no such {j.entity} column"
+                        f" {dc!r} (have {dim.columns})"
+                    )
+            for fcol in j.fields:
+                if fcol not in dim.columns:
+                    raise SpecError(
+                        f"$stream.$join.$fields: no such {j.entity}"
+                        f" column {fcol!r} (have {dim.columns})"
+                    )
+                if fcol in stream_cols:
+                    raise SpecError(
+                        f"$stream.$join.$fields: {fcol!r} collides with"
+                        f" a stream column — joined fields must not"
+                        f" shadow the stream schema"
+                    )
+            # prune the dim to join keys + carried fields so the
+            # broadcast ships only what the plan needs
+            dim_cols = list(dict.fromkeys(list(j.on.values()) + j.fields))
+            dim_sel = dim.select(*[_qcol(c) for c in dim_cols])
+            cond = reduce(
+                operator.and_,
+                (s[sc] == dim_sel[dc] for sc, dc in j.on.items()),
+            )
+            s = s.join(F.broadcast(dim_sel), cond, j.how).select(
+                *[s[c] for c in stream_cols],
+                *[dim_sel[f] for f in j.fields],
+            )
+        if ss.window_size is None and ss.session_gap is None:
+            # M30 pass-through: the deduped (and possibly enriched)
+            # rows are the result — stream columns with ts as epoch-µs
+            # ts_us, plus any joined fields (parse guarantees $distinct
+            # is present, hence $watermark, hence append mode).
+            out = s.select(
+                *[
+                    F.unix_micros(F.col("ts")).alias("ts_us")
+                    if c == "ts" else _qcol(c)
+                    for c in s.columns
+                ]
+            )
+            return _run_to_memory(out, self.spark, "append")
         for c in ss.groupby:
             if c not in s.columns:
                 raise SpecError(
                     f"$stream.$groupby: no such column {c!r}"
                     f" (have {s.columns})"
                 )
-        if ss.watermark is not None:
-            s = s.withWatermark("ts", ss.watermark)
         if ss.session_gap is not None:
             win = F.session_window("ts", ss.session_gap)
         elif ss.slide is not None:

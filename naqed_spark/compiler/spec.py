@@ -882,6 +882,26 @@ class TraverseSpec:
 
 
 @dataclass
+class StreamJoin:
+    """$stream.$join (round 16, M29): stream ⋈ static dimension enrich
+    — the most common streaming operation (enrich events against a
+    dimension table before aggregating). ``on`` maps stream column →
+    dimension column (equi-keys only: a stream-static join is stateless
+    and per-micro-batch, so the dim side broadcasts and the stream side
+    NEVER shuffles for it — the stream_static_join raw-key shape).
+    ``fields`` are the dimension columns carried onto the stream;
+    ``how`` is inner (unmatched events drop) or left (enrich columns
+    NULL). Other modes (right/full/semi/anti against a stream) are
+    refused typed — they would need the static side to see the whole
+    stream."""
+
+    entity: str
+    on: dict  # stream col -> dim col
+    fields: list[str]
+    how: str  # "inner" | "left"
+
+
+@dataclass
 class StreamSpec:
     """$stream (round 14, M21 engine-half): the §2-J streaming family
     through E1 — a declarative source/window/watermark/agg spec that
@@ -891,7 +911,17 @@ class StreamSpec:
     tumbling/sliding event-time windows; ``session_gap`` (XOR) spells
     session windows; ``watermark`` switches complete → append mode
     with state eviction. Output: win_start_us (epoch µs) + group keys
-    + agg aliases — the stream_tumbling_window emission discipline."""
+    + agg aliases — the stream_tumbling_window emission discipline.
+
+    Round 16 (M29/M30): ``join`` enriches the stream against a static
+    dimension BEFORE the window aggregation ($groupby may then use the
+    joined fields); ``distinct`` spells watermarked streaming dedup by
+    key — with a window it feeds the aggregation, WITHOUT one the
+    deduped rows themselves are the result (the first stage of every
+    at-least-once ingest pipeline; emission = stream columns with ts
+    as epoch-µs ts_us, plus any joined fields). $distinct requires
+    $watermark: unbounded dedup state on an infinite stream is the
+    classic streaming leak, so evictability is part of the contract."""
 
     source: str
     window_size: "str | None"
@@ -900,6 +930,8 @@ class StreamSpec:
     groupby: list[str]
     aggs: list  # list[AggSpec], restricted to streaming-safe ops
     watermark: "str | None"
+    join: "StreamJoin | None" = None  # round 16 (M29)
+    distinct: "list[str] | None" = None  # round 16 (M30)
 
 
 @dataclass
@@ -2208,7 +2240,7 @@ def _parse_stream(obj: object) -> StreamSpec:
     if not isinstance(obj, dict):
         raise SpecError("$stream must be a dict")
     known = {"$source", "$window", "$session_gap", "$groupby", "$agg",
-             "$watermark"}
+             "$watermark", "$join", "$distinct"}
     extra = set(obj) - known
     if extra:
         raise SpecError(f"$stream: unknown keys {sorted(extra)}")
@@ -2216,9 +2248,15 @@ def _parse_stream(obj: object) -> StreamSpec:
     if not isinstance(source, str) or not source:
         raise SpecError("$stream requires $source (the streaming entity)")
     has_win, has_sess = "$window" in obj, "$session_gap" in obj
-    if has_win == has_sess:
-        raise SpecError("$stream takes exactly one of $window (tumbling/"
+    if has_win and has_sess:
+        raise SpecError("$stream takes at most one of $window (tumbling/"
                         "sliding) or $session_gap (session windows)")
+    if not has_win and not has_sess and "$distinct" not in obj:
+        # windowless pass-through with no dedup is the batch scan; the
+        # historical (pre-M30) message named the exactly-one rule
+        raise SpecError("$stream takes exactly one of $window (tumbling/"
+                        "sliding) or $session_gap (session windows) — or"
+                        " $distinct for a windowless dedup pass-through")
     window_size = slide = session_gap = None
     if has_win:
         w = obj["$window"]
@@ -2229,7 +2267,7 @@ def _parse_stream(obj: object) -> StreamSpec:
         window_size = _stream_duration(w["$size"], "$stream.$window.$size")
         if "$slide" in w:
             slide = _stream_duration(w["$slide"], "$stream.$window.$slide")
-    else:
+    elif has_sess:
         session_gap = _stream_duration(obj["$session_gap"],
                                        "$stream.$session_gap")
     gb = obj.get("$groupby", [])
@@ -2243,22 +2281,92 @@ def _parse_stream(obj: object) -> StreamSpec:
         raise SpecError("$stream.$session_gap requires a non-empty"
                         " $groupby (streaming session windows need at"
                         " least one grouping key besides the window)")
-    if "$agg" not in obj:
-        raise SpecError("$stream requires $agg (a windowless pass-through"
-                        " is the batch scan — use the entity query)")
-    aggs = _parse_aggs(obj["$agg"])
-    for a in aggs:
-        if a.op not in _STREAM_AGG_OPS:
+    # -- round 16 (M30): $distinct — watermarked streaming dedup -------
+    distinct = None
+    if "$distinct" in obj:
+        d = obj["$distinct"]
+        if (not isinstance(d, list) or not d
+                or not all(isinstance(c, str) and c for c in d)):
+            raise SpecError("$stream.$distinct must be a non-empty list"
+                            " of column names (the dedup key)")
+        if len(set(d)) != len(d):
+            raise SpecError("$stream.$distinct must not repeat a column")
+        if "$watermark" not in obj:
             raise SpecError(
-                f"$stream.$agg {a.alias!r}: {a.op} is not streaming-safe"
-                f" (supported: {sorted(_STREAM_AGG_OPS)})"
+                "$stream.$distinct requires $watermark — without one the"
+                " dedup state grows forever on an unbounded stream"
+                " (evictability is part of the dedup contract)"
             )
+        distinct = list(d)
+    windowless = not has_win and not has_sess
+    if windowless:
+        # dedup pass-through mode: the deduped rows ARE the result
+        for k in ("$agg", "$groupby"):
+            if k in obj:
+                raise SpecError(
+                    f"$stream: {k} needs a $window or $session_gap —"
+                    f" a windowless $distinct is a dedup pass-through"
+                )
+        aggs = []
+    else:
+        if "$agg" not in obj:
+            raise SpecError("$stream requires $agg (a windowless"
+                            " pass-through is the batch scan — use the"
+                            " entity query)")
+        aggs = _parse_aggs(obj["$agg"])
+        for a in aggs:
+            if a.op not in _STREAM_AGG_OPS:
+                raise SpecError(
+                    f"$stream.$agg {a.alias!r}: {a.op} is not"
+                    f" streaming-safe"
+                    f" (supported: {sorted(_STREAM_AGG_OPS)})"
+                )
+    # -- round 16 (M29): $join — stream ⋈ static dimension enrich ------
+    join = None
+    if "$join" in obj:
+        j = obj["$join"]
+        if not isinstance(j, dict):
+            raise SpecError("$stream.$join must be a dict")
+        jextra = set(j) - {"$entity", "$on", "$fields", "$how"}
+        if jextra:
+            raise SpecError(f"$stream.$join: unknown keys {sorted(jextra)}")
+        ent = j.get("$entity")
+        if not isinstance(ent, str) or not ent:
+            raise SpecError("$stream.$join requires $entity (the static"
+                            " dimension table)")
+        on = j.get("$on")
+        if (not isinstance(on, dict) or not on
+                or not all(isinstance(k, str) and k and isinstance(v, str)
+                           and v for k, v in on.items())):
+            raise SpecError(
+                "$stream.$join requires $on, a non-empty dict of"
+                " stream_column -> dimension_column equi-keys"
+            )
+        flds = j.get("$fields")
+        if (not isinstance(flds, list) or not flds
+                or not all(isinstance(c, str) and c for c in flds)):
+            raise SpecError(
+                "$stream.$join requires $fields, a non-empty list of"
+                " dimension columns to carry onto the stream"
+            )
+        if len(set(flds)) != len(flds):
+            raise SpecError("$stream.$join.$fields must not repeat a"
+                            " column")
+        how = j.get("$how", "inner")
+        if how not in ("inner", "left"):
+            raise SpecError(
+                f"$stream.$join.$how must be 'inner' or 'left', got"
+                f" {how!r} — other modes would need the static side to"
+                f" see the whole stream"
+            )
+        join = StreamJoin(entity=ent, on=dict(on), fields=list(flds),
+                          how=how)
     watermark = None
     if "$watermark" in obj:
         watermark = _stream_duration(obj["$watermark"], "$stream.$watermark")
     return StreamSpec(source=source, window_size=window_size, slide=slide,
                       session_gap=session_gap, groupby=gb, aggs=aggs,
-                      watermark=watermark)
+                      watermark=watermark, join=join, distinct=distinct)
 
 
 def parse_query(spec: dict) -> "QuerySpec | SetSpec | StreamSpec":

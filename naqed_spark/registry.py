@@ -227,6 +227,14 @@ DEFERRED: set[str] = {
     # one sketch serves every requested quantile; integer-cents
     # serialization per the no-collection rule). Same discipline.
     "compiler_approx_percentile_multi",
+    # round-16 M29 registration ($stream.$join — stream ⋈ static
+    # dimension enrich composed with the windowed aggregation; VERDICT
+    # r15 item 1): same tri-SF pre-verified discipline.
+    "compiler_stream_static_join",
+    # round-16 M30 registration ($stream.$distinct — watermarked
+    # streaming dedup pass-through over the at-least-once dup/ replay;
+    # VERDICT r15 item 2): same discipline.
+    "compiler_stream_dedup",
 }
 
 

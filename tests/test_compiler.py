@@ -4381,6 +4381,264 @@ def test_stream_watermark_append_is_complete_prefix(eng):
     assert not (appended - complete)
 
 
+def test_stream_static_join_matches_batch_twin(eng):
+    """M29 (round 16): stream ⋈ static dim enrich composed with the
+    windowed aggregation — the availableNow replay must equal the batch
+    join + group-by over the same rows, with the JOINED field as the
+    grouping key."""
+    from pyspark.sql import functions as F
+
+    from naqed_spark.queries._util import dec, dsum
+
+    got = eng.query({"$stream": {
+        "$source": "events",
+        "$join": {"$entity": "customer",
+                  "$on": {"user_id": "c_custkey"},
+                  "$fields": ["c_mktsegment"]},
+        "$window": {"$size": "1 hour"},
+        "$groupby": ["c_mktsegment"],
+        "$agg": {"n_events": {"$count": True},
+                 "sum_value": {"$sum": "value"}},
+    }})
+    ev, cust = eng.entity("events"), eng.entity("customer")
+    want = (
+        ev.join(cust.select("c_custkey", "c_mktsegment"),
+                ev["user_id"] == F.col("c_custkey"), "inner")
+        .groupBy(F.window("ts", "1 hour"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             dsum(dec("value")).alias("sum_value"))
+        .select(F.unix_micros(F.col("window.start")).alias("win_start_us"),
+                "c_mktsegment", "n_events", "sum_value")
+    )
+    assert got.columns == want.columns
+    assert _batch_rows(got) == _batch_rows(want)
+
+
+def test_stream_join_inner_drops_left_keeps_unmatched(eng):
+    """supplier covers only user_id 0-9 of the fixture's 0-14, so the
+    two $how modes genuinely diverge: inner drops the unmatched events,
+    left keeps them with a NULL enrich field (which then forms its own
+    group — SQL GROUP BY semantics)."""
+    from pyspark.sql import functions as F
+
+    def run(how):
+        return eng.query({"$stream": {
+            "$source": "events",
+            "$join": {"$entity": "supplier",
+                      "$on": {"user_id": "s_suppkey"},
+                      "$fields": ["s_name"],
+                      "$how": how},
+            "$window": {"$size": "1 hour"},
+            "$groupby": ["s_name"],
+            "$agg": {"n": {"$count": True}},
+        }})
+
+    inner, left = _batch_rows(run("inner")), _batch_rows(run("left"))
+    ev, sup = eng.entity("events"), eng.entity("supplier")
+
+    def twin(how):
+        return _batch_rows(
+            ev.join(sup.select("s_suppkey", "s_name"),
+                    ev["user_id"] == F.col("s_suppkey"), how)
+            .groupBy(F.window("ts", "1 hour"), "s_name")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                F.unix_micros(F.col("window.start")).alias("win_start_us"),
+                "s_name", "n")
+        )
+
+    assert inner == twin("inner")
+    assert left == twin("left")
+    assert sum(left.values()) > sum(inner.values())  # NULL groups kept
+    assert any(k[1] is None for k in left)
+    assert not any(k[1] is None for k in inner)
+
+
+def test_stream_dedup_passthrough_equals_entity_rows(eng):
+    """M30 (round 16): the windowless $distinct pass-through over the
+    at-least-once dup/ replay (every chunk delivered twice) must emit
+    exactly the entity's rows once — event_id is unique in the
+    fixture, so dedup of the doubled delivery ≡ the source."""
+    from pyspark.sql import functions as F
+
+    got = eng.query({"$stream": {
+        "$source": "events",
+        "$distinct": ["event_id"],
+        "$watermark": "10 minutes",
+    }})
+    ev = eng.entity("events")
+    want = ev.select(
+        "event_id", F.unix_micros(F.col("ts")).alias("ts_us"),
+        "user_id", "event_type", "value", "props",
+    )
+    assert got.columns == want.columns
+    assert _batch_rows(got) == _batch_rows(want)
+
+
+def test_stream_dedup_composes_with_window_agg(eng):
+    """$distinct + $window: dedup feeds the aggregation, so the doubled
+    replay aggregates to the batch twin's counts — restricted to
+    FINALIZED windows ($distinct requires $watermark, hence append
+    mode: the emitted rows must be a byte-identical subset of the
+    batch twin, non-empty)."""
+    from pyspark.sql import functions as F
+
+    got = _batch_rows(eng.query({"$stream": {
+        "$source": "events",
+        "$distinct": ["event_id"],
+        "$watermark": "2 hours",
+        "$window": {"$size": "1 hour"},
+        "$groupby": ["event_type"],
+        "$agg": {"n": {"$count": True}},
+    }}))
+    ev = eng.entity("events")
+    want = _batch_rows(
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros(F.col("window.start")).alias("win_start_us"),
+                "event_type", "n")
+    )
+    assert sum(got.values()) > 0
+    assert not (got - want)  # every emitted row equals its batch twin
+
+
+def test_stream_dedup_then_join_composition(eng):
+    """Full M29+M30 pipeline order (dedup → enrich → window agg) over
+    the doubled replay equals the batch twin on finalized windows."""
+    from pyspark.sql import functions as F
+
+    got = _batch_rows(eng.query({"$stream": {
+        "$source": "events",
+        "$distinct": ["event_id"],
+        "$watermark": "2 hours",
+        "$join": {"$entity": "customer",
+                  "$on": {"user_id": "c_custkey"},
+                  "$fields": ["c_mktsegment"]},
+        "$window": {"$size": "1 hour"},
+        "$groupby": ["c_mktsegment"],
+        "$agg": {"n": {"$count": True}},
+    }}))
+    ev, cust = eng.entity("events"), eng.entity("customer")
+    want = _batch_rows(
+        ev.join(cust.select("c_custkey", "c_mktsegment"),
+                ev["user_id"] == F.col("c_custkey"), "inner")
+        .groupBy(F.window("ts", "1 hour"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.unix_micros(F.col("window.start")).alias("win_start_us"),
+                "c_mktsegment", "n")
+    )
+    assert sum(got.values()) > 0
+    assert not (got - want)
+
+
+@pytest.mark.parametrize(
+    "spec",
+    [
+        # --- M29 $join shapes ---
+        {"$source": "events", "$window": {"$size": "1 hour"},
+         "$agg": {"n": {"$count": True}},
+         "$join": {"$on": {"user_id": "c_custkey"},
+                   "$fields": ["c_mktsegment"]}},        # no $entity
+        {"$source": "events", "$window": {"$size": "1 hour"},
+         "$agg": {"n": {"$count": True}},
+         "$join": {"$entity": "customer",
+                   "$fields": ["c_mktsegment"]}},        # no $on
+        {"$source": "events", "$window": {"$size": "1 hour"},
+         "$agg": {"n": {"$count": True}},
+         "$join": {"$entity": "customer", "$on": {},
+                   "$fields": ["c_mktsegment"]}},        # empty $on
+        {"$source": "events", "$window": {"$size": "1 hour"},
+         "$agg": {"n": {"$count": True}},
+         "$join": {"$entity": "customer",
+                   "$on": {"user_id": "c_custkey"}}},    # no $fields
+        {"$source": "events", "$window": {"$size": "1 hour"},
+         "$agg": {"n": {"$count": True}},
+         "$join": {"$entity": "customer",
+                   "$on": {"user_id": "c_custkey"},
+                   "$fields": ["c_mktsegment"],
+                   "$how": "full"}},                     # unsupported mode
+        {"$source": "events", "$window": {"$size": "1 hour"},
+         "$agg": {"n": {"$count": True}},
+         "$join": {"$entity": "customer",
+                   "$on": {"user_id": "c_custkey"},
+                   "$fields": ["c_mktsegment"], "$bogus": 1}},  # unknown key
+        {"$source": "events", "$window": {"$size": "1 hour"},
+         "$agg": {"n": {"$count": True}},
+         "$join": {"$entity": "nonsuch",
+                   "$on": {"user_id": "x"},
+                   "$fields": ["y"]}},                   # unknown dim entity
+        {"$source": "events", "$window": {"$size": "1 hour"},
+         "$agg": {"n": {"$count": True}},
+         "$join": {"$entity": "events",
+                   "$on": {"user_id": "user_id"},
+                   "$fields": ["props"]}},               # stream as dim
+        {"$source": "events", "$window": {"$size": "1 hour"},
+         "$agg": {"n": {"$count": True}},
+         "$join": {"$entity": "customer",
+                   "$on": {"nonsuch": "c_custkey"},
+                   "$fields": ["c_mktsegment"]}},        # bad stream col
+        {"$source": "events", "$window": {"$size": "1 hour"},
+         "$agg": {"n": {"$count": True}},
+         "$join": {"$entity": "customer",
+                   "$on": {"user_id": "nonsuch"},
+                   "$fields": ["c_mktsegment"]}},        # bad dim col
+        {"$source": "events", "$window": {"$size": "1 hour"},
+         "$agg": {"n": {"$count": True}},
+         "$join": {"$entity": "customer",
+                   "$on": {"user_id": "c_custkey"},
+                   "$fields": ["nonsuch"]}},             # bad field
+        {"$source": "events", "$window": {"$size": "1 hour"},
+         "$agg": {"n": {"$count": True}},
+         "$join": {"$entity": "documents",
+                   "$on": {"user_id": "doc_id"},
+                   "$fields": ["text", "text"]}},        # repeated field
+        # --- M30 $distinct shapes ---
+        {"$source": "events", "$distinct": ["event_id"]},  # no $watermark
+        {"$source": "events", "$distinct": [],
+         "$watermark": "10 minutes"},                      # empty key list
+        {"$source": "events", "$distinct": "event_id",
+         "$watermark": "10 minutes"},                      # not a list
+        {"$source": "events", "$distinct": ["event_id", "event_id"],
+         "$watermark": "10 minutes"},                      # repeated key
+        {"$source": "events", "$distinct": ["nonsuch"],
+         "$watermark": "10 minutes"},                      # unknown key col
+        {"$source": "events", "$distinct": ["event_id"],
+         "$watermark": "10 minutes",
+         "$agg": {"n": {"$count": True}}},   # pass-through takes no $agg
+        {"$source": "events", "$distinct": ["event_id"],
+         "$watermark": "10 minutes",
+         "$groupby": ["event_type"]},        # ...and no $groupby
+    ],
+)
+def test_stream_join_dedup_bad_shapes_fail_typed(eng, spec):
+    with pytest.raises(SpecError):
+        eng.query({"$stream": spec})
+
+
+def test_stream_join_field_shadow_fails_typed(eng):
+    """A joined field that collides with a stream column is refused
+    typed — silent shadowing would make downstream $groupby/$agg
+    ambiguous. No catalog dim currently shares a column name with
+    events, so the drift guard is exercised by injecting a renamed dim
+    through the catalog cache (the engine reads entities through it)."""
+    real = eng.catalog.entity("documents")
+    eng.catalog._cache["documents"] = real.withColumnRenamed(
+        "lang", "props"
+    )
+    try:
+        with pytest.raises(SpecError, match="collides"):
+            eng.query({"$stream": {
+                "$source": "events",
+                "$join": {"$entity": "documents",
+                          "$on": {"user_id": "doc_id"},
+                          "$fields": ["props"]},
+                "$window": {"$size": "1 hour"},
+                "$agg": {"n": {"$count": True}},
+            }})
+    finally:
+        eng.catalog._cache["documents"] = real
+
+
 @pytest.mark.parametrize(
     "spec",
     [

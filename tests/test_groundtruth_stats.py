@@ -8150,3 +8150,67 @@ def test_compiler_approx_percentile_multi_matches_python(spark):
     got = run(spark, "compiler_approx_percentile_multi")
     assert_keyed(got, want, ["o_orderstatus"],
                  ["quartile_cents", "n_orders"])
+
+
+# --- wave 62 (round 16): M29 $stream.$join + M30 $stream.$distinct -------
+
+
+def test_compiler_stream_static_join_matches_python(spark):
+    """Python replay of the streamed dim-enrich aggregation: customer
+    key → segment dict lookup (the broadcast join), hour-floored event
+    time, counts + integer-cents sums per (window, segment); inner
+    join semantics — events without a customer row drop (none in the
+    fixture, but the replay spells the rule)."""
+    ev = _tbl("events")
+    cust = _tbl("customer")
+    seg = {int(k): _norm(s)
+           for k, s in zip(cust.c_custkey, cust.c_mktsegment)}
+    want: dict = {}
+    for ts, uid, val in zip(ev.ts, ev.user_id, ev.value):
+        if int(uid) not in seg:
+            continue  # inner join drops unmatched events
+        t = pd.Timestamp(ts)
+        us = (t.value // 1000 // 3_600_000_000) * 3_600_000_000
+        key = (us, seg[int(uid)])
+        agg = want.setdefault(key, {"n_events": 0, "cents": 0,
+                                    "has": False})
+        agg["n_events"] += 1
+        v = _norm(val)
+        if v is not None:
+            agg["cents"] += int(math.floor(v * 100 + 0.5))
+            agg["has"] = True
+    want = {
+        k: {"n_events": v["n_events"],
+            "sum_value": v["cents"] / 100.0 if v["has"] else None}
+        for k, v in want.items()
+    }
+    got = run(spark, "compiler_stream_static_join")
+    assert_keyed(got, want, ["win_start_us", "c_mktsegment"],
+                 ["n_events", "sum_value"])
+
+
+def test_compiler_stream_dedup_matches_python(spark):
+    """Python replay of the dedup pass-through: the doubled delivery
+    collapses to exactly one row per event_id, and every surviving
+    row's columns equal the entity's (event_id is unique in the
+    fixture, so the expected set is just the entity projection with
+    ts as epoch µs)."""
+    ev = _tbl("events")
+    want: dict = {}
+    for eid, ts, uid, et, val, pr in zip(
+        ev.event_id, ev.ts, ev.user_id, ev.event_type, ev.value,
+        ev.props,
+    ):
+        key = (int(eid),)
+        assert key not in want  # uniqueness premise of the batch twin
+        want[key] = {
+            "ts_us": pd.Timestamp(ts).value // 1000,
+            "user_id": _norm(uid),
+            "event_type": _norm(et),
+            "value": _norm(val),
+            "props": _norm(pr),
+        }
+    got = run(spark, "compiler_stream_dedup")
+    assert len(got) == len(want)  # one survivor per id, no dup leaked
+    assert_keyed(got, want, ["event_id"],
+                 ["ts_us", "user_id", "event_type", "value", "props"])
