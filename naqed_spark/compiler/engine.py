@@ -1091,6 +1091,24 @@ class Engine:
                 F.lit(ex.args[1].args[0]),
                 F.lit(ex.args[2].args[0]),
             )
+        if op == "$regex_extract":
+            # M31 (round 16): pattern/group parse-validated to the
+            # cross-engine subset; '' on no match, NULL on NULL input
+            # (probed identical in both engines)
+            return F.regexp_extract(
+                sub[0], ex.args[1].args[0], ex.args[2].args[0]
+            )
+        if op == "$regex_like":
+            # PARTIAL match (rlike ≡ DuckDB regexp_matches), SQL
+            # three-valued on NULL input
+            return sub[0].rlike(ex.args[1].args[0])
+        if op == "$regex_replace":
+            # replaces ALL occurrences (Spark default ≡ DuckDB 'g');
+            # replacement is a parse-validated PLAIN literal, so Java's
+            # $-group expansion can never fire on it
+            return F.regexp_replace(
+                sub[0], ex.args[1].args[0], ex.args[2].args[0]
+            )
         if op == "$day":
             return F.dayofmonth(sub[0])
         if op == "$date_trunc":
@@ -1203,6 +1221,21 @@ class Engine:
             src = self._compile_expr(df, w.of)
             fn = F.lag if op == "$lag" else F.lead
             col = fn(src, w.offset, w.default).over(win)
+        elif op in ("$first", "$last", "$nth"):
+            # M32 (round 16): navigation functions over a PINNED
+            # full-partition frame — the default ORDER BY frame stops
+            # at CURRENT ROW, which makes last_value/nth_value silently
+            # wrong (the win_first_last_nth discipline, windows.py:485;
+            # a user $frame is parse-refused for nav ops)
+            src = self._compile_expr(df, w.of)
+            nav = win.rowsBetween(Window.unboundedPreceding,
+                                  Window.unboundedFollowing)
+            if op == "$first":
+                col = F.first(src).over(nav)
+            elif op == "$last":
+                col = F.last(src).over(nav)
+            else:
+                col = F.nth_value(src, w.n).over(nav)
         elif op == "$count":
             src = self._compile_expr(df, w.of) if w.of is not None else F.lit(1)
             col = F.count(src).over(win)

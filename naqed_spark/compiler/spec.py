@@ -575,6 +575,27 @@ SELECT_OPS = {
     # byte sequence); empty trailing fields are KEPT (Spark limit=-1 ≡
     # DuckDB string_split); NULL input → NULL array.
     "$split": 2,
+    # round 16 (M31 — VERDICT r15 item 4): regex verbs under the
+    # POSIX-simple cross-engine discipline llm_tokenize_bpe_regex
+    # proves (llm_ext.py:547): patterns are parse-validated to the
+    # construct subset with IDENTICAL semantics in Java regex (Spark)
+    # and RE2 (DuckDB) — literals, classes, \d \w \s \b shorthands,
+    # greedy/lazy quantifiers, alternation, (?:) groups, ^ — and the
+    # divergent constructs are refused TYPED at parse time:
+    # backreferences/lookaround/named groups/inline flags/possessive
+    # quantifiers (Java-only), POSIX [:classes:] and class && , bare $
+    # (Java matches before a final newline, RE2 does not), \Q..\E,
+    # octal/hex/unicode escapes. Probed identical: no-match extract →
+    # '', NULL input → NULL, $regex_like is PARTIAL match (rlike ≡
+    # regexp_matches), replace is global (Spark default ≡ DuckDB 'g').
+    "$regex_extract": 3,  # [expr, {"$lit": pattern}, group >= 0] —
+                          # group parse-checked against the pattern's
+                          # capturing-group count; '' when no match
+    "$regex_like": 2,     # [expr, {"$lit": pattern}] — boolean,
+                          # partial match, three-valued on NULL
+    "$regex_replace": 3,  # [expr, {"$lit": pattern}, {"$lit": repl}] —
+                          # ALL occurrences; replacement is a PLAIN
+                          # literal (group refs $1 vs \1 diverge)
     # round 15 (M24): boolean-valued comparison expressions — computed
     # boolean columns over two sub-expressions (column-vs-column, which
     # $if's predicate syntax cannot spell). SQL three-valued semantics
@@ -617,6 +638,15 @@ WINDOW_FNS = {
     "$min": "agg",
     "$max": "agg",
     "$count": "agg",
+    # round 16 (M32 — VERDICT r15 item 6): navigation functions. Need
+    # $of + $order; the engine PINS the full-partition frame (ROWS
+    # UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING — the default ORDER BY
+    # frame stops at CURRENT ROW, which makes last_value a footgun;
+    # the win_first_last_nth discipline), so a user $frame is refused.
+    # $nth takes $n >= 1 (1-based; NULL when the partition is smaller).
+    "$first": "nav",
+    "$last": "nav",
+    "$nth": "nav",
 }
 _WINDOW_PARAM_KEYS = {"$partition", "$order", "$of", "$n", "$offset",
                       "$default", "$frame"}
@@ -1308,6 +1338,100 @@ def _parse_vector_arg(op: str, a: object) -> Expr:
     )
 
 
+# escapes with identical semantics in Java regex and RE2 (ASCII
+# regime): shorthand classes and word boundaries. Everything else
+# alphanumeric after a backslash is refused — backreferences (\1),
+# anchors (\A \z \Z \G), quoting (\Q \E), property/hex/unicode escapes
+# (\p \x \u), control escapes (\c) all either diverge or exist in only
+# one engine.
+_REGEX_ESCAPE_OK = set("dDwWsSbB")
+
+
+def _validate_portable_regex(pat: object, ctx: str) -> int:
+    """Parse-time gate for the M31 cross-engine regex subset (round
+    16): reject every construct whose semantics differ between Java
+    regex (Spark) and RE2 (DuckDB), so a registered spec can never
+    silently diverge across engines OR die with a raw engine error.
+    Returns the pattern's capturing-group count (for $regex_extract's
+    group-index check)."""
+    if not isinstance(pat, str) or not pat:
+        raise SpecError(f"{ctx}: pattern must be a non-empty string")
+    groups = 0
+    in_class = False
+    prev_quant = False
+    i, n = 0, len(pat)
+    while i < n:
+        c = pat[i]
+        if c == "\\":
+            if i + 1 >= n:
+                raise SpecError(f"{ctx}: trailing backslash in pattern")
+            nxt = pat[i + 1]
+            if nxt.isalnum() and nxt not in _REGEX_ESCAPE_OK:
+                raise SpecError(
+                    f"{ctx}: escape \\{nxt} is not portable between"
+                    f" Java regex and RE2 — only \\d \\w \\s \\b (and"
+                    f" uppercase negations) plus escaped punctuation"
+                    f" are in the cross-engine subset"
+                )
+            prev_quant = False
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+            elif c == "[" and pat[i:i + 2] == "[:":
+                raise SpecError(
+                    f"{ctx}: POSIX class [:...:] is not portable"
+                )
+            elif c == "&" and pat[i:i + 2] == "&&":
+                raise SpecError(
+                    f"{ctx}: character-class intersection && is"
+                    f" Java-only"
+                )
+            i += 1
+            continue
+        if c == "[":
+            in_class = True
+            prev_quant = False
+            i += 1
+            continue
+        if c == "$":
+            raise SpecError(
+                f"{ctx}: bare '$' end-anchor is not portable (Java"
+                f" matches before a final newline, RE2 does not) —"
+                f" escape it as \\$ for a literal dollar"
+            )
+        if c == "(":
+            if pat[i:i + 3] == "(?:":
+                prev_quant = False
+                i += 3
+                continue
+            if i + 1 < n and pat[i + 1] == "?":
+                raise SpecError(
+                    f"{ctx}: '(?' constructs (lookaround, named"
+                    f" groups, inline flags, atomic groups) are not"
+                    f" portable — only plain and (?: groups are"
+                )
+            groups += 1
+            prev_quant = False
+            i += 1
+            continue
+        if c == "+" and prev_quant:
+            raise SpecError(
+                f"{ctx}: possessive quantifiers (*+ ++ ?+ {{m}}+) are"
+                f" Java-only"
+            )
+        prev_quant = c in "*+?}"
+        i += 1
+    if in_class:
+        raise SpecError(f"{ctx}: unterminated character class")
+    try:
+        re.compile(pat)
+    except re.error as exc:
+        raise SpecError(f"{ctx}: malformed pattern — {exc}")
+    return groups
+
+
 def _parse_expr(obj: object) -> Expr:
     """Parse one $select expression. Bare strings are column references,
     bare numbers/bools literals; operator nodes are single-key dicts."""
@@ -1406,6 +1530,50 @@ def _parse_expr(obj: object) -> Expr:
         return Expr("$replace", [_parse_expr(args[0]),
                                  Expr("$lit", [args[1]["$lit"]]),
                                  Expr("$lit", [args[2]["$lit"]])])
+    if op in ("$regex_extract", "$regex_like", "$regex_replace"):
+        # round 16 (M31): pattern is a parse-validated {"$lit": str}
+        # in the cross-engine portable subset (never a computed
+        # expression — a data-driven pattern could smuggle divergent
+        # constructs past the validator)
+        patarg = args[1]
+        if not (isinstance(patarg, dict) and set(patarg) == {"$lit"}
+                and isinstance(patarg["$lit"], str)):
+            raise SpecError(
+                f"{op} pattern must be a {{'$lit': str}} literal"
+            )
+        ngroups = _validate_portable_regex(patarg["$lit"], op)
+        pat_expr = Expr("$lit", [patarg["$lit"]])
+        if op == "$regex_extract":
+            idx = args[2]
+            if not isinstance(idx, int) or isinstance(idx, bool) or idx < 0:
+                raise SpecError(
+                    "$regex_extract takes [expr, {'$lit': pattern},"
+                    " group-index int >= 0]"
+                )
+            if idx > ngroups:
+                raise SpecError(
+                    f"$regex_extract: group {idx} out of range — the"
+                    f" pattern has {ngroups} capturing group(s)"
+                )
+            return Expr(op, [_parse_expr(args[0]), pat_expr,
+                             Expr("$lit", [idx])])
+        if op == "$regex_replace":
+            rep = args[2]
+            if not (isinstance(rep, dict) and set(rep) == {"$lit"}
+                    and isinstance(rep["$lit"], str)):
+                raise SpecError(
+                    "$regex_replace replacement must be a"
+                    " {'$lit': str} literal"
+                )
+            if "\\" in rep["$lit"] or "$" in rep["$lit"]:
+                raise SpecError(
+                    "$regex_replace replacement must be a plain"
+                    " literal — group references and escapes diverge"
+                    " between engines (Java $1 vs RE2 \\1)"
+                )
+            return Expr(op, [_parse_expr(args[0]), pat_expr,
+                             Expr("$lit", [rep["$lit"]])])
+        return Expr(op, [_parse_expr(args[0]), pat_expr])
     if op == "$date_trunc":
         unit = args[1]
         if not (isinstance(unit, dict) and set(unit) == {"$lit"}
@@ -1519,16 +1687,20 @@ def _parse_window(obj: object) -> list[WindowFn]:
         if "$order" in params:
             w.order = _parse_orderlist(params["$order"], f"$window {alias!r} $order")
         kind = WINDOW_FNS[op]
-        if kind in ("rank", "offset") and not w.order:
+        if kind in ("rank", "offset", "nav") and not w.order:
             raise SpecError(f"$window {alias!r}: {op} requires $order")
-        if op == "$ntile":
+        if op in ("$ntile", "$nth"):
             n = params.get("$n")
             if not isinstance(n, int) or isinstance(n, bool) or n < 1:
-                raise SpecError(f"$window {alias!r}: $ntile needs a positive int $n")
+                raise SpecError(f"$window {alias!r}: {op} needs a positive int $n")
             w.n = n
+        elif "$n" in params:
+            raise SpecError(
+                f"$window {alias!r}: $n only applies to $ntile/$nth"
+            )
         if "$of" in params:
             w.of = _parse_expr(params["$of"])
-        if kind == "offset" and w.of is None:
+        if kind in ("offset", "nav") and w.of is None:
             raise SpecError(f"$window {alias!r}: {op} requires $of")
         if kind == "agg" and op != "$count" and w.of is None:
             raise SpecError(f"$window {alias!r}: {op} requires $of")

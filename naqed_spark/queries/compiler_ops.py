@@ -2630,6 +2630,114 @@ def compiler_stream_dedup(spark, sf_dir):
 
 
 @query(
+    "compiler_window_nav",
+    # Round-16 M32 registration (VERDICT r15 item 6): $first/$last/
+    # $nth in $window — the raw win_first_last_nth key's navigation
+    # trio spelled through the DSL, same explicit-frame discipline
+    # (the engine PINS ROWS UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING:
+    # the default ORDER BY frame stops at CURRENT ROW, the classic
+    # last_value footgun; a user $frame on a nav fn is refused typed).
+    # Order includes the unique key (§7.3 tie discipline). The DSL
+    # composes what the raw key can't: $qualify bounds the emission to
+    # each customer's top-2 rows, exercising nav + rank in ONE window
+    # spec sharing one exchange.
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           first_value(o_orderkey) OVER w AS first_ok,
+           last_value(o_orderkey) OVER w AS last_ok,
+           nth_value(o_orderkey, 2) OVER w AS second_ok,
+           CAST(row_number() OVER w2 AS INT) AS rk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING),
+           w2 AS (PARTITION BY o_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey ASC)
+    QUALIFY rk <= 2
+    """,
+)
+def compiler_window_nav(spark, sf_dir):
+    """Scale shape: all four window functions share ONE (o_custkey ×
+    (o_totalprice, o_orderkey)) spec → ONE exchange (plan-checked).
+    NOTE: the $qualify rank bound deliberately does NOT become a
+    WindowGroupLimit pre-shuffle prune here — last/nth need the FULL
+    partition, so row pruning before the exchange would corrupt them;
+    Spark correctly keeps the limit post-window, and the cost model is
+    one full (custkey)-partitioned window pass, same as the raw
+    win_first_last_nth key."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    order = [["o_totalprice", "desc"], ["o_orderkey", "asc"]]
+    return eng.query({"orders": {
+        "o_custkey": True,
+        "o_orderkey": True,
+        "o_totalprice": True,
+        "$window": {
+            "first_ok": {"$first": {"$partition": ["o_custkey"],
+                                    "$order": order,
+                                    "$of": "o_orderkey"}},
+            "last_ok": {"$last": {"$partition": ["o_custkey"],
+                                  "$order": order,
+                                  "$of": "o_orderkey"}},
+            "second_ok": {"$nth": {"$partition": ["o_custkey"],
+                                   "$order": order,
+                                   "$of": "o_orderkey", "$n": 2}},
+            "rk": {"$row_number": {"$partition": ["o_custkey"],
+                                   "$order": order}},
+        },
+        "$qualify": {"rk": {"$lte": 2}},
+    }})
+
+
+@query(
+    "compiler_regex_text",
+    # Round-16 M31 registration (VERDICT r15 item 3): regex verbs in
+    # the DSL — $regex_extract / $regex_like / $regex_replace under
+    # the POSIX-simple cross-engine discipline llm_tokenize_bpe_regex
+    # proves. Patterns are parse-validated to the construct subset
+    # with IDENTICAL Java-regex/RE2 semantics (divergent constructs —
+    # backrefs, lookaround, inline flags, possessive quantifiers,
+    # POSIX classes, bare $, exotic escapes — refused typed). Probed:
+    # no-match extract → '', NULL text → NULL on every verb (kept in,
+    # exercising three-valued $regex_like), extract is ASCII-classed
+    # on multibyte text identically, replace is global on BOTH (Spark
+    # default ≡ DuckDB's explicit 'g' flag — the one oracle-side
+    # compensation).
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+           regexp_matches(text, '[0-9][0-9]*') AS has_number,
+           length(regexp_replace(text, '[0-9]+', '#', 'g'))
+             AS masked_len
+    FROM documents
+    """,
+)
+def compiler_regex_text(spark, sf_dir):
+    """Scale shape: all three verbs are codegen string expressions on
+    the scan (regexp_extract/RLike/regexp_replace are JVM intrinsics —
+    no Python, no shuffle, no fan-out); the whole key is a zero-
+    exchange projection, which is exactly what a 100 TB text-cleaning
+    pass needs to be."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query({"documents": {
+        "$select": {
+            "doc_id": "doc_id",
+            "first_word": {"$regex_extract":
+                           ["text", {"$lit": "([A-Za-z]+)"}, 1]},
+            "has_number": {"$regex_like":
+                           ["text", {"$lit": "[0-9][0-9]*"}]},
+            "masked_len": {"$length": {"$regex_replace":
+                           ["text", {"$lit": "[0-9]+"},
+                            {"$lit": "#"}]}},
+        },
+    }})
+
+
+@query(
     "compiler_traverse_cheapest",
     # Round-14 M22 registration: weighted $traverse — cheapest path on
     # the multi-edge customer line graph (orders give ~100 parallel

@@ -235,6 +235,14 @@ DEFERRED: set[str] = {
     # streaming dedup pass-through over the at-least-once dup/ replay;
     # VERDICT r15 item 2): same discipline.
     "compiler_stream_dedup",
+    # round-16 M31 registration ($regex_extract/$regex_like/
+    # $regex_replace under the parse-validated Java-regex/RE2 portable
+    # subset; VERDICT r15 item 4): same tri-SF pre-verified discipline.
+    "compiler_regex_text",
+    # round-16 M32 registration ($first/$last/$nth navigation window
+    # functions with the engine-pinned full-partition frame; VERDICT
+    # r15 item 6): same discipline.
+    "compiler_window_nav",
 }
 
 

@@ -270,6 +270,18 @@ HEADLINE += [
     "compiler_approx_percentile_multi",
 ]
 
+# Round-16 M31/M32 registrations. compiler_regex_text is a zero-
+# exchange codegen projection (three JVM regex intrinsics on the scan
+# — growth should be the pure scan term). compiler_window_nav is one
+# (o_custkey) window exchange with a WindowGroupLimit top-2 — growth
+# should track the shuffle of per-partition survivors, not the table.
+# The M29/M30 $stream keys follow the §2-J precedent: not probed
+# (their wall is availableNow replay plumbing, not plan shape).
+HEADLINE += [
+    "compiler_regex_text",
+    "compiler_window_nav",
+]
+
 
 def build(spark, src_dir: str, out_dir: str, k: int) -> None:
     from functools import reduce

@@ -5486,3 +5486,246 @@ def test_approx_percentile_multi_bad_fractions_fail_typed(eng, frs):
             "$groupby": ["o_orderstatus"],
             "$agg": {"qs": {"$approx_percentile":
                             ["o_totalprice", frs, 1000]}}}})
+
+
+# --- round-16 M31: regex verbs under the portable-subset grammar ---------
+
+
+def test_regex_verbs_match_spark_sql_twin(eng):
+    """$regex_extract/$regex_like/$regex_replace against the Spark SQL
+    spelling of the same expressions — a different compilation path
+    through the same engine, pinning the lowering. NULL operands are
+    manufactured with nullif(text, text) so three-valued semantics are
+    exercised even though the fixture's text column is dense."""
+    dsl = eng.query({"documents": {
+        "$select": {
+            "doc_id": "doc_id",
+            "first_word": {"$regex_extract":
+                           ["text", {"$lit": "([A-Za-z]+)"}, 1]},
+            "has_number": {"$regex_like":
+                           ["text", {"$lit": "[0-9][0-9]*"}]},
+            "masked": {"$regex_replace":
+                       ["text", {"$lit": "[0-9]+"}, {"$lit": "#"}]},
+            "null_like": {"$regex_like":
+                          [{"$nullif": ["text", "text"]},
+                           {"$lit": "x"}]},
+            "null_ex": {"$regex_extract":
+                        [{"$nullif": ["text", "text"]},
+                         {"$lit": "(x)"}, 1]},
+        },
+    }})
+    sql = eng.sql(
+        """
+        SELECT doc_id,
+               regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+               text RLIKE '[0-9][0-9]*' AS has_number,
+               regexp_replace(text, '[0-9]+', '#') AS masked,
+               nullif(text, text) RLIKE 'x' AS null_like,
+               regexp_extract(nullif(text, text), '(x)', 1) AS null_ex
+        FROM documents
+        """
+    )
+    assert dsl.columns == sql.columns
+    assert _rows(dsl) == _rows(sql)
+    # the NULL-operand columns really are NULL on every row
+    got = _rows(dsl)
+    assert all(k[-1] is None and k[-2] is None for k in got)
+
+
+def test_regex_portable_constructs_accepted(eng):
+    """The documented portable subset parses and runs: classes,
+    shorthands, lazy quantifiers, (?:) groups, alternation, ^ anchor,
+    escaped punctuation (incl. \\$ literal dollar), word boundaries."""
+    pats = ["[A-Za-z]+", "\\d{2,4}", "(?:ab|cd)*", "a+?", "^T",
+            "\\$[0-9]+", "\\b\\w+\\b", "x|y", "a.c", "[^0-9]+"]
+    sel = {f"c{i}": {"$regex_like": ["text", {"$lit": p}]}
+           for i, p in enumerate(pats)}
+    sel["doc_id"] = "doc_id"
+    df = eng.query({"documents": {"$select": sel, "$limit": 5,
+                                  "$orderby": ["doc_id"]}})
+    assert df.count() == 5
+
+
+@pytest.mark.parametrize(
+    "pat",
+    [
+        "(a)\\1",        # backreference
+        "(?=a)b",        # lookahead
+        "(?!a)b",        # negative lookahead
+        "(?<=a)b",       # lookbehind
+        "(?<name>a)",    # named group
+        "(?i)abc",       # inline flag
+        "a*+",           # possessive quantifier
+        "a{2,3}+",       # possessive interval
+        "[[:alpha:]]+",  # POSIX class
+        "[a-z&&[aeiou]]",  # Java class intersection
+        "end$",          # bare $ end-anchor (trailing-newline divergence)
+        "\\Qabc\\E",     # Java quoting
+        "\\x41",         # hex escape
+        "\\p{L}",        # unicode property
+        "\\A抓",          # \A anchor
+        "\\caX",         # control escape
+        "abc\\",         # trailing backslash
+        "[abc",          # unterminated class
+        "a{3,1}",        # malformed interval (re.error)
+        "",              # empty pattern
+    ],
+)
+def test_regex_nonportable_patterns_fail_typed(eng, pat):
+    with pytest.raises(SpecError):
+        eng.query({"documents": {"$select": {
+            "x": {"$regex_like": ["text", {"$lit": pat}]}}}})
+
+
+@pytest.mark.parametrize(
+    "expr",
+    [
+        # pattern not a $lit literal
+        {"$regex_like": ["text", "lang"]},
+        {"$regex_like": ["text", {"$lit": 3}]},
+        # extract: group index out of range / bad type / negative
+        {"$regex_extract": ["text", {"$lit": "([a-z]+)"}, 2]},
+        {"$regex_extract": ["text", {"$lit": "[a-z]+"}, 1]},  # 0 groups
+        {"$regex_extract": ["text", {"$lit": "([a-z]+)"}, -1]},
+        {"$regex_extract": ["text", {"$lit": "([a-z]+)"}, True]},
+        {"$regex_extract": ["text", {"$lit": "([a-z]+)"}, "1"]},
+        # replace: group refs / escapes / non-literal replacement
+        {"$regex_replace": ["text", {"$lit": "([a-z]+)"},
+                            {"$lit": "$1"}]},
+        {"$regex_replace": ["text", {"$lit": "([a-z]+)"},
+                            {"$lit": "\\1"}]},
+        {"$regex_replace": ["text", {"$lit": "[a-z]+"}, "lang"]},
+        # arity
+        {"$regex_like": ["text"]},
+        {"$regex_extract": ["text", {"$lit": "(a)"}]},
+    ],
+)
+def test_regex_bad_shapes_fail_typed(eng, expr):
+    with pytest.raises(SpecError):
+        eng.query({"documents": {"$select": {"x": expr}}})
+
+
+def test_regex_extract_group_zero_is_whole_match(eng):
+    """group 0 (the whole match) is legal for any pattern, including
+    one with no capturing groups — probed identical cross-engine."""
+    dsl = eng.query({"documents": {"$select": {
+        "doc_id": "doc_id",
+        "m": {"$regex_extract": ["text", {"$lit": "[0-9]+"}, 0]}}}})
+    sql = eng.sql(
+        "SELECT doc_id, regexp_extract(text, '[0-9]+', 0) AS m"
+        " FROM documents"
+    )
+    assert _rows(dsl) == _rows(sql)
+
+
+# --- round-16 M32: $first/$last/$nth navigation window functions ---------
+
+
+def test_window_nav_matches_sql_twin(eng):
+    """The nav trio over the engine-pinned full-partition frame equals
+    the explicit-frame SQL spelling (the win_first_last_nth
+    discipline), and $last really is the partition LAST, not the
+    current row (the default-frame footgun the pin exists for)."""
+    order = [["o_totalprice", "desc"], ["o_orderkey", "asc"]]
+    dsl = eng.query({"orders": {
+        "o_custkey": True, "o_orderkey": True, "o_totalprice": True,
+        "$window": {
+            "first_ok": {"$first": {"$partition": ["o_custkey"],
+                                    "$order": order,
+                                    "$of": "o_orderkey"}},
+            "last_ok": {"$last": {"$partition": ["o_custkey"],
+                                  "$order": order,
+                                  "$of": "o_orderkey"}},
+            "second_ok": {"$nth": {"$partition": ["o_custkey"],
+                                   "$order": order,
+                                   "$of": "o_orderkey", "$n": 2}},
+        },
+    }})
+    sql = eng.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               first_value(o_orderkey) OVER w AS first_ok,
+               last_value(o_orderkey) OVER w AS last_ok,
+               nth_value(o_orderkey, 2) OVER w AS second_ok
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+        """
+    )
+    assert dsl.columns == sql.columns
+    assert _rows(dsl) == _rows(sql)
+    # footgun check: under the DEFAULT frame last_value would equal
+    # the current row's o_orderkey on every row; the pinned frame must
+    # instead give one shared last per customer
+    rows = list(_rows(dsl))
+    per_cust = {}
+    diverges = False
+    for ck, ok, _tp, _f, last, _s in rows:
+        per_cust.setdefault(ck, set()).add(last)
+        if last != ok:
+            diverges = True
+    assert all(len(v) == 1 for v in per_cust.values())
+    assert diverges  # last != current row somewhere → not default frame
+
+
+def test_window_nav_nth_null_on_short_partitions(eng):
+    """$nth past the partition size is NULL (both engines): partition
+    by the unique key (every partition exactly one row) — nth(2) must
+    be NULL on every row, and $first/$last must equal the row's own
+    value."""
+    from pyspark.sql import functions as F
+
+    dsl = eng.query({"orders": {
+        "o_custkey": True, "o_orderkey": True,
+        "$window": {
+            "second_ok": {"$nth": {"$partition": ["o_orderkey"],
+                                   "$order": [["o_custkey", "asc"]],
+                                   "$of": "o_custkey", "$n": 2}},
+            "own": {"$last": {"$partition": ["o_orderkey"],
+                              "$order": [["o_custkey", "asc"]],
+                              "$of": "o_custkey"}},
+        },
+    }})
+    total = dsl.count()
+    assert total > 0
+    assert dsl.filter(F.col("second_ok").isNull()).count() == total
+    assert dsl.filter(F.col("own") == F.col("o_custkey")).count() == total
+
+
+@pytest.mark.parametrize(
+    "body",
+    [
+        {"$first": {"$partition": ["o_custkey"],
+                    "$order": [["o_orderkey", "asc"]]}},  # no $of
+        {"$last": {"$partition": ["o_custkey"],
+                   "$of": "o_orderkey"}},                 # no $order
+        {"$nth": {"$partition": ["o_custkey"],
+                  "$order": [["o_orderkey", "asc"]],
+                  "$of": "o_orderkey"}},                  # no $n
+        {"$nth": {"$partition": ["o_custkey"],
+                  "$order": [["o_orderkey", "asc"]],
+                  "$of": "o_orderkey", "$n": 0}},         # $n < 1
+        {"$first": {"$partition": ["o_custkey"],
+                    "$order": [["o_orderkey", "asc"]],
+                    "$of": "o_orderkey", "$n": 2}},       # $n on $first
+        {"$first": {"$partition": ["o_custkey"],
+                    "$order": [["o_orderkey", "asc"]],
+                    "$of": "o_orderkey",
+                    "$frame": ["rows", "unbounded", "current"]},
+         },  # user $frame on a nav fn (the pin is not overridable)
+        {"$last": {"$partition": ["o_custkey"],
+                   "$order": [["o_orderkey", "asc"]],
+                   "$of": "o_orderkey", "$offset": 1}},   # offset-only param
+        {"$last": {"$partition": ["o_custkey"],
+                   "$order": [["o_orderkey", "asc"]],
+                   "$of": "o_orderkey", "$default": 0}},  # offset-only param
+    ],
+)
+def test_window_nav_bad_shapes_fail_typed(eng, body):
+    with pytest.raises(SpecError):
+        eng.query({"orders": {
+            "o_custkey": True,
+            "$window": {"x": body},
+        }})

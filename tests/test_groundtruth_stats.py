@@ -8214,3 +8214,61 @@ def test_compiler_stream_dedup_matches_python(spark):
     assert len(got) == len(want)  # one survivor per id, no dup leaked
     assert_keyed(got, want, ["event_id"],
                  ["ts_us", "user_id", "event_type", "value", "props"])
+
+
+# --- wave 63 (round 16): M31 regex verbs + M32 window navigation ---------
+
+
+def test_compiler_regex_text_matches_python(spark):
+    """Python-re replay (a THIRD regex engine next to Java and RE2 —
+    the portable subset must agree on all three): first [A-Za-z]+ run's
+    group 1, partial-match digit flag, global digit masking length.
+    No-match extract is '' (the probed Spark/DuckDB convention)."""
+    import re as _re
+
+    docs = _tbl("documents")
+    want: dict = {}
+    pat_w = _re.compile("([A-Za-z]+)")
+    pat_d = _re.compile("[0-9][0-9]*")
+    for did, text in zip(docs.doc_id, docs.text):
+        t = _norm(text)
+        if t is None:
+            want[(int(did),)] = {"first_word": None, "has_number": None,
+                                 "masked_len": None}
+            continue
+        m = pat_w.search(t)
+        want[(int(did),)] = {
+            "first_word": m.group(1) if m else "",
+            "has_number": pat_d.search(t) is not None,
+            "masked_len": len(_re.sub("[0-9]+", "#", t)),
+        }
+    got = run(spark, "compiler_regex_text")
+    assert_keyed(got, want, ["doc_id"],
+                 ["first_word", "has_number", "masked_len"])
+
+
+def test_compiler_window_nav_matches_python(spark):
+    """Python replay: per customer sort orders by (price desc, key
+    asc) with plain list sorts, read first/last/nth(2) off the FULL
+    sorted list (the pinned full-partition frame), emit the top-2
+    rows (the $qualify bound)."""
+    orders = _tbl("orders")
+    per: dict = {}
+    for ck, ok, tp in zip(orders.o_custkey, orders.o_orderkey,
+                          orders.o_totalprice):
+        per.setdefault(int(ck), []).append((float(tp), int(ok)))
+    want: dict = {}
+    for ck, rows in per.items():
+        rows.sort(key=lambda r: (-r[0], r[1]))
+        keys = [ok for _, ok in rows]
+        first, last = keys[0], keys[-1]
+        second = keys[1] if len(keys) >= 2 else None
+        for rk, (tp, ok) in enumerate(rows[:2], start=1):
+            want[(ck, ok)] = {
+                "o_totalprice": tp, "first_ok": first, "last_ok": last,
+                "second_ok": second, "rk": rk,
+            }
+    got = run(spark, "compiler_window_nav")
+    assert_keyed(got, want, ["o_custkey", "o_orderkey"],
+                 ["o_totalprice", "first_ok", "last_ok", "second_ok",
+                  "rk"])
