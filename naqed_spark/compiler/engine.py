@@ -137,6 +137,12 @@ def _predicate_condition(pred: Predicate):
         return c.between(F.lit(lo), F.lit(hi))
     if op == "$like":
         return c.like(pred.value)
+    if op == "$regex":
+        # M31 (round 16): partial-match regex predicate (rlike ≡ DuckDB
+        # regexp_matches); pattern parse-validated to the portable
+        # subset. Catalyst keeps RLike in the scan stage's filter, so
+        # the pattern never forces a materialization boundary.
+        return c.rlike(pred.value)
     if op == "$isnull":
         return c.isNull()
     if op == "$notnull":

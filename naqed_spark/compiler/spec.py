@@ -464,8 +464,12 @@ class SpecError(ValueError):
     values in the result; we fail fast at compile time — SURVEY.md §1.2)."""
 
 
+# $regex (round 16, M31): scan-level pattern predicate — rlike ≡ DuckDB
+# regexp_matches (partial match, three-valued on NULL), pattern
+# parse-validated to the portable Java-regex/RE2 subset like the
+# $regex_* select verbs. $like stays the SQL-LIKE (%/_) spelling.
 FILTER_OPS = {"$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$in", "$between",
-              "$like", "$isnull", "$notnull"}
+              "$like", "$regex", "$isnull", "$notnull"}
 AGG_OPS = {"$count", "$sum", "$avg", "$min", "$max", "$count_distinct",
            "$min_by", "$max_by", "$grouping",
            # round 12 (statistical aggregates; driver keys queue r13 per
@@ -1013,6 +1017,12 @@ def _validate_filter_value(col: str, op: str, val: object) -> None:
     elif op == "$like":
         if not isinstance(val, str):
             raise SpecError(f"{col!r}: $like needs a string pattern")
+    elif op == "$regex":
+        # round 16 (M31): same portable-subset gate as the $regex_*
+        # select verbs — a divergent construct in a filter would
+        # silently change the row SET across engines, worse than a
+        # wrong column value
+        _validate_portable_regex(val, f"{col!r} $regex")
     elif op in ("$isnull", "$notnull"):
         if val is not True:
             raise SpecError(

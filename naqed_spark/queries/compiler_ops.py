@@ -2692,6 +2692,43 @@ def compiler_window_nav(spark, sf_dir):
 
 
 @query(
+    "compiler_regex_filter",
+    # Round-16 M31 companion: the $regex FILTER predicate — the
+    # scan-level spelling (rlike ≡ DuckDB regexp_matches, partial
+    # match) under the same parse-validated portable subset as the
+    # $regex_* select verbs. A divergent construct in a FILTER would
+    # silently change the row SET across engines, so the typed gate
+    # matters even more here. Pattern exercises the \b word-boundary
+    # shorthand (ASCII regime, identical in Java regex and RE2).
+    # sum(n_chars) is CAST BIGINT on the oracle side (DuckDB integer
+    # sums return HUGEINT, the driver canonicalizer's guard).
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE regexp_matches(text, '\\bthe\\b')
+    GROUP BY lang
+    """,
+)
+def compiler_regex_filter(spark, sf_dir):
+    """Scale shape: RLike stays inside the scan stage's filter (no
+    materialization boundary — Catalyst can't push a regex into
+    parquet row-group stats, but the predicate runs codegen-side
+    before the aggregation), then one partial+final hash-agg pair
+    around a ≤5-group exchange of accumulators."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query({"documents": {
+        "$filter": {"text": {"$regex": "\\bthe\\b"}},
+        "$groupby": ["lang"],
+        "$agg": {"n_docs": {"$count": True},
+                 "sum_chars": {"$sum": "n_chars"}},
+    }})
+
+
+@query(
     "compiler_regex_text",
     # Round-16 M31 registration (VERDICT r15 item 3): regex verbs in
     # the DSL — $regex_extract / $regex_like / $regex_replace under

@@ -243,6 +243,10 @@ DEFERRED: set[str] = {
     # functions with the engine-pinned full-partition frame; VERDICT
     # r15 item 6): same discipline.
     "compiler_window_nav",
+    # round-16 M31 companion registration (the $regex FILTER predicate
+    # — scan-level partial-match under the same portable-subset gate):
+    # same discipline.
+    "compiler_regex_filter",
 }
 
 

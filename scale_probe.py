@@ -280,6 +280,8 @@ HEADLINE += [
 HEADLINE += [
     "compiler_regex_text",
     "compiler_window_nav",
+    # scan-stage regex filter + tiny rollup — growth is the scan term
+    "compiler_regex_filter",
 ]
 
 

@@ -5729,3 +5729,33 @@ def test_window_nav_bad_shapes_fail_typed(eng, body):
             "o_custkey": True,
             "$window": {"x": body},
         }})
+
+
+def test_regex_filter_matches_spark_sql_twin(eng):
+    """$regex in $filter ≡ the RLIKE WHERE spelling; also pins that
+    non-matching rows really drop (row-set semantics, not value)."""
+    dsl = eng.query({"documents": {
+        "$filter": {"text": {"$regex": "\\bdata\\b"}},
+        "doc_id": True, "lang": True,
+    }})
+    sql = eng.sql(
+        "SELECT doc_id, lang FROM documents WHERE text RLIKE"
+        " '\\\\bdata\\\\b'"
+    )
+    assert _rows(dsl) == _rows(sql)
+    assert dsl.count() < eng.entity("documents").count()
+
+
+@pytest.mark.parametrize(
+    "flt",
+    [
+        {"text": {"$regex": "(a)\\1"}},     # backref — portability gate
+        {"text": {"$regex": "end$"}},        # bare $ anchor
+        {"text": {"$regex": "(?i)the"}},     # inline flag
+        {"text": {"$regex": 3}},             # not a string
+        {"doc_id": {"$regex": "[0-9]+"}},    # non-string column (typed)
+    ],
+)
+def test_regex_filter_bad_shapes_fail_typed(eng, flt):
+    with pytest.raises(SpecError):
+        eng.query({"documents": {"$filter": flt, "doc_id": True}})

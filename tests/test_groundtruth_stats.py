@@ -8272,3 +8272,24 @@ def test_compiler_window_nav_matches_python(spark):
     assert_keyed(got, want, ["o_custkey", "o_orderkey"],
                  ["o_totalprice", "first_ok", "last_ok", "second_ok",
                   "rk"])
+
+
+def test_compiler_regex_filter_matches_python(spark):
+    """Python-re replay of the $regex FILTER: the row SET itself is
+    pattern-driven, so the third-engine check re-derives which docs
+    match \\bthe\\b and re-aggregates with dict scans."""
+    import re as _re
+
+    docs = _tbl("documents")
+    pat = _re.compile(r"\bthe\b")
+    want: dict = {}
+    for lang, text, nc in zip(docs.lang, docs.text, docs.n_chars):
+        t = _norm(text)
+        if t is None or not pat.search(t):
+            continue
+        key = (_norm(lang),)
+        agg = want.setdefault(key, {"n_docs": 0, "sum_chars": 0})
+        agg["n_docs"] += 1
+        agg["sum_chars"] += int(nc)
+    got = run(spark, "compiler_regex_filter")
+    assert_keyed(got, want, ["lang"], ["n_docs", "sum_chars"])
