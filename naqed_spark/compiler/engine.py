@@ -33,6 +33,7 @@ from naqed_spark.compiler.spec import (
     SetSpec,
     SpecError,
     StreamSpec,
+    StreamStreamJoinSpec,
     TraverseSpec,
     WindowFn,
     bind_args,
@@ -216,6 +217,8 @@ class Engine:
             return self._compile_set(qs)
         if isinstance(qs, StreamSpec):
             return self._compile_stream(qs)
+        if isinstance(qs, StreamStreamJoinSpec):
+            return self._compile_stream_join(qs)
         return self._compile(qs)
 
     def _resolve_scalars(self, obj: object) -> object:
@@ -254,9 +257,10 @@ class Engine:
                     return obj
                 inner = self._resolve_scalars(inner)
                 iqs = parse_query(inner)
-                if isinstance(iqs, StreamSpec):
+                if isinstance(iqs, (StreamSpec, StreamStreamJoinSpec)):
                     raise SpecError(
-                        "$scalar cannot wrap a $stream query"
+                        "$scalar cannot wrap a $stream/$stream_join"
+                        " query"
                     )
                 idf = (self._compile_set(iqs)
                        if isinstance(iqs, SetSpec) else self._compile(iqs))
@@ -471,6 +475,74 @@ class Engine:
         )
         mode = "append" if ss.watermark is not None else "complete"
         return _run_to_memory(out, self.spark, mode)
+
+    def _compile_stream_join(self, sj: StreamStreamJoinSpec) -> DataFrame:
+        """$stream_join (round 16, M33): stream ⋈ stream interval join
+        — the same transformation graph the hash-green raw
+        stream_stream_join key runs. Scale shape: both sides carry
+        watermarks and the join condition bounds right event time to
+        (left_ts, left_ts + within] — that PAIR is what lets Spark
+        expire buffered join state instead of holding both streams
+        forever (state is O(in-flight window), not O(stream), the
+        100 TB requirement). The join itself shuffles both sides on
+        the $on keys once — the same single exchange the batch
+        self-join twin needs. Emission: left_id / right_id (event
+        ids), the $on keys (left side), left_us / right_us epoch µs."""
+        import os as _os
+
+        from naqed_spark.queries.streaming import (
+            _read_stream,
+            _run_to_memory,
+            _stage,
+        )
+
+        if sj.source != "events":
+            raise SpecError(
+                f"$stream_join.$source {sj.source!r}: 'events' is the"
+                f" streaming entity (the only one with an event-time"
+                f" column)"
+            )
+        base = _stage(self.spark, self.catalog.sf_dir)
+        path = _os.path.join(base, "all")
+
+        def side(preds, id_alias, ts_alias, key_prefix):
+            s = _read_stream(self.spark, path)
+            for p in preds:
+                _typecheck(s, p, "events")
+                s = _apply_predicate(s, p)
+            for c in sj.on:
+                if c not in s.columns:
+                    raise SpecError(
+                        f"$stream_join.$on: no such column {c!r}"
+                        f" (have {s.columns})"
+                    )
+            return s.select(
+                F.col("event_id").alias(id_alias),
+                F.col("ts").alias(ts_alias),
+                *[_qcol(c).alias(key_prefix + c) for c in sj.on],
+            ).withWatermark(ts_alias, sj.watermark)
+
+        left = side(sj.left_filter, "left_id", "left_ts", "")
+        right = side(sj.right_filter, "right_id", "right_ts", "__r_")
+        # sj.within is _DURATION_RE-validated ("N unit"), so the
+        # interval literal interpolation cannot inject SQL
+        cond = reduce(
+            operator.and_,
+            [left[c] == right["__r_" + c] for c in sj.on]
+            + [
+                right["right_ts"] > left["left_ts"],
+                right["right_ts"]
+                <= left["left_ts"] + F.expr(f"INTERVAL {sj.within}"),
+            ],
+        )
+        out = left.join(right, cond, "inner").select(
+            "left_id",
+            "right_id",
+            *[_qcol(c) for c in sj.on],
+            F.unix_micros("left_ts").alias("left_us"),
+            F.unix_micros("right_ts").alias("right_us"),
+        )
+        return _run_to_memory(out, self.spark, "append")
 
     def _compile_set(self, ss: SetSpec) -> DataFrame:
         """Set-operation combine (round 7). Scale shape: the union itself is

@@ -969,6 +969,28 @@ class StreamSpec:
 
 
 @dataclass
+class StreamStreamJoinSpec:
+    """$stream_join (round 16, M33): stream ⋈ stream interval join —
+    the correlate-two-event-streams primitive (click → purchase within
+    the hour). Both sides read the streaming entity with their own
+    plain-predicate filters; ``on`` lists shared equi-key columns;
+    ``within`` bounds right event time to (left_ts, left_ts + within]
+    — the time constraint that (with the REQUIRED watermark on both
+    sides) lets Spark EVICT join state instead of buffering both
+    streams forever: state is O(in-flight window), not O(stream).
+    Inner only: outer stream-stream emission is watermark-delayed by
+    construction (the raw stream_left_outer_join key carries that
+    discipline; spelled later if a user needs it in the DSL)."""
+
+    source: str
+    left_filter: list  # list[Predicate]
+    right_filter: list
+    on: list[str]
+    within: str
+    watermark: str
+
+
+@dataclass
 class QuerySpec:
     root: Node
     groupby: list[str] = field(default_factory=list)
@@ -2551,10 +2573,78 @@ def _parse_stream(obj: object) -> StreamSpec:
                       watermark=watermark, join=join, distinct=distinct)
 
 
-def parse_query(spec: dict) -> "QuerySpec | SetSpec | StreamSpec":
+def _parse_stream_join(obj: object) -> StreamStreamJoinSpec:
+    """``{"$stream_join": {...}}`` — typed shape checks for the
+    stream ⋈ stream interval join (round 16, M33)."""
+    if not isinstance(obj, dict):
+        raise SpecError("$stream_join must be a dict")
+    known = {"$source", "$left", "$right", "$on", "$within",
+             "$watermark", "$how"}
+    extra = set(obj) - known
+    if extra:
+        raise SpecError(f"$stream_join: unknown keys {sorted(extra)}")
+    source = obj.get("$source")
+    if not isinstance(source, str) or not source:
+        raise SpecError("$stream_join requires $source (the streaming"
+                        " entity both sides read)")
+    how = obj.get("$how", "inner")
+    if how != "inner":
+        raise SpecError(
+            f"$stream_join.$how {how!r}: only 'inner' is spelled —"
+            f" outer stream-stream emission is watermark-delayed by"
+            f" construction (the raw stream_left_outer_join key"
+            f" carries that discipline)"
+        )
+    on = obj.get("$on")
+    if (not isinstance(on, list) or not on
+            or not all(isinstance(c, str) and c for c in on)):
+        raise SpecError(
+            "$stream_join requires $on, a non-empty list of shared"
+            " equi-key column names"
+        )
+    if len(set(on)) != len(on):
+        raise SpecError("$stream_join.$on must not repeat a column")
+    bad = [c for c in on if c in ("ts", "event_id")]
+    if bad:
+        raise SpecError(
+            f"$stream_join.$on: {bad} are the join's time/identity"
+            f" columns — they cannot be equi-keys"
+        )
+    if "$within" not in obj:
+        raise SpecError(
+            "$stream_join requires $within (the right-side event-time"
+            " bound: right ts in (left ts, left ts + within]) — an"
+            " unbounded stream-stream join buffers both streams"
+            " forever"
+        )
+    within = _stream_duration(obj["$within"], "$stream_join.$within")
+    if "$watermark" not in obj:
+        raise SpecError(
+            "$stream_join requires $watermark — the watermark pair is"
+            " what lets the join EVICT buffered state"
+        )
+    watermark = _stream_duration(obj["$watermark"],
+                                 "$stream_join.$watermark")
+    filters = {}
+    for side in ("$left", "$right"):
+        preds = []
+        if side in obj:
+            preds = _parse_filters(obj[side])
+            _reject_correlated(preds, f"$stream_join.{side}")
+        filters[side] = preds
+    return StreamStreamJoinSpec(
+        source=source, left_filter=filters["$left"],
+        right_filter=filters["$right"], on=list(on), within=within,
+        watermark=watermark,
+    )
+
+
+def parse_query(
+    spec: dict,
+) -> "QuerySpec | SetSpec | StreamSpec | StreamStreamJoinSpec":
     """Parse a plain single-root query, a set-operation query
     ({"$union": [specA, specB], ...}), or a streaming query
-    ({"$stream": {...}})."""
+    ({"$stream": {...}} / {"$stream_join": {...}})."""
     if not isinstance(spec, dict):
         raise SpecError("query spec must be a dict")
     if "$stream" in spec:
@@ -2565,6 +2655,14 @@ def parse_query(spec: dict) -> "QuerySpec | SetSpec | StreamSpec":
                 f" streaming spec is self-contained"
             )
         return _parse_stream(spec["$stream"])
+    if "$stream_join" in spec:
+        extra = set(spec) - {"$stream_join"}
+        if extra:
+            raise SpecError(
+                f"$stream_join: unknown sibling keys {sorted(extra)} —"
+                f" the streaming spec is self-contained"
+            )
+        return _parse_stream_join(spec["$stream_join"])
     ops = SET_OPS & set(spec)
     if not ops:
         return parse_spec(spec)

@@ -2692,6 +2692,44 @@ def compiler_window_nav(spark, sf_dir):
 
 
 @query(
+    "compiler_stream_stream_join",
+    # Round-16 M33 registration: the stream ⋈ stream interval join
+    # spelled in the DSL — each click joined to the same user's
+    # purchases within the following hour (the raw stream_stream_join
+    # key's shape through $stream_join). Both watermarks + the $within
+    # time bound are parse-REQUIRED: that pair is what lets Spark
+    # evict buffered join state (the 100 TB requirement). Batch twin:
+    # the identical interval self-join on the events table.
+    oracle="""
+    SELECT a.event_id AS left_id, b.event_id AS right_id,
+           a.user_id,
+           epoch_us(a.ts) AS left_us, epoch_us(b.ts) AS right_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    """,
+)
+def compiler_stream_stream_join(spark, sf_dir):
+    """Scale shape: state per side is the in-flight (watermark +
+    within) window of rows keyed by user_id — O(window), not
+    O(stream); the join shuffles both sides once on the $on keys,
+    the same single exchange the batch self-join twin needs. The DSL
+    adds zero execution surface over the hash-green raw key."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query({"$stream_join": {
+        "$source": "events",
+        "$left": {"event_type": "click"},
+        "$right": {"event_type": "purchase"},
+        "$on": ["user_id"],
+        "$within": "1 hour",
+        "$watermark": "10 minutes",
+    }})
+
+
+@query(
     "compiler_regex_filter",
     # Round-16 M31 companion: the $regex FILTER predicate — the
     # scan-level spelling (rlike ≡ DuckDB regexp_matches, partial

@@ -247,6 +247,10 @@ DEFERRED: set[str] = {
     # — scan-level partial-match under the same portable-subset gate):
     # same discipline.
     "compiler_regex_filter",
+    # round-16 M33 registration ($stream_join — stream ⋈ stream
+    # interval join with parse-required watermark + $within time
+    # bound): same discipline.
+    "compiler_stream_stream_join",
 }
 
 

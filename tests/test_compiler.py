@@ -5759,3 +5759,125 @@ def test_regex_filter_matches_spark_sql_twin(eng):
 def test_regex_filter_bad_shapes_fail_typed(eng, flt):
     with pytest.raises(SpecError):
         eng.query({"documents": {"$filter": flt, "doc_id": True}})
+
+
+# --- round-16 M33: $stream_join (stream-stream interval join) ------------
+
+
+def test_stream_stream_join_matches_batch_twin(eng):
+    """The availableNow replay of the interval join equals the batch
+    self-join over the same rows (Structured Streaming's correctness
+    contract; inner join — no watermark-delayed emission)."""
+    from pyspark.sql import functions as F
+
+    got = eng.query({"$stream_join": {
+        "$source": "events",
+        "$left": {"event_type": "click"},
+        "$right": {"event_type": "purchase"},
+        "$on": ["user_id"],
+        "$within": "1 hour",
+        "$watermark": "10 minutes",
+    }})
+    ev = eng.entity("events")
+    a = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("left_id"), "user_id",
+        F.col("ts").alias("lts"))
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("right_id"),
+        F.col("user_id").alias("ruid"), F.col("ts").alias("rts"))
+    want = a.join(
+        b,
+        (a["user_id"] == b["ruid"]) & (b["rts"] > a["lts"])
+        & (b["rts"] <= a["lts"] + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select(
+        "left_id", "right_id", "user_id",
+        F.unix_micros("lts").alias("left_us"),
+        F.unix_micros("rts").alias("right_us"),
+    )
+    assert got.columns == want.columns
+    assert _batch_rows(got) == _batch_rows(want)
+    assert sum(_batch_rows(got).values()) > 0
+
+
+def test_stream_stream_join_unfiltered_sides(eng):
+    """No side filters: every same-user event pair within the hour —
+    the $left/$right dicts are optional."""
+    from pyspark.sql import functions as F
+
+    got = eng.query({"$stream_join": {
+        "$source": "events",
+        "$on": ["user_id"],
+        "$within": "30 minutes",
+        "$watermark": "10 minutes",
+    }})
+    ev = eng.entity("events")
+    a = ev.select(F.col("event_id").alias("left_id"), "user_id",
+                  F.col("ts").alias("lts"))
+    b = ev.select(F.col("event_id").alias("right_id"),
+                  F.col("user_id").alias("ruid"),
+                  F.col("ts").alias("rts"))
+    want = a.join(
+        b,
+        (a["user_id"] == b["ruid"]) & (b["rts"] > a["lts"])
+        & (b["rts"] <= a["lts"] + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select(
+        "left_id", "right_id", "user_id",
+        F.unix_micros("lts").alias("left_us"),
+        F.unix_micros("rts").alias("right_us"),
+    )
+    assert _batch_rows(got) == _batch_rows(want)
+
+
+@pytest.mark.parametrize(
+    "spec",
+    [
+        {"$source": "events", "$on": ["user_id"],
+         "$watermark": "10 minutes"},                      # no $within
+        {"$source": "events", "$on": ["user_id"],
+         "$within": "1 hour"},                             # no $watermark
+        {"$source": "events", "$on": ["user_id"], "$within": "1 hour",
+         "$watermark": "10 minutes", "$how": "left"},      # outer refused
+        {"$source": "events", "$on": [], "$within": "1 hour",
+         "$watermark": "10 minutes"},                      # empty $on
+        {"$source": "events", "$on": ["ts"], "$within": "1 hour",
+         "$watermark": "10 minutes"},                      # ts as key
+        {"$source": "events", "$on": ["event_id"], "$within": "1 hour",
+         "$watermark": "10 minutes"},                      # id as key
+        {"$source": "events", "$on": ["user_id", "user_id"],
+         "$within": "1 hour", "$watermark": "10 minutes"},  # repeat key
+        {"$source": "events", "$on": ["nonsuch"], "$within": "1 hour",
+         "$watermark": "10 minutes"},                      # unknown key
+        {"$source": "orders", "$on": ["o_custkey"], "$within": "1 hour",
+         "$watermark": "10 minutes"},                      # not streaming
+        {"$source": "events", "$on": ["user_id"], "$within": "soon",
+         "$watermark": "10 minutes"},                      # bad duration
+        {"$source": "events", "$on": ["user_id"], "$within": "1 hour",
+         "$watermark": "10 minutes",
+         "$left": {"nonsuch": 1}},                         # bad filter col
+        {"$source": "events", "$on": ["user_id"], "$within": "1 hour",
+         "$watermark": "10 minutes", "$bogus": 1},         # unknown key
+        {"$on": ["user_id"], "$within": "1 hour",
+         "$watermark": "10 minutes"},                      # no $source
+    ],
+)
+def test_stream_stream_join_bad_shapes_fail_typed(eng, spec):
+    with pytest.raises(SpecError):
+        eng.query({"$stream_join": spec})
+
+
+def test_stream_stream_join_rejects_siblings_and_scalar(eng):
+    with pytest.raises(SpecError, match="self-contained"):
+        eng.query({"$stream_join": {
+            "$source": "events", "$on": ["user_id"],
+            "$within": "1 hour", "$watermark": "10 minutes"},
+            "$limit": 5})
+    with pytest.raises(SpecError, match="scalar"):
+        eng.query({"orders": {
+            "$filter": {"o_custkey": {"$lt": {"$scalar": {
+                "$stream_join": {"$source": "events",
+                                 "$on": ["user_id"],
+                                 "$within": "1 hour",
+                                 "$watermark": "10 minutes"}}}}},
+            "$agg": {"n": {"$count": True}}}})

@@ -8293,3 +8293,33 @@ def test_compiler_regex_filter_matches_python(spark):
         agg["sum_chars"] += int(nc)
     got = run(spark, "compiler_regex_filter")
     assert_keyed(got, want, ["lang"], ["n_docs", "sum_chars"])
+
+
+def test_compiler_stream_stream_join_matches_python(spark):
+    """Python replay of the interval join: per user, every (click,
+    purchase) pair with purchase ts in (click ts, click ts + 1 h] —
+    plain nested list scans, no state store, no SQL."""
+    ev = _tbl("events")
+    clicks: dict = {}
+    purchases: dict = {}
+    for eid, ts, uid, et in zip(ev.event_id, ev.ts, ev.user_id,
+                                ev.event_type):
+        us = pd.Timestamp(ts).value // 1000
+        if _norm(et) == "click":
+            clicks.setdefault(int(uid), []).append((int(eid), us))
+        elif _norm(et) == "purchase":
+            purchases.setdefault(int(uid), []).append((int(eid), us))
+    hour_us = 3_600_000_000
+    want: dict = {}
+    for uid, cs in clicks.items():
+        for cid, cus in cs:
+            for pid, pus in purchases.get(uid, []):
+                if cus < pus <= cus + hour_us:
+                    want[(cid, pid)] = {
+                        "user_id": uid, "left_us": cus,
+                        "right_us": pus,
+                    }
+    got = run(spark, "compiler_stream_stream_join")
+    assert len(want) > 0
+    assert_keyed(got, want, ["left_id", "right_id"],
+                 ["user_id", "left_us", "right_us"])
