@@ -1405,6 +1405,15 @@ def _validate_portable_regex(pat: object, ctx: str) -> int:
                     f" uppercase negations) plus escaped punctuation"
                     f" are in the cross-engine subset"
                 )
+            if in_class and nxt in "bB":
+                # code-review r16: inside a character class \b means
+                # BACKSPACE in Java but is an invalid escape in RE2 —
+                # divergent semantics on one engine, a raw error on
+                # the other
+                raise SpecError(
+                    f"{ctx}: \\{nxt} inside a character class is not"
+                    f" portable (Java reads backspace, RE2 rejects it)"
+                )
             prev_quant = False
             i += 2
             continue
@@ -1448,12 +1457,28 @@ def _validate_portable_regex(pat: object, ctx: str) -> int:
             prev_quant = False
             i += 1
             continue
+        if c == "{":
+            # code-review r16: Python/RE2 read a dangling or malformed
+            # '{' as a LITERAL while Java raises a raw
+            # PatternSyntaxException ('Illegal repetition') — the
+            # lenient re.compile backstop below cannot catch it, so
+            # the brace must open a well-formed quantifier here
+            m = re.match(r"\{\d+(,\d*)?\}", pat[i:])
+            if not m:
+                raise SpecError(
+                    f"{ctx}: '{{' must open a {{m}} / {{m,}} / {{m,n}}"
+                    f" quantifier (Java rejects a literal brace raw) —"
+                    f" escape a literal brace as \\{{"
+                )
+            i += m.end()
+            prev_quant = True
+            continue
         if c == "+" and prev_quant:
             raise SpecError(
                 f"{ctx}: possessive quantifiers (*+ ++ ?+ {{m}}+) are"
                 f" Java-only"
             )
-        prev_quant = c in "*+?}"
+        prev_quant = c in "*+?"
         i += 1
     if in_class:
         raise SpecError(f"{ctx}: unterminated character class")
@@ -2683,7 +2708,21 @@ def parse_query(
             raise SpecError(f"{op} takes exactly 2 branches, got {len(raw)}")
     elif len(raw) < 2:
         raise SpecError(f"{op} needs at least 2 branches, got {len(raw)}")
-    ss = SetSpec(op=op, branches=[parse_query(b) for b in raw])
+    branches = []
+    for b in raw:
+        pb = parse_query(b)
+        if isinstance(pb, (StreamSpec, StreamStreamJoinSpec)):
+            # code-review r16: without this guard a streaming branch
+            # parses fine and then crashes raw inside the batch
+            # compiler (AttributeError on qs.traverse) — set
+            # operations combine BATCH queries
+            raise SpecError(
+                f"{op}: streaming specs ($stream/$stream_join) cannot"
+                f" be set-operation branches — run the replay and"
+                f" combine the batch results instead"
+            )
+        branches.append(pb)
+    ss = SetSpec(op=op, branches=branches)
     if "$orderby" in spec:
         ss.orderby = _parse_orderlist(spec["$orderby"], "$orderby")
     if "$limit" in spec:

@@ -273,8 +273,10 @@ HEADLINE += [
 # Round-16 M31/M32 registrations. compiler_regex_text is a zero-
 # exchange codegen projection (three JVM regex intrinsics on the scan
 # — growth should be the pure scan term). compiler_window_nav is one
-# (o_custkey) window exchange with a WindowGroupLimit top-2 — growth
-# should track the shuffle of per-partition survivors, not the table.
+# (o_custkey) window exchange over FULL partitions — last/nth need
+# every partition row, so the $qualify bound deliberately does NOT
+# prune pre-shuffle (see the key's docstring) and growth tracks the
+# whole orders table through the exchange.
 # The M29/M30 $stream keys follow the §2-J precedent: not probed
 # (their wall is availableNow replay plumbing, not plan shape).
 HEADLINE += [

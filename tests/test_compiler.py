@@ -5537,7 +5537,8 @@ def test_regex_portable_constructs_accepted(eng):
     shorthands, lazy quantifiers, (?:) groups, alternation, ^ anchor,
     escaped punctuation (incl. \\$ literal dollar), word boundaries."""
     pats = ["[A-Za-z]+", "\\d{2,4}", "(?:ab|cd)*", "a+?", "^T",
-            "\\$[0-9]+", "\\b\\w+\\b", "x|y", "a.c", "[^0-9]+"]
+            "\\$[0-9]+", "\\b\\w+\\b", "x|y", "a.c", "[^0-9]+",
+            "a{3}", "a{3,}", "\\{[a-z]+\\}"]
     sel = {f"c{i}": {"$regex_like": ["text", {"$lit": p}]}
            for i, p in enumerate(pats)}
     sel["doc_id"] = "doc_id"
@@ -5569,6 +5570,17 @@ def test_regex_portable_constructs_accepted(eng):
         "[abc",          # unterminated class
         "a{3,1}",        # malformed interval (re.error)
         "",              # empty pattern
+        # code-review r16: dangling/malformed braces are LITERAL in
+        # Python/RE2 but a raw PatternSyntaxException in Java — the
+        # gate must catch what the lenient re.compile backstop can't
+        "a{",            # dangling brace
+        "a{2",           # unclosed quantifier
+        "x{a}",          # non-numeric brace body
+        "a{,3}",         # Java reads literal, Python reads {0,3}
+        # code-review r16: \b in a character class is BACKSPACE in
+        # Java and a raw invalid-escape error in RE2
+        "the[\\b]end",
+        "[\\B]",
     ],
 )
 def test_regex_nonportable_patterns_fail_typed(eng, pat):
@@ -5881,3 +5893,21 @@ def test_stream_stream_join_rejects_siblings_and_scalar(eng):
                                  "$within": "1 hour",
                                  "$watermark": "10 minutes"}}}}},
             "$agg": {"n": {"$count": True}}}})
+
+
+@pytest.mark.parametrize("setop", ["$union", "$union_all", "$intersect"])
+def test_set_ops_reject_streaming_branches_typed(eng, setop):
+    """code-review r16: a streaming branch inside a set operation must
+    raise the typed refusal, never the raw AttributeError the batch
+    compiler would hit (pre-existing for $stream, extended by
+    $stream_join)."""
+    stream = {"$stream": {"$source": "events",
+                          "$window": {"$size": "1 hour"},
+                          "$agg": {"n": {"$count": True}}}}
+    sjoin = {"$stream_join": {"$source": "events", "$on": ["user_id"],
+                              "$within": "1 hour",
+                              "$watermark": "10 minutes"}}
+    batch = {"events": {"event_id": True}}
+    for bad in (stream, sjoin):
+        with pytest.raises(SpecError, match="set-operation"):
+            eng.query({setop: [bad, batch]})
