@@ -325,3 +325,177 @@ def test_multi_fraction_percentile_equals_singles(eng, seed):
         }).collect()}
         for k, v in single.items():
             assert multi[k][i] == v, (k, p, acc, multi[k][i], v)
+
+
+# --- round-16 wave: regex / window-nav / stream identities ----------------
+
+_RX_WORDS = ["the", "data", "scan", "query", "spark", "window", "table",
+             "value", "batch", "merge"]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_regex_alternation_is_or_of_branches(eng, seed):
+    """σ($regex a|b) == σ($regex a) ∪ σ($regex b) as row sets on the
+    key — the alternation/disjunction identity ties the M31 filter
+    verb to the engine's own $or semantics through a completely
+    different execution path (one rlike vs two unioned scans)."""
+    rng = random.Random(seed)
+    a, b = rng.sample(_RX_WORDS, 2)
+
+    def ids(flt):
+        return {
+            r[0]
+            for r in eng.query(
+                {"documents": {"$filter": flt, "doc_id": True}}
+            ).collect()
+        }
+
+    both = ids({"text": {"$regex": f"\\b(?:{a}|{b})\\b"}})
+    union = ids({"text": {"$regex": f"\\b{a}\\b"}}) | ids(
+        {"text": {"$regex": f"\\b{b}\\b"}}
+    )
+    assert both == union
+    assert both  # seeded words really occur in the corpus
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_regex_filter_equals_where_on_like_column(eng, seed):
+    """$filter {$regex p} ≡ $select {$regex_like p} + $where — the
+    scan-level and post-projection spellings of the same predicate
+    must pick the same row set."""
+    rng = random.Random(seed)
+    w = rng.choice(_RX_WORDS)
+    pat = f"\\b{w}\\b"
+    scan = {
+        r[0]
+        for r in eng.query(
+            {"documents": {"$filter": {"text": {"$regex": pat}},
+                           "doc_id": True}}
+        ).collect()
+    }
+    post = {
+        r[0]
+        for r in eng.query(
+            {"documents": {
+                "$select": {
+                    "doc_id": "doc_id",
+                    "hit": {"$regex_like": ["text", {"$lit": pat}]},
+                },
+                "$where": {"hit": True},
+            }}
+        ).collect()
+    }
+    assert scan == post and scan
+
+
+def test_regex_replace_nonmatching_is_identity(eng):
+    """Replacing a pattern that never matches leaves every string
+    bit-identical (masked == text on all rows)."""
+    df = eng.query({"documents": {"$select": {
+        "doc_id": "doc_id",
+        "same": {"$eq": [
+            {"$regex_replace": ["text", {"$lit": "zqxj[0-9]{5}"},
+                                {"$lit": "#"}]},
+            "text",
+        ]},
+    }}})
+    rows = df.collect()
+    assert rows and all(r["same"] for r in rows)
+
+
+def test_regex_extract_all_occurrences_vs_split(eng):
+    """extract of group 0 with a .* wrapper returns the text itself
+    when the pattern matches — extract(^.*) is the identity on
+    matching rows (anchored whole-line capture)."""
+    df = eng.query({"documents": {"$select": {
+        "doc_id": "doc_id",
+        "same": {"$eq": [
+            {"$regex_extract": ["text", {"$lit": "^(.*)"}, 1]},
+            "text",
+        ]},
+    }}})
+    rows = df.collect()
+    assert rows and all(r["same"] for r in rows)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_window_nav_first_reversed_is_last(eng, seed):
+    """$first over (cols...) ≡ $last over the direction-flipped order
+    — the navigation mirror identity, per partition, on a seeded
+    random order spec."""
+    rng = random.Random(seed)
+    cols = [("o_totalprice", "o_orderkey"), ("o_orderdate", "o_orderkey"),
+            ("o_orderkey",)][rng.randrange(3)]
+    d1 = rng.choice(["asc", "desc"])
+    flip = {"asc": "desc", "desc": "asc"}
+    order = [[c, d1] for c in cols]
+    rev = [[c, flip[d1]] for c in cols]
+    df = eng.query({"orders": {
+        "o_orderkey": True,
+        "$window": {
+            "f": {"$first": {"$partition": ["o_custkey"], "$order": order,
+                             "$of": "o_orderkey"}},
+            "l": {"$last": {"$partition": ["o_custkey"], "$order": rev,
+                            "$of": "o_orderkey"}},
+            "n1": {"$nth": {"$partition": ["o_custkey"], "$order": order,
+                            "$of": "o_orderkey", "$n": 1}},
+        },
+    }})
+    rows = df.collect()
+    assert rows
+    assert all(r["f"] == r["l"] for r in rows)   # mirror identity
+    assert all(r["n1"] == r["f"] for r in rows)  # nth(1) == first
+
+
+def test_stream_static_join_left_minus_nulls_is_inner(eng):
+    """Left-join rows with a non-NULL enrich field == the inner-join
+    rows (multiset on all emitted columns) — the outer/inner
+    decomposition identity over the genuinely-partial supplier dim."""
+    from collections import Counter
+
+    def rows(how, drop_null):
+        df = eng.query({"$stream": {
+            "$source": "events",
+            "$join": {"$entity": "supplier",
+                      "$on": {"user_id": "s_suppkey"},
+                      "$fields": ["s_name"], "$how": how},
+            "$window": {"$size": "1 hour"},
+            "$groupby": ["s_name"],
+            "$agg": {"n": {"$count": True}},
+        }})
+        out = Counter()
+        for r in df.collect():
+            if drop_null and r["s_name"] is None:
+                continue
+            out[tuple(r)] += 1
+        return out
+
+    assert rows("left", True) == rows("inner", False)
+
+
+def test_stream_dedup_idempotent_with_window_agg(eng):
+    """Aggregating the deduped doubled replay == aggregating the
+    plain single replay (complete mode): dedup exactly cancels the
+    duplication — counts, not just row sets."""
+    from collections import Counter
+
+    deduped = eng.query({"$stream": {
+        "$source": "events",
+        "$distinct": ["event_id"],
+        "$watermark": "2 hours",
+        "$window": {"$size": "1 hour"},
+        "$groupby": ["event_type"],
+        "$agg": {"n": {"$count": True}},
+    }})
+    plain = eng.query({"$stream": {
+        "$source": "events",
+        "$window": {"$size": "1 hour"},
+        "$groupby": ["event_type"],
+        "$agg": {"n": {"$count": True}},
+    }})
+    got = Counter(tuple(r) for r in deduped.collect())
+    want = Counter(tuple(r) for r in plain.collect())
+    # append mode drops the unfinalized tail: every emitted row must
+    # appear in the complete-mode twin, and at least one window emits
+    assert sum(got.values()) > 0
+    assert not (got - want)
