@@ -1187,6 +1187,17 @@ class Engine:
             return F.regexp_replace(
                 sub[0], ex.args[1].args[0], ex.args[2].args[0]
             )
+        if op == "$regex_count":
+            # non-overlapping match count (≡ DuckDB
+            # len(regexp_extract_all)); the isNotNull guard dodges
+            # Spark's size(NULL) = -1 legacy (the llm_chunk_windows
+            # lesson) so NULL input → NULL on both engines
+            src = sub[0]
+            return F.when(
+                src.isNotNull(),
+                F.size(F.regexp_extract_all(
+                    src, F.lit(ex.args[1].args[0]), F.lit(0))),
+            )
         if op == "$day":
             return F.dayofmonth(sub[0])
         if op == "$date_trunc":
@@ -1309,11 +1320,13 @@ class Engine:
             nav = win.rowsBetween(Window.unboundedPreceding,
                                   Window.unboundedFollowing)
             if op == "$first":
-                col = F.first(src).over(nav)
+                col = F.first(src, ignorenulls=w.ignore_nulls).over(nav)
             elif op == "$last":
-                col = F.last(src).over(nav)
+                col = F.last(src, ignorenulls=w.ignore_nulls).over(nav)
             else:
-                col = F.nth_value(src, w.n).over(nav)
+                col = F.nth_value(
+                    src, w.n, ignoreNulls=w.ignore_nulls
+                ).over(nav)
         elif op == "$count":
             src = self._compile_expr(df, w.of) if w.of is not None else F.lit(1)
             col = F.count(src).over(win)

@@ -600,6 +600,10 @@ SELECT_OPS = {
     "$regex_replace": 3,  # [expr, {"$lit": pattern}, {"$lit": repl}] —
                           # ALL occurrences; replacement is a PLAIN
                           # literal (group refs $1 vs \1 diverge)
+    "$regex_count": 2,    # [expr, {"$lit": pattern}] — number of
+                          # non-overlapping matches (the token-count
+                          # idiom); 0 when none, NULL input → NULL
+                          # (explicit guard: Spark's size(NULL) is -1)
     # round 15 (M24): boolean-valued comparison expressions — computed
     # boolean columns over two sub-expressions (column-vs-column, which
     # $if's predicate syntax cannot spell). SQL three-valued semantics
@@ -653,7 +657,7 @@ WINDOW_FNS = {
     "$nth": "nav",
 }
 _WINDOW_PARAM_KEYS = {"$partition", "$order", "$of", "$n", "$offset",
-                      "$default", "$frame"}
+                      "$default", "$frame", "$ignore_nulls"}
 
 # Round-7 set operators (VERDICT r6 item 6 — the last §2 family with no
 # QuerySpec spelling). SQL semantics: $union/$intersect/$except are
@@ -777,6 +781,7 @@ class WindowFn:
     offset: int = 1  # $lag/$lead distance
     default: object = None  # $lag/$lead fill value (scalar literal)
     frame: tuple | None = None  # ("rows"|"range", lo, hi); agg fns only
+    ignore_nulls: bool = False  # $first/$last/$nth: skip NULL inputs
 
 
 @dataclass
@@ -1587,7 +1592,8 @@ def _parse_expr(obj: object) -> Expr:
         return Expr("$replace", [_parse_expr(args[0]),
                                  Expr("$lit", [args[1]["$lit"]]),
                                  Expr("$lit", [args[2]["$lit"]])])
-    if op in ("$regex_extract", "$regex_like", "$regex_replace"):
+    if op in ("$regex_extract", "$regex_like", "$regex_replace",
+              "$regex_count"):
         # round 16 (M31): pattern is a parse-validated {"$lit": str}
         # in the cross-engine portable subset (never a computed
         # expression — a data-driven pattern could smuggle divergent
@@ -1759,6 +1765,22 @@ def _parse_window(obj: object) -> list[WindowFn]:
             w.of = _parse_expr(params["$of"])
         if kind in ("offset", "nav") and w.of is None:
             raise SpecError(f"$window {alias!r}: {op} requires $of")
+        if "$ignore_nulls" in params:
+            # round 16: first/last/nth NON-NULL in the partition — the
+            # latest-valid-reading idiom. Nav-only: Spark exposes the
+            # flag only on the navigation functions, and IGNORE NULLS
+            # semantics are probed identical in DuckDB's
+            # first_value/last_value/nth_value.
+            if kind != "nav":
+                raise SpecError(
+                    f"$window {alias!r}: $ignore_nulls only applies to"
+                    f" $first/$last/$nth"
+                )
+            if not isinstance(params["$ignore_nulls"], bool):
+                raise SpecError(
+                    f"$window {alias!r}: $ignore_nulls must be a bool"
+                )
+            w.ignore_nulls = params["$ignore_nulls"]
         if kind == "agg" and op != "$count" and w.of is None:
             raise SpecError(f"$window {alias!r}: {op} requires $of")
         if "$offset" in params:

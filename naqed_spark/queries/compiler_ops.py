@@ -2692,6 +2692,57 @@ def compiler_window_nav(spark, sf_dir):
 
 
 @query(
+    "compiler_window_nav_nulls",
+    # Round-16 M32 companion: $ignore_nulls on the navigation trio —
+    # first/last/nth NON-NULL in the partition (the latest-valid-
+    # reading idiom). The fixture's value column is dense, so the
+    # NULLs are manufactured IN the spec ($if: value < 50 → NULL),
+    # which also exercises the $select → $window composition and the
+    # {"$lit": null} branch. IGNORE NULLS semantics probed identical
+    # in Spark (ignorenulls flags) and DuckDB (IGNORE NULLS window
+    # syntax) incl. nth counting only non-null values and all-NULL
+    # partitions → NULL. Order by the unique event_id (§7.3); raw
+    # double pass-through values, no arithmetic — hash-exact.
+    oracle="""
+    SELECT event_id, user_id, value,
+           first_value(CASE WHEN value < 50 THEN NULL ELSE value END
+                       IGNORE NULLS) OVER w AS first_hi,
+           nth_value(CASE WHEN value < 50 THEN NULL ELSE value END,
+                     2 IGNORE NULLS) OVER w AS second_hi,
+           last_value(CASE WHEN value < 50 THEN NULL ELSE value END
+                      IGNORE NULLS) OVER w AS last_hi
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+    """,
+)
+def compiler_window_nav_nulls(spark, sf_dir):
+    """Scale shape: same single (user_id × event_id) window exchange
+    as the dense nav key — IGNORE NULLS changes which value each
+    function picks, not the plan; full partitions are semantically
+    required (last/nth scan the whole frame). The NULL-manufacturing
+    $if rides inside $of, so the masked column never materializes in
+    the emission."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    masked = {"$if": [{"value": {"$lt": 50}}, {"$lit": None}, "value"]}
+    nav = {"$partition": ["user_id"], "$order": [["event_id", "asc"]],
+           "$of": masked, "$ignore_nulls": True}
+    return eng.query({"events": {
+        "event_id": True,
+        "user_id": True,
+        "value": True,
+        "$window": {
+            "first_hi": {"$first": nav},
+            "second_hi": {"$nth": dict(nav, **{"$n": 2})},
+            "last_hi": {"$last": nav},
+        },
+    }})
+
+
+@query(
     "compiler_stream_stream_join",
     # Round-16 M33 registration: the stream ⋈ stream interval join
     # spelled in the DSL — each click joined to the same user's
@@ -2785,7 +2836,8 @@ def compiler_regex_filter(spark, sf_dir):
            regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
            regexp_matches(text, '[0-9][0-9]*') AS has_number,
            length(regexp_replace(text, '[0-9]+', '#', 'g'))
-             AS masked_len
+             AS masked_len,
+           len(regexp_extract_all(text, '[A-Za-z]+')) AS n_words
     FROM documents
     """,
 )
@@ -2808,6 +2860,8 @@ def compiler_regex_text(spark, sf_dir):
             "masked_len": {"$length": {"$regex_replace":
                            ["text", {"$lit": "[0-9]+"},
                             {"$lit": "#"}]}},
+            "n_words": {"$regex_count":
+                        ["text", {"$lit": "[A-Za-z]+"}]},
         },
     }})
 

@@ -251,6 +251,10 @@ DEFERRED: set[str] = {
     # interval join with parse-required watermark + $within time
     # bound): same discipline.
     "compiler_stream_stream_join",
+    # round-16 M32 companion registration ($ignore_nulls on the nav
+    # trio — first/last/nth NON-NULL, the latest-valid-reading idiom):
+    # same discipline.
+    "compiler_window_nav_nulls",
 }
 
 

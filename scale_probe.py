@@ -284,6 +284,8 @@ HEADLINE += [
     "compiler_window_nav",
     # scan-stage regex filter + tiny rollup — growth is the scan term
     "compiler_regex_filter",
+    # IGNORE NULLS nav — same single window exchange as the dense key
+    "compiler_window_nav_nulls",
 ]
 
 

@@ -5911,3 +5911,98 @@ def test_set_ops_reject_streaming_branches_typed(eng, setop):
     for bad in (stream, sjoin):
         with pytest.raises(SpecError, match="set-operation"):
             eng.query({setop: [bad, batch]})
+
+
+def test_regex_count_matches_sql_twin_and_nulls(eng):
+    """$regex_count ≡ size(regexp_extract_all) with the NULL guard:
+    NULL input → NULL (not Spark's size(NULL) = -1 legacy), zero
+    matches → 0."""
+    dsl = eng.query({"documents": {"$select": {
+        "doc_id": "doc_id",
+        "n_words": {"$regex_count": ["text", {"$lit": "[A-Za-z]+"}]},
+        "n_miss": {"$regex_count": ["text", {"$lit": "zqxj[0-9]{5}"}]},
+        "n_null": {"$regex_count":
+                   [{"$nullif": ["text", "text"]}, {"$lit": "a"}]},
+    }}})
+    sql = eng.sql(
+        """
+        SELECT doc_id,
+               size(regexp_extract_all(text, '[A-Za-z]+', 0))
+                 AS n_words,
+               size(regexp_extract_all(text, 'zqxj[0-9]{5}', 0))
+                 AS n_miss,
+               CAST(NULL AS INT) AS n_null
+        FROM documents
+        """
+    )
+    assert _rows(dsl) == _rows(sql)
+    rows = dsl.collect()
+    assert rows
+    assert all(r["n_miss"] == 0 for r in rows)      # no-match → 0
+    assert all(r["n_null"] is None for r in rows)   # NULL → NULL
+    assert any(r["n_words"] > 0 for r in rows)
+
+
+def test_window_nav_ignore_nulls_matches_sql_twin(eng):
+    """$ignore_nulls nav trio ≡ the Spark SQL IGNORE NULLS spelling
+    over the same manufactured-NULL input."""
+    masked = {"$if": [{"value": {"$lt": 50}}, {"$lit": None}, "value"]}
+    nav = {"$partition": ["user_id"], "$order": [["event_id", "asc"]],
+           "$of": masked, "$ignore_nulls": True}
+    dsl = eng.query({"events": {
+        "event_id": True, "user_id": True,
+        "$window": {
+            "f": {"$first": nav},
+            "s": {"$nth": dict(nav, **{"$n": 2})},
+            "l": {"$last": nav},
+        },
+    }})
+    sql = eng.sql(
+        """
+        SELECT event_id, user_id,
+               first(CASE WHEN value < 50 THEN NULL ELSE value END)
+                 IGNORE NULLS OVER w AS f,
+               nth_value(CASE WHEN value < 50 THEN NULL ELSE value END,
+                         2) IGNORE NULLS OVER w AS s,
+               last(CASE WHEN value < 50 THEN NULL ELSE value END)
+                 IGNORE NULLS OVER w AS l
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+        """
+    )
+    assert dsl.columns == sql.columns
+    assert _rows(dsl) == _rows(sql)
+
+
+@pytest.mark.parametrize(
+    "body",
+    [
+        {"$first": {"$partition": ["o_custkey"],
+                    "$order": [["o_orderkey", "asc"]],
+                    "$of": "o_orderkey", "$ignore_nulls": 1}},  # not bool
+        {"$row_number": {"$partition": ["o_custkey"],
+                         "$order": [["o_orderkey", "asc"]],
+                         "$ignore_nulls": True}},  # rank fn refused
+        {"$sum": {"$partition": ["o_custkey"], "$of": "o_totalprice",
+                  "$ignore_nulls": True}},         # agg fn refused
+    ],
+)
+def test_window_ignore_nulls_bad_shapes_fail_typed(eng, body):
+    with pytest.raises(SpecError):
+        eng.query({"orders": {"o_custkey": True,
+                              "$window": {"x": body}}})
+
+
+@pytest.mark.parametrize(
+    "expr",
+    [
+        {"$regex_count": ["text", {"$lit": "a{"}]},   # gate applies
+        {"$regex_count": ["text", "lang"]},           # non-literal pat
+        {"$regex_count": ["text"]},                   # arity
+    ],
+)
+def test_regex_count_bad_shapes_fail_typed(eng, expr):
+    with pytest.raises(SpecError):
+        eng.query({"documents": {"$select": {"x": expr}}})

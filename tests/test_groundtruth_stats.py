@@ -8234,17 +8234,18 @@ def test_compiler_regex_text_matches_python(spark):
         t = _norm(text)
         if t is None:
             want[(int(did),)] = {"first_word": None, "has_number": None,
-                                 "masked_len": None}
+                                 "masked_len": None, "n_words": None}
             continue
         m = pat_w.search(t)
         want[(int(did),)] = {
             "first_word": m.group(1) if m else "",
             "has_number": pat_d.search(t) is not None,
             "masked_len": len(_re.sub("[0-9]+", "#", t)),
+            "n_words": len(_re.findall("[A-Za-z]+", t)),
         }
     got = run(spark, "compiler_regex_text")
     assert_keyed(got, want, ["doc_id"],
-                 ["first_word", "has_number", "masked_len"])
+                 ["first_word", "has_number", "masked_len", "n_words"])
 
 
 def test_compiler_window_nav_matches_python(spark):
@@ -8323,3 +8324,32 @@ def test_compiler_stream_stream_join_matches_python(spark):
     assert len(want) > 0
     assert_keyed(got, want, ["left_id", "right_id"],
                  ["user_id", "left_us", "right_us"])
+
+
+def test_compiler_window_nav_nulls_matches_python(spark):
+    """Python replay of IGNORE NULLS navigation: per user, sort events
+    by event_id, keep only values >= 50 (the $if mask) and read
+    first / second / last off that filtered list — plain list scans,
+    no window machinery."""
+    ev = _tbl("events")
+    per: dict = {}
+    rows = []
+    for eid, uid, val in zip(ev.event_id, ev.user_id, ev.value):
+        rows.append((int(eid), int(uid), _norm(val)))
+        per.setdefault(int(uid), []).append((int(eid), _norm(val)))
+    want: dict = {}
+    nav: dict = {}
+    for uid, evs in per.items():
+        evs.sort()
+        keep = [v for _, v in evs if v is not None and v >= 50]
+        nav[uid] = {
+            "first_hi": keep[0] if keep else None,
+            "second_hi": keep[1] if len(keep) >= 2 else None,
+            "last_hi": keep[-1] if keep else None,
+        }
+    for eid, uid, val in rows:
+        want[(eid,)] = dict(nav[uid], user_id=uid, value=val)
+    got = run(spark, "compiler_window_nav_nulls")
+    assert_keyed(got, want, ["event_id"],
+                 ["user_id", "value", "first_hi", "second_hi",
+                  "last_hi"])
