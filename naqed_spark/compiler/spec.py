@@ -445,6 +445,63 @@ and boolean comparison EXPRESSIONS in ``$select``/``$derive``
 ($eq/$ne/$lt/$lte/$gt/$gte over two sub-expressions, SQL three-valued:
 NULL operand → NULL result) — the sketch-contract spelling.
 
+Round-16 M29/M30: the $stream join + dedup surface —
+
+    {"$stream": {
+       ...,
+       "$join": {"$entity": "customer",  # stream ⋈ static dim enrich
+                 "$on": {stream_col: dim_col, ...},  # equi only
+                 "$fields": [dim_col, ...],  # carried onto the stream
+                 "$how": "inner" | "left"},  # others refused typed
+       "$distinct": [key, ...],         # watermarked streaming dedup
+                                        # (REQUIRES $watermark — state
+                                        # evictability is the contract);
+                                        # windowless = dedup PASS-THROUGH
+                                        # (rows out, ts as epoch-µs
+                                        # ts_us); with a window it feeds
+                                        # the aggregation. Pipeline
+                                        # order: watermark → dedup →
+                                        # enrich → window agg.
+    }}
+
+Round-16 M33: the stream ⋈ stream interval join (top-level verb) —
+
+    {"$stream_join": {
+       "$source": "events",
+       "$left": {<$filter dict>},       # per-side plain predicates
+       "$right": {<$filter dict>},
+       "$on": [col, ...],               # shared equi-keys (ts/event_id
+                                        # refused — time/identity cols)
+       "$within": "1 hour",             # right ts ∈ (left, left+within]
+       "$watermark": "10 minutes",      # BOTH required: the pair is
+    }}                                  # what lets Spark evict join
+                                        # state (O(window), not
+                                        # O(stream)). Inner only.
+
+Round-16 M31: regex verbs under the portable Java-regex/RE2 subset
+(_validate_portable_regex — divergent constructs refused TYPED:
+backrefs, lookaround, named groups, inline flags, possessive
+quantifiers, POSIX [:classes:], class &&, bare $, class-\\b,
+dangling braces, \\Q..\\E / hex / unicode / control escapes) —
+
+    {col: {"$regex": pattern}}               # FILTER: partial match
+    {"$regex_extract": [e, {"$lit": p}, g]}  # group g (parse-checked
+                                             # vs capture count); '' on
+                                             # no match
+    {"$regex_like": [e, {"$lit": p}]}        # boolean partial match
+    {"$regex_replace": [e, {"$lit": p},      # ALL occurrences; repl is
+                        {"$lit": repl}]}     # a PLAIN literal
+    {"$regex_count": [e, {"$lit": p}]}       # match count; NULL→NULL
+
+Round-16 M32: navigation window functions —
+
+    {alias: {"$first"|"$last": {"$partition": [...], "$order": [...],
+             "$of": expr, "$ignore_nulls": bool?}}}
+    {alias: {"$nth": {..., "$n": k}}}   # 1-based; NULL past partition
+                                        # size. Frame is PINNED to the
+                                        # full partition (the last_value
+                                        # footgun); user $frame refused.
+
 ``$``-keys are arguments (the reference passes resolver args the same way);
 everything else is either a requested field (``True``) or a relationship
 traversal (nested dict). Relationship fan-out is relational: one output row
