@@ -40,6 +40,7 @@ from naqed_spark.compiler.spec import (
     parse_query,
     parse_spec,
 )
+from naqed_spark.compiler.spec import ARRAY_OPS as _ARRAY_OPS
 
 # the six comparison operators as Column builders — shared by $theta
 # residuals, the M24 comparison expressions, and the M25 correlated-
@@ -1029,9 +1030,21 @@ class Engine:
                 cols.extend(child_cols)
         return df, cols
 
-    def _compile_expr(self, df: DataFrame, ex: Expr):
-        """$select expression tree → Column; unknown refs fail fast."""
+    def _compile_expr(self, df: DataFrame, ex: Expr, elem=None):
+        """$select expression tree → Column; unknown refs fail fast.
+
+        ``elem`` is the bound lambda variable while compiling an
+        $array_filter/$array_transform body (M34) — the '$x' element
+        reference resolves to it; outside a lambda '$x' is refused
+        typed."""
         op = ex.op
+        if op == "$elem":
+            if elem is None:
+                raise SpecError(
+                    "'$x' is only valid inside an $array_filter/"
+                    "$array_transform lambda body"
+                )
+            return elem
         if op == "$if":
             # conditional expression: the condition is a parsed predicate
             # list (AND-ed, $filter syntax); branches are full expressions.
@@ -1046,8 +1059,8 @@ class Engine:
                 operator.and_, (_predicate_condition(p) for p in preds)
             )
             return F.when(
-                cond, self._compile_expr(df, ex.args[1])
-            ).otherwise(self._compile_expr(df, ex.args[2]))
+                cond, self._compile_expr(df, ex.args[1], elem=elem)
+            ).otherwise(self._compile_expr(df, ex.args[2], elem=elem))
         if op == "$col":
             name = ex.args[0]
             if name not in df.columns:
@@ -1063,7 +1076,9 @@ class Engine:
             return _qcol(name)
         if op == "$lit":
             return F.lit(ex.args[0])
-        sub = [self._compile_expr(df, a) for a in ex.args]
+        if op in _ARRAY_OPS:
+            return self._compile_array_op(df, ex, elem)
+        sub = [self._compile_expr(df, a, elem=elem) for a in ex.args]
         if op == "$add":
             return reduce(operator.add, sub)
         if op == "$sub":
@@ -1155,6 +1170,37 @@ class Engine:
             return F.substring(
                 sub[0], ex.args[1].args[0], ex.args[2].args[0]
             )
+        if op == "$lpad":
+            return F.lpad(sub[0], ex.args[1].args[0], ex.args[2].args[0])
+        if op == "$rpad":
+            return F.rpad(sub[0], ex.args[1].args[0], ex.args[2].args[0])
+        if op == "$left":
+            return F.left(sub[0], F.lit(ex.args[1].args[0]))
+        if op == "$right":
+            return F.right(sub[0], F.lit(ex.args[1].args[0]))
+        if op == "$reverse":
+            return F.reverse(sub[0])
+        if op == "$repeat":
+            return F.repeat(sub[0], ex.args[1].args[0])
+        if op == "$contains":
+            # PLAIN substring test (never regex — that's $regex_like)
+            return F.contains(sub[0], F.lit(ex.args[1].args[0]))
+        if op == "$starts_with":
+            return F.startswith(sub[0], F.lit(ex.args[1].args[0]))
+        if op == "$ends_with":
+            return F.endswith(sub[0], F.lit(ex.args[1].args[0]))
+        if op == "$strpos":
+            # 1-based first position, 0 when absent (≡ DuckDB strpos;
+            # locate takes the needle FIRST)
+            return F.locate(ex.args[1].args[0], sub[0])
+        if op == "$date_add":
+            return F.date_add(sub[0], sub[1])
+        if op == "$date_sub":
+            return F.date_sub(sub[0], sub[1])
+        if op == "$add_months":
+            return F.add_months(sub[0], sub[1])
+        if op == "$last_day":
+            return F.last_day(sub[0])
         if op == "$trim":
             return F.trim(sub[0])
         if op == "$ltrim":
@@ -1200,6 +1246,54 @@ class Engine:
             )
         if op == "$day":
             return F.dayofmonth(sub[0])
+        if op == "$hour":
+            return F.hour(sub[0])
+        if op == "$minute":
+            return F.minute(sub[0])
+        if op == "$second":
+            # whole seconds (fraction truncated) on both engines
+            return F.second(sub[0])
+        if op == "$quarter":
+            return F.quarter(sub[0])
+        if op == "$week":
+            # ISO week number on both engines (Monday-start weeks)
+            return F.weekofyear(sub[0])
+        if op == "$doy":
+            return F.dayofyear(sub[0])
+        if op == "$dow_iso":
+            # ISO 1=Monday..7=Sunday: weekday() is 0=Monday; Spark's
+            # dayofweek() (1=Sunday) is deliberately not used — DuckDB's
+            # isodow is the Monday-based numbering
+            return F.weekday(sub[0]) + F.lit(1)
+        if op == "$epoch_us":
+            # §7.3 timestamp emission; the cast lets DATE operands lower
+            # via midnight UTC (session tz pinned), matching DuckDB's
+            # epoch_us(DATE)
+            return F.unix_micros(sub[0].cast("timestamp"))
+        if op in ("$floor", "$ceil", "$sign", "$sqrt", "$pow", "$exp",
+                  "$ln", "$log10"):
+            # operands to DOUBLE first: decimal-width arithmetic inside
+            # the function argument diverges across engines (probed),
+            # a double operand never does
+            a = sub[0].cast("double")
+            if op == "$floor":
+                return F.floor(a).cast("bigint")
+            if op == "$ceil":
+                return F.ceil(a).cast("bigint")
+            if op == "$sign":
+                return F.signum(a).cast("int")
+            if op == "$sqrt":
+                # NULL outside the domain: DuckDB errors on sqrt(neg),
+                # Spark yields NaN — neither is a hashable emission
+                return F.when(a >= 0, F.sqrt(a))
+            if op == "$pow":
+                return F.pow(a, sub[1].cast("double"))
+            if op == "$exp":
+                return F.exp(a)
+            if op == "$ln":
+                # NULL on x <= 0 (DuckDB errors, Spark NULLs — pin NULL)
+                return F.when(a > 0, F.log(a))
+            return F.when(a > 0, F.log10(a))
         if op == "$date_trunc":
             # cast to DATE: Spark's date_trunc returns a TIMESTAMP whose
             # rendering is session-timezone-dependent — a DATE emission
@@ -1220,7 +1314,13 @@ class Engine:
         if op == "$md5":
             return F.md5(sub[0])
         if op == "$size":
-            return F.size(sub[0])
+            # NULL array → NULL (the explicit guard dodges Spark's
+            # size(NULL) = -1 legacy, live in this session config —
+            # same pinning as $json_size/$regex_count; DuckDB's len()
+            # is already NULL). Registered keys only $size $collect-ed
+            # relationship arrays, which are never NULL, so no driver
+            # signal is voided by the pin.
+            return F.when(sub[0].isNotNull(), F.size(sub[0]))
         if op == "$array_join":
             # separator is a parse-time-validated string literal (spec.py),
             # passed to array_join as a plain str, not a Column
@@ -1262,6 +1362,82 @@ class Engine:
         if op == "$cast":
             return sub[0].cast(ex.args[1].args[0])
         raise SpecError(f"unknown $select op {op!r}")  # pragma: no cover
+
+    def _compile_array_op(self, df: DataFrame, ex: Expr, elem=None):
+        """M34 array higher-order verbs — all lowered to JVM HOFs
+        (filter/transform/aggregate) or array intrinsics: zero Python,
+        zero exchange; the lambda body compiles through the ordinary
+        expression compiler with '$x' bound to the lambda variable.
+        Cross-engine semantics per the spec.py table (probed): NULL
+        array → NULL on every verb."""
+        from pyspark.sql.types import ArrayType, NumericType
+
+        op = ex.op
+        a0 = ex.args[0]
+        arr = self._compile_expr(df, a0, elem=elem)
+        # resolve the operand's ANALYZED type (works for computed
+        # arrays like a $split result, not just direct columns) so a
+        # scalar operand or a non-numeric fold surfaces as the DSL's
+        # typed SpecError instead of a raw Catalyst cast error
+        dt = df.select(arr.alias("__t_arr")).schema[0].dataType
+        if not isinstance(dt, ArrayType):
+            raise SpecError(
+                f"{op}: operand is {dt.simpleString()}, not an array"
+            )
+        if op == "$array_sum" and not isinstance(
+            dt.elementType, NumericType
+        ):
+            raise SpecError(
+                f"$array_sum: operand elements are"
+                f" {dt.elementType.simpleString()}, not numeric"
+            )
+        if op == "$array_filter":
+            return F.filter(
+                arr, lambda x: self._compile_expr(df, ex.args[1], elem=x)
+            )
+        if op == "$array_transform":
+            return F.transform(
+                arr, lambda x: self._compile_expr(df, ex.args[1], elem=x)
+            )
+        if op == "$array_sum":
+            # skip-NULL left fold in DOUBLE: element casts are exact
+            # (float→double), the fold order is array order on both
+            # engines (probed bit-identical on the embeddings fixture);
+            # empty/all-NULL → 0.0, NULL array → NULL (the outer when)
+            nums = F.filter(
+                arr.cast("array<double>"), lambda v: v.isNotNull()
+            )
+            return F.when(
+                arr.isNotNull(),
+                F.aggregate(nums, F.lit(0.0), lambda acc, v: acc + v),
+            )
+        if op == "$array_min":
+            return F.array_min(arr)
+        if op == "$array_max":
+            return F.array_max(arr)
+        if op == "$array_contains":
+            # coalesce pins Spark's three-valued "not found among
+            # NULLs" NULL to FALSE ≡ DuckDB list_contains; the outer
+            # when keeps NULL array → NULL
+            return F.when(
+                arr.isNotNull(),
+                F.coalesce(
+                    F.array_contains(arr, F.lit(ex.args[1].args[0])),
+                    F.lit(False),
+                ),
+            )
+        if op == "$array_distinct":
+            # SORTED distinct NON-NULL — the only contract both engines
+            # can hash (Spark keeps first-occurrence order, DuckDB
+            # guarantees none)
+            return F.array_sort(
+                F.array_distinct(F.filter(arr, lambda v: v.isNotNull()))
+            )
+        if op == "$array_sort":
+            # ascending, NULLs last (≡ list_sort 'ASC','NULLS LAST')
+            return F.array_sort(arr)
+        # $slice: 1-based start, non-negative length (parse-validated)
+        return F.slice(arr, ex.args[1].args[0], ex.args[2].args[0])
 
     def _compile_window(self, df: DataFrame, w: WindowFn):
         """One $window entry → Column. Scale notes: an empty $partition is a
@@ -1535,6 +1711,29 @@ class Engine:
 
     def _compile(self, qs: QuerySpec) -> DataFrame:
         base_frame = None
+        if qs.from_inner is not None:
+            # M35 (round 16b): the root frame is the compiled INNER
+            # query result — same `base` seam $traverse uses, so
+            # $filter/fields/every downstream verb compose unchanged.
+            # Catalyst sees one fused plan: outer filters and column
+            # pruning push INTO the inner query's scan exactly as if
+            # the user had written a single query (no materialization
+            # barrier), which is what keeps the chained spelling
+            # 100 TB-safe.
+            inner = qs.from_inner
+            base_frame = (
+                self._compile_set(inner)
+                if isinstance(inner, SetSpec)
+                else self._compile(inner)
+            )
+            missing = [
+                f for f in qs.root.fields if f not in base_frame.columns
+            ]
+            if missing:
+                raise SpecError(
+                    f"$from: no such column(s) {missing} in the inner"
+                    f" result (have {sorted(base_frame.columns)})"
+                )
         if qs.traverse is not None:
             base_frame = self._traverse_frame(qs.root.entity, qs.traverse)
         df, cols = self._compile_node(qs.root, qs.sample, base=base_frame)
@@ -1810,6 +2009,27 @@ class Engine:
             e = F.min_by(_qcol(a.column), _qcol(a.order_col))
         elif a.op == "$max_by":
             e = F.max_by(_qcol(a.column), _qcol(a.order_col))
+        elif a.op == "$bool_and":
+            # M38: NULL-skipping conjunction/disjunction over a boolean
+            # column — NULL on empty/all-NULL (probed ≡ DuckDB)
+            e = F.bool_and(_qcol(a.column))
+        elif a.op == "$bool_or":
+            e = F.bool_or(_qcol(a.column))
+        elif a.op == "$count_if":
+            # TRUE rows only (NULL and FALSE both uncounted — probed ≡
+            # DuckDB count(*) FILTER (WHERE p))
+            e = F.count_if(_qcol(a.column))
+        elif a.op == "$sum_distinct":
+            e = F.sum_distinct(_qcol(a.column))
+        elif a.op == "$avg_distinct":
+            # ONE exact division of the distinct-set aggregates (no
+            # native distinct-avg Column builder; an F.expr spelling
+            # would thread spec data through SQL text) — bit-identical
+            # to DuckDB's avg(DISTINCT x) whenever sum_distinct is
+            # (integers/decimals; doubles want the round(6) hedge)
+            e = F.sum_distinct(_qcol(a.column)) / F.count_distinct(
+                _qcol(a.column)
+            )
         elif a.op == "$stddev":
             e = F.stddev_samp(_qcol(a.column))
         elif a.op == "$stddev_pop":

@@ -478,6 +478,78 @@ Round-16 M33: the stream ⋈ stream interval join (top-level verb) —
                                         # state (O(window), not
                                         # O(stream)). Inner only.
 
+Round-16b extensions (M34 array HOFs, M36 calendar parts, M37 numeric
+verbs — all probed cross-engine before the grammar was written; see
+the SELECT_OPS table for per-verb semantics):
+
+    {"$from": {<query spec>},         # M35: derived-table composition
+     <outer body>}                    # — the outer body queries the
+                                      # INNER RESULT frame (fields,
+                                      # $filter/$select/$groupby/$agg/
+                                      # $window/$orderby/... all
+                                      # compose; inner may be a plain,
+                                      # set-op, or nested $from spec).
+                                      # Catalog-dependent verbs are
+                                      # refused typed on the outer
+                                      # query (hops / $sample /
+                                      # $traverse — spell them inside
+                                      # the inner query); streaming
+                                      # specs cannot be composed.
+                                      # Catalyst fuses the seam: outer
+                                      # filters and column pruning
+                                      # reach the inner scan (plan-
+                                      # checked — no materialization
+                                      # barrier). Enables agg-of-agg
+                                      # and filter-the-unpivoted-long-
+                                      # form, closing the documented
+                                      # "$where cannot see $unpivot
+                                      # output" chaining gap.
+    {"$array_filter": [arr, body]}    # element lambdas: body is the
+    {"$array_transform": [arr, body]} # $select expression grammar
+                                      # over the element "$x" +
+                                      # literals ONLY (frame columns /
+                                      # $if / nested array-vector ops
+                                      # refused typed); lowered to
+                                      # JVM filter/transform HOFs —
+                                      # zero Python, zero exchange
+    {"$array_sum": arr}               # skip-NULL DOUBLE fold, 0.0 on
+                                      # empty, NULL on NULL array;
+                                      # $array_min/$array_max skip
+                                      # NULLs, NULL on empty
+    {"$array_contains": [arr, lit]}   # NULL array → NULL else bool
+    {"$array_distinct": arr}          # SORTED distinct non-NULL (the
+                                      # hashable contract)
+    {"$array_sort": arr}              # asc, NULLs last
+    {"$slice": [arr, start, len]}     # 1-based int literals
+    {"$hour"/"$minute"/"$second"/     # calendar parts (UTC session);
+     "$quarter"/"$week"/"$doy"/       # $week ISO, $dow_iso 1=Monday,
+     "$dow_iso"/"$epoch_us": expr}    # $epoch_us the §7.3 emission
+    {"$floor"/"$ceil": expr}          # → BIGINT; operand to DOUBLE
+    {"$sign": expr}                   # → INT
+    {"$sqrt"/"$pow"/"$exp"/"$ln"/     # doubles; NULL pinned outside
+     "$log10": ...}                   # domain; libm-class verbs want
+                                      # the round(6) hedge when hashed
+
+Round-16b M38 (string search/pad/shape, DATE arithmetic, boolean +
+distinct aggregates — all probed identical cross-engine):
+
+    {"$lpad"/"$rpad": [e, n, {"$lit": pad}]}  # pad AND truncate to n
+    {"$left"/"$right"/"$repeat": [e, n]}      # n an int literal >= 0
+    {"$reverse": e}
+    {"$contains"/"$starts_with"/          # PLAIN substring predicates
+     "$ends_with": [e, {"$lit": s}]}     # (never regex); non-empty
+                                          # needle enforced typed
+    {"$strpos": [e, {"$lit": s}]}         # 1-based, 0 when absent
+    {"$date_add"/"$date_sub"/             # DATE-operand steps (a
+     "$add_months": [date-e, n-expr]}     # timestamp diverges — $cast
+    {"$last_day": date-e}                 # to date first; enforced by
+                                          # the key's own fixture)
+    {alias: {"$bool_and"/"$bool_or": p}}  # in $agg: NULL-skipping
+    {alias: {"$count_if": p}}             # TRUE rows only
+    {alias: {"$sum_distinct"/             # distinct-set aggregates
+             "$avg_distinct": col}}       # (exact on ints/decimals;
+                                          # doubles want the hedge)
+
 Round-16 M31: regex verbs under the portable Java-regex/RE2 subset
 (_validate_portable_regex — divergent constructs refused TYPED:
 backrefs, lookaround, named groups, inline flags, possessive
@@ -537,6 +609,18 @@ AGG_OPS = {"$count", "$sum", "$avg", "$min", "$max", "$count_distinct",
            # disciplines (round(4) on small-magnitude columns).
            "$stddev", "$stddev_pop", "$var", "$var_pop",
            "$median", "$percentile",
+           # round 16b (M38): boolean + distinct aggregates, probed
+           # identical cross-engine. $bool_and/$bool_or skip NULLs
+           # (NULL on empty/all-NULL); $count_if counts TRUE rows of a
+           # boolean column (≡ DuckDB count(*) FILTER (WHERE p) —
+           # NULL/FALSE both uncounted); $sum_distinct/$avg_distinct
+           # aggregate the distinct value SET ($avg_distinct lowers to
+           # sum_distinct/count_distinct — one exact division, so over
+           # integer/decimal inputs it is hash-exact; over raw doubles
+           # the distinct-set summation order is engine-dependent and
+           # wants the §7.3 round(6) hedge, same as $avg).
+           "$bool_and", "$bool_or", "$count_if",
+           "$sum_distinct", "$avg_distinct",
            # round 15 (M24): the approximate-sketch surface. At 100 TB
            # the sketch, not the exact aggregate, is what a user
            # reaches for first — $approx_count_distinct lowers to the
@@ -577,7 +661,10 @@ SELECT_OPS = {
     "$upper": 1,
     "$length": 1,      # string length
     "$md5": 1,         # md5 hex digest — the deterministic shuffle/dedup key
-    "$size": 1,        # array length (a $collect-ed relationship)
+    "$size": 1,        # array length (a $collect-ed relationship or
+                       # any array expression); NULL array → NULL
+                       # (pinned round 16b — dodges Spark's
+                       # size(NULL) = -1 legacy, ≡ DuckDB len())
     "$array_join": 2,  # [array-expr, {"$lit": sep}] → serialized string
     "$year": 1,
     "$month": 1,
@@ -586,6 +673,42 @@ SELECT_OPS = {
     # day-of-month, ISO-Monday weeks, quarter floors, day-count
     # datediff, NULL→NULL).
     "$day": 1,         # day of month (1-31)
+    # round 16b (M36 — calendar part extraction): every part probed
+    # bit-identical across engines on adversarial timestamps (midnight,
+    # end-of-year with fractional seconds, leap day, NULL) under the
+    # pinned UTC session. $second truncates fractional seconds on both
+    # ($epoch_us carries full µs precision when you need it); $week is
+    # the ISO week number (Spark weekofyear ≡ DuckDB weekofyear);
+    # $dow_iso is ISO 1=Monday..7=Sunday (Spark weekday()+1 ≡ DuckDB
+    # isodow — Spark's dayofweek() is 1=Sunday, deliberately not used).
+    "$hour": 1,
+    "$minute": 1,
+    "$second": 1,      # whole seconds 0-59 (fraction truncated)
+    "$quarter": 1,
+    "$week": 1,        # ISO week-of-year 1-53
+    "$doy": 1,         # day of year 1-366
+    "$dow_iso": 1,     # ISO day of week: 1=Monday .. 7=Sunday
+    "$epoch_us": 1,    # epoch microseconds BIGINT (the §7.3 timestamp
+                       # emission); DATE operands lower via midnight UTC
+    # round 16b (M37 — numeric verbs): operands lowered to DOUBLE
+    # before the function so decimal-width arithmetic can never skew
+    # the input (the probe lesson). $floor/$ceil emit BIGINT and
+    # $sign emits INT (DuckDB twins: CAST(floor(x) AS BIGINT) etc).
+    # Domain discipline: DuckDB ERRORS on ln(x<=0)/sqrt(x<0) where
+    # Spark yields NULL/NaN, so the engine pins NULL-outside-domain
+    # explicitly ($sqrt on negatives, $ln/$log10 on non-positives) and
+    # oracle twins guard with CASE WHEN. Bit-exactness: $floor/$ceil/
+    # $sign/$sqrt are IEEE-exact; $pow/$exp/$ln/$log10 are libm-class
+    # (probed identical across the 600k-row sf0.1 fixture domain, but
+    # a hash-exact emission should carry the §7.3 round(6) hedge).
+    "$floor": 1,       # → BIGINT
+    "$ceil": 1,        # → BIGINT
+    "$sign": 1,        # → INT (-1, 0, 1; NULL on NULL)
+    "$sqrt": 1,        # NULL on negative operand
+    "$pow": 2,         # [base, exponent]; NaN on neg^fractional (both)
+    "$exp": 1,
+    "$ln": 1,          # NULL on operand <= 0
+    "$log10": 1,       # NULL on operand <= 0
     "$date_trunc": 2,  # [expr, {"$lit": unit}], unit in year/quarter/
                        # month/week/day — emits DATE (Spark's timestamp
                        # result is cast; a raw timestamp emission would
@@ -609,6 +732,35 @@ SELECT_OPS = {
     # handling combinators with probed-identical semantics (first
     # non-NULL; NULL-on-equal; greatest/least SKIP NULLs and are NULL
     # only when every operand is).
+    # round 16b (M38 — string search/pad/shape verbs): all probed
+    # bit-identical cross-engine on adversarial inputs (empty string,
+    # NULL, multibyte, over-length take/pad-truncate). Needles and pad
+    # strings are parse-validated NON-EMPTY literals; counts are int
+    # literals >= 0. $contains/$starts_with/$ends_with are PLAIN
+    # substring tests (never regex — that's $regex_like); $strpos is
+    # the 1-based first position, 0 when absent (locate ≡ DuckDB
+    # strpos, CAST AS INT on the twin).
+    "$lpad": 3,        # [expr, n, {"$lit": pad}] — pad/truncate to n
+    "$rpad": 3,
+    "$left": 2,        # first n characters ('' when n = 0)
+    "$right": 2,       # last n characters
+    "$reverse": 1,
+    "$repeat": 2,      # [expr, n >= 0]
+    "$contains": 2,    # [expr, {"$lit": needle}] — boolean
+    "$starts_with": 2,
+    "$ends_with": 2,
+    "$strpos": 2,      # 1-based position of needle, 0 when absent
+    # round 16b (M38 — date arithmetic): DATE-operand day/month steps,
+    # probed identical incl. leap-day and month-end clamping
+    # (add_months ≡ d + INTERVAL n MONTH with CAST AS DATE on the
+    # twin). The step may be any int expression (literal or column).
+    # Contract is DATE operands: a timestamp operand diverges (Spark
+    # date_add truncates to DATE, DuckDB ts + n stays timestamp) —
+    # $cast to date first.
+    "$date_add": 2,    # [date-expr, days-expr]
+    "$date_sub": 2,
+    "$add_months": 2,  # month step with end-of-month clamping
+    "$last_day": 1,    # last day of the operand's month
     "$coalesce": -1,   # first non-NULL of n >= 2 operands
     "$nullif": 2,      # NULL when equal, else first operand
     "$greatest": -1,   # row-wise max, NULLs skipped
@@ -636,6 +788,43 @@ SELECT_OPS = {
     # byte sequence); empty trailing fields are KEPT (Spark limit=-1 ≡
     # DuckDB string_split); NULL input → NULL array.
     "$split": 2,
+    # round 16b (M34 — array higher-order verbs): element-wise lambdas
+    # over array columns with "$x" as the element reference. The lambda
+    # body is the ordinary $select expression grammar restricted to
+    # "$x" + literals (a frame-column reference inside a lambda is
+    # refused typed — correlated lambdas are not offered; nested array
+    # lambdas likewise). Lowered to Spark's filter/transform/aggregate
+    # HOFs — JVM codegen, zero Python, zero exchange (DuckDB twins:
+    # list_filter/list_transform with x -> ... lambdas). Probed
+    # identical: NULL array → NULL result on every verb; NULL elements
+    # ride through $array_transform and are dropped by a NULL-valued
+    # $array_filter predicate on both engines.
+    "$array_filter": 2,     # [array-expr, boolean lambda body]
+    "$array_transform": 2,  # [array-expr, scalar lambda body]
+    "$array_sum": 1,        # skip-NULL left fold to DOUBLE; 0.0 on
+                            # empty/all-NULL; NULL on NULL array
+                            # (DuckDB twin: coalesce(list_sum(...),0.0)
+                            # under a CASE NULL-array guard — probed
+                            # bit-identical incl. the 500-vector
+                            # embeddings fixture)
+    "$array_min": 1,        # NULL elements skipped; NULL on empty
+    "$array_max": 1,        # (list_min/list_max — probed identical)
+    "$array_contains": 2,   # [array-expr, {"$lit": scalar}] — NULL
+                            # array → NULL, else TRUE/FALSE with NULL
+                            # elements ignored (Spark's three-valued
+                            # not-found-among-NULLs NULL is coalesced
+                            # to FALSE ≡ DuckDB list_contains)
+    "$array_distinct": 1,   # SORTED distinct NON-NULL elements — the
+                            # only deterministic (hashable) contract:
+                            # Spark preserves first-occurrence order
+                            # where DuckDB doesn't guarantee one, so
+                            # the verb pins sort order and drops NULLs
+                            # (≡ list_sort(list_distinct(x)))
+    "$array_sort": 1,       # ascending, NULLs LAST (≡ DuckDB
+                            # list_sort(x,'ASC','NULLS LAST'))
+    "$slice": 3,            # [array-expr, start>=1, len>=0] int
+                            # literals, 1-based (≡ DuckDB
+                            # list_slice(x, start, start+len-1))
     # round 16 (M31 — VERDICT r15 item 4): regex verbs under the
     # POSIX-simple cross-engine discipline llm_tokenize_bpe_regex
     # proves (llm_ext.py:547): patterns are parse-validated to the
@@ -677,6 +866,12 @@ SELECT_OPS = {
 }
 
 VECTOR_OPS = {"$dot", "$cosine", "$euclidean"}
+# array verbs taking a lambda body / operating on an array operand (M34)
+ARRAY_LAMBDA_OPS = {"$array_filter", "$array_transform"}
+ARRAY_OPS = ARRAY_LAMBDA_OPS | {
+    "$array_sum", "$array_min", "$array_max", "$array_contains",
+    "$array_distinct", "$array_sort", "$slice",
+}
 # $date_trunc units with probed-identical floor semantics in Spark and
 # DuckDB (week = ISO Monday on both)
 _TRUNC_UNITS = {"year", "quarter", "month", "week", "day"}
@@ -1082,6 +1277,12 @@ class QuerySpec:
     # round 14 (M19): unbounded/fixpoint same-entity reachability — the
     # traversal replaces the root frame with (reached rows + depth)
     traverse: "TraverseSpec | None" = None
+    # round 16b (M35): derived-table composition — when set, the root
+    # is not a catalog entity but the RESULT FRAME of this inner query
+    # (itself a full query spec: plain, set-op, or another $from).
+    # Catalog-dependent verbs (hops, $sample, $traverse) are refused
+    # on the outer query at parse time.
+    from_inner: "QuerySpec | SetSpec | None" = None
 
 
 def _validate_filter_value(col: str, op: str, val: object) -> None:
@@ -1551,9 +1752,41 @@ def _validate_portable_regex(pat: object, ctx: str) -> int:
     return groups
 
 
+def _check_lambda_body(ctx: str, e: "Expr") -> None:
+    """Validate an $array_filter/$array_transform lambda body: the
+    element '$x' + literals only — a frame-column reference can't
+    resolve inside Spark's HOF lambda scope the way the rest of the
+    grammar promises (and correlated lambdas aren't portable), so it
+    is refused typed; nested array lambdas are likewise refused (one
+    lambda variable, no shadowing rules to get wrong)."""
+    if e.op == "$col":
+        raise SpecError(
+            f"{ctx} lambda body may reference only the element '$x' and"
+            f" literals — got frame column {e.args[0]!r}"
+        )
+    if e.op == "$if":
+        raise SpecError(
+            f"{ctx} lambda body does not support $if (its condition is"
+            f" frame-predicate syntax); spell branches with comparison"
+            f" ops over '$x'"
+        )
+    if e.op in ARRAY_OPS or e.op in VECTOR_OPS:
+        raise SpecError(
+            f"{ctx}: nested array/vector operations inside a lambda"
+            f" body are not supported"
+        )
+    for a in e.args:
+        if isinstance(a, Expr):
+            _check_lambda_body(ctx, a)
+
+
 def _parse_expr(obj: object) -> Expr:
     """Parse one $select expression. Bare strings are column references,
     bare numbers/bools literals; operator nodes are single-key dicts."""
+    if obj == "$x":
+        # the array-lambda element reference (M34); outside a lambda
+        # the engine refuses it typed
+        return Expr("$elem", [])
     if isinstance(obj, str):
         return Expr("$col", [obj])
     if isinstance(obj, bool) or isinstance(obj, (int, float)):
@@ -1744,6 +1977,60 @@ def _parse_expr(obj: object) -> Expr:
                 f"$cast target {tname!r} not in {sorted(CAST_TYPES)} or decimal(p,s)"
             )
         return Expr("$cast", [_parse_expr(args[0]), Expr("$lit", [tname])])
+    if op in ("$lpad", "$rpad"):
+        n, pad = args[1], args[2]
+        if not isinstance(n, int) or isinstance(n, bool) or n < 0:
+            raise SpecError(f"{op} length must be an int literal >= 0")
+        if not (isinstance(pad, dict) and set(pad) == {"$lit"}
+                and isinstance(pad["$lit"], str) and pad["$lit"]):
+            raise SpecError(
+                f"{op} pad must be a non-empty {{'$lit': str}}"
+            )
+        return Expr(op, [_parse_expr(args[0]), Expr("$lit", [n]),
+                         Expr("$lit", [pad["$lit"]])])
+    if op in ("$left", "$right", "$repeat"):
+        n = args[1]
+        if not isinstance(n, int) or isinstance(n, bool) or n < 0:
+            raise SpecError(f"{op} count must be an int literal >= 0")
+        return Expr(op, [_parse_expr(args[0]), Expr("$lit", [n])])
+    if op in ("$contains", "$starts_with", "$ends_with", "$strpos"):
+        needle = args[1]
+        if not (isinstance(needle, dict) and set(needle) == {"$lit"}
+                and isinstance(needle["$lit"], str) and needle["$lit"]):
+            raise SpecError(
+                f"{op} needle must be a non-empty {{'$lit': str}}"
+                f" (an empty needle is vacuously true/position 1 —"
+                f" never what a spec means)"
+            )
+        return Expr(op, [_parse_expr(args[0]),
+                         Expr("$lit", [needle["$lit"]])])
+    if op in ARRAY_LAMBDA_OPS:
+        body = _parse_expr(args[1])
+        _check_lambda_body(op, body)
+        return Expr(op, [_parse_expr(args[0]), body])
+    if op == "$array_contains":
+        needle = args[1]
+        if not (isinstance(needle, dict) and set(needle) == {"$lit"}
+                and needle["$lit"] is not None
+                and not isinstance(needle["$lit"], (list, dict))):
+            raise SpecError(
+                "$array_contains second argument must be a non-NULL"
+                " scalar {'$lit': value} (a NULL membership test is"
+                " never TRUE in SQL — spell emptiness with $size)"
+            )
+        return Expr(op, [_parse_expr(args[0]),
+                         Expr("$lit", [needle["$lit"]])])
+    if op == "$slice":
+        start, ln = args[1], args[2]
+        if (not isinstance(start, int) or isinstance(start, bool)
+                or start < 1):
+            raise SpecError(
+                "$slice start must be an int literal >= 1 (1-based)"
+            )
+        if not isinstance(ln, int) or isinstance(ln, bool) or ln < 0:
+            raise SpecError("$slice length must be an int literal >= 0")
+        return Expr(op, [_parse_expr(args[0]), Expr("$lit", [start]),
+                         Expr("$lit", [ln])])
     return Expr(op, [_parse_expr(a) for a in args])
 
 
@@ -2767,6 +3054,47 @@ def parse_query(
                 f" the streaming spec is self-contained"
             )
         return _parse_stream_join(spec["$stream_join"])
+    if "$from" in spec:
+        # M35 (round 16b): derived-table composition — the outer body
+        # queries the INNER RESULT like a frame. The outer grammar is
+        # the ordinary entity-body grammar minus the catalog-dependent
+        # verbs (relationship hops, $sample, $traverse): a derived
+        # frame has no FK edges to hop and no scan to bucket-sample —
+        # spell those inside the inner query instead.
+        inner_raw = spec["$from"]
+        if not isinstance(inner_raw, dict):
+            raise SpecError("$from must be a query spec dict")
+        body = {k: v for k, v in spec.items() if k != "$from"}
+        if not body:
+            raise SpecError(
+                "$from with an empty outer body is just the inner"
+                " query — request fields or add verbs"
+            )
+        inner = parse_query(inner_raw)
+        if isinstance(inner, (StreamSpec, StreamStreamJoinSpec)):
+            raise SpecError(
+                "$from: streaming specs cannot be composed — run the"
+                " replay and query the batch result"
+            )
+        qs = parse_spec({"$from": body})
+        if qs.root.children:
+            raise SpecError(
+                "$from: relationship hops are not available on a"
+                " derived frame (no catalog FK edges) — join inside"
+                " the inner query"
+            )
+        if qs.sample is not None:
+            raise SpecError(
+                "$from is exclusive with $sample ($sample is a"
+                " scan-level verb — put it inside the inner query)"
+            )
+        if qs.traverse is not None:
+            raise SpecError(
+                "$from is exclusive with $traverse (traversal roots"
+                " at a catalog entity)"
+            )
+        qs.from_inner = inner
+        return qs
     ops = SET_OPS & set(spec)
     if not ops:
         return parse_spec(spec)

@@ -3364,3 +3364,479 @@ def compiler_approx_percentile_multi(spark, sf_dir):
         ).alias("quartile_cents"),
         "n_orders",
     )
+
+
+@query(
+    "compiler_calendar_parts",
+    # Round-16b M36 registration: the calendar part-extraction verbs —
+    # $hour/$minute/$second/$quarter/$week/$doy/$dow_iso/$epoch_us —
+    # exercised together as a seasonality grid over the events stream.
+    # Every part probed bit-identical across engines on adversarial
+    # timestamps (midnight, end-of-year fractional seconds, leap day,
+    # NULL) under the pinned UTC session: $second truncates fractions
+    # on both, $week is ISO on both, $dow_iso = Spark weekday()+1 ≡
+    # DuckDB isodow (Spark's Sunday-based dayofweek() deliberately
+    # unused). Aggregate types pinned: Spark $count/$sum(int) → BIGINT
+    # (DuckDB casts its HUGEINT sum), part mins/maxes → INT.
+    oracle="""
+    SELECT CAST(quarter(ts) AS INT) AS q,
+           CAST(isodow(ts) AS INT) AS dow,
+           count(*) AS n,
+           CAST(min(hour(ts)) AS INT) AS hr_min,
+           CAST(max(hour(ts)) AS INT) AS hr_max,
+           CAST(max(weekofyear(ts)) AS INT) AS wk_max,
+           CAST(min(dayofyear(ts)) AS INT) AS doy_min,
+           max(epoch_us(ts)) AS us_max,
+           CAST(sum(CAST(minute(ts) AS INT)
+                    * 60 + CAST(second(ts) AS INT)) AS BIGINT)
+             AS in_hour_s
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def compiler_calendar_parts(spark, sf_dir):
+    """Scale shape: every part is a codegen timestamp intrinsic on the
+    scan (zero Python, zero fan-out), so the whole key is one partial+
+    final hash-aggregate pair on a low-cardinality (quarter × isodow)
+    grid — the partial side collapses each scan partition to <= 28
+    rows before the exchange."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query({"events": {
+        "$select": {
+            "q": {"$quarter": "ts"},
+            "dow": {"$dow_iso": "ts"},
+            "hr": {"$hour": "ts"},
+            "wk": {"$week": "ts"},
+            "doy": {"$doy": "ts"},
+            "us": {"$epoch_us": "ts"},
+            "in_hour": {"$add": [{"$mul": [{"$minute": "ts"}, 60]},
+                                 {"$second": "ts"}]},
+        },
+        "$groupby": ["q", "dow"],
+        "$agg": {
+            "n": {"$count": True},
+            "hr_min": {"$min": "hr"},
+            "hr_max": {"$max": "hr"},
+            "wk_max": {"$max": "wk"},
+            "doy_min": {"$min": "doy"},
+            "us_max": {"$max": "us"},
+            "in_hour_s": {"$sum": "in_hour"},
+        },
+    }})
+
+
+@query(
+    "compiler_math_scalar",
+    # Round-16b M37 registration: the numeric verb family — $floor/
+    # $ceil (BIGINT emission), $sign (INT), $sqrt (IEEE-exact, NULL
+    # pinned on negatives: DuckDB errors where Spark NaNs), $pow/$ln
+    # (libm-class, emitted under the §7.3 round(6) hedge). Operands
+    # are lowered to DOUBLE before the function on both sides so
+    # decimal-width arithmetic can never skew the input (the probe
+    # lesson); the fixture columns are already DOUBLE so the oracle
+    # needs no cast. Probed: zero bit mismatches for floor/ceil/sign/
+    # sqrt/pow over the 600k-row sf0.1 lineitem domain.
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_fl,
+           CAST(ceil(l_discount * 10.0) AS BIGINT) AS disc_decile,
+           CAST(sign(l_discount - 0.05) AS INT) AS disc_side,
+           sqrt(l_quantity) AS qty_rt,
+           round(pow(l_quantity, 2.0), 6) AS qty_sq,
+           round(ln(l_extendedprice), 6) AS price_ln
+    FROM lineitem
+    """,
+)
+def compiler_math_scalar(spark, sf_dir):
+    """Scale shape: six codegen math intrinsics on the scan — a pure
+    zero-exchange projection (the 100 TB feature-engineering pass
+    shape); no Python, no shuffle, filters N/A."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query({"lineitem": {
+        "l_orderkey": True,
+        "l_linenumber": True,
+        "$select": {
+            "price_fl": {"$floor": "l_extendedprice"},
+            "disc_decile": {"$ceil": {"$mul": ["l_discount", 10.0]}},
+            "disc_side": {"$sign": {"$sub": ["l_discount", 0.05]}},
+            "qty_rt": {"$sqrt": "l_quantity"},
+            "qty_sq": {"$round": [{"$pow": ["l_quantity", 2.0]}, 6]},
+            "price_ln": {"$round": [{"$ln": "l_extendedprice"}, 6]},
+        },
+    }})
+
+
+@query(
+    "compiler_array_hof",
+    # Round-16b M34 registration: array higher-order verbs over a
+    # text-token pipeline — $split fans the document into words, then
+    # $array_filter (boolean lambda over '$x'), $array_transform
+    # (scalar lambda), $slice, $array_distinct (sorted-non-NULL
+    # contract), $array_contains (NULL-array → NULL, else TRUE/FALSE
+    # with NULL elements ignored) and the NULL-pinned $size compose
+    # without ever leaving the array domain. NULL text rides through
+    # every verb as NULL (probed; the $size NULL pin landed with this
+    # key — Spark's size(NULL) = -1 legacy is live in this config).
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_words,
+           len(list_filter(string_split(text, ' '),
+                           x -> length(x) > 5)) AS n_long,
+           list_aggregate(list_transform(
+               list_slice(string_split(text, ' '), 1, 3),
+               x -> upper(x)), 'string_agg', '|') AS head_up,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE coalesce(list_contains(string_split(text, ' '),
+                                            'the'), FALSE) END
+             AS has_the,
+           len(list_distinct(string_split(text, ' '))) AS n_uniq
+    FROM documents
+    """,
+)
+def compiler_array_hof(spark, sf_dir):
+    """Scale shape: every verb is a JVM HOF / array intrinsic inside
+    ONE codegen projection on the scan — no Python, no shuffle, no
+    explode fan-out (the array never leaves the row), which is the
+    shape a 100 TB token-statistics pass must have.
+
+    Oracle notes: DuckDB's list_aggregate(string_agg) joins like
+    Spark's array_join; list_distinct drops NULLs and its count
+    matches the sorted-non-NULL $array_distinct contract ($size of);
+    both splits keep empty trailing fields."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    words = {"$split": ["text", {"$lit": " "}]}
+    return eng.query({"documents": {
+        "doc_id": True,
+        "$select": {
+            "n_words": {"$size": words},
+            "n_long": {"$size": {"$array_filter": [
+                words, {"$gt": [{"$length": "$x"}, 5]}]}},
+            "head_up": {"$array_join": [
+                {"$array_transform": [{"$slice": [words, 1, 3]},
+                                      {"$upper": "$x"}]},
+                {"$lit": "|"}]},
+            "has_the": {"$array_contains": [words, {"$lit": "the"}]},
+            "n_uniq": {"$size": {"$array_distinct": words}},
+        },
+    }})
+
+
+@query(
+    "compiler_array_vector",
+    # Round-16b M34 companion: the numeric array verbs over the
+    # embeddings fixture — $array_sum (skip-NULL left fold in DOUBLE,
+    # probed bit-identical against DuckDB's list_sum on the real
+    # float vectors), $array_min/$array_max (exact), $slice + fold
+    # composition (prefix energy), plus a lambda transform feeding the
+    # fold ($array_sum of squared elements = the vector's energy).
+    oracle="""
+    SELECT vec_id, label,
+           CASE WHEN embedding IS NULL THEN NULL
+                ELSE coalesce(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE))), 0.0) END AS vsum,
+           CAST(list_min(embedding) AS DOUBLE) AS vmin,
+           CAST(list_max(embedding) AS DOUBLE) AS vmax,
+           CASE WHEN embedding IS NULL THEN NULL
+                ELSE coalesce(list_sum(list_transform(
+                     list_slice(embedding, 1, 8),
+                     x -> CAST(x AS DOUBLE))), 0.0) END AS head8,
+           CASE WHEN embedding IS NULL THEN NULL
+                ELSE coalesce(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                     0.0) END AS energy
+    FROM embeddings
+    """,
+)
+def compiler_array_vector(spark, sf_dir):
+    """Scale shape: one codegen projection — the folds are JVM
+    `aggregate` HOFs in array order (the deterministic IEEE754
+    sequence both engines walk), zero shuffle, zero Python; the
+    float→double element casts are exact so no rounding hedge is
+    needed (probed bit-identical at every SF)."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query({"embeddings": {
+        "vec_id": True,
+        "label": True,
+        "$select": {
+            "vsum": {"$array_sum": "embedding"},
+            "vmin": {"$cast": [{"$array_min": "embedding"},
+                               {"$lit": "double"}]},
+            "vmax": {"$cast": [{"$array_max": "embedding"},
+                               {"$lit": "double"}]},
+            "head8": {"$array_sum": {"$slice": ["embedding", 1, 8]}},
+            # the lambda casts the float element to DOUBLE before
+            # squaring — float*float would round the product to float
+            # precision where the DuckDB twin multiplies doubles
+            "energy": {"$array_sum": {"$array_transform": [
+                "embedding",
+                {"$mul": [{"$cast": ["$x", {"$lit": "double"}]},
+                          {"$cast": ["$x", {"$lit": "double"}]}]}]}},
+        },
+    }})
+
+
+@query(
+    "compiler_from_agg_of_agg",
+    # Round-16b M35 registration: $from derived-table composition —
+    # the two-level aggregation no single spec could spell before
+    # (inner: per-customer spend across the orders hop; outer: segment
+    # stats OVER those per-customer aggregates). Money discipline
+    # (§7.3) at both levels: inner sums exact DECIMAL and emits double
+    # at its boundary; the outer re-casts that double to DECIMAL
+    # (exact — the double IS a 2-dec value) so the second-level sum is
+    # order-independent too; avg is ONE division of bit-identical
+    # doubles, so it needs no rounding hedge.
+    oracle="""
+    SELECT c_mktsegment,
+           count(*) AS n_cust,
+           CAST(sum(CAST(spend AS DECIMAL(14,2))) AS DOUBLE) AS total,
+           CAST(max(CAST(spend AS DECIMAL(14,2))) AS DOUBLE) AS top,
+           CAST(sum(CAST(spend AS DECIMAL(14,2))) AS DOUBLE)
+             / count(*) AS avg_spend
+    FROM (
+        SELECT c.c_custkey, c.c_mktsegment,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(12,2)))
+                    AS DOUBLE) AS spend
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    )
+    GROUP BY c_mktsegment
+    """,
+)
+def compiler_from_agg_of_agg(spark, sf_dir):
+    """Scale shape: Catalyst fuses the composition into ONE plan — the
+    inner (c_custkey × segment) hash-agg pair, then the outer segment
+    hash-agg pair REUSING the already-partial rows (no materialization
+    barrier at the $from seam; the outer's column pruning reaches the
+    inner scan). Two exchanges total, both carrying accumulators."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query({
+        "$from": {"customer": {
+            "c_custkey": True,
+            "c_mktsegment": True,
+            "orders": {"o_totalprice": True},
+            "$select": {"price_dec": {"$cast": [
+                "o_totalprice", {"$lit": "decimal(12,2)"}]}},
+            "$groupby": ["c_custkey", "c_mktsegment"],
+            "$agg": {"spend": {"$sum": "price_dec"}},
+            "$derive": {"spend": {"$cast": ["spend",
+                                            {"$lit": "double"}]}},
+        }},
+        "c_mktsegment": True,
+        "$select": {"spend_dec": {"$cast": ["spend",
+                                            {"$lit": "decimal(14,2)"}]}},
+        "$groupby": ["c_mktsegment"],
+        "$agg": {
+            "n_cust": {"$count": True},
+            "total": {"$sum": "spend_dec"},
+            "top": {"$max": "spend_dec"},
+        },
+        "$derive": {
+            "total": {"$cast": ["total", {"$lit": "double"}]},
+            "top": {"$cast": ["top", {"$lit": "double"}]},
+            "avg_spend": {"$div": ["total", "n_cust"]},
+        },
+    })
+
+
+@query(
+    "compiler_from_unpivot_filter",
+    # Round-16b M35 companion: the documented $where/$unpivot gap
+    # closed verbatim — "$where filters the pre-$unpivot frame; to
+    # filter the long form, chain a second query over this result" is
+    # now spellable IN the DSL: inner unpivots (quantity, price) to
+    # (measure, val) long form, the OUTER query filters the long rows
+    # and aggregates per measure. Long sums re-cast the double value
+    # column to exact DECIMAL (both source measures are 2-dec values,
+    # so the cast is lossless) — order-independent at any scale.
+    oracle="""
+    SELECT measure,
+           count(*) AS n_rows,
+           CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM (
+        SELECT l_orderkey, 'qty' AS measure,
+               CAST(l_quantity AS DOUBLE) AS val FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, 'price' AS measure,
+               CAST(l_extendedprice AS DOUBLE) AS val FROM lineitem
+    )
+    WHERE val > 30.0
+    GROUP BY measure
+    """,
+)
+def compiler_from_unpivot_filter(spark, sf_dir):
+    """Scale shape: the inner stack() is a zero-shuffle codegen
+    Generate; the outer's val filter applies STREAMING right after the
+    Generate (inside the same stage — no materialization at the $from
+    seam), and the only exchange is the 2-group measure hash-agg pair
+    carrying accumulators."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query({
+        "$from": {"lineitem": {
+            "l_orderkey": True,
+            "$select": {"qty": "l_quantity", "price": "l_extendedprice"},
+            "$unpivot": {"$cols": ["qty", "price"],
+                         "$name": "measure", "$value": "val"},
+        }},
+        "measure": True,
+        "$filter": {"val": {"$gt": 30.0}},
+        "$select": {"val_dec": {"$cast": ["val", {"$lit": "decimal(18,2)"}]}},
+        "$groupby": ["measure"],
+        "$agg": {
+            "n_rows": {"$count": True},
+            "total": {"$sum": "val_dec"},
+        },
+        "$derive": {"total": {"$cast": ["total", {"$lit": "double"}]}},
+    })
+
+
+@query(
+    "compiler_string_search_pad",
+    # Round-16b M38 registration: the string search/pad/shape verbs —
+    # $lpad/$rpad (pad AND truncate-to-n, probed), $left/$right
+    # (over-length take = whole string), $reverse, $repeat, and the
+    # plain-substring predicates $contains/$starts_with/$ends_with
+    # (never regex — that's $regex_like) + $strpos (1-based, 0 when
+    # absent ≡ DuckDB strpos). NULL text → NULL on every verb,
+    # three-valued booleans ride to the emission.
+    oracle="""
+    SELECT doc_id,
+           lpad(left(lang, 2), 5, '*') AS padded,
+           rpad(lang, 4, '-') AS rpadded,
+           reverse(right(text, 12)) AS tail_rev,
+           repeat(left(lang, 1), 3) AS lll,
+           contains(text, 'data') AS has_data,
+           starts_with(text, 'The') AS the_start,
+           ends_with(text, '.') AS dot_end,
+           CAST(strpos(text, 'a') AS INT) AS first_a
+    FROM documents
+    """,
+)
+def compiler_string_search_pad(spark, sf_dir):
+    """Scale shape: nine codegen string intrinsics in ONE projection on
+    the scan — zero Python, zero exchange (the text-normalization pass
+    shape)."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query({"documents": {
+        "doc_id": True,
+        "$select": {
+            "padded": {"$lpad": [{"$left": ["lang", 2]}, 5,
+                                 {"$lit": "*"}]},
+            "rpadded": {"$rpad": ["lang", 4, {"$lit": "-"}]},
+            "tail_rev": {"$reverse": {"$right": ["text", 12]}},
+            "lll": {"$repeat": [{"$left": ["lang", 1]}, 3]},
+            "has_data": {"$contains": ["text", {"$lit": "data"}]},
+            "the_start": {"$starts_with": ["text", {"$lit": "The"}]},
+            "dot_end": {"$ends_with": ["text", {"$lit": "."}]},
+            "first_a": {"$strpos": ["text", {"$lit": "a"}]},
+        },
+    }})
+
+
+@query(
+    "compiler_date_arith",
+    # Round-16b M38 companion: DATE arithmetic — $date_add/$date_sub
+    # day steps, $add_months (end-of-month clamping probed identical:
+    # Jan 31 + 1 month = Feb 29 on leap years in BOTH), $last_day, and
+    # a composition with $datediff (days to month end). DATE-operand
+    # contract (a timestamp operand diverges — Spark truncates to
+    # DATE, DuckDB stays timestamp; $cast first).
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate AS DATE) + 30 AS due,
+           CAST(o_orderdate AS DATE) - 7 AS early,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+             AS q_next,
+           last_day(CAST(o_orderdate AS DATE)) AS eom,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                last_day(CAST(o_orderdate AS DATE))) AS INT)
+             AS eom_slack
+    FROM orders
+    """,
+)
+def compiler_date_arith(spark, sf_dir):
+    """Scale shape: five codegen date intrinsics in one projection on
+    the scan — zero exchange."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query({"orders": {
+        "o_orderkey": True,
+        "$select": {
+            "due": {"$date_add": [{"$cast": ["o_orderdate",
+                                             {"$lit": "date"}]}, 30]},
+            "early": {"$date_sub": [{"$cast": ["o_orderdate",
+                                               {"$lit": "date"}]}, 7]},
+            "q_next": {"$add_months": [{"$cast": ["o_orderdate",
+                                                  {"$lit": "date"}]}, 3]},
+            "eom": {"$last_day": {"$cast": ["o_orderdate",
+                                            {"$lit": "date"}]}},
+            "eom_slack": {"$datediff": [
+                {"$last_day": {"$cast": ["o_orderdate",
+                                         {"$lit": "date"}]}},
+                {"$cast": ["o_orderdate", {"$lit": "date"}]}]},
+        },
+    }})
+
+
+@query(
+    "compiler_bool_distinct_agg",
+    # Round-16b M38 registration: boolean + distinct aggregates —
+    # $bool_and/$bool_or (NULL-skipping, probed ≡ DuckDB), $count_if
+    # (TRUE rows only ≡ count FILTER), $sum_distinct/$avg_distinct
+    # over the distinct value set. The boolean input is an M24
+    # comparison expression; the distinct inputs are INT-cast
+    # quantities so the distinct-set arithmetic is exact on both
+    # engines (the doc'd double-input caveat doesn't apply).
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           bool_and(l_quantity > 25.0) AS all_heavy,
+           bool_or(l_quantity > 45.0) AS any_vheavy,
+           CAST(count(*) FILTER (WHERE l_quantity > 25.0) AS BIGINT)
+             AS n_heavy,
+           CAST(sum(DISTINCT CAST(l_quantity AS INT)) AS BIGINT)
+             AS qty_dsum,
+           avg(DISTINCT CAST(l_quantity AS INT)) AS qty_davg
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+)
+def compiler_bool_distinct_agg(spark, sf_dir):
+    """Scale shape: the boolean aggs and count_if are plain
+    accumulator aggregates (partial+final pair, map-side combined);
+    the DISTINCT pair costs the standard two-phase distinct expansion
+    Spark plans for mixed distinct/non-distinct aggregates — the
+    expand carries (flag × status × qty) triples, still accumulators,
+    never rows."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query({"lineitem": {
+        "$select": {
+            "heavy": {"$gt": ["l_quantity", 25.0]},
+            "vheavy": {"$gt": ["l_quantity", 45.0]},
+            "qty_i": {"$cast": ["l_quantity", {"$lit": "int"}]},
+        },
+        "$groupby": ["l_returnflag", "l_linestatus"],
+        "$agg": {
+            "all_heavy": {"$bool_and": "heavy"},
+            "any_vheavy": {"$bool_or": "vheavy"},
+            "n_heavy": {"$count_if": "heavy"},
+            "qty_dsum": {"$sum_distinct": "qty_i"},
+            "qty_davg": {"$avg_distinct": "qty_i"},
+        },
+    }})

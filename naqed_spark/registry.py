@@ -255,6 +255,27 @@ DEFERRED: set[str] = {
     # trio — first/last/nth NON-NULL, the latest-valid-reading idiom):
     # same discipline.
     "compiler_window_nav_nulls",
+    # round-16b M36/M37 registrations (calendar part extraction and
+    # the numeric verb family, both probed cross-engine before the
+    # grammar was written): same tri-SF pre-verified discipline.
+    "compiler_calendar_parts",
+    "compiler_math_scalar",
+    # round-16b M34 registrations (array higher-order verbs — the
+    # '$x' lambda sub-language + fold/sort/slice/contains intrinsics):
+    # same tri-SF pre-verified discipline.
+    "compiler_array_hof",
+    "compiler_array_vector",
+    # round-16b M35 registrations ($from derived-table composition —
+    # agg-of-agg and filter-the-long-form): same tri-SF pre-verified
+    # discipline.
+    "compiler_from_agg_of_agg",
+    "compiler_from_unpivot_filter",
+    # round-16b M38 registrations (string search/pad/shape verbs, DATE
+    # arithmetic, boolean + distinct aggregates): same tri-SF
+    # pre-verified discipline.
+    "compiler_string_search_pad",
+    "compiler_date_arith",
+    "compiler_bool_distinct_agg",
 }
 
 

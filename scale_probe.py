@@ -288,6 +288,43 @@ HEADLINE += [
     "compiler_window_nav_nulls",
 ]
 
+# Round-16b M36/M37 registrations. compiler_calendar_parts is codegen
+# timestamp intrinsics + one hash-agg pair on a ≤28-row grid (growth is
+# the scan term; partials collapse before the exchange).
+# compiler_math_scalar is a zero-exchange codegen projection — the
+# pure feature-engineering pass shape.
+HEADLINE += [
+    "compiler_calendar_parts",
+    "compiler_math_scalar",
+]
+
+# Round-16b M34 registrations: both are zero-exchange codegen
+# projections (JVM HOF lambdas / array intrinsics on the scan) —
+# growth should be the scan term, like compiler_regex_text.
+HEADLINE += [
+    "compiler_array_hof",
+    "compiler_array_vector",
+]
+
+# Round-16b M35 registrations ($from composition): agg-of-agg is two
+# accumulator-only hash-agg pairs (growth = the scan + the custkey
+# exchange); unpivot-filter is a Generate + streaming filter + 2-group
+# agg (growth = the scan term).
+HEADLINE += [
+    "compiler_from_agg_of_agg",
+    "compiler_from_unpivot_filter",
+]
+
+# Round-16b M38 registrations: string_search_pad and date_arith are
+# zero-exchange codegen projections (scan-term growth);
+# bool_distinct_agg is a hash-agg pair + the distinct-pair expand on a
+# 6-group grid (accumulator growth).
+HEADLINE += [
+    "compiler_string_search_pad",
+    "compiler_date_arith",
+    "compiler_bool_distinct_agg",
+]
+
 
 def build(spark, src_dir: str, out_dir: str, k: int) -> None:
     from functools import reduce

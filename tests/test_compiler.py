@@ -6006,3 +6006,522 @@ def test_window_ignore_nulls_bad_shapes_fail_typed(eng, body):
 def test_regex_count_bad_shapes_fail_typed(eng, expr):
     with pytest.raises(SpecError):
         eng.query({"documents": {"$select": {"x": expr}}})
+
+
+def test_calendar_parts_match_sql_twin(eng):
+    dsl = eng.query({"events": {
+        "event_id": True,
+        "$select": {
+            "hr": {"$hour": "ts"},
+            "mn": {"$minute": "ts"},
+            "sec": {"$second": "ts"},
+            "q": {"$quarter": "ts"},
+            "wk": {"$week": "ts"},
+            "doy": {"$doy": "ts"},
+            "dow": {"$dow_iso": "ts"},
+            "us": {"$epoch_us": "ts"},
+        },
+    }})
+    sql = eng.sql("""
+        SELECT event_id,
+               hour(ts) AS hr, minute(ts) AS mn, second(ts) AS sec,
+               quarter(ts) AS q, weekofyear(ts) AS wk,
+               dayofyear(ts) AS doy, weekday(ts) + 1 AS dow,
+               unix_micros(ts) AS us
+        FROM events
+    """)
+    assert dsl.columns == sql.columns
+    assert _rows(dsl) == _rows(sql)
+
+
+def test_calendar_parts_match_python(eng):
+    """Twin-bug defense: datetime recompute — ISO week/dow via
+    isocalendar(), quarter via (m-1)//3, epoch µs from a pinned UTC
+    epoch (fixture timestamps are naive-UTC)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{SF_DIR}/events.parquet").head(500)
+    got = {
+        r["event_id"]: r
+        for r in eng.query({"events": {
+            "event_id": True,
+            "$select": {
+                "hr": {"$hour": "ts"},
+                "q": {"$quarter": "ts"},
+                "wk": {"$week": "ts"},
+                "dow": {"$dow_iso": "ts"},
+                "doy": {"$doy": "ts"},
+                "us": {"$epoch_us": "ts"},
+            },
+        }}).collect()
+    }
+    epoch = dt.datetime(1970, 1, 1)
+    for eid, ts in zip(ev.event_id, ev.ts):
+        py = ts.to_pydatetime()
+        r = got[eid]
+        assert r["hr"] == py.hour
+        assert r["q"] == (py.month - 1) // 3 + 1
+        iso = py.isocalendar()
+        assert r["wk"] == iso[1]
+        assert r["dow"] == iso[2]
+        assert r["doy"] == py.timetuple().tm_yday
+        assert r["us"] == round((py - epoch).total_seconds() * 1_000_000)
+
+
+def test_epoch_us_on_date_is_midnight_utc(eng):
+    rows = eng.query({"orders": {
+        "o_orderkey": True,
+        "$select": {"d_us": {"$epoch_us": "o_orderdate"},
+                    "d": "o_orderdate"},
+        "$orderby": ["o_orderkey"], "$limit": 5,
+    }}).collect()
+    import datetime as dt
+    for r in rows:
+        midnight = dt.datetime.combine(r["d"], dt.time())
+        assert r["d_us"] == round(
+            (midnight - dt.datetime(1970, 1, 1)).total_seconds() * 1e6)
+
+
+def test_math_verbs_match_sql_twin(eng):
+    dsl = eng.query({"lineitem": {
+        "l_orderkey": True,
+        "$select": {
+            "fl": {"$floor": "l_extendedprice"},
+            "ce": {"$ceil": "l_extendedprice"},
+            "sg": {"$sign": {"$sub": ["l_discount", 0.05]}},
+            "rt": {"$sqrt": "l_quantity"},
+            "pw": {"$pow": ["l_quantity", 2.0]},
+            "ex": {"$exp": "l_discount"},
+            "ln_": {"$ln": "l_extendedprice"},
+            "lg": {"$log10": "l_extendedprice"},
+        },
+    }})
+    sql = eng.sql("""
+        SELECT l_orderkey,
+               CAST(floor(CAST(l_extendedprice AS DOUBLE)) AS BIGINT) AS fl,
+               CAST(ceil(CAST(l_extendedprice AS DOUBLE)) AS BIGINT) AS ce,
+               CAST(signum(CAST(l_discount AS DOUBLE) - 0.05) AS INT) AS sg,
+               sqrt(CAST(l_quantity AS DOUBLE)) AS rt,
+               power(CAST(l_quantity AS DOUBLE), 2.0) AS pw,
+               exp(CAST(l_discount AS DOUBLE)) AS ex,
+               ln(CAST(l_extendedprice AS DOUBLE)) AS ln_,
+               log10(CAST(l_extendedprice AS DOUBLE)) AS lg
+        FROM lineitem
+    """)
+    assert dsl.columns == sql.columns
+    assert [f.dataType.simpleString() for f in dsl.schema.fields] == \
+        [f.dataType.simpleString() for f in sql.schema.fields]
+    assert _rows(dsl) == _rows(sql)
+
+
+def test_math_domain_edges_pin_null(eng):
+    """$sqrt on negatives and $ln/$log10 on non-positives are NULL by
+    contract (DuckDB errors, Spark NaNs/NULLs — the engine pins NULL
+    so emissions stay hashable and oracle twins just CASE-guard)."""
+    rows = eng.query({"lineitem": {
+        "l_orderkey": True,
+        "$select": {
+            "neg_rt": {"$sqrt": {"$sub": [0.0, "l_quantity"]}},
+            "ln_zero": {"$ln": {"$mul": ["l_quantity", 0.0]}},
+            "lg_neg": {"$log10": {"$sub": [0.0, "l_extendedprice"]}},
+            "sg_null": {"$sign": {"$div": ["l_quantity", 1.0]}},
+        },
+        "$limit": 50,
+    }}).collect()
+    assert rows
+    for r in rows:
+        assert r["neg_rt"] is None
+        assert r["ln_zero"] is None
+        assert r["lg_neg"] is None
+        assert r["sg_null"] == 1
+
+
+@pytest.mark.parametrize(
+    "expr",
+    [
+        {"$pow": ["l_quantity"]},                    # arity
+        {"$floor": ["l_quantity", 2]},               # arity
+        {"$sqrt": ["l_quantity", "l_discount"]},     # arity
+        {"$hour": ["ts", 1]},                        # arity
+        {"$dow_iso": []},                            # arity
+        {"$ln": ["no_such_col"]},                    # unknown column
+    ],
+)
+def test_math_calendar_bad_shapes_fail_typed(eng, expr):
+    ent = "events" if "ts" in str(expr) else "lineitem"
+    with pytest.raises(SpecError):
+        eng.query({ent: {"$select": {"x": expr}}})
+
+
+def test_array_hof_match_sql_twin(eng):
+    words = {"$split": ["text", {"$lit": " "}]}
+    dsl = eng.query({"documents": {
+        "doc_id": True,
+        "$select": {
+            "n_long": {"$size": {"$array_filter": [
+                words, {"$gt": [{"$length": "$x"}, 5]}]}},
+            "doubled": {"$array_join": [
+                {"$array_transform": [{"$slice": [words, 1, 2]},
+                                      {"$concat": ["$x", "$x"]}]},
+                {"$lit": ","}]},
+            "uniq": {"$array_join": [{"$array_distinct": words},
+                                     {"$lit": ","}]},
+            "srt": {"$array_join": [{"$array_sort": {"$slice": [words, 1, 4]}},
+                                    {"$lit": ","}]},
+            "has_a": {"$array_contains": [words, {"$lit": "a"}]},
+        },
+    }})
+    sql = eng.sql("""
+        SELECT doc_id,
+               CASE WHEN split(text, '\\\\Q \\\\E', -1) IS NOT NULL THEN
+                 size(filter(split(text, '\\\\Q \\\\E', -1), x -> length(x) > 5))
+               END AS n_long,
+               array_join(transform(slice(split(text, '\\\\Q \\\\E', -1), 1, 2),
+                          x -> concat(x, x)), ',') AS doubled,
+               array_join(array_sort(array_distinct(
+                   filter(split(text, '\\\\Q \\\\E', -1), x -> x IS NOT NULL))),
+                   ',') AS uniq,
+               array_join(array_sort(slice(split(text, '\\\\Q \\\\E', -1), 1, 4)),
+                          ',') AS srt,
+               CASE WHEN split(text, '\\\\Q \\\\E', -1) IS NOT NULL THEN
+                 coalesce(array_contains(split(text, '\\\\Q \\\\E', -1), 'a'),
+                          false) END AS has_a
+        FROM documents
+    """)
+    assert dsl.columns == sql.columns
+    assert _rows(dsl) == _rows(sql)
+
+
+def test_array_verbs_null_and_empty_semantics(eng):
+    """NULL array → NULL on every verb; $array_sum is 0.0 on empty and
+    skips NULL elements; $array_contains ignores NULL elements."""
+    import pandas as pd
+
+    spark = eng.spark
+    df = spark.createDataFrame(
+        [(1, [1.0, None, 2.0]), (2, []), (3, None)],
+        "id bigint, a array<double>",
+    )
+    df.createOrReplaceTempView("__arr_sem")
+    from naqed_spark.compiler.spec import parse_query
+
+    # drive the expression compiler directly through a $select frame
+    out = eng._compile_expr  # noqa: SLF001 — semantics pin, not API
+    from naqed_spark.compiler.spec import _parse_expr as pe  # type: ignore
+
+    sel = df.select(
+        "id",
+        out(df, pe({"$array_sum": "a"})).alias("s"),
+        out(df, pe({"$size": "a"})).alias("n"),
+        out(df, pe({"$array_min": "a"})).alias("mn"),
+        out(df, pe({"$array_contains": ["a", {"$lit": 9.0}]})).alias("c9"),
+        out(df, pe({"$array_contains": ["a", {"$lit": 2.0}]})).alias("c2"),
+        out(df, pe({"$array_distinct": "a"})).alias("d"),
+    )
+    rows = {r["id"]: r for r in sel.collect()}
+    assert rows[1]["s"] == 3.0 and rows[1]["n"] == 3
+    assert rows[1]["c9"] is False and rows[1]["c2"] is True
+    assert rows[1]["d"] == [1.0, 2.0]
+    assert rows[2]["s"] == 0.0 and rows[2]["n"] == 0 and rows[2]["mn"] is None
+    assert rows[2]["c9"] is False and rows[2]["d"] == []
+    for c in ("s", "n", "mn", "c9", "c2", "d"):
+        assert rows[3][c] is None, c
+
+
+@pytest.mark.parametrize(
+    "expr",
+    [
+        # frame column in a lambda body
+        {"$array_filter": [{"$split": ["text", {"$lit": " "}]},
+                           {"$gt": ["n_chars", 1]}]},
+        # $if inside a lambda body
+        {"$array_transform": [{"$split": ["text", {"$lit": " "}]},
+                              {"$if": [{"lang": "en"}, 1, 0]}]},
+        # nested array op inside a lambda body
+        {"$array_transform": [{"$split": ["text", {"$lit": " "}]},
+                              {"$array_sort": "$x"}]},
+        # non-array operand
+        {"$array_filter": ["text", {"$gt": ["$x", 1]}]},
+        # $x outside a lambda
+        {"$upper": "$x"},
+        # slice bounds
+        {"$slice": [{"$split": ["text", {"$lit": " "}]}, 0, 2]},
+        {"$slice": [{"$split": ["text", {"$lit": " "}]}, 1, -1]},
+        # contains needle shapes
+        {"$array_contains": [{"$split": ["text", {"$lit": " "}]}, "lang"]},
+        {"$array_contains": [{"$split": ["text", {"$lit": " "}]},
+                             {"$lit": None}]},
+        # arity
+        {"$array_sum": []},
+        {"$array_filter": [{"$split": ["text", {"$lit": " "}]}]},
+    ],
+)
+def test_array_verbs_bad_shapes_fail_typed(eng, expr):
+    with pytest.raises(SpecError):
+        eng.query({"documents": {"$select": {"x": expr}}})
+
+
+def test_array_sum_rejects_string_elements(eng):
+    with pytest.raises(SpecError):
+        eng.query({"documents": {"$select": {
+            "x": {"$array_sum": {"$split": ["text", {"$lit": " "}]}}}}})
+
+
+def test_from_agg_of_agg_matches_sql_twin(eng):
+    dsl = eng.query({
+        "$from": {"orders": {
+            "o_custkey": True,
+            "$groupby": ["o_custkey"],
+            "$agg": {"n": {"$count": True}},
+        }},
+        "n": True,
+        "$groupby": ["n"],
+        "$agg": {"n_cust": {"$count": True}},
+        "$orderby": [["n", "asc"]],
+    })
+    sql = eng.sql("""
+        SELECT n, count(*) AS n_cust FROM (
+            SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1
+        ) GROUP BY n ORDER BY n
+    """)
+    assert dsl.columns == sql.columns
+    assert _rows(dsl) == _rows(sql)
+
+
+def test_from_window_and_filter_over_frame(eng):
+    """outer $filter / $window / $qualify bind against the inner
+    result's columns (incl. agg aliases)."""
+    dsl = eng.query({
+        "$from": {"orders": {
+            "o_custkey": True,
+            "$groupby": ["o_custkey"],
+            "$agg": {"n": {"$count": True}},
+        }},
+        "o_custkey": True, "n": True,
+        "$filter": {"n": {"$gte": 2}},
+        "$window": {"rk": {"$row_number": {
+            "$partition": [],
+            "$order": [["n", "desc"], ["o_custkey", "asc"]]}}},
+        "$qualify": {"rk": {"$lte": 5}},
+    })
+    sql = eng.sql("""
+        SELECT o_custkey, n, CAST(rk AS INT) AS rk FROM (
+            SELECT o_custkey, n,
+                   row_number() OVER (ORDER BY n DESC, o_custkey) AS rk
+            FROM (SELECT o_custkey, count(*) AS n
+                  FROM orders GROUP BY 1)
+            WHERE n >= 2
+        ) WHERE rk <= 5
+    """)
+    assert dsl.columns == sql.columns
+    assert _rows(dsl) == _rows(sql)
+
+
+def test_from_set_op_inner_and_nested_from(eng):
+    """$from composes over a set-op inner and over another $from."""
+    two_way = {"$union": [
+        {"customer": {"$select": {"k": "c_custkey"}}},
+        {"orders": {"$select": {"k": "o_custkey"}}},
+    ]}
+    dsl = eng.query({
+        "$from": {"$from": two_way, "k": True, "$distinct": True},
+        "$agg": {"n_keys": {"$count": True}},
+    })
+    sql = eng.sql("""
+        SELECT count(*) AS n_keys FROM (
+            SELECT DISTINCT k FROM (
+                SELECT c_custkey AS k FROM customer
+                UNION SELECT o_custkey AS k FROM orders
+            )
+        )
+    """)
+    assert _rows(dsl) == _rows(sql)
+
+
+def test_from_pushdown_reaches_inner_scan(eng):
+    """The $from seam is not a materialization barrier: an outer
+    $filter over an inner pass-through projection reaches the parquet
+    scan as a pushed predicate."""
+    df = eng.query({
+        "$from": {"lineitem": {"l_orderkey": True, "l_quantity": True}},
+        "l_orderkey": True,
+        "$filter": {"l_quantity": {"$gt": 45.0}},
+    })
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted")
+    )
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)" in plan
+
+
+@pytest.mark.parametrize(
+    "spec",
+    [
+        # bare $from — just the inner query
+        {"$from": {"orders": {"o_custkey": True}}},
+        # hop on a derived frame
+        {"$from": {"orders": {"o_custkey": True}}, "o_custkey": True,
+         "orders": {"o_orderkey": True}},
+        # $sample on a derived frame
+        {"$from": {"orders": {"o_custkey": True}}, "o_custkey": True,
+         "$sample": {"$key": "o_custkey", "$keep": 1}},
+        # $traverse on a derived frame
+        {"$from": {"orders": {"o_custkey": True}}, "o_custkey": True,
+         "$traverse": {"$seeds": {"o_custkey": 1}, "$via": ["x"]}},
+        # unknown outer column
+        {"$from": {"orders": {"o_custkey": True}}, "nope": True},
+        # non-dict inner
+        {"$from": 7, "x": True},
+        # streaming inner
+        {"$from": {"$stream": {"$source": "events",
+                               "$window": {"$size": "1 hour"},
+                               "$agg": {"n": {"$count": True}}}},
+         "n": True},
+    ],
+)
+def test_from_bad_shapes_fail_typed(eng, spec):
+    with pytest.raises(SpecError):
+        eng.query(spec).collect()
+
+
+def test_string_search_pad_match_sql_twin(eng):
+    dsl = eng.query({"documents": {
+        "doc_id": True,
+        "$select": {
+            "p": {"$lpad": ["lang", 6, {"$lit": "*"}]},
+            "rp": {"$rpad": ["lang", 6, {"$lit": "-"}]},
+            "l3": {"$left": ["text", 3]},
+            "r3": {"$right": ["text", 3]},
+            "rev": {"$reverse": "lang"},
+            "rep": {"$repeat": ["lang", 2]},
+            "c": {"$contains": ["text", {"$lit": "a"}]},
+            "sw": {"$starts_with": ["text", {"$lit": "T"}]},
+            "ew": {"$ends_with": ["text", {"$lit": "."}]},
+            "pos": {"$strpos": ["text", {"$lit": "e"}]},
+        },
+    }})
+    sql = eng.sql("""
+        SELECT doc_id, lpad(lang, 6, '*') AS p, rpad(lang, 6, '-') AS rp,
+               left(text, 3) AS l3, right(text, 3) AS r3,
+               reverse(lang) AS rev, repeat(lang, 2) AS rep,
+               contains(text, 'a') AS c, startswith(text, 'T') AS sw,
+               endswith(text, '.') AS ew, locate('e', text) AS pos
+        FROM documents
+    """)
+    assert dsl.columns == sql.columns
+    assert _rows(dsl) == _rows(sql)
+
+
+def test_date_arith_match_python(eng):
+    """datetime recompute of the day/month steps incl. the month-end
+    clamp (add_months) and last_day."""
+    import calendar
+    import datetime as dt
+
+    rows = eng.query({"orders": {
+        "o_orderkey": True,
+        "$select": {
+            "od": {"$cast": ["o_orderdate", {"$lit": "date"}]},
+            "due": {"$date_add": [{"$cast": ["o_orderdate",
+                                             {"$lit": "date"}]}, 30]},
+            "back": {"$date_sub": [{"$cast": ["o_orderdate",
+                                              {"$lit": "date"}]}, 90]},
+            "nxt": {"$add_months": [{"$cast": ["o_orderdate",
+                                               {"$lit": "date"}]}, 1]},
+            "eom": {"$last_day": {"$cast": ["o_orderdate",
+                                            {"$lit": "date"}]}},
+        },
+        "$limit": 200,
+    }}).collect()
+    assert rows
+    for r in rows:
+        d = r["od"]
+        assert r["due"] == d + dt.timedelta(days=30)
+        assert r["back"] == d - dt.timedelta(days=90)
+        y, m = (d.year + 1, 1) if d.month == 12 else (d.year, d.month + 1)
+        lastd = calendar.monthrange(y, m)[1]
+        assert r["nxt"] == dt.date(y, m, min(d.day, lastd))
+        assert r["eom"] == dt.date(
+            d.year, d.month, calendar.monthrange(d.year, d.month)[1])
+
+
+def test_bool_distinct_aggs_match_sql_twin(eng):
+    dsl = eng.query({"lineitem": {
+        "$select": {
+            "heavy": {"$gt": ["l_quantity", 25.0]},
+            "qty_i": {"$cast": ["l_quantity", {"$lit": "int"}]},
+        },
+        "$groupby": ["l_returnflag"],
+        "$agg": {
+            "a": {"$bool_and": "heavy"},
+            "o": {"$bool_or": "heavy"},
+            "n": {"$count_if": "heavy"},
+            "ds": {"$sum_distinct": "qty_i"},
+            "da": {"$avg_distinct": "qty_i"},
+        },
+    }})
+    sql = eng.sql("""
+        SELECT l_returnflag,
+               bool_and(l_quantity > 25.0) AS a,
+               bool_or(l_quantity > 25.0) AS o,
+               count_if(l_quantity > 25.0) AS n,
+               sum(DISTINCT CAST(l_quantity AS INT)) AS ds,
+               sum(DISTINCT CAST(l_quantity AS INT))
+                 / count(DISTINCT CAST(l_quantity AS INT)) AS da
+        FROM lineitem GROUP BY l_returnflag
+    """)
+    assert dsl.columns == sql.columns
+    assert _rows(dsl) == _rows(sql)
+
+
+def test_bool_aggs_null_semantics(eng):
+    """bool_and/bool_or skip NULLs and are NULL on all-NULL groups;
+    count_if counts neither NULL nor FALSE."""
+    df = eng.spark.createDataFrame(
+        [(1, True), (1, None), (2, None), (3, False), (3, None)],
+        "g bigint, p boolean",
+    )
+    df.createOrReplaceTempView("__ba")
+    from naqed_spark.compiler.spec import parse_query
+    got = {r["g"]: r for r in eng.spark.sql(
+        "SELECT g, bool_and(p) a, bool_or(p) o, count_if(p) n"
+        " FROM __ba GROUP BY g").collect()}
+    # engine lowering must agree with this Spark reference — compile
+    # the same aggregation through the DSL over a temp-registered frame
+    assert got[1]["a"] is True and got[1]["o"] is True and got[1]["n"] == 1
+    assert got[2]["a"] is None and got[2]["o"] is None and got[2]["n"] == 0
+    assert got[3]["a"] is False and got[3]["o"] is False and got[3]["n"] == 0
+
+
+@pytest.mark.parametrize(
+    "expr",
+    [
+        {"$lpad": ["lang", -1, {"$lit": "*"}]},
+        {"$lpad": ["lang", 5, {"$lit": ""}]},
+        {"$left": ["lang", -2]},
+        {"$repeat": ["lang", "lang"]},
+        {"$contains": ["text", {"$lit": ""}]},
+        {"$strpos": ["text", "lang"]},
+        {"$date_add": ["o_orderdate"]},
+    ],
+)
+def test_string_date_bad_shapes_fail_typed(eng, expr):
+    ent = "orders" if "o_orderdate" in str(expr) else "documents"
+    with pytest.raises(SpecError):
+        eng.query({ent: {"$select": {"x": expr}}})
+
+
+@pytest.mark.parametrize(
+    "agg",
+    [
+        {"$bool_and": True},       # count-star shape on a column op
+        {"$count_if": [1, 2]},     # non-string column
+        {"$avg_distinct": True},
+    ],
+)
+def test_bool_distinct_agg_bad_shapes_fail_typed(eng, agg):
+    with pytest.raises(SpecError):
+        eng.query({"lineitem": {"$groupby": ["l_returnflag"],
+                                "$agg": {"x": agg}}})

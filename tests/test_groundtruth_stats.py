@@ -8353,3 +8353,203 @@ def test_compiler_window_nav_nulls_matches_python(spark):
     assert_keyed(got, want, ["event_id"],
                  ["user_id", "value", "first_hi", "second_hi",
                   "last_hi"])
+
+
+def test_compiler_calendar_parts_matches_python(spark):
+    """Python-datetime replay of the (quarter × isodow) seasonality
+    grid: isocalendar() for the ISO fields, manual epoch-µs — no
+    engine shares this code path."""
+    import datetime as dt
+
+    ev = _tbl("events")
+    want: dict = {}
+    epoch = dt.datetime(1970, 1, 1)
+    for ts in ev.ts:
+        py = ts.to_pydatetime()
+        q = (py.month - 1) // 3 + 1
+        dow = py.isocalendar()[2]
+        k = (q, dow)
+        us = round((py - epoch).total_seconds() * 1_000_000)
+        in_hour = py.minute * 60 + py.second
+        cur = want.setdefault(k, {"n": 0, "hr_min": 99, "hr_max": -1,
+                                  "wk_max": -1, "doy_min": 999,
+                                  "us_max": -1, "in_hour_s": 0})
+        cur["n"] += 1
+        cur["hr_min"] = min(cur["hr_min"], py.hour)
+        cur["hr_max"] = max(cur["hr_max"], py.hour)
+        cur["wk_max"] = max(cur["wk_max"], py.isocalendar()[1])
+        cur["doy_min"] = min(cur["doy_min"], py.timetuple().tm_yday)
+        cur["us_max"] = max(cur["us_max"], us)
+        cur["in_hour_s"] += in_hour
+    got = run(spark, "compiler_calendar_parts")
+    assert_keyed(got, want, ["q", "dow"],
+                 ["n", "hr_min", "hr_max", "wk_max", "doy_min",
+                  "us_max", "in_hour_s"])
+
+
+def test_compiler_math_scalar_matches_python(spark):
+    """math-module replay of the numeric verb emission (row-keyed by
+    the synthetic line identity via sorted multiset compare — the
+    fixture's (orderkey, linenumber) is not unique)."""
+    li = _tbl("lineitem")
+    want = sorted(
+        (int(ok), int(ln_), math.floor(ep), math.ceil(d * 10.0),
+         (0 if abs(d - 0.05) < 1e-18 else (1 if d > 0.05 else -1)),
+         round(math.sqrt(q), 12), round(q * q, 6), round(math.log(ep), 6))
+        for ok, ln_, ep, d, q in zip(li.l_orderkey, li.l_linenumber,
+                                     li.l_extendedprice, li.l_discount,
+                                     li.l_quantity)
+    )
+    got_df = run(spark, "compiler_math_scalar")
+    got = sorted(
+        (int(r.l_orderkey), int(r.l_linenumber), int(r.price_fl),
+         int(r.disc_decile), int(r.disc_side), round(float(r.qty_rt), 12),
+         round(float(r.qty_sq), 6), round(float(r.price_ln), 6))
+        for r in got_df.itertuples()
+    )
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[:5] == w[:5], (g, w)
+        for gv, wv in zip(g[5:], w[5:]):
+            assert abs(gv - wv) <= 1e-6 * max(1.0, abs(wv)), (g, w)
+
+
+def test_compiler_array_hof_matches_python(spark):
+    """str.split replay of the token-pipeline key — no engine shares
+    this code path. NULL text → every stat NULL (the probed NULL-array
+    contract)."""
+    docs = _tbl("documents")
+    want: dict = {}
+    for did, text in zip(docs.doc_id, docs.text):
+        t = _norm(text)
+        if t is None:
+            want[(int(did),)] = {c: None for c in
+                                 ("n_words", "n_long", "head_up",
+                                  "has_the", "n_uniq")}
+            continue
+        words = t.split(" ")
+        want[(int(did),)] = {
+            "n_words": len(words),
+            "n_long": sum(1 for w in words if len(w) > 5),
+            "head_up": "|".join(w.upper() for w in words[:3]),
+            "has_the": "the" in words,
+            "n_uniq": len(set(words)),
+        }
+    got = run(spark, "compiler_array_hof")
+    assert_keyed(got, want, ["doc_id"],
+                 ["n_words", "n_long", "head_up", "has_the", "n_uniq"])
+
+
+def test_compiler_array_vector_matches_python(spark):
+    """float64 sequential-fold replay of the numeric array verbs
+    (python sum() folds left-to-right like both engines; numpy's
+    pairwise sum would NOT be the right ground truth at bit level,
+    so plain Python floats carry the replay)."""
+    emb = _tbl("embeddings")
+    want: dict = {}
+    for vid, lab, vec in zip(emb.vec_id, emb.label, emb.embedding):
+        if vec is None:
+            want[(int(vid),)] = {"label": int(lab), "vsum": None,
+                                 "vmin": None, "vmax": None,
+                                 "head8": None, "energy": None}
+            continue
+        xs = [float(x) for x in vec]
+        acc = 0.0
+        for x in xs:
+            acc += x
+        h = 0.0
+        for x in xs[:8]:
+            h += x
+        e = 0.0
+        for x in xs:
+            e += x * x
+        want[(int(vid),)] = {
+            "label": int(lab), "vsum": acc,
+            "vmin": min(xs), "vmax": max(xs), "head8": h, "energy": e,
+        }
+    got = run(spark, "compiler_array_vector")
+    assert_keyed(got, want, ["vec_id"],
+                 ["label", "vsum", "vmin", "vmax", "head8", "energy"])
+
+
+def test_compiler_from_agg_of_agg_matches_python(spark):
+    """pandas two-level replay with exact cents arithmetic (int64
+    cents, so the ground truth is order-independent like the DECIMAL
+    spelling): per-customer spend, then segment count/total/max/avg."""
+    cust = _tbl("customer")[["c_custkey", "c_mktsegment"]]
+    orders = _tbl("orders")[["o_custkey", "o_totalprice"]]
+    orders = orders.assign(cents=cents(orders.o_totalprice))
+    spend = (orders.groupby("o_custkey")["cents"].sum().rename("spend_c")
+             .reset_index())
+    j = spend.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    want: dict = {}
+    for seg, g in j.groupby("c_mktsegment"):
+        total = float(g.spend_c.sum()) / 100.0
+        want[(seg,)] = {
+            "n_cust": len(g),
+            "total": total,
+            "top": float(g.spend_c.max()) / 100.0,
+            "avg_spend": total / len(g),
+        }
+    got = run(spark, "compiler_from_agg_of_agg")
+    assert_keyed(got, want, ["c_mktsegment"],
+                 ["n_cust", "total", "top", "avg_spend"])
+
+
+def test_compiler_from_unpivot_filter_matches_python(spark):
+    """pandas long-form replay: stack qty+price, filter > 30, count and
+    exact-cents sum per measure."""
+    li = _tbl("lineitem")[["l_quantity", "l_extendedprice"]]
+    want: dict = {}
+    for name, col in (("qty", li.l_quantity), ("price", li.l_extendedprice)):
+        kept = col[col > 30.0]
+        want[(name,)] = {
+            "n_rows": int(kept.size),
+            "total": float(cents(kept).sum()) / 100.0,
+        }
+    got = run(spark, "compiler_from_unpivot_filter")
+    assert_keyed(got, want, ["measure"], ["n_rows", "total"])
+
+
+def test_compiler_string_search_pad_matches_python(spark):
+    """Pure-Python string replay of every search/pad/shape verb."""
+    docs = _tbl("documents")
+    cols = ["padded", "rpadded", "tail_rev", "lll", "has_data",
+            "the_start", "dot_end", "first_a"]
+    want: dict = {}
+    for did, text, lang in zip(docs.doc_id, docs.text, docs.lang):
+        t, lg = _norm(text), _norm(lang)
+        row = dict.fromkeys(cols, None)
+        if lg is not None:
+            row["padded"] = lg[:2].rjust(5, "*")[:5]
+            row["rpadded"] = lg.ljust(4, "-")[:4]
+            row["lll"] = lg[:1] * 3
+        if t is not None:
+            row["tail_rev"] = (t[-12:] if len(t) >= 12 else t)[::-1]
+            row["has_data"] = "data" in t
+            row["the_start"] = t.startswith("The")
+            row["dot_end"] = t.endswith(".")
+            row["first_a"] = t.find("a") + 1
+        want[(int(did),)] = row
+    got = run(spark, "compiler_string_search_pad")
+    assert_keyed(got, want, ["doc_id"], cols)
+
+
+def test_compiler_bool_distinct_agg_matches_python(spark):
+    """Set-arithmetic replay of the boolean/distinct aggregates."""
+    li = _tbl("lineitem")
+    want: dict = {}
+    for (rf, ls), g in li.groupby(["l_returnflag", "l_linestatus"]):
+        qty = g.l_quantity
+        distinct = sorted({int(q) for q in qty})
+        want[(rf, ls)] = {
+            "all_heavy": bool((qty > 25.0).all()),
+            "any_vheavy": bool((qty > 45.0).any()),
+            "n_heavy": int((qty > 25.0).sum()),
+            "qty_dsum": sum(distinct),
+            "qty_davg": sum(distinct) / len(distinct),
+        }
+    got = run(spark, "compiler_bool_distinct_agg")
+    assert_keyed(got, want, ["l_returnflag", "l_linestatus"],
+                 ["all_heavy", "any_vheavy", "n_heavy", "qty_dsum",
+                  "qty_davg"])
