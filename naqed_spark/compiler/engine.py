@@ -41,6 +41,7 @@ from naqed_spark.compiler.spec import (
     parse_spec,
 )
 from naqed_spark.compiler.spec import ARRAY_OPS as _ARRAY_OPS
+from naqed_spark.compiler.spec import JoinFramesSpec, SubqueryIn
 
 # the six comparison operators as Column builders — shared by $theta
 # residuals, the M24 comparison expressions, and the M25 correlated-
@@ -92,6 +93,26 @@ def _typecheck(df: DataFrame, pred: Predicate, entity: str) -> None:
                 f"{entity}.{pred.column}: arg {v!r} ({type(v).__name__}) does not"
                 f" match column type {schema[pred.column]}"
             )
+
+
+def _sort_col(c: str, d: str):
+    """One $orderby/$order item → a sort Column. ``d`` is "asc"/"desc"
+    optionally suffixed "|nulls_first"/"|nulls_last" (M40 — explicit
+    NULL placement); the bare forms keep Spark's defaults (NULLS FIRST
+    asc / NULLS LAST desc), so pre-M40 specs are bit-identical."""
+    col = _qcol(c)
+    base, _, nulls = d.partition("|")
+    if base == "desc":
+        if nulls == "nulls_first":
+            return col.desc_nulls_first()
+        if nulls == "nulls_last":
+            return col.desc_nulls_last()
+        return col.desc()
+    if nulls == "nulls_first":
+        return col.asc_nulls_first()
+    if nulls == "nulls_last":
+        return col.asc_nulls_last()
+    return col.asc()
 
 
 def _qcol(name: str):
@@ -570,6 +591,14 @@ class Engine:
             df = reduce(DataFrame.unionByName, aligned).distinct()
         elif ss.op == "$intersect":
             df = aligned[0].intersect(aligned[1])
+        elif ss.op == "$intersect_all":
+            # M40: bag intersect — multiplicities min (SQL INTERSECT
+            # ALL); planned as a partial-agg'd join like the DISTINCT
+            # form, count columns riding the exchange
+            df = aligned[0].intersectAll(aligned[1])
+        elif ss.op == "$except_all":
+            # bag difference — multiplicities subtract
+            df = aligned[0].exceptAll(aligned[1])
         else:  # $except — SQL EXCEPT (distinct); parser guarantees binary
             df = aligned[0].subtract(aligned[1])
         if ss.orderby:
@@ -581,7 +610,7 @@ class Engine:
                     )
             df = df.orderBy(
                 *[
-                    _qcol(c).desc() if d == "desc" else _qcol(c).asc()
+                    _sort_col(c, d)
                     for c, d in ss.orderby
                 ]
             )
@@ -693,14 +722,127 @@ class Engine:
         to the scan / prune the traversed frame), then the correlated-
         scalar predicates (M25) join against the pruned frame."""
         for pred in node.filters:
-            if isinstance(pred.value, CorrelatedScalar):
+            if isinstance(pred.value, (CorrelatedScalar, SubqueryIn)):
                 continue
             _typecheck(df, pred, node.entity)
             df = _apply_predicate(df, pred)
         for pred in node.filters:
             if isinstance(pred.value, CorrelatedScalar):
                 df = self._apply_correlated_scalar(df, pred, node.entity)
+        for pred in node.filters:
+            # M39: membership joins run LAST — the plain predicates
+            # above already pruned the probe side, so the semi/anti
+            # join scans the smallest frame
+            if isinstance(pred.value, SubqueryIn):
+                df = self._apply_in_query(df, pred, node.entity)
         return df
+
+    def _compile_join_frames(self, js: "JoinFramesSpec") -> DataFrame:
+        """M41: ad-hoc equi-join of two compiled query frames.
+
+        Result columns = left columns + right NON-KEY columns; for
+        right/full joins the kept key columns are COALESCE(left,
+        right) under the left name (SQL USING semantics — a right-only
+        match must surface its key). Scale shape: one hash equi-join
+        Catalyst plans like any other — AQE broadcasts the smaller
+        compiled side, and since both sides are full plans (not
+        scans), their own filters/aggs have already bounded what
+        reaches the exchange."""
+
+        def side(s):
+            if isinstance(s, JoinFramesSpec):
+                return self._compile_join_frames(s)
+            if isinstance(s, SetSpec):
+                return self._compile_set(s)
+            return self._compile(s)
+
+        left, right = side(js.left), side(js.right)
+        for lc in js.on:
+            if lc not in left.columns:
+                raise SpecError(
+                    f"$join.$on: no such column {lc!r} on the $left"
+                    f" side (have {sorted(left.columns)})"
+                )
+        for rc in js.on.values():
+            if rc not in right.columns:
+                raise SpecError(
+                    f"$join.$on: no such column {rc!r} on the $right"
+                    f" side (have {sorted(right.columns)})"
+                )
+        right_keys = set(js.on.values())
+        collide = [c for c in right.columns
+                   if c not in right_keys and c in left.columns]
+        if collide:
+            raise SpecError(
+                f"$join: right-side column(s) {collide} collide with"
+                f" left-side names — rename via $select inside the"
+                f" branch"
+            )
+        # collision-free temp names for the right join keys (the
+        # __t_cs_ lesson): renaming disambiguates the equi condition
+        # and lets USING-style key coalescing resolve by name
+        taken = set(left.columns) | set(right.columns)
+        tmp: dict[str, str] = {}
+        for i, rc in enumerate(js.on.values()):
+            name = f"__t_jk_{i}"
+            while name in taken:
+                name += "_"
+            tmp[rc] = name
+            taken.add(name)
+        right2 = right.select(
+            *[_qcol(c).alias(tmp.get(c, c)) for c in right.columns]
+        )
+        cond = reduce(
+            operator.and_,
+            [left[lc] == right2[tmp[rc]] for lc, rc in js.on.items()],
+        )
+        joined = left.join(right2, cond, js.how)
+        if js.how in ("right", "full"):
+            # USING semantics: a right-only row must surface its key
+            for lc, rc in js.on.items():
+                joined = joined.withColumn(
+                    lc, F.coalesce(_qcol(lc), F.col(tmp[rc]))
+                )
+        return joined.drop(*tmp.values())
+
+    def _apply_in_query(
+        self, df: DataFrame, pred: Predicate, entity: str
+    ) -> DataFrame:
+        """M39: {col: {"$in_query"/"$not_in_query": spec}} — LEFT SEMI
+        / LEFT ANTI join against the subquery's single output column.
+
+        NULL semantics ≡ EXISTS / NOT EXISTS (see SubqueryIn): NULL
+        outer values drop from $in_query and survive $not_in_query;
+        NULL inner values are filtered pre-join (they can never
+        equi-match, and dropping them shrinks the build side). Scale
+        shape: a hash semi/anti join AQE broadcasts when the subquery
+        result is small — never a Column-level IN over a collected
+        list (the subquery result never visits the driver)."""
+        sq = pred.value
+        if pred.column not in df.columns:
+            raise SpecError(f"{entity}.{pred.column}: no such field")
+        inner = (
+            self._compile_set(sq.inner)
+            if isinstance(sq.inner, SetSpec)
+            else self._compile(sq.inner)
+        )
+        op_name = "$not_in_query" if sq.negate else "$in_query"
+        if len(inner.columns) != 1:
+            raise SpecError(
+                f"{op_name} on {pred.column!r}: the subquery must emit"
+                f" exactly ONE column — got {inner.columns}"
+            )
+        # collision-free key alias (the __t_cs_ lesson, ADVICE r15)
+        key = "__t_inq"
+        while key in df.columns:
+            key += "_"
+        inner_keys = inner.select(
+            _qcol(inner.columns[0]).alias(key)
+        ).where(F.col(key).isNotNull())
+        how = "left_anti" if sq.negate else "left_semi"
+        return df.join(
+            inner_keys, df[pred.column] == inner_keys[key], how
+        )
 
     # -- compilation -------------------------------------------------------
     def _load_filtered(
@@ -1458,7 +1600,7 @@ class Engine:
         if w.order:
             win = win.orderBy(
                 *[
-                    _qcol(c).desc() if d == "desc" else _qcol(c).asc()
+                    _sort_col(c, d)
                     for c, d in w.order
                 ]
             )
@@ -1721,11 +1863,12 @@ class Engine:
             # barrier), which is what keeps the chained spelling
             # 100 TB-safe.
             inner = qs.from_inner
-            base_frame = (
-                self._compile_set(inner)
-                if isinstance(inner, SetSpec)
-                else self._compile(inner)
-            )
+            if isinstance(inner, JoinFramesSpec):
+                base_frame = self._compile_join_frames(inner)
+            elif isinstance(inner, SetSpec):
+                base_frame = self._compile_set(inner)
+            else:
+                base_frame = self._compile(inner)
             missing = [
                 f for f in qs.root.fields if f not in base_frame.columns
             ]
@@ -1952,7 +2095,7 @@ class Engine:
                     )
             df = df.orderBy(
                 *[
-                    _qcol(c).desc() if d == "desc" else _qcol(c).asc()
+                    _sort_col(c, d)
                     for c, d in qs.orderby
                 ]
             )

@@ -550,6 +550,52 @@ distinct aggregates — all probed identical cross-engine):
              "$avg_distinct": col}}       # (exact on ints/decimals;
                                           # doubles want the hedge)
 
+Round-16b M41: ad-hoc frame join (top-level verb) —
+
+    {"$join": {"$left": {<spec>},      # equi-join of two ARBITRARY
+               "$right": {<spec>},     # query frames (plain/set-op/
+               "$on": {lcol: rcol},    # $from/nested $join) — the
+               "$how": "inner"|"left"  # join the resolver-graph model
+                      |"right"|"full"  # can't spell (no FK edge
+     }, <outer body>}                  # needed): agg-to-agg joins,
+                                       # cross-entity joins. Result =
+                                       # left columns + right NON-KEY
+                                       # columns (right keys drop;
+                                       # right/full coalesce the kept
+                                       # key — USING semantics); other
+                                       # collisions refused typed.
+                                       # The outer body then works
+                                       # exactly like $from. Equi
+                                       # only — a cross join is
+                                       # deliberately not offered.
+
+Round-16b M40: bag set ops + explicit NULL placement —
+
+    {"$intersect_all": [specA, specB]} # multiplicities min (SQL
+    {"$except_all": [specA, specB]}    # INTERSECT ALL) / subtract
+                                       # (EXCEPT ALL); binary, nest
+                                       # like the DISTINCT forms
+    "$orderby": [[col, dir,            # optional third element pins
+        "nulls_first"|"nulls_last"]]   # NULL placement (also in
+                                       # $window $order); without it
+                                       # the engine defaults hold
+                                       # (NULLS FIRST asc / LAST desc)
+
+Round-16b M39: subquery membership in an entity's $filter —
+
+    {col: {"$in_query": {<spec>}}}        # LEFT SEMI on the subquery's
+    {col: {"$not_in_query": {<spec>}}}    # single output column / LEFT
+                                          # ANTI. NULL semantics ≡
+                                          # EXISTS / NOT EXISTS (NOT
+                                          # SQL's NOT IN NULL trap —
+                                          # documented in SubqueryIn);
+                                          # inner may be plain/set-op/
+                                          # $from, must emit exactly
+                                          # ONE column; refused typed
+                                          # outside an entity $filter
+                                          # ($or branches included)
+                                          # and for streaming inners.
+
 Round-16 M31: regex verbs under the portable Java-regex/RE2 subset
 (_validate_portable_regex — divergent constructs refused TYPED:
 backrefs, lookaround, named groups, inline flags, possessive
@@ -598,7 +644,11 @@ class SpecError(ValueError):
 # parse-validated to the portable Java-regex/RE2 subset like the
 # $regex_* select verbs. $like stays the SQL-LIKE (%/_) spelling.
 FILTER_OPS = {"$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$in", "$between",
-              "$like", "$regex", "$isnull", "$notnull"}
+              "$like", "$regex", "$isnull", "$notnull",
+              # M39 (round 16b): membership vs a subquery result —
+              # semi/anti join lowering, EXISTS/NOT EXISTS NULL
+              # semantics (see SubqueryIn)
+              "$in_query", "$not_in_query"}
 AGG_OPS = {"$count", "$sum", "$avg", "$min", "$max", "$count_distinct",
            "$min_by", "$max_by", "$grouping",
            # round 12 (statistical aggregates; driver keys queue r13 per
@@ -914,7 +964,12 @@ _WINDOW_PARAM_KEYS = {"$partition", "$order", "$of", "$n", "$offset",
 # Round-7 set operators (VERDICT r6 item 6 — the last §2 family with no
 # QuerySpec spelling). SQL semantics: $union/$intersect/$except are
 # DISTINCT; $union_all keeps duplicates. $intersect/$except are binary.
-SET_OPS = {"$union", "$union_all", "$intersect", "$except"}
+SET_OPS = {"$union", "$union_all", "$intersect", "$except",
+           # M40 (round 16b): bag-semantics variants — multiplicities
+           # min / subtract (SQL INTERSECT ALL / EXCEPT ALL; raw twins
+           # set_intersect_all / set_except_all). Binary like their
+           # DISTINCT forms.
+           "$intersect_all", "$except_all"}
 
 
 def bind_args(spec: object, params: dict) -> object:
@@ -982,6 +1037,42 @@ class Predicate:
     column: str
     op: str  # one of FILTER_OPS
     value: object
+
+
+class JoinFramesSpec:
+    """M41 (round 16b): ad-hoc equi-join of two QUERY FRAMES — the
+    top-level ``{"$join": {"$left": spec, "$right": spec, "$on":
+    {lcol: rcol}, "$how": ...}, <outer body>}``. Unlike relationship
+    hops (catalog FK edges), the sides are arbitrary sub-queries
+    (plain/set-op/$from/nested $join), so agg-to-agg joins and
+    cross-entity joins without a declared edge become spellable.
+    The joined frame = left columns + right NON-KEY columns (right
+    join-key columns drop — they equal the left keys on matches);
+    any other name collision is refused typed (rename via $select in
+    a branch). The outer body then behaves exactly like a $from
+    frame."""
+
+    def __init__(self, left, right, on: dict, how: str):
+        self.left = left
+        self.right = right
+        self.on = on
+        self.how = how
+
+
+class SubqueryIn:
+    """M39 (round 16b): membership test against a SUBQUERY result —
+    ``{col: {"$in_query": {<query spec>}}}`` compiles to a LEFT SEMI
+    join on col == the subquery's single output column;
+    ``$not_in_query`` to a LEFT ANTI join. NULL semantics are pinned
+    to the JOIN forms (≡ SQL EXISTS / NOT EXISTS): a NULL outer value
+    never matches, so $in_query drops it and $not_in_query KEEPS it —
+    deliberately NOT SQL's NOT IN NULL trap (one NULL inner value
+    empties a NOT IN; the anti join stays stable). NULL inner values
+    are dropped pre-join (they can never equi-match)."""
+
+    def __init__(self, inner, negate: bool):
+        self.inner = inner
+        self.negate = negate
 
 
 @dataclass
@@ -1279,10 +1370,11 @@ class QuerySpec:
     traverse: "TraverseSpec | None" = None
     # round 16b (M35): derived-table composition — when set, the root
     # is not a catalog entity but the RESULT FRAME of this inner query
-    # (itself a full query spec: plain, set-op, or another $from).
+    # (itself a full query spec: plain, set-op, or another $from) —
+    # or, M41, an ad-hoc two-frame equi-join (JoinFramesSpec).
     # Catalog-dependent verbs (hops, $sample, $traverse) are refused
     # on the outer query at parse time.
-    from_inner: "QuerySpec | SetSpec | None" = None
+    from_inner: "QuerySpec | SetSpec | JoinFramesSpec | None" = None
 
 
 def _validate_filter_value(col: str, op: str, val: object) -> None:
@@ -1396,19 +1488,21 @@ def _has_correlated(preds: "list[Predicate]") -> bool:
         if p.op == "$or":
             if any(_has_correlated(b) for b in p.value):
                 return True
-        elif isinstance(p.value, CorrelatedScalar):
+        elif isinstance(p.value, (CorrelatedScalar, SubqueryIn)):
             return True
     return False
 
 
 def _reject_correlated(preds: "list[Predicate]", ctx: str) -> None:
-    """Correlated $scalar is an entity-$filter feature (it compiles to
-    a scan-time decorrelation join); every other predicate context
-    gets the typed refusal instead of a compile-time crash."""
+    """Correlated $scalar and $in_query/$not_in_query are entity-
+    $filter features (they compile to scan-time joins — a
+    decorrelation join and a semi/anti join respectively, neither of
+    which can live inside a Column predicate); every other predicate
+    context gets the typed refusal instead of a compile-time crash."""
     if _has_correlated(preds):
         raise SpecError(
-            f"{ctx}: correlated $scalar is only supported in an"
-            f" entity's $filter"
+            f"{ctx}: correlated $scalar and $in_query subqueries are"
+            f" only supported in an entity's $filter"
         )
 
 
@@ -1438,6 +1532,25 @@ def _parse_filters(obj: object) -> list[Predicate]:
             for op, val in cond.items():
                 if op not in FILTER_OPS:
                     raise SpecError(f"unknown filter op {op!r} on {col!r}")
+                if op in ("$in_query", "$not_in_query"):
+                    # M39: the value is a FULL query spec whose single
+                    # output column is the membership set
+                    if not isinstance(val, dict):
+                        raise SpecError(
+                            f"{col!r}: {op} takes a query spec dict —"
+                            f" got {val!r}"
+                        )
+                    inner = parse_query(val)
+                    if isinstance(inner,
+                                  (StreamSpec, StreamStreamJoinSpec)):
+                        raise SpecError(
+                            f"{col!r}: {op} cannot take a streaming"
+                            f" spec — run the replay and query the"
+                            f" batch result"
+                        )
+                    preds.append(Predicate(col, op, SubqueryIn(
+                        inner, negate=(op == "$not_in_query"))))
+                    continue
                 if isinstance(val, dict):
                     # M25: the only dict-shaped filter value is the
                     # correlated scalar subquery; anything else is the
@@ -2035,7 +2148,13 @@ def _parse_expr(obj: object) -> Expr:
 
 
 def _parse_orderlist(obj: object, ctx: str) -> list[tuple[str, str]]:
-    """Shared [$order]/[$orderby] shape: list of col or [col, asc|desc]."""
+    """Shared [$order]/[$orderby] shape: list of col, [col, asc|desc],
+    or [col, asc|desc, nulls_first|nulls_last] (M40 — explicit NULL
+    placement; without it the engine defaults apply: NULLS FIRST
+    ascending, NULLS LAST descending, which is the OPPOSITE of
+    DuckDB's ASC default — the header's §7.3 contract). The direction
+    tuple encodes the placement as "dir|nulls_*" so existing
+    two-tuple consumers are untouched."""
     if not isinstance(obj, list):
         raise SpecError(f"{ctx} must be a list of column or [column, asc|desc]")
     out: list[tuple[str, str]] = []
@@ -2046,15 +2165,24 @@ def _parse_orderlist(obj: object, ctx: str) -> list[tuple[str, str]]:
             # VERDICT r6 item 1 / hypothesis falsifying example {"$orderby":
             # [None]}: guard the shape before unpacking so malformed items
             # raise the typed SpecError, never a raw TypeError/ValueError.
-            if (not isinstance(item, (list, tuple)) or len(item) != 2
+            if (not isinstance(item, (list, tuple)) or len(item) not in (2, 3)
                     or not isinstance(item[0], str)):
                 raise SpecError(
-                    f"{ctx}: each item must be a column name or a"
-                    f" [column, asc|desc] pair — got {item!r}"
+                    f"{ctx}: each item must be a column name, a"
+                    f" [column, asc|desc] pair, or a [column, asc|desc,"
+                    f" nulls_first|nulls_last] triple — got {item!r}"
                 )
-            col, direction = item
+            col, direction = item[0], item[1]
             if direction not in ("asc", "desc"):
                 raise SpecError(f"{ctx}: bad sort direction {direction!r}")
+            if len(item) == 3:
+                nulls = item[2]
+                if nulls not in ("nulls_first", "nulls_last"):
+                    raise SpecError(
+                        f"{ctx}: NULL placement must be 'nulls_first'"
+                        f" or 'nulls_last' — got {nulls!r}"
+                    )
+                direction = f"{direction}|{nulls}"
             out.append((col, direction))
     return out
 
@@ -3095,6 +3223,61 @@ def parse_query(
             )
         qs.from_inner = inner
         return qs
+    if "$join" in spec:
+        # M41 (round 16b): ad-hoc equi-join of two query frames — the
+        # outer body then queries the joined frame exactly like $from.
+        jraw = spec["$join"]
+        if not isinstance(jraw, dict):
+            raise SpecError("$join must be a dict with $left/$right/$on")
+        extra = set(jraw) - {"$left", "$right", "$on", "$how"}
+        if extra:
+            raise SpecError(f"$join: unknown keys {sorted(extra)}")
+        for side in ("$left", "$right"):
+            if side not in jraw or not isinstance(jraw[side], dict):
+                raise SpecError(f"$join requires {side} as a query spec"
+                                f" dict")
+        on = jraw.get("$on")
+        if (not isinstance(on, dict) or not on
+                or not all(isinstance(k, str) and isinstance(v, str)
+                           for k, v in on.items())):
+            raise SpecError(
+                "$join.$on must be a non-empty {left_col: right_col}"
+                " map (equi keys only — a cross join is deliberately"
+                " not offered)"
+            )
+        how = jraw.get("$how", "inner")
+        if how not in ("inner", "left", "right", "full"):
+            raise SpecError(
+                f"$join.$how must be inner/left/right/full — got {how!r}"
+            )
+        sides = []
+        for side in ("$left", "$right"):
+            parsed = parse_query(jraw[side])
+            if isinstance(parsed, (StreamSpec, StreamStreamJoinSpec)):
+                raise SpecError(
+                    f"$join{side}: streaming specs cannot be composed —"
+                    f" the $stream verb has its own $join"
+                )
+            sides.append(parsed)
+        body = {k: v for k, v in spec.items() if k != "$join"}
+        if not body:
+            raise SpecError(
+                "$join with an empty outer body — request fields or"
+                " add verbs (the joined frame's columns are its left"
+                " columns plus the right non-key columns)"
+            )
+        qs = parse_spec({"$join": body})
+        if qs.root.children:
+            raise SpecError(
+                "$join: relationship hops are not available on a"
+                " joined frame — join inside a branch instead"
+            )
+        if qs.sample is not None:
+            raise SpecError("$join is exclusive with $sample")
+        if qs.traverse is not None:
+            raise SpecError("$join is exclusive with $traverse")
+        qs.from_inner = JoinFramesSpec(sides[0], sides[1], dict(on), how)
+        return qs
     ops = SET_OPS & set(spec)
     if not ops:
         return parse_spec(spec)
@@ -3110,7 +3293,7 @@ def parse_query(
     raw = spec[op]
     if not isinstance(raw, list) or not all(isinstance(b, dict) for b in raw):
         raise SpecError(f"{op} must be a list of query specs")
-    if op in ("$intersect", "$except"):
+    if op in ("$intersect", "$except", "$intersect_all", "$except_all"):
         if len(raw) != 2:
             raise SpecError(f"{op} takes exactly 2 branches, got {len(raw)}")
     elif len(raw) < 2:

@@ -3840,3 +3840,215 @@ def compiler_bool_distinct_agg(spark, sf_dir):
             "qty_davg": {"$avg_distinct": "qty_i"},
         },
     }})
+
+
+@query(
+    "compiler_in_query_membership",
+    # Round-16b M39 registration: membership vs a SUBQUERY result —
+    # {col: {"$in_query"/"$not_in_query": {<spec>}}} lowered to LEFT
+    # SEMI / LEFT ANTI joins on the subquery's single output column.
+    # NULL semantics pinned to the join forms ≡ EXISTS / NOT EXISTS
+    # (deliberately NOT SQL's NOT IN NULL trap — one NULL inner value
+    # would empty a NOT IN; the anti join stays stable), which is why
+    # the oracle twin spells NOT EXISTS, never NOT IN. The key
+    # combines both ops on one column: high-value customers (semi)
+    # who have no pending order (anti).
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders
+                        WHERE o_totalprice > 200000.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c_custkey
+                        AND o.o_orderstatus = 'P')
+    """,
+)
+def compiler_in_query_membership(spark, sf_dir):
+    """Scale shape: two hash joins (semi then anti) over the scan —
+    the subquery results never visit the driver (no collected IN
+    list), AQE broadcasts each build side when the filtered key set
+    is small, and the pushed o_totalprice/o_orderstatus filters
+    bound both build sides before the exchange."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query({"customer": {
+        "c_custkey": True, "c_name": True, "c_mktsegment": True,
+        "$filter": {"c_custkey": {
+            "$in_query": {"orders": {
+                "o_custkey": True,
+                "$filter": {"o_totalprice": {"$gt": 200000.0}}}},
+            "$not_in_query": {"orders": {
+                "o_custkey": True,
+                "$filter": {"o_orderstatus": "P"}}},
+        }},
+    }})
+
+
+@query(
+    "compiler_set_bag_ops",
+    # Round-16b M40 registration: bag-semantics set operators —
+    # $intersect_all (multiplicities min) / $except_all
+    # (multiplicities subtract), the DSL spelling of the raw
+    # set_intersect_all/set_except_all twins, nested one inside the
+    # other: F-order custkeys EXCEPT ALL (high-value ∩all urgent
+    # custkeys). Bag semantics are the whole point: a customer with 3
+    # F-orders and 1 urgent-high-value order keeps 2 copies.
+    oracle="""
+    SELECT k FROM (
+        SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT ALL
+        (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000.0
+         INTERSECT ALL
+         SELECT o_custkey AS k FROM orders
+         WHERE o_orderpriority = '1-URGENT')
+    )
+    """,
+)
+def compiler_set_bag_ops(spark, sf_dir):
+    """Scale shape: Spark plans INTERSECT ALL/EXCEPT ALL as
+    partial-agg'd joins over (row, count) pairs — the exchanges carry
+    one (key, count) accumulator per distinct row, never the bag
+    itself; AQE sizes both."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query({"$except_all": [
+        {"orders": {"$select": {"k": "o_custkey"},
+                    "$filter": {"o_orderstatus": "F"}}},
+        {"$intersect_all": [
+            {"orders": {"$select": {"k": "o_custkey"},
+                        "$filter": {"o_totalprice": {"$gt": 100000.0}}}},
+            {"orders": {"$select": {"k": "o_custkey"},
+                        "$filter": {"o_orderpriority": "1-URGENT"}}},
+        ]},
+    ]})
+
+
+@query(
+    "compiler_order_nulls",
+    # Round-16b M40 companion: explicit NULL placement in $orderby —
+    # [col, dir, nulls_first|nulls_last]. The key sorts a nullable
+    # computed measure ASC NULLS LAST under a $limit: Spark's ASC
+    # default is NULLS FIRST (the §7.3 header contract — opposite of
+    # DuckDB's), so without the new triple the limit window would be
+    # all-NULL rows; the explicit placement makes both engines select
+    # the same smallest-non-NULL window. Unique-key tiebreak keeps the
+    # limit deterministic.
+    oracle="""
+    SELECT v, k FROM (
+        SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                    ELSE o_totalprice END AS v,
+               o_orderkey AS k
+        FROM orders
+    ) ORDER BY v ASC NULLS LAST, k ASC LIMIT 100
+    """,
+)
+def compiler_order_nulls(spark, sf_dir):
+    """Scale shape: global ordered $limit compiles to
+    TakeOrderedAndProject (per-partition top-100 heaps, single-pass
+    merge at the driver) — never a full sort."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query({"orders": {
+        "$select": {
+            "v": {"$if": [{"o_orderstatus": "P"}, {"$lit": None},
+                          "o_totalprice"]},
+            "k": "o_orderkey",
+        },
+        "$orderby": [["v", "asc", "nulls_last"], ["k", "asc"]],
+        "$limit": 100,
+    }})
+
+
+@query(
+    "compiler_join_frames",
+    # Round-16b M41 registration: ad-hoc equi-join of two QUERY
+    # FRAMES — {"$join": {"$left"/"$right": spec, "$on": {...}}} —
+    # the join naqed's resolver-graph model never spells (no catalog
+    # FK edge needed). The key is an AGG-TO-AGG join: per-segment
+    # order counts (left, across the orders hop) ⋈ per-segment
+    # customer counts (right), deriving orders-per-customer — ONE
+    # division of bit-identical BIGINTs, no rounding hedge needed.
+    oracle="""
+    SELECT a.c_mktsegment, a.n_orders, b.n_cust,
+           a.n_orders / CAST(b.n_cust AS DOUBLE) AS orders_per_cust
+    FROM (SELECT c_mktsegment, count(*) AS n_orders
+          FROM customer JOIN orders ON o_custkey = c_custkey
+          GROUP BY 1) a
+    JOIN (SELECT c_mktsegment, count(*) AS n_cust
+          FROM customer GROUP BY 1) b
+      ON a.c_mktsegment = b.c_mktsegment
+    """,
+)
+def compiler_join_frames(spark, sf_dir):
+    """Scale shape: both sides are already-aggregated accumulator
+    frames (5 rows each), so the join AQE-broadcasts; the expensive
+    exchanges are the two upstream hash-agg pairs, both carrying
+    accumulators. Right join-key columns drop from the emission
+    (USING semantics)."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query({
+        "$join": {
+            "$left": {"$from": {"customer": {
+                "c_mktsegment": True,
+                "orders": {"o_orderkey": True},
+                "$groupby": ["c_mktsegment"],
+                "$agg": {"n_orders": {"$count": True}}}},
+                "c_mktsegment": True, "n_orders": True},
+            "$right": {"customer": {
+                "c_mktsegment": True,
+                "$groupby": ["c_mktsegment"],
+                "$agg": {"n_cust": {"$count": True}}}},
+            "$on": {"c_mktsegment": "c_mktsegment"},
+            "$how": "inner",
+        },
+        "c_mktsegment": True, "n_orders": True, "n_cust": True,
+        "$select": {"orders_per_cust": {"$div": [
+            "n_orders", {"$cast": ["n_cust", {"$lit": "double"}]}]}},
+    })
+
+
+@query(
+    "compiler_join_frames_full",
+    # Round-16b M41 companion: FULL outer frame join with USING-style
+    # key coalescing — per-customer P-order counts FULL JOIN
+    # per-customer F-order counts on the customer key: a right-only
+    # customer must surface its key (the engine coalesces the kept
+    # key column), and each side's missing count is NULL.
+    oracle="""
+    SELECT coalesce(a.k, b.k2) AS k, a.np, b.nf
+    FROM (SELECT o_custkey AS k, count(*) AS np FROM orders
+          WHERE o_orderstatus = 'P' GROUP BY 1) a
+    FULL JOIN (SELECT o_custkey AS k2, count(*) AS nf FROM orders
+               WHERE o_orderstatus = 'F' GROUP BY 1) b
+      ON a.k = b.k2
+    """,
+)
+def compiler_join_frames_full(spark, sf_dir):
+    """Scale shape: full hash join of two accumulator frames; the
+    pushed status filters bound both sides before their agg
+    exchanges."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query({
+        "$join": {
+            "$left": {"orders": {
+                "$select": {"k": "o_custkey"},
+                "$filter": {"o_orderstatus": "P"},
+                "$groupby": ["k"],
+                "$agg": {"np": {"$count": True}}}},
+            "$right": {"orders": {
+                "$select": {"k2": "o_custkey"},
+                "$filter": {"o_orderstatus": "F"},
+                "$groupby": ["k2"],
+                "$agg": {"nf": {"$count": True}}}},
+            "$on": {"k": "k2"},
+            "$how": "full",
+        },
+        "k": True, "np": True, "nf": True,
+    })

@@ -276,6 +276,17 @@ DEFERRED: set[str] = {
     "compiler_string_search_pad",
     "compiler_date_arith",
     "compiler_bool_distinct_agg",
+    # round-16b M39 registration ($in_query/$not_in_query membership
+    # subqueries — semi/anti join lowering): same discipline.
+    "compiler_in_query_membership",
+    # round-16b M40 registrations ($intersect_all/$except_all bag set
+    # ops; explicit NULL placement in $orderby): same discipline.
+    "compiler_set_bag_ops",
+    "compiler_order_nulls",
+    # round-16b M41 registrations ($join — ad-hoc equi-join of two
+    # query frames, inner + full/USING-coalesce): same discipline.
+    "compiler_join_frames",
+    "compiler_join_frames_full",
 }
 
 

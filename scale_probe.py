@@ -325,6 +325,28 @@ HEADLINE += [
     "compiler_bool_distinct_agg",
 ]
 
+# Round-16b M39 registration: two hash semi/anti joins over the
+# customer scan with filter-bounded build sides — growth is the two
+# build scans + probe scan, AQE-broadcast at small SF.
+HEADLINE += [
+    "compiler_in_query_membership",
+]
+
+# Round-16b M40 registrations: set_bag_ops is two partial-agg'd joins
+# over (row, count) accumulators; order_nulls is TakeOrderedAndProject
+# (per-partition heaps — growth is the scan term).
+HEADLINE += [
+    "compiler_set_bag_ops",
+    "compiler_order_nulls",
+]
+
+# Round-16b M41 registrations: both are joins of accumulator frames —
+# the upstream hash-agg pairs dominate; growth is their scan terms.
+HEADLINE += [
+    "compiler_join_frames",
+    "compiler_join_frames_full",
+]
+
 
 def build(spark, src_dir: str, out_dir: str, k: int) -> None:
     from functools import reduce

@@ -6525,3 +6525,329 @@ def test_bool_distinct_agg_bad_shapes_fail_typed(eng, agg):
     with pytest.raises(SpecError):
         eng.query({"lineitem": {"$groupby": ["l_returnflag"],
                                 "$agg": {"x": agg}}})
+
+
+def test_in_query_matches_sql_twin(eng):
+    dsl = eng.query({"customer": {
+        "c_custkey": True, "c_name": True,
+        "$filter": {"c_custkey": {
+            "$in_query": {"orders": {
+                "o_custkey": True,
+                "$filter": {"o_totalprice": {"$gt": 250000.0}}}},
+            "$not_in_query": {"orders": {
+                "o_custkey": True,
+                "$filter": {"o_orderstatus": "P"}}},
+        }},
+    }})
+    sql = eng.sql("""
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders
+                            WHERE o_totalprice > 250000.0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c_custkey
+                            AND o.o_orderstatus = 'P')
+    """)
+    assert dsl.columns == sql.columns
+    assert _rows(dsl) == _rows(sql)
+
+
+def test_in_query_composes_with_from_and_set_inner(eng):
+    """The membership subquery may itself be a $from or set-op spec."""
+    dsl = eng.query({"customer": {
+        "c_custkey": True,
+        "$filter": {"c_custkey": {"$in_query": {
+            "$from": {"orders": {
+                "o_custkey": True,
+                "$groupby": ["o_custkey"],
+                "$agg": {"n": {"$count": True}}}},
+            "o_custkey": True,
+            "$filter": {"n": {"$gte": 3}},
+        }}},
+    }})
+    sql = eng.sql("""
+        SELECT c_custkey FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders
+                            GROUP BY o_custkey HAVING count(*) >= 3)
+    """)
+    assert _rows(dsl) == _rows(sql)
+
+
+def test_not_in_query_null_semantics_are_anti_join(eng):
+    """A NULL inner value must NOT empty the anti join (the NOT IN
+    trap), and NULL outer values survive $not_in_query."""
+    spark = eng.spark
+    spark.createDataFrame([(1,), (2,), (None,)], "v bigint") \
+        .createOrReplaceTempView("__outer_t")
+    spark.createDataFrame([(2,), (None,)], "v bigint") \
+        .createOrReplaceTempView("__inner_t")
+    from naqed_spark.compiler.spec import SubqueryIn, Predicate
+    outer = spark.table("__outer_t")
+    inner_qs = None  # lowered manually through the engine helper
+    # drive the helper directly with a fake compiled inner by
+    # monkey-free means: build an equivalent spec over a temp entity is
+    # not possible (catalog-backed), so pin the semantics on the same
+    # join construction the helper emits
+    from pyspark.sql import functions as FF
+    inner_keys = spark.table("__inner_t").select(
+        FF.col("v").alias("__t_inq")).where(FF.col("__t_inq").isNotNull())
+    anti = outer.join(inner_keys, outer["v"] == inner_keys["__t_inq"],
+                      "left_anti")
+    got = sorted((r["v"] is None, r["v"] or 0) for r in anti.collect())
+    # 1 (no match) kept, 2 (match) dropped, NULL kept
+    assert got == [(False, 1), (True, 0)]
+
+
+@pytest.mark.parametrize(
+    "spec",
+    [
+        # $in_query outside an entity $filter: $where
+        {"customer": {"c_custkey": True,
+                      "$where": {"c_custkey": {"$in_query": {
+                          "orders": {"o_custkey": True}}}}}},
+        # inside an $or branch
+        {"customer": {"c_custkey": True, "$filter": {"$or": [
+            {"c_custkey": {"$in_query": {"orders": {"o_custkey": True}}}},
+            {"c_acctbal": {"$gt": 0}}]}}},
+        # multi-column inner
+        {"customer": {"c_custkey": True, "$filter": {"c_custkey": {
+            "$in_query": {"orders": {"o_custkey": True,
+                                     "o_orderkey": True}}}}}},
+        # non-dict inner
+        {"customer": {"c_custkey": True,
+                      "$filter": {"c_custkey": {"$in_query": []}}}},
+        # streaming inner
+        {"customer": {"c_custkey": True, "$filter": {"c_custkey": {
+            "$in_query": {"$stream": {
+                "$source": "events", "$window": {"$size": "1 hour"},
+                "$agg": {"n": {"$count": True}}}}}}}},
+        # $having context (with $agg present so the subquery check is
+        # the failing one)
+        {"customer": {"$groupby": ["c_mktsegment"],
+                      "$agg": {"n": {"$count": True}},
+                      "$having": {"n": {"$in_query": {
+                          "orders": {"o_custkey": True}}}}}},
+    ],
+)
+def test_in_query_bad_shapes_fail_typed(eng, spec):
+    with pytest.raises(SpecError):
+        eng.query(spec).collect()
+
+
+def test_bag_set_ops_match_sql_twin(eng):
+    a = {"orders": {"$select": {"k": "o_custkey"},
+                    "$filter": {"o_orderstatus": "F"}}}
+    b = {"orders": {"$select": {"k": "o_custkey"},
+                    "$filter": {"o_totalprice": {"$gt": 150000.0}}}}
+    for op, sql_op in (("$intersect_all", "INTERSECT ALL"),
+                       ("$except_all", "EXCEPT ALL")):
+        dsl = eng.query({op: [dict(a), dict(b)]})
+        sql = eng.sql(f"""
+            SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+            {sql_op}
+            SELECT o_custkey AS k FROM orders WHERE o_totalprice > 150000.0
+        """)
+        assert _rows(dsl) == _rows(sql), op
+
+
+def test_bag_set_ops_bag_semantics_differ_from_distinct(eng):
+    """The _all forms keep multiplicities: |A ∩all A| == |A| while
+    |A ∩ A| == |distinct A|."""
+    a = {"orders": {"$select": {"k": "o_custkey"},
+                    "$filter": {"o_orderstatus": "F"}}}
+    n_bag = eng.query({"$intersect_all": [dict(a), dict(a)]}).count()
+    n_set = eng.query({"$intersect": [dict(a), dict(a)]}).count()
+    n_all = eng.query(dict(a)).count()
+    n_distinct = eng.query({"orders": {
+        "$select": {"k": "o_custkey"},
+        "$filter": {"o_orderstatus": "F"}, "$distinct": True}}).count()
+    assert n_bag == n_all and n_set == n_distinct and n_bag > n_set
+
+
+def test_orderby_nulls_placement_matches_sql_twin(eng):
+    dsl = eng.query({"orders": {
+        "$select": {
+            "v": {"$if": [{"o_orderstatus": "P"}, {"$lit": None},
+                          "o_totalprice"]},
+            "k": "o_orderkey",
+        },
+        "$orderby": [["v", "asc", "nulls_last"], ["k", "asc"]],
+        "$limit": 50,
+    }})
+    sql = eng.sql("""
+        SELECT CASE WHEN o_orderstatus = 'P' THEN NULL
+                    ELSE o_totalprice END AS v,
+               o_orderkey AS k
+        FROM orders ORDER BY v ASC NULLS LAST, k LIMIT 50
+    """)
+    assert [tuple(r) for r in dsl.collect()] == \
+        [tuple(r) for r in sql.collect()]
+    # and the flip side: desc nulls_first leads with NULLs
+    head = eng.query({"orders": {
+        "$select": {
+            "v": {"$if": [{"o_orderstatus": "P"}, {"$lit": None},
+                          "o_totalprice"]},
+            "k": "o_orderkey",
+        },
+        "$orderby": [["v", "desc", "nulls_first"], ["k", "asc"]],
+        "$limit": 5,
+    }}).collect()
+    assert all(r["v"] is None for r in head)
+
+
+def test_window_order_nulls_placement(eng):
+    """The triple also applies inside $window $order."""
+    dsl = eng.query({"orders": {
+        "o_orderkey": True,
+        "$select": {
+            "v": {"$if": [{"o_orderstatus": "P"}, {"$lit": None},
+                          "o_totalprice"]},
+        },
+        "$window": {"rk": {"$row_number": {
+            "$partition": [],
+            "$order": [["v", "asc", "nulls_last"],
+                       ["o_orderkey", "asc"]]}}},
+        "$qualify": {"rk": {"$lte": 10}},
+    }})
+    assert all(r["v"] is not None for r in dsl.collect())
+
+
+@pytest.mark.parametrize(
+    "spec",
+    [
+        {"$intersect_all": [{"orders": {"o_orderkey": True}}]},
+        {"$except_all": [{"orders": {"o_orderkey": True}},
+                         {"orders": {"o_orderkey": True}},
+                         {"orders": {"o_orderkey": True}}]},
+        {"orders": {"o_orderkey": True,
+                    "$orderby": [["o_orderkey", "asc", "nulls_mid"]]}},
+        {"orders": {"o_orderkey": True,
+                    "$orderby": [["o_orderkey", "up", "nulls_last"]]}},
+    ],
+)
+def test_bag_nulls_bad_shapes_fail_typed(eng, spec):
+    with pytest.raises(SpecError):
+        eng.query(spec)
+
+
+def test_join_frames_matches_sql_twin(eng):
+    dsl = eng.query({
+        "$join": {
+            "$left": {"orders": {
+                "$select": {"k": "o_custkey"},
+                "$groupby": ["k"],
+                "$agg": {"n": {"$count": True}}}},
+            "$right": {"customer": {"c_custkey": True,
+                                    "c_mktsegment": True}},
+            "$on": {"k": "c_custkey"},
+            "$how": "inner",
+        },
+        "k": True, "n": True, "c_mktsegment": True,
+    })
+    sql = eng.sql("""
+        SELECT a.k, a.n, c.c_mktsegment
+        FROM (SELECT o_custkey AS k, count(*) AS n FROM orders
+              GROUP BY 1) a
+        JOIN customer c ON c.c_custkey = a.k
+    """)
+    assert dsl.columns == sql.columns
+    assert _rows(dsl) == _rows(sql)
+
+
+def test_join_frames_left_and_full_null_sides(eng):
+    """left keeps unmatched left rows; full surfaces right-only keys
+    through the coalesced key column."""
+    left = {"orders": {"$select": {"k": "o_custkey"},
+                       "$filter": {"o_orderstatus": "P"},
+                       "$groupby": ["k"], "$agg": {"np": {"$count": True}}}}
+    right = {"orders": {"$select": {"k2": "o_custkey"},
+                        "$filter": {"o_orderstatus": "F"},
+                        "$groupby": ["k2"], "$agg": {"nf": {"$count": True}}}}
+    lj = eng.query({"$join": {"$left": dict(left), "$right": dict(right),
+                              "$on": {"k": "k2"}, "$how": "left"},
+                    "k": True, "np": True, "nf": True})
+    sql_l = eng.sql("""
+        SELECT a.k, a.np, b.nf
+        FROM (SELECT o_custkey AS k, count(*) AS np FROM orders
+              WHERE o_orderstatus = 'P' GROUP BY 1) a
+        LEFT JOIN (SELECT o_custkey AS k2, count(*) AS nf FROM orders
+                   WHERE o_orderstatus = 'F' GROUP BY 1) b ON a.k = b.k2
+    """)
+    assert _rows(lj) == _rows(sql_l)
+    fj = eng.query({"$join": {"$left": dict(left), "$right": dict(right),
+                              "$on": {"k": "k2"}, "$how": "full"},
+                    "k": True, "np": True, "nf": True})
+    rows = fj.collect()
+    assert all(r["k"] is not None for r in rows)  # coalesced keys
+    assert any(r["np"] is None for r in rows)     # right-only rows exist
+
+
+def test_join_frames_outer_verbs_compose(eng):
+    """$filter/$groupby/$agg over the joined frame."""
+    dsl = eng.query({
+        "$join": {
+            "$left": {"orders": {"$select": {"k": "o_custkey"},
+                                 "$groupby": ["k"],
+                                 "$agg": {"n": {"$count": True}}}},
+            "$right": {"customer": {"c_custkey": True,
+                                    "c_mktsegment": True}},
+            "$on": {"k": "c_custkey"},
+        },
+        "c_mktsegment": True,
+        "$filter": {"n": {"$gte": 2}},
+        "$groupby": ["c_mktsegment"],
+        "$agg": {"n_cust": {"$count": True}},
+    })
+    sql = eng.sql("""
+        SELECT c_mktsegment, count(*) AS n_cust FROM (
+            SELECT a.k, a.n, c.c_mktsegment
+            FROM (SELECT o_custkey AS k, count(*) AS n FROM orders
+                  GROUP BY 1) a
+            JOIN customer c ON c.c_custkey = a.k
+        ) WHERE n >= 2 GROUP BY 1
+    """)
+    assert _rows(dsl) == _rows(sql)
+
+
+@pytest.mark.parametrize(
+    "spec",
+    [
+        # empty $on
+        {"$join": {"$left": {"orders": {"o_custkey": True}},
+                   "$right": {"customer": {"c_custkey": True}},
+                   "$on": {}}, "o_custkey": True},
+        # bad how
+        {"$join": {"$left": {"orders": {"o_custkey": True}},
+                   "$right": {"customer": {"c_custkey": True}},
+                   "$on": {"o_custkey": "c_custkey"}, "$how": "semi"},
+         "o_custkey": True},
+        # collision
+        {"$join": {"$left": {"orders": {"o_custkey": True,
+                                        "o_orderkey": True}},
+                   "$right": {"orders": {"o_custkey": True,
+                                         "o_orderkey": True}},
+                   "$on": {"o_custkey": "o_custkey"}}, "o_custkey": True},
+        # unknown on-column
+        {"$join": {"$left": {"orders": {"o_custkey": True}},
+                   "$right": {"customer": {"c_custkey": True}},
+                   "$on": {"nope": "c_custkey"}}, "o_custkey": True},
+        # empty outer body
+        {"$join": {"$left": {"orders": {"o_custkey": True}},
+                   "$right": {"customer": {"c_custkey": True}},
+                   "$on": {"o_custkey": "c_custkey"}}},
+        # hop on the joined frame
+        {"$join": {"$left": {"orders": {"o_custkey": True}},
+                   "$right": {"customer": {"c_custkey": True}},
+                   "$on": {"o_custkey": "c_custkey"}},
+         "o_custkey": True, "orders": {"o_orderkey": True}},
+        # streaming side
+        {"$join": {"$left": {"$stream": {
+                       "$source": "events",
+                       "$window": {"$size": "1 hour"},
+                       "$agg": {"n": {"$count": True}}}},
+                   "$right": {"customer": {"c_custkey": True}},
+                   "$on": {"n": "c_custkey"}}, "n": True},
+    ],
+)
+def test_join_frames_bad_shapes_fail_typed(eng, spec):
+    with pytest.raises(SpecError):
+        eng.query(spec).collect()

@@ -499,3 +499,221 @@ def test_stream_dedup_idempotent_with_window_agg(eng):
     # appear in the complete-mode twin, and at least one window emits
     assert sum(got.values()) > 0
     assert not (got - want)
+
+
+# ---------------------------------------------------------------- r16b wave
+# Metamorphic identities for the round-16b verbs: array HOFs, calendar
+# parts, numeric verbs, $from composition, subquery membership, string
+# shape verbs, boolean/distinct aggregates.
+
+
+def test_prop_array_filter_partitions_size(eng):
+    """|filter(w, len>k)| + |filter(w, len<=k)| == |w| per row (the
+    lambda partition identity; NULL text rows stay NULL throughout)."""
+    words = {"$split": ["text", {"$lit": " "}]}
+    rows = eng.query({"documents": {
+        "doc_id": True,
+        "$select": {
+            "n": {"$size": words},
+            "a": {"$size": {"$array_filter": [
+                words, {"$gt": [{"$length": "$x"}, 4]}]}},
+            "b": {"$size": {"$array_filter": [
+                words, {"$lte": [{"$length": "$x"}, 4]}]}},
+        },
+    }}).collect()
+    assert rows
+    for r in rows:
+        if r["n"] is None:
+            assert r["a"] is None and r["b"] is None
+        else:
+            assert r["a"] + r["b"] == r["n"]
+
+
+def test_prop_array_transform_preserves_size_and_reverse_involution(eng):
+    rows = eng.query({"documents": {
+        "doc_id": True,
+        "$select": {
+            "n": {"$size": {"$split": ["text", {"$lit": " "}]}},
+            "nt": {"$size": {"$array_transform": [
+                {"$split": ["text", {"$lit": " "}]},
+                {"$upper": "$x"}]}},
+            "t": "text",
+            "rr": {"$reverse": {"$reverse": "text"}},
+        },
+    }}).collect()
+    for r in rows:
+        assert r["n"] == r["nt"]
+        assert r["rr"] == r["t"]
+
+
+def test_prop_floor_ceil_negation_and_sqrt_square(eng):
+    rows = eng.query({"lineitem": {
+        "$select": {
+            "fl": {"$floor": "l_quantity"},
+            "nc": {"$ceil": {"$sub": [0.0, "l_quantity"]}},
+            "q": "l_quantity",
+            "rt2": {"$pow": [{"$sqrt": "l_quantity"}, 2.0]},
+        },
+        "$limit": 500,
+    }}).collect()
+    for r in rows:
+        assert r["fl"] + r["nc"] == 0
+        assert abs(r["rt2"] - r["q"]) < 1e-9
+
+
+def test_prop_date_add_roundtrip_and_dow_weekly_period(eng):
+    d = {"$cast": ["o_orderdate", {"$lit": "date"}]}
+    rows = eng.query({"orders": {
+        "$select": {
+            "delta": {"$datediff": [{"$date_add": [d, 30]}, d]},
+            "dw0": {"$dow_iso": d},
+            "dw7": {"$dow_iso": {"$date_add": [d, 7]}},
+            "back": {"$date_sub": [{"$date_add": [d, 13]}, 13]},
+            "orig": d,
+        },
+        "$limit": 400,
+    }}).collect()
+    for r in rows:
+        assert r["delta"] == 30
+        assert r["dw0"] == r["dw7"]
+        assert r["back"] == r["orig"]
+
+
+def test_prop_strpos_contains_consistency_and_pad_length(eng):
+    rows = eng.query({"documents": {
+        "$select": {
+            "c": {"$contains": ["text", {"$lit": "data"}]},
+            "p": {"$strpos": ["text", {"$lit": "data"}]},
+            "ln": {"$length": {"$lpad": ["lang", 7, {"$lit": "*"}]}},
+        },
+    }}).collect()
+    for r in rows:
+        if r["c"] is None:
+            assert r["p"] is None and r["ln"] is None or r["ln"] == 7
+        else:
+            assert r["c"] == (r["p"] > 0)
+    assert all(r["ln"] in (None, 7) for r in rows)
+
+
+def test_prop_from_identity_passthrough(eng):
+    """{"$from": X, <all X's columns>: True} ≡ X."""
+    inner = {"orders": {"o_orderkey": True, "o_custkey": True,
+                        "$filter": {"o_orderstatus": "F"}}}
+    base = eng.query(inner)
+    wrapped = eng.query({"$from": dict(inner),
+                         "o_orderkey": True, "o_custkey": True})
+    from collections import Counter
+    assert Counter(tuple(r) for r in base.collect()) == \
+        Counter(tuple(r) for r in wrapped.collect())
+
+
+def test_prop_in_query_semi_anti_partition(eng):
+    """semi + anti on the same membership set partition the outer
+    table (c_custkey is never NULL in the fixture)."""
+    sub = {"orders": {"o_custkey": True,
+                      "$filter": {"o_totalprice": {"$gt": 150000.0}}}}
+    n_all = eng.query({"customer": {"c_custkey": True}}).count()
+    n_in = eng.query({"customer": {
+        "c_custkey": True,
+        "$filter": {"c_custkey": {"$in_query": dict(sub)}}}}).count()
+    n_out = eng.query({"customer": {
+        "c_custkey": True,
+        "$filter": {"c_custkey": {"$not_in_query": dict(sub)}}}}).count()
+    assert n_in + n_out == n_all
+
+
+def test_prop_bool_aggs_de_morgan_and_distinct_algebra(eng):
+    """bool_or(p) == NOT bool_and(NOT p) over non-NULL p, and
+    avg_distinct * count_distinct == sum_distinct on exact ints."""
+    rows = eng.query({"lineitem": {
+        "$select": {
+            "p": {"$gt": ["l_quantity", 30.0]},
+            "np": {"$lte": ["l_quantity", 30.0]},
+            "qi": {"$cast": ["l_quantity", {"$lit": "int"}]},
+        },
+        "$groupby": ["l_returnflag"],
+        "$agg": {
+            "any_p": {"$bool_or": "p"},
+            "all_np": {"$bool_and": "np"},
+            "cd": {"$count_distinct": "qi"},
+            "sd": {"$sum_distinct": "qi"},
+            "ad": {"$avg_distinct": "qi"},
+        },
+    }}).collect()
+    assert rows
+    for r in rows:
+        assert r["any_p"] == (not r["all_np"])
+        assert abs(r["ad"] * r["cd"] - r["sd"]) < 1e-9
+
+
+def test_prop_calendar_parts_consistency(eng):
+    """quarter/doy/week/dow cross-checks: quarter from month, doy
+    monotone within a year vs datediff from Jan 1."""
+    rows = eng.query({"events": {
+        "$select": {
+            "m": {"$month": "ts"},
+            "q": {"$quarter": "ts"},
+            "doy": {"$doy": "ts"},
+            "jan1_delta": {"$datediff": [
+                {"$cast": ["ts", {"$lit": "date"}]},
+                {"$date_trunc": [{"$cast": ["ts", {"$lit": "date"}]},
+                                 {"$lit": "year"}]}]},
+        },
+        "$limit": 500,
+    }}).collect()
+    for r in rows:
+        assert r["q"] == (r["m"] - 1) // 3 + 1
+        assert r["doy"] == r["jan1_delta"] + 1
+
+
+def test_prop_bag_algebra(eng):
+    """|A ∖all B| == |A| − |A ∩all B| (bag identity), and the bag ops
+    degrade to the DISTINCT forms after $distinct branches."""
+    a = {"orders": {"$select": {"k": "o_custkey"},
+                    "$filter": {"o_orderstatus": "F"}}}
+    b = {"orders": {"$select": {"k": "o_custkey"},
+                    "$filter": {"o_orderpriority": "1-URGENT"}}}
+    n_a = eng.query(dict(a)).count()
+    n_minus = eng.query({"$except_all": [dict(a), dict(b)]}).count()
+    n_inter = eng.query({"$intersect_all": [dict(a), dict(b)]}).count()
+    assert n_minus == n_a - n_inter
+    ad = {"orders": {"$select": {"k": "o_custkey"},
+                     "$filter": {"o_orderstatus": "F"},
+                     "$distinct": True}}
+    bd = {"orders": {"$select": {"k": "o_custkey"},
+                     "$filter": {"o_orderpriority": "1-URGENT"},
+                     "$distinct": True}}
+    from collections import Counter
+    bag_on_sets = Counter(
+        tuple(r) for r in
+        eng.query({"$intersect_all": [ad, bd]}).collect())
+    distinct_op = Counter(
+        tuple(r) for r in
+        eng.query({"$intersect": [dict(a), dict(b)]}).collect())
+    assert bag_on_sets == distinct_op
+
+
+def test_prop_join_frames_full_decomposes(eng):
+    """full = inner + left-only + right-only (row counts), and inner
+    equals the both-sides-non-NULL slice of full."""
+    left = {"orders": {"$select": {"k": "o_custkey"},
+                       "$filter": {"o_orderstatus": "P"},
+                       "$groupby": ["k"], "$agg": {"np": {"$count": True}}}}
+    right = {"orders": {"$select": {"k2": "o_custkey"},
+                        "$filter": {"o_orderstatus": "F"},
+                        "$groupby": ["k2"], "$agg": {"nf": {"$count": True}}}}
+
+    def q(how):
+        return eng.query({"$join": {"$left": dict(left),
+                                    "$right": dict(right),
+                                    "$on": {"k": "k2"}, "$how": how},
+                          "k": True, "np": True, "nf": True})
+
+    full_rows = q("full").collect()
+    n_inner = q("inner").count()
+    n_left_only = sum(1 for r in full_rows if r["nf"] is None)
+    n_right_only = sum(1 for r in full_rows if r["np"] is None)
+    assert len(full_rows) == n_inner + n_left_only + n_right_only
+    both = sum(1 for r in full_rows
+               if r["np"] is not None and r["nf"] is not None)
+    assert both == n_inner

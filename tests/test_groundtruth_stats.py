@@ -8553,3 +8553,88 @@ def test_compiler_bool_distinct_agg_matches_python(spark):
     assert_keyed(got, want, ["l_returnflag", "l_linestatus"],
                  ["all_heavy", "any_vheavy", "n_heavy", "qty_dsum",
                   "qty_davg"])
+
+
+def test_compiler_in_query_membership_matches_python(spark):
+    """Set-algebra replay: custkeys with a >200k order, minus custkeys
+    with a pending ('P') order — pure Python sets, no SQL shared with
+    either engine."""
+    cust = _tbl("customer")
+    orders = _tbl("orders")
+    hi = set(orders.loc[orders.o_totalprice > 200000.0, "o_custkey"])
+    pending = set(orders.loc[orders.o_orderstatus == "P", "o_custkey"])
+    keep = hi - pending
+    want = {
+        (int(ck),): {"c_name": nm, "c_mktsegment": seg}
+        for ck, nm, seg in zip(cust.c_custkey, cust.c_name,
+                               cust.c_mktsegment)
+        if int(ck) in keep
+    }
+    got = run(spark, "compiler_in_query_membership")
+    assert_keyed(got, want, ["c_custkey"], ["c_name", "c_mktsegment"])
+
+
+def test_compiler_set_bag_ops_matches_python(spark):
+    """Counter-arithmetic replay of the nested bag ops: multiset
+    subtract of (F custkeys) minus (min-count of high-value and urgent
+    custkeys)."""
+    from collections import Counter
+
+    orders = _tbl("orders")
+    a = Counter(orders.loc[orders.o_orderstatus == "F", "o_custkey"])
+    b1 = Counter(orders.loc[orders.o_totalprice > 100000.0, "o_custkey"])
+    b2 = Counter(orders.loc[orders.o_orderpriority == "1-URGENT",
+                            "o_custkey"])
+    inter = Counter({k: min(b1[k], b2[k]) for k in b1 if k in b2})
+    want = a - inter  # Counter subtraction floors at 0 = EXCEPT ALL
+    got = Counter(run(spark, "compiler_set_bag_ops").k)
+    assert Counter({int(k): v for k, v in got.items()}) == \
+        Counter({int(k): v for k, v in want.items()})
+
+
+def test_compiler_order_nulls_matches_python(spark):
+    """Sorted-window replay: smallest 100 non-NULL measures win the
+    limit window (NULLS LAST), tiebreak on the unique key."""
+    orders = _tbl("orders")
+    pool = sorted(
+        (float(tp), int(ok))
+        for tp, ok, st in zip(orders.o_totalprice, orders.o_orderkey,
+                              orders.o_orderstatus)
+        if st != "P"
+    )[:100]
+    got = run(spark, "compiler_order_nulls")
+    assert sorted((float(v), int(k)) for v, k in zip(got.v, got.k)) == pool
+
+
+def test_compiler_join_frames_matches_python(spark):
+    """pandas two-frame replay: per-segment order counts (via the
+    customer dim) joined with per-segment customer counts."""
+    cust = _tbl("customer")
+    orders = _tbl("orders")
+    j = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    n_orders = j.groupby("c_mktsegment").size()
+    n_cust = cust.groupby("c_mktsegment").size()
+    want = {
+        (seg,): {"n_orders": int(n_orders[seg]),
+                 "n_cust": int(n_cust[seg]),
+                 "orders_per_cust": int(n_orders[seg]) / int(n_cust[seg])}
+        for seg in n_orders.index
+    }
+    got = run(spark, "compiler_join_frames")
+    assert_keyed(got, want, ["c_mktsegment"],
+                 ["n_orders", "n_cust", "orders_per_cust"])
+
+
+def test_compiler_join_frames_full_matches_python(spark):
+    """dict full-outer replay with key coalescing."""
+    orders = _tbl("orders")
+    np_ = orders[orders.o_orderstatus == "P"].groupby("o_custkey").size()
+    nf = orders[orders.o_orderstatus == "F"].groupby("o_custkey").size()
+    keys = set(np_.index) | set(nf.index)
+    want = {
+        (int(k),): {"np": int(np_[k]) if k in np_.index else None,
+                    "nf": int(nf[k]) if k in nf.index else None}
+        for k in keys
+    }
+    got = run(spark, "compiler_join_frames_full")
+    assert_keyed(got, want, ["k"], ["np", "nf"])
