@@ -41,7 +41,30 @@ from naqed_spark.compiler.spec import (
     parse_spec,
 )
 from naqed_spark.compiler.spec import ARRAY_OPS as _ARRAY_OPS
-from naqed_spark.compiler.spec import JoinFramesSpec, SubqueryIn
+from naqed_spark.compiler.spec import (ExistsQuery, JoinFramesSpec,
+                                       SubqueryIn)
+
+# Comparable-type families for the scan-time join predicates (M25
+# correlated scalar, M39 $in_query, M41 $join.$on): comparing across
+# families (string vs numeric, etc.) silently NULL-coerces under
+# non-ANSI Spark where DuckDB errors — the typed refusal keeps the
+# cross-engine contract (code-review r16b hoisted this from the
+# correlated-scalar path so all three sites share one map).
+_TYPE_FAMILIES = {
+    "string": "string", "boolean": "boolean",
+    "int": "numeric", "bigint": "numeric", "smallint": "numeric",
+    "tinyint": "numeric", "double": "numeric", "float": "numeric",
+    "date": "datetime", "timestamp": "datetime",
+    "timestamp_ntz": "datetime",
+}
+
+
+def _type_family(frame: "DataFrame", col: str) -> "str | None":
+    dt = dict((f.name, f.dataType.simpleString()) for f in frame.schema)[col]
+    if dt.startswith("decimal"):
+        return "numeric"
+    return _TYPE_FAMILIES.get(dt)
+
 
 # the six comparison operators as Column builders — shared by $theta
 # residuals, the M24 comparison expressions, and the M25 correlated-
@@ -76,7 +99,14 @@ def _typecheck(df: DataFrame, pred: Predicate, entity: str) -> None:
         return
     schema = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)
     if pred.column not in schema:
-        raise SpecError(f"{entity}.{pred.column}: no such field")
+        # pseudo-entities from composed queries read as "the derived
+        # frame", not as a catalog name that doesn't exist
+        disp = ("the derived frame" if entity in ("$from", "$join")
+                else entity)
+        raise SpecError(
+            f"{disp}.{pred.column}: no such field"
+            f" (have {sorted(schema)})"
+        )
     if pred.op in ("$isnull", "$notnull"):
         return
     expected = _PY_TYPES.get(schema[pred.column])
@@ -160,6 +190,9 @@ def _predicate_condition(pred: Predicate):
         return c.between(F.lit(lo), F.lit(hi))
     if op == "$like":
         return c.like(pred.value)
+    if op == "$ilike":
+        # case-insensitive LIKE (M42) — probed ≡ DuckDB ILIKE
+        return c.ilike(pred.value)
     if op == "$regex":
         # M31 (round 16): partial-match regex predicate (rlike ≡ DuckDB
         # regexp_matches); pattern parse-validated to the portable
@@ -678,23 +711,8 @@ class Engine:
         # surface it as the DSL's typed error. Family check only
         # (numeric widths inter-compare fine); complex/unknown types
         # fall through to Spark's analyzer like _typecheck does.
-        _FAMILIES = {
-            "string": "string", "boolean": "boolean",
-            "int": "numeric", "bigint": "numeric", "smallint": "numeric",
-            "tinyint": "numeric", "double": "numeric", "float": "numeric",
-            "date": "datetime", "timestamp": "datetime",
-            "timestamp_ntz": "datetime",
-        }
-
-        def _family(frame: DataFrame, col: str) -> "str | None":
-            dt = dict(
-                (f.name, f.dataType.simpleString()) for f in frame.schema
-            )[col]
-            if dt.startswith("decimal"):
-                return "numeric"
-            return _FAMILIES.get(dt)
-
-        fo, fi = _family(df, pred.column), _family(idf, val_cols[0])
+        fo = _type_family(df, pred.column)
+        fi = _type_family(idf, val_cols[0])
         if fo is not None and fi is not None and fo != fi:
             raise SpecError(
                 f"correlated $scalar: cannot compare {entity}."
@@ -722,7 +740,8 @@ class Engine:
         to the scan / prune the traversed frame), then the correlated-
         scalar predicates (M25) join against the pruned frame."""
         for pred in node.filters:
-            if isinstance(pred.value, (CorrelatedScalar, SubqueryIn)):
+            if isinstance(pred.value,
+                          (CorrelatedScalar, SubqueryIn, ExistsQuery)):
                 continue
             _typecheck(df, pred, node.entity)
             df = _apply_predicate(df, pred)
@@ -735,6 +754,8 @@ class Engine:
             # join scans the smallest frame
             if isinstance(pred.value, SubqueryIn):
                 df = self._apply_in_query(df, pred, node.entity)
+            elif isinstance(pred.value, ExistsQuery):
+                df = self._apply_exists_query(df, pred, node.entity)
         return df
 
     def _compile_join_frames(self, js: "JoinFramesSpec") -> DataFrame:
@@ -768,6 +789,16 @@ class Engine:
                 raise SpecError(
                     f"$join.$on: no such column {rc!r} on the $right"
                     f" side (have {sorted(right.columns)})"
+                )
+        for lc, rc in js.on.items():
+            # type-family guard (code-review r16b): a cross-family key
+            # pair silently NULL-coerces to an empty join on Spark
+            # where DuckDB errors — refuse typed
+            fl, fr = _type_family(left, lc), _type_family(right, rc)
+            if fl is not None and fr is not None and fl != fr:
+                raise SpecError(
+                    f"$join.$on: cannot join $left.{lc} ({fl}) to"
+                    f" $right.{rc} ({fr})"
                 )
         right_keys = set(js.on.values())
         collide = [c for c in right.columns
@@ -805,6 +836,64 @@ class Engine:
                 )
         return joined.drop(*tmp.values())
 
+    def _apply_exists_query(
+        self, df: DataFrame, pred: Predicate, entity: str
+    ) -> DataFrame:
+        """M43: multi-key correlated EXISTS — LEFT SEMI (or ANTI for
+        $not_exists_query) on EVERY $on equi pair. Scale shape: one
+        hash semi/anti join; the inner plan's own filters bound the
+        build side, key columns are pruned to the $on set before the
+        exchange, AQE broadcasts small builds. NULL keys never match
+        (the EXISTS/NOT EXISTS contract)."""
+        eq = pred.value
+        disp = ("the derived frame" if entity in ("$from", "$join")
+                else entity)
+        op_name = "$not_exists_query" if eq.negate else "$exists_query"
+        for oc in eq.on.values():
+            if oc not in df.columns:
+                raise SpecError(
+                    f"{op_name}.$on: no such outer column {oc!r} on"
+                    f" {disp} (have {sorted(df.columns)})"
+                )
+        inner = (
+            self._compile_set(eq.inner)
+            if isinstance(eq.inner, SetSpec)
+            else self._compile(eq.inner)
+        )
+        for ic in eq.on:
+            if ic not in inner.columns:
+                raise SpecError(
+                    f"{op_name}.$on: no such inner column {ic!r} in the"
+                    f" subquery result (have {sorted(inner.columns)})"
+                )
+        for ic, oc in eq.on.items():
+            fi = _type_family(inner, ic)
+            fo = _type_family(df, oc)
+            if fi is not None and fo is not None and fi != fo:
+                raise SpecError(
+                    f"{op_name}.$on: cannot correlate inner {ic!r}"
+                    f" ({fi}) with outer {oc!r} ({fo})"
+                )
+        # prune the build side to the correlation keys and alias them
+        # collision-free (the __t_cs_ lesson)
+        taken = set(df.columns) | set(inner.columns)
+        tmp: dict[str, str] = {}
+        for i, ic in enumerate(eq.on):
+            name = f"__t_ex_{i}"
+            while name in taken:
+                name += "_"
+            tmp[ic] = name
+            taken.add(name)
+        keys = inner.select(
+            *[_qcol(ic).alias(tmp[ic]) for ic in eq.on]
+        )
+        cond = reduce(
+            operator.and_,
+            [df[oc] == keys[tmp[ic]] for ic, oc in eq.on.items()],
+        )
+        how = "left_anti" if eq.negate else "left_semi"
+        return df.join(keys, cond, how)
+
     def _apply_in_query(
         self, df: DataFrame, pred: Predicate, entity: str
     ) -> DataFrame:
@@ -819,8 +908,13 @@ class Engine:
         result is small — never a Column-level IN over a collected
         list (the subquery result never visits the driver)."""
         sq = pred.value
+        disp = ("the derived frame" if entity in ("$from", "$join")
+                else entity)
         if pred.column not in df.columns:
-            raise SpecError(f"{entity}.{pred.column}: no such field")
+            raise SpecError(
+                f"{disp}.{pred.column}: no such field"
+                f" (have {sorted(df.columns)})"
+            )
         inner = (
             self._compile_set(sq.inner)
             if isinstance(sq.inner, SetSpec)
@@ -831,6 +925,18 @@ class Engine:
             raise SpecError(
                 f"{op_name} on {pred.column!r}: the subquery must emit"
                 f" exactly ONE column — got {inner.columns}"
+            )
+        # type-family guard (code-review r16b): a string-vs-numeric
+        # membership test silently NULL-coerces to an empty result on
+        # Spark where DuckDB errors — refuse typed like the
+        # correlated-scalar path
+        fo = _type_family(df, pred.column)
+        fi = _type_family(inner, inner.columns[0])
+        if fo is not None and fi is not None and fo != fi:
+            raise SpecError(
+                f"{op_name}: cannot test {disp}.{pred.column} ({fo})"
+                f" for membership in subquery column"
+                f" {inner.columns[0]!r} ({fi})"
             )
         # collision-free key alias (the __t_cs_ lesson, ADVICE r15)
         key = "__t_inq"
@@ -1517,11 +1623,17 @@ class Engine:
         op = ex.op
         a0 = ex.args[0]
         arr = self._compile_expr(df, a0, elem=elem)
-        # resolve the operand's ANALYZED type (works for computed
-        # arrays like a $split result, not just direct columns) so a
-        # scalar operand or a non-numeric fold surfaces as the DSL's
-        # typed SpecError instead of a raw Catalyst cast error
-        dt = df.select(arr.alias("__t_arr")).schema[0].dataType
+        # resolve the operand's type so a scalar operand or a
+        # non-numeric fold surfaces as the DSL's typed SpecError
+        # instead of a raw Catalyst cast error. Direct columns read the
+        # frame schema (free); only COMPUTED operands (a $split result,
+        # a nested transform) pay the analyzer pass — code-review r16b:
+        # the earlier unconditional df.select(arr) analyzed the whole
+        # accumulated plan once per array verb.
+        if a0.op == "$col":
+            dt = df.schema[a0.args[0]].dataType
+        else:
+            dt = df.select(arr.alias("__t_arr")).schema[0].dataType
         if not isinstance(dt, ArrayType):
             raise SpecError(
                 f"{op}: operand is {dt.simpleString()}, not an array"

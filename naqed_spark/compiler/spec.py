@@ -581,6 +581,19 @@ Round-16b M40: bag set ops + explicit NULL placement —
                                        # the engine defaults hold
                                        # (NULLS FIRST asc / LAST desc)
 
+Round-16b M43: multi-key correlated EXISTS in $filter —
+
+    "$filter": {"$exists_query": {      # keep rows with >= 1 subquery
+        "$query": {<spec>},             # row matching on EVERY $on
+        "$on": {inner_col: outer_col}}} # pair (LEFT SEMI);
+    (also "$not_exists_query")          # $not_exists_query = LEFT
+                                        # ANTI. The ad-hoc multi-key
+                                        # generalization of the FK-hop
+                                        # $exists and of $in_query;
+                                        # type families checked per
+                                        # pair; same entity-$filter-
+                                        # only + batch-only refusals.
+
 Round-16b M39: subquery membership in an entity's $filter —
 
     {col: {"$in_query": {<spec>}}}        # LEFT SEMI on the subquery's
@@ -644,7 +657,7 @@ class SpecError(ValueError):
 # parse-validated to the portable Java-regex/RE2 subset like the
 # $regex_* select verbs. $like stays the SQL-LIKE (%/_) spelling.
 FILTER_OPS = {"$eq", "$ne", "$gt", "$gte", "$lt", "$lte", "$in", "$between",
-              "$like", "$regex", "$isnull", "$notnull",
+              "$like", "$ilike", "$regex", "$isnull", "$notnull",
               # M39 (round 16b): membership vs a subquery result —
               # semi/anti join lowering, EXISTS/NOT EXISTS NULL
               # semantics (see SubqueryIn)
@@ -665,10 +678,13 @@ AGG_OPS = {"$count", "$sum", "$avg", "$min", "$max", "$count_distinct",
            # boolean column (≡ DuckDB count(*) FILTER (WHERE p) —
            # NULL/FALSE both uncounted); $sum_distinct/$avg_distinct
            # aggregate the distinct value SET ($avg_distinct lowers to
-           # sum_distinct/count_distinct — one exact division, so over
-           # integer/decimal inputs it is hash-exact; over raw doubles
-           # the distinct-set summation order is engine-dependent and
-           # wants the §7.3 round(6) hedge, same as $avg).
+           # sum_distinct/count_distinct — one exact division, hash-
+           # exact over INTEGER inputs; over raw doubles the distinct-
+           # set summation order is engine-dependent and wants the §7.3
+           # round(6) hedge, same as $avg; over DECIMAL inputs Spark's
+           # division emits a DECIMAL where DuckDB's avg(DISTINCT)
+           # emits DOUBLE — a hash-checked emission must $cast/$derive
+           # to double per §7.3, so prefer int-cast inputs).
            "$bool_and", "$bool_or", "$count_if",
            "$sum_distinct", "$avg_distinct",
            # round 15 (M24): the approximate-sketch surface. At 100 TB
@@ -1059,6 +1075,23 @@ class JoinFramesSpec:
         self.how = how
 
 
+class ExistsQuery:
+    """M43 (round 16b): multi-key correlated EXISTS inside ``$filter``
+    — ``{"$exists_query": {"$query": {<spec>}, "$on": {inner_col:
+    outer_col, ...}}}`` keeps rows for which the subquery has at least
+    one row matching on EVERY $on pair (LEFT SEMI join);
+    ``$not_exists_query`` keeps the complement (LEFT ANTI). The
+    ad-hoc, multi-key generalization of the FK-hop $exists and the
+    single-column $in_query: correlation keys are explicit, no catalog
+    edge needed. NULL semantics are the join forms' (≡ EXISTS/NOT
+    EXISTS): NULL keys never match."""
+
+    def __init__(self, inner, on: dict, negate: bool):
+        self.inner = inner
+        self.on = on
+        self.negate = negate
+
+
 class SubqueryIn:
     """M39 (round 16b): membership test against a SUBQUERY result —
     ``{col: {"$in_query": {<query spec>}}}`` compiles to a LEFT SEMI
@@ -1391,9 +1424,13 @@ def _validate_filter_value(col: str, op: str, val: object) -> None:
         if (not isinstance(val, (list, tuple)) or len(val) != 2
                 or any(isinstance(v, (dict, list, tuple)) for v in val)):
             raise SpecError(f"{col!r}: $between needs a [low, high] pair")
-    elif op == "$like":
+    elif op in ("$like", "$ilike"):
+        # $ilike (M42, round 16b): case-insensitive LIKE — probed
+        # identical cross-engine (Spark Column.ilike ≡ DuckDB ILIKE)
+        # incl. %/_ wildcards; non-ASCII case folding differs per ICU
+        # build so patterns should stay ASCII (the fixture domain)
         if not isinstance(val, str):
-            raise SpecError(f"{col!r}: $like needs a string pattern")
+            raise SpecError(f"{col!r}: {op} needs a string pattern")
     elif op == "$regex":
         # round 16 (M31): same portable-subset gate as the $regex_*
         # select verbs — a divergent construct in a filter would
@@ -1488,7 +1525,8 @@ def _has_correlated(preds: "list[Predicate]") -> bool:
         if p.op == "$or":
             if any(_has_correlated(b) for b in p.value):
                 return True
-        elif isinstance(p.value, (CorrelatedScalar, SubqueryIn)):
+        elif isinstance(p.value,
+                        (CorrelatedScalar, SubqueryIn, ExistsQuery)):
             return True
     return False
 
@@ -1501,8 +1539,9 @@ def _reject_correlated(preds: "list[Predicate]", ctx: str) -> None:
     context gets the typed refusal instead of a compile-time crash."""
     if _has_correlated(preds):
         raise SpecError(
-            f"{ctx}: correlated $scalar and $in_query subqueries are"
-            f" only supported in an entity's $filter"
+            f"{ctx}: correlated $scalar and the subquery predicates"
+            f" ($in_query/$exists_query) are only supported in an"
+            f" entity's $filter"
         )
 
 
@@ -1511,6 +1550,34 @@ def _parse_filters(obj: object) -> list[Predicate]:
         raise SpecError(f"$filter must be a dict, got {type(obj).__name__}")
     preds: list[Predicate] = []
     for col, cond in obj.items():
+        if col in ("$exists_query", "$not_exists_query"):
+            # M43: multi-key correlated EXISTS — a dict key of the
+            # $filter itself (it constrains the ROW, not one column)
+            if not (isinstance(cond, dict)
+                    and set(cond) == {"$query", "$on"}):
+                raise SpecError(
+                    f"{col} takes {{'$query': <spec>, '$on':"
+                    f" {{inner_col: outer_col}}}} — got {cond!r}"
+                )
+            on = cond["$on"]
+            if (not isinstance(on, dict) or not on
+                    or not all(isinstance(k, str) and isinstance(v, str)
+                               for k, v in on.items())):
+                raise SpecError(
+                    f"{col}.$on must be a non-empty"
+                    f" {{inner_col: outer_col}} map"
+                )
+            if not isinstance(cond["$query"], dict):
+                raise SpecError(f"{col}.$query must be a query spec dict")
+            inner = parse_query(cond["$query"])
+            if isinstance(inner, (StreamSpec, StreamStreamJoinSpec)):
+                raise SpecError(
+                    f"{col}: streaming specs cannot be composed — run"
+                    f" the replay and query the batch result"
+                )
+            preds.append(Predicate(col, col, ExistsQuery(
+                inner, dict(on), negate=(col == "$not_exists_query"))))
+            continue
         if col == "$or":
             # round 7: disjunction — {"$or": [branch, branch, ...]} where
             # each branch is a $filter-style dict (AND within a branch,

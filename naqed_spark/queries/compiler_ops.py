@@ -4052,3 +4052,74 @@ def compiler_join_frames_full(spark, sf_dir):
         },
         "k": True, "np": True, "nf": True,
     })
+
+
+@query(
+    "compiler_ilike_filter",
+    # Round-16b M42 registration: $ilike — case-insensitive LIKE in
+    # the predicate DSL (Spark Column.ilike ≡ DuckDB ILIKE, probed
+    # incl. %/_ wildcards; ASCII-domain case folding). The predicate
+    # stays a scan-stage filter like $like/$regex — pushdown-shaped,
+    # never a materialization boundary.
+    oracle="""
+    SELECT lang, count(*) AS n
+    FROM documents
+    WHERE text ILIKE '%the %'
+    GROUP BY lang
+    """,
+)
+def compiler_ilike_filter(spark, sf_dir):
+    """Scale shape: ILike rides the scan stage's filter + one
+    partial+final hash-agg pair on the tiny lang grid."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query({"documents": {
+        "lang": True,
+        "$filter": {"text": {"$ilike": "%the %"}},
+        "$groupby": ["lang"],
+        "$agg": {"n": {"$count": True}},
+    }})
+
+
+@query(
+    "compiler_exists_query_corr",
+    # Round-16b M43 registration: multi-key correlated EXISTS —
+    # {"$exists_query": {"$query": spec, "$on": {inner: outer}}}
+    # inside $filter: the ad-hoc generalization of the FK-hop $exists
+    # (explicit correlation keys, no catalog edge) and of $in_query
+    # (multi-column). The key is a SELF-correlation no hop can spell:
+    # open orders whose (custkey, priority) pair also occurs among
+    # FULFILLED orders — the repeat-buyer-at-same-priority signal.
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderpriority
+    FROM orders o
+    WHERE o.o_orderstatus = 'O'
+      AND EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_orderstatus = 'F'
+                    AND o2.o_custkey = o.o_custkey
+                    AND o2.o_orderpriority = o.o_orderpriority)
+    """,
+)
+def compiler_exists_query_corr(spark, sf_dir):
+    """Scale shape: ONE hash left-semi join on the two correlation
+    keys — the inner plan's status filter bounds the build side, the
+    build is pruned to the $on columns before the exchange, and AQE
+    broadcasts it when small. NULL keys never match (the EXISTS
+    contract)."""
+    from naqed_spark.compiler.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    return eng.query({"orders": {
+        "o_orderkey": True, "o_custkey": True, "o_orderpriority": True,
+        "$filter": {
+            "o_orderstatus": "O",
+            "$exists_query": {
+                "$query": {"orders": {
+                    "o_custkey": True, "o_orderpriority": True,
+                    "$filter": {"o_orderstatus": "F"}}},
+                "$on": {"o_custkey": "o_custkey",
+                        "o_orderpriority": "o_orderpriority"},
+            },
+        },
+    }})

@@ -287,6 +287,13 @@ DEFERRED: set[str] = {
     # query frames, inner + full/USING-coalesce): same discipline.
     "compiler_join_frames",
     "compiler_join_frames_full",
+    # round-16b M42 registration ($ilike — case-insensitive LIKE
+    # predicate): same discipline.
+    "compiler_ilike_filter",
+    # round-16b M43 registration ($exists_query/$not_exists_query —
+    # multi-key correlated EXISTS, semi/anti lowering): same
+    # discipline.
+    "compiler_exists_query_corr",
 }
 
 

@@ -347,6 +347,18 @@ HEADLINE += [
     "compiler_join_frames_full",
 ]
 
+# Round-16b M42 registration: scan-stage ILike filter + tiny hash-agg
+# pair — growth is the scan term.
+HEADLINE += [
+    "compiler_ilike_filter",
+]
+
+# Round-16b M43 registration: one hash semi join on two correlation
+# keys with a filter-bounded, column-pruned build side.
+HEADLINE += [
+    "compiler_exists_query_corr",
+]
+
 
 def build(spark, src_dir: str, out_dir: str, k: int) -> None:
     from functools import reduce

@@ -6851,3 +6851,169 @@ def test_join_frames_outer_verbs_compose(eng):
 def test_join_frames_bad_shapes_fail_typed(eng, spec):
     with pytest.raises(SpecError):
         eng.query(spec).collect()
+
+
+def test_in_query_and_join_type_family_guards(eng):
+    """code-review r16b: cross-family comparisons silently NULL-coerce
+    on Spark where DuckDB errors — both join-lowered predicates refuse
+    typed."""
+    with pytest.raises(SpecError, match="membership"):
+        eng.query({"customer": {
+            "c_name": True,
+            "$filter": {"c_name": {"$in_query": {
+                "orders": {"o_custkey": True}}}},
+        }}).collect()
+    with pytest.raises(SpecError, match=r"\$join\.\$on: cannot join"):
+        eng.query({"$join": {
+            "$left": {"customer": {"$select": {"nm": "c_name"}}},
+            "$right": {"orders": {"$select": {"k2": "o_custkey"}}},
+            "$on": {"nm": "k2"},
+        }, "nm": True}).collect()
+
+
+def test_ilike_matches_sql_twin_and_composes(eng):
+    dsl = eng.query({"documents": {
+        "doc_id": True,
+        "$filter": {"text": {"$ilike": "%THE %"}},
+    }})
+    sql = eng.sql("SELECT doc_id FROM documents WHERE text ILIKE '%THE %'")
+    assert _rows(dsl) == _rows(sql)
+    # case-insensitivity is real: the uppercase pattern must match the
+    # same rows as the lowercase one, and MORE-or-equal rows than $like
+    lower = eng.query({"documents": {
+        "doc_id": True, "$filter": {"text": {"$ilike": "%the %"}}}})
+    strict = eng.query({"documents": {
+        "doc_id": True, "$filter": {"text": {"$like": "%THE %"}}}})
+    assert _rows(dsl) == _rows(lower)
+    assert dsl.count() >= strict.count()
+    # composes in $or and $where
+    both = eng.query({"documents": {
+        "doc_id": True,
+        "$filter": {"$or": [{"text": {"$ilike": "%data%"}},
+                            {"lang": {"$ilike": "E_"}}]},
+    }})
+    twin = eng.sql("""SELECT doc_id FROM documents
+                      WHERE text ILIKE '%data%' OR lang ILIKE 'E_'""")
+    assert _rows(both) == _rows(twin)
+
+
+def test_ilike_bad_shapes_fail_typed(eng):
+    with pytest.raises(SpecError):
+        eng.query({"documents": {"doc_id": True,
+                                 "$filter": {"text": {"$ilike": 5}}}})
+
+
+def test_exists_query_matches_sql_twin(eng):
+    dsl = eng.query({"orders": {
+        "o_orderkey": True,
+        "$filter": {
+            "o_orderstatus": "O",
+            "$exists_query": {
+                "$query": {"orders": {
+                    "o_custkey": True, "o_orderpriority": True,
+                    "$filter": {"o_orderstatus": "F"}}},
+                "$on": {"o_custkey": "o_custkey",
+                        "o_orderpriority": "o_orderpriority"},
+            },
+        },
+    }})
+    sql = eng.sql("""
+        SELECT o_orderkey FROM orders o
+        WHERE o.o_orderstatus = 'O'
+          AND EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_orderstatus = 'F'
+                        AND o2.o_custkey = o.o_custkey
+                        AND o2.o_orderpriority = o.o_orderpriority)
+    """)
+    assert _rows(dsl) == _rows(sql)
+
+
+def test_exists_query_partition_with_not_exists(eng):
+    """exists + not-exists on the same correlation partition the
+    filtered outer rows."""
+    sub = {"$query": {"orders": {"o_custkey": True,
+                                 "$filter": {"o_orderstatus": "F"}}},
+           "$on": {"o_custkey": "o_custkey"}}
+    base = eng.query({"orders": {"o_orderkey": True,
+                                 "$filter": {"o_orderstatus": "O"}}}).count()
+    n_ex = eng.query({"orders": {
+        "o_orderkey": True,
+        "$filter": {"o_orderstatus": "O",
+                    "$exists_query": dict(sub)}}}).count()
+    n_not = eng.query({"orders": {
+        "o_orderkey": True,
+        "$filter": {"o_orderstatus": "O",
+                    "$not_exists_query": dict(sub)}}}).count()
+    assert n_ex + n_not == base
+
+
+def test_exists_query_single_key_equals_in_query(eng):
+    """On a single equi key, $exists_query ≡ $in_query."""
+    a = eng.query({"customer": {
+        "c_custkey": True,
+        "$filter": {"$exists_query": {
+            "$query": {"orders": {"o_custkey": True,
+                                  "$filter": {"o_totalprice":
+                                              {"$gt": 200000.0}}}},
+            "$on": {"o_custkey": "c_custkey"}}},
+    }})
+    b = eng.query({"customer": {
+        "c_custkey": True,
+        "$filter": {"c_custkey": {"$in_query": {
+            "orders": {"o_custkey": True,
+                       "$filter": {"o_totalprice": {"$gt": 200000.0}}}}}},
+    }})
+    assert _rows(a) == _rows(b)
+
+
+@pytest.mark.parametrize(
+    "flt",
+    [
+        {"$exists_query": {"$query": {"orders": {"o_custkey": True}}}},
+        {"$exists_query": {"$query": {"orders": {"o_custkey": True}},
+                           "$on": {}}},
+        {"$exists_query": {"$query": 5,
+                           "$on": {"o_custkey": "o_custkey"}}},
+        {"$exists_query": {"$query": {"orders": {"o_custkey": True}},
+                           "$on": {"o_custkey": "o_orderpriority"}}},
+        {"$not_exists_query": {"$query": {"orders": {"o_custkey": True}},
+                               "$on": {"o_custkey": "nope"}}},
+    ],
+)
+def test_exists_query_bad_shapes_fail_typed(eng, flt):
+    with pytest.raises(SpecError):
+        eng.query({"orders": {"o_orderkey": True,
+                              "$filter": flt}}).collect()
+
+
+def test_from_composes_with_pivot_and_explode(eng):
+    """$pivot and $explode bind against a $from frame like any other
+    verbs (no special-casing at the seam)."""
+    piv = eng.query({
+        "$from": {"orders": {
+            "o_custkey": True, "o_orderstatus": True,
+            "o_totalprice": True,
+            "$filter": {"o_totalprice": {"$gt": 100000.0}}}},
+        "o_custkey": True,
+        "$groupby": ["o_custkey"],
+        "$pivot": {"$on": "o_orderstatus", "$values": ["O", "F", "P"],
+                   "$agg": {"$count": True}},
+        "$limit": 0,
+    })
+    # schema shape is the contract here (values become columns)
+    assert set(piv.columns) == {"o_custkey", "O", "F", "P"}
+    exp = eng.query({
+        "$from": {"documents": {"doc_id": True, "text": True}},
+        "doc_id": True,
+        "$select": {"words": {"$split": ["text", {"$lit": " "}]}},
+        "$explode": {"$col": "words", "$as": "w"},
+        "$groupby": ["doc_id"],
+        "$agg": {"n": {"$count": True}},
+    })
+    twin = eng.sql("""
+        SELECT doc_id, count(*) AS n FROM (
+            SELECT doc_id, explode(split(text, '\\\\Q \\\\E', -1)) AS w
+            FROM documents
+        ) GROUP BY doc_id
+    """)
+    assert _rows(exp) == _rows(twin)

@@ -589,7 +589,11 @@ def test_prop_strpos_contains_consistency_and_pad_length(eng):
     }}).collect()
     for r in rows:
         if r["c"] is None:
-            assert r["p"] is None and r["ln"] is None or r["ln"] == 7
+            # code-review r16b: parenthesized — the earlier
+            # `a and b or c` spelling made the p-is-None claim
+            # vacuous whenever ln == 7
+            assert r["p"] is None
+            assert r["ln"] is None or r["ln"] == 7
         else:
             assert r["c"] == (r["p"] > 0)
     assert all(r["ln"] in (None, 7) for r in rows)
@@ -717,3 +721,19 @@ def test_prop_join_frames_full_decomposes(eng):
     both = sum(1 for r in full_rows
                if r["np"] is not None and r["nf"] is not None)
     assert both == n_inner
+
+
+def test_prop_ilike_contains_like_and_is_case_blind(eng):
+    """$ilike('%P%') rows ⊇ $like('%P%') rows, and $ilike is invariant
+    under pattern case."""
+    up = eng.query({"documents": {
+        "doc_id": True, "$filter": {"text": {"$ilike": "%DATA%"}}}})
+    low = eng.query({"documents": {
+        "doc_id": True, "$filter": {"text": {"$ilike": "%data%"}}}})
+    strict = eng.query({"documents": {
+        "doc_id": True, "$filter": {"text": {"$like": "%data%"}}}})
+    up_ids = {r[0] for r in up.collect()}
+    low_ids = {r[0] for r in low.collect()}
+    strict_ids = {r[0] for r in strict.collect()}
+    assert up_ids == low_ids
+    assert strict_ids <= up_ids

@@ -8638,3 +8638,38 @@ def test_compiler_join_frames_full_matches_python(spark):
     }
     got = run(spark, "compiler_join_frames_full")
     assert_keyed(got, want, ["k"], ["np", "nf"])
+
+
+def test_compiler_ilike_filter_matches_python(spark):
+    """str.lower substring replay of the case-insensitive pattern."""
+    docs = _tbl("documents")
+    want: dict = {}
+    for lang, text in zip(docs.lang, docs.text):
+        t = _norm(text)
+        if t is not None and "the " in t.lower():
+            k = (_norm(lang),)
+            want.setdefault(k, {"n": 0})
+            want[k]["n"] += 1
+    got = run(spark, "compiler_ilike_filter")
+    assert_keyed(got, want, ["lang"], ["n"])
+
+
+def test_compiler_exists_query_corr_matches_python(spark):
+    """Set-of-pairs replay: the (custkey, priority) pairs of fulfilled
+    orders, membership-tested against open orders."""
+    orders = _tbl("orders")
+    f_pairs = {
+        (int(c), p)
+        for c, p, s in zip(orders.o_custkey, orders.o_orderpriority,
+                           orders.o_orderstatus) if s == "F"
+    }
+    want = {
+        (int(ok),): {"o_custkey": int(c), "o_orderpriority": p}
+        for ok, c, p, s in zip(orders.o_orderkey, orders.o_custkey,
+                               orders.o_orderpriority,
+                               orders.o_orderstatus)
+        if s == "O" and (int(c), p) in f_pairs
+    }
+    got = run(spark, "compiler_exists_query_corr")
+    assert_keyed(got, want, ["o_orderkey"],
+                 ["o_custkey", "o_orderpriority"])
