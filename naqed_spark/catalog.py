@@ -114,6 +114,28 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(sch).parquet(path)
 
 
+def _session_df_cache(spark: SparkSession) -> dict | None:
+    """Per-session cache of ANALYZED entity DataFrames (r16 opt).
+
+    Even with the schema cache above, every ``load()`` call pays the
+    ``spark.read`` py4j round trips + DataSource resolution + file-index
+    construction again (~15-20 ms per entity per query build — a constant
+    that lands inside every timed build, ×3-6 entities for the join
+    suites). The entity files are immutable for the life of a run, so the
+    resolved scan DataFrame is reusable exactly like a metastore table:
+    this returns a dict stored ON the session object, so it can never
+    outlive its session or leak a stopped one. No DATA is cached — the
+    value is a lazy plan; every action still scans parquet."""
+    cache = getattr(spark, "_naqed_df_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            spark._naqed_df_cache = cache
+        except Exception:
+            return None  # session proxy rejects attributes: build fresh
+    return cache
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one entity. Plain parquet scan — pushdown/pruning stay enabled.
 
@@ -133,6 +155,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     except Exception:
         pass
     path = f"{sf_dir}/{name}.parquet"
+    cache = _session_df_cache(spark)
+    if cache is not None and path in cache:
+        return cache[path]
+    df = _load_uncached(spark, path, name)
+    if cache is not None:
+        cache[path] = df
+    return df
+
+
+def _load_uncached(spark: SparkSession, path: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = _read_parquet(spark, path)

@@ -81,6 +81,17 @@ def user_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("src", "dst")
         .distinct()
+        # r16 opt (guide §5 "reused AND expensive to recompute"): almost
+        # every graph key's plan instantiates this edge subtree 2-4×
+        # (symmetrize-union, adjacency self-joins), and each instance is
+        # the full events self-join + distinct. Persisting here lets one
+        # materialization feed every instance (InMemoryTableScan). The
+        # cache entry is a per-session edge LIST (narrow, 2 longs/row),
+        # evictable, marked — not materialized — at build time; keys
+        # that explicitly persist/unpersist (bfs, pagerank) keep working:
+        # CacheManager dedups the mark and a consumer's unpersist simply
+        # lets the next build's mark re-cache it.
+        .persist()
     )
 
 
@@ -505,11 +516,10 @@ def graph_triangle_count(spark, sf_dir):
     e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
     tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    corners = (
-        tri.select(F.col("a").alias("v"))
-        .unionAll(tri.select(F.col("b").alias("v")))
-        .unionAll(tri.select(F.col("c").alias("v")))
-    )
+    # r16 opt (the _band_buckets pattern): the 3-way unionAll instantiated
+    # the triangle double-join THREE times — one explode over a single tri
+    # pass emits the same corner multiset with one join subtree.
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("v"))
     return corners.groupBy(F.col("v").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
@@ -698,6 +708,37 @@ _BASKET_CAP = 15  # orders with more distinct parts than this are skew
                   # at 100 TB the cap is what keeps the self-join linear-ish)
 
 
+def _capped_baskets(spark, sf_dir):
+    """(l_orderkey, parts): the sorted DISTINCT part set per order, for
+    orders with <= _BASKET_CAP distinct parts.
+
+    r16 opt (guide §2.3/§2.4, the _ngram_candidates pattern): the old
+    spelling materialized the (order, part) distinct, aggregated it for
+    the cap filter, joined back, then SELF-JOINED the kept rows — the
+    distinct ran once per consumer subtree (up to 5× in
+    agg_association_rules) and the pair fan-out went through a join.
+    One groupBy does all of it: collect_set IS the distinct, size() IS
+    the cap count, and the basket array (provably <= cap elements — the
+    filter just enforced it) yields pairs/items/counts by array
+    arithmetic with no further join. One exchange builds the frame every
+    consumer shares."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .filter(F.size("parts") <= _BASKET_CAP)
+    )
+
+
+# i<j pairs from the sorted basket array (ascending, so part_a < part_b
+# exactly like the old a.l_partkey < b.l_partkey join predicate)
+_BASKET_PAIRS = (
+    "flatten(transform(parts, (x, i) ->"
+    " transform(slice(parts, i + 2, size(parts) - i - 1),"
+    " y -> struct(x AS part_a, y AS part_b))))"
+)
+
+
 @query(
     "graph_copurchase",
     # bipartite projection (market-basket): part—part edges weighted by
@@ -721,28 +762,16 @@ _BASKET_CAP = 15  # orders with more distinct parts than this are skew
     """,
 )
 def graph_copurchase(spark, sf_dir):
-    """Scale shape: (order, part) dedup → basket-size cap (skew bound;
-    quadratic fan-out is in basket size, not corpus size) → self equi-join
-    on l_orderkey → map-side-combined pair counts. Everything shuffles on
-    narrow keys; the cap keeps the hottest order's pair list bounded."""
-    items = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    ok = (
-        items.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") <= _BASKET_CAP)
-        .select("l_orderkey")
-    )
-    kept = items.join(ok, "l_orderkey")
-    a = kept.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = kept.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    """Scale shape (r16 opt): one groupBy builds the capped distinct
+    basket per order (quadratic fan-out is in basket size, not corpus
+    size — and the cap bounds it BEFORE any pair exists), then the i<j
+    pairs come from array arithmetic over the sorted basket — no
+    self-join, 2 exchanges total, map-side-combined pair counts."""
+    baskets = _capped_baskets(spark, sf_dir)
     return (
-        a.join(
-            b,
-            (a.l_orderkey == b.l_orderkey)
-            & (F.col("part_a") < F.col("part_b")),
-        )
+        baskets.select(F.explode(F.expr(_BASKET_PAIRS)).alias("p"))
+        .select(F.col("p.part_a").alias("part_a"),
+                F.col("p.part_b").alias("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
     )
@@ -801,6 +830,9 @@ def graph_common_neighbors(spark, sf_dir):
         ue.select(F.col("src").alias("v"), F.col("dst").alias("n"))
         .union(ue.select(F.col("dst").alias("v"), F.col("src").alias("n")))
         .distinct()
+        # und feeds the degree aggregate + both capped-adjacency legs:
+        # persist so the symmetrize-distinct exchange runs once (r16 opt)
+        .persist()
     )
     deg = und.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
     kept = deg.filter(F.col("d") <= _CN_HUB_CAP)
@@ -1118,10 +1150,13 @@ def graph_kcore(spark, sf_dir):
 )
 def graph_clustering_coefficient(spark, sf_dir):
     ue = user_edges(spark, sf_dir)
+    # sym feeds four subtrees (deg + the three wedge-join legs): persist
+    # so the symmetrize-distinct exchange runs once (r16 opt, guide §5)
     sym = (
         ue.select("src", "dst")
         .union(ue.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        .persist()
     )
     deg = sym.groupBy(F.col("src").alias("v")).agg(
         F.count(F.lit(1)).alias("d")
@@ -1504,6 +1539,9 @@ def graph_adamic_adar(spark, sf_dir):
         ue.select(F.col("src").alias("v"), F.col("dst").alias("n"))
         .union(ue.select(F.col("dst").alias("v"), F.col("src").alias("n")))
         .distinct()
+        # und feeds the degree aggregate + both capped-adjacency legs:
+        # persist so the symmetrize-distinct exchange runs once (r16 opt)
+        .persist()
     )
     deg = und.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
     kept = deg.filter(F.col("d") <= _CN_HUB_CAP)
@@ -1629,9 +1667,13 @@ def graph_modularity(spark, sf_dir):
     from pyspark.sql import Window
 
     ue = user_edges(spark, sf_dir)
+    # r16 opt (guide §5): und feeds within + degrees + the edge total m
+    # (3 subtrees), comm feeds both join legs + the community degree sum
+    # (3 subtrees) — persist each so the canonicalize-distinct exchange
+    # and the argmax window run once.
     und = ue.select(
         F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct()
+    ).distinct().persist()
     ev = load(spark, sf_dir, "events").select(
         "user_id", F.get_json_object("props", "$.k").alias("k")
     )
@@ -1647,7 +1689,7 @@ def graph_modularity(spark, sf_dir):
         )
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("k").alias("com"))
-    )
+    ).persist()
     ca = comm.select(F.col("user_id").alias("ua"), F.col("com").alias("coma"))
     cb = comm.select(F.col("user_id").alias("ub"), F.col("com").alias("comb"))
     within = (
@@ -1657,9 +1699,9 @@ def graph_modularity(spark, sf_dir):
         .groupBy(F.col("coma").alias("w_com"))
         .agg(F.count("*").alias("ec"))
     )
+    # one explode pass instead of a 2-way unionAll (two und subtrees)
     degs = (
-        und.select(F.col("a").alias("v"))
-        .unionAll(und.select("b"))
+        und.select(F.explode(F.array("a", "b")).alias("v"))
         .groupBy("v")
         .agg(F.count("*").alias("d"))
     )
@@ -1785,31 +1827,22 @@ def agg_association_rules(spark, sf_dir):
     """Reuses the capped co-purchase shape (quadratic only in basket
     size) and adds two broadcast-sized joins for the item counts plus a
     1-row basket total — the metrics cost nothing beyond the pair
-    aggregate the recommender already runs."""
-    items = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_partkey"
-    ).distinct()
-    ok = (
-        items.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") <= _BASKET_CAP)
-        .select("l_orderkey")
+    aggregate the recommender already runs. r16 opt: the basket frame is
+    built by _capped_baskets' single groupBy and persisted — it feeds
+    THREE aggregates (basket total, item counts, pair counts) that each
+    recomputed the lineitem distinct + cap join before; item counts and
+    pairs now derive from the basket array with no self-join."""
+    baskets = _capped_baskets(spark, sf_dir).persist()
+    n = baskets.agg(F.count(F.lit(1)).cast("double").alias("nb"))
+    item_n = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count("*").cast("bigint").alias("c"))
     )
-    kept = items.join(ok, "l_orderkey")
-    n = kept.agg(
-        F.count_distinct("l_orderkey").cast("double").alias("nb")
-    )
-    item_n = kept.groupBy("l_partkey").agg(
-        F.count("*").cast("bigint").alias("c")
-    )
-    a = kept.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = kept.select("l_orderkey", F.col("l_partkey").alias("part_b"))
     pairs = (
-        a.join(
-            b,
-            (a["l_orderkey"] == b["l_orderkey"])
-            & (F.col("part_a") < F.col("part_b")),
-        )
+        baskets.select(F.explode(F.expr(_BASKET_PAIRS)).alias("p"))
+        .select(F.col("p.part_a").alias("part_a"),
+                F.col("p.part_b").alias("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count("*").cast("bigint").alias("c_ab"))
         .filter(F.col("c_ab") >= 5)
@@ -1877,13 +1910,20 @@ def graph_edge_support(spark, sf_dir):
         ue.select(F.col("src").alias("v"), F.col("dst").alias("n"))
         .union(ue.select(F.col("dst").alias("v"), F.col("src").alias("n")))
         .distinct()
+        # und feeds the degree aggregate + both capped-adjacency legs:
+        # persist so the symmetrize-distinct exchange runs once (r16 opt)
+        .persist()
     )
     deg = und.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
     kept = deg.filter(F.col("d") <= _CN_HUB_CAP)
+    # ke feeds the canonical edge list + BOTH wedge-join legs (3
+    # subtrees): persist so the two capped-adjacency joins run once
+    # (r16 opt, guide §5)
     ke = (
         und.join(F.broadcast(kept.select("v")), "v")
         .join(F.broadcast(kept.select(F.col("v").alias("n"))), "n")
         .select("v", "n")
+        .persist()
     )
     edges = ke.select(
         F.least("v", "n").alias("a"), F.greatest("v", "n").alias("b")

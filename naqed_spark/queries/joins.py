@@ -748,9 +748,15 @@ def join_fuzzy_entity_resolution(spark, sf_dir):
         ).alias("p_name"),
     )
     master = c.select("c_custkey", "c_name")
-    dist = F.levenshtein(F.col("p_name"), F.col("c_name"))
+    # r16 opt (guide §1.2 per-task work): the broadcast-nested-loop
+    # predicate ran the UNbounded levenshtein — O(|a|·|b|) per compared
+    # pair. The bounded form levenshtein(a, b, k) early-exits once the
+    # distance provably exceeds k (returns -1), an O(k·|a|) band compute;
+    # dist <= 2 ⟺ bounded(…, 2) >= 0, and when it holds the returned
+    # value IS the distance, so the emitted column is unchanged.
+    dist = F.levenshtein(F.col("p_name"), F.col("c_name"), 2)
     cand = (
-        master.join(F.broadcast(probe), dist <= 2)
+        master.join(F.broadcast(probe), dist >= 0)
         .select("p_key", "p_name", "c_custkey", dist.alias("dist"))
     )
     w = Window.partitionBy("p_key").orderBy(

@@ -54,17 +54,23 @@ _SIG_COLS_SQL = ", ".join(
 
 
 def _shingle_sets(spark, sf_dir):
-    """(doc_id, sset) — distinct 5-word shingles per doc (Spark side)."""
+    """(doc_id, sset) — distinct 5-word shingles per doc (Spark side).
+
+    The word array is projected ONCE (`w`) before the shingle lambda runs
+    over it: higher-order-function lambdas are interpreted per element, so
+    an inline ``split(text)`` in the lambda body would re-tokenize the
+    document for EVERY shingle index — O(words²) splits per doc (guide
+    §1.2 "per-task work"; r16 optimization)."""
     d = load(spark, sf_dir, "documents")
-    w = F.split("text", " ")
     return (
-        d.filter(F.size(w) >= 5)
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 5)
         .select(
             "doc_id",
             F.array_distinct(
                 F.expr(
-                    "transform(sequence(1, size(split(text, ' ')) - 4),"
-                    " i -> array_join(slice(split(text, ' '), i, 5), ' '))"
+                    "transform(sequence(1, size(w) - 4),"
+                    " i -> array_join(slice(w, i, 5), ' '))"
                 )
             ).alias("sset"),
         )
@@ -83,6 +89,33 @@ def _minhash_sigs(spark, sf_dir):
         for k, seed in enumerate(_SEEDS)
     ]
     return sh.select("doc_id", "sset", *sig_cols)
+
+
+def _band_buckets(sigs):
+    """(doc_id, band, bh) — 4 bands × 2 rows. One pass, not a 4-way
+    unionAll: each signature row explodes into its 4 (band, bucket-hash)
+    structs, so the band table is a single Project+Generate over sigs
+    instead of four unioned scans — half the plan nodes on each side of
+    the candidate self-join, one cache read per side instead of four
+    (r16 opt; rows produced are identical to the union spelling)."""
+    return sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat(
+                                F.col(f"sig{2 * b}"), F.col(f"sig{2 * b + 1}")
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.band").alias("band"), F.col("p.bh").alias("bh"))
 
 
 @query(
@@ -221,16 +254,7 @@ def llm_shingle_minhash(spark, sf_dir):
 )
 def llm_neardup_lsh(spark, sf_dir):
     sigs = _minhash_sigs(spark, sf_dir).persist()
-    bands = None
-    for b in range(4):
-        part = sigs.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(F.concat(F.col(f"sig{2 * b}"), F.col(f"sig{2 * b + 1}"))).alias(
-                "bh"
-            ),
-        )
-        bands = part if bands is None else bands.unionAll(part)
+    bands = _band_buckets(sigs)
     a, b_ = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -295,16 +319,7 @@ def llm_minhash_jaccard_estimate(spark, sf_dir):
     all-pairs); the estimate adds only per-pair integer arithmetic over
     the already-joined signature rows — scan-shaped at any corpus size."""
     sigs = _minhash_sigs(spark, sf_dir).persist()
-    bands = None
-    for b in range(4):
-        part = sigs.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(F.concat(F.col(f"sig{2 * b}"), F.col(f"sig{2 * b + 1}"))).alias(
-                "bh"
-            ),
-        )
-        bands = part if bands is None else bands.unionAll(part)
+    bands = _band_buckets(sigs)
     a, b_ = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -444,7 +459,38 @@ def _blocked_union(spark, e, schema: str, gen_factory):
     unpersisted (VERDICT r4 item 6 — a long session pins one result frame
     per kernel run, not nblocks of them; ``session.release_checkpoints``
     frees even that once the result is consumed). An empty candidate table
-    yields an empty frame of ``schema`` rather than a zero-arg reduce."""
+    yields an empty frame of ``schema`` rather than a zero-arg reduce.
+
+    Single-block fast path (r16 opt, guide §1.2 "fewer passes"): when
+    Catalyst's own size estimate for the candidate plan is within the
+    block budget, the sizing aggregation job (min/max/count/dim over the
+    whole table) is provably pointless — its only purpose is to split a
+    too-big table into blocks. Skip it and collect the table directly:
+    one pre-kernel job instead of two. Parquet float arrays barely
+    compress, so the file-size-based estimate tracks the in-memory
+    payload; a pathological under-estimate merely degenerates to what
+    the single-block path always did (collect everything once). The
+    stats job remains the arbiter whenever the estimate exceeds the
+    budget or a test pins the block size via NAQED_KNN_BLOCK_ROWS."""
+    if "NAQED_KNN_BLOCK_ROWS" not in os.environ:
+        try:
+            est = int(
+                e._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            est = -1
+        if 0 <= est <= _KNN_BLOCK_BYTES:
+            import numpy as np
+
+            blk = e.toArrow()
+            if blk.num_rows == 0:
+                return spark.createDataFrame([], schema)
+            ids = blk.column("vec_id").to_numpy()
+            m = np.asarray(blk.column("embedding").to_pylist(), dtype=np.float64)
+            bc = spark.sparkContext.broadcast(
+                (ids.astype(np.int64), m, np.sqrt((m * m).sum(axis=1)))
+            )
+            return e.mapInPandas(gen_factory(bc), schema=schema)
     lo, hi, n, dim = e.agg(
         F.min("vec_id"),
         F.max("vec_id"),

@@ -254,12 +254,21 @@ def llm_simhash_neardup(spark, sf_dir):
         )
         .distinct()
     )
-    sa = sigs.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("ha"))
-    sb = sigs.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("hb"))
-    ham = F.expr(
-        "size(filter(sequence(1, 60),"
-        " i -> substring(ha, i, 1) != substring(hb, i, 1)))"
+    # r16 opt (guide §4.1 "built-ins over per-element work"): the exact
+    # Hamming verify was an interpreted 60-element HOF (two substrings per
+    # position per pair, evaluated again for the emit). The 60-char
+    # '0'/'1' signature IS a 60-bit integer: parse each side once
+    # (conv base-2), then hamming = bit_count(a XOR b) — one codegen
+    # expression per pair, bit-identical to the per-character count.
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        F.conv("simhash", 2, 10).cast("long").alias("va"),
     )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        F.conv("simhash", 2, 10).cast("long").alias("vb"),
+    )
+    ham = F.bit_count(F.col("va").bitwiseXOR(F.col("vb")))
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")

@@ -55,33 +55,46 @@ def simhash_ctes(src: str) -> str:
 
 def simhash_of(corpus):
     """(doc_id, simhash 60-bit string) for any (doc_id, text) DataFrame —
-    the Spark twin of ``simhash_ctes``."""
+    the Spark twin of ``simhash_ctes``.
+
+    r16 opt (guide §1.2/§2.3): the old spelling exploded every distinct
+    (doc, token) row ×15 digit positions ×4 bit positions — 60 rows per
+    token, with ``md5(tok)`` re-evaluated on EVERY one of them — then
+    hash-aggregated the 60×-inflated stream twice (by (doc,i), then by
+    doc). Now the md5 is computed once per token row and the 60 bit sums
+    are 60 aggregate columns of ONE codegen hash aggregate on doc_id:
+    identical arithmetic (sum(2·bit−1) ≥ 0 ⟺ 2·Σbit − n_toks ≥ 0, exact
+    integers), 1/60th the aggregated rows, one exchange instead of two,
+    zero interpreted HOFs. The DuckDB CTE keeps the explode spelling —
+    cross-engine equality is exactly what the oracle hash checks."""
     toks = corpus.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).distinct()
-    bits = (
-        toks.withColumn("p", F.explode(F.sequence(F.lit(1), F.lit(15))))
-        .withColumn("b", F.explode(F.array(*[F.lit(i) for i in range(4)])))
-        .select(
-            "doc_id",
-            ((F.col("p") - 1) * 4 + F.col("b")).alias("i"),
-            F.expr(f"({_MD5_DIGIT.format(col='tok', p='p')} >> b) & 1").alias(
-                "bit"
-            ),
-        )
+    # Expressions are built as SQL strings in three batched selectExpr/agg
+    # calls: 60 individually-constructed Column objects cost ~10 py4j
+    # round trips each (~1 s of pure driver chatter per build, measured —
+    # Catalyst itself optimizes this plan in <0.1 s).
+    hashed = toks.selectExpr("doc_id", "md5(tok) AS h")
+    digits = hashed.selectExpr(
+        "doc_id",
+        *[
+            f"(instr('{_HEX}', substr(h, {p}, 1)) - 1) AS d{p}"
+            for p in range(1, 16)
+        ],
     )
-    sums = bits.groupBy("doc_id", "i").agg(
-        F.when(F.sum(2 * F.col("bit") - 1) >= 0, "1").otherwise("0").alias("bit")
+    agg = digits.groupBy("doc_id").agg(
+        F.expr("count(1) AS n_toks"),
+        *[
+            F.expr(f"sum((d{p} >> {b}) & 1) AS s{(p - 1) * 4 + b}")
+            for p in range(1, 16)
+            for b in range(4)
+        ],
     )
-    return sums.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("i", "bit"))),
-                lambda x: x["bit"],
-            ),
-            "",
-        ).alias("simhash")
+    bit_chars = ", ".join(
+        f"(CASE WHEN 2 * s{i} - n_toks >= 0 THEN '1' ELSE '0' END)"
+        for i in range(60)
     )
+    return agg.selectExpr("doc_id", f"concat({bit_chars}) AS simhash")
 
 
 @query(
@@ -582,36 +595,59 @@ _NGRAM_DF_CAP = 64
 
 
 def _shingle_sets(corpus):
-    """(doc_id, sset): distinct 5-word shingles per doc with >= 5 words."""
-    return corpus.filter(F.size(F.split("text", " ")) >= 5).select(
-        "doc_id",
-        F.array_distinct(
-            F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 4),"
-                " i -> array_join(slice(split(text, ' '), i, 5), ' '))"
-            )
-        ).alias("sset"),
+    """(doc_id, sset): distinct 5-word shingles per doc with >= 5 words.
+
+    Words are projected once before the shingle lambda — an inline
+    ``split(text)`` in the lambda body is re-evaluated per element by the
+    interpreted HOF path, i.e. O(words²) splits per doc (r16 opt)."""
+    return (
+        corpus.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 5)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(w) - 4),"
+                    " i -> array_join(slice(w, i, 5), ' '))"
+                )
+            ).alias("sset"),
+        )
     )
 
 
 def _ngram_candidates(sh, df_cap: int):
     """Distinct (id_a, id_b) pairs sharing >= 1 shingle whose document
-    frequency is <= ``df_cap`` — the bounded-fan-out candidate generator."""
+    frequency is <= ``df_cap`` — the bounded-fan-out candidate generator.
+
+    r16 opt (guide §2.3/§2.4): the old spelling shuffled the exploded
+    (doc_id, shingle) table ~4× — a count aggregate for the df filter, a
+    join back against it, then BOTH sides of a shingle self-join, then the
+    pair distinct. Now the posting rows are exchanged on the shingle ONCE:
+    a window count over that partitioning computes df (WindowExec spills,
+    so a 100 TB stopword shingle streams through it), the df filter keeps
+    only postings with <= df_cap entries, and a groupBy on the SAME key
+    reuses the exchange to build the (now provably <= df_cap-sized)
+    sorted posting list, from which the i<j pairs are generated by array
+    arithmetic — identical pair set, 2 exchanges instead of ~5, and no
+    join whose fan-out needs a second skew defence (the collect is
+    bounded by the cap the filter just enforced)."""
     ex = sh.select("doc_id", F.explode("sset").alias("s"))
-    keep = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= df_cap
-    ).select("s")
-    exc = ex.join(keep, "s").select("doc_id", "s")
+    dfw = F.count(F.lit(1)).over(Window.partitionBy("s"))
+    posting = (
+        ex.withColumn("df", dfw)
+        .filter(F.col("df") <= df_cap)
+        .groupBy("s")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids) - i - 1),"
+        " y -> struct(x AS id_a, y AS id_b))))"
+    )
     return (
-        exc.alias("a")
-        .join(
-            exc.alias("b"),
-            (F.col("a.s") == F.col("b.s"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
+        posting.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
     )
 
@@ -678,18 +714,35 @@ def llm_ngram_jaccard(spark, sf_dir):
             (F.col("doc_id") + 1000000).alias("doc_id"), trunc.alias("text")
         )
     )
-    sh = _shingle_sets(corpus)
+    # r16 opt (guide §1.2 "don't compute things twice"): the shingle-set
+    # frame feeds FIVE subtrees (both sides of the candidate self-join,
+    # the df-cap aggregate, and both verify legs) — without a persist the
+    # O(words)-per-doc shingle transform re-runs for every subtree.
+    # Persisted, it is computed once per pass like neardup_lsh's sigs.
+    sh = _shingle_sets(corpus).persist()
     cand = _ngram_candidates(sh, _NGRAM_DF_CAP)
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sset").alias("seta"))
     sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sset").alias("setb"))
-    common = F.size(F.array_intersect("seta", "setb"))
-    jac = common.cast("double") / (
-        F.size("seta") + F.size("setb") - common
-    )
-    return (
+    # Intersection/set sizes are projected ONCE per candidate pair before
+    # the threshold filter — spelling the filter over the raw arrays made
+    # interpreted array_intersect run up to 3× per pair (filter + two
+    # emit references). jac from 3 ints is codegen-cheap.
+    sized = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .filter(jac >= 0.5)
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("seta", "setb")).alias("n_common"),
+            F.size("seta").alias("n_a"),
+            F.size("setb").alias("n_b"),
+        )
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        sized.filter(jac >= 0.5)
         .select("id_a", "id_b", r6(jac).alias("jac"))
     )
 

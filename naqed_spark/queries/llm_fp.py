@@ -736,16 +736,19 @@ def llm_lsh_precision_recall(spark, sf_dir):
             for k, seed in enumerate(seeds)
         ],
     )
-    bands = None
-    for b in range(4):
-        part = sigs.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(F.concat(F.col(f"sig{2*b}"), F.col(f"sig{2*b+1}"))).alias(
-                "bh"
-            ),
-        )
-        bands = part if bands is None else bands.unionAll(part)
+    # r16 opt (guide §1.2/§5): this audit runs FOUR scalar count() actions
+    # (planted / recalled / candidates / precise) — before, every action
+    # recomputed the shingle+MinHash+band pipeline from scratch (the
+    # shingle transform ran ~8×; measured 192 s build at sf0.1). The two
+    # frames every count hangs off — the shingle sets and the candidate
+    # pairs — are persisted for the duration of the audit and freed
+    # before returning (the result is a single local row, so nothing
+    # downstream can still need them). Band table comes from the shared
+    # single-pass _band_buckets instead of a 4-way unionAll.
+    from naqed_spark.queries.llm import _band_buckets
+
+    sh = sh.persist()
+    bands = _band_buckets(sigs)
     a = bands.select(F.col("doc_id").alias("ia"), "band", "bh")
     b_ = bands.select(F.col("doc_id").alias("ib"), "band", "bh")
     cand = (
@@ -753,6 +756,7 @@ def llm_lsh_precision_recall(spark, sf_dir):
         .filter(F.col("ia") < F.col("ib"))
         .select("ia", "ib")
         .distinct()
+        .persist()
     )
     sa = sh.select(F.col("doc_id").alias("ia"), F.col("sset").alias("sa"))
     sb = sh.select(F.col("doc_id").alias("ib"), F.col("sset").alias("sb"))
@@ -772,10 +776,14 @@ def llm_lsh_precision_recall(spark, sf_dir):
     s2 = sh.select((F.col("doc_id") - 300000).alias("ia"),
                    F.col("doc_id").alias("ib"))
     planted = s1.join(s2, "ia").select("ia", "ib")
-    n_planted = planted.count()
-    n_recalled = planted.join(cand, ["ia", "ib"], "left_semi").count()
-    n_candidates = cand.count()
-    n_precise = verified.filter(F.col("j") >= _LSH_EVAL_TAU).count()
+    try:
+        n_planted = planted.count()
+        n_recalled = planted.join(cand, ["ia", "ib"], "left_semi").count()
+        n_candidates = cand.count()
+        n_precise = verified.filter(F.col("j") >= _LSH_EVAL_TAU).count()
+    finally:
+        cand.unpersist(False)
+        sh.unpersist(False)
     row = [
         (
             n_planted,
@@ -1045,23 +1053,46 @@ def llm_lsh_banding_sweep(spark, sf_dir):
             for k in range(8)
         ],
     ).localCheckpoint()  # reused by all three configs — compute once
-    s1 = sh.select(F.col("doc_id").alias("ia"))
-    s2 = sh.select(
+    # r16 opt (guide §1.2): planted pairs derive from doc_ids alone, and
+    # sigs (checkpointed above) carries exactly sh's doc_ids — deriving
+    # planted from sigs instead of sh stops every planted use (1 count +
+    # 3 semi-joins) from re-running the shingle+variant transform from
+    # parquet (~8 recomputes of the most expensive projection, measured
+    # 10.9 s build at sf0.1).
+    ids = sigs.select("doc_id")
+    s1 = ids.select(F.col("doc_id").alias("ia"))
+    s2 = ids.select(
         (F.col("doc_id") - 300000).alias("ia"), F.col("doc_id").alias("ib")
     )
     planted = s1.join(s2, "ia").select("ia", "ib")
     n_planted = planted.count()
 
     def config(nbands: int, rows: int):
-        bands = None
-        for b in range(nbands):
-            bh = F.md5(
-                F.concat(*[F.col(f"sig{b * rows + j}") for j in range(rows)])
-            )
-            part = sigs.select(
-                "doc_id", F.lit(b).alias("band"), bh.alias("bh")
-            )
-            bands = part if bands is None else bands.unionAll(part)
+        # band table in one Project+Generate pass (the _band_buckets
+        # shape, parameterized by banding config)
+        bands = sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.md5(
+                                F.concat(
+                                    *[
+                                        F.col(f"sig{b * rows + j}")
+                                        for j in range(rows)
+                                    ]
+                                )
+                            ).alias("bh"),
+                        )
+                        for b in range(nbands)
+                    ]
+                )
+            ).alias("p"),
+        ).select(
+            "doc_id", F.col("p.band").alias("band"), F.col("p.bh").alias("bh")
+        )
         a = bands.select(F.col("doc_id").alias("ia"), "band", "bh")
         b_ = bands.select(F.col("doc_id").alias("ib"), "band", "bh")
         cand = (
@@ -1069,9 +1100,13 @@ def llm_lsh_banding_sweep(spark, sf_dir):
             .filter(F.col("ia") < F.col("ib"))
             .select("ia", "ib")
             .distinct()
+            .persist()  # two counts below — candidate set computed once
         )
-        n_cand = cand.count()
-        n_rec = planted.join(cand, ["ia", "ib"], "left_semi").count()
+        try:
+            n_cand = cand.count()
+            n_rec = planted.join(cand, ["ia", "ib"], "left_semi").count()
+        finally:
+            cand.unpersist(False)
         # NULL recall when nothing is planted (DuckDB x/0 → NULL parity)
         rec = round(n_rec / n_planted, 6) if n_planted else None
         return (nbands, rows, n_cand, rec)
@@ -1117,21 +1152,27 @@ def llm_lsh_banding_sweep(spark, sf_dir):
 )
 def llm_ngram_novelty(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
-    w = F.split("text", " ")
+    # r16 opt (guide §2.3/§2.4): the old spelling exploded the ngram INDEX
+    # and carried the doc's whole word array on every exploded row (one
+    # array copy per ngram), then paid a full (doc_id, h) distinct
+    # exchange. Now the per-doc distinct ngram-hash SET is built in one
+    # map-side projection (transform → array_distinct — same dedup the
+    # global distinct did, since hashes were distinct per doc) and only
+    # 16-byte-hash rows are ever exploded or shuffled.
     g = (
-        d.filter(F.size(w) >= 3)
+        d.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 3)
         .select(
             "doc_id",
-            F.explode(F.sequence(F.lit(1), F.size(w) - 2)).alias("i"),
-            w.alias("w"),
-        )
-        .select(
-            "doc_id",
-            F.md5(
-                F.array_join(F.slice("w", F.col("i"), F.lit(3)), " ")
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(1, size(w) - 2),"
+                        " i -> md5(array_join(slice(w, i, 3), ' ')))"
+                    )
+                )
             ).alias("h"),
         )
-        .distinct()
     )
     first_seen = g.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
     joined = g.join(first_seen, "h")
