@@ -33,7 +33,40 @@ __all__ = [
     "r4",
     "r6",
     "low_shuffle",
+    "scoped_persist",
+    "release_scoped_persists",
 ]
+
+# r16 opt (guide §5 "unpersist when done"): query builders persist frames
+# their OWN plan reuses 2-5×, but a lazy builder never sees the consuming
+# action, so it cannot unpersist afterwards — and a session that runs many
+# queries (the oracle sweep, a real pipeline) accumulated every mark until
+# storage eviction + GC churn showed up as multi-second stalls on
+# unrelated keys (measured: 417-key sweep total exec 211 s → 247 s purely
+# from accumulation). ``scoped_persist`` registers the mark; the registry
+# releases all of the PREVIOUS query's marks when the NEXT query builds.
+# Releasing a persist mark is always safe — unlike a checkpoint, the
+# lineage recomputes — so the worst case for an unusual caller
+# (build A, build B, then run A) is a recompute, never a wrong answer.
+_SCOPED_PERSISTS: list = []
+
+
+def scoped_persist(df):
+    """Persist ``df`` for intra-query subtree reuse; the mark is released
+    when the next registered query builds (see registry.query)."""
+    df.persist()
+    _SCOPED_PERSISTS.append(df)
+    return df
+
+
+def release_scoped_persists() -> None:
+    old = list(_SCOPED_PERSISTS)
+    _SCOPED_PERSISTS.clear()
+    for df in old:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
 
 
 def date_str(c: str | Column) -> Column:

@@ -26,7 +26,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from naqed_spark.queries._util import dec, dsum, epoch_us, load, low_shuffle, r6
+from naqed_spark.queries._util import (
+    dec,
+    dsum,
+    epoch_us,
+    load,
+    low_shuffle,
+    r6,
+    scoped_persist,
+)
 from naqed_spark.registry import query
 
 HOUR_US = 3600 * 1000 * 1000
@@ -70,7 +78,7 @@ def user_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").alias("kb"),
         F.col("ts_us").alias("tb"),
     ).withColumn("hb", (F.col("tb") - F.col("tb") % HOUR_US) / HOUR_US)
-    return (
+    edges = (
         a.join(
             b,
             (F.col("ka") == F.col("kb"))
@@ -81,18 +89,18 @@ def user_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("src", "dst")
         .distinct()
-        # r16 opt (guide §5 "reused AND expensive to recompute"): almost
-        # every graph key's plan instantiates this edge subtree 2-4×
-        # (symmetrize-union, adjacency self-joins), and each instance is
-        # the full events self-join + distinct. Persisting here lets one
-        # materialization feed every instance (InMemoryTableScan). The
-        # cache entry is a per-session edge LIST (narrow, 2 longs/row),
-        # evictable, marked — not materialized — at build time; keys
-        # that explicitly persist/unpersist (bfs, pagerank) keep working:
-        # CacheManager dedups the mark and a consumer's unpersist simply
-        # lets the next build's mark re-cache it.
-        .persist()
     )
+    # r16 opt (guide §5 "reused AND expensive to recompute"): almost
+    # every graph key's plan instantiates this edge subtree 2-4×
+    # (symmetrize-union, adjacency self-joins), and each instance is
+    # the full events self-join + distinct. Persisting here lets one
+    # materialization feed every instance (InMemoryTableScan). The mark
+    # is SCOPED — released when the next registered query builds — so a
+    # long session never accumulates one edge cache per graph key; keys
+    # that explicitly persist/unpersist (bfs, pagerank) keep working:
+    # CacheManager dedups the mark and a consumer's unpersist simply
+    # lets the next build's mark re-cache it.
+    return scoped_persist(edges)
 
 
 @query(
@@ -298,7 +306,7 @@ def _nation_edges(spark, sf_dir):
 def graph_shortest_path_weighted(spark, sf_dir):
     from naqed_spark.session import persistent_rdd_ids, trim_pins
 
-    ne = _nation_edges(spark, sf_dir).persist()
+    ne = scoped_persist(_nation_edges(spark, sf_dir))
     ne.count()  # materialize the edge cache BEFORE base so trim can't sweep it
     base = persistent_rdd_ids(spark)
     # Bellman-Ford: relax all edges each round; ≤6 rounds mirrors the CTE cap
@@ -435,8 +443,8 @@ def graph_pagerank_fixed(spark, sf_dir):
         ue.select(F.col("src").alias("v"))
         .union(ue.select(F.col("dst").alias("v")))
         .distinct()
-        .persist()
     )
+    verts = scoped_persist(verts)
     n = verts.count()  # also materializes both caches BEFORE base (trim safety)
     if n == 0:
         # empty edge set → no vertices, no mass to distribute (and 1/n is
@@ -511,7 +519,7 @@ def graph_triangle_count(spark, sf_dir):
         .union(ue.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
     )
-    e = sym.filter(F.col("src") < F.col("dst")).persist()
+    e = scoped_persist(sym.filter(F.col("src") < F.col("dst")))
     e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
@@ -830,10 +838,11 @@ def graph_common_neighbors(spark, sf_dir):
         ue.select(F.col("src").alias("v"), F.col("dst").alias("n"))
         .union(ue.select(F.col("dst").alias("v"), F.col("src").alias("n")))
         .distinct()
-        # und feeds the degree aggregate + both capped-adjacency legs:
-        # persist so the symmetrize-distinct exchange runs once (r16 opt)
-        .persist()
     )
+    # und feeds the degree aggregate + both capped-adjacency legs: persist
+    # (scoped — released at the next query build) so the
+    # symmetrize-distinct exchange runs once (r16 opt)
+    und = scoped_persist(und)
     deg = und.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
     kept = deg.filter(F.col("d") <= _CN_HUB_CAP)
     ke = (
@@ -1156,8 +1165,8 @@ def graph_clustering_coefficient(spark, sf_dir):
         ue.select("src", "dst")
         .union(ue.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
-        .persist()
     )
+    sym = scoped_persist(sym)
     deg = sym.groupBy(F.col("src").alias("v")).agg(
         F.count(F.lit(1)).alias("d")
     )
@@ -1539,10 +1548,11 @@ def graph_adamic_adar(spark, sf_dir):
         ue.select(F.col("src").alias("v"), F.col("dst").alias("n"))
         .union(ue.select(F.col("dst").alias("v"), F.col("src").alias("n")))
         .distinct()
-        # und feeds the degree aggregate + both capped-adjacency legs:
-        # persist so the symmetrize-distinct exchange runs once (r16 opt)
-        .persist()
     )
+    # und feeds the degree aggregate + both capped-adjacency legs: persist
+    # (scoped — released at the next query build) so the
+    # symmetrize-distinct exchange runs once (r16 opt)
+    und = scoped_persist(und)
     deg = und.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
     kept = deg.filter(F.col("d") <= _CN_HUB_CAP)
     ke = (
@@ -1671,9 +1681,12 @@ def graph_modularity(spark, sf_dir):
     # (3 subtrees), comm feeds both join legs + the community degree sum
     # (3 subtrees) — persist each so the canonicalize-distinct exchange
     # and the argmax window run once.
-    und = ue.select(
-        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
-    ).distinct().persist()
+    und = scoped_persist(
+        ue.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        ).distinct()
+    )
     ev = load(spark, sf_dir, "events").select(
         "user_id", F.get_json_object("props", "$.k").alias("k")
     )
@@ -1689,7 +1702,8 @@ def graph_modularity(spark, sf_dir):
         )
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("k").alias("com"))
-    ).persist()
+    )
+    comm = scoped_persist(comm)
     ca = comm.select(F.col("user_id").alias("ua"), F.col("com").alias("coma"))
     cb = comm.select(F.col("user_id").alias("ub"), F.col("com").alias("comb"))
     within = (
@@ -1832,7 +1846,7 @@ def agg_association_rules(spark, sf_dir):
     THREE aggregates (basket total, item counts, pair counts) that each
     recomputed the lineitem distinct + cap join before; item counts and
     pairs now derive from the basket array with no self-join."""
-    baskets = _capped_baskets(spark, sf_dir).persist()
+    baskets = scoped_persist(_capped_baskets(spark, sf_dir))
     n = baskets.agg(F.count(F.lit(1)).cast("double").alias("nb"))
     item_n = (
         baskets.select(F.explode("parts").alias("l_partkey"))
@@ -1910,20 +1924,20 @@ def graph_edge_support(spark, sf_dir):
         ue.select(F.col("src").alias("v"), F.col("dst").alias("n"))
         .union(ue.select(F.col("dst").alias("v"), F.col("src").alias("n")))
         .distinct()
-        # und feeds the degree aggregate + both capped-adjacency legs:
-        # persist so the symmetrize-distinct exchange runs once (r16 opt)
-        .persist()
     )
+    # und feeds the degree aggregate + both capped-adjacency legs: persist
+    # (scoped — released at the next query build) so the
+    # symmetrize-distinct exchange runs once (r16 opt)
+    und = scoped_persist(und)
     deg = und.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
     kept = deg.filter(F.col("d") <= _CN_HUB_CAP)
     # ke feeds the canonical edge list + BOTH wedge-join legs (3
     # subtrees): persist so the two capped-adjacency joins run once
     # (r16 opt, guide §5)
-    ke = (
+    ke = scoped_persist(
         und.join(F.broadcast(kept.select("v")), "v")
         .join(F.broadcast(kept.select(F.col("v").alias("n"))), "n")
         .select("v", "n")
-        .persist()
     )
     edges = ke.select(
         F.least("v", "n").alias("a"), F.greatest("v", "n").alias("b")

@@ -239,13 +239,24 @@ def join_asof(spark, sf_dir):
         "o_custkey", "o_orderkey", epoch_us("o_orderdate").alias("order_us")
     )
     j = e.join(o, (o.o_custkey == e.user_id) & (o.order_us <= e.ev_us))
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("order_us").desc(), F.col("o_orderkey").desc()
-    )
+    # r16 opt (guide §2.3 "aggregate before you shuffle"): top-1 per event
+    # was row_number over (order_us DESC, o_orderkey DESC) — a Sort +
+    # WindowGroupLimit on BOTH sides of the exchange. max(struct) is the
+    # same argmax (struct comparison is lexicographic; (order_us,
+    # o_orderkey) pairs are unique per event, so ties cannot differ) but
+    # partial-aggregates map-side: the exchange carries ≤1 row per
+    # (event, map partition) and no sort runs at all. user_id is
+    # functionally dependent on event_id, so grouping by both leaves the
+    # groups unchanged.
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "user_id", "o_orderkey", "order_us")
+        j.groupBy("event_id", "user_id")
+        .agg(F.max(F.struct("order_us", "o_orderkey")).alias("m"))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("m.o_orderkey").alias("o_orderkey"),
+            F.col("m.order_us").alias("order_us"),
+        )
     )
 
 
@@ -282,13 +293,20 @@ def join_asof_nearest(spark, sf_dir):
     j = e.join(o, o.o_custkey == e.user_id).withColumn(
         "dt_us", F.abs(F.col("order_us") - F.col("ev_us"))
     )
-    w = Window.partitionBy("event_id").orderBy(
-        F.col("dt_us").asc(), F.col("order_us").asc(), F.col("o_orderkey").asc()
-    )
+    # r16 opt (guide §2.3): same argmin-by-struct rewrite as join_asof —
+    # min(struct(dt_us, order_us, o_orderkey)) ≡ the rn=1 row of
+    # (dt_us ASC, order_us ASC, o_orderkey ASC); partial agg replaces the
+    # two-sided Sort + WindowGroupLimit and the exchange shrinks to ≤1
+    # row per (event, map partition).
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("event_id", "user_id", "o_orderkey", "dt_us")
+        j.groupBy("event_id", "user_id")
+        .agg(F.min(F.struct("dt_us", "order_us", "o_orderkey")).alias("m"))
+        .select(
+            "event_id",
+            "user_id",
+            F.col("m.o_orderkey").alias("o_orderkey"),
+            F.col("m.dt_us").alias("dt_us"),
+        )
     )
 
 
@@ -747,7 +765,15 @@ def join_fuzzy_entity_resolution(spark, sf_dir):
             F.expr("substring(c_name, 12)"),
         ).alias("p_name"),
     )
-    master = c.select("c_custkey", "c_name")
+    # r16 opt (guide §2.5 input parallelism): the master side streams
+    # through the broadcast-nested-loop probe, and a small parquet scans
+    # as ONE split — every |master|×|batch| levenshtein ran on a single
+    # core. Round-robin repartition to the scheduler's parallelism puts
+    # all cores on the probe; the knob scales with the cluster instead of
+    # hard-coding the local core count.
+    master = c.select("c_custkey", "c_name").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     # r16 opt (guide §1.2 per-task work): the broadcast-nested-loop
     # predicate ran the UNbounded levenshtein — O(|a|·|b|) per compared
     # pair. The bounded form levenshtein(a, b, k) early-exits once the

@@ -33,7 +33,7 @@ from functools import reduce
 
 from pyspark.sql import Window, functions as F
 
-from naqed_spark.queries._util import load, r6
+from naqed_spark.queries._util import load, r6, scoped_persist
 from naqed_spark.registry import query
 
 # -- shared shingle/minhash SQL fragments (DuckDB) -------------------------
@@ -253,7 +253,7 @@ def llm_shingle_minhash(spark, sf_dir):
     """,
 )
 def llm_neardup_lsh(spark, sf_dir):
-    sigs = _minhash_sigs(spark, sf_dir).persist()
+    sigs = scoped_persist(_minhash_sigs(spark, sf_dir))
     bands = _band_buckets(sigs)
     a, b_ = bands.alias("a"), bands.alias("b")
     cand = (
@@ -318,7 +318,7 @@ def llm_minhash_jaccard_estimate(spark, sf_dir):
     """Same candidate generation as llm_neardup_lsh (band equi-join, no
     all-pairs); the estimate adds only per-pair integer arithmetic over
     the already-joined signature rows — scan-shaped at any corpus size."""
-    sigs = _minhash_sigs(spark, sf_dir).persist()
+    sigs = scoped_persist(_minhash_sigs(spark, sf_dir))
     bands = _band_buckets(sigs)
     a, b_ = bands.alias("a"), bands.alias("b")
     cand = (

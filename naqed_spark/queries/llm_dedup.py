@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from naqed_spark.queries._util import load, low_shuffle
+from naqed_spark.queries._util import load, low_shuffle, scoped_persist
 from naqed_spark.queries.llm import _SHINGLES_SQL, _SIG_COLS_SQL, llm_neardup_lsh
 from naqed_spark.registry import query
 
@@ -231,7 +231,7 @@ def llm_simhash_neardup(spark, sf_dir):
             (F.col("doc_id") + 1000000).alias("doc_id"), trunc.alias("text")
         )
     )
-    sigs = simhash_of(corpus).persist()
+    sigs = scoped_persist(simhash_of(corpus))
     bands = sigs.select(
         "doc_id",
         "simhash",

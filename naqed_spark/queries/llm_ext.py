@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from naqed_spark.queries._util import load, r6
+from naqed_spark.queries._util import load, r6, scoped_persist
 from naqed_spark.registry import query
 
 _HEX = "0123456789abcdef"
@@ -360,10 +360,24 @@ def _ivf_candidates(spark, sf_dir):
     md5(vec_id) — a deterministic draw, selected via orderBy+limit (Spark
     plans TakeOrdered: distributed top-k, never a global sort; the
     row_number that names the cells runs over the k seed rows only). One
-    Lloyd iteration retrains the centroids from the seed assignment. The
-    centroid table (k x dim rows) is broadcast into both distance passes —
-    at cluster-scale k it would exceed broadcast size and the planner's
-    shuffle join takes over (values are join-strategy independent)."""
+    Lloyd iteration retrains the centroids from the seed assignment.
+
+    r16 opt (guide §1.2 / §2.3): each distance pass used to posexplode
+    every vector into dim rows and equi-join the exploded stream against
+    the (cell, pos, c) centroid table — an n·k·dim-row join feeding an
+    n·k-group hash aggregate, and the whole thing ran TWICE (seed pass +
+    retrained pass) with `ranked` additionally instantiated for both the
+    assigned and probes legs. Now centroids stay ARRAYS: distances are a
+    k-row broadcast against the intact vector table with a zip_with fold
+    (n·k rows total, dim-fold each — no 64× row inflation), only the
+    one-pass retrain still explodes (it must average per dimension), and
+    `ranked` is persisted for its two consumers. d² values are the same
+    sum of per-dimension squares; the fold adds them in ascending-dim
+    order while the old hash aggregate added join rows in arbitrary
+    order — both land inside the r6 rounding hedge the key (and its
+    DuckDB twin, which keeps the exploded spelling) already relies on.
+    At cluster scale k outgrows a broadcast; you shard the cell table
+    and the same per-(vector, cell-shard) fold applies."""
     import math
 
     e = load(spark, sf_dir, "embeddings")
@@ -376,29 +390,28 @@ def _ivf_candidates(spark, sf_dir):
     seeds = top.select(
         "vec_id", F.row_number().over(Window.orderBy("h", "vec_id")).alias("cell")
     )
-    x = e.select(
-        "vec_id", F.posexplode("embedding").alias("pos0", "valf")
-    ).select(
+    v = e.select(
         "vec_id",
-        (F.col("pos0") + 1).alias("pos"),
-        F.col("valf").cast("double").alias("val"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("e"),
+        # r16 opt (guide §2.5 input parallelism): the embeddings file
+        # scans as one split, so every n·k distance fold ran on a single
+        # core. Round-robin to the scheduler's parallelism before the
+        # k-way fan-out — the knob follows cluster size, and at 100 TB a
+        # well-split input makes the repartition a near-no-op pass
+        # compared to the k× fold work it parallelizes.
+    ).repartition(spark.sparkContext.defaultParallelism)
+    c0 = v.join(F.broadcast(seeds), "vec_id").select(
+        "cell", F.col("e").alias("carr")
     )
-    c0 = x.join(F.broadcast(seeds), "vec_id").select(
-        "cell", "pos", F.col("val").alias("c")
+
+    _D2 = (
+        "aggregate(zip_with(e, carr, (a, b) -> (a - b) * (a - b)),"
+        " 0D, (acc, x) -> acc + x)"
     )
 
     def assign(cent):
-        d = (
-            x.join(F.broadcast(cent), "pos")
-            .groupBy("vec_id", "cell")
-            .agg(
-                r6(
-                    F.sum(
-                        (F.col("val") - F.col("c"))
-                        * (F.col("val") - F.col("c"))
-                    )
-                ).alias("d2")
-            )
+        d = v.crossJoin(F.broadcast(cent)).select(
+            "vec_id", "cell", r6(F.expr(_D2)).alias("d2")
         )
         wr = Window.partitionBy("vec_id").orderBy(
             F.col("d2").asc(), F.col("cell").asc()
@@ -407,11 +420,19 @@ def _ivf_candidates(spark, sf_dir):
 
     a0 = assign(c0).filter(F.col("rn") == 1).select("vec_id", "cell")
     cent = (
-        x.join(a0, "vec_id")
-        .groupBy("cell", "pos")
+        v.select("vec_id", F.posexplode("e").alias("pos0", "val"))
+        .join(a0, "vec_id")
+        .groupBy("cell", "pos0")
         .agg(r6(F.avg("val")).alias("c"))
+        .groupBy("cell")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos0, c))),"
+                " s -> s.c)"
+            ).alias("carr")
+        )
     )
-    ranked = assign(cent)
+    ranked = scoped_persist(assign(cent))
     assigned = ranked.filter(F.col("rn") == 1).select(
         F.col("vec_id").alias("nbr"), "cell"
     )
@@ -719,7 +740,7 @@ def llm_ngram_jaccard(spark, sf_dir):
     # the df-cap aggregate, and both verify legs) — without a persist the
     # O(words)-per-doc shingle transform re-runs for every subtree.
     # Persisted, it is computed once per pass like neardup_lsh's sigs.
-    sh = _shingle_sets(corpus).persist()
+    sh = scoped_persist(_shingle_sets(corpus))
     cand = _ngram_candidates(sh, _NGRAM_DF_CAP)
     sa = sh.select(F.col("doc_id").alias("id_a"), F.col("sset").alias("seta"))
     sb = sh.select(F.col("doc_id").alias("id_b"), F.col("sset").alias("setb"))

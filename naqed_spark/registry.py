@@ -31,7 +31,28 @@ def query(key: str, oracle: Optional[str] = None, rows_only: bool = False):
     def deco(fn: QueryFn) -> QueryFn:
         if key in QUERIES:
             raise ValueError(f"duplicate query key {key!r}")
-        QUERIES[key] = fn
+
+        # r16 opt (guide §5): release the previous query's scoped persist
+        # marks before building this one — builders persist frames their
+        # own plan reuses, and a lazy builder cannot unpersist after its
+        # consuming action, so without this a long session accumulates
+        # every mark (storage eviction + GC stalls; see
+        # queries/_util.scoped_persist). Only the REGISTRY entry is
+        # wrapped: the module-level symbol stays the raw fn, so a query
+        # that composes another builder inline does not release its own
+        # caller's marks mid-build.
+        def _wrapped(spark, sf_dir, _fn=fn):
+            from naqed_spark.queries._util import release_scoped_persists
+
+            release_scoped_persists()
+            return _fn(spark, sf_dir)
+
+        _wrapped.__name__ = fn.__name__
+        _wrapped.__qualname__ = fn.__qualname__
+        _wrapped.__doc__ = fn.__doc__
+        _wrapped.__module__ = fn.__module__
+        _wrapped.__wrapped__ = fn
+        QUERIES[key] = _wrapped
         if oracle is not None:
             ORACLES[key] = " ".join(oracle.split())
         elif rows_only:

@@ -408,7 +408,12 @@ def test_copurchase_and_nearest_asof_plans(spark):
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" not in tree
     plan = plan_of(spark, "join_asof_nearest")
-    assert "WindowGroupLimit" in plan
+    # r16: the per-event top-1 is a partial-aggregating min(struct) — the
+    # map side reduces to ≤1 row per (event, partition) BEFORE the
+    # exchange (the scale role WindowGroupLimit played for the old
+    # row_number spelling) and no Window evaluates at all.
+    assert "partial_min" in plan, plan
+    assert "Window" not in plan, plan
 
 
 def test_exists_child_is_semi_join_no_fanout(spark):
@@ -893,7 +898,11 @@ def test_kcore_and_walks_are_flat_state(spark):
         before = len(persistent_rdd_ids(spark))
         QUERIES[key](spark, SF_DIR).collect()
         after = len(persistent_rdd_ids(spark))
-        assert after - before <= 2, (key, before, after)
+        # budget: ≤2 live checkpoints from the fixpoint loop (the r6
+        # item 7 discipline) + 1 for the scoped user_edges cache mark
+        # (r16 opt; constant per key, released when the next query
+        # builds — growth per SUPERSTEP is still what this pins).
+        assert after - before <= 3, (key, before, after)
 
 
 def test_keep_best_dedup_uses_group_limit(spark):
@@ -1151,8 +1160,14 @@ BNLJ_BUDGET = {
     "llm_bm25_score": 1,
     "llm_collocation_pmi": 2,
     "llm_importance_resample": 5,
-    "llm_ivf_recall_at_k": 1,
+    # r16: the IVF centroid-distance passes are k-row broadcast cross
+    # joins against intact vector arrays (k = ceil(sqrt(n)) centroids —
+    # bounded build side by construction) instead of the old dim-exploded
+    # pos equi-join; 4 instances = seed pass + retrained pass × the
+    # assigned/probes consumers of the persisted rank frame.
+    "llm_ivf_recall_at_k": 5,
     "llm_js_divergence": 2,
+    "llm_knn_ivf": 4,
     "llm_perplexity_bucket": 2,
     "llm_sampling_temperature": 3,
     "llm_source_concentration": 1,
