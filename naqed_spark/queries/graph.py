@@ -60,10 +60,15 @@ def user_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing the original docstring deferred to 100 TB is now the
     default (measured 9.7 s → ~1 s for the edge build at sf0.1, and it
     is exactly the shape that bounds k-hot groups at any scale)."""
-    ev = load(spark, sf_dir, "events").select(
-        "user_id",
-        F.get_json_object("props", "$.k").alias("k"),
-        epoch_us("ts").alias("ts_us"),
+    ev = scoped_persist(
+        load(spark, sf_dir, "events").select(
+            "user_id",
+            F.get_json_object("props", "$.k").alias("k"),
+            epoch_us("ts").alias("ts_us"),
+        )
+        # r16 opt: both self-join legs consumed this projection — without
+        # the (scoped) persist the events scan + per-row JSON parse ran
+        # twice per edge build.
     )
     a = ev.select(
         F.col("user_id").alias("src"),
@@ -1179,11 +1184,10 @@ def graph_clustering_coefficient(spark, sf_dir):
         .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
         .select("a", "b", "c")
     )
-    corners = (
-        tri.select(F.col("a").alias("v"))
-        .unionAll(tri.select(F.col("b").alias("v")))
-        .unionAll(tri.select(F.col("c").alias("v")))
-    )
+    # r16 opt (same fix as graph_triangle_count): the 3-way unionAll
+    # instantiated the triangle double-join THREE times — one explode
+    # emits the identical corner multiset from a single tri subtree.
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("v"))
     tcount = corners.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
     t = F.coalesce(F.col("t"), F.lit(0))
     return (
@@ -1776,9 +1780,11 @@ def graph_centralization(spark, sf_dir):
     und = ue.select(
         F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
     ).distinct()
-    deg = (
-        und.select(F.col("a").alias("v"))
-        .unionAll(und.select("b"))
+    # r16 opt: one explode pass instead of a 2-way unionAll (two und
+    # subtrees), and deg persisted for its two consumers (the 1-row max
+    # and the final reduction) so the degree aggregate runs once.
+    deg = scoped_persist(
+        und.select(F.explode(F.array("a", "b")).alias("v"))
         .groupBy("v")
         .agg(F.count("*").cast("bigint").alias("d"))
     )

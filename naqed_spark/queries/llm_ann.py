@@ -30,7 +30,7 @@ import hashlib
 
 from pyspark.sql import functions as F
 
-from naqed_spark.queries._util import r6
+from naqed_spark.queries._util import r6, scoped_persist
 from naqed_spark.queries.llm import _VECS_SQL, _vecs
 from naqed_spark.registry import query
 
@@ -127,11 +127,17 @@ def llm_ann_hyperplane_lsh(spark, sf_dir):
         "vec_id",
         *[F.expr(_spark_band(k)).alias(f"band{k}") for k in range(_NBANDS)],
     )
-    cand = sig.select(
-        "vec_id",
-        F.posexplode(F.array(*[f"band{k}" for k in range(_NBANDS)])).alias(
-            "bi", "bv"
-        ),
+    cand = scoped_persist(
+        sig.select(
+            "vec_id",
+            F.posexplode(
+                F.array(*[f"band{k}" for k in range(_NBANDS)])
+            ).alias("bi", "bv"),
+        )
+        # r16 opt: both legs of the candidate self-join re-derived the
+        # signature pass (16 plane dots per vector) — persist the n×4
+        # band table so it materializes once (scoped; released at the
+        # next query build).
     )
     pairs = (
         cand.alias("a")

@@ -899,10 +899,12 @@ def test_kcore_and_walks_are_flat_state(spark):
         QUERIES[key](spark, SF_DIR).collect()
         after = len(persistent_rdd_ids(spark))
         # budget: ≤2 live checkpoints from the fixpoint loop (the r6
-        # item 7 discipline) + 1 for the scoped user_edges cache mark
-        # (r16 opt; constant per key, released when the next query
-        # builds — growth per SUPERSTEP is still what this pins).
-        assert after - before <= 3, (key, before, after)
+        # item 7 discipline) + 2 for the scoped user_edges cache marks
+        # (r16 opt: the parsed-events projection feeding both self-join
+        # legs, and the edge table itself; constant per key, released
+        # when the next query builds — growth per SUPERSTEP is still
+        # what this pins).
+        assert after - before <= 4, (key, before, after)
 
 
 def test_keep_best_dedup_uses_group_limit(spark):
