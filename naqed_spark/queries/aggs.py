@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from naqed_spark.queries._util import dec, dsum, load, r4, r6
+from naqed_spark.queries._util import dec, dsum, load, r4, r6, scoped_persist
 from naqed_spark.registry import query
 
 
@@ -1909,7 +1909,12 @@ def _range_bucketed(df, col, n=_SKYLINE_GRID):
     floor of an affine map, so bucket(v') < bucket(v) ⇒ v' < v whatever
     float rounding does to the boundaries — the ordering precondition
     both for the skyline's dominance pre-prune and for two-phase
-    distributed prefix sums (bucket offsets + local cumsum)."""
+    distributed prefix sums (bucket offsets + local cumsum).
+
+    Deliberately NOT persisted (r16 measured negative): the inputs here
+    are cheap scan/join subtrees, and materializing them into the cache
+    cost more than the recompute on every caller (ks 0.91→1.50 s,
+    skyline 0.60→1.09 s warm noop with a persist in this helper)."""
     rng = df.agg(F.min(col).alias("_lo"), F.max(col).alias("_hi"))
     return (
         df.crossJoin(F.broadcast(rng))
@@ -1959,7 +1964,8 @@ def _grouped_range_bucketed(df, group_col, col, n=_SKYLINE_GRID):
     sums / rank / k-th selection (Gini rank, weighted-median crossing,
     quartile fences, two-phase row_number). Null-safe on the group keys:
     a NULL group is a group (matches GROUP BY semantics), not a dropped
-    row."""
+    row. Not persisted — same r16 negative measurement as
+    ``_range_bucketed``."""
     gcols = [group_col] if isinstance(group_col, str) else list(group_col)
     rng = df.groupBy(*gcols).agg(
         F.min(col).alias("_lo"), F.max(col).alias("_hi")
@@ -2055,7 +2061,10 @@ def agg_abc_classification(spark, sf_dir):
     identical term sets, round(6) on the 3-row output."""
     from pyspark.sql import Window
 
-    r = (
+    # r16 opt (guide §5): r feeds the grand-total aggregate AND the
+    # bucketing pass — persist so the lineitem scan + per-part groupBy
+    # runs once (the persisted frame is per-part, result-bounded).
+    r = scoped_persist(
         load(spark, sf_dir, "lineitem")
         .groupBy("l_partkey")
         .agg(

@@ -426,11 +426,10 @@ def llm_normalized_dedup(spark, sf_dir):
     # tiebreak) instead of llm_normalized_dedup's min-id rule — the
     # policy choice that decides what survives a 100 TB dedup (min-id
     # keeps whatever crawled first; keep-best keeps the fullest copy).
-    # Spelled as a rank-1 window on the group key (argmax with a
-    # deterministic total order) PLUS a separate map-side-combined
-    # variant count joined back — deliberately NOT count(*) OVER the
-    # same window, which would force every row through the exchange and
-    # defeat WindowGroupLimit's partial top-1 (asserted in
+    # Spelled (r16) as ONE aggregate: min(struct(-n_chars, doc_id)) is
+    # the same argmax under the same deterministic total order, and the
+    # variant count rides the identical exchange — one partial+final
+    # hash-agg pair, no window sort, no join (plan pinned in
     # tests/test_plans.py). Corpus replays case/punct variants (every
     # 5th doc) like llm_normalized_dedup — the variants are LONGER
     # (+ ' !!'), so keep-best provably picks differently than keep-min.
@@ -459,8 +458,6 @@ def llm_normalized_dedup(spark, sf_dir):
     """,
 )
 def llm_dedup_keep_best(spark, sf_dir):
-    from pyspark.sql import Window
-
     # null text has no content hash — excluded identically in both engines
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     variants = d.filter(F.col("doc_id") % 5 == 0).select(
@@ -480,21 +477,26 @@ def llm_dedup_keep_best(spark, sf_dir):
     norm = corpus.select(
         "doc_id", F.length("text").alias("n_chars"), nh.alias("nh")
     )
-    w = Window.partitionBy("nh").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id").asc()
+    # r16 opt (guide §2.3/§2.4): the old spelling ran a rank-1 window
+    # (one exchange) PLUS a separate count aggregate (second exchange)
+    # PLUS a join to glue them. The argmax order (n_chars desc, doc_id
+    # asc) is exactly lexicographic min of (-n_chars, doc_id) — doc_ids
+    # are unique, so the selected row is identical — and min(struct)
+    # rides the SAME aggregate as the count: one partial+final hash-agg
+    # pair, ≤1 row per group per partition through the exchange, no
+    # window sort, no join.
+    best = norm.groupBy("nh").agg(
+        F.count(F.lit(1)).alias("n_variants"),
+        F.min(
+            F.struct(
+                (-F.col("n_chars")).alias("negc"),
+                F.col("doc_id").alias("doc_id"),
+            )
+        ).alias("s"),
     )
-    counts = norm.groupBy("nh").agg(
-        F.count(F.lit(1)).alias("n_variants")
-    )
-    best = (
-        norm.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "nh",
-            F.col("doc_id").alias("keep_id"),
-            F.col("n_chars").alias("keep_chars"),
-        )
-    )
-    return best.join(counts, "nh").select(
-        "nh", "keep_id", "keep_chars", "n_variants"
+    return best.select(
+        "nh",
+        F.col("s.doc_id").alias("keep_id"),
+        (-F.col("s.negc")).alias("keep_chars"),
+        "n_variants",
     )

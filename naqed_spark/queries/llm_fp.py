@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from naqed_spark.queries._util import load, r6
+from naqed_spark.queries._util import load, r6, scoped_persist
 from naqed_spark.registry import query
 
 # Winnowing parameters: k-gram length and window width. t = w + k - 1 = 11
@@ -339,7 +339,11 @@ def llm_containment_dedup(spark, sf_dir):
         # rejects descending bounds; DuckDB's range() returns empty)
         F.size("w") >= _CONT_W
     )
-    ch = (
+    # r16 opt (guide §5): ch feeds the hot-chunk aggregate AND (through
+    # cf) three more consumers — without the persists the windowed-chunk
+    # md5 build + its distinct exchange recomputed up to four times.
+    # Persisted rows are (doc_id, 32-char hash), never text.
+    ch = scoped_persist(
         w.select(
             "doc_id",
             "w",
@@ -365,7 +369,7 @@ def llm_containment_dedup(spark, sf_dir):
         .filter(F.col("df") > _CONT_DF_CAP)
         .select("h")
     )
-    cf = ch.join(F.broadcast(hot), "h", "left_anti")
+    cf = scoped_persist(ch.join(F.broadcast(hot), "h", "left_anti"))
     na = cf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = cf.select(F.col("doc_id").alias("src_doc"), "h")
     b = cf.select(F.col("doc_id").alias("dst_doc"), "h")
@@ -1159,7 +1163,11 @@ def llm_ngram_novelty(spark, sf_dir):
     # map-side projection (transform → array_distinct — same dedup the
     # global distinct did, since hashes were distinct per doc) and only
     # 16-byte-hash rows are ever exploded or shuffled.
-    g = (
+    # r16 opt (guide §5): g feeds BOTH the first-seen aggregate and the
+    # join probe side — without the (scoped) persist the split + per-
+    # ngram md5 transform ran twice. Persisted rows are (doc_id, 16-byte
+    # hash), never text.
+    g = scoped_persist(
         d.select("doc_id", F.split("text", " ").alias("w"))
         .filter(F.size("w") >= 3)
         .select(

@@ -38,7 +38,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from naqed_spark.queries._util import load
+from naqed_spark.queries._util import load, scoped_persist
 from naqed_spark.registry import query
 
 # Per-language keep thresholds out of 256 md5 buckets: downsample English
@@ -143,15 +143,23 @@ def llm_semdedup_cluster(spark, sf_dir):
     equi-join on the cluster id (k grows with n at 100 TB, so the key has
     high cardinality and bounded per-group fan-out), dot products via JVM
     zip_with/aggregate — no Python, no cartesian."""
-    e = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
-    ).withColumn(
-        "nrm",
-        F.sqrt(F.expr(
-            "aggregate(zip_with(e, e, (x, y) -> x * y), 0D, (a, x) -> a + x)"
-        )),
+    # r16 opt (guide §5): e feeds both legs of the within-cluster join
+    # AND the final left join — without the (scoped) persist the scan +
+    # per-vector norm fold ran three times.
+    e = scoped_persist(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            "label",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
+                "e"
+            ),
+        ).withColumn(
+            "nrm",
+            F.sqrt(F.expr(
+                "aggregate(zip_with(e, e, (x, y) -> x * y),"
+                " 0D, (a, x) -> a + x)"
+            )),
+        )
     )
     a = e.select(F.col("vec_id").alias("id_a"), "label",
                  F.col("e").alias("ea"), F.col("nrm").alias("na"))

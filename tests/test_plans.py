@@ -908,11 +908,15 @@ def test_kcore_and_walks_are_flat_state(spark):
 
 
 def test_keep_best_dedup_uses_group_limit(spark):
-    """llm_dedup_keep_best: the argmax keep-policy must plan as a partial
-    top-1 per hash group (WindowGroupLimit) — the policy swap may not
-    cost more than keep-min's aggregate."""
+    """llm_dedup_keep_best: the argmax keep-policy must partial-aggregate
+    map-side (r16: min(struct) + count in ONE hash-agg pair — ≤1 row per
+    group per partition through the exchange), never a full window sort
+    or a count join. Same scale invariant the old WindowGroupLimit pin
+    protected, minus the second exchange and the join."""
     plan = plan_of(spark, "llm_dedup_keep_best")
-    assert "WindowGroupLimit" in plan
+    assert "partial_min" in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
     assert "CartesianProduct" not in plan
 
 
