@@ -525,14 +525,43 @@ def graph_triangle_count(spark, sf_dir):
         .distinct()
     )
     e = scoped_persist(sym.filter(F.col("src") < F.col("dst")))
-    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
-    tri = e1.join(e2, "b").join(e3, ["a", "c"])
-    # r16 opt (the _band_buckets pattern): the 3-way unionAll instantiated
-    # the triangle double-join THREE times — one explode over a single tri
-    # pass emits the same corner multiset with one join subtree.
-    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("v"))
+    # r16 opt (guide §2.3, node-iterator++): each ordered triangle
+    # a<b<c used to come from the e1⋈e2⋈e3 double join (wedge fan-out
+    # Σ d² rows). With edges oriented low→high, c closes a triangle on
+    # edge (a,b) iff c ∈ H(a) ∩ H(b) where H(v) is v's sorted
+    # higher-neighbor array — one groupBy builds H, two equi-joins
+    # attach it to each edge, and the intersection runs in codegen. The
+    # corner multiset per edge is {a×|cs|, b×|cs|} ∪ cs — identical to
+    # the old tri explode (each a<b<c triangle is found exactly once,
+    # at its lowest edge). An O(d) array per vertex beats d² wedge rows
+    # under any skew the join spelling survived.
+    adjh = e.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("hs")
+    )
+    cs = (
+        e.join(
+            adjh.select(F.col("src").alias("a2"), F.col("hs").alias("ha")),
+            F.col("src") == F.col("a2"),
+        )
+        .join(
+            adjh.select(F.col("src").alias("b2"), F.col("hs").alias("hb")),
+            F.col("dst") == F.col("b2"),
+        )
+        .select(
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            F.array_intersect("ha", "hb").alias("cs"),
+        )
+    )
+    corners = cs.select(
+        F.explode(
+            F.concat(
+                "cs",
+                F.array_repeat(F.col("a"), F.size("cs")),
+                F.array_repeat(F.col("b"), F.size("cs")),
+            )
+        ).alias("v")
+    )
     return corners.groupBy(F.col("v").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
@@ -798,6 +827,15 @@ def graph_copurchase(spark, sf_dir):
 # actually exercises the cap (a handful of hubs are excluded).
 _CN_HUB_CAP = 25
 
+# i<j pairs from a sorted adjacency array `vs` (the _BASKET_PAIRS idiom):
+# sortedness makes u < w by construction, so the expression emits exactly
+# the pair set the old adjacency self-join produced with `u < w`.
+_ADJ_PAIRS = (
+    "flatten(transform(vs, (x, i) ->"
+    " transform(slice(vs, i + 2, size(vs) - i - 1),"
+    " y -> struct(x AS u, y AS w))))"
+)
+
 _UND_DEG_SQL = f"""
   und AS (SELECT src AS v, dst AS n FROM ue
           UNION SELECT dst, src FROM ue),
@@ -857,10 +895,21 @@ def graph_common_neighbors(spark, sf_dir):
         )
         .select("v", "n")
     )
-    a = ke.select(F.col("v").alias("u"), "n")
-    b = ke.select(F.col("v").alias("w"), "n")
+    # r16 opt (guide §2.3, the copurchase basket idiom): the u<w pair
+    # set used to come from a self-join of ke on the shared neighbor —
+    # Σ d(n)² wedge rows through the exchange. The hub cap bounds each
+    # neighbor's kept adjacency at ≤ _CN_HUB_CAP, so ONE groupBy builds
+    # the sorted neighbor array (≤25 elems) and i<j array arithmetic
+    # emits the identical pair multiset in codegen: 2 exchanges, no
+    # join, and the shuffle carries ≤cap arrays instead of d² rows (the
+    # strictly better shape under a hot vertex too — O(d) array vs d²
+    # join rows).
+    adj = ke.groupBy("n").agg(
+        F.sort_array(F.collect_list("v")).alias("vs")
+    )
     pairs = (
-        a.join(b, (a["n"] == b["n"]) & (a["u"] < b["w"]))
+        adj.select(F.explode(F.expr(_ADJ_PAIRS)).alias("p"))
+        .select(F.col("p.u").alias("u"), F.col("p.w").alias("w"))
         .groupBy("u", "w")
         .agg(F.count(F.lit(1)).alias("cn"))
         .filter(F.col("cn") >= 3)
@@ -1176,18 +1225,38 @@ def graph_clustering_coefficient(spark, sf_dir):
         F.count(F.lit(1)).alias("d")
     )
     e = sym.filter(F.col("src") < F.col("dst"))
-    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-    e2 = e.select(F.col("src").alias("b2"), F.col("dst").alias("c"))
-    e3 = e.select(F.col("src").alias("a3"), F.col("dst").alias("c3"))
-    tri = (
-        e1.join(e2, e1["b"] == e2["b2"])
-        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
-        .select("a", "b", "c")
+    # r16 opt (node-iterator++, the graph_triangle_count rewrite): the
+    # e1⋈e2⋈e3 double join fanned Σ d² wedge rows; with low→high
+    # orientation each a<b<c triangle is found once at edge (a,b) as
+    # c ∈ H(a) ∩ H(b), H built by one groupBy of sorted higher-neighbor
+    # arrays and the intersect in codegen. Corner multiset identical.
+    adjh = e.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("hs")
     )
-    # r16 opt (same fix as graph_triangle_count): the 3-way unionAll
-    # instantiated the triangle double-join THREE times — one explode
-    # emits the identical corner multiset from a single tri subtree.
-    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("v"))
+    cs = (
+        e.join(
+            adjh.select(F.col("src").alias("a2"), F.col("hs").alias("ha")),
+            F.col("src") == F.col("a2"),
+        )
+        .join(
+            adjh.select(F.col("src").alias("b2"), F.col("hs").alias("hb")),
+            F.col("dst") == F.col("b2"),
+        )
+        .select(
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            F.array_intersect("ha", "hb").alias("cs"),
+        )
+    )
+    corners = cs.select(
+        F.explode(
+            F.concat(
+                "cs",
+                F.array_repeat(F.col("a"), F.size("cs")),
+                F.array_repeat(F.col("b"), F.size("cs")),
+            )
+        ).alias("v")
+    )
     tcount = corners.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
     t = F.coalesce(F.col("t"), F.lit(0))
     return (
@@ -1564,14 +1633,24 @@ def graph_adamic_adar(spark, sf_dir):
         .join(F.broadcast(kept.select(F.col("v").alias("n"), "d")), "n")
         .select("v", "n", "d")
     )
-    a = ke.select(F.col("v").alias("u"), "n", "d")
-    b = ke.select(F.col("v").alias("w"), F.col("n").alias("nb"))
+    # r16 opt: same array-pair rewrite as graph_common_neighbors; the
+    # 1/ln(d) weight is a per-GROUP scalar (d is the shared neighbor's
+    # degree, constant within the group), so it rides the exploded pair
+    # rows and the sum collects the identical term set the wedge join
+    # summed (order hedged by the existing round(6)).
+    adj = ke.groupBy("n", "d").agg(
+        F.sort_array(F.collect_list("v")).alias("vs")
+    )
+    pairs = adj.select(
+        (1.0 / F.log(F.col("d"))).alias("wt"),
+        F.explode(F.expr(_ADJ_PAIRS)).alias("p"),
+    )
     return (
-        a.join(b, (a["n"] == b["nb"]) & (a["u"] < b["w"]))
+        pairs.select("wt", F.col("p.u").alias("u"), F.col("p.w").alias("w"))
         .groupBy("u", "w")
         .agg(
             F.count(F.lit(1)).alias("cn"),
-            F.round(F.sum(1.0 / F.log(F.col("d"))), 6).alias("aa_score"),
+            F.round(F.sum("wt"), 6).alias("aa_score"),
         )
         .filter(F.col("cn") >= 3)
         .orderBy("u", "w")
@@ -1948,16 +2027,32 @@ def graph_edge_support(spark, sf_dir):
     edges = ke.select(
         F.least("v", "n").alias("a"), F.greatest("v", "n").alias("b")
     ).distinct()
-    x = ke.select(F.col("v").alias("xa"), F.col("n").alias("xn"))
-    y = ke.select(F.col("v").alias("yb"), F.col("n").alias("yn"))
+    # r16 opt (guide §2.3): support = |N(a) ∩ N(b) \ {a, b}| — the two
+    # wedge joins fanned Σ d(a)·1 rows per edge through the exchange;
+    # with the hub cap bounding kept adjacency at ≤25, ONE groupBy
+    # builds each vertex's sorted neighbor array and the intersection
+    # runs in codegen on two equi-joined array columns. Edges with no
+    # shared neighbor emitted nothing before (inner wedge join) — the
+    # support > 0 filter preserves that.
+    adj = ke.groupBy("v").agg(
+        F.sort_array(F.collect_list("n")).alias("ns")
+    )
     return (
-        edges.join(x, F.col("a") == F.col("xa"))
-        .join(
-            y,
-            (F.col("b") == F.col("yb")) & (F.col("yn") == F.col("xn")),
+        edges.join(
+            adj.select(F.col("v").alias("a"), F.col("ns").alias("na")), "a"
         )
-        .filter((F.col("xn") != F.col("b")) & (F.col("xn") != F.col("a")))
-        .groupBy("a", "b")
-        .agg(F.count("*").cast("bigint").alias("support"))
+        .join(
+            adj.select(F.col("v").alias("b"), F.col("ns").alias("nb")), "b"
+        )
+        .select(
+            "a",
+            "b",
+            F.size(
+                F.array_except(
+                    F.array_intersect("na", "nb"), F.array("a", "b")
+                )
+            ).cast("bigint").alias("support"),
+        )
+        .filter(F.col("support") > 0)
         .orderBy("a", "b")
     )

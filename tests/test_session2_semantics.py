@@ -148,6 +148,12 @@ def test_schema_cache_reads_are_schema_identical(spark):
     sf = "/root/testdata/sf0.001"
     for name in ("lineitem", "events", "documents"):
         catalog._SCHEMA_CACHE.pop(f"{sf}/{name}.parquet", None)
+        # r16: the session df-cache sits ABOVE the schema cache and would
+        # satisfy the load without touching _read_parquet — clear it too
+        # so this test exercises the schema-cache path it pins
+        df_cache = catalog._session_df_cache(spark)
+        if df_cache is not None:
+            df_cache.pop(f"{sf}/{name}.parquet", None)
         first = catalog.load(spark, sf, name).schema  # populates cache
         assert f"{sf}/{name}.parquet" in catalog._SCHEMA_CACHE
         second = catalog.load(spark, sf, name).schema  # cached path
