@@ -29,7 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from naqed_spark.queries._util import load
+from naqed_spark.queries._util import load, scoped_persist
 from naqed_spark.registry import query
 
 # Deterministic held-out "benchmark" slice: ~1% of doc ids. A real
@@ -97,8 +97,16 @@ def llm_contamination_ngram(spark, sf_dir):
     d = load(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("w")
     )
-    tri = d.filter(F.size("w") >= 3).select(
-        "doc_id", F.array_distinct(_word_ngrams("w", 3)).alias("tset")
+    # r16 opt (guide §5): the plan inlined the trigram-set expression
+    # FOUR times — once per branch (eval slice / train slice) and again
+    # wherever tset is referenced twice in one projection (size +
+    # explode) — so every doc re-tokenized and re-built its distinct
+    # trigram array up to 4×. Persisting (doc_id, tset) materializes
+    # the arrays once; both branches and both references read the cache.
+    tri = scoped_persist(
+        d.filter(F.size("w") >= 3).select(
+            "doc_id", F.array_distinct(_word_ngrams("w", 3)).alias("tset")
+        )
     )
     ev = (
         tri.filter(F.col("doc_id") % _EVAL_MOD == 0)
