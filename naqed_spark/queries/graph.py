@@ -123,20 +123,25 @@ def user_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def graph_degree(spark, sf_dir):
+    # r16 opt (guide §2.4): the old spelling ran a union-distinct for
+    # the vertex set plus TWO degree aggregates joined back — 3
+    # exchanges and 2 joins over the edge cache. One explode tags each
+    # edge endpoint with its direction and ONE aggregate produces the
+    # identical rows: every vertex appears in src or dst (so the
+    # vertex set is the group set), and the conditional sums are
+    # exactly the left-join-coalesce counts.
     ue = user_edges(spark, sf_dir)
-    verts = ue.select(F.col("src").alias("v")).union(
-        ue.select(F.col("dst").alias("v"))
-    ).distinct()
-    outd = ue.groupBy(F.col("src").alias("v")).agg(F.count(F.lit(1)).alias("oc"))
-    ind = ue.groupBy(F.col("dst").alias("v")).agg(F.count(F.lit(1)).alias("ic"))
-    return (
-        verts.join(outd, "v", "left")
-        .join(ind, "v", "left")
-        .select(
-            F.col("v").alias("user_id"),
-            F.coalesce("oc", F.lit(0)).alias("out_degree"),
-            F.coalesce("ic", F.lit(0)).alias("in_degree"),
-        )
+    ends = ue.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("src").alias("v"), F.lit(1).alias("o")),
+                F.struct(F.col("dst").alias("v"), F.lit(0).alias("o")),
+            )
+        ).alias("e")
+    )
+    return ends.groupBy(F.col("e.v").alias("user_id")).agg(
+        F.sum("e.o").cast("bigint").alias("out_degree"),
+        F.sum(1 - F.col("e.o")).cast("bigint").alias("in_degree"),
     )
 
 
@@ -1933,7 +1938,10 @@ def agg_association_rules(spark, sf_dir):
     pairs now derive from the basket array with no self-join."""
     baskets = scoped_persist(_capped_baskets(spark, sf_dir))
     n = baskets.agg(F.count(F.lit(1)).cast("double").alias("nb"))
-    item_n = (
+    # item_n feeds BOTH broadcast legs (ia and ib) — persist so the
+    # basket explode + per-part aggregate runs once (r16 opt, guide §5;
+    # the frame is per-part counts, result-bounded)
+    item_n = scoped_persist(
         baskets.select(F.explode("parts").alias("l_partkey"))
         .groupBy("l_partkey")
         .agg(F.count("*").cast("bigint").alias("c"))
