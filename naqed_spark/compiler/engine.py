@@ -2276,6 +2276,13 @@ class Engine:
         ops = {a.op for a in qs.aggs}
         if not (ops & self._SKETCH_AGG_OPS and ops & self._DISTINCT_AGG_OPS):
             return None
+        # the rewrite renames right-side keys with a __sk_ prefix before
+        # the join; a spec whose own names collide would be silently
+        # mangled — fall back to the single-agg spelling instead (the
+        # ADVICE r15 fixed-temp-name lesson)
+        names = set(qs.groupby) | {a.alias for a in qs.aggs}
+        if any(n.startswith("__sk_") for n in names):
+            return None
         sk = [a for a in qs.aggs if a.op in self._SKETCH_AGG_OPS]
         rest = [a for a in qs.aggs if a.op not in self._SKETCH_AGG_OPS]
         keys = [_qcol(c) for c in qs.groupby]
