@@ -7019,3 +7019,76 @@ def test_from_composes_with_pivot_and_explode(eng):
         ) GROUP BY doc_id
     """)
     assert _rows(exp) == _rows(twin)
+
+
+def _formatted_plan(eng, df):
+    jvm = eng.spark._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_mixed_sketch_distinct_split_matches_single_agg(eng, monkeypatch):
+    """r16 optimization: a plain $groupby/$agg that mixes an exact
+    distinct aggregate with a sketch aggregate compiles as TWO grouped
+    aggregates joined null-safely on the group keys (so the sketch's
+    state is per actual group, not per distinct pair). The rows —
+    including a NULL group, which an equi-join would drop — must be
+    identical to the single-aggregate spelling, in the same column
+    order."""
+    spec = {
+        "events": {
+            "$select": {
+                "g": {
+                    "$if": [
+                        {"value": {"$lt": 40}},
+                        {"$lit": None},
+                        "event_type",
+                    ]
+                }
+            },
+            "$groupby": ["g"],
+            "$agg": {
+                "n_exact": {"$count_distinct": "user_id"},
+                "n_approx": {"$approx_count_distinct": ["user_id", 0.05]},
+            },
+        }
+    }
+    split_df = eng.query(spec)
+    assert "Join" in _formatted_plan(eng, split_df)  # the split fired
+    assert split_df.columns == ["g", "n_exact", "n_approx"]
+    split_rows = sorted(
+        ((r["g"], r["n_exact"], r["n_approx"]) for r in split_df.collect()),
+        key=str,
+    )
+    assert any(g is None for g, _, _ in split_rows)  # NULL group present
+    from naqed_spark.compiler.engine import Engine as _E
+
+    monkeypatch.setattr(_E, "_split_sketch_agg", lambda self, df, qs: None)
+    single_df = eng.query(spec)
+    assert "Join" not in _formatted_plan(eng, single_df)
+    single_rows = sorted(
+        ((r["g"], r["n_exact"], r["n_approx"]) for r in single_df.collect()),
+        key=str,
+    )
+    assert split_rows == single_rows
+
+
+def test_sketch_split_guard_falls_back_on_sk_prefixed_names(eng):
+    """A spec whose own alias collides with the split's internal __sk_
+    rename prefix must take the single-aggregate path unchanged."""
+    spec = {
+        "events": {
+            "$groupby": ["event_type"],
+            "$agg": {
+                "__sk_n": {"$count_distinct": "user_id"},
+                "approx": {"$approx_count_distinct": ["user_id", 0.05]},
+            },
+        }
+    }
+    df = eng.query(spec)
+    assert "Join" not in _formatted_plan(eng, df)  # guard fell back
+    assert df.columns == ["event_type", "__sk_n", "approx"]
+    assert df.count() > 0
