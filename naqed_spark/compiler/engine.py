@@ -2128,8 +2128,11 @@ class Engine:
             # the pivot defines the projection: row keys + value columns
             cols = []
         if qs.aggs:
-            exprs = [self._agg_expr(a) for a in qs.aggs]
+            # the sketch split (below) builds its own per-branch agg
+            # expressions, so the single-agg list is only constructed on
+            # the paths that use it
             if qs.grouping is not None:
+                exprs = [self._agg_expr(a) for a in qs.aggs]
                 # $rollup / $cube / $grouping_sets (round 12, VERDICT
                 # r11 item 3): the subtotal-grid spellings, compiling
                 # to Spark's native rollup/cube/groupingSets — ONE
@@ -2159,11 +2162,15 @@ class Engine:
                     if split is not None
                     else df.groupBy(
                         *[_qcol(c) for c in qs.groupby]
-                    ).agg(*exprs)
+                    ).agg(*[self._agg_expr(a) for a in qs.aggs])
                 )
             else:
                 split = self._split_sketch_agg(df, qs)
-                df = split if split is not None else df.agg(*exprs)
+                df = (
+                    split
+                    if split is not None
+                    else df.agg(*[self._agg_expr(a) for a in qs.aggs])
+                )
             for pred in qs.having:
                 # $having predicates see the post-agg frame: agg aliases and
                 # group columns only (mirrors SQL HAVING scope)
@@ -2288,12 +2295,24 @@ class Engine:
         keys = [_qcol(c) for c in qs.groupby]
         if qs.groupby:
             left = df.groupBy(*keys).agg(*[self._agg_expr(a) for a in rest])
-            right = df.groupBy(*keys).agg(*[self._agg_expr(a) for a in sk])
-            for c in qs.groupby:
-                right = right.withColumnRenamed(c, "__sk_" + c)
+            # every key reference goes through _qcol (a dotted group-key
+            # name must resolve verbatim, not as nested-field access);
+            # the renamed right-side keys are unique post-rename, so the
+            # join condition resolves unambiguously without frame refs
+            right = (
+                df.groupBy(*keys)
+                .agg(*[self._agg_expr(a) for a in sk])
+                .select(
+                    *[
+                        _qcol(c).alias("__sk_" + c)
+                        for c in qs.groupby
+                    ],
+                    *[_qcol(a.alias) for a in sk],
+                )
+            )
             cond = None
             for c in qs.groupby:
-                t = left[c].eqNullSafe(right["__sk_" + c])
+                t = _qcol(c).eqNullSafe(_qcol("__sk_" + c))
                 cond = t if cond is None else cond & t
             joined = left.join(right, cond).drop(
                 *["__sk_" + c for c in qs.groupby]

@@ -502,6 +502,48 @@ def graph_pagerank_fixed(spark, sf_dir):
     return ranks.select("v", F.col("pr").alias("pagerank"))
 
 
+def _triangle_corners(e):
+    """Triangle corner multiset from a canonical (src < dst) edge frame
+    — node-iterator++ (r16 opt, guide §2.3): each ordered triangle
+    a<b<c used to come from an e1⋈e2⋈e3 double join (wedge fan-out
+    Σ d² rows). With edges oriented low→high, c closes a triangle on
+    edge (a,b) iff c ∈ H(a) ∩ H(b) where H(v) is v's sorted
+    higher-neighbor array — one groupBy builds H, two equi-joins attach
+    it to each edge, and the intersection runs in codegen. The corner
+    multiset per edge is {a×|cs|, b×|cs|} ∪ cs — identical to the
+    tri-join explode (each a<b<c triangle is found exactly once, at its
+    lowest edge). An O(d) array per vertex beats d² wedge rows under
+    any skew the join spelling survived. Shared by graph_triangle_count
+    and graph_clustering_coefficient."""
+    adjh = e.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("hs")
+    )
+    cs = (
+        e.join(
+            adjh.select(F.col("src").alias("a2"), F.col("hs").alias("ha")),
+            F.col("src") == F.col("a2"),
+        )
+        .join(
+            adjh.select(F.col("src").alias("b2"), F.col("hs").alias("hb")),
+            F.col("dst") == F.col("b2"),
+        )
+        .select(
+            F.col("src").alias("a"),
+            F.col("dst").alias("b"),
+            F.array_intersect("ha", "hb").alias("cs"),
+        )
+    )
+    return cs.select(
+        F.explode(
+            F.concat(
+                "cs",
+                F.array_repeat(F.col("a"), F.size("cs")),
+                F.array_repeat(F.col("b"), F.size("cs")),
+            )
+        ).alias("v")
+    )
+
+
 @query(
     "graph_triangle_count",
     # triangles per vertex on the undirected user graph: canonical a<b<c
@@ -530,43 +572,7 @@ def graph_triangle_count(spark, sf_dir):
         .distinct()
     )
     e = scoped_persist(sym.filter(F.col("src") < F.col("dst")))
-    # r16 opt (guide §2.3, node-iterator++): each ordered triangle
-    # a<b<c used to come from the e1⋈e2⋈e3 double join (wedge fan-out
-    # Σ d² rows). With edges oriented low→high, c closes a triangle on
-    # edge (a,b) iff c ∈ H(a) ∩ H(b) where H(v) is v's sorted
-    # higher-neighbor array — one groupBy builds H, two equi-joins
-    # attach it to each edge, and the intersection runs in codegen. The
-    # corner multiset per edge is {a×|cs|, b×|cs|} ∪ cs — identical to
-    # the old tri explode (each a<b<c triangle is found exactly once,
-    # at its lowest edge). An O(d) array per vertex beats d² wedge rows
-    # under any skew the join spelling survived.
-    adjh = e.groupBy("src").agg(
-        F.sort_array(F.collect_list("dst")).alias("hs")
-    )
-    cs = (
-        e.join(
-            adjh.select(F.col("src").alias("a2"), F.col("hs").alias("ha")),
-            F.col("src") == F.col("a2"),
-        )
-        .join(
-            adjh.select(F.col("src").alias("b2"), F.col("hs").alias("hb")),
-            F.col("dst") == F.col("b2"),
-        )
-        .select(
-            F.col("src").alias("a"),
-            F.col("dst").alias("b"),
-            F.array_intersect("ha", "hb").alias("cs"),
-        )
-    )
-    corners = cs.select(
-        F.explode(
-            F.concat(
-                "cs",
-                F.array_repeat(F.col("a"), F.size("cs")),
-                F.array_repeat(F.col("b"), F.size("cs")),
-            )
-        ).alias("v")
-    )
+    corners = _triangle_corners(e)
     return corners.groupBy(F.col("v").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
@@ -1230,39 +1236,10 @@ def graph_clustering_coefficient(spark, sf_dir):
         F.count(F.lit(1)).alias("d")
     )
     e = sym.filter(F.col("src") < F.col("dst"))
-    # r16 opt (node-iterator++, the graph_triangle_count rewrite): the
-    # e1⋈e2⋈e3 double join fanned Σ d² wedge rows; with low→high
-    # orientation each a<b<c triangle is found once at edge (a,b) as
-    # c ∈ H(a) ∩ H(b), H built by one groupBy of sorted higher-neighbor
-    # arrays and the intersect in codegen. Corner multiset identical.
-    adjh = e.groupBy("src").agg(
-        F.sort_array(F.collect_list("dst")).alias("hs")
+    # node-iterator++ triangle corners — see _triangle_corners
+    tcount = _triangle_corners(e).groupBy("v").agg(
+        F.count(F.lit(1)).alias("t")
     )
-    cs = (
-        e.join(
-            adjh.select(F.col("src").alias("a2"), F.col("hs").alias("ha")),
-            F.col("src") == F.col("a2"),
-        )
-        .join(
-            adjh.select(F.col("src").alias("b2"), F.col("hs").alias("hb")),
-            F.col("dst") == F.col("b2"),
-        )
-        .select(
-            F.col("src").alias("a"),
-            F.col("dst").alias("b"),
-            F.array_intersect("ha", "hb").alias("cs"),
-        )
-    )
-    corners = cs.select(
-        F.explode(
-            F.concat(
-                "cs",
-                F.array_repeat(F.col("a"), F.size("cs")),
-                F.array_repeat(F.col("b"), F.size("cs")),
-            )
-        ).alias("v")
-    )
-    tcount = corners.groupBy("v").agg(F.count(F.lit(1)).alias("t"))
     t = F.coalesce(F.col("t"), F.lit(0))
     return (
         deg.join(tcount, "v", "left")

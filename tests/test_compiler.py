@@ -7092,3 +7092,24 @@ def test_sketch_split_guard_falls_back_on_sk_prefixed_names(eng):
     assert "Join" not in _formatted_plan(eng, df)  # guard fell back
     assert df.columns == ["event_type", "__sk_n", "approx"]
     assert df.count() > 0
+
+
+def test_sketch_split_resolves_dotted_group_keys(eng):
+    """Group-key references inside the split go through _qcol — a dotted
+    alias must resolve verbatim (the engine-wide discipline), not parse
+    as nested-field access when the split fires."""
+    df = eng.query(
+        {
+            "events": {
+                "$select": {"g.dot": {"$lower": "event_type"}},
+                "$groupby": ["g.dot"],
+                "$agg": {
+                    "n": {"$count_distinct": "user_id"},
+                    "a": {"$approx_count_distinct": ["user_id", 0.05]},
+                },
+            }
+        }
+    )
+    assert "Join" in _formatted_plan(eng, df)  # split fired
+    assert df.columns == ["g.dot", "n", "a"]
+    assert df.count() > 0
