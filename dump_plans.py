@@ -1,8 +1,10 @@
 #!/usr/bin/env python
-"""Dump ``explain("formatted")`` for named query keys to plans/<tag>/.
+"""Dump ``explain("formatted")`` for named query keys.
 
 Usage: python dump_plans.py <tag> <key> [<key> ...]
-Writes plans/r16/<key>_<tag>.txt for each key (tag = before|after).
+Writes plans/$NAQED_PLAN_ROUND/<key>_<tag>.txt (round dir defaults to
+r16; set NAQED_PLAN_ROUND=r17 next round) for each key
+(tag = before|after).
 """
 
 from __future__ import annotations
@@ -34,7 +36,8 @@ def main() -> None:
     tune_session(spark)
     load_all()
 
-    os.makedirs("plans/r16", exist_ok=True)
+    round_dir = os.environ.get("NAQED_PLAN_ROUND", "r16")
+    os.makedirs(f"plans/{round_dir}", exist_ok=True)
     for key in keys:
         try:
             df = QUERIES[key](spark, sf_dir)
@@ -43,7 +46,7 @@ def main() -> None:
             )
         except Exception as ex:
             txt = f"FAILED: {ex}"
-        path = f"plans/r16/{key}_{tag}.txt"
+        path = f"plans/{round_dir}/{key}_{tag}.txt"
         with open(path, "w") as f:
             f.write(txt)
         print(f"wrote {path}")

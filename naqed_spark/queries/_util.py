@@ -48,25 +48,50 @@ __all__ = [
 # Releasing a persist mark is always safe — unlike a checkpoint, the
 # lineage recomputes — so the worst case for an unusual caller
 # (build A, build B, then run A) is a recompute, never a wrong answer.
-_SCOPED_PERSISTS: list = []
+# keyed per SparkSession (r16 review): marks registered on session A
+# must never be released by a build on session B — the release is a
+# same-session lifecycle, not a process-wide one. Entries are popped on
+# release, so the dict only holds the current inter-build window's marks.
+_SCOPED_PERSISTS: dict = {}
 
 
 def scoped_persist(df):
     """Persist ``df`` for intra-query subtree reuse; the mark is released
-    when the next registered query builds (see registry.query)."""
+    when the next registered query builds ON THE SAME SESSION (see
+    registry.query)."""
     df.persist()
-    _SCOPED_PERSISTS.append(df)
+    _SCOPED_PERSISTS.setdefault(id(df.sparkSession), []).append(df)
     return df
 
 
-def release_scoped_persists() -> None:
-    old = list(_SCOPED_PERSISTS)
-    _SCOPED_PERSISTS.clear()
+def release_scoped_persists(spark=None) -> None:
+    """Release scoped marks — ``spark``'s own when given, else all."""
+    if spark is None:
+        old = [df for lst in _SCOPED_PERSISTS.values() for df in lst]
+        _SCOPED_PERSISTS.clear()
+    else:
+        old = _SCOPED_PERSISTS.pop(id(spark), [])
     for df in old:
         try:
             df.unpersist()
         except Exception:
             pass  # session already stopped — nothing to release
+
+
+def sorted_pairs_expr(array_col: str, field_a: str, field_b: str) -> str:
+    """SQL expression: every i<j element pair of the SORTED array column
+    ``array_col`` as ``struct(field_a, field_b)`` — sortedness makes
+    field_a < field_b exactly like a self-join's ``a < b`` predicate.
+    The slice arithmetic is 1-based (transform's ``i`` is 0-based, the
+    pair partner window starts at element i+2 and has size-i-1
+    elements). One definition shared by the basket/adjacency/posting
+    pair generators so the off-by-one reasoning lives in one place
+    (r16 review)."""
+    return (
+        f"flatten(transform({array_col}, (x, i) ->"
+        f" transform(slice({array_col}, i + 2, size({array_col}) - i - 1),"
+        f" y -> struct(x AS {field_a}, y AS {field_b}))))"
+    )
 
 
 def date_str(c: str | Column) -> Column:

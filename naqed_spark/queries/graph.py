@@ -34,6 +34,7 @@ from naqed_spark.queries._util import (
     low_shuffle,
     r6,
     scoped_persist,
+    sorted_pairs_expr,
 )
 from naqed_spark.registry import query
 
@@ -778,18 +779,28 @@ def _capped_baskets(spark, sf_dir):
     return (
         load(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
-        .filter(F.size("parts") <= _BASKET_CAP)
+        .agg(
+            F.array_sort(F.collect_set("l_partkey")).alias("parts"),
+            # collect_set drops NULLs, but the oracle's DISTINCT row
+            # count treats a NULL partkey as one distinct value — carry
+            # it into the cap count so the kept-order set matches on
+            # data with NULL part keys (r16 review; latent on TPC-H,
+            # where l_partkey is non-null). NULLs still produce no
+            # pairs on either engine (NULL < x is never TRUE).
+            F.max(F.col("l_partkey").isNull().cast("int")).alias(
+                "has_null_part"
+            ),
+        )
+        .filter(
+            (F.size("parts") + F.col("has_null_part")) <= _BASKET_CAP
+        )
+        .select("l_orderkey", "parts")
     )
 
 
 # i<j pairs from the sorted basket array (ascending, so part_a < part_b
 # exactly like the old a.l_partkey < b.l_partkey join predicate)
-_BASKET_PAIRS = (
-    "flatten(transform(parts, (x, i) ->"
-    " transform(slice(parts, i + 2, size(parts) - i - 1),"
-    " y -> struct(x AS part_a, y AS part_b))))"
-)
+_BASKET_PAIRS = sorted_pairs_expr("parts", "part_a", "part_b")
 
 
 @query(
@@ -841,11 +852,7 @@ _CN_HUB_CAP = 25
 # i<j pairs from a sorted adjacency array `vs` (the _BASKET_PAIRS idiom):
 # sortedness makes u < w by construction, so the expression emits exactly
 # the pair set the old adjacency self-join produced with `u < w`.
-_ADJ_PAIRS = (
-    "flatten(transform(vs, (x, i) ->"
-    " transform(slice(vs, i + 2, size(vs) - i - 1),"
-    " y -> struct(x AS u, y AS w))))"
-)
+_ADJ_PAIRS = sorted_pairs_expr("vs", "u", "w")
 
 _UND_DEG_SQL = f"""
   und AS (SELECT src AS v, dst AS n FROM ue

@@ -91,13 +91,16 @@ def _minhash_sigs(spark, sf_dir):
     return sh.select("doc_id", "sset", *sig_cols)
 
 
-def _band_buckets(sigs):
-    """(doc_id, band, bh) — 4 bands × 2 rows. One pass, not a 4-way
-    unionAll: each signature row explodes into its 4 (band, bucket-hash)
-    structs, so the band table is a single Project+Generate over sigs
-    instead of four unioned scans — half the plan nodes on each side of
-    the candidate self-join, one cache read per side instead of four
-    (r16 opt; rows produced are identical to the union spelling)."""
+def _band_buckets(sigs, nbands: int = 4, rows: int = 2):
+    """(doc_id, band, bh) — ``nbands`` bands × ``rows`` signature rows
+    (production banding 4×2). One pass, not an nbands-way unionAll: each
+    signature row explodes into its (band, bucket-hash) structs, so the
+    band table is a single Project+Generate over sigs instead of unioned
+    scans — half the plan nodes on each side of the candidate self-join,
+    one cache read per side instead of nbands (r16 opt; rows produced
+    are identical to the union spelling). Parameterized so the banding
+    sweep (llm_lsh_banding_sweep) measures THIS band construction, not
+    a drifted copy (r16 review)."""
     return sigs.select(
         "doc_id",
         F.explode(
@@ -107,11 +110,14 @@ def _band_buckets(sigs):
                         F.lit(b).alias("band"),
                         F.md5(
                             F.concat(
-                                F.col(f"sig{2 * b}"), F.col(f"sig{2 * b + 1}")
+                                *[
+                                    F.col(f"sig{b * rows + j}")
+                                    for j in range(rows)
+                                ]
                             )
                         ).alias("bh"),
                     )
-                    for b in range(4)
+                    for b in range(nbands)
                 ]
             )
         ).alias("p"),
@@ -419,14 +425,13 @@ def _knn_block_rows(dim: int) -> int:
     return max(1024, _KNN_BLOCK_BYTES // (int(dim) * 8))
 
 
-def _collect_block(spark, e, b_lo: int, width: int):
-    """Collect one id-range block of ``e`` and broadcast its
-    ``(ids, matrix, norms)``; None if the range is empty."""
+def _broadcast_arrow_block(spark, blk):
+    """Broadcast an Arrow (vec_id, embedding) batch as the kernel's
+    ``(ids, matrix, norms)`` payload; None if empty. The ONE place the
+    payload shape is defined — shared by the blocked path and the
+    single-block fast path so the two can never diverge."""
     import numpy as np
 
-    blk = e.filter(
-        (F.col("vec_id") >= b_lo) & (F.col("vec_id") < b_lo + width)
-    ).toArrow()  # bounded: <= ~block_rows rows, Arrow transfer
     if blk.num_rows == 0:
         return None
     ids = blk.column("vec_id").to_numpy()
@@ -434,6 +439,15 @@ def _collect_block(spark, e, b_lo: int, width: int):
     return spark.sparkContext.broadcast(
         (ids.astype(np.int64), m, np.sqrt((m * m).sum(axis=1)))
     )
+
+
+def _collect_block(spark, e, b_lo: int, width: int):
+    """Collect one id-range block of ``e`` and broadcast its
+    ``(ids, matrix, norms)``; None if the range is empty."""
+    blk = e.filter(
+        (F.col("vec_id") >= b_lo) & (F.col("vec_id") < b_lo + width)
+    ).toArrow()  # bounded: <= ~block_rows rows, Arrow transfer
+    return _broadcast_arrow_block(spark, blk)
 
 
 def _blocked_union(spark, e, schema: str, gen_factory):
@@ -466,12 +480,15 @@ def _blocked_union(spark, e, schema: str, gen_factory):
     block budget, the sizing aggregation job (min/max/count/dim over the
     whole table) is provably pointless — its only purpose is to split a
     too-big table into blocks. Skip it and collect the table directly:
-    one pre-kernel job instead of two. Parquet float arrays barely
-    compress, so the file-size-based estimate tracks the in-memory
-    payload; a pathological under-estimate merely degenerates to what
-    the single-block path always did (collect everything once). The
-    stats job remains the arbiter whenever the estimate exceeds the
-    budget or a test pins the block size via NAQED_KNN_BLOCK_ROWS."""
+    one pre-kernel job instead of two. The estimate is ON-DISK bytes
+    while the collected payload is a float64 matrix (2× raw float32
+    file bytes, more when the encoding compresses), so the gate
+    carries an 8× safety factor — est·8 ≤ budget bounds the in-memory
+    payload at roughly the budget even for 4×-compressed input (r16
+    review: without the factor a file just under the budget could
+    collect a multiple of it to the driver). Larger tables take the
+    stats-job arbiter exactly as before, as does a test pinning
+    NAQED_KNN_BLOCK_ROWS."""
     if "NAQED_KNN_BLOCK_ROWS" not in os.environ:
         try:
             est = int(
@@ -479,17 +496,10 @@ def _blocked_union(spark, e, schema: str, gen_factory):
             )
         except Exception:
             est = -1
-        if 0 <= est <= _KNN_BLOCK_BYTES:
-            import numpy as np
-
-            blk = e.toArrow()
-            if blk.num_rows == 0:
+        if 0 <= est * 8 <= _KNN_BLOCK_BYTES:
+            bc = _broadcast_arrow_block(spark, e.toArrow())
+            if bc is None:
                 return spark.createDataFrame([], schema)
-            ids = blk.column("vec_id").to_numpy()
-            m = np.asarray(blk.column("embedding").to_pylist(), dtype=np.float64)
-            bc = spark.sparkContext.broadcast(
-                (ids.astype(np.int64), m, np.sqrt((m * m).sum(axis=1)))
-            )
             return e.mapInPandas(gen_factory(bc), schema=schema)
     lo, hi, n, dim = e.agg(
         F.min("vec_id"),

@@ -16,7 +16,12 @@ from __future__ import annotations
 
 from pyspark.sql import Window, functions as F
 
-from naqed_spark.queries._util import load, r6, scoped_persist
+from naqed_spark.queries._util import (
+    load,
+    r6,
+    scoped_persist,
+    sorted_pairs_expr,
+)
 from naqed_spark.registry import query
 
 _HEX = "0123456789abcdef"
@@ -661,11 +666,7 @@ def _ngram_candidates(sh, df_cap: int):
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    pairs = F.expr(
-        "flatten(transform(ids, (x, i) ->"
-        " transform(slice(ids, i + 2, size(ids) - i - 1),"
-        " y -> struct(x AS id_a, y AS id_b))))"
-    )
+    pairs = F.expr(sorted_pairs_expr("ids", "id_a", "id_b"))
     return (
         posting.select(F.explode(pairs).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))

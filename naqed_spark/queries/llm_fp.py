@@ -1072,31 +1072,12 @@ def llm_lsh_banding_sweep(spark, sf_dir):
     n_planted = planted.count()
 
     def config(nbands: int, rows: int):
-        # band table in one Project+Generate pass (the _band_buckets
-        # shape, parameterized by banding config)
-        bands = sigs.select(
-            "doc_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.md5(
-                                F.concat(
-                                    *[
-                                        F.col(f"sig{b * rows + j}")
-                                        for j in range(rows)
-                                    ]
-                                )
-                            ).alias("bh"),
-                        )
-                        for b in range(nbands)
-                    ]
-                )
-            ).alias("p"),
-        ).select(
-            "doc_id", F.col("p.band").alias("band"), F.col("p.bh").alias("bh")
-        )
+        # the production band construction, parameterized by banding
+        # config — shared with llm_neardup_lsh so the sweep measures
+        # the real thing (r16 review)
+        from naqed_spark.queries.llm import _band_buckets
+
+        bands = _band_buckets(sigs, nbands, rows)
         a = bands.select(F.col("doc_id").alias("ia"), "band", "bh")
         b_ = bands.select(F.col("doc_id").alias("ib"), "band", "bh")
         cand = (

@@ -44,7 +44,7 @@ def query(key: str, oracle: Optional[str] = None, rows_only: bool = False):
         def _wrapped(spark, sf_dir, _fn=fn):
             from naqed_spark.queries._util import release_scoped_persists
 
-            release_scoped_persists()
+            release_scoped_persists(spark)
             return _fn(spark, sf_dir)
 
         _wrapped.__name__ = fn.__name__

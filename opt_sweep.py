@@ -7,7 +7,12 @@ result-fetch skew; guide §1.4), so computation is measured rather than the
 py4j fetch of the answer. Per key:
 
   - ``compile``: best-of-2 DataFrame build + full Catalyst/physical planning
-    (no job) — the per-fresh-plan constant.
+    — the per-fresh-plan constant. CAVEAT (r16 review): builders are not
+    all job-free — iterative keys (bfs, pagerank, shortest-path, cc,
+    kcore, walks) run their fixpoint supersteps DURING build, and the
+    knn fast path collects its block at build time, so for those keys
+    "compile" includes real execution and the compile/exec split is not
+    meaningful; read their ``wall`` instead.
   - ``noop``:    best-of-2 noop-sink write of ONE prebuilt plan — pure
     execution.
   - ``wall``:    single fresh build+noop run (what a cold caller pays).
