@@ -58,6 +58,12 @@ BASELINE rows covered (BASELINE.md "Measured baseline" table):
 plus two scale-path representatives with no baseline row:
   llm_neardup_lsh      (MinHash banded near-dup — the 100 TB dedup path)
   limit_topk_global    (Q3-ish global top-k via takeOrdered-style plan)
+
+Round 17 (VERDICT r16 item 3, additions-only): ``queries_heavy_exec`` /
+``heavy_exec_total`` time a 5-key heavy-computation cohort with the noop
+sink (guide §1.4) — the keys where the real per-round exec wins land,
+which the collect-based headline suite never times. Existing maps,
+timing loops and the headline metric are untouched.
 """
 
 from __future__ import annotations
@@ -186,6 +192,35 @@ def main() -> None:
         except Exception as ex:
             print(f"# {key}: FAILED {ex}", file=sys.stderr)
 
+    # r17 (VERDICT r16 item 3, additions-only): heavy-exec cohort — five
+    # keys whose real computation the collect-based headline suite never
+    # times (LLM dedup/similarity + graph + the Python-boundary UDAF).
+    # Timed with the noop sink (guide §1.4: computes every column of
+    # every row, no result-fetch skew): ``exec`` is the best-of-2 noop
+    # write of ONE prebuilt plan — pure plan execution, directly
+    # comparable round over round. Runs AFTER all existing measurements;
+    # nothing above is moved or re-timed.
+    HEAVY = [
+        "llm_ngram_jaccard",
+        "llm_knn_ivf",
+        "graph_clustering_coefficient",
+        "llm_contamination_ngram",
+        "udaf_applyinpandas",
+    ]
+
+    def _noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    heavy_exec: dict[str, float] = {}
+    for key in HEAVY:
+        try:
+            df = QUERIES[key](spark, sf_dir)
+            _noop(df)  # warm: codegen + first exec + intra-query persists
+            heavy_exec[key] = min(timed(lambda: _noop(df)) for _ in range(2))
+            print(f"# heavy {key}: exec {heavy_exec[key]:.3f}s", file=sys.stderr)
+        except Exception as ex:
+            print(f"# heavy {key}: FAILED {ex}", file=sys.stderr)
+
     total = round(sum(per_query.values()), 3)
     # floor-normalized views (VERDICT r3 item 4): BENCH_r03's 31 s headline
     # was a contended machine, not code — the floor measurements are the
@@ -221,6 +256,8 @@ def main() -> None:
         "queries_tpch_exec": tpch_exec,
         "tpch_total": round(sum(tpch.values()), 3),
         "tpch_exec_total": round(sum(tpch_exec.values()), 3),
+        "queries_heavy_exec": heavy_exec,
+        "heavy_exec_total": round(sum(heavy_exec.values()), 3),
         "sf": sf,
     }
     print(json.dumps(full))
@@ -234,13 +271,15 @@ def main() -> None:
         k: full[k]
         for k in (
             "metric", "value", "unit", "queries", "queries_marginal",
-            "queries_exec", "value_marginal", "value_minus_floor", "floor",
-            "contended", "tpch_total", "tpch_exec_total", "sf",
+            "queries_exec", "queries_heavy_exec", "value_marginal",
+            "value_minus_floor", "floor",
+            "contended", "tpch_total", "tpch_exec_total",
+            "heavy_exec_total", "sf",
         )
     }
     line = json.dumps(compact)
     if len(line) > 1900:  # never regress the tail budget again
-        for drop in ("queries_exec", "queries_marginal"):
+        for drop in ("queries_heavy_exec", "queries_exec", "queries_marginal"):
             compact.pop(drop, None)
             line = json.dumps(compact)
             if len(line) <= 1900:

@@ -150,10 +150,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown entity {name!r}; known: {TABLES}")
-    try:
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
-    except Exception:
-        pass
+    # Session TZ pin: one conf.set py4j round trip per SESSION, not per
+    # load() call (r17; a query build calls load 1-6×, and the set was
+    # paid even on the df-cache hit path).
+    if not getattr(spark, "_naqed_tz_pinned", False):
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            spark._naqed_tz_pinned = True
+        except Exception:
+            pass
     path = f"{sf_dir}/{name}.parquet"
     cache = _session_df_cache(spark)
     if cache is not None and path in cache:

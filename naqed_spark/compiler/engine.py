@@ -1230,6 +1230,84 @@ class Engine:
                         child_df[a.right_on].asc_nulls_last(),
                         child_df[a.tiebreak].asc_nulls_last(),
                     ]
+                # r17 opt (VERDICT r16 item 5, guide §2.3 "aggregate
+                # before you shuffle"): for the INNER hop the rank-1
+                # window is an argmin/argmax, so the ordering columns
+                # plus every carried column fold into ONE struct
+                # aggregate — partial aggregation ships ≤1 row per
+                # (parent key, map partition) through the exchange and
+                # no Sort/WindowGroupLimit runs (the joins.py:252
+                # argument). Equivalence: each strategy's window order
+                # is uniformly directional over (rnum, tiebreak) —
+                # rnum is a monotonic bijection of right_on for
+                # same-type pairs, and ALL residual/tolerance
+                # comparisons already go through it — and struct
+                # comparison is lexicographic, so max/min(struct)
+                # selects exactly the rank-1 row; on exact order ties
+                # (possible only under a duplicated parent key) the
+                # aggregate picks deterministically where row_number
+                # picked arbitrarily. $how: left keeps the window
+                # spelling (the all-NULL-child row of an unmatched
+                # parent must survive ranking), as do frames with
+                # non-orderable (map) columns or colliding
+                # parent/child column names.
+                overlap = set(df.columns) & set(child_df.columns)
+                orderable = not any(
+                    "map<" in f.dataType.simpleString()
+                    for f in list(df.schema.fields)
+                    + list(child_df.schema.fields)
+                )
+                if a.how == "inner" and not overlap and orderable:
+                    if a.strategy == "backward":
+                        pick = F.max
+                        sort_cols = [rnum, child_df[a.tiebreak]]
+                    elif a.strategy == "forward":
+                        pick = F.min
+                        sort_cols = [rnum, child_df[a.tiebreak]]
+                    else:  # nearest
+                        pick = F.min
+                        # the window spelling orders asc_nulls_LAST while
+                        # min(struct) sorts a null field first — a
+                        # null-flag field reproduces nulls-last exactly
+                        # (|Δ| and rnum are non-null by the join's
+                        # isNotNull conditions; the tiebreak flag is the
+                        # same defense-in-depth the window order carried)
+                        sort_cols = [
+                            F.abs(rnum - lnum),
+                            rnum,
+                            child_df[a.tiebreak].isNull().cast("int"),
+                            child_df[a.tiebreak],
+                        ]
+                    names = [c for c in df.columns if c != a.per] + list(
+                        child_df.columns
+                    )
+                    payload = [
+                        df[c] for c in df.columns if c != a.per
+                    ] + [child_df[c] for c in child_df.columns]
+                    s = F.struct(
+                        *[
+                            c.alias(f"__s{i}")
+                            for i, c in enumerate(sort_cols)
+                        ],
+                        *[
+                            c.alias(f"__c{i}")
+                            for i, c in enumerate(payload)
+                        ],
+                    )
+                    df = (
+                        df.join(child_df, cond, "inner")
+                        .groupBy(df[a.per].alias(a.per))
+                        .agg(pick(s).alias("__asof_row"))
+                        .select(
+                            a.per,
+                            *[
+                                F.col(f"__asof_row.__c{i}").alias(n)
+                                for i, n in enumerate(names)
+                            ],
+                        )
+                    )
+                    cols.extend(child_cols)
+                    continue
                 w = Window.partitionBy(df[a.per]).orderBy(*order)
                 # $how (round 12, ADVICE r11): "inner" (default) drops
                 # parents whose only matches are stale/absent; "left"

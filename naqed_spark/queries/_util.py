@@ -35,7 +35,49 @@ __all__ = [
     "low_shuffle",
     "scoped_persist",
     "release_scoped_persists",
+    "session_fragment",
+    "spread",
 ]
+
+
+def session_fragment(spark, key, builder):
+    """Per-session cache of an ANALYZED lazy helper frame shared by
+    several registered keys (r17, VERDICT r16 item 2 — the catalog.py
+    analyzed-scan idiom one level up): building a frame like the graph
+    edge table or the MinHash signature table costs hundreds of py4j
+    round trips per query build, and 5-27 registered keys each rebuild
+    the identical plan. The dict lives ON the session object (cannot
+    outlive it, one per session); the value is a LAZY DataFrame — no
+    data, no results, every action still computes from parquet. Callers
+    that persist the fragment must re-mark it on every call (persist
+    marks are released between builds by the registry): keep
+    ``scoped_persist`` at the call site, never inside ``builder``."""
+    cache = getattr(spark, "_naqed_frag_cache", None)
+    if cache is None:
+        cache = {}
+        try:
+            spark._naqed_frag_cache = cache
+        except Exception:
+            return builder()  # session proxy rejects attributes
+    if key not in cache:
+        cache[key] = builder()
+    return cache[key]
+
+
+def spread(df):
+    """Round-robin repartition to the scheduler's default parallelism —
+    the fix for heavy per-row compute above a single-split scan (guide
+    §2.5 "input skew", r16 fuzzy-probe precedent, r17 items 1/4): the
+    fixture parquet files are single-row-group, so a bare scan is ONE
+    task no matter what ``maxPartitionBytes`` says, and every downstream
+    per-row transform (md5 minhash folds, JSON parsing, regex extraction)
+    would run on one core. The knob follows the cluster
+    (``defaultParallelism``), never a local constant; at 100 TB a
+    well-split input makes this a near-no-op pass relative to the
+    per-row work it parallelizes. Use ONLY above genuinely expensive
+    per-row work — for plain projections the shuffle costs more than it
+    buys (the r16 range-bucket persist lesson, applied to repartition)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 # r16 opt (guide §5 "unpersist when done"): query builders persist frames
 # their OWN plan reuses 2-5×, but a lazy builder never sees the consuming
@@ -52,7 +94,22 @@ __all__ = [
 # must never be released by a build on session B — the release is a
 # same-session lifecycle, not a process-wide one. Entries are popped on
 # release, so the dict only holds the current inter-build window's marks.
+# r17 (VERDICT r16 item 9 / ADVICE): keyed by the SESSION OBJECT, not
+# id(session) — a recycled id() after a session was GC'd could inherit
+# another session's mark list. A weak key would not help retention (the
+# DataFrame values hold strong references back to their session), so
+# abandoned-session cleanup is explicit instead: every release call
+# prunes entries whose session has been stopped (their JVM-side caches
+# died with the context; holding the Python DataFrames only pinned a
+# dead session's object graph).
 _SCOPED_PERSISTS: dict = {}
+
+
+def _session_stopped(spark) -> bool:
+    try:
+        return spark.sparkContext._jsc is None
+    except Exception:
+        return True
 
 
 def scoped_persist(df):
@@ -60,17 +117,21 @@ def scoped_persist(df):
     when the next registered query builds ON THE SAME SESSION (see
     registry.query)."""
     df.persist()
-    _SCOPED_PERSISTS.setdefault(id(df.sparkSession), []).append(df)
+    _SCOPED_PERSISTS.setdefault(df.sparkSession, []).append(df)
     return df
 
 
 def release_scoped_persists(spark=None) -> None:
-    """Release scoped marks — ``spark``'s own when given, else all."""
+    """Release scoped marks — ``spark``'s own when given, else all.
+    Also drops entries for sessions that have been stopped since their
+    marks were registered (nothing to unpersist — the context is gone)."""
+    for s in [s for s in _SCOPED_PERSISTS if _session_stopped(s)]:
+        _SCOPED_PERSISTS.pop(s, None)
     if spark is None:
         old = [df for lst in _SCOPED_PERSISTS.values() for df in lst]
         _SCOPED_PERSISTS.clear()
     else:
-        old = _SCOPED_PERSISTS.pop(id(spark), [])
+        old = _SCOPED_PERSISTS.pop(spark, [])
     for df in old:
         try:
             df.unpersist()
@@ -82,6 +143,11 @@ def sorted_pairs_expr(array_col: str, field_a: str, field_b: str) -> str:
     """SQL expression: every i<j element pair of the SORTED array column
     ``array_col`` as ``struct(field_a, field_b)`` — sortedness makes
     field_a < field_b exactly like a self-join's ``a < b`` predicate.
+    PRECONDITION (ADVICE r16): the array must also be DUPLICATE-FREE —
+    with repeated elements this emits x==y pairs and duplicated pairs
+    the old ``a < b`` self-join spelling never produced. Every current
+    caller feeds a collect_list over distinct rows (or collect_set);
+    a new caller must guarantee the same or filter x < y afterwards.
     The slice arithmetic is 1-based (transform's ``i`` is 0-based, the
     pair partner window starts at element i+2 and has size-i-1
     elements). One definition shared by the basket/adjacency/posting

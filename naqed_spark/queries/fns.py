@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from naqed_spark.queries._util import date_str, epoch_us, load, r6
+from naqed_spark.queries._util import date_str, epoch_us, load, r6, spread
 from naqed_spark.registry import query
 
 
@@ -303,7 +303,12 @@ def fn_map(spark, sf_dir):
     """,
 )
 def fn_json(spark, sf_dir):
-    ev = load(spark, sf_dir, "events")
+    # r17 opt (guide §2.5): the events file scans as ONE split, so the
+    # per-row JSON walking ran on a single core — round-robin the scan
+    # to defaultParallelism before the CPU-heavy projection (the r16
+    # fuzzy-probe idiom; scan parallelism is the file layout's problem,
+    # compute parallelism is ours).
+    ev = spread(load(spark, sf_dir, "events"))
     k_str = F.get_json_object("props", "$.k")
     nested = F.concat(
         F.lit('{"outer":{"inner":'),
@@ -341,7 +346,9 @@ def fn_json(spark, sf_dir):
     """,
 )
 def fn_cast(spark, sf_dir):
-    o = load(spark, sf_dir, "orders")
+    # r17 opt (guide §2.5): parallelize the per-row regex + try_cast work
+    # above the single-split orders scan (see fn_json).
+    o = spread(load(spark, sf_dir, "orders"))
     return o.select(
         "o_orderkey",
         F.col("o_orderkey").cast("string").alias("key_str"),
@@ -626,7 +633,10 @@ def fn_hash(spark, sf_dir):
     """,
 )
 def fn_try_safe(spark, sf_dir):
-    ev = load(spark, sf_dir, "events")
+    # r17 opt (guide §2.5): parallelize the per-row JSON parse +
+    # try-conversion work above the single-split events scan (see
+    # fn_json).
+    ev = spread(load(spark, sf_dir, "events"))
     cents_mod = F.round(F.col("value") * 100, 0).cast("bigint") % 7
     return ev.select(
         "event_id",
@@ -748,7 +758,9 @@ def fn_string_extra(spark, sf_dir):
     """,
 )
 def fn_json_roundtrip(spark, sf_dir):
-    o = load(spark, sf_dir, "orders")
+    # r17 opt (guide §2.5): parallelize the per-row to_json/from_json
+    # round trip above the single-split orders scan (see fn_json).
+    o = spread(load(spark, sf_dir, "orders"))
     j = F.to_json(
         F.struct(
             F.struct(

@@ -34,7 +34,9 @@ from naqed_spark.queries._util import (
     low_shuffle,
     r6,
     scoped_persist,
+    session_fragment,
     sorted_pairs_expr,
+    spread,
 )
 from naqed_spark.registry import query
 
@@ -51,25 +53,20 @@ _UE_SQL = """
 """
 
 
-def user_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Directed user→user edges: same props.k, within (0, 1h]. The join
-    is equi on (k, hour bucket): a 1-hour band can only land in the
-    source event's own bucket or the next one, so the left side explodes
-    into those two bucket keys and the band becomes a residual on an
-    equi-join — candidate pairs drop from per-k all-pairs (quadratic in
-    the k-group) to per-(k, adjacent-hour) pairs. Round-8 change: the
-    bucketing the original docstring deferred to 100 TB is now the
-    default (measured 9.7 s → ~1 s for the edge build at sf0.1, and it
-    is exactly the shape that bounds k-hot groups at any scale)."""
-    ev = scoped_persist(
-        load(spark, sf_dir, "events").select(
+def _user_edges_frames(spark: SparkSession, sf_dir: str):
+    """Build the (parsed-events, edges) lazy frames — see user_edges."""
+    ev = (
+        spread(load(spark, sf_dir, "events").select("user_id", "props", "ts"))
+        .select(
             "user_id",
             F.get_json_object("props", "$.k").alias("k"),
             epoch_us("ts").alias("ts_us"),
         )
-        # r16 opt: both self-join legs consumed this projection — without
-        # the (scoped) persist the events scan + per-row JSON parse ran
-        # twice per edge build.
+        # r17 opt (guide §2.5): the events file scans as ONE split, so
+        # the per-row JSON parse that fills the ev cache ran on a single
+        # core — spread it to defaultParallelism first (the shuffle
+        # carries the raw props strings once; the parse then runs
+        # cluster-wide).
     )
     a = ev.select(
         F.col("user_id").alias("src"),
@@ -96,16 +93,43 @@ def user_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
-    # r16 opt (guide §5 "reused AND expensive to recompute"): almost
-    # every graph key's plan instantiates this edge subtree 2-4×
-    # (symmetrize-union, adjacency self-joins), and each instance is
-    # the full events self-join + distinct. Persisting here lets one
-    # materialization feed every instance (InMemoryTableScan). The mark
-    # is SCOPED — released when the next registered query builds — so a
-    # long session never accumulates one edge cache per graph key; keys
-    # that explicitly persist/unpersist (bfs, pagerank) keep working:
-    # CacheManager dedups the mark and a consumer's unpersist simply
-    # lets the next build's mark re-cache it.
+    return ev, edges
+
+
+def user_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed user→user edges: same props.k, within (0, 1h]. The join
+    is equi on (k, hour bucket): a 1-hour band can only land in the
+    source event's own bucket or the next one, so the left side explodes
+    into those two bucket keys and the band becomes a residual on an
+    equi-join — candidate pairs drop from per-k all-pairs (quadratic in
+    the k-group) to per-(k, adjacent-hour) pairs. Round-8 change: the
+    bucketing the original docstring deferred to 100 TB is now the
+    default (measured 9.7 s → ~1 s for the edge build at sf0.1, and it
+    is exactly the shape that bounds k-hot groups at any scale).
+
+    r17 opt (VERDICT r16 item 2): the two lazy frames are cached per
+    (session, sf_dir) — ~27 graph keys each paid a few hundred py4j
+    round trips rebuilding this identical plan. No data is cached; the
+    persist marks below are re-registered on EVERY call because the
+    registry releases them between query builds.
+
+    r16 opt (guide §5 "reused AND expensive to recompute"): almost
+    every graph key's plan instantiates the edge subtree 2-4×
+    (symmetrize-union, adjacency self-joins), and each instance is
+    the full events self-join + distinct. Persisting here lets one
+    materialization feed every instance (InMemoryTableScan). The mark
+    is SCOPED — released when the next registered query builds — so a
+    long session never accumulates one edge cache per graph key; keys
+    that explicitly persist/unpersist (bfs, pagerank) keep working:
+    CacheManager dedups the mark and a consumer's unpersist simply
+    lets the next build's mark re-cache it. The ev persist likewise:
+    both self-join legs consume the parsed projection."""
+    ev, edges = session_fragment(
+        spark,
+        ("user_edges", sf_dir),
+        lambda: _user_edges_frames(spark, sf_dir),
+    )
+    scoped_persist(ev)
     return scoped_persist(edges)
 
 
@@ -509,28 +533,36 @@ def _triangle_corners(e):
     a<b<c used to come from an e1⋈e2⋈e3 double join (wedge fan-out
     Σ d² rows). With edges oriented low→high, c closes a triangle on
     edge (a,b) iff c ∈ H(a) ∩ H(b) where H(v) is v's sorted
-    higher-neighbor array — one groupBy builds H, two equi-joins attach
-    it to each edge, and the intersection runs in codegen. The corner
-    multiset per edge is {a×|cs|, b×|cs|} ∪ cs — identical to the
-    tri-join explode (each a<b<c triangle is found exactly once, at its
-    lowest edge). An O(d) array per vertex beats d² wedge rows under
-    any skew the join spelling survived. Shared by graph_triangle_count
-    and graph_clustering_coefficient."""
-    adjh = e.groupBy("src").agg(
-        F.sort_array(F.collect_list("dst")).alias("hs")
+    higher-neighbor array. r17 opt (VERDICT r16 item 6): the oriented
+    adjacency H is now the ONLY edge representation — one persisted
+    groupBy builds it, the (a, ha, b) wedge rows come from exploding H
+    with its own array carried alongside (no join needed to attach
+    H(a): the exploded row IS a's adjacency entry), and a single
+    equi-join attaches H(b). One join instead of two, one cached frame
+    instead of e+adjh, and the e rows the explode regenerates are
+    exactly the canonical edge set (e is distinct, so collect_list
+    holds each higher neighbor once). The corner multiset per edge is
+    {a×|cs|, b×|cs|} ∪ cs — identical to the tri-join explode (each
+    a<b<c triangle is found exactly once, at its lowest edge). An O(d)
+    array per vertex beats d² wedge rows under any skew the join
+    spelling survived. Shared by graph_triangle_count and
+    graph_clustering_coefficient."""
+    adjh = scoped_persist(
+        e.groupBy("src").agg(F.sort_array(F.collect_list("dst")).alias("hs"))
     )
     cs = (
-        e.join(
-            adjh.select(F.col("src").alias("a2"), F.col("hs").alias("ha")),
-            F.col("src") == F.col("a2"),
+        adjh.select(
+            F.col("src").alias("a"),
+            F.col("hs").alias("ha"),
+            F.explode("hs").alias("b"),
         )
         .join(
             adjh.select(F.col("src").alias("b2"), F.col("hs").alias("hb")),
-            F.col("dst") == F.col("b2"),
+            F.col("b") == F.col("b2"),
         )
         .select(
-            F.col("src").alias("a"),
-            F.col("dst").alias("b"),
+            "a",
+            "b",
             F.array_intersect("ha", "hb").alias("cs"),
         )
     )
@@ -572,7 +604,9 @@ def graph_triangle_count(spark, sf_dir):
         .union(ue.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
     )
-    e = scoped_persist(sym.filter(F.col("src") < F.col("dst")))
+    # r17: no edge persist — _triangle_corners consumes e exactly once
+    # (the adjacency groupBy) and caches the adjacency instead.
+    e = sym.filter(F.col("src") < F.col("dst"))
     corners = _triangle_corners(e)
     return corners.groupBy(F.col("v").alias("user_id")).agg(
         F.count(F.lit(1)).alias("n_triangles")
@@ -1231,8 +1265,10 @@ def graph_kcore(spark, sf_dir):
 )
 def graph_clustering_coefficient(spark, sf_dir):
     ue = user_edges(spark, sf_dir)
-    # sym feeds four subtrees (deg + the three wedge-join legs): persist
-    # so the symmetrize-distinct exchange runs once (r16 opt, guide §5)
+    # sym feeds two subtrees (deg + the adjacency groupBy inside
+    # _triangle_corners): persist so the symmetrize-distinct exchange
+    # runs once (r16 opt, guide §5; r17: the wedge legs collapsed into
+    # the cached adjacency, see _triangle_corners)
     sym = (
         ue.select("src", "dst")
         .union(ue.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

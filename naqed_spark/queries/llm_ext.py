@@ -21,6 +21,7 @@ from naqed_spark.queries._util import (
     r6,
     scoped_persist,
     sorted_pairs_expr,
+    spread,
 )
 from naqed_spark.registry import query
 
@@ -625,9 +626,15 @@ def _shingle_sets(corpus):
 
     Words are projected once before the shingle lambda — an inline
     ``split(text)`` in the lambda body is re-evaluated per element by the
-    interpreted HOF path, i.e. O(words²) splits per doc (r16 opt)."""
+    interpreted HOF path, i.e. O(words²) splits per doc (r16 opt).
+
+    r17 opt (guide §2.5): ``spread`` round-robins the corpus before the
+    shingle transform — the documents scan is single-split (one or two
+    tasks after the near-dup union), so the O(words)-per-doc shingle
+    fold previously ran on 1-2 cores."""
     return (
-        corpus.select("doc_id", F.split("text", " ").alias("w"))
+        spread(corpus.select("doc_id", "text"))
+        .select("doc_id", F.split("text", " ").alias("w"))
         .filter(F.size("w") >= 5)
         .select(
             "doc_id",

@@ -1941,31 +1941,37 @@ def test_asof_unknown_columns_and_bad_combos_fail_typed(eng):
 
 
 def test_asof_plan_uses_window_group_limit(eng):
-    """The rn == 1 pick must compile to a WindowGroupLimit partial top-1
-    — the $asof hop never materializes the full temporal fan-out."""
-    df = eng.query(
-        {
-            "events": {
-                "event_id": True,
-                "orders": {
-                    "$asof": {
-                        "$left_on": "ts",
-                        "$right_on": "o_orderdate",
-                        "$per": "event_id",
-                        "$tiebreak": "o_orderkey",
-                    },
-                    "o_orderkey": True,
+    """The inner $asof rank-1 pick compiles to a partial min/max(struct)
+    aggregate — ≤1 row per parent key per map partition crosses the
+    exchange, no Sort/WindowGroupLimit runs (r17 argmax rewrite; same
+    never-materialize-the-fan-out invariant the old WindowGroupLimit pin
+    asserted, minus the sort). $how: left keeps the WindowGroupLimit
+    spelling (the all-NULL-child row must survive ranking)."""
+    spec = {
+        "events": {
+            "event_id": True,
+            "orders": {
+                "$asof": {
+                    "$left_on": "ts",
+                    "$right_on": "o_orderdate",
+                    "$per": "event_id",
+                    "$tiebreak": "o_orderkey",
                 },
-            }
+                "o_orderkey": True,
+            },
         }
+    }
+    mode = eng.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
     )
-    plan = df._jdf.queryExecution().explainString(
-        eng.spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-            "formatted"
-        )
-    )
-    assert "WindowGroupLimit" in plan
+    plan = eng.query(spec)._jdf.queryExecution().explainString(mode)
+    assert "partial_max" in plan or "partial_min" in plan
+    assert "WindowGroupLimit" not in plan
     assert "CartesianProduct" not in plan
+    spec["events"]["orders"]["$asof"]["$how"] = "left"
+    plan_left = eng.query(spec)._jdf.queryExecution().explainString(mode)
+    assert "WindowGroupLimit" in plan_left
+    assert "CartesianProduct" not in plan_left
 
 
 def test_theta_residual_matches_direct_join(eng):
