@@ -137,6 +137,56 @@ TOUCHED: dict[str, int] = {
     # collision-resistant digests, not document bodies; keep/count
     # semantics unchanged.
     "llm_exact_dedup": 12,
+    # round-16 optimization rewrites (VERDICT r16 item 7: rotate the
+    # driver window onto the touched cohort — the r16 window rotated
+    # onto the build-round keys, so most of these were verified that
+    # round only by the local tri-SF + driver-run pytest sweeps, not by
+    # the driver's own front window). The 27-key plan-pair list from
+    # OPTIMIZATION_r16.md:
+    "join_asof": 16,
+    "join_asof_nearest": 16,
+    "join_fuzzy_entity_resolution": 16,
+    "llm_knn_ivf": 16,
+    "llm_ivf_recall_at_k": 16,
+    "graph_degree": 16,
+    "graph_centralization": 16,
+    "graph_common_neighbors": 16,
+    "graph_adamic_adar": 16,
+    "graph_edge_support": 16,
+    "llm_ann_hyperplane_lsh": 16,
+    "llm_dedup_keep_best": 16,
+    "llm_ngram_novelty": 16,
+    "llm_containment_dedup": 16,
+    "llm_semdedup_cluster": 16,
+    "agg_abc_classification": 16,
+    "agg_association_rules": 16,
+    "compiler_approx_count_distinct": 16,
+    # round-17 optimization rewrites (this round's plan changes: spread
+    # parallelism above single-split scans, fragment-cached helpers, the
+    # inner-$asof argmax aggregate, the adjacency-only triangle path,
+    # the numpy UDAF body, the knn fast-path gate hardening). Keys also
+    # rewritten in r16 carry 17 directly.
+    "llm_shingle_minhash": 17,
+    "llm_neardup_lsh": 17,
+    "llm_minhash_jaccard_estimate": 17,
+    "llm_ngram_jaccard": 17,
+    "llm_lsh_bucket_audit": 17,
+    "llm_lsh_precision_recall": 17,
+    "llm_lsh_banding_sweep": 17,
+    "fn_json": 17,
+    "fn_cast": 17,
+    "fn_try_safe": 17,
+    "fn_json_roundtrip": 17,
+    "graph_triangle_count": 17,
+    "graph_clustering_coefficient": 17,
+    "udaf_applyinpandas": 17,
+    "compiler_asof_hop": 17,
+    "compiler_asof_nearest": 17,
+    "compiler_asof_tolerance": 17,
+    "compiler_asof_forward": 17,
+    "llm_knn_bruteforce": 17,
+    "llm_similarity_threshold_join": 17,
+    "llm_contamination_ngram": 17,
 }
 
 # Keys registered WHILE a verification backlog is outstanding (VERDICT
