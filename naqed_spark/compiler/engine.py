@@ -20,7 +20,12 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from naqed_spark.catalog import Catalog, PRIMARY_KEYS, SMALL_DIMS
+from naqed_spark.catalog import (
+    Catalog,
+    PRIMARY_KEYS,
+    RELATIONSHIPS,
+    SMALL_DIMS,
+)
 from naqed_spark.compiler.spec import (
     AggSpec,
     CorrelatedScalar,
@@ -57,6 +62,39 @@ _TYPE_FAMILIES = {
     "date": "datetime", "timestamp": "datetime",
     "timestamp_ntz": "datetime",
 }
+
+# Every join-key/PK column the compiler itself can reference without the
+# spec naming it (later hops join on catalog relationship keys; $traverse
+# identifies vertices by the root PK) — part of the r17 $asof payload
+# prune's keep-set, see _collect_spec_strings.
+_CATALOG_KEY_COLS = (
+    {r.src_key for r in RELATIONSHIPS}
+    | {r.dst_key for r in RELATIONSHIPS}
+    | set(PRIMARY_KEYS.values())
+)
+
+
+def _collect_spec_strings(obj, acc: set) -> set:
+    """Every string appearing anywhere in a spec dict (keys and values) —
+    a sound OVER-approximation of the column names the rest of the
+    compilation can reference: all field requests, $select/$agg/$window/
+    $filter/$orderby references, lambda bodies and rel names are literal
+    strings in the spec. Used to prune the r17 inner-$asof struct payload
+    (columns named nowhere in the spec and not catalog keys can never be
+    referenced downstream — the final projection only emits requested
+    names). Keeping too much is always safe; dropping a referenced column
+    would fail loudly in the DSL's own unknown-column checks."""
+    if isinstance(obj, dict):
+        for k, v in obj.items():
+            if isinstance(k, str):
+                acc.add(k)
+            _collect_spec_strings(v, acc)
+    elif isinstance(obj, (list, tuple, set)):
+        for v in obj:
+            _collect_spec_strings(v, acc)
+    elif isinstance(obj, str):
+        acc.add(obj)
+    return acc
 
 
 def _type_family(frame: "DataFrame", col: str) -> "str | None":
@@ -266,6 +304,13 @@ class Engine:
         parquet scan as an ordinary pushed filter — a parameterized
         query costs exactly what its literal twin costs."""
         spec = bind_args(spec, params if params is not None else {})
+        # r17: the referenced-name over-approximation for the $asof
+        # payload prune (every sub-compile — $scalar inners, $from,
+        # set branches — works on sub-dicts of this spec, so one
+        # collection at the top covers them all)
+        self._spec_refnames = (
+            _collect_spec_strings(spec, set()) | _CATALOG_KEY_COLS
+        )
         spec = self._resolve_scalars(spec)
         qs = parse_query(spec)
         if isinstance(qs, SetSpec):
@@ -1278,12 +1323,33 @@ class Engine:
                             child_df[a.tiebreak].isNull().cast("int"),
                             child_df[a.tiebreak],
                         ]
-                    names = [c for c in df.columns if c != a.per] + list(
-                        child_df.columns
-                    )
+                    # r17 payload prune: a column named NOWHERE in the
+                    # spec (and not a catalog join key / PK, and not an
+                    # engine-internal __ column) can never be referenced
+                    # downstream — the final projection emits requested
+                    # names only. Dropping it from the struct is what
+                    # makes the aggregate beat the window spelling
+                    # (measured: full-width struct ≈ window parity at
+                    # sf0.1; pruned struct 1.7× faster — the fan-out
+                    # rows no longer copy the unreferenced heavy
+                    # payload columns into aggregation buffers).
+                    refs = getattr(self, "_spec_refnames", None)
+
+                    def _keep(c):
+                        return (
+                            refs is None
+                            or c in refs
+                            or c.startswith("__")
+                        )
+
+                    names = [
+                        c for c in df.columns if c != a.per and _keep(c)
+                    ] + [c for c in child_df.columns if _keep(c)]
                     payload = [
-                        df[c] for c in df.columns if c != a.per
-                    ] + [child_df[c] for c in child_df.columns]
+                        df[c]
+                        for c in df.columns
+                        if c != a.per and _keep(c)
+                    ] + [child_df[c] for c in child_df.columns if _keep(c)]
                     s = F.struct(
                         *[
                             c.alias(f"__s{i}")

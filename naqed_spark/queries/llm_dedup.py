@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from naqed_spark.queries._util import load, low_shuffle, scoped_persist
+from naqed_spark.queries._util import load, low_shuffle, scoped_persist, spread
 from naqed_spark.queries.llm import _SHINGLES_SQL, _SIG_COLS_SQL, llm_neardup_lsh
 from naqed_spark.registry import query
 
@@ -295,9 +295,12 @@ def llm_simhash_neardup(spark, sf_dir):
 )
 def llm_chunk_windows(spark, sf_dir):
     # null text must be excluded BEFORE sequence(): size(NULL) is -1 and
-    # sequence(1, -1, 48) throws — the round-9 null-probe crash
+    # sequence(1, -1, 48) throws — the round-9 null-probe crash.
+    # r17 opt (guide §2.5): the plan has NO exchange, so the whole
+    # split/slice/md5-per-chunk pipeline ran on the single-split scan
+    # task — spread to defaultParallelism above the per-row work.
     d = (
-        load(spark, sf_dir, "documents")
+        spread(load(spark, sf_dir, "documents").select("doc_id", "text"))
         .filter(F.col("text").isNotNull())
         .select("doc_id", F.split("text", " ").alias("w"))
     )
