@@ -1440,11 +1440,14 @@ def test_compiler_percentile_single_exchange(spark):
 def test_compiler_asof_forward_window_group_limit(spark):
     """$strategy forward shares the asof plan family: equi-join with the
     direction predicate IN the join condition (at-or-after rows pruned at
-    the join, never materialized) + per-order WindowGroupLimit top-1
-    partials on both sides of the rank exchange."""
+    the join, never materialized) + the rank-1 pick. r17: the inner hop's
+    pick is the argmin struct aggregate (partial_min — ≤1 row per parent
+    key per partition through the exchange, no Sort/WindowGroupLimit; the
+    same never-materialize-the-fan-out invariant, minus the sort)."""
     plan = plan_of(spark, "compiler_asof_forward")
     tree = tree_of(plan)
-    assert tree.count("WindowGroupLimit") == 2
+    assert "WindowGroupLimit" not in tree
+    assert "partial_min" in plan
     # the at-or-after bound rides the equi-join's residual condition,
     # not a post-join Filter: the details section must show the µs
     # comparison inside a "Join condition" line
