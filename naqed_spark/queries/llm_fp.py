@@ -28,7 +28,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from naqed_spark.queries._util import load, r6, scoped_persist
+from naqed_spark.queries._util import (
+    load,
+    r6,
+    scoped_persist,
+    session_fragment,
+)
 from naqed_spark.registry import query
 
 # Winnowing parameters: k-gram length and window width. t = w + k - 1 = 11
@@ -599,19 +604,18 @@ def llm_quality_ensemble(spark, sf_dir):
     """,
 )
 def llm_lsh_bucket_audit(spark, sf_dir):
-    from naqed_spark.queries.llm import _minhash_sigs
+    # r17 opt (guide §2.4): the band table was a 4-way unionAll — FOUR
+    # instantiations of the full shingle+minhash subtree (no persist) per
+    # pass. _band_buckets emits the identical rows as one
+    # Project+Generate over ONE sigs instance (equivalence pinned by
+    # test_band_buckets_match_union_spelling), and the 4×2 default band
+    # table is the same per-session lazy fragment the neardup keys share.
+    from naqed_spark.queries.llm import _band_buckets, _minhash_sigs
 
     sigs = _minhash_sigs(spark, sf_dir)
-    bands = None
-    for b in range(4):
-        part = sigs.select(
-            "doc_id",
-            F.lit(b).alias("band"),
-            F.md5(F.concat(F.col(f"sig{2*b}"), F.col(f"sig{2*b+1}"))).alias(
-                "bh"
-            ),
-        )
-        bands = part if bands is None else bands.unionAll(part)
+    bands = session_fragment(
+        spark, ("band_buckets", sf_dir, 4, 2), lambda: _band_buckets(sigs)
+    )
     buckets = bands.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("c"))
     pairs = (F.col("c") * (F.col("c") - 1) / 2).cast("bigint")
     mx = F.max("c")
