@@ -106,10 +106,15 @@ _SCOPED_PERSISTS: dict = {}
 
 
 def _session_stopped(spark) -> bool:
+    """True only when the context is PROVABLY stopped. An exception from
+    the sparkContext accessor means "cannot tell" (e.g. a Connect-style
+    session) — keep the entry so its release still unpersists (r17
+    review: pruning on 'cannot tell' would pop a live session's marks
+    without ever unpersisting them)."""
     try:
         return spark.sparkContext._jsc is None
     except Exception:
-        return True
+        return False
 
 
 def scoped_persist(df):

@@ -532,7 +532,18 @@ def _blocked_union(spark, e, schema: str, gen_factory):
             blk = e.toArrow()
             if blk.num_rows == 0:
                 return spark.createDataFrame([], schema)
-            dim_a = max(1, len(blk.column("embedding")[0].as_py() or ()))
+            # dim from the MAX list length over the whole block (r17
+            # review: the first row alone can be NULL/short, which would
+            # let an oversized payload past the row cap)
+            import pyarrow.compute as pc
+
+            dim_a = max(
+                1,
+                pc.max(
+                    pc.list_value_length(blk.column("embedding"))
+                ).as_py()
+                or 0,
+            )
             if blk.num_rows <= _knn_block_rows(dim_a):
                 bc = _broadcast_arrow_block(spark, blk)
                 return e.mapInPandas(gen_factory(bc), schema=schema)

@@ -45,6 +45,17 @@ def query(key: str, oracle: Optional[str] = None, rows_only: bool = False):
             from naqed_spark.queries._util import release_scoped_persists
 
             release_scoped_persists(spark)
+            # UTC re-pin once per QUERY BUILD (r17 review): catalog.load
+            # now pins the session timezone once per session instead of
+            # per call (py4j round-trip reduction), so a consumer that
+            # mutates spark.sql.session.timeZone mid-session would
+            # otherwise silently shift TZ-sensitive declared results
+            # away from the UTC-pinned oracle. One conf.set per build
+            # restores the old per-query guarantee at ~1/6th the calls.
+            try:
+                spark.conf.set("spark.sql.session.timeZone", "UTC")
+            except Exception:
+                pass
             return _fn(spark, sf_dir)
 
         _wrapped.__name__ = fn.__name__
@@ -122,7 +133,9 @@ TOUCHED: dict[str, int] = {
     "agg_skyline_pareto": 9,
     "agg_gini_concentration": 9,
     "agg_tukey_fences": 9,
-    "agg_abc_classification": 9,
+    # bumped 9 → 16 (r16 revenue-persist rewrite; one entry, not a
+    # duplicate literal — r17 review)
+    "agg_abc_classification": 16,
     # round-10 null-semantics fixes (ADVICE r9): NULL outer operand for
     # the quantifiers; NULL support point excluded from the ECDF.
     "sub_any_all": 10,
@@ -158,7 +171,7 @@ TOUCHED: dict[str, int] = {
     "llm_ngram_novelty": 16,
     "llm_containment_dedup": 16,
     "llm_semdedup_cluster": 16,
-    "agg_abc_classification": 16,
+    # agg_abc_classification carries 16 in the round-9 block above
     "agg_association_rules": 16,
     "compiler_approx_count_distinct": 16,
     # round-17 optimization rewrites (this round's plan changes: spread
